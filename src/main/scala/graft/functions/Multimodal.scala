@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Design: media assets are opaque `binary` columns travelling next to
+  * a typed metadata struct — the standard lakehouse layout for
+  * training-data pipelines (payload stays columnar/compressed in
+  * parquet; metadata is filterable without touching bytes, so
+  * predicate pushdown prunes scans before any decode).
+  *
+  * The decode/feature-extract kernel is the only non-columnar step; it
+  * runs per-partition in batches (the Scala analog of `mapInPandas`)
+  * so a real decoder (JNI/FFI to an image lib) amortizes setup per
+  * batch. The container ships no media codecs, so [[fakeDecode]] is a
+  * clearly-marked deterministic stand-in with the REAL Spark-side
+  * contract: schema, batching, partition-parallelism, and null safety
+  * are production-shaped and tested; only the kernel body is fake.
+  */
+object Multimodal {
+
+  /** Metadata struct carried beside every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("checksum", StringType)))
+
+  /** Output schema of the feature-extraction kernel. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Wrap a source table into the multimodal layout: payload bytes +
+    * typed metadata struct. (Testdata has no real media, so the
+    * `documents.text` bytes stand in for an encoded asset.)
+    */
+  def asMediaTable(docs: DataFrame, idCol: String, payloadCol: String,
+                   mediaType: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(payloadCol), "UTF-8").as("payload"),
+      struct(
+        lit(mediaType).as("media_type"),
+        octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("byte_len"),
+        md5(encode(col(payloadCol), "UTF-8")).as("checksum")).as("meta"))
+
+  /** STUB KERNEL — deterministic fake "decode + feature extract".
+    * A real implementation decodes the payload (image resize / audio
+    * frame-sample) and emits an embedding; this stand-in derives an
+    * 8-dim feature from the payload bytes so tests are deterministic.
+    * Replace the body, keep the signature.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched per-partition feature extraction (mapInPandas analog):
+    * partition-parallel, zero driver involvement, constant memory per
+    * task (iterator in, iterator out — never materializes a
+    * partition).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select(col("doc_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val feat =
+            if (payload == null) null
+            else fakeDecode(payload)
+          Row(id, meta.getString(0), meta.getLong(1), feat)
+        }
+      }(enc)
+  }
+
+  /** Oracle-checkable metadata projection (no kernel involved):
+    * byte length and checksum of payloads — proves the binary
+    * round-trip and pushdown-friendly metadata layout.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("meta.media_type").as("media_type"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.checksum").as("checksum"))
+}

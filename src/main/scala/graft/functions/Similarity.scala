@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a large-scale ANN pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. The query side is broadcast, so the corpus is scanned
+  *    exactly once with no shuffle of embeddings; per-corpus-partition
+  *    top-k would be the next refinement (TakeOrderedAndProject
+  *    already avoids a global sort).
+  *  - [[lshBucketedTopK]]: sign-random-projection LSH — corpus and
+  *    queries are hashed into buckets scan-side, candidates come from
+  *    bucket equi-joins (shuffle carries only (bucket, id, vec)), and
+  *    exact cosine re-ranks candidates. This is the 100 TB path: cost
+  *    scales with bucket collision counts, not corpus × queries.
+  *
+  * All arithmetic uses higher-order array functions on doubles —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns as double, with a
+    * deterministic left-to-right accumulation order (stable across
+    * engines for oracle comparison).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (‖a‖·‖b‖). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries` must be small (it is broadcast); returns
+    * (query_id, rank, neighbor_id) with rank 1..k by descending
+    * cosine, neighbor id as tie-break, self-matches excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Sign-random-projection bucket key: `planes` pseudo-random
+    * Rademacher (±1) hyperplanes derived from [[Hashing.hash60]] of
+    * (plane, dim) — fully deterministic and reproducible in SQL. The
+    * bucket is the concatenated sign bits of the projections.
+    */
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // projection_p(v) = Σ_d v[d] * sign(hash(p, d))
+      val proj = aggregate(
+        zip_with(vec, srpSigns(p, dims), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** The ±1 pattern of plane `p` as a constant array column —
+    * evaluated once by constant folding, broadcast implicitly in the
+    * plan (never a data-dependent lookup).
+    */
+  private def srpSigns(p: Int, dims: Int): Column = {
+    // Deterministic per (plane, dim): parity of md5-derived hash.
+    val signs = (0 until dims).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+    array(signs.map(lit): _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share an SRP bucket
+    * with the query; exact cosine re-ranks. Returns
+    * (query_id, rank, neighbor_id, score rounded 6dp). Recall is
+    * tuned by `planes` (fewer planes → bigger buckets → higher
+    * recall, more compute).
+    */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      planes: Int, dims: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), srpBucket(col(vecCol), planes, dims).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), srpBucket(col(vecCol), planes, dims).as("bucket")))
+    val cand = bucketed.join(qb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines:
+  * tokenization, n-gram shingling, language ID, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * Everything here is composed from codegen'd Spark built-ins and
+  * higher-order array functions — no UDFs — so the expressions stay
+  * inside whole-stage codegen and scale linearly with executors.
+  * Each function documents its DuckDB-oracle equivalent.
+  */
+object Text {
+
+  /** Whitespace tokenization, empty tokens dropped.
+    * DuckDB: `list_filter(string_split_regex(s,'\s+'), t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (space-joined), empty when fewer than n
+    * tokens. DuckDB: `list_transform(range(len(toks)-(n-1)),
+    * i -> toks[i+1] || ' ' || ... || toks[i+n])`.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), gram)
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Marker stopword sets used by language ID and quality scoring.
+    * Tiny closed classes are the standard cheap language signal
+    * (n-gram/stopword heuristic); at 100 TB this is a broadcastable
+    * constant folded into codegen, not a lookup join.
+    */
+  val enMarkers: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val frMarkers: Seq[String] = Seq("le", "la", "et", "de", "un", "les", "des")
+  val esMarkers: Seq[String] = Seq("el", "la", "y", "de", "un", "los", "que")
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Deterministic language guess: argmax of marker-token counts with
+    * fixed tie-break order en > fr > es > und. DuckDB mirror uses
+    * `len(list_filter(...))` and the same CASE ordering.
+    */
+  def langId(toks: Column): Column = {
+    val en = markerCount(toks, enMarkers)
+    val fr = markerCount(toks, frMarkers)
+    val es = markerCount(toks, esMarkers)
+    when(en >= fr && en >= es && en > 0, lit("en"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Number of whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: ceil(chars / 4) — the standard ~4 chars
+    * per subword heuristic, as a cheap pre-tokenization size estimate.
+    */
+  def tokenCountBpeEst(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Punctuation character ratio. DuckDB: needs the 'g' flag on
+    * regexp_replace (`regexp_replace(s,'[[:punct:]]','','g')`).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .cast("double") / length(text).cast("double")
+    ).otherwise(lit(0.0))
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+        / size(toks).cast("double")
+    ).otherwise(lit(0.0))
+
+  /** Stopword (marker-token) fraction — higher means more natural
+    * prose; near-zero flags keyword soup / boilerplate.
+    */
+  def stopwordRatio(toks: Column): Column = {
+    val all = enMarkers ++ frMarkers ++ esMarkers
+    when(size(toks) > 0,
+      markerCount(toks, all.distinct).cast("double")
+        / size(toks).cast("double")
+    ).otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score in [0,1]: rewards moderate
+    * length and prose-like stopword density, penalizes punctuation
+    * soup. Deterministic double arithmetic, mirrored 1:1 in SQL.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    Hashing.portableRound(
+      lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2, 6)
+  }
+
+  /** Whitespace/case-normalized text for exact-duplicate detection. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 128-bit content fingerprint of the normalized text (md5 hex).
+    * Grouping by this column is the exact-dedup primitive: at 100 TB
+    * it is a single hash-shuffle on a 32-byte key instead of the full
+    * document payload.
+    */
+  def docFingerprint(text: Column): Column =
+    Hashing.fingerprint(normalized(text))
+}

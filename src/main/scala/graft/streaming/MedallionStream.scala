@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.model.Rides
+import graft.operators.{Medallion, ParquetUpsertSink}
+
+/** The three streaming queries of the medallion chain, mirroring the
+  * reference topology — three INDEPENDENT queries coupled only through
+  * storage (SURVEY.md §3.1), which reproduces its actual late-data
+  * behavior (the silver watermark does not propagate to gold).
+  *
+  *   raw JSON dir  ──bronze──▶ bronze parquet (append, 10 s trigger)
+  *   bronze parquet ──silver──▶ silver parquet (append, watermark+dedup)
+  *   silver parquet ──gold──▶ upsert table (foreachBatch merge, 45 s)
+  *
+  * Sources are Spark's incremental file sources (the Kafka connector
+  * jar is absent; with it, bronze's source is a 1-line swap to
+  * `format("kafka")` — see 01_bronze_realtime_rides.py:66-71).
+  * Checkpoints give exactly-once; the gold sink adds batchId
+  * idempotence on top (ParquetUpsertSink).
+  */
+object MedallionStream {
+
+  /** Kafka-like raw record schema as landed in JSON files. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("timestamp", TimestampType)))
+
+  val silverSchema: StructType =
+    StructType(Rides.rideSchema.fields ++ Seq(
+      StructField("trip_duration_seconds", LongType),
+      StructField("trip_distance_km", DoubleType),
+      StructField("is_suspicious", BooleanType)))
+      .copy() // 11 columns, order of Rides.silverColumns
+
+  final case class Paths(raw: String, bronze: String, silver: String,
+                         gold: String, checkpoints: String)
+
+  /** Bronze: raw JSON dir → CAST projection → parquet append
+    * (01_bronze_realtime_rides.py:66-90).
+    */
+  def bronzeQuery(spark: SparkSession, p: Paths,
+                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery = {
+    val raw = spark.readStream.schema(rawSchema).json(p.raw)
+    Medallion.bronzeProject(raw)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${p.checkpoints}/bronze")
+      .trigger(trigger)
+      .start(p.bronze)
+  }
+
+  /** Silver: bronze parquet → parse/clean/watermark/dedup/flag →
+    * parquet append (02_silver_realtime_rides.py:41-118).
+    */
+  def silverQuery(spark: SparkSession, p: Paths,
+                  trigger: Trigger = Trigger.ProcessingTime("0 seconds"))
+      : StreamingQuery = {
+    val bronze = spark.readStream.schema(Rides.bronzeSchema).parquet(p.bronze)
+    Medallion.silverStage(bronze, streaming = true)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${p.checkpoints}/silver")
+      .trigger(trigger)
+      .start(p.silver)
+  }
+
+  /** Gold: silver parquet → tumbling-window agg → foreachBatch merge
+    * into the upsert table (03_gold_realtime_rides.py:33-128).
+    *
+    * `bounded = false` (default) reproduces the reference faithfully:
+    * complete output mode, unbounded window state (SURVEY.md §2.9 T4).
+    * `bounded = true` is the scale-safe variant: a 10-minute watermark
+    * with update mode, emitting only changed windows per batch — state
+    * and per-batch merge work stay O(active windows).
+    */
+  def goldQuery(spark: SparkSession, p: Paths,
+                trigger: Trigger = Trigger.ProcessingTime("45 seconds"),
+                bounded: Boolean = false): StreamingQuery = {
+    val silver = spark.readStream.schema(silverSchema).parquet(p.silver)
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey)
+    val input =
+      if (bounded) silver.withWatermark("event_timestamp", Rides.watermarkDelay)
+      else silver
+    val agg = Medallion.goldAggregate(input)
+    agg.writeStream
+      .outputMode(if (bounded) OutputMode.Update else OutputMode.Complete)
+      .option("checkpointLocation", s"${p.checkpoints}/gold")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.upsert(spark, batch, batchId)
+      }
+      .start()
+  }
+
+  /** Run the full chain over whatever data is already in `p.raw` and
+    * stop when drained (Trigger.AvailableNow) — deterministic
+    * batch-equivalent execution of the streaming topology for tests.
+    */
+  def runDrain(spark: SparkSession, p: Paths): Unit = {
+    val b = bronzeQuery(spark, p, Trigger.AvailableNow)
+    b.awaitTermination()
+    val s = silverQuery(spark, p, Trigger.AvailableNow)
+    s.awaitTermination()
+    val g = goldQuery(spark, p, Trigger.AvailableNow)
+    g.awaitTermination()
+  }
+}
