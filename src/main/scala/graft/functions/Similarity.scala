@@ -64,47 +64,61 @@ object Similarity {
     * (plane, dim) — fully deterministic and reproducible in SQL. The
     * bucket is the concatenated sign bits of the projections.
     */
-  def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
+  def srpBucket(vec: Column, planes: Int, dims: Int,
+                tableSalt: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      // projection_p(v) = Σ_d v[d] * sign(hash(p, d))
+      // projection_p(v) = Σ_d v[d] * sign(hash(table, p, d))
       val proj = aggregate(
-        zip_with(vec, srpSigns(p, dims), (x, s) => x.cast("double") * s),
+        zip_with(vec, srpSigns(tableSalt, p, dims),
+          (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(bits: _*)
   }
 
-  /** The ±1 pattern of plane `p` as a constant array column —
-    * evaluated once by constant folding, broadcast implicitly in the
-    * plan (never a data-dependent lookup).
+  /** The ±1 pattern of plane `p` in table `t` as a constant array
+    * column — evaluated once by constant folding, broadcast implicitly
+    * in the plan (never a data-dependent lookup).
     */
-  private def srpSigns(p: Int, dims: Int): Column = {
-    // Deterministic per (plane, dim): parity of md5-derived hash.
+  private def srpSigns(t: Int, p: Int, dims: Int): Column = {
+    // Deterministic per (table, plane, dim): parity of md5-derived hash.
     val signs = (0 until dims).map { d =>
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8"))
+        .digest(s"$t:$p:$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1.0 else -1.0
     }
     array(signs.map(lit): _*)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share an SRP bucket
-    * with the query; exact cosine re-ranks. Returns
-    * (query_id, rank, neighbor_id, score rounded 6dp). Recall is
-    * tuned by `planes` (fewer planes → bigger buckets → higher
-    * recall, more compute).
+  /** Multi-table LSH approximate top-k: `tables` independent SRP hash
+    * tables of `planes` sign bits each; a corpus vector is a candidate
+    * for a query if they share a bucket in ANY table (the standard
+    * recall amplifier: miss probability decays exponentially in the
+    * table count). Exact cosine re-ranks the deduplicated candidates.
+    * Returns (query_id, rank, neighbor_id, score rounded 6dp).
+    *
+    * Scale shape: each side is scanned once, emitting `tables` rows
+    * per vector keyed by a small bucket string; the join shuffles
+    * (bucket, id) pairs only, and the re-rank runs on candidates —
+    * never corpus × queries.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                      planes: Int, dims: Int,
+                      planes: Int, dims: Int, tables: Int = 8,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), srpBucket(col(vecCol), planes, dims).as("bucket"))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), srpBucket(col(vecCol), planes, dims).as("bucket")))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(array((0 until tables).map(t =>
+            concat_ws("|", lit(t),
+              srpBucket(col(vecCol), planes, dims, tableSalt = t))): _*))
+            .as("bucket"))
+    val bucketed = withBuckets(corpus, "neighbor_id", "cv")
+    val qb = broadcast(withBuckets(queries, "query_id", "qv"))
     val cand = bucketed.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))

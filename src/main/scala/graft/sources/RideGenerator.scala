@@ -32,7 +32,8 @@ object RideGenerator {
     * (kafka_rides_producer.py:102-103).
     */
   def events(spark: SparkSession, n: Long, seed: Long = 42L,
-             numPartitions: Int = 32): DataFrame = {
+             numPartitions: Int = 32,
+             epochStart: Long = 1704067200L): DataFrame = {
     val base = spark.range(0, n, 1, numPartitions)
 
     val dupRoll = u(seed, 1)
@@ -46,7 +47,7 @@ object RideGenerator {
     val malformed = u(seed, 5) < 0.01
 
     // Event stream advances ~3.33 events/s from a fixed epoch.
-    val startSec = lit(1704067200L) + (col("id") * 3L) / 10L -
+    val startSec = lit(epochStart) + (col("id") * 3L) / 10L -
       (u(seed, 6) * 300).cast("long")
     val durationSec = when(suspicious,
       (lit(30) + u(seed, 7) * 89).cast("long"))         // 30–119 s
@@ -90,7 +91,8 @@ object RideGenerator {
     * the connector jar is on the classpath).
     */
   def writeRaw(spark: SparkSession, dir: String, n: Long,
-               seed: Long = 42L, files: Int = 8): Unit =
-    events(spark, n, seed).repartition(files).write
-      .mode("append").json(dir)
+               seed: Long = 42L, files: Int = 8,
+               epochStart: Long = 1704067200L): Unit =
+    events(spark, n, seed, epochStart = epochStart).repartition(files)
+      .write.mode("append").json(dir)
 }

@@ -34,8 +34,7 @@ object MedallionStream {
     StructType(Rides.rideSchema.fields ++ Seq(
       StructField("trip_duration_seconds", LongType),
       StructField("trip_distance_km", DoubleType),
-      StructField("is_suspicious", BooleanType)))
-      .copy() // 11 columns, order of Rides.silverColumns
+      StructField("is_suspicious", BooleanType))) // Rides.silverColumns order
 
   final case class Paths(raw: String, bronze: String, silver: String,
                          gold: String, checkpoints: String)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Text}
+
+/** Dedup operator semantics on constructed near/exact duplicates —
+  * properties the oracle (which only re-runs the same algorithm)
+  * cannot establish.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "THE  quick brown fox jumps over the lazy dog near the river bank"), // dup after normalization
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank"),  // near-dup (1 token)
+    (4L, "completely different content about spark query engines and shuffles here"),
+    (5L, "another unrelated document discussing parquet files and column pruning")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized content, min id survives") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(0L) === 3L)        // docs 0,1,2 collapse to keep_id 0
+    assert(groups.size === 4)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("jaccard: near-identical docs score high, unrelated score low") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((0L, 1L)) === 1.0)             // identical shingle sets
+    assert(pairs((0L, 3L)) > 0.5)               // one token changed
+    assert(!pairs.contains((0L, 4L)) || pairs((0L, 4L)) < 0.2)
+  }
+
+  test("minhash LSH candidates contain the true near-duplicates") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "exact dup pair missed by LSH")
+    // unrelated docs must not collide on any band
+    assert(!cands.contains((4L, 5L)), "unrelated docs collided")
+  }
+
+  test("simhash: identical docs share fingerprints, near-dups are close") {
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0L), fps(3L)) < 15,
+      s"near-dup hamming ${hamming(fps(0L), fps(3L))}")
+    assert(hamming(fps(0L), fps(4L)) > hamming(fps(0L), fps(3L)),
+      "unrelated doc closer than near-dup")
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Multimodal
+
+/** Multimodal plumbing: schema, batching, determinism of the
+  * per-partition kernel (the decode body is a stub; the Spark-side
+  * contract is what's under test).
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMediaTable(
+    Seq((1L, "hello"), (2L, "world!"), (3L, "")).toDF("doc_id", "text"),
+    "doc_id", "text", "text/plain")
+
+  test("media table carries payload bytes + typed metadata") {
+    val r = media.filter(col("doc_id") === 2L).first()
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "world!")
+    val meta = r.getStruct(2)
+    assert(meta.getString(0) === "text/plain")
+    assert(meta.getLong(1) === 6L)
+  }
+
+  test("feature extraction is deterministic and partition-invariant") {
+    val f1 = Multimodal.extractFeatures(media.repartition(1)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val f4 = Multimodal.extractFeatures(media.repartition(4)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(f1 === f4, "kernel output depends on partitioning")
+    assert(f1(1L).length === 8)
+    // empty payload still yields a (zero) feature, not null/crash
+    assert(f1(3L).forall(_ === 0.0f))
+  }
+}

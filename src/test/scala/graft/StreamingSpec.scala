@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Rides
+import graft.operators.{Medallion, ParquetUpsertSink}
+import graft.sources.RideGenerator
+import graft.streaming.MedallionStream
+
+/** End-to-end streaming topology: raw JSON → bronze → silver → gold
+  * upsert, driven to drain with Trigger.AvailableNow. Covers the
+  * state machinery (watermark+dedup, foreachBatch upsert, incremental
+  * second batch) that the batch oracle can't.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("medallion chain drains and converges to the batch recompute") {
+    val root = tmpDir("stream")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+
+    RideGenerator.writeRaw(spark, p.raw, 5000L)
+    MedallionStream.runDrain(spark, p)
+
+    val bronze = spark.read.parquet(p.bronze)
+    assert(bronze.columns.toSeq === Seq("raw_json_data", "timestamp"))
+    assert(bronze.count() === 5000)
+
+    val silver = spark.read.parquet(p.silver)
+    // dedup key unique in silver
+    assert(silver.count() ===
+      silver.select(col("ride_id"), col("event_timestamp")).distinct().count())
+
+    // gold ≡ batch recompute over the silver table (upsert convergence)
+    val gold = spark.read.parquet(p.gold)
+      .select("window_start", "window_end", "driver_id",
+        "total_rides_hourly", "avg_fare_hourly",
+        "total_suspicious_rides_hourly")
+    val expected = Medallion.goldAggregate(silver)
+    assert(gold.except(expected).count() === 0 &&
+      expected.except(gold).count() === 0,
+      "gold diverged from batch recompute")
+
+    // second wave: LATER events (past the watermark frontier) → rerun
+    RideGenerator.writeRaw(spark, p.raw, 3000L, seed = 7L,
+      epochStart = 1704067200L + 3600L)
+    MedallionStream.runDrain(spark, p)
+    val silver2 = spark.read.parquet(p.silver)
+    assert(silver2.count() > silver.count())
+    val gold2 = spark.read.parquet(p.gold)
+      .select("window_start", "window_end", "driver_id",
+        "total_rides_hourly", "avg_fare_hourly",
+        "total_suspicious_rides_hourly")
+    val expected2 = Medallion.goldAggregate(silver2)
+    assert(gold2.except(expected2).count() === 0 &&
+      expected2.except(gold2).count() === 0,
+      "gold diverged after second micro-batch wave")
+    // upsert key stays unique
+    assert(gold2.count() === gold2
+      .select(col("window_start"), col("window_end"), col("driver_id"))
+      .distinct().count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Edge cases of the text primitives (empty docs, short docs,
+  * punctuation-only) that the corpus tables never produce.
+  */
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((0L, text)).toDF("doc_id", "text")
+    .withColumn("toks", Text.tokens(col("text")))
+
+  test("tokens: empty and whitespace-only strings yield no tokens") {
+    assert(one("").select(size(col("toks"))).first().getInt(0) === 0)
+    assert(one("   \t  ").select(size(col("toks"))).first().getInt(0) === 0)
+    assert(one("a  b\tc").select(size(col("toks"))).first().getInt(0) === 3)
+  }
+
+  test("shingles: fewer tokens than n yields empty, exact n yields one") {
+    def nsh(s: String) = one(s)
+      .select(size(Text.shingles(col("toks"), 3))).first().getInt(0)
+    assert(nsh("a b") === 0)
+    assert(nsh("a b c") === 1)
+    assert(nsh("a b c d") === 2)
+  }
+
+  test("quality/ratios handle degenerate inputs without nulls or NaN") {
+    val r = one("...!!!").select(
+      Text.punctRatio(col("text")).as("p"),
+      Text.stopwordRatio(col("toks")).as("s"),
+      Text.avgTokenLen(col("toks")).as("a"),
+      Text.qualityScore(col("text"), col("toks")).as("q")).first()
+    assert(!r.anyNull)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("langId picks the dominant marker set deterministically") {
+    assert(one("the cat and the dog is a pet")
+      .select(Text.langId(col("toks"))).first().getString(0) === "en")
+    assert(one("le chat et la vache et le chien")
+      .select(Text.langId(col("toks"))).first().getString(0) === "fr")
+    assert(one("xyz qrs tuv")
+      .select(Text.langId(col("toks"))).first().getString(0) === "und")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val a = one("Hello   World").select(Text.docFingerprint(col("text")))
+      .first().getString(0)
+    val b = one("hello world").select(Text.docFingerprint(col("text")))
+      .first().getString(0)
+    assert(a === b)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ParquetUpsertSink, Upsert}
+
+/** The Delta-MERGE replacement: merge semantics, sink idempotence,
+  * partition-granular rewrites.
+  */
+class UpsertSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def base = Seq(
+    ("2024-01-01 10:00:00", "DRV001", 5L, 100.0),
+    ("2024-01-01 10:00:00", "DRV002", 3L, 50.0),
+    ("2024-01-01 11:00:00", "DRV001", 2L, 70.0)
+  ).toDF("window_start", "driver_id", "total", "avg_fare")
+
+  private def updates = Seq(
+    ("2024-01-01 10:00:00", "DRV001", 9L, 120.0), // matched → update
+    ("2024-01-01 12:00:00", "DRV003", 1L, 30.0)   // new → insert
+  ).toDF("window_start", "driver_id", "total", "avg_fare")
+
+  private val keys = Seq("window_start", "driver_id")
+
+  test("merge: updates win on collision, base survives, inserts appear") {
+    val m = Upsert.merge(base, updates, keys).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m.size === 4)
+    assert(m(("2024-01-01 10:00:00", "DRV001")) === ((9L, 120.0)))
+    assert(m(("2024-01-01 10:00:00", "DRV002")) === ((3L, 50.0)))
+    assert(m(("2024-01-01 11:00:00", "DRV001")) === ((2L, 70.0)))
+    assert(m(("2024-01-01 12:00:00", "DRV003")) === ((1L, 30.0)))
+  }
+
+  test("merge is idempotent: applying the same updates twice = once") {
+    val once = Upsert.merge(base, updates, keys)
+    val twice = Upsert.merge(once, updates, keys)
+    assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
+  }
+
+  test("sink: create, merge, and batchId replay protection") {
+    val dir = tmpDir("upsert") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base, batchId = 0)
+    assert(sink.read(spark).count() === 3)
+    sink.upsert(spark, updates, batchId = 1)
+    assert(sink.read(spark).count() === 4)
+    // replayed batch (crash-recovery path) must be a no-op
+    sink.upsert(spark, updates.withColumn("total", lit(999L)), batchId = 1)
+    val m = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("2024-01-01 10:00:00", "DRV001")) === 9L)
+  }
+
+  test("partitioned sink rewrites only touched partitions") {
+    val dir = tmpDir("upsertp") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    sink.upsert(spark, base, batchId = 0)
+    // the 11:00 partition is not in `updates` → must not be rewritten
+    val p11 = new java.io.File(dir).listFiles()
+      .find(f => f.isDirectory && f.getName.contains("11")).get
+    val before = p11.listFiles().map(f => f.getName -> f.lastModified).toMap
+    sink.upsert(spark, updates, batchId = 1)
+    val after = p11.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before === after, "untouched partition was rewritten")
+    // and the merged table is correct (partition col reads back last)
+    val got = sink.read(spark)
+      .select(col("window_start").cast("string"), col("driver_id"),
+        col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.size === 4)
+    assert(got(("2024-01-01 10:00:00", "DRV001")) === 9L)
+    assert(got(("2024-01-01 11:00:00", "DRV001")) === 2L)
+  }
+}
