@@ -91,22 +91,25 @@ object SparkEntry {
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
 
-  /** Distinct 3-gram shingles per doc (mirror of [[Dedup.docShingles]]). */
+  /** Distinct hashed 3-gram shingles per doc (mirror of
+    * [[Dedup.docShingleHashes]]).
+    */
   private val shinglesCte =
-    toksCte + """,
+    toksCte + s""",
       |sh0 AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 2, 0)),
       |  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle FROM toks),
-      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+      |shd AS (SELECT DISTINCT doc_id, ${h60Sql("shingle")} AS sh FROM sh0)""".stripMargin
 
   private val minhashK = 16
   private val minhashBands = 4
 
-  /** 16 per-salt minima in one GROUP BY (mirror of
+  /** 16 universal-hash permutation minima in one GROUP BY (mirror of
     * [[Dedup.minhashSignatures]]).
     */
   private val sigCte = {
+    val p = Dedup.minhashP
     val mins = (0 until minhashK)
-      .map(i => s"min(${h60Sql(s"$i || ':' || shingle")}) AS mh$i")
+      .map(i => s"min((${Dedup.minhashA(i)} * (sh % $p) + ${Dedup.minhashB(i)}) % $p) AS mh$i")
       .mkString(", ")
     shinglesCte + s",\nsig AS (SELECT doc_id, $mins FROM shd GROUP BY doc_id)"
   }
@@ -337,7 +340,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> ((s, d) =>
       Dedup.lshBands(
         Dedup.minhashSignatures(
-          Dedup.docShingles(t(s, d, "documents"), "doc_id", "text", 3),
+          Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
           minhashK),
         minhashK, minhashBands)),
 
@@ -345,13 +348,14 @@ object SparkEntry {
       Dedup.lshCandidatePairs(
         Dedup.lshBands(
           Dedup.minhashSignatures(
-            Dedup.docShingles(t(s, d, "documents"), "doc_id", "text", 3),
+            Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
             minhashK),
           minhashK, minhashBands))),
 
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(
-        Dedup.docShingles(t(s, d, "documents"), "doc_id", "text", 3), 0.5)),
+        Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
+        0.5)),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
@@ -579,7 +583,7 @@ object SparkEntry {
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
          |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
-         | FROM shd l JOIN shd r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         | FROM shd l JOIN shd r ON l.sh = r.sh AND l.doc_id < r.doc_id
          | GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter,
          | ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard

@@ -45,20 +45,58 @@ object Dedup {
     */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          Text.shingles(Text.tokens(col(textCol)), n))).as("shingle"))
+    docs
+      // Materialize tokens as a bound column BEFORE shingling: the
+      // shingle lambda references the token array ~3·len times, and
+      // higher-order functions evaluate interpreted (no codegen CSE) —
+      // an inlined tokenize expression would re-split the text on
+      // every element_at, turning a linear scan quadratic.
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("tk"), n))).as("shingle"))
 
-  /** MinHash signatures: k salted-hash minima per document, computed
+  /** Shingle sets with the shingle replaced by its 60-bit hash —
+    * every downstream op (minhash, Jaccard join) only needs equality,
+    * and an 8-byte key shuffles ~4× less than a 3-word string and
+    * compares in one instruction. One md5 per (doc, shingle) total.
+    */
+  def docShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("sh"))
+
+  /** The classic universal-hash minhash permutation family over the
+    * Mersenne prime p = 2³¹−1: h_i(x) = (a_i·(x mod p) + b_i) mod p.
+    * One md5 per shingle feeds all k permutations — k× fewer md5
+    * evaluations than salted re-hashing, with the same collision
+    * guarantees. a_i/b_i are md5-derived constants, so any engine can
+    * reproduce the family from the integers alone.
+    */
+  val minhashP: Long = 2147483647L
+  def minhashA(i: Int): Long =
+    math.floorMod(hash60OfString(s"a:$i"), minhashP - 1) + 1
+  def minhashB(i: Int): Long =
+    math.floorMod(hash60OfString(s"b:$i"), minhashP)
+  private def hash60OfString(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** MinHash signatures: k permutation minima per document, computed
     * as k `min` aggregates in a SINGLE groupBy(doc_id) — one shuffle,
     * no k× row blowup (the common explode-by-salt formulation
-    * multiplies the shuffle by k for no reason).
+    * multiplies the shuffle by k for no reason), and the partial
+    * (map-side) aggregation reduces the exchange to one row per doc.
+    * Input: (doc_id, sh) from [[docShingleHashes]].
     * Output: (doc_id, sig array<long> of length k).
     */
-  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(shingleHashes: DataFrame, k: Int): DataFrame = {
+    val base = pmod(col("sh"), lit(minhashP))
     val mins = (0 until k).map(i =>
-      min(Hashing.saltedHash60(lit(i), col("shingle"))).as(s"mh$i"))
-    shingles.groupBy(col("doc_id"))
+      min(pmod(lit(minhashA(i)) * base + lit(minhashB(i)), lit(minhashP)))
+        .as(s"mh$i"))
+    shingleHashes.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
@@ -93,9 +131,11 @@ object Dedup {
 
   /** Exact Jaccard similarity for every pair of documents sharing at
     * least one shingle, via the inverted-index self-join: shuffle is
-    * on the shingle key, intermediate size is Σ_shingle (docs/shingle
-    * choose 2) — tractable when shingle document-frequency is bounded
-    * (cap hot shingles upstream at real scale; they carry no signal).
+    * on the hashed shingle key, intermediate size is
+    * Σ_shingle (docs/shingle choose 2) — tractable when shingle
+    * document-frequency is bounded (cap hot shingles upstream at real
+    * scale; they carry no signal).
+    * Input: (doc_id, sh) from [[docShingleHashes]].
     * Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ threshold.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
@@ -103,7 +143,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_sh"))
     val l = shingles.as("l"); val r = shingles.as("r")
     val inter = l.join(r,
-        col("l.shingle") === col("r.shingle") &&
+        col("l.sh") === col("r.sh") &&
         col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

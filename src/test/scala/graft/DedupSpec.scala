@@ -30,7 +30,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("jaccard: near-identical docs score high, unrelated score low") {
-    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
     val pairs = Dedup.jaccardPairs(sh, 0.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(pairs((0L, 1L)) === 1.0)             // identical shingle sets
@@ -39,7 +39,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash LSH candidates contain the true near-duplicates") {
-    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
     val cands = Dedup.lshCandidatePairs(
       Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
