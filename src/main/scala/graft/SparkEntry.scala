@@ -312,6 +312,77 @@ object SparkEntry {
           col("o_totalprice"))
     }),
 
+    // Event-time sessionization: native session_window (30-min gap).
+    "session_windows_30m" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Hashing.portableRound(sum(col("value")), 2).as("session_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("session_value"))),
+
+    // ROLLUP grouping sets (daily per-type + per-type + grand total).
+    "rollup_daily" -> ((s, d) =>
+      events(s, d)
+        .rollup(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          Hashing.portableRound(sum(col("value")), 2).as("total_value"))),
+
+    // CUBE over two document dimensions.
+    "cube_docs" -> ((s, d) =>
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
+    // Set operations: (click ∪ view) ∩ purchase \ error users.
+    "set_ops_users" -> ((s, d) => {
+      val ev = events(s, d)
+      def users(tpe: String) =
+        ev.filter(col("event_type") === tpe).select(col("user_id"))
+      users("click").union(users("view")).distinct()
+        .intersect(users("purchase"))
+        .except(users("error"))
+    }),
+
+    // Generator/UDTF surface: explode tokens → corpus word frequency.
+    "word_freq" -> ((s, d) =>
+      docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // As-of join: latest order at or before each event's timestamp for
+    // the same key — the distributed union+window formulation: tag both
+    // sides, sort per key by (time, tag), carry the last non-null order
+    // key forward. One shuffle on the join key, no per-row subquery.
+    "asof_join_orders" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id").as("k"),
+        col("ts").as("t"), col("event_id"),
+        lit(null).cast("long").as("ok"), lit(1).as("tag"))
+      val o = t(s, d, "orders").select(col("o_custkey").as("k"),
+        col("o_orderdate").as("t"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"), lit(0).as("tag"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t").asc, col("tag").asc, col("ok").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("last_orderkey"))
+    }),
+
+    // Sketch aggregate: HLL approx distinct (engine-specific sketch —
+    // rows-only here; ScalaTest bounds the error against the exact
+    // count).
+    "approx_distinct_users" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
     // ---------- north star: text analysis ----------
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
@@ -377,6 +448,20 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 8), 5,
         planes = 4, dims = 64)
+    }),
+
+    // Per-label centroid + distance of each vector to its own
+    // centroid: positional explode → per-(label,dim) mean → join back.
+    "embed_label_centroid_dist" -> ((s, d) => {
+      val exp = t(s, d, "embeddings").select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cent = exp.groupBy(col("label"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      exp.join(cent, Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(Hashing.portableRound(
+          sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 6)
+          .as("dist_to_centroid"))
     }),
 
     // ---------- north star: multimodal columns ----------
@@ -466,6 +551,66 @@ object SparkEntry {
 
     "dedup_exact_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "session_windows_30m" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        | user_id, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "rollup_daily" ->
+      """SELECT event_type, day, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |GROUP BY ROLLUP(event_type, day)""".stripMargin,
+
+    "cube_docs" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+
+    "set_ops_users" ->
+      """(SELECT user_id FROM events WHERE event_type = 'click'
+        | UNION
+        | SELECT user_id FROM events WHERE event_type = 'view')
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "word_freq" -> {
+      s"""WITH $toksCte,
+         |w AS (SELECT doc_id, unnest(tk) AS word FROM toks)
+         |SELECT word, COUNT(*) AS occurrences,
+         | COUNT(DISTINCT doc_id) AS n_docs
+         |FROM w GROUP BY word""".stripMargin
+    },
+
+    "asof_join_orders" ->
+      """SELECT e.event_id, e.user_id, o.last_orderkey
+        |FROM events e LEFT JOIN LATERAL (
+        | SELECT o_orderkey AS last_orderkey FROM orders o
+        | WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        | ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+        |) o ON true""".stripMargin,
+
+    "embed_label_centroid_dist" ->
+      """WITH exp AS (SELECT label, vec_id,
+        |  generate_subscripts(embedding, 1) AS dim,
+        |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT label, dim, AVG(v) AS c FROM exp GROUP BY 1, 2)
+        |SELECT vec_id, e.label,
+        | ROUND(sqrt(SUM((v - c) * (v - c))), 6) AS dist_to_centroid
+        |FROM exp e JOIN cent USING (label, dim)
+        |GROUP BY vec_id, e.label""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
