@@ -35,8 +35,17 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity: dot / (‖a‖·‖b‖). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: dot / (‖a‖·‖b‖) — higher-order-function
+    * reference formulation (interpreted; three array passes).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.plans.CosineSimilarityExpr]]): one fused loop inside
+    * whole-stage codegen, bit-identical results to [[cosineHof]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarityExpr.cosine_sim(a, b)
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast); returns

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 made the Column/Expression conversion `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); libraries that
+  * ship native Catalyst expressions use a shim in the
+  * `org.apache.spark.sql` namespace to reach it — the same pattern
+  * Spark's own connectors use. This is the only place the engine
+  * touches a non-public Spark API.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.plans.CosineSimilarityExpr
+
+/** The native codegen'd cosine expression must be bit-identical to
+  * the higher-order-function formulation, and registrable for SQL.
+  */
+class CosineExprSpec extends SparkTestBase {
+
+  private lazy val pairs = {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+  }
+
+  test("native expression is bit-identical to the HOF formulation") {
+    val diff = pairs.select(
+      Similarity.cosineHof(col("va"), col("vb")).as("hof"),
+      CosineSimilarityExpr.cosine_sim(col("va"), col("vb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff === 0, s"$diff pairs differ between native and HOF cosine")
+  }
+
+  test("cosine_sim registers and runs through SQL via extensions") {
+    // injectFunction path, applied to an existing session's registry
+    new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.registerFunction(
+      CosineSimilarityExpr.functionDescriptor._1,
+      CosineSimilarityExpr.functionDescriptor._2,
+      CosineSimilarityExpr.functionDescriptor._3)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id LIMIT 10""".stripMargin)
+      .filter(col("c").between(-1.000001, 1.000001)).count()
+    assert(n === 10)
+  }
+}
