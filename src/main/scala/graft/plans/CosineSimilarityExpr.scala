@@ -64,19 +64,21 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $a.isNullAt(i) ? 0.0 : $getA;
-         |  double y = $b.isNullAt(i) ? 0.0 : $getB;
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : $getA;
+         |  double $y = $b.isNullAt($i) ? 0.0 : $getB;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

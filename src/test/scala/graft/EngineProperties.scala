@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.operators.Upsert
+import graft.functions.Hashing
+
+/** ScalaCheck properties over the merge and rounding primitives.
+  * Spark-backed generators are kept small (each evaluation runs real
+  * jobs); the properties are the algebraic laws the engine's
+  * correctness rests on.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def table(rows: Seq[(Int, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private val genRows: Gen[Seq[(Int, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    keys <- Gen.listOfN(n, Gen.choose(0, 8))
+    vals <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+  } yield keys.zip(vals).distinctBy(_._1)
+
+  property("merge: updates win, key set is the union") =
+    Prop.forAll(genRows, genRows) { (b, u) =>
+      val merged = Upsert.merge(table(b), table(u), Seq("k"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = b.toMap ++ u.toMap
+      merged == expected
+    }
+
+  property("merge idempotence: applying updates twice = once") =
+    Prop.forAll(genRows, genRows) { (b, u) =>
+      val once = Upsert.merge(table(b), table(u), Seq("k"))
+      val twice = Upsert.merge(once, table(u), Seq("k"))
+      twice.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        once.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+
+  property("portableRound stays within half an ulp of scale") =
+    Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (x, n) =>
+      val s = spark; import s.implicits._
+      val r = Seq(x).toDF("x")
+        .select(Hashing.portableRound(col("x"), n)).first().getDouble(0)
+      math.abs(r - x) <= 0.5 * math.pow(10, -n) + 1e-9
+    }
+}
