@@ -450,6 +450,14 @@ object SparkEntry {
         planes = 4, dims = 64)
     }),
 
+    // IVF ANN path (coarse-quantizer cells + probe; rows-only —
+    // recall vs brute force is ScalaTest'd).
+    "embed_topk_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        nCells = 16, nProbe = 4)
+    }),
+
     // Per-label centroid + distance of each vector to its own
     // centroid: positional explode → per-(label,dim) mean → join back.
     "embed_label_centroid_dist" -> ((s, d) => {

@@ -100,6 +100,57 @@ object Similarity {
     array(signs.map(lit): _*)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: a coarse quantizer of `nCells` centroids partitions
+    * the corpus into cells; queries probe only the `nProbe` nearest
+    * cells and re-rank candidates exactly.
+    *
+    * The quantizer here is one deterministic k-means step (seeds =
+    * first `nCells` vectors, one assignment, per-cell mean). All
+    * steps are DataFrame ops — centroids stay distributed and are
+    * broadcast by size, never collected. At scale the cell assignment
+    * is a write-once index (persist `assigned`); each query then
+    * touches ~nProbe/nCells of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int, nProbe: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val seeds = broadcast(corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("seed")))
+    val assigned = c.join(seeds)
+      .withColumn("sim", cosine(col("cv"), col("seed")))
+      .groupBy(col("cid"))
+      .agg(max_by(col("cell"), col("sim")).as("cell"))
+      .join(c, "cid")
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("cval"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cval")))),
+        s => s.getField("cval")).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("cid") =!= col("query_id"))
+      .withColumnRenamed("cid", "neighbor_id")
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score"))
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent SRP hash
     * tables of `planes` sign bits each; a corpus vector is a candidate
     * for a query if they share a bucket in ANY table (the standard

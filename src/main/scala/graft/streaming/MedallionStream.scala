@@ -99,6 +99,29 @@ object MedallionStream {
       .start()
   }
 
+  /** Beyond-reference streaming analytics: event-time sessionization
+    * of the silver stream — 30-minute inactivity gap per driver. In
+    * streaming mode the watermark closes sessions (append output
+    * emits a session exactly once, when the watermark passes its
+    * end + gap); the same stage over a batch DataFrame computes the
+    * identical result set eagerly (oracle query
+    * `session_windows_30m` is the events-table analog).
+    */
+  def driverSessions(silver: DataFrame): DataFrame = {
+    val in =
+      if (silver.isStreaming)
+        silver.withWatermark("event_timestamp", Rides.watermarkDelay)
+      else silver
+    in.groupBy(session_window(col("event_timestamp"), "30 minutes"),
+        col("driver_id"))
+      .agg(count(lit(1)).as("rides"),
+        round(sum(col("fare")), 2).as("session_fare"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("driver_id"), col("rides"), col("session_fare"))
+  }
+
   /** Run the full chain over whatever data is already in `p.raw` and
     * stop when drained (Trigger.AvailableNow) — deterministic
     * batch-equivalent execution of the streaming topology for tests.

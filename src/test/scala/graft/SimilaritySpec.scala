@@ -49,4 +49,15 @@ class SimilaritySpec extends SparkTestBase {
     // neighbors of exact search found in approx must agree on id order
     assert(approx.nonEmpty)
   }
+
+  test("IVF probe achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 with 16 cells, 4 probes: $recall%.3f")
+    assert(recall > 0.3, f"recall collapsed: $recall%.3f")
+  }
 }
