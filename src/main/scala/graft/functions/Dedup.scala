@@ -139,9 +139,15 @@ object Dedup {
     * Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ threshold.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id"))
+    // The shingle relation feeds three consumers (sizes + both join
+    // sides): materialize it once (at scale this is the persisted
+    // inverted index). shuffle_hash beats sort-merge here — the join
+    // key is massively duplicated, so sorting pays n·log n for
+    // nothing while a hash table streams the probe side.
+    val sh = shingles.localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
-    val l = shingles.as("l"); val r = shingles.as("r")
+    val l = sh.as("l"); val r = sh.hint("shuffle_hash").as("r")
     val inter = l.join(r,
         col("l.sh") === col("r.sh") &&
         col("l.doc_id") < col("r.doc_id"))
