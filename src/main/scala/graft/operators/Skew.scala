@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins: salting.
+  *
+  * When a handful of hot keys dominate (the classic 100 TB failure
+  * mode: one key's partition runs for hours while the rest idle),
+  * split each hot key into `factor` sub-keys: the large side gets a
+  * deterministic salt in [0, factor), the small side is replicated
+  * once per salt value. The join key becomes (key, salt), spreading
+  * each hot key over `factor` tasks. Results are identical to the
+  * unsalted join.
+  *
+  * Spark's AQE skew-join handles moderate skew automatically
+  * (`spark.sql.adaptive.skewJoin.enabled`); explicit salting is for
+  * the pathological cases AQE can't split (e.g. a single key larger
+  * than executor memory) or engines/paths where AQE is off.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `key`,
+    * salted `factor` ways. The salt derives from a hash of the big
+    * side's whole row id space (uniform, deterministic per row
+    * content, no rand()).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 factor: Int): DataFrame = {
+    require(factor > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor))
+        .cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -34,8 +34,17 @@ object RideGenerator {
   def events(spark: SparkSession, n: Long, seed: Long = 42L,
              numPartitions: Int = 32,
              epochStart: Long = 1704067200L): DataFrame = {
-    val base = spark.range(0, n, 1, numPartitions)
+    // Event stream advances ~3.33 events/s from a fixed epoch.
+    val base = spark.range(0, n, 1, numPartitions).toDF()
+      .withColumn("__epoch", lit(epochStart) + (col("id") * 3L) / 10L)
+    record(base, seed, col("__epoch"))
+  }
 
+  /** Shared record construction: every field is a deterministic
+    * expression over `col("id")` and the per-row epoch column.
+    */
+  private def record(base: DataFrame, seed: Long,
+                     epoch: org.apache.spark.sql.Column): DataFrame = {
     val dupRoll = u(seed, 1)
     // 2% re-emission of a recent ride (1..50 back) — update/dup path
     val effId = when(dupRoll < 0.02 && col("id") > 50,
@@ -46,9 +55,7 @@ object RideGenerator {
     val late = u(seed, 4) < 0.05
     val malformed = u(seed, 5) < 0.01
 
-    // Event stream advances ~3.33 events/s from a fixed epoch.
-    val startSec = lit(epochStart) + (col("id") * 3L) / 10L -
-      (u(seed, 6) * 300).cast("long")
+    val startSec = epoch - (u(seed, 6) * 300).cast("long")
     val durationSec = when(suspicious,
       (lit(30) + u(seed, 7) * 89).cast("long"))         // 30–119 s
       .otherwise((lit(60) + u(seed, 7) * 840).cast("long")) // 1–15 min
@@ -83,6 +90,23 @@ object RideGenerator {
       format_string("RID%05d", effId).as("key"),
       when(malformed, substring(payload, 1, 40)).otherwise(payload).as("value"),
       timestamp_seconds(evtSec + 1).as("timestamp"))
+  }
+
+  /** Live unbounded variant: the same event columns driven by Spark's
+    * `rate` source (rowsPerSecond events/s, `value` playing the row
+    * id) — a drop-in Kafka stand-in for long-running manual runs of
+    * the medallion chain. Deterministic given the row id, like the
+    * batch generator.
+    */
+  def streamingEvents(spark: SparkSession, rowsPerSecond: Int = 100,
+                      seed: Long = 42L): DataFrame = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .withColumnRenamed("value", "id")
+    // The batch generator's exprs all key off col("id"), so they
+    // apply unchanged; event time anchors to the rate source's clock.
+    record(rate.withColumn("__epoch",
+      unix_timestamp(col("timestamp"))), seed, col("__epoch"))
   }
 
   /** Write a generated batch as JSON files — the stand-in for the
