@@ -376,6 +376,16 @@ object SparkEntry {
           col("last_orderkey"))
     }),
 
+    // Pivot: per-user event-type counts as columns (A4 generalized
+    // from one conditional sum to a full pivoted contingency table).
+    "pivot_user_events" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "signup", "purchase", "error"))
+        .count()
+        .na.fill(0L)),
+
     // Sketch aggregate: HLL approx distinct (engine-specific sketch —
     // rows-only here; ScalaTest bounds the error against the exact
     // count).
@@ -593,6 +603,15 @@ object SparkEntry {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "pivot_user_events" ->
+      """SELECT user_id,
+        | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "word_freq" -> {
       s"""WITH $toksCte,
