@@ -393,6 +393,19 @@ object SparkEntry {
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Custom whole-operator plan: per-key top-k via bounded heaps
+    // (logical node + Strategy + SparkPlan) — same semantics as
+    // window_topn_orders, O(n log k) instead of a full per-key sort.
+    "topk_per_key_custom" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        t(s, d, "orders"),
+        keys = Seq("o_custkey"),
+        order = Seq(graft.plans.TopKPerKey.desc("o_totalprice"),
+          graft.plans.TopKPerKey.asc("o_orderkey")),
+        k = 3)
+        .select(col("o_custkey"), col("rank").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))),
+
     // ---------- north star: text analysis ----------
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
@@ -684,6 +697,13 @@ object SparkEntry {
         | WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
 
     "window_topn_orders" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "topk_per_key_custom" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

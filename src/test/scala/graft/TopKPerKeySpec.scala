@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerKey
+
+/** The custom per-key top-k operator: result-identical to the
+  * row_number formulation, planned without a WindowExec sort.
+  */
+class TopKPerKeySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("matches row_number().over per-key top-k exactly") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val custom = TopKPerKey(orders, Seq("o_custkey"),
+      Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val reference = orders.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"))
+    assert(custom.except(reference).count() === 0 &&
+      reference.except(custom).count() === 0)
+    assert(custom.count() === reference.count())
+  }
+
+  test("plans as TopKPerKeyExec with a single exchange, no sort") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val custom = TopKPerKey(orders, Seq("o_custkey"),
+      Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), s"unexpected WindowExec:\n$plan")
+    assert(!plan.toLowerCase.contains("sortexec"), s"unexpected sort:\n$plan")
+  }
+
+  test("handles k larger than group size and single-row groups") {
+    import spark.implicits._
+    val tiny = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
+    val got = TopKPerKey(tiny, Seq("k"), Seq(TopKPerKey.desc("v")), 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got === Set((1, 20.0, 1), (1, 10.0, 2), (2, 5.0, 1)))
+  }
+}
