@@ -60,11 +60,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    // per-key top-k via the custom bounded-heap operator — no
+    // per-partition sort (see graft.plans.TopKPerKey)
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("score"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
@@ -139,14 +140,14 @@ object Similarity {
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    assigned.join(probes, Seq("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
       .filter(col("cid") =!= col("query_id"))
       .withColumnRenamed("cid", "neighbor_id")
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    graft.plans.TopKPerKey(cand, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("score"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("score"))
   }
@@ -180,10 +181,10 @@ object Similarity {
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    graft.plans.TopKPerKey(cand, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("score"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 }
