@@ -125,6 +125,10 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keys: Seq[String], order: Seq[Ord],
             k: Int): DataFrame = {
+    require(keys.nonEmpty,
+      "TopKPerKey needs grouping keys — use orderBy(...).limit(k) " +
+        "(TakeOrderedAndProject) for global top-k")
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
