@@ -226,7 +226,10 @@ object SparkEntry {
     "rides_e2e" -> ((s, _) =>
       Medallion.goldAggregate(
         Medallion.silverStage(
-          Medallion.bronzeProject(RideGenerator.events(s, 20000L))))),
+          Medallion.bronzeProject(
+            // 8 partitions: right-sized for 20k rows — 32 would pay
+            // ~4x task-scheduling overhead for no parallelism gain
+            RideGenerator.events(s, 20000L, numPartitions = 8))))),
 
     // ---------- relational surface at scale (TPC-H-ish) ----------
     "q1_agg" -> ((s, d) =>

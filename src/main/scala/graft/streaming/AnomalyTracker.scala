@@ -23,19 +23,36 @@ object AnomalyTracker {
   case class Alert(driver_id: String, streak: Long, total_rides: Long,
                    at: java.sql.Timestamp)
 
-  def trackerFunc(driverId: String, rows: Iterator[RideObs],
+  def trackerFunc(withTimeouts: Boolean)(driverId: String,
+                  rows: Iterator[RideObs],
                   state: GroupState[DriverState]): Iterator[Alert] = {
+    if (state.hasTimedOut) {
+      // idle driver: event-time timeout fired with no new rows —
+      // surface it as a streak-0 tombstone alert and drop the state
+      // (bounds the state store to ACTIVE drivers).
+      val st = state.get
+      state.remove()
+      return Iterator.single(Alert(driverId, 0L, st.rides,
+        new java.sql.Timestamp(state.getCurrentWatermarkMs())))
+    }
     var st = state.getOption.getOrElse(DriverState(0L, 0L))
     val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    var maxEvent = Long.MinValue
     // event-time order within the batch for a deterministic streak
     rows.toSeq.sortBy(r => (r.event_timestamp.getTime, r.is_suspicious))
       .foreach { r =>
         val streak = if (r.is_suspicious) st.streak + 1 else 0L
         st = DriverState(st.rides + 1, streak)
+        maxEvent = math.max(maxEvent, r.event_timestamp.getTime)
         if (r.is_suspicious && streak > 0 && streak % 3 == 0)
           alerts += Alert(driverId, streak, st.rides, r.event_timestamp)
       }
     state.update(st)
+    // expire a driver 1 h (event time) after their last observed ride
+    // (batch mode has no watermark → no timeouts)
+    if (withTimeouts && maxEvent > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxEvent, state.getCurrentWatermarkMs()) + 3600 * 1000L)
     alerts.iterator
   }
 
@@ -45,11 +62,18 @@ object AnomalyTracker {
   def alerts(silver: DataFrame): Dataset[Alert] = {
     val spark = silver.sparkSession
     import spark.implicits._
-    silver
-      .select("driver_id", "event_timestamp", "is_suspicious")
+    val base = silver.select("driver_id", "event_timestamp", "is_suspicious")
+    // event-time timeouts need a watermark in streaming mode
+    val withWm =
+      if (base.isStreaming) base.withWatermark("event_timestamp", "10 minutes")
+      else base
+    val timeout =
+      if (base.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    withWm
       .as[RideObs]
       .groupByKey(_.driver_id)
       .flatMapGroupsWithState[DriverState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(trackerFunc)
+        OutputMode.Append, timeout)(trackerFunc(base.isStreaming))
   }
 }

@@ -44,6 +44,29 @@ class AnomalyTrackerSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("event-time timeout evicts idle drivers with a tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RideObs]
+    val q = AnomalyTracker.alerts(input.toDF())
+      .writeStream.format("memory").queryName("timeout_alerts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", tmpDir("anomaly-to-ckpt"))
+      .start()
+    input.addData(obs("DRV009", 1, false))
+    q.processAllAvailable()
+    // 2 h later (event time): watermark passes DRV009's 1 h timeout
+    input.addData(obs("DRV010", 7200, false))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark advanced
+    input.addData(obs("DRV010", 7300, false))
+    q.processAllAvailable()
+    val tomb = spark.table("timeout_alerts")
+      .as[AnomalyTracker.Alert].collect().filter(_.streak == 0)
+    assert(tomb.map(_.driver_id).toSeq === Seq("DRV009"))
+    assert(tomb.head.total_rides === 1)
+    q.stop()
+  }
+
   test("batch-mode alerts match streaming for a generated workload") {
     val silver = graft.operators.Medallion.silverStage(
       graft.operators.Medallion.bronzeProject(
