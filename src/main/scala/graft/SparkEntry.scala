@@ -389,6 +389,24 @@ object SparkEntry {
         .count()
         .na.fill(0L)),
 
+    // Exact interpolated percentiles per group.
+    "value_percentiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          Hashing.portableRound(expr("percentile(value, 0.5)"), 4).as("p50"),
+          Hashing.portableRound(expr("percentile(value, 0.9)"), 4).as("p90"),
+          Hashing.portableRound(expr("percentile(value, 0.99)"), 4).as("p99"))),
+
+    // Second-moment statistics (sample stddev/variance, correlation).
+    "value_moments" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          Hashing.portableRound(stddev_samp(col("value")), 4).as("sd"),
+          Hashing.portableRound(var_samp(col("value")), 4).as("variance"),
+          Hashing.portableRound(
+            corr(col("value"), col("user_id").cast("double")), 4)
+            .as("corr_value_user"))),
+
     // Sketch aggregate: HLL approx distinct (engine-specific sketch —
     // rows-only here; ScalaTest bounds the error against the exact
     // count).
@@ -628,6 +646,20 @@ object SparkEntry {
         | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
         | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "value_percentiles" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        | ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "value_moments" ->
+      """SELECT event_type,
+        | ROUND(stddev_samp(value), 4) AS sd,
+        | ROUND(var_samp(value), 4) AS variance,
+        | ROUND(corr(value, user_id::DOUBLE), 4) AS corr_value_user
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "word_freq" -> {
       s"""WITH $toksCte,
