@@ -36,6 +36,27 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("sortexec"), s"unexpected sort:\n$plan")
   }
 
+  test("optimizer rule rewrites row_number filters to TopKPerKeyExec") {
+    graft.plans.TopKRewrite.install(spark)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"))
+    val plan = windowed.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"rewrite did not fire:\n$plan")
+    // and the rewritten plan computes the same rows
+    val got = windowed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = TopKPerKey(orders, Seq("o_custkey"),
+      Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("handles k larger than group size and single-row groups") {
     import spark.implicits._
     val tiny = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
