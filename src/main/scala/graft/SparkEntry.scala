@@ -311,8 +311,8 @@ object SparkEntry {
       t(s, d, "orders")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-          col("o_totalprice"))
+        .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
     }),
 
     // Event-time sessionization: native session_window (30-min gap).
@@ -424,14 +424,14 @@ object SparkEntry {
         order = Seq(graft.plans.TopKPerKey.desc("o_totalprice"),
           graft.plans.TopKPerKey.asc("o_orderkey")),
         k = 3)
-        .select(col("o_custkey"), col("rank").as("rk"),
+        .select(col("o_custkey"), col("rank").cast("long").as("rk"),
           col("o_orderkey"), col("o_totalprice"))),
 
     // ---------- north star: text analysis ----------
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
-        size(col("toks")).as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         Text.tokenCountBpeEst(col("text")).as("n_tokens_bpe_est"),
         Hashing.portableRound(Text.avgTokenLen(col("toks")), 6).as("avg_token_len"),
         Hashing.portableRound(Text.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -479,7 +479,7 @@ object SparkEntry {
     "embed_norms" -> ((s, d) =>
       t(s, d, "embeddings").select(
         col("vec_id"),
-        size(col("embedding")).as("dims"),
+        size(col("embedding")).cast("long").as("dims"),
         Hashing.portableRound(Similarity.norm(col("embedding")), 6).as("l2_norm"))),
 
     "embed_topk_bruteforce" -> ((s, d) => {
@@ -521,6 +521,16 @@ object SparkEntry {
       Multimodal.mediaStats(
         Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text",
           "text/plain"))),
+
+    // Frame sampling over binary payloads (columnar slicing, no UDF).
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frames(
+        Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text",
+          "text/plain"), 64)
+        .filter(col("frame_idx") < 3)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))),
 
     // Batched kernel plumbing (stub decode — rows-only check).
     "multimodal_features" -> ((s, d) =>
@@ -852,6 +862,18 @@ object SparkEntry {
     "multimodal_stats" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         | octet_length(encode(text)) AS byte_len, md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // DuckDB 1.0 cannot slice BLOBs; the corpus is pure ASCII, so
+    // string slicing produces byte-identical frames (proven by the
+    // matching md5 checksums in multimodal_stats).
+    "multimodal_frames" ->
+      """SELECT doc_id, frame_idx,
+        | octet_length(encode(substring(text, frame_idx * 64 + 1, 64))) AS frame_len,
+        | md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT))) AS frame_idx
+        | FROM documents)
+        |WHERE frame_idx < 3""".stripMargin
   )
 }

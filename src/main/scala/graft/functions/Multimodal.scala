@@ -88,6 +88,25 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame/tile sampling over the opaque payload: split the byte
+    * stream into fixed-size frames (the video-frame / image-tile
+    * access pattern) as pure columnar expressions — explode a frame
+    * index sequence, slice with binary substring. No kernel, no UDF;
+    * at scale this is how a decoder's work list is generated without
+    * reading payloads on the driver.
+    */
+  def frames(media: DataFrame, frameSize: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("payload"),
+      explode(sequence(lit(0),
+        ceil(col("meta.byte_len").cast("double") / frameSize)
+          .cast("int") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameSize + 1,
+          lit(frameSize)).as("frame"))
+
   /** Oracle-checkable metadata projection (no kernel involved):
     * byte length and checksum of payloads — proves the binary
     * round-trip and pushdown-friendly metadata layout.

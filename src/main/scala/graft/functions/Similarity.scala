@@ -66,7 +66,8 @@ object Similarity {
     graft.plans.TopKPerKey(scored, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),
         graft.plans.TopKPerKey.asc("neighbor_id")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
   }
 
   /** Sign-random-projection bucket key: `planes` pseudo-random
@@ -148,8 +149,8 @@ object Similarity {
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),
         graft.plans.TopKPerKey.asc("neighbor_id")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Multi-table LSH approximate top-k: `tables` independent SRP hash
@@ -185,6 +186,7 @@ object Similarity {
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),
         graft.plans.TopKPerKey.asc("neighbor_id")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 }

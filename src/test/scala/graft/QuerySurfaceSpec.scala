@@ -35,7 +35,7 @@ class QuerySurfaceSpec extends SparkTestBase {
 
   test("LSH top-k ranks agree with brute force on shared neighbors") {
     val bf = SparkEntry.queries("embed_topk_bruteforce")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
     val lsh = SparkEntry.queries("embed_topk_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // every (query, neighbor) the LSH path returns at rank 1 that brute

@@ -25,12 +25,12 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val got = Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     for (q <- 0L until 3L) {
       val expected = all.toSeq.filter(_._1 != q)
         .map { case (id, v) => (id, cosine(all(q), v)) }
         .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
-      val actual = (1 to 5).map(rk => got((q, rk)))
+      val actual = (1 to 5).map(rk => got((q, rk.toLong)))
       assert(actual === expected, s"query $q top-5 mismatch")
     }
   }
