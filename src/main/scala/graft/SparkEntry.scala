@@ -379,6 +379,26 @@ object SparkEntry {
           col("last_orderkey"))
     }),
 
+    // Banded range join: pairs of events of the same user within a
+    // 5-minute window. The naive formulation is an inequality join
+    // (quadratic); the scale-correct plan equi-joins on
+    // (user, 5-min time band) — each right row probes its own band and
+    // the previous one, so every qualifying pair matches EXACTLY one
+    // band key — then applies the exact interval predicate.
+    "range_join_pairs" -> ((s, d) => {
+      val ev = events(s, d)
+      val a = ev.select(col("user_id"), col("ts").as("t1"),
+        (col("ts").cast("long") / 300).cast("long").as("band"))
+      val b = ev.select(col("user_id"), col("ts").as("t2"),
+        explode(array((col("ts").cast("long") / 300).cast("long") - 1,
+          (col("ts").cast("long") / 300).cast("long"))).as("band"))
+      a.join(b, Seq("user_id", "band"))
+        .filter(col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Pivot: per-user event-type counts as columns (A4 generalized
     // from one conditional sum to a full pivoted contingency table).
     "pivot_user_events" -> ((s, d) =>
@@ -647,6 +667,13 @@ object SparkEntry {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "range_join_pairs" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id""".stripMargin,
 
     "pivot_user_events" ->
       """SELECT user_id,
