@@ -99,9 +99,14 @@ object Multimodal {
     media.select(
       col("doc_id"),
       col("payload"),
-      explode(sequence(lit(0),
-        ceil(col("meta.byte_len").cast("double") / frameSize)
-          .cast("int") - 1)).as("frame_idx"))
+      // empty payloads yield ZERO frames — sequence(0, -1) would
+      // produce a DESCENDING [0, -1] (Spark defaults the step to -1
+      // when start > stop), emitting two bogus frames
+      explode(when(col("meta.byte_len") > 0,
+        sequence(lit(0),
+          ceil(col("meta.byte_len").cast("double") / frameSize)
+            .cast("int") - 1))
+        .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .select(
         col("doc_id"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameSize + 1,

@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of `big` (skewed) with `small` on `key`,
-    * salted `factor` ways. The salt derives from a hash of the big
-    * side's whole row id space (uniform, deterministic per row
-    * content, no rand()).
+    * salted `factor` ways. The salt hashes the big side's FULL row
+    * content — deterministic under task retries (a positional or
+    * random salt would re-assign rows on stage re-execution and
+    * silently drop/duplicate join output); identical duplicate rows
+    * share a salt, which only costs a little residual skew.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
     require(factor > 0)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(factor))
         .cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))

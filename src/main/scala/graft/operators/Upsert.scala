@@ -28,20 +28,25 @@ import org.apache.hadoop.fs.Path
   */
 object Upsert {
 
-  /** Pure merge: rows of `updates` win on key collision. */
+  /** Pure merge: rows of `updates` win on key collision.
+    *
+    * Formulated as `updates ∪ (base anti-join updates-keys)` rather
+    * than a full-outer join with per-column coalesce: the two are
+    * semantically identical (every updates key takes the whole
+    * updates row; base-only keys keep the base row), but Spark cannot
+    * broadcast a full-outer join — the hint is silently dropped and
+    * the base table gets shuffled. A LEFT ANTI join against the tiny
+    * key set broadcasts fine, so the large base side is scanned once
+    * with no shuffle.
+    */
   def merge(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val valueCols = base.columns.filterNot(keys.contains)
     require(updates.columns.sorted.sameElements(base.columns.sorted),
       s"schema mismatch: base=${base.columns.mkString(",")} updates=${updates.columns.mkString(",")}")
-    val joined = base.as("b").join(broadcast(updates.as("u")),
-      keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _),
-      "full_outer")
-    val matched = keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
-    val keyCols = keys.map(k => coalesce(col(s"u.$k"), col(s"b.$k")).as(k))
-    val mergedVals = valueCols.toSeq.map(c =>
-      when(matched, col(s"u.$c")).otherwise(col(s"b.$c")).as(c))
-    joined.select(keyCols ++ mergedVals: _*)
-      .select(base.columns.map(col).toSeq: _*)
+    val cols = base.columns.map(col).toSeq
+    val updKeys = broadcast(updates.select(keys.map(col): _*))
+    base.join(updKeys, keys, "left_anti")
+      .select(cols: _*)
+      .unionByName(updates.select(cols: _*))
   }
 }
 
@@ -107,11 +112,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         val touched = updates.select(pc).distinct().collect().map(_.get(0))
         val base = read(spark).filter(col(pc).isInCollection(touched.toSeq))
         val merged = Upsert.merge(base, updates, keys).localCheckpoint(true)
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
         try merged.write.mode("overwrite").partitionBy(pc).parquet(path)
-        finally prev.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key) // don't leak dynamic mode
+        }
     }
     writeMarker(spark, batchId)
   }
