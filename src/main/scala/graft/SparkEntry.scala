@@ -407,7 +407,9 @@ object SparkEntry {
         .pivot("event_type",
           Seq("click", "view", "signup", "purchase", "error"))
         .count()
-        .na.fill(0L)),
+        // fill ONLY the pivoted columns — a bare na.fill(0) would
+        // also rewrite a null user_id grouping key to 0
+        .na.fill(0L, Seq("click", "view", "signup", "purchase", "error"))),
 
     // Exact interpolated percentiles per group.
     "value_percentiles" -> ((s, d) =>

@@ -158,11 +158,13 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        Hashing.portableRound(col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      // threshold on the RAW ratio (the oracle filters unrounded);
+      // round only the output column
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        Hashing.portableRound(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** 60-bit SimHash fingerprints. Per document: every token votes ±1

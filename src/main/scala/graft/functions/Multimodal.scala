@@ -80,10 +80,12 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
+          // null payload ⇒ byte_len is also null — Row.getLong would NPE
+          val byteLen = if (meta.isNullAt(1)) 0L else meta.getLong(1)
           val feat =
             if (payload == null) null
             else fakeDecode(payload)
-          Row(id, meta.getString(0), meta.getLong(1), feat)
+          Row(id, meta.getString(0), byteLen, feat)
         }
       }(enc)
   }

@@ -37,8 +37,12 @@ object Similarity {
 
   /** Cosine similarity: dot / (‖a‖·‖b‖) — higher-order-function
     * reference formulation (interpreted; three array passes).
+    * try_divide: zero-norm inputs yield NULL rather than an ANSI
+    * divide-by-zero error (Spark 4 default) or NaN — NULLs drop out
+    * of rankings instead of sorting above every real score.
     */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Cosine similarity via the native codegen'd expression
     * ([[graft.plans.CosineSimilarityExpr]]): one fused loop inside
@@ -119,7 +123,11 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val seeds = broadcast(corpus.filter(col(idCol) < nCells)
+    // first nCells vectors by id — id-agnostic (an id-value predicate
+    // like `id < nCells` silently selects nothing for non-zero-based
+    // id spaces) and deterministic (a bare limit() is not)
+    val seeds = broadcast(corpus
+      .orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("seed")))
     val assigned = c.join(seeds)
       .withColumn("sim", cosine(col("cv"), col("seed")))

@@ -46,6 +46,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     case _ => false
   }
 
+  // zero-norm (or empty) input ⇒ NULL, matching Spark's Divide
+  // null-on-zero-divisor semantics and the HOF formulation — NaN
+  // would sort ABOVE every real score in a desc ranking.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val la = elemIsFloat(left); val rb = elemIsFloat(right)
@@ -59,7 +64,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,7 +86,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  double $y = $b.isNullAt($i) ? 0.0 : $getB;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

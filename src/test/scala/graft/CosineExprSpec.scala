@@ -26,6 +26,21 @@ class CosineExprSpec extends SparkTestBase {
     assert(diff === 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("zero-norm and empty vectors yield NULL (like the HOF), not NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array[Float](), Array[Float]()),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(
+      CosineSimilarityExpr.cosine_sim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(!got(2).isNullAt(0) && got(2).getDouble(0) === 0.0)
+  }
+
   test("cosine_sim registers and runs through SQL via extensions") {
     // injectFunction path, applied to an existing session's registry
     new graft.plans.GraftExtensions()
