@@ -37,13 +37,16 @@ class QuerySurfaceSpec extends SparkTestBase {
     val bf = SparkEntry.queries("embed_topk_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
     val lsh = SparkEntry.queries("embed_topk_lsh")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    // every (query, neighbor) the LSH path returns at rank 1 that brute
-    // force also ranks must be brute-force rank 1 for that query if
-    // present — i.e. LSH never invents a better-than-true neighbor
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(lsh.nonEmpty)
-    lsh.foreach { case (q, n) =>
-      bf.get((q, n)).foreach(rk => assert(rk >= 1 && rk <= 5))
+    // For neighbors BOTH paths rank for the same query, LSH's rank
+    // order must be consistent with brute force's (cosine scores are
+    // totally ordered, so any inversion means a ranking bug).
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      val shared = rows.sortBy(_._2)
+        .flatMap { case (_, _, n) => bf.get((q, n)) }
+      assert(shared === shared.sorted,
+        s"query $q: LSH rank order inverts brute-force order: $shared")
     }
   }
 }
