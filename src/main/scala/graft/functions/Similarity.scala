@@ -185,12 +185,15 @@ object Similarity {
             .as("bucket"))
     val bucketed = withBuckets(corpus, "neighbor_id", "cv")
     val qb = broadcast(withBuckets(queries, "query_id", "qv"))
+    // score BEFORE deduplicating: duplicate candidates (same pair from
+    // several tables) recompute a cheap fused-loop cosine, but the
+    // dedup shuffle then carries (ids, score) — ~24 bytes — instead of
+    // two embedding vectors per row
     val cand = bucketed.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .select("query_id", "neighbor_id", "score")
+      .dropDuplicates("query_id", "neighbor_id")
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),
         graft.plans.TopKPerKey.asc("neighbor_id")), k)
