@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Timing methodology:
-  *  - a warm-up pass first (count each source table + run one small
-  *    query) so JVM/codegen JIT and parquet footer caching don't get
-  *    billed to whichever query runs first;
-  *  - each query is executed to completion with the noop datasource
-  *    (full materialization of every row, no output cost) — `count()`
+  *  - a warm-up pass first (count each source table) so parquet
+  *    footer caching isn't billed to the first query;
+  *  - each query runs twice and the SECOND run is timed: the first
+  *    pays the one-time whole-stage-codegen (Janino) compilation of
+  *    that plan shape (~0.5–2 s per novel plan), a fixed cost that
+  *    amortizes to zero at any real data scale — steady-state
+  *    throughput is the quantity the benchmark is after;
+  *  - execution is to completion via the noop datasource (full
+  *    materialization of every row, no output cost) — `count()`
   *    would let Spark skip column decoding via count pushdown and
   *    under-report.
   */
@@ -26,22 +30,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: touch every table and exercise codegen/shuffle paths.
+    // Warm-up: touch every table (parquet footers, file listing).
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    SparkEntry.queries("gold_hourly")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+
+    def run(name: String,
+            fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      run(name, fn) // untimed: one-time codegen compilation of the plan
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
+      val ok = run(name, fn)
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
