@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Keyed upsert (the reference's Delta `MERGE ... WHEN MATCHED UPDATE
   * ALL WHEN NOT MATCHED INSERT ALL`,
@@ -10,21 +10,22 @@ import org.apache.hadoop.fs.Path
   * plain parquet.
   *
   * Semantics: `merge(base, updates, keys)` = every key of `updates`
-  * takes the updates row; keys only in `base` keep the base row. This
-  * is a full-outer equi-join with per-column coalesce preferring the
-  * updates side.
+  * takes the updates row; keys only in `base` keep the base row.
   *
   * Scale design (100 TB target):
-  *  - The updates side of a streaming micro-batch is small → Spark
-  *    broadcasts it (we hint explicitly), so the merge never shuffles
-  *    the large base table.
+  *  - The updates side of a streaming micro-batch is small → the
+  *    anti-join against its key set broadcasts, so the merge never
+  *    shuffles the large base table.
   *  - [[ParquetUpsertSink]] partitions the table by a date column and
   *    rewrites ONLY partitions touched by the batch (partition-pruned
-  *    read + per-partition atomic swap) — the rewrite cost is
+  *    read + dynamic partition overwrite) — rewrite cost is
   *    O(touched partitions), not O(table), matching Delta MERGE's
   *    file-level rewrite granularity.
-  *  - Idempotence per micro-batch: the sink records the last committed
-  *    batchId and skips replays, preserving exactly-once on restart.
+  *  - Unpartitioned tables commit through a versioned layout with a
+  *    Delta-log-style commit directory: crash-safe (readers never see
+  *    a half-written version) and snapshot-isolated.
+  *  - Idempotence per micro-batch: each commit records its batchId;
+  *    replays are skipped, preserving exactly-once on restart.
   */
 object Upsert {
 
@@ -50,65 +51,109 @@ object Upsert {
   }
 }
 
-/** File-backed upsert table with partition-granular rewrites and
-  * batch-id idempotence — the stand-in for the reference's Delta gold
-  * table. Pass `partitionCol = None` for a small, single-directory
-  * table (faithful to the demo scale); give a low-cardinality
-  * derived column (e.g. `to_date(window_start)`) for the scale path.
+/** File-backed upsert table — the stand-in for the reference's Delta
+  * gold table.
+  *
+  * Commit protocol (the essential slice of a Delta log): a commit is
+  * a file `_commits/<version>` whose content is the batchId; the
+  * current table state is defined by the HIGHEST committed version.
+  * Writers fully materialize the new state BEFORE writing the commit
+  * file, so a crash mid-write leaves the previous version intact and
+  * visible — readers never observe a torn table. The last two
+  * versions are retained (snapshot for in-flight readers), older ones
+  * are garbage-collected.
+  *
+  *  - `partitionCol = None`: versioned directories `v0, v1, ...`,
+  *    whole-table snapshot per commit — right for small/medium
+  *    aggregate tables.
+  *  - `partitionCol = Some(c)`: data lives partitioned in place and
+  *    merges rewrite only touched partitions (dynamic partition
+  *    overwrite); commits then track batchId for idempotence, with
+  *    atomicity at partition granularity (the overwrite committer's
+  *    guarantee) rather than table granularity.
   */
 class ParquetUpsertSink(path: String, keys: Seq[String],
                         partitionCol: Option[String] = None) {
 
-  private def fs(spark: SparkSession) =
+  private def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def commitMarker = new Path(path, "_graft_commit")
+  private def commitsDir = new Path(path, "_commits")
 
-  def lastBatchId(spark: SparkSession): Long = {
+  /** (version, batchId) pairs of all commits, ascending by version. */
+  private def commits(spark: SparkSession): Seq[(Long, Long)] = {
     val f = fs(spark)
-    if (!f.exists(commitMarker)) -1L
-    else {
-      val in = f.open(commitMarker)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
+    if (!f.exists(commitsDir)) Seq.empty
+    else f.listStatus(commitsDir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+        .map { v =>
+          val in = f.open(s.getPath)
+          val b = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+          (v, b)
+        })
+      .sortBy(_._1)
   }
 
-  private def writeMarker(spark: SparkSession, batchId: Long): Unit = {
+  def currentVersion(spark: SparkSession): Long =
+    commits(spark).lastOption.map(_._1).getOrElse(-1L)
+
+  def lastBatchId(spark: SparkSession): Long =
+    commits(spark).lastOption.map(_._2).getOrElse(-1L)
+
+  def exists(spark: SparkSession): Boolean = currentVersion(spark) >= 0
+
+  def read(spark: SparkSession): DataFrame = partitionCol match {
+    case None =>
+      val v = currentVersion(spark)
+      if (v >= 0) spark.read.parquet(s"$path/v$v")
+      else spark.read.parquet(path) // pre-sink data laid down externally
+    case Some(_) => spark.read.parquet(path) // _commits is _-hidden
+  }
+
+  private def commit(spark: SparkSession, version: Long, batchId: Long): Unit = {
     val f = fs(spark)
-    val out = f.create(commitMarker, true)
+    val out = f.create(new Path(commitsDir, version.toString), false)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  def exists(spark: SparkSession): Boolean = {
+  /** Drop versions (and their commit files) older than the previous
+    * one — keeps a snapshot for readers started before the last
+    * commit.
+    */
+  private def gc(spark: SparkSession): Unit = {
     val f = fs(spark)
-    f.exists(new Path(path)) && f.listStatus(new Path(path))
-      .exists(s => s.getPath.getName.endsWith(".parquet") ||
-        (s.isDirectory && s.getPath.getName.contains("=")))
+    val cs = commits(spark)
+    cs.dropRight(2).foreach { case (v, _) =>
+      f.delete(new Path(s"$path/v$v"), true)
+      f.delete(new Path(commitsDir, v.toString), false)
+    }
   }
-
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 
   /** Upsert one batch. Replayed batchIds (crash between sink commit
     * and checkpoint commit) are skipped — the micro-batch output for a
     * given id is deterministic, so skipping preserves exactly-once.
     */
   def upsert(spark: SparkSession, updates: DataFrame, batchId: Long = 0L): Unit = {
-    if (batchId <= lastBatchId(spark)) return
-    if (!exists(spark)) {
-      // First batch: plain create (03_gold_realtime_rides.py:97-99).
-      val w = updates.write.mode("overwrite")
-      partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
-    } else partitionCol match {
+    if (exists(spark) && batchId <= lastBatchId(spark)) return
+    val newV = currentVersion(spark) + 1
+    partitionCol match {
       case None =>
-        val merged = Upsert.merge(read(spark), updates, keys)
-          .localCheckpoint(true) // materialize before overwriting input files
-        merged.write.mode("overwrite").parquet(path)
+        // Full new snapshot; previous version stays readable until the
+        // commit file lands, so a crash here is invisible to readers.
+        val data =
+          if (newV == 0) updates
+          else Upsert.merge(read(spark), updates, keys)
+        data.write.mode("overwrite").parquet(s"$path/v$newV")
+      case Some(pc) if newV == 0 =>
+        // First batch: plain create (03_gold_realtime_rides.py:97-99).
+        updates.write.mode("overwrite").partitionBy(pc).parquet(path)
       case Some(pc) =>
         // Partition-granular merge: read ONLY the partitions the batch
         // touches (partition-pruned scan), merge, dynamic-overwrite
         // just those partitions. Untouched partitions are never read
-        // or rewritten.
+        // or rewritten. localCheckpoint materializes the merge before
+        // the overwrite deletes its input files.
         val touched = updates.select(pc).distinct().collect().map(_.get(0))
         val base = read(spark).filter(col(pc).isInCollection(touched.toSeq))
         val merged = Upsert.merge(base, updates, keys).localCheckpoint(true)
@@ -121,6 +166,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           case None => spark.conf.unset(key) // don't leak dynamic mode
         }
     }
-    writeMarker(spark, batchId)
+    commit(spark, newV, batchId)
+    if (partitionCol.isEmpty) gc(spark)
   }
 }

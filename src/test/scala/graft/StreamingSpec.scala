@@ -31,7 +31,8 @@ class StreamingSpec extends SparkTestBase {
       silver.select(col("ride_id"), col("event_timestamp")).distinct().count())
 
     // gold ≡ batch recompute over the silver table (upsert convergence)
-    val gold = spark.read.parquet(p.gold)
+    val goldSink = new ParquetUpsertSink(p.gold, Rides.goldKey)
+    val gold = goldSink.read(spark)
       .select("window_start", "window_end", "driver_id",
         "total_rides_hourly", "avg_fare_hourly",
         "total_suspicious_rides_hourly")
@@ -46,7 +47,7 @@ class StreamingSpec extends SparkTestBase {
     MedallionStream.runDrain(spark, p)
     val silver2 = spark.read.parquet(p.silver)
     assert(silver2.count() > silver.count())
-    val gold2 = spark.read.parquet(p.gold)
+    val gold2 = goldSink.read(spark)
       .select("window_start", "window_end", "driver_id",
         "total_rides_hourly", "avg_fare_hourly",
         "total_suspicious_rides_hourly")

@@ -53,6 +53,37 @@ class UpsertSpec extends SparkTestBase {
     assert(m(("2024-01-01 10:00:00", "DRV001")) === 9L)
   }
 
+  test("versioned commits: crash before commit leaves old state visible") {
+    val dir = tmpDir("upsertv") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base, batchId = 0)
+    assert(sink.currentVersion(spark) === 0)
+    // simulate a writer crash: new version data lands WITHOUT a commit
+    base.limit(1).write.parquet(s"$dir/v1")
+    assert(sink.currentVersion(spark) === 0, "uncommitted version visible")
+    assert(sink.read(spark).count() === 3, "reader saw torn state")
+    // a real upsert then commits v2 (v1 dir exists, so writer skips to
+    // the next free slot? No — version = max COMMIT + 1 = 1; overwrite
+    // of the orphaned dir is correct recovery)
+    sink.upsert(spark, updates, batchId = 1)
+    assert(sink.currentVersion(spark) === 1)
+    assert(sink.read(spark).count() === 4)
+  }
+
+  test("old versions are garbage-collected, last two retained") {
+    val dir = tmpDir("upsertg") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    (0 to 4).foreach { i =>
+      sink.upsert(spark, if (i == 0) base else updates, batchId = i)
+    }
+    assert(sink.currentVersion(spark) === 4)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("v3", "v4"), s"got ${dirs.mkString(",")}")
+    assert(sink.read(spark).count() === 4)
+  }
+
   test("partitioned sink rewrites only touched partitions") {
     val dir = tmpDir("upsertp") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
