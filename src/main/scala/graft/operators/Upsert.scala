@@ -130,6 +130,26 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** Compaction (the Delta OPTIMIZE analog, reference D2:
+    * `SET ...optimize.maxFileSize=128MB`, 03_gold_realtime_rides.py:75):
+    * rewrite the current snapshot as ⌈bytes / targetFileBytes⌉ files
+    * in a new committed version. Safe under the same crash protocol
+    * as upserts; no-op on empty or partitioned tables (partitioned
+    * compaction would be per-partition — not needed at demo scale).
+    */
+  def compact(spark: SparkSession,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    if (partitionCol.nonEmpty || !exists(spark)) return
+    val cur = currentVersion(spark)
+    val bytes = fs(spark).getContentSummary(new Path(s"$path/v$cur")).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val newV = cur + 1
+    read(spark).coalesce(nFiles).write.mode("overwrite")
+      .parquet(s"$path/v$newV")
+    commit(spark, newV, lastBatchId(spark))
+    gc(spark)
+  }
+
   /** Upsert one batch. Replayed batchIds (crash between sink commit
     * and checkpoint commit) are skipped — the micro-batch output for a
     * given id is deterministic, so skipping preserves exactly-once.

@@ -84,6 +84,21 @@ class UpsertSpec extends SparkTestBase {
     assert(sink.read(spark).count() === 4)
   }
 
+  test("compact rewrites the snapshot to fewer files, data unchanged") {
+    val dir = tmpDir("upsertc") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base.repartition(8), batchId = 0)
+    val before = sink.read(spark).collect().toSet
+    sink.compact(spark)
+    val vDir = new java.io.File(s"$dir/v${sink.currentVersion(spark)}")
+    val nParquet = vDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParquet === 1, s"expected 1 compacted file, got $nParquet")
+    assert(sink.read(spark).collect().toSet === before)
+    // batchId idempotence survives compaction
+    sink.upsert(spark, updates.withColumn("total", lit(999L)), batchId = 0)
+    assert(sink.read(spark).collect().toSet === before)
+  }
+
   test("partitioned sink rewrites only touched partitions") {
     val dir = tmpDir("upsertp") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
