@@ -14,6 +14,13 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry works on a fresh session with default configs") {
+    // the driver smokes entry() with its own session — no UTC pin, no
+    // legacy confs; events() must self-configure at runtime
+    val fresh = spark.newSession()
+    assert(SparkEntry.entry(fresh).count() > 0)
+  }
+
   test("every declared oracle has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
