@@ -462,6 +462,12 @@ object SparkEntry {
         Text.langId(col("toks")).as("lang_guess"),
         Text.docFingerprint(col("text")).as("fingerprint"))),
 
+    // Order-sensitive rolling-hash fingerprint (Rabin–Karp fold).
+    "doc_rolling_fp" -> ((s, d) =>
+      docsWithTokens(t(s, d, "documents")).select(
+        col("doc_id"),
+        Text.rollingFingerprint(col("toks")).as("rolling_fp"))),
+
     "token_count_by_source" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents"))
         .groupBy(col("source"))
@@ -820,6 +826,18 @@ object SparkEntry {
          |      ELSE 'und' END AS lang_guess,
          | md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
          |FROM m""".stripMargin
+    },
+
+    "doc_rolling_fp" -> {
+      val tk = toksSql("text")
+      val b = graft.functions.Text.rollB
+      val m = graft.functions.Text.rollM
+      s"""SELECT doc_id,
+         | CASE WHEN len($tk) > 0 THEN
+         |  list_reduce(list_transform($tk, t -> ${h60Sql("t")} % $m),
+         |   (a, x) -> (a * $b + x) % $m)
+         | ELSE NULL END AS rolling_fp
+         |FROM documents""".stripMargin
     },
 
     "token_count_by_source" -> {

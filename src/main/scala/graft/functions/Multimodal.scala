@@ -114,6 +114,43 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * frameSize + 1,
           lit(frameSize)).as("frame"))
 
+  /** STUB KERNEL — deterministic fake "resize": stride-sample the
+    * payload down to `outLen` bytes (a real implementation decodes,
+    * rescales pixels/samples, and re-encodes). Keeps the contract:
+    * fixed-size output, deterministic, null-safe.
+    */
+  def fakeResize(payload: Array[Byte], outLen: Int): Array[Byte] = {
+    if (payload.length == 0) return new Array[Byte](0)
+    val out = new Array[Byte](math.min(outLen, payload.length))
+    val stride = payload.length.toDouble / out.length
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i * stride).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize over the media table: same mapPartitions shape as
+    * [[extractFeatures]] — the second kernel slot of the
+    * decode / feature-extract / resize / frame-sample quartet.
+    */
+  def resized(media: DataFrame, outLen: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("resized", BinaryType),
+      StructField("resized_len", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val out = if (payload == null) null else fakeResize(payload, outLen)
+          Row(r.getLong(0), out, if (out == null) 0L else out.length.toLong)
+        }
+      }(enc)
+  }
+
   /** Oracle-checkable metadata projection (no kernel involved):
     * byte length and checksum of payloads — proves the binary
     * round-trip and pushdown-friendly metadata layout.

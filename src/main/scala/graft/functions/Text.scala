@@ -118,4 +118,24 @@ object Text {
     */
   def docFingerprint(text: Column): Column =
     Hashing.fingerprint(normalized(text))
+
+  /** Rolling-hash parameters (shared with the SQL oracle). */
+  val rollB: Long = 1000003L
+  val rollM: Long = 2147483647L
+
+  /** Polynomial rolling-hash fingerprint over the token stream
+    * (Rabin–Karp shape): h = fold(h·B + hash(tok) mod M). Order
+    * sensitive — unlike the set-based minhash sketch, reordered
+    * tokens change the fingerprint — and incremental: appending a
+    * token is O(1), the property streaming fingerprinters rely on.
+    * Left fold with the first token as seed, matching SQL
+    * `list_reduce` semantics. NULL for empty documents.
+    */
+  def rollingFingerprint(toks: Column): Column = {
+    val hs = transform(toks, t => pmod(Hashing.hash60(t), lit(rollM)))
+    when(size(toks) > 0,
+      aggregate(slice(hs, lit(2), size(hs) - 1), element_at(hs, 1),
+        (acc, x) => pmod(acc * rollB + x, lit(rollM)))
+    ).otherwise(lit(null).cast("long"))
+  }
 }

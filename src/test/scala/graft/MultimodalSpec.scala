@@ -22,6 +22,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta.getLong(1) === 6L)
   }
 
+  test("resize kernel: fixed-size deterministic output, empty-safe") {
+    val r = Multimodal.resized(media, 4).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1)).toMap
+    assert(r(1L).length === 4)
+    assert(new String(r(1L), "UTF-8") === "hell") // stride-sample of "hello"
+    assert(r(3L).length === 0)                    // empty payload
+    val again = Multimodal.resized(media.repartition(3), 4).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
+    assert(again === r.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("feature extraction is deterministic and partition-invariant") {
     val f1 = Multimodal.extractFeatures(media.repartition(1)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
