@@ -80,8 +80,11 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
-          // null payload ⇒ byte_len is also null — Row.getLong would NPE
-          val byteLen = if (meta.isNullAt(1)) 0L else meta.getLong(1)
+          // null payload ⇒ byte_len is also null — Row.getLong would
+          // NPE; keep the null (distinct from a real zero-byte asset)
+          val byteLen: java.lang.Long =
+            if (meta.isNullAt(1)) null
+            else java.lang.Long.valueOf(meta.getLong(1))
           val feat =
             if (payload == null) null
             else fakeDecode(payload)

@@ -133,9 +133,9 @@ object Text {
     */
   def rollingFingerprint(toks: Column): Column = {
     val hs = transform(toks, t => pmod(Hashing.hash60(t), lit(rollM)))
+    // fold from 0 ≡ DuckDB's seedless list_reduce: 0·B + h₁ = h₁
     when(size(toks) > 0,
-      aggregate(slice(hs, lit(2), size(hs) - 1), element_at(hs, 1),
-        (acc, x) => pmod(acc * rollB + x, lit(rollM)))
+      aggregate(hs, lit(0L), (acc, x) => pmod(acc * rollB + x, lit(rollM)))
     ).otherwise(lit(null).cast("long"))
   }
 }

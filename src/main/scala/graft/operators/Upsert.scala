@@ -80,18 +80,24 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   private def commitsDir = new Path(path, "_commits")
 
-  /** (version, batchId) pairs of all commits, ascending by version. */
+  /** (version, batchId) pairs of all commits, ascending by version.
+    * Torn commit files (a writer died between create and write —
+    * possible on stores without atomic rename) are SKIPPED, not
+    * fatal: the table stays readable at the last good version.
+    */
   private def commits(spark: SparkSession): Seq[(Long, Long)] = {
     val f = fs(spark)
     if (!f.exists(commitsDir)) Seq.empty
     else f.listStatus(commitsDir).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
-        .map { v =>
+      .flatMap { s =>
+        scala.util.Try {
+          val v = s.getPath.getName.toLong
           val in = f.open(s.getPath)
           val b = try new String(in.readAllBytes(), "UTF-8").trim.toLong
           finally in.close()
           (v, b)
-        })
+        }.toOption
+      }
       .sortBy(_._1)
   }
 
@@ -103,6 +109,18 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   def exists(spark: SparkSession): Boolean = currentVersion(spark) >= 0
 
+  /** Data present at the table path that predates this sink's commit
+    * log — an externally-written table being adopted. Must be merged
+    * into, never clobbered, on the first commit.
+    */
+  private def hasExternalData(spark: SparkSession): Boolean = {
+    val f = fs(spark)
+    f.exists(new Path(path)) && f.listStatus(new Path(path)).exists { s =>
+      s.getPath.getName.endsWith(".parquet") ||
+        (s.isDirectory && s.getPath.getName.contains("="))
+    }
+  }
+
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>
       val v = currentVersion(spark)
@@ -111,21 +129,31 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     case Some(_) => spark.read.parquet(path) // _commits is _-hidden
   }
 
+  /** Atomic commit point: write to a dot-temp name (ignored by the
+    * commit parser), then rename — the commit file appears fully
+    * written or not at all.
+    */
   private def commit(spark: SparkSession, version: Long, batchId: Long): Unit = {
     val f = fs(spark)
-    val out = f.create(new Path(commitsDir, version.toString), false)
+    val tmp = new Path(commitsDir, s".tmp-$version")
+    val out = f.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(commitsDir, version.toString)
+    f.delete(dst, false) // leftovers of a crashed attempt at this version
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"commit rename failed for $dst")
   }
 
   /** Drop versions (and their commit files) older than the previous
     * one — keeps a snapshot for readers started before the last
-    * commit.
+    * commit. Partitioned tables have no version directories, but
+    * their commit log is trimmed the same way (only the max matters
+    * for idempotence) so it cannot grow without bound.
     */
-  private def gc(spark: SparkSession): Unit = {
+  private def gc(spark: SparkSession, cs: Seq[(Long, Long)]): Unit = {
     val f = fs(spark)
-    val cs = commits(spark)
     cs.dropRight(2).foreach { case (v, _) =>
-      f.delete(new Path(s"$path/v$v"), true)
+      if (partitionCol.isEmpty) f.delete(new Path(s"$path/v$v"), true)
       f.delete(new Path(commitsDir, v.toString), false)
     }
   }
@@ -139,33 +167,46 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    if (partitionCol.nonEmpty || !exists(spark)) return
-    val cur = currentVersion(spark)
+    if (partitionCol.nonEmpty) return
+    val cs = commits(spark)
+    if (cs.isEmpty) return
+    val (cur, lastBatch) = cs.last
     val bytes = fs(spark).getContentSummary(new Path(s"$path/v$cur")).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val newV = cur + 1
-    read(spark).coalesce(nFiles).write.mode("overwrite")
-      .parquet(s"$path/v$newV")
-    commit(spark, newV, lastBatchId(spark))
-    gc(spark)
+    spark.read.parquet(s"$path/v$cur").coalesce(nFiles)
+      .write.mode("overwrite").parquet(s"$path/v$newV")
+    commit(spark, newV, lastBatch)
+    gc(spark, cs :+ ((newV, lastBatch)))
   }
 
   /** Upsert one batch. Replayed batchIds (crash between sink commit
     * and checkpoint commit) are skipped — the micro-batch output for a
     * given id is deterministic, so skipping preserves exactly-once.
+    * The commit log is read ONCE per call.
     */
   def upsert(spark: SparkSession, updates: DataFrame, batchId: Long = 0L): Unit = {
-    if (exists(spark) && batchId <= lastBatchId(spark)) return
-    val newV = currentVersion(spark) + 1
+    val cs = commits(spark)
+    if (cs.nonEmpty && batchId <= cs.last._2) return
+    val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+    // An uncommitted table with pre-existing data (external writer or
+    // a pre-commit-log layout) is adopted as the merge base, never
+    // clobbered.
+    val adopt = cs.isEmpty && hasExternalData(spark)
     partitionCol match {
       case None =>
         // Full new snapshot; previous version stays readable until the
         // commit file lands, so a crash here is invisible to readers.
         val data =
-          if (newV == 0) updates
-          else Upsert.merge(read(spark), updates, keys)
+          if (newV == 0 && !adopt) updates
+          else {
+            val m = Upsert.merge(read(spark), updates, keys)
+            // adopt-case base lives at `path` itself, which v0 is
+            // written under — materialize before writing
+            if (adopt) m.localCheckpoint(true) else m
+          }
         data.write.mode("overwrite").parquet(s"$path/v$newV")
-      case Some(pc) if newV == 0 =>
+      case Some(pc) if newV == 0 && !adopt =>
         // First batch: plain create (03_gold_realtime_rides.py:97-99).
         updates.write.mode("overwrite").partitionBy(pc).parquet(path)
       case Some(pc) =>
@@ -187,6 +228,6 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         }
     }
     commit(spark, newV, batchId)
-    if (partitionCol.isEmpty) gc(spark)
+    gc(spark, cs :+ ((newV, batchId)))
   }
 }

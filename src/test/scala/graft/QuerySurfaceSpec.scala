@@ -40,20 +40,29 @@ class QuerySurfaceSpec extends SparkTestBase {
     }
   }
 
-  test("LSH top-k ranks agree with brute force on shared neighbors") {
-    val bf = SparkEntry.queries("embed_topk_bruteforce")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+  test("LSH ranks follow its contract: rounded score desc, id asc") {
+    // Verify against an independent driver-side recomputation of the
+    // operator's OWN ordering contract (6-dp rounded cosine desc,
+    // neighbor id tie-break) — comparing against unrounded brute-force
+    // order would spuriously fail on near-tie scores that round equal.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
     val lsh = SparkEntry.queries("embed_topk_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(lsh.nonEmpty)
-    // For neighbors BOTH paths rank for the same query, LSH's rank
-    // order must be consistent with brute force's (cosine scores are
-    // totally ordered, so any inversion means a ranking bug).
     lsh.groupBy(_._1).foreach { case (q, rows) =>
-      val shared = rows.sortBy(_._2)
-        .flatMap { case (_, _, n) => bf.get((q, n)) }
-      assert(shared === shared.sorted,
-        s"query $q: LSH rank order inverts brute-force order: $shared")
+      val ordered = rows.sortBy(_._2)
+        .map { case (_, _, n) => (-cos(emb(q), emb(n)), n) }
+      assert(ordered === ordered.sorted,
+        s"query $q: LSH rank order violates (score desc, id asc): $ordered")
     }
   }
 }
