@@ -287,6 +287,19 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + join), via the spark.sql surface: orders priced at
+    // more than 1.5x their customer's average.
+    "above_avg_orders" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v o
+          |WHERE o_totalprice > (
+          |  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders_v o2
+          |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
     // Left-semi join (EXISTS).
     "semi_join_orders" -> ((s, d) => {
       val bigLines = t(s, d, "lineitem").filter(col("l_quantity") > 45)
@@ -765,6 +778,13 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01'
         | AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        | SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+        | WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
     "semi_join_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders o
