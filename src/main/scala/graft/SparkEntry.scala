@@ -475,6 +475,13 @@ object SparkEntry {
         Text.langId(col("toks")).as("lang_guess"),
         Text.docFingerprint(col("text")).as("fingerprint"))),
 
+    // Array higher-order predicates: exists / forall over tokens.
+    "docs_token_predicates" -> ((s, d) =>
+      docsWithTokens(t(s, d, "documents")).select(
+        col("doc_id"),
+        exists(col("toks"), t => length(t) > 7).as("has_long_token"),
+        forall(col("toks"), t => length(t) <= 10).as("all_short_tokens"))),
+
     // Order-sensitive rolling-hash fingerprint (Rabin–Karp fold).
     "doc_rolling_fp" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
@@ -846,6 +853,14 @@ object SparkEntry {
          |      ELSE 'und' END AS lang_guess,
          | md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
          |FROM m""".stripMargin
+    },
+
+    "docs_token_predicates" -> {
+      val tk = toksSql("text")
+      s"""SELECT doc_id,
+         | len(list_filter($tk, t -> length(t) > 7)) > 0 AS has_long_token,
+         | len(list_filter($tk, t -> length(t) > 10)) = 0 AS all_short_tokens
+         |FROM documents""".stripMargin
     },
 
     "doc_rolling_fp" -> {

@@ -31,6 +31,14 @@ class SourceFormatsSpec extends SparkTestBase {
       events.except(back).count() === 0, "CSV round-trip lost data")
   }
 
+  test("ORC round-trip preserves values (self-describing schema)") {
+    val dir = tmpDir("orc")
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.except(events).count() === 0 &&
+      events.except(back).count() === 0, "ORC round-trip lost data")
+  }
+
   test("JSON round-trip with explicit schema preserves values") {
     val dir = tmpDir("json")
     events.write.mode("overwrite")

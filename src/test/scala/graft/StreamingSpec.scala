@@ -60,4 +60,31 @@ class StreamingSpec extends SparkTestBase {
       .select(col("window_start"), col("window_end"), col("driver_id"))
       .distinct().count())
   }
+
+  test("bounded gold variant (watermark + update mode) also converges") {
+    val root = tmpDir("streamb")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 4000L)
+    import org.apache.spark.sql.streaming.Trigger
+    MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+      bounded = true).awaitTermination()
+    val silver = spark.read.parquet(p.silver)
+    val gold = new graft.operators.ParquetUpsertSink(p.gold, Rides.goldKey)
+      .read(spark)
+      .select("window_start", "window_end", "driver_id",
+        "total_rides_hourly", "avg_fare_hourly",
+        "total_suspicious_rides_hourly")
+    // single drain: the watermark admits everything it saw, so the
+    // update-mode output upserts to the same state as the batch
+    // recompute
+    val expected = Medallion.goldAggregate(silver)
+    assert(gold.except(expected).count() === 0 &&
+      expected.except(gold).count() === 0,
+      "bounded gold diverged from batch recompute")
+  }
 }
