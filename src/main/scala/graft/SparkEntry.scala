@@ -157,6 +157,16 @@ object SparkEntry {
         .filter(col("data").isNotNull)
         .select(col("event_id"), col("data.k").as("k"))),
 
+    // Map-typed JSON parse + map explode (key/value rows).
+    "props_map_explode" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)))
+            .as(Seq("key", "value")))),
+
     // P5/P7: timestamp→long arithmetic + boolean conjunction.
     "p5_derive" -> ((s, d) =>
       events(s, d).select(
@@ -602,6 +612,10 @@ object SparkEntry {
     "p3_json_parse" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+
+    "props_map_explode" ->
+      """SELECT event_id, 'k' AS key, CAST(props->>'k' AS BIGINT) AS value
+        |FROM events""".stripMargin,
 
     "p5_derive" ->
       """SELECT event_id,

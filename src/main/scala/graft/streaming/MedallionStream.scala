@@ -82,9 +82,16 @@ object MedallionStream {
     */
   def goldQuery(spark: SparkSession, p: Paths,
                 trigger: Trigger = Trigger.ProcessingTime("45 seconds"),
-                bounded: Boolean = false): StreamingQuery = {
+                bounded: Boolean = false,
+                partitioned: Boolean = false): StreamingQuery = {
     val silver = spark.readStream.schema(silverSchema).parquet(p.silver)
-    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey)
+    // `partitioned` is the 100 TB layout: gold partitioned by window
+    // date, so each micro-batch merge rewrites only the day
+    // partitions it touches instead of the whole table.
+    val sink =
+      if (partitioned)
+        new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"))
+      else new ParquetUpsertSink(p.gold, Rides.goldKey)
     val input =
       if (bounded) silver.withWatermark("event_timestamp", Rides.watermarkDelay)
       else silver
@@ -94,7 +101,11 @@ object MedallionStream {
       .option("checkpointLocation", s"${p.checkpoints}/gold")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink.upsert(spark, batch, batchId)
+        val out =
+          if (partitioned)
+            batch.withColumn("window_date", to_date(col("window_start")))
+          else batch
+        sink.upsert(spark, out, batchId)
       }
       .start()
   }

@@ -61,6 +61,33 @@ class StreamingSpec extends SparkTestBase {
       .distinct().count())
   }
 
+  test("partitioned gold (date-partitioned upsert) converges too") {
+    val root = tmpDir("streamp")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 4000L)
+    import org.apache.spark.sql.streaming.Trigger
+    MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+      partitioned = true).awaitTermination()
+    val silver = spark.read.parquet(p.silver)
+    val gold = new graft.operators.ParquetUpsertSink(p.gold,
+      Rides.goldKey, Some("window_date")).read(spark)
+      .select("window_start", "window_end", "driver_id",
+        "total_rides_hourly", "avg_fare_hourly",
+        "total_suspicious_rides_hourly")
+    val expected = Medallion.goldAggregate(silver)
+    assert(gold.except(expected).count() === 0 &&
+      expected.except(gold).count() === 0,
+      "partitioned gold diverged from batch recompute")
+    // physically partitioned by date
+    assert(new java.io.File(p.gold).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("window_date=")))
+  }
+
   test("bounded gold variant (watermark + update mode) also converges") {
     val root = tmpDir("streamb")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
