@@ -327,6 +327,35 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // Left-outer join with null-coalesced aggregates: every order and
+    // its item count/quantity (orders without items show 0).
+    "left_outer_fill" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Hashing.portableRound(sum(col("l_quantity")), 2).as("total_qty"))
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("total_qty"), lit(0.0)).as("total_qty"))
+    }),
+
+    // Full-outer join: customers × a filtered order subset, both-side
+    // null surfacing.
+    "full_outer_extremes" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"),
+          col("o_orderkey"), col("o_totalprice"))
+      val richCust = t(s, d, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"), col("c_name"))
+      richCust.join(bigOrders, Seq("k"), "full_outer")
+        .select(col("k"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
     // Analytic window function: top-3 orders per customer.
     "window_topn_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -816,6 +845,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         | WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "left_outer_fill" ->
+      """SELECT o_orderkey,
+        | COALESCE(n_items, 0) AS n_items,
+        | COALESCE(total_qty, 0.0) AS total_qty
+        |FROM orders LEFT JOIN (
+        | SELECT l_orderkey, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey
+        |) li ON o_orderkey = li.l_orderkey""".stripMargin,
+
+    "full_outer_extremes" ->
+      """SELECT COALESCE(c.k, o.k) AS k, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT c_custkey AS k, c_name FROM customer
+        |      WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT o_custkey AS k, o_orderkey, o_totalprice
+        |      FROM orders WHERE o_totalprice > 400000) o
+        | ON c.k = o.k""".stripMargin,
 
     "window_topn_orders" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
