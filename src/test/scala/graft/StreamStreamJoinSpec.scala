@@ -53,4 +53,29 @@ class StreamStreamJoinSpec extends SparkTestBase {
       s"got: ${got.mkString(",")}")
     q.stop()
   }
+
+  test("stream-static broadcast join enriches the stream per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val rides = MemoryStream[RideStart]
+    // static dimension: driver home region (re-read per micro-batch,
+    // broadcast — the standard streaming enrichment pattern)
+    val regions = Seq(("DRV001", "NORTH"), ("DRV002", "SOUTH"))
+      .toDF("driver_id", "region")
+    val enriched = rides.toDF()
+      .join(broadcast(regions),
+        col("driver_id2") === col("driver_id"), "left_outer")
+      .select(col("driver_id2"), col("region"), col("fare"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("ssb-ckpt"))
+      .start()
+    rides.addData(RideStart("DRV001", ts(0), 10.0),
+      RideStart("DRV003", ts(1), 20.0))
+    q.processAllAvailable()
+    val got = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map("DRV001" -> Some("NORTH"), "DRV003" -> None))
+    q.stop()
+  }
 }
