@@ -31,7 +31,7 @@ object SparkEntry {
     * nano longs and floor-convert to microsecond TimestampType, the
     * same truncation DuckDB applies when materializing ns → µs.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -160,6 +160,7 @@ object SparkEntry {
     // Map-typed JSON parse + map explode (key/value rows).
     "props_map_explode" -> ((s, d) =>
       events(s, d)
+        .filter(col("props").isNotNull)
         .select(col("event_id"),
           explode(from_json(col("props"),
             org.apache.spark.sql.types.MapType(
@@ -302,11 +303,15 @@ object SparkEntry {
     // more than 1.5x their customer's average.
     "above_avg_orders" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_v")
+      // threshold rounded with the portable floor formula so both
+      // engines compare against the identical double (raw float
+      // aggregates differ in last-ulp summation order)
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders_v o
           |WHERE o_totalprice > (
-          |  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders_v o2
+          |  SELECT FLOOR(1.5 * AVG(o2.o_totalprice) * 100 + 0.5) / 100
+          |  FROM orders_v o2
           |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
@@ -644,7 +649,7 @@ object SparkEntry {
 
     "props_map_explode" ->
       """SELECT event_id, 'k' AS key, CAST(props->>'k' AS BIGINT) AS value
-        |FROM events""".stripMargin,
+        |FROM events WHERE props IS NOT NULL""".stripMargin,
 
     "p5_derive" ->
       """SELECT event_id,
@@ -833,7 +838,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
         |WHERE o_totalprice > (
-        | SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+        | SELECT FLOOR(1.5 * AVG(o2.o_totalprice) * 100 + 0.5) / 100
+        | FROM orders o2
         | WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
     "semi_join_orders" ->

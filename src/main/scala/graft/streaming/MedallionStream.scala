@@ -86,8 +86,10 @@ object MedallionStream {
                 partitioned: Boolean = false): StreamingQuery = {
     val silver = spark.readStream.schema(silverSchema).parquet(p.silver)
     // `partitioned` is the 100 TB layout: gold partitioned by window
-    // date, so each micro-batch merge rewrites only the day
-    // partitions it touches instead of the whole table.
+    // date. NOTE: the O(touched partitions) rewrite benefit requires
+    // pairing with `bounded = true` — in the default complete mode
+    // every batch re-emits ALL windows, touching every partition; the
+    // bounded (watermark + update) variant emits only changed windows.
     val sink =
       if (partitioned)
         new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"))

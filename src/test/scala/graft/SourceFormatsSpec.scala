@@ -9,11 +9,8 @@ import org.apache.spark.sql.functions._
   */
 class SourceFormatsSpec extends SparkTestBase {
 
-  private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private lazy val events =
+    SparkEntry.events(spark, "/root/testdata/sf0.001")
 
   test("CSV round-trip with explicit schema preserves values") {
     val dir = tmpDir("csv")
