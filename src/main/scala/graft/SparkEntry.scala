@@ -493,6 +493,13 @@ object SparkEntry {
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Sketch percentiles: t-digest/KLL-class approximation (engine-
+    // specific — rows-only; ScalaTest bounds the error vs exact).
+    "approx_percentiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("p50_approx"))),
+
     // Custom whole-operator plan: per-key top-k via bounded heaps
     // (logical node + Strategy + SparkPlan) — same semantics as
     // window_topn_orders, O(n log k) instead of a full per-key sort.

@@ -41,6 +41,28 @@ class CosineExprSpec extends SparkTestBase {
     assert(!got(2).isNullAt(0) && got(2).getDouble(0) === 0.0)
   }
 
+  test("native cosine is measurably faster than the HOF formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(200000)
+      .select(col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .localCheckpoint(true) // isolate the measurement from the join
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(c: org.apache.spark.sql.Column): Unit =
+      pairs.select(sum(c).as("s")).collect()
+    // warm both paths (codegen/JIT), then measure
+    run(Similarity.cosineHof(col("va"), col("vb")))
+    run(CosineSimilarityExpr.cosine_sim(col("va"), col("vb")))
+    val tHof = time(run(Similarity.cosineHof(col("va"), col("vb"))))
+    val tNative = time(run(CosineSimilarityExpr.cosine_sim(col("va"), col("vb"))))
+    info(f"200k pairs x 64 dims: HOF $tHof%.2fs vs native $tNative%.2fs " +
+      f"(${tHof / tNative}%.1fx)")
+    assert(tNative < tHof,
+      f"native ($tNative%.2fs) not faster than HOF ($tHof%.2fs)")
+  }
+
   test("cosine_sim registers and runs through SQL via extensions") {
     // injectFunction path, applied to an existing session's registry
     new graft.plans.GraftExtensions()

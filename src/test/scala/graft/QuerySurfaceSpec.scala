@@ -40,6 +40,17 @@ class QuerySurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentile is close to the exact interpolated value") {
+    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (tpe, ex) =>
+      assert(math.abs(approx(tpe) - ex) / math.max(ex, 1.0) < 0.05,
+        s"$tpe: approx ${approx(tpe)} vs exact $ex")
+    }
+  }
+
   test("LSH ranks follow its contract: rounded score desc, id asc") {
     // Verify against an independent driver-side recomputation of the
     // operator's OWN ordering contract (6-dp rounded cosine desc,
