@@ -50,6 +50,35 @@ object EngineProperties extends Properties("graft") {
         once.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
 
+  property("TopKPerKey ≡ row_number window for random tables and k") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 30L))),
+      Gen.choose(1, 4)) { (rows, k) =>
+      val s = spark; import s.implicits._
+      val df = rows.toDF("key", "v")
+        // a tie-break column unique per row for a total order
+        .withColumn("rid",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .localCheckpoint(true) // pin rid before comparing two plans
+      val custom = graft.plans.TopKPerKey(df, Seq("key"),
+        Seq(graft.plans.TopKPerKey.desc("v"),
+          graft.plans.TopKPerKey.asc("rid")), k)
+        .select("key", "v", "rid", "rank")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("v").desc, col("rid"))
+      val reference = df
+        .withColumn("rank", org.apache.spark.sql.functions
+          .row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("key", "v", "rid", "rank")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      custom == reference
+    }
+
   property("portableRound stays within half an ulp of scale") =
     Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (x, n) =>
       val s = spark; import s.implicits._
