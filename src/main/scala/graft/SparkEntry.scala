@@ -76,7 +76,7 @@ object SparkEntry {
       | user_id,
       | COUNT(event_id) AS total_events_hourly,
       | ROUND(AVG(value), 2) AS avg_value_hourly,
-      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_error_events_hourly
+      | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS total_error_events_hourly
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   /** DuckDB mirror of [[Text.tokens]]. */
@@ -682,8 +682,8 @@ object SparkEntry {
 
     "verify_reagg" ->
       s"""SELECT window_start, COUNT(DISTINCT user_id) AS active_users,
-         | SUM(total_events_hourly) AS total_events,
-         | SUM(total_error_events_hourly) AS total_errors
+         | CAST(SUM(total_events_hourly) AS BIGINT) AS total_events,
+         | CAST(SUM(total_error_events_hourly) AS BIGINT) AS total_errors
          |FROM ($goldHourlySql) GROUP BY 1""".stripMargin,
 
     "gold_count" -> s"SELECT COUNT(*) AS n_rows FROM ($goldHourlySql)",
@@ -697,7 +697,7 @@ object SparkEntry {
            | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, user_id,
            | COUNT(event_id) AS total_events_hourly,
            | ROUND(AVG(value), 2) AS avg_value_hourly,
-           | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_error_events_hourly
+           | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS total_error_events_hourly
            |FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1,2,3""".stripMargin
       val updEv = baseEv.replace("ts < TIMESTAMP '2024-01-20 00:00:00'",
         "ts >= TIMESTAMP '2024-01-10 00:00:00'")
@@ -739,7 +739,8 @@ object SparkEntry {
         |GROUP BY ROLLUP(event_type, day)""".stripMargin,
 
     "cube_docs" ->
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
 
     "set_ops_users" ->
@@ -760,11 +761,11 @@ object SparkEntry {
 
     "pivot_user_events" ->
       """SELECT user_id,
-        | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
 
     "value_percentiles" ->
@@ -951,8 +952,8 @@ object SparkEntry {
 
     "token_count_by_source" -> {
       val tk = toksSql("text")
-      s"""SELECT source, SUM(len($tk)) AS total_tokens,
-         | SUM(CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT)) AS total_tokens_bpe_est,
+      s"""SELECT source, CAST(SUM(len($tk)) AS BIGINT) AS total_tokens,
+         | CAST(SUM(CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT)) AS BIGINT) AS total_tokens_bpe_est,
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY source""".stripMargin
     },
