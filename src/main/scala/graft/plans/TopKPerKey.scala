@@ -3,14 +3,15 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => LP}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator custom plan: per-key top-k with bounded heaps.
   *
@@ -21,7 +22,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => LP}
   * all but k rows per key. This operator keeps a size-k heap per key
   * instead — O(n log k) with memory O(keys·k) — the right shape when
   * k ≪ rows-per-key, which is exactly the similarity-search re-rank
-  * and "top orders per customer" pattern.
+  * and "top orders per customer" pattern. When key cardinality makes
+  * O(keys·k) unsafe (> `spark.graft.topk.spillThresholdRows` buffered
+  * rows in one partition), the partition degrades to a spillable
+  * external sort + streaming rank pass, so the operator never OOMs
+  * where WindowExec would have survived.
   *
   * Stack: logical node → planner `Strategy` → `UnaryExecNode`
   * (requiredChildDistribution = ClusteredDistribution(keys), so
@@ -73,6 +78,18 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val outAttrs = output
+    // Heap mode buffers O(keys·k) rows; at high key cardinality that is
+    // an executor OOM, so once a partition holds more than this many
+    // buffered rows we abandon heaps and fall back to a SPILLABLE
+    // external sort by (keys ++ order) with a streaming rank pass —
+    // same memory profile as Spark's WindowExec, minus the per-window
+    // row buffering.
+    val spillThresholdRows =
+      conf.getConfString("spark.graft.topk.spillThresholdRows",
+        (4 * 1024 * 1024).toString).toLong
+    // A sort-based fallback needs orderable key types (grouping allows
+    // e.g. maps which cannot sort); non-orderable keys keep heap mode.
+    val canSpill = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ascending in this ordering = better rank
@@ -81,7 +98,9 @@ case class TopKPerKeyExec(
       // max-heap: head is the WORST of the current top-k → O(log k) evict
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      var buffered = 0L
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -89,18 +108,76 @@ case class TopKPerKeyExec(
           heap = scala.collection.mutable.PriorityQueue.empty(ord)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) {
+        if (heap.size < limit) {
+          heap.enqueue(row.copy()); buffered += 1
+          overflowed = canSpill && buffered > spillThresholdRows && iter.hasNext
+        } else if (ord.lt(row, heap.head)) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val sorted = heap.dequeueAll.reverse // ascending = rank order
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          resultProj(joined(row, InternalRow(i + 1)))
+      if (!overflowed) {
+        import scala.jdk.CollectionConverters._
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val sorted = heap.dequeueAll.reverse // ascending = rank order
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            resultProj(joined(row, InternalRow(i + 1)))
+          }
+        }
+      } else {
+        // Spill path: feed already-buffered heap rows plus the rest of
+        // the input into an UnsafeExternalRowSorter (acquires from the
+        // task memory manager, spills to disk under pressure, cleans up
+        // on task completion), sorted by keys then rank order; then a
+        // single streaming pass emits rank 1..k per key group.
+        val schema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val fullOrder =
+          keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
+        val sortOrd: Ordering[InternalRow] =
+          GenerateOrdering.generate(fullOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(r: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, sortOrd, PrefixComparators.LONG, prefixComputer,
+          ColumnBridge.pageSizeBytes, false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        def insert(r: InternalRow): Unit = r match {
+          // insertRow copies bytes into sorter pages immediately, so
+          // passing the projection's reused buffer is safe.
+          case u: UnsafeRow => sorter.insertRow(u)
+          case other        => sorter.insertRow(toUnsafe(other))
+        }
+        heaps.values().forEach(h => h.foreach(insert))
+        heaps.clear()
+        while (iter.hasNext) insert(iter.next())
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var rank = 0
+          private var ready: InternalRow = null
+          private def advance(): Unit = {
+            while (ready == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); rank = 1
+              } else rank += 1
+              if (rank <= limit)
+                ready = resultProj(joined(row, InternalRow(rank)))
+            }
+          }
+          override def hasNext: Boolean = { advance(); ready != null }
+          override def next(): InternalRow = {
+            advance()
+            val r = ready; ready = null; r
+          }
         }
       }
     }, preservesPartitioning = true)

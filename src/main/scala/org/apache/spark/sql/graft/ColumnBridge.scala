@@ -30,4 +30,12 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Memory-manager page size for sizing external-sorter spill pages
+    * (`SparkEnv.memoryManager` is `private[spark]`; this shim package
+    * sits under `org.apache.spark` so it can read it, the same way
+    * `SortExec` does).
+    */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

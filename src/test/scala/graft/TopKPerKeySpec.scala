@@ -64,4 +64,43 @@ class TopKPerKeySpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).toSet
     assert(got === Set((1, 20.0, 1), (1, 10.0, 2), (2, 5.0, 1)))
   }
+
+  test("spill fallback at high key cardinality matches heap path") {
+    // Force the spill path by shrinking the buffered-row budget far
+    // below the key count: every partition overflows its heaps and
+    // degrades to the external-sort + streaming-rank fallback.
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val args = (orders, Seq("o_custkey"),
+      Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 3)
+    def run(): Set[(Long, Int, Long)] =
+      TopKPerKey(args._1, args._2, args._3, args._4)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val heapRows = run()
+    spark.conf.set("spark.graft.topk.spillThresholdRows", "16")
+    try {
+      val spillRows = run()
+      assert(spillRows === heapRows)
+      assert(spillRows.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.spillThresholdRows")
+  }
+
+  test("spill threshold mid-stream keeps already-buffered heap rows") {
+    import spark.implicits._
+    // 200 keys × 10 rows in ONE partition with a 32-row budget:
+    // overflow happens mid-partition, so correctness requires the
+    // fallback to re-ingest rows already sitting in heaps.
+    val df = (0 until 2000).map(i => (i % 200, i / 200, i))
+      .toDF("k", "v", "tie").repartition(1)
+    spark.conf.set("spark.graft.topk.spillThresholdRows", "32")
+    try {
+      val got = TopKPerKey(df, Seq("k"),
+        Seq(TopKPerKey.desc("v"), TopKPerKey.asc("tie")), 2)
+        .select(col("k"), col("rank"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = (0 until 200).flatMap(k =>
+        Seq((k, 1, 9), (k, 2, 8))).toSet
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.topk.spillThresholdRows")
+  }
 }
