@@ -569,7 +569,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(
         Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
-        0.5)),
+        0.5, maxShingleDf = 32)),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
@@ -975,9 +975,11 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" ->
       s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+         |shc AS (SELECT doc_id, sh FROM shd WHERE sh NOT IN
+         | (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) > 32)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
          |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
-         | FROM shd l JOIN shd r ON l.sh = r.sh AND l.doc_id < r.doc_id
+         | FROM shc l JOIN shc r ON l.sh = r.sh AND l.doc_id < r.doc_id
          | GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter,
          | ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard

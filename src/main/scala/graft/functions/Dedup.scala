@@ -132,19 +132,40 @@ object Dedup {
   /** Exact Jaccard similarity for every pair of documents sharing at
     * least one shingle, via the inverted-index self-join: shuffle is
     * on the hashed shingle key, intermediate size is
-    * Σ_shingle (docs/shingle choose 2) — tractable when shingle
-    * document-frequency is bounded (cap hot shingles upstream at real
-    * scale; they carry no signal).
+    * Σ_shingle (docs/shingle choose 2).
+    *
+    * That sum is quadratic in shingle document frequency, so one
+    * boilerplate shingle shared by a million documents would emit
+    * 5·10¹¹ pairs. `maxShingleDf` caps it: shingles with DF > τ are
+    * dropped from the index BEFORE the join (they carry no dedup
+    * signal — every boilerplate page shares them), bounding the pair
+    * fan-out at τ·|index|. The cap applies uniformly (sizes and
+    * intersections), so the result is exact Jaccard over the
+    * restricted shingle universe; τ = Long.MaxValue (the default) is
+    * bit-identical to the uncapped computation.
     * Input: (doc_id, sh) from [[docShingleHashes]].
     * Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ threshold.
     */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // The shingle relation feeds three consumers (sizes + both join
     // sides): materialize it once (at scale this is the persisted
     // inverted index). shuffle_hash beats sort-merge here — the join
     // key is massively duplicated, so sorting pays n·log n for
     // nothing while a hash table streams the probe side.
-    val sh = shingles.localCheckpoint(true)
+    val all = shingles.localCheckpoint(true)
+    val sh =
+      if (maxShingleDf == Long.MaxValue) all
+      else {
+        // The hot list has at most |index|/τ entries — small enough to
+        // broadcast for the anti-join (at extreme scale drop the hint
+        // and let AQE pick; correctness is unchanged).
+        val hot = all.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("sh"))
+        all.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val l = sh.as("l"); val r = sh.hint("shuffle_hash").as("r")

@@ -38,6 +38,28 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 4L)) || pairs((0L, 4L)) < 0.2)
   }
 
+  test("hot-shingle DF cap bounds the join fan-out, default changes nothing") {
+    // 40 docs that all share one boilerplate sentence (its shingles
+    // have DF = 40) plus unique content. Uncapped, the boilerplate
+    // alone joins every doc to every other: ≥ C(40,2) = 780 pairs.
+    val boiler = "all rights reserved contact us terms of service apply here"
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, s"$boiler unique document number $i payload token$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.docShingleHashes(corpus, "doc_id", "text", 3)
+    val uncapped = Dedup.jaccardPairs(sh, 0.0)
+    assert(uncapped.count() >= 780, "boilerplate should connect all docs")
+    // τ = 10 drops every DF-40 boilerplate shingle; the only shingles
+    // left are the per-doc unique tails, which no two docs share → the
+    // quadratic pair blowup disappears entirely.
+    val capped = Dedup.jaccardPairs(sh, 0.0, maxShingleDf = 10)
+    assert(capped.count() === 0, "capped index must not join on boilerplate")
+    // τ = MaxValue (the default) is bit-identical to the uncapped run.
+    val dflt = Dedup.jaccardPairs(sh, 0.0, maxShingleDf = Long.MaxValue)
+    assert(dflt.except(uncapped).count() === 0 &&
+      uncapped.except(dflt).count() === 0)
+  }
+
   test("minhash LSH candidates contain the true near-duplicates") {
     val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
     val cands = Dedup.lshCandidatePairs(
