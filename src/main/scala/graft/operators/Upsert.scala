@@ -39,13 +39,25 @@ object Upsert {
     * the base table gets shuffled. A LEFT ANTI join against the tiny
     * key set broadcasts fine, so the large base side is scanned once
     * with no shuffle.
+    *
+    * Schema evolution (the reference's `mergeSchema=true`,
+    * /root/reference/src/02_silver_realtime_rides.py:114): `updates`
+    * may carry a SUPERSET of the base columns — new columns are
+    * appended to the schema and null-filled for pre-existing base
+    * rows, exactly what Delta's additive schema merge does. Updates
+    * missing a base column remain an error (that would silently drop
+    * data).
     */
   def merge(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    require(updates.columns.sorted.sameElements(base.columns.sorted),
-      s"schema mismatch: base=${base.columns.mkString(",")} updates=${updates.columns.mkString(",")}")
-    val cols = base.columns.map(col).toSeq
+    val dropped = base.columns.toSet -- updates.columns.toSet
+    require(dropped.isEmpty,
+      s"updates must carry every base column; missing: ${dropped.mkString(",")}")
+    val added = updates.columns.filterNot(base.columns.contains)
+    val widened = added.foldLeft(base)((b, c) =>
+      b.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+    val cols = (base.columns ++ added).map(col).toSeq
     val updKeys = broadcast(updates.select(keys.map(col): _*))
-    base.join(updKeys, keys, "left_anti")
+    widened.join(updKeys, keys, "left_anti")
       .select(cols: _*)
       .unionByName(updates.select(cols: _*))
   }
@@ -184,10 +196,15 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * and checkpoint commit) are skipped — the micro-batch output for a
     * given id is deterministic, so skipping preserves exactly-once.
     * The commit log is read ONCE per call.
+    *
+    * `batchId` is REQUIRED (a default would let two bare calls
+    * silently no-op the second one via the replay check): pass the
+    * streaming micro-batch id, or the sentinel -1 for ad-hoc batch
+    * callers that want no idempotence/replay protection.
     */
-  def upsert(spark: SparkSession, updates: DataFrame, batchId: Long = 0L): Unit = {
+  def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit = {
     val cs = commits(spark)
-    if (cs.nonEmpty && batchId <= cs.last._2) return
+    if (batchId >= 0 && cs.nonEmpty && batchId <= cs.last._2) return
     val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
     // An uncommitted table with pre-existing data (external writer or
     // a pre-commit-log layout) is adopted as the merge base, never

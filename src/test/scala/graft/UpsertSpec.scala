@@ -39,6 +39,37 @@ class UpsertSpec extends SparkTestBase {
     assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
   }
 
+  test("merge: updates may add columns, base rows null-fill them") {
+    val evolved = updates.withColumn("surge", lit(1.5))
+    val m = Upsert.merge(base, evolved, keys)
+    assert(m.columns.toSeq ===
+      Seq("window_start", "driver_id", "total", "avg_fare", "surge"))
+    val surge = m.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(r.fieldIndex("surge")))).toMap
+    assert(surge(("2024-01-01 10:00:00", "DRV001")) === Some(1.5)) // updated
+    assert(surge(("2024-01-01 11:00:00", "DRV001")) === None)      // old row
+    assert(surge(("2024-01-01 12:00:00", "DRV003")) === Some(1.5)) // inserted
+    // dropping a base column stays an error — that would lose data
+    intercept[IllegalArgumentException] {
+      Upsert.merge(base, updates.drop("avg_fare"), keys)
+    }
+  }
+
+  test("sentinel batchId -1 skips replay protection, both calls apply") {
+    val dir = tmpDir("upserts") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base, batchId = -1)
+    assert(sink.read(spark).count() === 3)
+    // a second -1 call must NOT be swallowed by the idempotence check
+    // (the old batchId=0 default silently dropped the second call)
+    sink.upsert(spark, updates, batchId = -1)
+    assert(sink.read(spark).count() === 4)
+    val m = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("2024-01-01 10:00:00", "DRV001")) === 9L)
+  }
+
   test("sink: create, merge, and batchId replay protection") {
     val dir = tmpDir("upsert") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys)
