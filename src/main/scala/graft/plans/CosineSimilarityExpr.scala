@@ -21,11 +21,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * whole-stage codegen: a single pass accumulating dot/‖a‖²/‖b‖² in
   * registers. Accumulation order is left-to-right, matching both the
   * HOF formulation and a sequential SQL engine — results are
-  * bit-identical to `Similarity.cosine`.
-  *
-  * Null elements are treated as 0 contribution; mismatched lengths
-  * compare the common prefix (embeddings pipelines guarantee equal
-  * dims upstream).
+  * bit-identical to `Similarity.cosineHof`, edge cases included:
+  * a null element or mismatched array lengths yield NULL (in the HOF
+  * form, `zip_with` pads the shorter array with nulls and a null
+  * product nulls the whole `aggregate`), as does a zero-norm input
+  * (`try_divide`). Nulls — not 0-contribution fallbacks — surface
+  * upstream data bugs instead of silently scoring corrupt vectors.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,17 +55,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val la = elemIsFloat(left); val rb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    var bad = n != b.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val x = if (a.isNullAt(i)) 0.0
-        else if (la) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (b.isNullAt(i)) 0.0
-        else if (rb) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+    while (i < n && !bad) {
+      if (a.isNullAt(i) || b.isNullAt(i)) bad = true
+      else {
+        val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rb) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) null
+    if (bad || na == 0.0 || nb == 0.0) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -78,15 +81,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
         else s"$b.getDouble($i)"
       val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.isNullAt($i) ? 0.0 : $getA;
-         |  double $y = $b.isNullAt($i) ? 0.0 : $getB;
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; } else {
+         |    double $x = $getA;
+         |    double $y = $getB;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if ($bad || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

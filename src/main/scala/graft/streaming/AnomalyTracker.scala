@@ -23,7 +23,8 @@ object AnomalyTracker {
   case class Alert(driver_id: String, streak: Long, total_rides: Long,
                    at: java.sql.Timestamp)
 
-  def trackerFunc(withTimeouts: Boolean)(driverId: String,
+  def trackerFunc(withTimeouts: Boolean, streakThreshold: Long = 3L)(
+                  driverId: String,
                   rows: Iterator[RideObs],
                   state: GroupState[DriverState]): Iterator[Alert] = {
     if (state.hasTimedOut) {
@@ -44,7 +45,7 @@ object AnomalyTracker {
         val streak = if (r.is_suspicious) st.streak + 1 else 0L
         st = DriverState(st.rides + 1, streak)
         maxEvent = math.max(maxEvent, r.event_timestamp.getTime)
-        if (r.is_suspicious && streak > 0 && streak % 3 == 0)
+        if (r.is_suspicious && streak > 0 && streak % streakThreshold == 0)
           alerts += Alert(driverId, streak, st.rides, r.event_timestamp)
       }
     state.update(st)
@@ -58,8 +59,10 @@ object AnomalyTracker {
 
   /** Wire the tracker over a silver-schema stream (batch or
     * streaming Dataset — the same function serves tests and prod).
+    * Alerts fire at every multiple of `streakThreshold` consecutive
+    * suspicious rides.
     */
-  def alerts(silver: DataFrame): Dataset[Alert] = {
+  def alerts(silver: DataFrame, streakThreshold: Long = 3L): Dataset[Alert] = {
     val spark = silver.sparkSession
     import spark.implicits._
     val base = silver.select("driver_id", "event_timestamp", "is_suspicious")
@@ -74,6 +77,7 @@ object AnomalyTracker {
       .as[RideObs]
       .groupByKey(_.driver_id)
       .flatMapGroupsWithState[DriverState, Alert](
-        OutputMode.Append, timeout)(trackerFunc(base.isStreaming))
+        OutputMode.Append, timeout)(
+        trackerFunc(base.isStreaming, streakThreshold))
   }
 }

@@ -67,6 +67,24 @@ class AnomalyTrackerSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("non-default streakThreshold changes when alerts fire") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RideObs]
+    val q = AnomalyTracker.alerts(input.toDF(), streakThreshold = 2L)
+      .writeStream.format("memory").queryName("alerts_t2")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("anomaly-t2-ckpt"))
+      .start()
+    // four straight suspicious rides at threshold 2 → alerts at 2 and 4
+    input.addData(obs("DRV005", 1, true), obs("DRV005", 2, true),
+      obs("DRV005", 3, true), obs("DRV005", 4, true))
+    q.processAllAvailable()
+    val got = spark.table("alerts_t2").as[AnomalyTracker.Alert].collect()
+      .map(_.streak).sorted.toSeq
+    assert(got === Seq(2L, 4L), s"got streaks $got")
+    q.stop()
+  }
+
   test("batch-mode alerts match streaming for a generated workload") {
     val silver = graft.operators.Medallion.silverStage(
       graft.operators.Medallion.bronzeProject(

@@ -41,6 +41,30 @@ class CosineExprSpec extends SparkTestBase {
     assert(!got(2).isNullAt(0) && got(2).getDouble(0) === 0.0)
   }
 
+  test("null elements and ragged lengths yield NULL, matching the HOF") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),   // null element left
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](1.0f, null)),          // null element right
+      (Array[java.lang.Float](1.0f, 2.0f, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f)),          // ragged lengths
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),    // ragged, other side
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](2.0f, 1.0f))           // clean control row
+    ).toDF("a", "b")
+    val got = df.select(
+      CosineSimilarityExpr.cosine_sim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    (0 until 4).foreach { i =>
+      assert(got(i).isNullAt(0), s"row $i: native not NULL")
+      assert(got(i).isNullAt(1), s"row $i: HOF not NULL")
+    }
+    assert(!got(4).isNullAt(0) && got(4).getDouble(0) === got(4).getDouble(1))
+  }
+
   test("native cosine is measurably faster than the HOF formulation") {
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
