@@ -593,6 +593,22 @@ object SparkEntry {
         planes = 4, dims = 64)
     }),
 
+    // The SRP bucket assignment feeding embed_topk_lsh's candidate
+    // generation, exposed at the same (tables=8, planes=4, dims=64)
+    // parameters so the ANN path's deterministic core IS oracle-checked
+    // (the end-to-end top-k stays recall-tested: approximate results
+    // have no SQL ground truth).
+    "embed_srp_buckets" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.select(col("vec_id"),
+          explode(array((0 until 8).map(tb =>
+            struct(lit(tb).as("tbl"),
+              Similarity.srpBucket(col("embedding"), 4, 64, tb)
+                .as("bucket"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.tbl").as("tbl"),
+          col("x.bucket").as("bucket"))
+    }),
+
     // IVF ANN path (coarse-quantizer cells + probe; rows-only —
     // recall vs brute force is ScalaTest'd).
     "embed_topk_ivf" -> ((s, d) => {
@@ -1007,6 +1023,22 @@ object SparkEntry {
       """SELECT vec_id, len(embedding) AS dims,
         | ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
         |FROM embeddings""".stripMargin,
+
+    // Generated from the SAME srpSign constants the Spark plan folds
+    // in; the projection is an explicit left-to-right sum so the
+    // float accumulation order (and thus every sign bit) is
+    // bit-identical to Spark's aggregate() fold.
+    "embed_srp_buckets" -> {
+      (0 until 8).map { tb =>
+        val bucket = (0 until 4).map { p =>
+          val proj = (0 until 64).map(dd =>
+            s"embedding[${dd + 1}]::DOUBLE * ${Similarity.srpSign(tb, p, dd)}")
+            .mkString(" + ")
+          s"(CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+    },
 
     "embed_topk_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (

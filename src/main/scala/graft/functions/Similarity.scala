@@ -92,19 +92,24 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** The deterministic ±1 of hyperplane (table `t`, plane `p`,
+    * dimension `d`): parity of the md5 of "t:p:d". Public so the
+    * DuckDB oracle SQL can be generated from the SAME constants the
+    * Spark plan folds in — the bucket assignment is then reproducible
+    * in any engine from the integers alone.
+    */
+  def srpSign(t: Int, p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
   /** The ±1 pattern of plane `p` in table `t` as a constant array
     * column — evaluated once by constant folding, broadcast implicitly
     * in the plan (never a data-dependent lookup).
     */
-  private def srpSigns(t: Int, p: Int, dims: Int): Column = {
-    // Deterministic per (table, plane, dim): parity of md5-derived hash.
-    val signs = (0 until dims).map { d =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$t:$p:$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1.0 else -1.0
-    }
-    array(signs.map(lit): _*)
-  }
+  private def srpSigns(t: Int, p: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(srpSign(t, p, d))): _*)
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: a coarse quantizer of `nCells` centroids partitions
