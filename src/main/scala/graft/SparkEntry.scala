@@ -91,6 +91,25 @@ object SparkEntry {
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
 
+  /** DuckDB mirror of [[Similarity.srpBucket]] for table `tb`
+    * (planes=4, dims=64): explicit left-to-right projection sum from
+    * the same [[Similarity.srpSign]] constants — bit-identical sign
+    * bits.
+    */
+  private def srpBucketSql(tb: Int): String =
+    (0 until 4).map { p =>
+      val proj = (0 until 64).map(dd =>
+        s"embedding[${dd + 1}]::DOUBLE * ${Similarity.srpSign(tb, p, dd)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** All 8 SRP hash tables over embeddings as one relation. */
+  private val srpBucketsCte =
+    "buckets AS (" + (0 until 8).map(tb =>
+      s"SELECT vec_id, $tb AS tbl, ${srpBucketSql(tb)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ") + ")"
+
   /** Distinct hashed 3-gram shingles per doc (mirror of
     * [[Dedup.docShingleHashes]]).
     */
@@ -586,7 +605,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
     }),
 
-    // ANN path (no SQL oracle — recall vs brute force is ScalaTest'd).
+    // ANN path — fully oracled: the pipeline is deterministic (fixed
+    // hyperplanes / seed cells), so DuckDB reproduces it end to end;
+    // recall vs brute force is additionally ScalaTest'd.
     "embed_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 8), 5,
@@ -1028,17 +1049,68 @@ object SparkEntry {
     // in; the projection is an explicit left-to-right sum so the
     // float accumulation order (and thus every sign bit) is
     // bit-identical to Spark's aggregate() fold.
-    "embed_srp_buckets" -> {
-      (0 until 8).map { tb =>
-        val bucket = (0 until 4).map { p =>
-          val proj = (0 until 64).map(dd =>
-            s"embedding[${dd + 1}]::DOUBLE * ${Similarity.srpSign(tb, p, dd)}")
-            .mkString(" + ")
-          s"(CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-    },
+    "embed_srp_buckets" ->
+      s"WITH $srpBucketsCte SELECT vec_id, tbl, bucket FROM buckets",
+
+    // Full LSH ANN pipeline: bucket match in ANY of the 8 tables →
+    // exact re-rank on the 6-dp-rounded cosine. Ranking on the ROUNDED
+    // score (both engines) makes rank order robust to last-ulp cosine
+    // differences between Spark's fold and list_cosine_similarity.
+    "embed_topk_lsh" ->
+      s"""WITH $srpBucketsCte,
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         | FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         | FROM cand
+         | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+         | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         | SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY score DESC, neighbor_id) AS rank
+         | FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // Full IVF ANN pipeline mirror: 16 seed cells (first vectors by
+    // id), one assignment step (max_by cosine), per-dim centroid
+    // means, 4 probed cells per query by centroid cosine, exact
+    // re-rank on the rounded score — step for step the ivfTopK plan.
+    "embed_topk_ivf" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, embedding AS seed
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT c.vec_id AS cid,
+        |   max_by(s.cell, list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[])) AS cell
+        |  FROM embeddings c, seeds s GROUP BY c.vec_id),
+        |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+        |centdims AS (
+        |  SELECT a.cell, e.dim, AVG(e.v) AS cval
+        |  FROM assigned a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
+        |  FROM centdims GROUP BY cell),
+        |probes AS (
+        |  SELECT q.vec_id AS query_id, c.cell,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
+        |     c.cell) AS prk
+        |  FROM embeddings q, cent c WHERE q.vec_id < 8),
+        |cand AS (
+        |  SELECT p.query_id, a.cid AS neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE p.prk <= 4 AND a.cid <> p.query_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS score
+        | FROM cand
+        | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        | SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, neighbor_id) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin,
 
     "embed_topk_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (

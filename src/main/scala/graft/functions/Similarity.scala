@@ -157,7 +157,10 @@ object Similarity {
     val cand = assigned.join(probes, Seq("cell"))
       .filter(col("cid") =!= col("query_id"))
       .withColumnRenamed("cid", "neighbor_id")
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      // portableRound, not round: the 6-dp score is both the output
+      // and the rank key, and portableRound is the form DuckDB's
+      // ROUND reproduces bit-for-bit (see Hashing.portableRound)
+      .withColumn("score", Hashing.portableRound(cosine(col("qv"), col("cv")), 6))
       .select(col("query_id"), col("neighbor_id"), col("score"))
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),
@@ -196,7 +199,7 @@ object Similarity {
     // two embedding vectors per row
     val cand = bucketed.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("score", Hashing.portableRound(cosine(col("qv"), col("cv")), 6))
       .select("query_id", "neighbor_id", "score")
       .dropDuplicates("query_id", "neighbor_id")
     graft.plans.TopKPerKey(cand, Seq("query_id"),
