@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Hashing, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Hashing, IvfIndex, Multimodal, Similarity, Text}
 import graft.operators.{Medallion, Upsert}
 import graft.sources.RideGenerator
 
@@ -109,6 +109,48 @@ object SparkEntry {
     "buckets AS (" + (0 until 8).map(tb =>
       s"SELECT vec_id, $tb AS tbl, ${srpBucketSql(tb)} AS bucket FROM embeddings")
       .mkString(" UNION ALL ") + ")"
+
+  /** Shared DuckDB mirror for BOTH IVF physical paths (per-call and
+    * persisted index): 16 seed cells (first vectors by id), one
+    * assignment step (max_by cosine), per-dim centroid means, 4
+    * probed cells per query by centroid cosine, exact re-rank on the
+    * rounded score — step for step the ivfTopK plan.
+    */
+  private val ivfOracleSql: String =
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, embedding AS seed
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT c.vec_id AS cid,
+      |   max_by(s.cell, list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[])) AS cell
+      |  FROM embeddings c, seeds s GROUP BY c.vec_id),
+      |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      |centdims AS (
+      |  SELECT a.cell, e.dim, AVG(e.v) AS cval
+      |  FROM assigned a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
+      |  FROM centdims GROUP BY cell),
+      |probes AS (
+      |  SELECT q.vec_id AS query_id, c.cell,
+      |   row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
+      |     c.cell) AS prk
+      |  FROM embeddings q, cent c WHERE q.vec_id < 8),
+      |cand AS (
+      |  SELECT p.query_id, a.cid AS neighbor_id
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell
+      |  WHERE p.prk <= 4 AND a.cid <> p.query_id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS score
+      | FROM cand
+      | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+      |SELECT query_id, rank, neighbor_id, score FROM (
+      | SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) AS rank
+      | FROM scored) WHERE rank <= 5""".stripMargin
 
   /** Distinct hashed 3-gram shingles per doc (mirror of
     * [[Dedup.docShingleHashes]]).
@@ -638,6 +680,19 @@ object SparkEntry {
         nCells = 16, nProbe = 4)
     }),
 
+    // Same ANN search through the PERSISTED index: build (write-once
+    // at scale; rebuilt here so the query is self-contained), then a
+    // partition-pruned probe. Shares embed_topk_ivf's oracle — the two
+    // physical paths must agree bit-for-bit.
+    "embed_topk_ivf_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = new IvfIndex(
+        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-" +
+          d.replaceAll("[^a-zA-Z0-9.]", "_"), nCells = 16)
+      idx.build(emb)
+      idx.topK(s, emb.filter(col("vec_id") < 8), 5, nProbe = 4)
+    }),
+
     // Per-label centroid + distance of each vector to its own
     // centroid: positional explode → per-(label,dim) mean → join back.
     "embed_label_centroid_dist" -> ((s, d) => {
@@ -1076,41 +1131,10 @@ object SparkEntry {
     // id), one assignment step (max_by cosine), per-dim centroid
     // means, 4 probed cells per query by centroid cosine, exact
     // re-rank on the rounded score — step for step the ivfTopK plan.
-    "embed_topk_ivf" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS cell, embedding AS seed
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
-        |assigned AS (
-        |  SELECT c.vec_id AS cid,
-        |   max_by(s.cell, list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[])) AS cell
-        |  FROM embeddings c, seeds s GROUP BY c.vec_id),
-        |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-        |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
-        |centdims AS (
-        |  SELECT a.cell, e.dim, AVG(e.v) AS cval
-        |  FROM assigned a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
-        |cent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
-        |  FROM centdims GROUP BY cell),
-        |probes AS (
-        |  SELECT q.vec_id AS query_id, c.cell,
-        |   row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
-        |     c.cell) AS prk
-        |  FROM embeddings q, cent c WHERE q.vec_id < 8),
-        |cand AS (
-        |  SELECT p.query_id, a.cid AS neighbor_id
-        |  FROM probes p JOIN assigned a ON a.cell = p.cell
-        |  WHERE p.prk <= 4 AND a.cid <> p.query_id),
-        |scored AS (SELECT query_id, neighbor_id,
-        |  ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS score
-        | FROM cand
-        | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
-        | JOIN embeddings qe ON qe.vec_id = cand.query_id)
-        |SELECT query_id, rank, neighbor_id, score FROM (
-        | SELECT query_id, neighbor_id, score,
-        |  row_number() OVER (PARTITION BY query_id
-        |   ORDER BY score DESC, neighbor_id) AS rank
-        | FROM scored) WHERE rank <= 5""".stripMargin,
+    "embed_topk_ivf" -> ivfOracleSql,
+
+    // The persisted-index probe must agree with the per-call path.
+    "embed_topk_ivf_indexed" -> ivfOracleSql,
 
     "embed_topk_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (

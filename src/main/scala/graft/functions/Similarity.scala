@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -127,6 +128,18 @@ object Similarity {
               nCells: Int, nProbe: Int,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** One deterministic k-means step: seed cells = first `nCells`
+    * vectors by id, one cosine assignment, per-cell per-dim mean.
+    * Returns (assigned = (cid, cell, cv), centroids = (cell,
+    * centroid)). Shared by the per-call [[ivfTopK]] and the persisted
+    * [[IvfIndex]].
+    */
+  private[functions] def ivfQuantize(corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // first nCells vectors by id — id-agnostic (an id-value predicate
     // like `id < nCells` silently selects nothing for non-zero-based
@@ -146,6 +159,15 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cval")))),
         s => s.getField("cval")).as("centroid"))
+    (assigned, centroids)
+  }
+
+  /** Probe + exact re-rank against an (assigned, centroids) pair —
+    * in-memory or read back from a persisted [[IvfIndex]].
+    */
+  private[functions] def ivfProbe(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
@@ -207,5 +229,71 @@ object Similarity {
         graft.plans.TopKPerKey.asc("neighbor_id")), k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score"))
+  }
+}
+
+/** Persisted IVF index — the write-once scale path [[Similarity.ivfTopK]]'s
+  * scaladoc promises: quantize the corpus ONCE, then every query batch
+  * probes the stored index instead of rebuilding the quantizer.
+  *
+  * Layout at `path`:
+  *  - `centroids/`: (cell, centroid array<double>) — nCells rows,
+  *    broadcast at query time;
+  *  - `assigned/`: (cid, cv) parquet PARTITIONED BY cell — a probe
+  *    reads only its nProbe cell directories, so per-batch corpus I/O
+  *    is ~nProbe/nCells of the table (partition-pruned scan, visible
+  *    as PartitionFilters in the plan), not a full scan.
+  *
+  * Probed cells are collected to the driver to prune statically —
+  * bounded by nCells rows (same pattern as the upsert sink's touched
+  * partitions), never data-sized.
+  */
+class IvfIndex(path: String, nCells: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding") {
+  import Similarity.{ivfQuantize, ivfProbe}
+
+  def build(corpus: DataFrame): Unit = {
+    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+  }
+
+  def exists(spark: SparkSession): Boolean =
+    new org.apache.hadoop.fs.Path(s"$path/centroids")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+
+  def topK(spark: SparkSession, queries: DataFrame, k: Int,
+           nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // Which cells will be probed? Rank centroids per query exactly as
+    // ivfProbe does, keep nProbe per query, collect the ≤ nCells
+    // distinct cell ids, and push them into the scan as a static
+    // partition filter.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probedCells = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", Similarity.cosine(col("qv"), col("centroid")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.parquet(s"$path/assigned")
+    // Partition-value type inference may narrow `cell` (e.g. to int);
+    // filter with literals of the INFERRED type so the comparison is
+    // cast-free and prunes partitions, then widen for the probe join.
+    val toNative: Long => Any = raw.schema("cell").dataType match {
+      case IntegerType => v => v.toInt
+      case StringType  => v => v.toString
+      case LongType    => v => v
+      case other => throw new IllegalStateException(
+        s"unexpected cell partition type $other")
+    }
+    val assigned = raw
+      .filter(col("cell").isInCollection(probedCells.map(toNative)))
+      .withColumn("cell", col("cell").cast("long"))
+    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 }

@@ -26,6 +26,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    a half-written version) and snapshot-isolated.
   *  - Idempotence per micro-batch: each commit records its batchId;
   *    replays are skipped, preserving exactly-once on restart.
+  *  - Concurrency: SINGLE-WRITER by design, matching the reference
+  *    topology (one streaming query owns the gold table). Concurrent
+  *    writers would race on the commit file (no compare-and-swap);
+  *    multi-writer ACID needs a log protocol with atomic version
+  *    reservation à la Delta — out of scope here.
   */
 object Upsert {
 

@@ -60,4 +60,21 @@ class SimilaritySpec extends SparkTestBase {
     info(f"IVF recall@5 with 16 cells, 4 probes: $recall%.3f")
     assert(recall > 0.3, f"recall collapsed: $recall%.3f")
   }
+
+  test("persisted IVF index matches the per-call path and prunes partitions") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val idx = new graft.functions.IvfIndex(tmpDir("ivfidx"), nCells = 16)
+    idx.build(emb)
+    assert(idx.exists(spark))
+    val fromIndex = idx.topK(spark, queries, 5, nProbe = 4)
+    val perCall = Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4)
+    assert(fromIndex.except(perCall).count() === 0 &&
+      perCall.except(fromIndex).count() === 0,
+      "index probe diverged from the per-call quantizer")
+    // The probe scan must be partition-pruned: the cell filter has to
+    // reach the file scan as a PartitionFilter, not a post-scan Filter.
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[cell#\\d+ INSET.*"),
+      s"no INSET partition filter on the assigned scan:\n$plan")
+  }
 }
