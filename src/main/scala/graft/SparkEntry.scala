@@ -664,12 +664,8 @@ object SparkEntry {
     "embed_srp_buckets" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       e.select(col("vec_id"),
-          explode(array((0 until 8).map(tb =>
-            struct(lit(tb).as("tbl"),
-              Similarity.srpBucket(col("embedding"), 4, 64, tb)
-                .as("bucket"))): _*)).as("x"))
-        .select(col("vec_id"), col("x.tbl").as("tbl"),
-          col("x.bucket").as("bucket"))
+        posexplode(Similarity.srpBuckets(col("embedding"), 4, 64, 8))
+          .as(Seq("tbl", "bucket")))
     }),
 
     // IVF ANN path (coarse-quantizer cells + probe; rows-only —

@@ -93,6 +93,21 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** All `tables` SRP buckets of a vector in ONE pass via the fused
+    * native expression ([[graft.plans.SrpBucketsExpr]]) — bit-identical
+    * bits to `tables` [[srpBucket]] calls, but a single vector
+    * traversal and constant-size generated code (32 separate per-plane
+    * folds overflow the JIT method limit and run interpreted).
+    * Returns array<string> indexed by table.
+    */
+  def srpBuckets(vec: Column, planes: Int, dims: Int,
+                 tables: Int): Column = {
+    val flat = array((for {
+      t <- 0 until tables; p <- 0 until planes; d <- 0 until dims
+    } yield lit(srpSign(t, p, d))): _*)
+    graft.plans.SrpBucketsExpr.srp_buckets(vec, flat, tables, planes)
+  }
+
   /** The deterministic ±1 of hyperplane (table `t`, plane `p`,
     * dimension `d`): parity of the md5 of "t:p:d". Public so the
     * DuckDB oracle SQL can be generated from the SAME constants the
@@ -209,10 +224,10 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(array((0 until tables).map(t =>
-            concat_ws("|", lit(t),
-              srpBucket(col(vecCol), planes, dims, tableSalt = t))): _*))
-            .as("bucket"))
+          posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+            .as(Seq("tbl", "b")))
+        .select(col(id), col(vec),
+          concat_ws("|", col("tbl"), col("b")).as("bucket"))
     val bucketed = withBuckets(corpus, "neighbor_id", "cv")
     val qb = broadcast(withBuckets(queries, "query_id", "qv"))
     // score BEFORE deduplicating: duplicate candidates (same pair from

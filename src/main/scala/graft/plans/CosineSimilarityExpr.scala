@@ -133,6 +133,7 @@ object CosineSimilarityExpr {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarityExpr.functionDescriptor)
+    ext.injectFunction(DotProductExpr.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression: ALL sign-random-projection buckets of a vector
+  * in one pass — `tables × planes` projections against a flattened
+  * sign matrix, emitted as an array of bucket strings (one per table).
+  *
+  * Why one fused expression instead of `tables × planes` dot products?
+  * Generated code size. Inlining 32 per-plane loops into one
+  * whole-stage-codegen method blows past HotSpot's 8 KB JIT limit, so
+  * the generated Java runs INTERPRETED — slower than Spark's
+  * interpreted HOF evaluator (measured 0.59×). This expression's
+  * generated code is two small data-driven loops (dims outer,
+  * accumulators inner) whose size is CONSTANT in tables/planes/dims:
+  * always JIT-compiled, one vector traversal total instead of one per
+  * plane.
+  *
+  * Semantics per projection are bit-identical to the HOF fold
+  * `aggregate(zip_with(v, signs, _*_), 0d, _+_)`: accumulator j sums
+  * x_d · s_{j,d} in ascending d, starting at 0.0. A null element or a
+  * sign matrix whose length ≠ tables·planes·dims nulls the whole
+  * result (in the SQL mirror every projection of that vector is NULL,
+  * so no bucket is well-defined).
+  *
+  * `signs` layout: accumulator-major — s_{j,d} at index j·dims + d,
+  * where j = table·planes + plane.
+  */
+case class SrpBucketsExpr(left: Expression, right: Expression,
+                          tables: Int, planes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(DoubleType, _))
+      if lt == FloatType || lt == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"srp_buckets expects (array<float|double>, array<double>), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]; val s = r.asInstanceOf[ArrayData]
+    val dims = v.numElements(); val tp = tables * planes
+    if (s.numElements() != tp * dims) return null
+    val acc = new Array[Double](tp)
+    var d = 0
+    while (d < dims) {
+      if (v.isNullAt(d)) return null
+      val x = if (elemIsFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      var j = 0
+      while (j < tp) { acc(j) += x * s.getDouble(j * dims + d); j += 1 }
+      d += 1
+    }
+    val out = new Array[AnyRef](tables)
+    var t = 0
+    while (t < tables) {
+      val bs = new Array[Byte](planes)
+      var p = 0
+      while (p < planes) {
+        bs(p) = if (acc(t * planes + p) >= 0) '1' else '0'
+        p += 1
+      }
+      out(t) = UTF8String.fromBytes(bs)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) => {
+      val dims = ctx.freshName("dims"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val x = ctx.freshName("x"); val bs = ctx.freshName("bs")
+      val out = ctx.freshName("out"); val bad = ctx.freshName("bad")
+      val tp = tables * planes
+      val getX = if (elemIsFloat) s"(double) $v.getFloat($d)"
+        else s"$v.getDouble($d)"
+      s"""
+         |int $dims = $v.numElements();
+         |boolean $bad = $s.numElements() != ${tp} * $dims;
+         |double[] $acc = new double[$tp];
+         |for (int $d = 0; $d < $dims && !$bad; $d++) {
+         |  if ($v.isNullAt($d)) { $bad = true; break; }
+         |  double $x = $getX;
+         |  for (int $j = 0; $j < $tp; $j++) {
+         |    $acc[$j] += $x * $s.getDouble($j * $dims + $d);
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  UTF8String[] $out = new UTF8String[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    byte[] $bs = new byte[$planes];
+         |    for (int $p = 0; $p < $planes; $p++) {
+         |      $bs[$p] = (byte)($acc[$t * $planes + $p] >= 0 ? '1' : '0');
+         |    }
+         |    $out[$t] = UTF8String.fromBytes($bs);
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "srp_buckets"
+}
+
+object SrpBucketsExpr {
+  /** Column-API entry point; `signs` must be accumulator-major
+    * (see class doc).
+    */
+  def srp_buckets(vec: Column, signs: Column, tables: Int,
+                  planes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SrpBucketsExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      org.apache.spark.sql.graft.ColumnBridge.expression(signs),
+      tables, planes))
+}

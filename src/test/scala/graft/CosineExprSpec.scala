@@ -87,6 +87,23 @@ class CosineExprSpec extends SparkTestBase {
       f"native ($tNative%.2fs) not faster than HOF ($tHof%.2fs)")
   }
 
+  test("native dot_product is bit-identical to the HOF fold, edges included") {
+    val diff = pairs.select(
+      Similarity.dot(col("va"), col("vb")).as("hof"),
+      graft.plans.DotProductExpr.dot_product(col("va"), col("vb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff === 0, s"$diff pairs differ between native and HOF dot")
+    import spark.implicits._
+    val edges = Seq(
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f, 3.0f), Array[java.lang.Float](1.0f, 2.0f))
+    ).toDF("a", "b")
+      .select(graft.plans.DotProductExpr.dot_product(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edges.forall(_.isNullAt(0)), "null element / ragged must be NULL")
+  }
+
   test("cosine_sim registers and runs through SQL via extensions") {
     // injectFunction path, applied to an existing session's registry
     new graft.plans.GraftExtensions()
