@@ -119,4 +119,19 @@ object RideGenerator {
                epochStart: Long = 1704067200L): Unit =
     events(spark, n, seed, epochStart = epochStart).repartition(files)
       .write.mode("append").json(dir)
+
+  /** Shape a generated frame into the EXACT Kafka producer-sink
+    * contract (what `df.write.format("kafka")` consumes: binary
+    * key/value plus a topic column). With the connector jar on the
+    * classpath the producer is literally
+    * `kafkaRecords(events(...), topic).write.format("kafka")
+    * .option("kafka.bootstrap.servers", ...).save()`; here the shape
+    * is tested (schema + value round-trip) without a broker.
+    */
+  def kafkaRecords(records: DataFrame,
+                   topic: String = "rides_raw"): DataFrame =
+    records.select(
+      col("key").cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      lit(topic).as("topic"))
 }

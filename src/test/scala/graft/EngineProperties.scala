@@ -79,6 +79,45 @@ object EngineProperties extends Properties("graft") {
       custom == reference
     }
 
+  property("merge schema evolution: extra update columns null-fill base") =
+    Prop.forAll(genRows, genRows) { (b, u) =>
+      val s = spark; import s.implicits._
+      val evolved = table(u).withColumn("extra", col("v") * 2)
+      val merged = Upsert.merge(table(b), evolved, Seq("k")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val uk = u.toMap; val bk = b.toMap
+      merged.forall { case (k, (v, extra)) =>
+        uk.get(k) match {
+          case Some(uv) => v == uv && extra.contains(uv * 2) // update row
+          case None     => bk(k) == v && extra.isEmpty       // base row
+        }
+      } && merged.keySet == (b.map(_._1) ++ u.map(_._1)).toSet
+    }
+
+  property("TopKPerKey spill path ≡ heap path for random tables") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 30L))),
+      Gen.choose(1, 4)) { (rows, k) =>
+      val s = spark; import s.implicits._
+      val df = rows.toDF("key", "v")
+        .withColumn("rid",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .localCheckpoint(true)
+      def run(): Set[(Int, Long, Long, Int)] =
+        graft.plans.TopKPerKey(df, Seq("key"),
+          Seq(graft.plans.TopKPerKey.desc("v"),
+            graft.plans.TopKPerKey.asc("rid")), k)
+          .select("key", "v", "rid", "rank")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSet
+      val heap = run()
+      spark.conf.set("spark.graft.topk.spillThresholdRows", "1")
+      val spill = try run()
+      finally spark.conf.unset("spark.graft.topk.spillThresholdRows")
+      heap == spill
+    }
+
   property("portableRound stays within half an ulp of scale") =
     Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (x, n) =>
       val s = spark; import s.implicits._

@@ -12,6 +12,27 @@ class SourceFormatsSpec extends SparkTestBase {
   private lazy val events =
     SparkEntry.events(spark, "/root/testdata/sf0.001")
 
+  test("kafkaRecords matches the Kafka producer-sink contract") {
+    import org.apache.spark.sql.types._
+    val recs = graft.sources.RideGenerator.kafkaRecords(
+      graft.sources.RideGenerator.events(spark, 200L), topic = "rides_raw")
+    // the kafka sink requires binary key/value and a topic column
+    // key is non-nullable here (generated ids); the sink only requires
+    // binary key/value + string topic
+    assert(recs.schema === StructType(Seq(
+      StructField("key", BinaryType, nullable = false),
+      StructField("value", BinaryType, nullable = true),
+      StructField("topic", StringType, nullable = false))))
+    // values must round-trip as the bronze JSON payload
+    val parsed = recs
+      .select(org.apache.spark.sql.functions.col("value").cast("string").as("v"))
+      .select(org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("v"),
+        graft.model.Rides.rideSchema).as("r"))
+      .filter(org.apache.spark.sql.functions.col("r.ride_id").isNotNull)
+    assert(parsed.count() > 150) // all but the injected malformed slice
+  }
+
   test("CSV round-trip with explicit schema preserves values") {
     val dir = tmpDir("csv")
     events.write.mode("overwrite")

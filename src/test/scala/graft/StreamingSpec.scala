@@ -114,4 +114,27 @@ class StreamingSpec extends SparkTestBase {
       expected.except(gold).count() === 0,
       "bounded gold diverged from batch recompute")
   }
+
+  test("QueryMonitor listener captures progress and renders a summary") {
+    val root = tmpDir("streamm")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 1000L)
+    val monitor = graft.streaming.QueryMonitor.attach(spark)
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      // listener delivery is async — wait for the progress event
+      val deadline = System.currentTimeMillis() + 30000
+      while (monitor.latest.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val snaps = monitor.latest.values
+      assert(snaps.nonEmpty, "no progress captured")
+      assert(snaps.exists(_.numInputRows > 0), s"no rows observed: $snaps")
+      assert(monitor.render().contains("batch="))
+      val id = monitor.latest.keys.head
+      assert(monitor.history(id).nonEmpty)
+    } finally spark.streams.removeListener(monitor)
+  }
 }
