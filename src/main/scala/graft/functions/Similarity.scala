@@ -269,9 +269,12 @@ class IvfIndex(path: String, nCells: Int,
 
   def build(corpus: DataFrame): Unit = {
     val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // centroids land LAST: `exists` probes the centroids dir, so a
+    // crash mid-build leaves a not-yet-existing index (rebuilt on the
+    // next call), never a half-readable one.
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   def exists(spark: SparkSession): Boolean =

@@ -33,6 +33,24 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(parsed.count() > 150) // all but the injected malformed slice
   }
 
+  test("kafka-shaped records flow through bronze/silver unchanged") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.sources.RideGenerator.events(spark, 500L)
+    // consumer side of the seam: binary key/value (as the kafka source
+    // yields) + the broker timestamp; bronzeProject's CAST(value AS
+    // STRING) must recover the exact payload (no join on key — the
+    // generator injects duplicate ride ids by design)
+    val kafkaShaped = evs.select(col("key").cast("binary").as("key"),
+      col("value").cast("binary").as("value"), col("timestamp"))
+    val direct = graft.operators.Medallion.silverParse(
+      graft.operators.Medallion.bronzeProject(evs))
+    val viaKafka = graft.operators.Medallion.silverParse(
+      graft.operators.Medallion.bronzeProject(kafkaShaped))
+    assert(viaKafka.except(direct).count() === 0 &&
+      direct.except(viaKafka).count() === 0)
+    assert(viaKafka.count() === direct.count())
+  }
+
   test("CSV round-trip with explicit schema preserves values") {
     val dir = tmpDir("csv")
     events.write.mode("overwrite")
