@@ -53,7 +53,12 @@ object Bench {
         val ok = run(name, fn)
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, timings.map(_._1).min, timings.forall(_._2))
+      // min over SUCCESSFUL runs: a fast-failing run must not become
+      // the reported time (fall back to the overall min only when
+      // every run failed — the query is in `failures` either way)
+      val good = timings.filter(_._2)
+      val best = (if (good.nonEmpty) good else timings).map(_._1).min
+      (name, best, timings.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

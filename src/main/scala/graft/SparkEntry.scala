@@ -680,13 +680,20 @@ object SparkEntry {
     // (write-once at scale — repeat calls reuse the stored index, so
     // the benchmark times the probe, which is the steady-state cost),
     // then a partition-pruned probe. Shares embed_topk_ivf's oracle —
-    // the two physical paths must agree bit-for-bit. The path is
-    // versioned: bump the suffix when the quantizer changes.
+    // the two physical paths must agree bit-for-bit. The cache path is
+    // keyed by source-data content (file sizes + mtimes) AND a code
+    // version suffix, so regenerated testdata or a quantizer change
+    // can never serve a stale index.
     "embed_topk_ivf_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val contentKey = java.lang.Long.toHexString(
+        fs.listStatus(src).foldLeft(17L)((h, st) =>
+          h * 31 + st.getLen * 31 + st.getModificationTime))
       val idx = new IvfIndex(
-        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v1-" +
-          d.replaceAll("[^a-zA-Z0-9.]", "_"), nCells = 16)
+        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v2-$contentKey",
+        nCells = 16)
       if (!idx.exists(s)) idx.build(emb)
       idx.topK(s, emb.filter(col("vec_id") < 8), 5, nProbe = 4)
     }),

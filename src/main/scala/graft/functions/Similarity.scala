@@ -269,9 +269,16 @@ class IvfIndex(path: String, nCells: Int,
 
   def build(corpus: DataFrame): Unit = {
     val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
-    // centroids land LAST: `exists` probes the centroids dir, so a
-    // crash mid-build leaves a not-yet-existing index (rebuilt on the
-    // next call), never a half-readable one.
+    // Crash protocol: invalidate FIRST (drop centroids — the `exists`
+    // marker), then write assigned, then centroids last. A crash at
+    // any point leaves either the old intact index or a not-yet-
+    // existing one (rebuilt on the next call) — never a mix of
+    // generations served as valid.
+    val spark = corpus.sparkSession
+    val centroidsPath = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    centroidsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(centroidsPath, true)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -292,26 +299,29 @@ class IvfIndex(path: String, nCells: Int,
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
-    val probedCells = q.crossJoin(broadcast(centroids))
+    val probedCells: Seq[Any] = q.crossJoin(broadcast(centroids))
       .withColumn("csim", Similarity.cosine(col("qv"), col("centroid")))
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nProbe)
       .select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.get(0)).toSeq
     val raw = spark.read.parquet(s"$path/assigned")
-    // Partition-value type inference may narrow `cell` (e.g. to int);
-    // filter with literals of the INFERRED type so the comparison is
-    // cast-free and prunes partitions, then widen for the probe join.
-    val toNative: Long => Any = raw.schema("cell").dataType match {
-      case IntegerType => v => v.toInt
+    // Partition-value type inference may narrow `cell` (e.g. a long id
+    // column comes back int); filter with literals of the INFERRED
+    // type so the comparison is cast-free and prunes partitions, then
+    // restore the centroids-side type for the probe join. Cell ids
+    // inherit idCol's type, so stay generic — no Long assumption.
+    val toNative: Any => Any = raw.schema("cell").dataType match {
+      case IntegerType => { case n: Number => n.intValue;  case v => v }
+      case LongType    => { case n: Number => n.longValue; case v => v }
       case StringType  => v => v.toString
-      case LongType    => v => v
       case other => throw new IllegalStateException(
         s"unexpected cell partition type $other")
     }
     val assigned = raw
       .filter(col("cell").isInCollection(probedCells.map(toNative)))
-      .withColumn("cell", col("cell").cast("long"))
+      .withColumn("cell",
+        col("cell").cast(centroids.schema("cell").dataType))
     ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 }

@@ -209,7 +209,15 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit = {
     val cs = commits(spark)
-    if (batchId >= 0 && cs.nonEmpty && batchId <= cs.last._2) return
+    // Replay guard compares against the max NON-NEGATIVE committed
+    // batchId: an interleaved sentinel (-1) commit must not lower the
+    // high-water mark, or a redelivered streaming batch would re-apply
+    // on top of the ad-hoc write and break exactly-once. Sentinel
+    // commits WRITE the carried-forward mark (not -1) so the mark also
+    // survives commit-log GC of the older entries that established it.
+    val lastStreamBatch =
+      cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+    if (batchId >= 0 && batchId <= lastStreamBatch) return
     val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
     // An uncommitted table with pre-existing data (external writer or
     // a pre-commit-log layout) is adopted as the merge base, never
@@ -249,7 +257,10 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           case None => spark.conf.unset(key) // don't leak dynamic mode
         }
     }
-    commit(spark, newV, batchId)
-    gc(spark, cs :+ ((newV, batchId)))
+    // A sentinel write records the carried-forward high-water mark so
+    // GC of older commits cannot resurrect replay of a seen batch.
+    val recorded = if (batchId >= 0) batchId else lastStreamBatch
+    commit(spark, newV, recorded)
+    gc(spark, cs :+ ((newV, recorded)))
   }
 }

@@ -20,10 +20,13 @@ class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
                             rowsPerSec: Double, watermark: String,
                             timestamp: String)
 
+  final case class Termination(id: java.util.UUID, exception: Option[String],
+                               lastProgress: Option[Snapshot])
+
   private val progress =
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
       java.util.ArrayDeque[Snapshot]]()
-  @volatile private var terminated = List.empty[(java.util.UUID, Option[String])]
+  @volatile private var terminated = List.empty[Termination]
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     progress.putIfAbsent(event.id, new java.util.ArrayDeque[Snapshot]())
@@ -45,18 +48,34 @@ class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    terminated ::= (event.id, event.exception)
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    // Evict the terminated query's ring, keeping only its FINAL
+    // snapshot in the bounded termination log: under query churn (new
+    // checkpoint = new id) state must stay O(active + 64), or "safe to
+    // leave attached" would be a lie — while post-mortem inspection of
+    // a just-finished query still works.
+    val ring = progress.remove(event.id)
+    val last = Option(ring).flatMap(r => r.synchronized {
+      if (r.isEmpty) None else Some(r.peekLast())
+    })
+    terminated =
+      (Termination(event.id, event.exception, last) :: terminated).take(64)
+  }
 
-  /** Latest snapshot per tracked query. */
+  /** Latest snapshot per tracked query — active queries plus the
+    * final snapshots of (up to 64) recently terminated ones.
+    */
   def latest: Map[java.util.UUID, Snapshot] = {
     import scala.jdk.CollectionConverters._
-    progress.asScala.flatMap { case (id, ring) =>
+    val finished = terminated
+      .flatMap(t => t.lastProgress.map(t.id -> _)).toMap
+    val active = progress.asScala.flatMap { case (id, ring) =>
       val last = ring.synchronized {
         if (ring.isEmpty) None else Some(ring.peekLast())
       }
       last.map(id -> _)
     }.toMap
+    finished ++ active
   }
 
   /** Full retained history for one query id. */
@@ -67,7 +86,7 @@ class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
       .getOrElse(Vector.empty)
   }
 
-  def terminations: List[(java.util.UUID, Option[String])] = terminated
+  def terminations: List[Termination] = terminated
 
   /** Console one-liner per query — the reference notebook's monitor
     * cell output, minus the notebook.

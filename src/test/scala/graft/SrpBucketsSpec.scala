@@ -7,15 +7,10 @@ import graft.functions.Similarity
 /** Fused SRP bucketing: bit-parity with the per-table HOF formulation and the codegen-size rationale. */
 class SrpBucketsSpec extends SparkTestBase {
 
-  private def hofBucket(vec: Column, planes: Int, dims: Int, t: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val signs = array((0 until dims).map(d => lit(Similarity.srpSign(t, p, d))): _*)
-      val proj = aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
+  // the production single-table HOF formulation IS the reference here:
+  // parity against it guards the fused expression against any drift
+  private def hofBucket(vec: Column, planes: Int, dims: Int, t: Int): Column =
+    Similarity.srpBucket(vec, planes, dims, tableSalt = t)
 
   test("fused srp_buckets is bit-identical to per-table HOF bucketing") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

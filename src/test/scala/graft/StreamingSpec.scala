@@ -133,8 +133,10 @@ class StreamingSpec extends SparkTestBase {
       assert(snaps.nonEmpty, "no progress captured")
       assert(snaps.exists(_.numInputRows > 0), s"no rows observed: $snaps")
       assert(monitor.render().contains("batch="))
-      val id = monitor.latest.keys.head
-      assert(monitor.history(id).nonEmpty)
+      // the AvailableNow query has terminated: its ring is evicted and
+      // its final snapshot lives in the bounded termination log
+      assert(monitor.terminations.nonEmpty)
+      assert(monitor.terminations.exists(_.lastProgress.isDefined))
     } finally spark.streams.removeListener(monitor)
   }
 }

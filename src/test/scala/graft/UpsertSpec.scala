@@ -70,6 +70,32 @@ class UpsertSpec extends SparkTestBase {
     assert(m(("2024-01-01 10:00:00", "DRV001")) === 9L)
   }
 
+  test("sentinel -1 commit does not lower the streaming replay high-water mark") {
+    val dir = tmpDir("upsertw") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base, batchId = 0)
+    sink.upsert(spark, updates, batchId = 1)
+    // ad-hoc repairs between streaming commits — enough of them that
+    // commit-log GC (keeps 2) drops every commit that recorded batch 1
+    // directly; the mark must survive via carry-forward
+    sink.upsert(spark, updates.withColumn("avg_fare", lit(1.0)), batchId = -1)
+    sink.upsert(spark, updates.withColumn("avg_fare", lit(2.0)), batchId = -1)
+    sink.upsert(spark, updates.withColumn("avg_fare", lit(3.0)), batchId = -1)
+    // a crash-redelivered batch 1 must STILL be skipped — the guard
+    // compares against the max non-negative committed batchId, not the
+    // last commit's value (-1)
+    sink.upsert(spark, updates.withColumn("total", lit(999L)), batchId = 1)
+    val m = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("2024-01-01 10:00:00", "DRV001")) === 9L,
+      "redelivered batch re-applied after sentinel commit")
+    // and a genuinely NEW batch still goes through
+    sink.upsert(spark, updates.withColumn("total", lit(7L)), batchId = 2)
+    val m2 = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m2(("2024-01-01 10:00:00", "DRV001")) === 7L)
+  }
+
   test("sink: create, merge, and batchId replay protection") {
     val dir = tmpDir("upsert") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys)
