@@ -190,10 +190,30 @@ object Dedup {
 
   /** 60-bit SimHash fingerprints. Per document: every token votes ±1
     * on each of 60 bit positions according to its hash; positive sums
-    * set the bit. Implemented as 60 conditional-sum aggregates in one
-    * groupBy — a single shuffle of (doc_id, token_hash) pairs.
+    * set the bit. One groupBy — a single shuffle of (doc_id,
+    * token_hash) pairs with map-side partial vote vectors.
+    *
+    * The vote math runs in [[graft.plans.SimhashAgg]], a custom
+    * TypedImperativeAggregate with one 60-int array buffer per group:
+    * measured 2.9× the 60-conditional-`sum` declarative spelling
+    * ([[simhashDeclarative]]) — sixty separate agg expressions
+    * evaluate (and buffer) per input row what one tight loop votes in
+    * place. Bit-identical outputs (integer math; SimhashAggSpec).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.SimhashAgg.simhash_agg(col("h")).as("simhash"))
+
+  /** The composable-built-ins spelling of [[simhash]] (60 conditional
+    * sums + a bit-fold projection) — kept as the executable
+    * specification the custom aggregate is tested against, and as the
+    * form the DuckDB oracle mirrors clause for clause.
+    */
+  def simhashDeclarative(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
     val tokHashes = docs.select(col(idCol).as("doc_id"),
       explode(Text.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))

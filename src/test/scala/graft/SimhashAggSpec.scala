@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Hashing, Text}
+import graft.plans.SimhashAgg
+
+/** The imperative SimHash aggregate must agree bit-for-bit with the
+  * declarative 60-conditional-sum formulation, including through
+  * map-side partial aggregation (merge path).
+  */
+class SimhashAggSpec extends SparkTestBase {
+
+  test("simhash_agg equals the declarative formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val declarative = Dedup.simhashDeclarative(docs, "doc_id", "text")
+    val tokHashes = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+      // many small partitions force non-trivial partial buffers so the
+      // merge path is genuinely exercised
+      .repartition(16)
+    val imperative = tokHashes.groupBy(col("doc_id"))
+      .agg(SimhashAgg.simhash_agg(col("h")).as("simhash"))
+    assert(imperative.except(declarative).count() === 0 &&
+      declarative.except(imperative).count() === 0)
+    assert(imperative.count() === declarative.count())
+  }
+
+  test("simhash_agg survives serialize/deserialize round-trip") {
+    val agg = graft.plans.SimhashAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("x")))
+    val buf = agg.createAggregationBuffer()
+    buf(0) = 5; buf(31) = -3; buf(59) = 1
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toSeq === buf.toSeq)
+    assert(agg.eval(back) === ((1L << 0) | (1L << 59)))
+  }
+}
