@@ -83,15 +83,32 @@ object Dedup {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  /** MinHash signatures: k permutation minima per document, computed
-    * as k `min` aggregates in a SINGLE groupBy(doc_id) — one shuffle,
-    * no k× row blowup (the common explode-by-salt formulation
-    * multiplies the shuffle by k for no reason), and the partial
-    * (map-side) aggregation reduces the exchange to one row per doc.
+  /** MinHash signatures: k permutation minima per document in a
+    * SINGLE groupBy(doc_id) — one shuffle, no k× row blowup (the
+    * common explode-by-salt formulation multiplies the shuffle by k
+    * for no reason), and partial (map-side) aggregation reduces the
+    * exchange to one signature per doc.
+    *
+    * The permutation minima run in [[graft.plans.MinhashAgg]], a
+    * custom TypedImperativeAggregate with one k-long array buffer per
+    * group: `x mod p` once per row, then one tight loop over the k
+    * permutations — where the declarative k-`min` spelling
+    * ([[minhashSignaturesDeclarative]]) evaluates k pmod expression
+    * trees per row. Bit-identical output (integer math;
+    * MinhashAggSpec).
     * Input: (doc_id, sh) from [[docShingleHashes]].
     * Output: (doc_id, sig array<long> of length k).
     */
-  def minhashSignatures(shingleHashes: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(shingleHashes: DataFrame, k: Int): DataFrame =
+    shingleHashes.groupBy(col("doc_id"))
+      .agg(graft.plans.MinhashAgg.minhash_agg(col("sh"), k).as("sig"))
+
+  /** The composable-built-ins spelling of [[minhashSignatures]] —
+    * kept as the executable specification the custom aggregate is
+    * tested against, and the form the DuckDB oracle mirrors.
+    */
+  def minhashSignaturesDeclarative(shingleHashes: DataFrame,
+                                   k: Int): DataFrame = {
     val base = pmod(col("sh"), lit(minhashP))
     val mins = (0 until k).map(i =>
       min(pmod(lit(minhashA(i)) * base + lit(minhashB(i)), lit(minhashP)))

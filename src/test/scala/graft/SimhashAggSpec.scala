@@ -26,6 +26,27 @@ class SimhashAggSpec extends SparkTestBase {
     assert(imperative.count() === declarative.count())
   }
 
+  test("minhash_agg equals the declarative formulation through the merge path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
+      .repartition(16) // force non-trivial partial buffers
+    val imperative = Dedup.minhashSignatures(sh, 32)
+    val declarative = Dedup.minhashSignaturesDeclarative(sh, 32)
+    assert(imperative.except(declarative).count() === 0 &&
+      declarative.except(imperative).count() === 0)
+    assert(imperative.count() === declarative.count())
+  }
+
+  test("minhash_agg survives serialize/deserialize round-trip") {
+    val agg = graft.plans.MinhashAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("x")), 8)
+    val buf = agg.createAggregationBuffer()
+    assert(buf.forall(_ == Long.MaxValue))
+    buf(0) = 42L; buf(7) = 7L
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toSeq === buf.toSeq)
+  }
+
   test("simhash_agg survives serialize/deserialize round-trip") {
     val agg = graft.plans.SimhashAgg(
       org.apache.spark.sql.graft.ColumnBridge.expression(col("x")))
