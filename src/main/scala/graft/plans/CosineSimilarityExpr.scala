@@ -134,6 +134,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarityExpr.functionDescriptor)
     ext.injectFunction(DotProductExpr.functionDescriptor)
+    ext.injectFunction(SimhashAgg.functionDescriptor)
+    ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -106,4 +106,17 @@ object MinhashAgg {
     org.apache.spark.sql.graft.ColumnBridge.column(
       MinhashAgg(org.apache.spark.sql.graft.ColumnBridge
         .expression(shingleHash), k).toAggregateExpression())
+
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MinhashAgg].getName, "minhash_agg"),
+    (children: Seq[Expression]) => children match {
+      case Seq(h, org.apache.spark.sql.catalyst.expressions
+          .Literal(k: Int, IntegerType)) => MinhashAgg(h, k)
+      case _ => throw org.apache.spark.SparkException.internalError(
+        "minhash_agg requires (hash_column, literal int k)")
+    })
 }

@@ -107,4 +107,17 @@ object SimhashAgg {
     org.apache.spark.sql.graft.ColumnBridge.column(
       SimhashAgg(org.apache.spark.sql.graft.ColumnBridge
         .expression(tokenHash)).toAggregateExpression())
+
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_agg"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimhashAgg].getName, "simhash_agg"),
+    (children: Seq[Expression]) => children match {
+      // the analyzer wraps a bare AggregateFunction in AggregateExpression
+      case Seq(h) => SimhashAgg(h)
+      case _ => throw org.apache.spark.SparkException.internalError(
+        "simhash_agg requires exactly 1 argument")
+    })
 }

@@ -47,6 +47,22 @@ class SimhashAggSpec extends SparkTestBase {
     assert(back.toSeq === buf.toSeq)
   }
 
+  test("both aggregates register and run through SQL via extensions") {
+    Seq(graft.plans.SimhashAgg.functionDescriptor,
+        graft.plans.MinhashAgg.functionDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
+    sh.createOrReplaceTempView("shd")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash_agg(sh) AS s, minhash_agg(sh, 8) AS m " +
+        "FROM shd GROUP BY doc_id")
+    assert(viaSql.count() === 500)
+    val row = viaSql.orderBy(col("doc_id")).first()
+    assert(row.getSeq[Long](2).length === 8)
+  }
+
   test("simhash_agg survives serialize/deserialize round-trip") {
     val agg = graft.plans.SimhashAgg(
       org.apache.spark.sql.graft.ColumnBridge.expression(col("x")))
