@@ -668,6 +668,13 @@ object SparkEntry {
           .as(Seq("tbl", "bucket")))
     }),
 
+    // Embedding-cosine near-dup pairs: SRP candidate generation +
+    // exact verify (the synthetic corpus tops out near cosine 0.5, so
+    // the demo threshold is 0.4; production would use ~0.95).
+    "dedup_embed_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.4,
+        planes = 4, dims = 64, tables = 8)),
+
     // IVF ANN path (coarse-quantizer cells + probe; rows-only —
     // recall vs brute force is ScalaTest'd).
     "embed_topk_ivf" -> ((s, d) => {
@@ -1111,6 +1118,21 @@ object SparkEntry {
     // bit-identical to Spark's aggregate() fold.
     "embed_srp_buckets" ->
       s"WITH $srpBucketsCte SELECT vec_id, tbl, bucket FROM buckets",
+
+    // Embedding near-dup mirror: same buckets CTE, cosine verify on
+    // the rounded score (filter AND output use the rounded value, as
+    // the Spark side does).
+    "dedup_embed_neardup" ->
+      s"""WITH $srpBucketsCte,
+         |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         | FROM buckets l JOIN buckets r
+         |  ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT vec_a, vec_b,
+         | ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+         |FROM cand
+         |JOIN embeddings a ON a.vec_id = vec_a
+         |JOIN embeddings b ON b.vec_id = vec_b
+         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
 
     // Full LSH ANN pipeline: bucket match in ANY of the 8 tables →
     // exact re-rank on the 6-dp-rounded cosine. Ranking on the ROUNDED

@@ -206,6 +206,33 @@ object Similarity {
         col("neighbor_id"), col("score"))
   }
 
+  /** Embedding-space near-duplicate PAIRS (the dedup-by-embedding
+    * modality): SRP-bucket candidate generation — a pair qualifies if
+    * it shares a bucket in ANY of the `tables` hash tables — followed
+    * by exact cosine verification at `threshold` on the 6-dp-rounded
+    * score. The self-join shuffles (bucket, id, vector) and pairs are
+    * deduplicated on (ids, score) AFTER scoring, so the dedup shuffle
+    * carries ~24-byte rows, never two vectors; all-pairs cosine is
+    * never computed.
+    * Returns (vec_a, vec_b, score) with vec_a < vec_b.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            planes: Int, dims: Int, tables: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+        .as(Seq("tbl", "b")))
+    val l = b.as("l"); val r = b.as("r")
+    l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.b") === col("r.b") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
+        Hashing.portableRound(cosine(col("l.v"), col("r.v")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .distinct()
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent SRP hash
     * tables of `planes` sign bits each; a corpus vector is a candidate
     * for a query if they share a bucket in ANY table (the standard
