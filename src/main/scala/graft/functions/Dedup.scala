@@ -176,7 +176,9 @@ object Dedup {
       else {
         // The hot list has at most |index|/τ entries — small enough to
         // broadcast for the anti-join (at extreme scale drop the hint
-        // and let AQE pick; correctness is unchanged).
+        // and let AQE pick; correctness is unchanged). Measured: the
+        // three consumers re-probing this cheap broadcast anti-join
+        // beats materializing the capped relation a second time.
         val hot = all.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf)
