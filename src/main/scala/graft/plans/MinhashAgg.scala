@@ -32,6 +32,8 @@ case class MinhashAgg(
 
   import graft.functions.Dedup.{minhashA, minhashB, minhashP}
 
+  require(k > 0, s"minhash_agg needs a positive signature length, got $k")
+
   // permutation constants materialized once per operator instance
   private lazy val as: Array[Long] = Array.tabulate(k)(minhashA)
   private lazy val bs: Array[Long] = Array.tabulate(k)(minhashB)
@@ -115,8 +117,9 @@ object MinhashAgg {
       classOf[MinhashAgg].getName, "minhash_agg"),
     (children: Seq[Expression]) => children match {
       case Seq(h, org.apache.spark.sql.catalyst.expressions
-          .Literal(k: Int, IntegerType)) => MinhashAgg(h, k)
-      case _ => throw org.apache.spark.SparkException.internalError(
-        "minhash_agg requires (hash_column, literal int k)")
+          .Literal(k: Int, IntegerType)) if k > 0 => MinhashAgg(h, k)
+      case _ => throw new IllegalArgumentException(
+        "minhash_agg requires (hash_column, positive literal int k), " +
+          "e.g. minhash_agg(sh, 64)")
     })
 }

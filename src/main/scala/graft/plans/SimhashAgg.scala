@@ -11,8 +11,8 @@ import org.apache.spark.sql.types._
   * token hashes, all bit-votes in one array-buffered pass.
   *
   * The compositional formulation (60 conditional `sum` aggregates +
-  * a bit-fold projection, [[graft.functions.Dedup.simhash]]) is
-  * semantically identical and whole-stage-codegen'd; this is the
+  * a bit-fold projection, [[graft.functions.Dedup.simhashDeclarative]])
+  * is semantically identical and whole-stage-codegen'd; this is the
   * imperative-aggregate spelling of the same math: one buffer of 60
   * ints per group, `update` votes every bit of one token hash, `merge`
   * adds vote vectors (so map-side partial aggregation works exactly
@@ -58,6 +58,12 @@ case class SimhashAgg(
         buffer(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
+    } else {
+      // match the declarative spelling bit for bit on nullable input:
+      // `when(bit-set, 1).otherwise(-1)` routes a NULL hash through
+      // the otherwise branch, voting -1 on every position
+      var b = 0
+      while (b < bits) { buffer(b) -= 1; b += 1 }
     }
     buffer
   }
@@ -117,7 +123,7 @@ object SimhashAgg {
     (children: Seq[Expression]) => children match {
       // the analyzer wraps a bare AggregateFunction in AggregateExpression
       case Seq(h) => SimhashAgg(h)
-      case _ => throw org.apache.spark.SparkException.internalError(
-        "simhash_agg requires exactly 1 argument")
+      case _ => throw new IllegalArgumentException(
+        "simhash_agg requires exactly 1 argument: simhash_agg(token_hash)")
     })
 }

@@ -47,6 +47,33 @@ class SimhashAggSpec extends SparkTestBase {
     assert(back.toSeq === buf.toSeq)
   }
 
+  test("simhash_agg matches the declarative form on NULL hashes too") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("h", LongType, true)))
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 7L), (1L, null), (1L, 9L),   // null votes -1 on every bit
+      (2L, null), (2L, null),           // all-null group
+      (3L, 5L)
+    ).map(t => org.apache.spark.sql.Row(t._1, t._2))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val imperative = df.groupBy(col("doc_id"))
+      .agg(SimhashAgg.simhash_agg(col("h")).as("simhash"))
+    // declarative reference over the same (doc_id, h) relation
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val fp = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ + _)
+    val declarative = df.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    assert(imperative.except(declarative).count() === 0 &&
+      declarative.except(imperative).count() === 0)
+  }
+
   test("both aggregates register and run through SQL via extensions") {
     Seq(graft.plans.SimhashAgg.functionDescriptor,
         graft.plans.MinhashAgg.functionDescriptor).foreach { d =>

@@ -61,6 +61,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.3, f"recall collapsed: $recall%.3f")
   }
 
+  test("embedding near-dup pairs: planted duplicates found, output exact") {
+    import spark.implicits._
+    // plant an exact duplicate pair (ids 1000/1001) among real vectors
+    val planted = emb.limit(1).select(col("embedding")).as[Array[Float]].head()
+    val extra = Seq((1000L, planted), (1001L, planted))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(extra)
+    val pairs = graft.functions.Similarity
+      .embeddingNearDupPairs(corpus, 0.4, planes = 4, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical vectors always share every bucket → must be found at 1.0
+    assert(pairs((1000L, 1001L)) === 1.0, s"planted dup missed: $pairs")
+    // every reported pair must be a TRUE positive: re-verify against
+    // driver-side exact cosine (candidate generation may MISS pairs —
+    // that's LSH recall — but must never fabricate or mis-score one)
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    pairs.foreach { case ((x, y), s) =>
+      val exact = cos(vecs(x), vecs(y))
+      assert(math.abs(exact - s) < 1e-5, s"pair ($x,$y) score $s vs $exact")
+      assert(s >= 0.4)
+    }
+  }
+
   test("persisted IVF index matches the per-call path and prunes partitions") {
     val queries = emb.filter(col("vec_id") < 8)
     val idx = new graft.functions.IvfIndex(tmpDir("ivfidx"), nCells = 16)
