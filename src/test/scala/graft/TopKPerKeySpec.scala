@@ -85,6 +85,34 @@ class TopKPerKeySpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.topk.spillThresholdRows")
   }
 
+  test("spill path handles millions of rows with analytic verification") {
+    import spark.implicits._
+    // 2M rows, 10k keys × 200 values each: top-5 per key is exactly
+    // v ∈ {199..195} with rank 200−v — verifiable by aggregation, no
+    // window reference needed at this volume.
+    val n = 2000000
+    val df = spark.range(n.toLong)
+      .select((col("id") % 10000).cast("int").as("k"),
+        (col("id") / 10000).cast("int").as("v"))
+    spark.conf.set("spark.graft.topk.spillThresholdRows", "1000")
+    try {
+      val top = TopKPerKey(df, Seq("k"),
+        Seq(TopKPerKey.desc("v")), 5)
+      val agg = top.groupBy(col("rank"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2),
+          r.getInt(3))).toMap
+      assert(agg.keySet === Set(1, 2, 3, 4, 5))
+      (1 to 5).foreach { rk =>
+        val (cnt, lo, hi) = agg(rk)
+        assert(cnt === 10000L, s"rank $rk count $cnt")
+        assert(lo === 200 - rk && hi === 200 - rk,
+          s"rank $rk values [$lo,$hi], expected ${200 - rk}")
+      }
+    } finally spark.conf.unset("spark.graft.topk.spillThresholdRows")
+  }
+
   test("spill threshold mid-stream keeps already-buffered heap rows") {
     import spark.implicits._
     // 200 keys × 10 rows in ONE partition with a 32-row budget:
