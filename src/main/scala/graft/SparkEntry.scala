@@ -575,6 +575,24 @@ object SparkEntry {
           col("o_orderkey"), col("o_totalprice"))),
 
     // ---------- north star: text analysis ----------
+    // The C4-style curation pipeline in one query: quality thresholds
+    // (length, punctuation, stopword density), language selection, and
+    // exact dedup (min-id survivor per normalized fingerprint) — the
+    // composition a training-data pipeline actually runs. Ratio
+    // comparisons are safe cross-engine: both sides divide the same
+    // integer counts, an exact IEEE operation.
+    "docs_curation_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = docs.withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) >= 20 &&
+          Text.punctRatio(col("text")) <= 0.1 &&
+          Text.stopwordRatio(col("toks")) >= 0.05 &&
+          Text.langId(col("toks")) === "en")
+        .select(docs.columns.map(col): _*)
+      Dedup.exactDedup(quality, "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
@@ -995,6 +1013,36 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY o_custkey
         |   ORDER BY o_totalprice DESC, o_orderkey) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "docs_curation_filter" -> {
+      val tk = toksSql("text")
+      val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
+      val fr = Text.frMarkers.map(m => s"'$m'").mkString(", ")
+      val es = Text.esMarkers.map(m => s"'$m'").mkString(", ")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH base AS (SELECT *, $tk AS tk FROM documents),
+         |m AS (SELECT *,
+         |  len(list_filter(tk, t -> t IN ($en))) AS cen,
+         |  len(list_filter(tk, t -> t IN ($fr))) AS cfr,
+         |  len(list_filter(tk, t -> t IN ($es))) AS ces,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ($all)))::DOUBLE / len(tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM base),
+         |q AS (SELECT * FROM m WHERE len(tk) >= 20
+         |  AND p_ratio <= 0.1 AND stop_ratio >= 0.05
+         |  AND (CASE WHEN cen >= cfr AND cen >= ces AND cen > 0 THEN 'en'
+         |            WHEN cfr >= ces AND cfr > 0 THEN 'fr'
+         |            WHEN ces > 0 THEN 'es'
+         |            ELSE 'und' END) = 'en'),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM q
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |SELECT q.doc_id, q.source, q.n_chars FROM q JOIN keep USING (doc_id)""".stripMargin
+    },
 
     "text_stats" -> {
       val tk = toksSql("text")
