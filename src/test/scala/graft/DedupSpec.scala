@@ -70,6 +70,32 @@ class DedupSpec extends SparkTestBase {
     assert(!cands.contains((4L, 5L)), "unrelated docs collided")
   }
 
+  test("streaming exact dedup: fingerprint dropDuplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // content-hash dedup as a STREAM: same normalized fingerprint seen
+    // in ANY earlier batch is dropped (state = one row per fingerprint)
+    val deduped = input.toDF().toDF("doc_id", "text")
+      .withColumn("fp", Text.docFingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sdedup-ckpt"))
+      .start()
+    input.addData((0L, "alpha beta gamma"), (1L, "ALPHA  beta gamma"))
+    q.processAllAvailable()
+    // doc 1 normalizes to doc 0's fingerprint → dropped within batch
+    assert(spark.table("sdedup").count() === 1)
+    // cross-batch: the duplicate arrives batches later, still dropped
+    input.addData((2L, "alpha beta gamma"), (3L, "fresh content here"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 3L), s"got $ids")
+    q.stop()
+  }
+
   test("simhash: identical docs share fingerprints, near-dups are close") {
     val fps = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
