@@ -221,6 +221,13 @@ object Similarity {
     * shuffle. At scale the gathers are plain shuffle joins of the
     * deduped pair list against the corpus (sketch → bucket → verify,
     * with verify last and minimal).
+    *
+    * Bucket granularity is the scale knob: 2^planes buckets per
+    * table, so choose planes ≈ log₂(corpus / target-bucket-size) to
+    * keep per-bucket pair fan-out bounded as the corpus grows. Hot
+    * buckets here are DENSE REGIONS — signal, unlike jaccard's
+    * boilerplate shingles — so the right response is finer buckets,
+    * never dropping them.
     * Returns (vec_a, vec_b, score) with vec_a < vec_b.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,

@@ -118,6 +118,27 @@ object EngineProperties extends Properties("graft") {
       heap == spill
     }
 
+  property("fused srp_buckets ≡ per-table HOF bucketing on random vectors") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.listOfN(6, Gen.chooseNum(-10.0f, 10.0f)))) { vecs =>
+      val s = spark; import s.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val fused = df.select(col("id"),
+          posexplode(graft.functions.Similarity
+            .srpBuckets(col("v"), planes = 3, dims = 6, tables = 2))
+            .as(Seq("t", "b")))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+        .toMap
+      val hof = (0 until 2).flatMap { t =>
+        df.select(col("id"), graft.functions.Similarity
+            .srpBucket(col("v"), planes = 3, dims = 6, tableSalt = t)
+            .as("b"))
+          .collect().map(r => (r.getLong(0), t) -> r.getString(1))
+      }.toMap
+      fused == hof
+    }
+
   property("portableRound stays within half an ulp of scale") =
     Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (x, n) =>
       val s = spark; import s.implicits._

@@ -25,6 +25,29 @@ class SrpBucketsSpec extends SparkTestBase {
     assert(fused.count() === e.count() * 8)
   }
 
+  test("fused srp_buckets: null element and wrong-length signs yield NULL") {
+    import spark.implicits._
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f, 4.0f)))
+      .toDF("v")
+      .select(Similarity.srpBuckets(col("v"), planes = 2, dims = 4,
+        tables = 2).as("b"))
+      .collect()
+    assert(withNull.head.isNullAt(0), "null element must null the buckets")
+    // signs generated for dims=8 applied to a 4-element vector:
+    // length mismatch → NULL, not a silent partial projection
+    val ragged = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("v")
+      .select(Similarity.srpBuckets(col("v"), planes = 2, dims = 8,
+        tables = 2).as("b"))
+      .collect()
+    assert(ragged.head.isNullAt(0), "dims mismatch must null the buckets")
+    // and the happy path at these small params still yields 2 buckets
+    val ok = Seq(Tuple1(Array(1.0f, -2.0f, 3.0f, -4.0f))).toDF("v")
+      .select(Similarity.srpBuckets(col("v"), planes = 2, dims = 4,
+        tables = 2).as("b"))
+      .collect().head.getSeq[String](0)
+    assert(ok.length === 2 && ok.forall(_.length === 2))
+  }
+
   test("A/B: fused srp_buckets vs per-table HOF bucketing cost") {
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .localCheckpoint(true)
