@@ -50,6 +50,27 @@ object Multimodal {
         octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("byte_len"),
         md5(encode(col(payloadCol), "UTF-8")).as("checksum")).as("meta"))
 
+  /** Ingest raw media FILES into the media layout via Spark's
+    * `binaryFile` source — the on-ramp from an object-store dump of
+    * images/audio to the columnar layout. The source yields (path,
+    * modificationTime, length, content) with `pathGlobFilter` applied
+    * BEFORE bytes are read, so non-matching assets never leave the
+    * store; doc ids are the stable hash of the file path.
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String, mediaType: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        struct(
+          lit(mediaType).as("media_type"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("checksum")).as("meta"),
+        col("path"))
+
   /** STUB KERNEL — deterministic fake "decode + feature extract".
     * A real implementation decodes the payload (image resize / audio
     * frame-sample) and emits an embedding; this stand-in derives an

@@ -22,6 +22,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta.getLong(1) === 6L)
   }
 
+  test("binaryFile ingestion: files land in the media layout, glob-filtered") {
+    val dir = tmpDir("media-in")
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir).resolve(name), bytes)
+    write("a.img", Array[Byte](1, 2, 3, 4))
+    write("b.img", "payload-bytes".getBytes("UTF-8"))
+    write("skip.txt", Array[Byte](9, 9))
+    val got = Multimodal.fromBinaryFiles(spark, dir, "image/raw", "*.img")
+    assert(got.count() === 2, "glob must exclude skip.txt before read")
+    val byName = got.collect()
+      .map(r => r.getString(3).split('/').last -> r).toMap
+    val a = byName("a.img")
+    assert(a.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3, 4))
+    val meta = a.getStruct(2)
+    assert(meta.getString(0) === "image/raw" && meta.getLong(1) === 4L)
+    // ingested files flow straight through the feature kernel
+    val feats = Multimodal.extractFeatures(
+      got.select(col("doc_id"), col("payload"), col("meta")))
+    assert(feats.count() === 2)
+  }
+
   test("resize kernel: fixed-size deterministic output, empty-safe") {
     val r = Multimodal.resized(media, 4).collect()
       .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1)).toMap
