@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, IvfIndex, Similarity}
+import graft.sources.CorpusGenerator
+
+/** Empirical scaling proof for the dedup/ANN operator family: run the
+  * four headline operators at a corpus size and at 10× that size, and
+  * report the scaling exponent e = log(t₁₀ₓ/t₁ₓ)/log(10) of each —
+  * e ≈ 1 is linear (the design claim), e ≈ 2 would mean a quadratic
+  * blowup survived the bucketing/capping defenses.
+  *
+  * Tuning knobs follow each operator's own scaling doc: LSH planes
+  * grow with log₂(n) to hold bucket occupancy constant, IVF cells grow
+  * with √n — scaling the KNOBS with the data is part of the claim
+  * being proven (a fixed 16-bucket table is linear in n² at 100×).
+  *
+  * Usage: `runMain graft.ScaleProof [small] [factor]`
+  * (defaults 5000, 10 → runs at 5k and 50k docs/vectors).
+  * Prints one JSON line per (operator, size) plus a summary line with
+  * the exponents; results are recorded in PLANS.md §scaling.
+  */
+object ScaleProof {
+
+  private def timeMinOf3(f: () => Long): (Double, Long) = {
+    var best = Double.MaxValue; var rows = 0L
+    for (_ <- 1 to 3) {
+      val t0 = System.nanoTime()
+      rows = f()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0).toLong else 5000L
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val big = small * factor
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
+
+    // materialize each corpus once (operators read parquet, so timing
+    // measures the operators, not generation)
+    def corpus(n: Long): (DataFrame, DataFrame) = {
+      val dDir = s"$work/docs_$n"; val eDir = s"$work/emb_$n"
+      CorpusGenerator.documents(spark, n).write.mode("overwrite").parquet(dDir)
+      CorpusGenerator.embeddings(spark, n).write.mode("overwrite").parquet(eDir)
+      (spark.read.parquet(dDir), spark.read.parquet(eDir))
+    }
+
+    def planesFor(n: Long): Int = // hold ~100 vectors/bucket
+      math.max(4, (math.log(n / 100.0) / math.log(2)).round.toInt)
+    def cellsFor(n: Long): Int = math.max(16, math.sqrt(n).round.toInt)
+
+    def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
+      val queries = emb.filter(col("vec_id") < 64)
+      Seq(
+        "dedup_minhash_pairs" -> (() =>
+          Dedup.lshCandidatePairs(
+            Dedup.lshBands(Dedup.minhashSignatures(
+              Dedup.docShingleHashes(docs, "doc_id", "text", 3), 16), 16, 4),
+            maxBucketSize = 1000).count()),
+        "dedup_jaccard_pairs" -> (() =>
+          Dedup.jaccardPairs(
+            Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
+            maxShingleDf = 128).count()),
+        "embed_topk_lsh" -> (() =>
+          Similarity.lshBucketedTopK(emb, queries, 10,
+            planes = planesFor(n), dims = 64, tables = 8).count()),
+        "embed_topk_ivf_indexed" -> (() => {
+          val idx = new IvfIndex(s"$work/ivf_$n", nCells = cellsFor(n))
+          idx.build(emb)
+          idx.topK(spark, queries, 10, nProbe = 8).count()
+        }))
+    }
+
+    val results = scala.collection.mutable.Map.empty[(String, Long), Double]
+    for (n <- Seq(small, big)) {
+      val (docs, emb) = corpus(n)
+      for ((name, f) <- ops(n, docs, emb)) {
+        val (sec, rows) = timeMinOf3(f)
+        results((name, n)) = sec
+        println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},"rows":$rows}""")
+      }
+    }
+    val summary = results.keys.map(_._1).toSeq.distinct.sorted.map { name =>
+      val e = math.log(results((name, big)) / results((name, small))) /
+        math.log(factor.toDouble)
+      s""""$name":${f"$e%.3f"}"""
+    }.mkString(",")
+    println(s"""{"metric":"scaling_exponent","factor":$factor,$summary}""")
+    spark.stop()
+  }
+}

@@ -87,6 +87,13 @@ object SparkEntry {
   private def h60Sql(e: String) =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
+  /** Parquet fixture the `rides_e2e` query writes its generated bronze
+    * batch to (and reads back from), so the DuckDB oracle can mirror
+    * the whole medallion pipeline over byte-identical input. Rewritten
+    * on every run; gitignored.
+    */
+  private val ridesBronzeFixture = "/root/repo/fixtures/rides_bronze"
+
   /** Per-doc tokens CTE. */
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
@@ -112,9 +119,13 @@ object SparkEntry {
 
   /** Shared DuckDB mirror for BOTH IVF physical paths (per-call and
     * persisted index): 16 seed cells (first vectors by id), one
-    * assignment step (max_by cosine), per-dim centroid means, 4
-    * probed cells per query by centroid cosine, exact re-rank on the
-    * rounded score — step for step the ivfTopK plan.
+    * assignment step (struct-max over the 6-dp ROUNDED cosine with
+    * the cell id as tiebreak — lexicographic in both engines), per-dim
+    * centroid means (AVG is summation-order-dependent across engines;
+    * the rounding of every downstream comparison absorbs the ulp
+    * noise), 4 probed cells per query by ROUNDED centroid cosine,
+    * exact re-rank on the rounded score — step for step the ivfTopK
+    * plan.
     */
   private val ivfOracleSql: String =
     """WITH seeds AS (
@@ -122,7 +133,7 @@ object SparkEntry {
       |  FROM embeddings ORDER BY vec_id LIMIT 16),
       |assigned AS (
       |  SELECT c.vec_id AS cid,
-      |   max_by(s.cell, list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[])) AS cell
+      |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
       |  FROM embeddings c, seeds s GROUP BY c.vec_id),
       |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
@@ -134,7 +145,7 @@ object SparkEntry {
       |probes AS (
       |  SELECT q.vec_id AS query_id, c.cell,
       |   row_number() OVER (PARTITION BY q.vec_id
-      |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
+      |    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
       |     c.cell) AS prk
       |  FROM embeddings q, cent c WHERE q.vec_id < 8),
       |cand AS (
@@ -260,10 +271,13 @@ object SparkEntry {
         .limit(100)),
 
     // F3: point lookup on the gold key (partition-prunable predicate).
+    // The window/user band is data-derived: hour 11 of Jan 15 has
+    // events with user_id >= 1 at sf0.001, sf0.01 AND sf0.1, so the
+    // check is non-vacuous (spark_rows > 0) at every driver scale.
     "verify_point" -> ((s, d) =>
       eventsGoldHourly(events(s, d))
-        .filter(col("window_start") === lit("2024-01-15 12:00:00").cast("timestamp")
-          && col("user_id").between(1, 50))),
+        .filter(col("window_start") === lit("2024-01-15 11:00:00").cast("timestamp")
+          && col("user_id").between(1, 100000))),
 
     // A5: batch re-aggregation with COUNT(DISTINCT).
     "verify_reagg" -> ((s, d) =>
@@ -293,15 +307,23 @@ object SparkEntry {
     "dedup_exact_distinct" -> ((s, d) =>
       events(s, d).select(col("user_id"), col("event_type")).distinct()),
 
-    // S6→silver→gold end-to-end on generated ride events (no oracle —
-    // input is generated, not a testdata table; ScalaTest covers it).
-    "rides_e2e" -> ((s, _) =>
+    // S6→silver→gold end-to-end on generated ride events. The
+    // generated bronze batch is persisted to a parquet fixture and
+    // read back, so Spark and the DuckDB oracle consume byte-identical
+    // input; the oracle mirrors the full parse → derive → clean →
+    // dedup → flag → hourly-agg pipeline over the same fixture.
+    // Dedup uses the deterministic tiebreak variant (dropDuplicates'
+    // survivor is partition-order-dependent and not oracle-able).
+    "rides_e2e" -> ((s, _) => {
+      RideGenerator.events(s, 20000L, numPartitions = 8)
+        // 8 partitions: right-sized for 20k rows — 32 would pay
+        // ~4x task-scheduling overhead for no parallelism gain
+        .write.mode("overwrite").parquet(ridesBronzeFixture)
       Medallion.goldAggregate(
         Medallion.silverStage(
-          Medallion.bronzeProject(
-            // 8 partitions: right-sized for 20k rows — 32 would pay
-            // ~4x task-scheduling overhead for no parallelism gain
-            RideGenerator.events(s, 20000L, numPartitions = 8))))),
+          Medallion.bronzeProject(s.read.parquet(ridesBronzeFixture)),
+          deterministicDedup = true))
+    }),
 
     // ---------- relational surface at scale (TPC-H-ish) ----------
     "q1_agg" -> ((s, d) =>
@@ -458,14 +480,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
 
-    // Set operations: (click ∪ view) ∩ purchase \ error users.
+    // Set operations: (click ∪ view) ∩ purchase \ day-1 error users.
+    // The EXCEPT leg is restricted to errors on 2024-01-01: the events
+    // table is dense (every user eventually has every type), so
+    // subtracting ALL error users returned the empty set at every SF —
+    // a vacuous 0-row pass. The day-1 slice leaves survivors
+    // (6 / 90 / 959 rows at sf0.001 / 0.01 / 0.1) so all three set
+    // operators are exercised non-trivially.
     "set_ops_users" -> ((s, d) => {
       val ev = events(s, d)
       def users(tpe: String) =
         ev.filter(col("event_type") === tpe).select(col("user_id"))
       users("click").union(users("view")).distinct()
         .intersect(users("purchase"))
-        .except(users("error"))
+        .except(ev.filter(col("event_type") === "error" &&
+            col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+          .select(col("user_id")))
     }),
 
     // Generator/UDTF surface: explode tokens → corpus word frequency.
@@ -753,14 +783,17 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("frame_len"),
           md5(col("frame")).as("frame_md5"))),
 
-    // Batched kernel plumbing (stub decode — rows-only check).
+    // Batched kernel plumbing. The decode is still a labeled stub, but
+    // its integer-accumulating body is bit-reproducible, so the entire
+    // mapPartitions path (schema, batching, null handling, kernel) is
+    // oracle-checked: feat0/feat7 are the first/last feature dims.
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text",
           "text/plain"))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
-          round(element_at(col("feature"), 1).cast("double"), 4)
-            .as("feat0")))
+          element_at(col("feature"), 1).cast("double").as("feat0"),
+          element_at(col("feature"), 8).cast("double").as("feat7")))
   )
 
   // ----------------------------------------------------------------
@@ -799,8 +832,8 @@ object SparkEntry {
 
     "verify_point" ->
       s"""SELECT * FROM ($goldHourlySql)
-         |WHERE window_start = TIMESTAMP '2024-01-15 12:00:00'
-         | AND user_id BETWEEN 1 AND 50""".stripMargin,
+         |WHERE window_start = TIMESTAMP '2024-01-15 11:00:00'
+         | AND user_id BETWEEN 1 AND 100000""".stripMargin,
 
     "verify_reagg" ->
       s"""SELECT window_start, COUNT(DISTINCT user_id) AS active_users,
@@ -839,6 +872,56 @@ object SparkEntry {
     "dedup_exact_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // Full medallion pipeline over the persisted bronze fixture:
+    // parse (json_valid ≡ Spark's parse-then-7-term-drop for this
+    // corpus: a 40-char truncation always cuts before fare and
+    // event_timestamp, so malformed rows die in the clean filter on
+    // either engine) → derive → clean → deterministic dedup → flag →
+    // hourly gold. ROUND(double) is what portableRound reproduces.
+    "rides_e2e" ->
+      s"""WITH bronze AS (
+         |  SELECT CAST(value AS VARCHAR) AS raw_json_data
+         |  FROM read_parquet('$ridesBronzeFixture/*.parquet')
+         |), parsed AS (
+         |  SELECT
+         |   raw_json_data->>'$$.ride_id' AS ride_id,
+         |   raw_json_data->>'$$.driver_id' AS driver_id,
+         |   raw_json_data->>'$$.passenger_id' AS passenger_id,
+         |   strptime(raw_json_data->>'$$.start_time', '%Y-%m-%dT%H:%M:%SZ') AS start_time,
+         |   strptime(raw_json_data->>'$$.end_time', '%Y-%m-%dT%H:%M:%SZ') AS end_time,
+         |   CAST(raw_json_data->>'$$.fare' AS DOUBLE) AS fare,
+         |   raw_json_data->>'$$.status' AS status,
+         |   strptime(raw_json_data->>'$$.event_timestamp', '%Y-%m-%dT%H:%M:%SZ') AS event_timestamp
+         |  FROM bronze WHERE json_valid(raw_json_data)
+         |), derived AS (
+         |  SELECT *,
+         |   CAST(floor(epoch(end_time)) AS BIGINT) - CAST(floor(epoch(start_time)) AS BIGINT) AS trip_duration_seconds,
+         |   ROUND((${h60Sql("ride_id")} % 2000) / 100.0, 2) AS trip_distance_km
+         |  FROM parsed
+         |), cleaned AS (
+         |  SELECT * FROM derived
+         |  WHERE ride_id IS NOT NULL AND driver_id IS NOT NULL
+         |   AND event_timestamp IS NOT NULL AND fare IS NOT NULL
+         |   AND trip_duration_seconds IS NOT NULL
+         |   AND fare >= 0 AND trip_duration_seconds >= 0
+         |), dedup AS (
+         |  SELECT * FROM cleaned
+         |  QUALIFY row_number() OVER (
+         |   PARTITION BY ride_id, event_timestamp
+         |   ORDER BY start_time, end_time, fare, status, passenger_id, driver_id) = 1
+         |), flagged AS (
+         |  SELECT *, (trip_duration_seconds < 120 AND fare > 300) AS is_suspicious
+         |  FROM dedup
+         |)
+         |SELECT date_trunc('hour', event_timestamp) AS window_start,
+         | date_trunc('hour', event_timestamp) + INTERVAL 1 HOUR AS window_end,
+         | driver_id,
+         | COUNT(ride_id) AS total_rides_hourly,
+         | ROUND((CAST(SUM(CAST(round(fare * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
+         |   / COUNT(ride_id), 2) AS avg_fare_hourly,
+         | CAST(SUM(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS total_suspicious_rides_hourly
+         |FROM flagged GROUP BY 1, 2, 3""".stripMargin,
+
     "session_windows_30m" ->
       """WITH g AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -872,7 +955,8 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        | AND ts < TIMESTAMP '2024-01-02 00:00:00'""".stripMargin,
 
     "range_join_pairs" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs
@@ -1236,6 +1320,29 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT))) AS frame_idx
         | FROM documents)
-        |WHERE frame_idx < 3""".stripMargin
+        |WHERE frame_idx < 3""".stripMargin,
+
+    // Mirror of the stub decode kernel: per-dim INTEGER byte sums
+    // (associative, so partition order is irrelevant) divided once by
+    // 255 and narrowed through REAL — the same long→double→float32
+    // sequence the Scala kernel performs, then widened back to DOUBLE
+    // exactly as the Spark query's .cast("double") does. ascii() = the
+    // payload byte because the corpus is pure ASCII (see
+    // multimodal_frames). LEFT JOIN keeps zero-length payloads, whose
+    // feature is 0.0 on both sides.
+    "multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS j FROM documents
+        |), sums AS (
+        |  SELECT p.doc_id,
+        |   SUM(CASE WHEN (p.j - 1) % 8 = 0 THEN ascii(substring(d.text, p.j, 1)) ELSE 0 END) AS s0,
+        |   SUM(CASE WHEN (p.j - 1) % 8 = 7 THEN ascii(substring(d.text, p.j, 1)) ELSE 0 END) AS s7
+        |  FROM pos p JOIN documents d USING (doc_id) GROUP BY p.doc_id
+        |)
+        |SELECT d.doc_id, 'text/plain' AS media_type,
+        | octet_length(encode(d.text)) AS byte_len,
+        | CAST(CAST(CAST(COALESCE(s.s0, 0) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS feat0,
+        | CAST(CAST(CAST(COALESCE(s.s7, 0) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS feat7
+        |FROM documents d LEFT JOIN sums s USING (doc_id)""".stripMargin
   )
 }

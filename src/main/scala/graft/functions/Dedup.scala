@@ -135,15 +135,60 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.band_key"))
   }
 
-  /** Candidate near-duplicate pairs (a < b) from LSH buckets. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val l = bands.as("l"); val r = bands.as("r")
+  /** Candidate near-duplicate pairs (a < b) from LSH buckets.
+    *
+    * A bucket of m documents emits m·(m−1)/2 pairs, so one degenerate
+    * bucket — typically a large EXACT-duplicate cluster, whose
+    * signatures are identical in every band — can dominate the whole
+    * join (1M copies of one page ⇒ 5·10¹¹ pairs). Two defenses:
+    *   1. pipeline order: run [[exactDedup]] FIRST — exact-duplicate
+    *      clusters then collapse to one survivor before LSH ever sees
+    *      them (the recommended production order; minhash only earns
+    *      its cost on NEAR duplicates);
+    *   2. `maxBucketSize`: buckets larger than the cap are dropped
+    *      from candidate generation with a logged count, bounding the
+    *      per-bucket fan-out at maxBucketSize²/2. A dropped bucket's
+    *      documents remain candidates through their other bands (an
+    *      oversized bucket means the band carries no discriminating
+    *      signal, same rationale as [[jaccardPairs]]' DF cap).
+    * The default (Long.MaxValue) is bit-identical to the unguarded
+    * join.
+    */
+  def lshCandidatePairs(bands: DataFrame,
+                        maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val pruned = dropOversizedBuckets(bands, Seq("band", "band_key"),
+      maxBucketSize, "lshCandidatePairs")
+    val l = pruned.as("l"); val r = pruned.as("r")
     l.join(r,
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Shared hot-bucket guard: drop rows belonging to bucket keys with
+    * more than `maxBucketSize` members, logging how many buckets were
+    * dropped. The hot-key list is aggregated (≤ |rows|/cap entries) so
+    * the broadcast is bounded; the count() action runs on that same
+    * small aggregate, never the data.
+    */
+  private[graft] def dropOversizedBuckets(rows: DataFrame, keyCols: Seq[String],
+                                          maxBucketSize: Long,
+                                          opName: String): DataFrame = {
+    if (maxBucketSize == Long.MaxValue) return rows
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    val keys = keyCols.map(col)
+    val hot = rows.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+    val nHot = hot.count()
+    if (nHot == 0) return rows
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"$opName: dropping $nHot bucket(s) larger than $maxBucketSize members " +
+        "from candidate generation (degenerate duplicate cluster? " +
+        "run exactDedup first)")
+    rows.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
   }
 
   /** Exact Jaccard similarity for every pair of documents sharing at
@@ -164,13 +209,26 @@ object Dedup {
     * Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ threshold.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
-                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                   maxShingleDf: Long = Long.MaxValue,
+                   indexPath: Option[String] = None): DataFrame = {
     // The shingle relation feeds three consumers (sizes + both join
-    // sides): materialize it once (at scale this is the persisted
-    // inverted index). shuffle_hash beats sort-merge here — the join
+    // sides): materialize it once. The default is localCheckpoint —
+    // right for a single-job run, but its lineage-truncated blocks
+    // live in executor memory and are LOST on executor failure, which
+    // at 100 TB means recomputing the whole shingle scan. `indexPath`
+    // is the durable alternative: the shingle relation becomes a
+    // write-once parquet inverted index (same pattern as IvfIndex),
+    // fault-tolerant and reusable across jobs. Identical results
+    // either way (DedupSpec parity test).
+    // shuffle_hash beats sort-merge here — the join
     // key is massively duplicated, so sorting pays n·log n for
     // nothing while a hash table streams the probe side.
-    val all = shingles.localCheckpoint(true)
+    val all = indexPath match {
+      case Some(path) =>
+        shingles.write.mode("overwrite").parquet(path)
+        shingles.sparkSession.read.parquet(path)
+      case None => shingles.localCheckpoint(true)
+    }
     val sh =
       if (maxShingleDf == Long.MaxValue) all
       else {

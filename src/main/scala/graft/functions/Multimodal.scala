@@ -76,12 +76,25 @@ object Multimodal {
     * frame-sample) and emits an embedding; this stand-in derives an
     * 8-dim feature from the payload bytes so tests are deterministic.
     * Replace the body, keep the signature.
+    *
+    * The per-dimension accumulator is an integer byte-sum divided once
+    * at the end (not a float running sum): integer addition is
+    * associative, so the result is independent of accumulation order
+    * and bit-reproducible by any engine — which lets the DuckDB oracle
+    * check the whole mapPartitions kernel path end to end
+    * (`CAST(SUM(ascii)::DOUBLE / 255.0 AS REAL)`).
     */
   def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+    val acc = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      acc(i % 8) += (payload(i) & 0xff).toLong
+      i += 1
+    }
+    val out = new Array[Float](8)
+    i = 0
+    while (i < 8) {
+      out(i) = (acc(i) / 255.0).toFloat
       i += 1
     }
     out

@@ -162,11 +162,24 @@ object Similarity {
     val seeds = broadcast(corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("seed")))
+    // Assignment key = the 6-dp ROUNDED cosine with the cell id as an
+    // explicit tiebreak (max over a (sim, cell) struct is
+    // lexicographic in both Spark and DuckDB): full-precision max_by
+    // would make near-ties engine-dependent (two engines folding the
+    // same doubles in different orders disagree in the last ulp) and
+    // exact ties nondeterministic even within Spark.
     val assigned = c.join(seeds)
-      .withColumn("sim", cosine(col("cv"), col("seed")))
+      .withColumn("sim", Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
       .groupBy(col("cid"))
-      .agg(max_by(col("cell"), col("sim")).as("cell"))
+      .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
       .join(c, "cid")
+    // Caveat: AVG over doubles is summation-order-dependent (Spark
+    // partial-aggregates per partition; a sequential engine folds left
+    // to right), so centroid values can differ across engines in the
+    // last ulp. Downstream comparisons against centroids therefore go
+    // through the same 6-dp rounding as the assignment above, which
+    // absorbs that noise except on astronomically unlikely exact
+    // rounding-boundary hits.
     val centroids = assigned
       .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("cval"))
@@ -184,10 +197,12 @@ object Similarity {
       queries: DataFrame, k: Int, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // rounded probe key for the same cross-engine robustness as the
+    // assignment step (cell id already breaks rounded ties)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("csim", Hashing.portableRound(cosine(col("qv"), col("centroid")), 6))
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
@@ -225,18 +240,26 @@ object Similarity {
     * Bucket granularity is the scale knob: 2^planes buckets per
     * table, so choose planes ≈ log₂(corpus / target-bucket-size) to
     * keep per-bucket pair fan-out bounded as the corpus grows. Hot
-    * buckets here are DENSE REGIONS — signal, unlike jaccard's
-    * boilerplate shingles — so the right response is finer buckets,
-    * never dropping them.
+    * buckets from genuinely DENSE REGIONS are signal — the right
+    * response there is finer buckets (more planes), not dropping.
+    * But a large cluster of IDENTICAL vectors (exact-dup documents
+    * re-embedded) collides in every table no matter how many planes,
+    * emitting m²/2 pairs: `maxBucketSize` drops such degenerate
+    * buckets with a logged count (default ∞ = bit-identical to the
+    * unguarded join; the production order runs exact dedup first so
+    * the guard never fires on real clusters).
     * Returns (vec_a, vec_b, score) with vec_a < vec_b.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             planes: Int, dims: Int, tables: Int = 8,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"),
+                            vecCol: String = "embedding",
+                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val b0 = corpus.select(col(idCol).as("id"),
       posexplode(srpBuckets(col(vecCol), planes, dims, tables))
         .as(Seq("tbl", "b")))
+    val b = Dedup.dropOversizedBuckets(b0, Seq("tbl", "b"), maxBucketSize,
+      "embeddingNearDupPairs")
     val pairs = b.as("l").join(b.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.b") === col("r.b") &&
         col("l.id") < col("r.id"))
@@ -320,10 +343,17 @@ class IvfIndex(path: String, nCells: Int,
     // existing one (rebuilt on the next call) — never a mix of
     // generations served as valid.
     val spark = corpus.sparkSession
-    val centroidsPath = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    centroidsPath
+    val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(centroidsPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    // Delete assigned/ explicitly rather than trusting mode("overwrite"):
+    // under spark.sql.sources.partitionOverwriteMode=dynamic (a session
+    // setting callers may have on), a partitioned overwrite only
+    // replaces partitions present in THIS build — stale cell
+    // directories from a previous generation would survive and the
+    // final centroids write would mark the mixed-generation index
+    // valid.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -345,7 +375,11 @@ class IvfIndex(path: String, nCells: Int,
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
     val probedCells: Seq[Any] = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", Similarity.cosine(col("qv"), col("centroid")))
+      // MUST round exactly as ivfProbe does: this ranking decides
+      // which partitions survive pruning, and a divergence from the
+      // probe ranking inside ivfProbe would drop candidate cells
+      .withColumn("csim",
+        Hashing.portableRound(Similarity.cosine(col("qv"), col("centroid")), 6))
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nProbe)
       .select(col("cell")).distinct()

@@ -67,8 +67,11 @@ object Text {
   def tokenCountBpeEst(text: Column): Column =
     ceil(length(text).cast("double") / 4.0).cast("long")
 
-  /** Punctuation character ratio. DuckDB: needs the 'g' flag on
-    * regexp_replace (`regexp_replace(s,'[[:punct:]]','','g')`).
+  /** Punctuation character ratio over the fixed class `[.,!?;:]`
+    * (sentence punctuation only — brackets/quotes/hyphens count as
+    * content, which suits prose quality scoring). DuckDB mirror:
+    * `regexp_replace(s, '[.,!?;:]', '', 'g')` — the 'g' flag is
+    * required (DuckDB replaces only the first match by default).
     */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Rides
 import graft.functions.Hashing
@@ -48,7 +49,7 @@ object Medallion {
       .withColumn("trip_duration_seconds",
         col("end_time").cast("long") - col("start_time").cast("long"))
       .withColumn("trip_distance_km",
-        round(pmod(Hashing.hash60(col("ride_id")), lit(2000))
+        Hashing.portableRound(pmod(Hashing.hash60(col("ride_id")), lit(2000))
           .cast("double") / 100.0, 2))
 
   /** Silver quality filter: the 7-term conjunction of
@@ -85,12 +86,38 @@ object Medallion {
     base.dropDuplicates("ride_id", "event_timestamp")
   }
 
+  /** Oracle-reproducible batch dedup: same key as [[silverDedup]], but
+    * `dropDuplicates` keeps an arbitrary first-encountered row — the
+    * survivor depends on partitioning, so the result of the composed
+    * pipeline is not comparable across engines when two rows share
+    * (ride_id, event_timestamp) with different payloads. This variant
+    * breaks ties with a total order over the remaining columns, making
+    * the survivor deterministic at any parallelism. Shuffle shape is
+    * identical (one hash-exchange on the dedup key); the per-key sort
+    * is over duplicate groups of size ~1–2.
+    */
+  def silverDedupDeterministic(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ride_id"), col("event_timestamp"))
+      .orderBy(col("start_time"), col("end_time"), col("fare"),
+        col("status"), col("passenger_id"), col("driver_id"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Full silver stage: parse → derive → clean → dedup → flag,
     * emitting the 11-column silver schema in order.
+    *
+    * @param deterministicDedup use [[silverDedupDeterministic]] so the
+    *        composed pipeline is bit-reproducible for oracle
+    *        comparison (batch only).
     */
-  def silverStage(bronze: DataFrame, streaming: Boolean = false): DataFrame = {
-    val flagged = silverFlag(
-      silverDedup(silverClean(silverDerive(silverParse(bronze))), streaming))
+  def silverStage(bronze: DataFrame, streaming: Boolean = false,
+                  deterministicDedup: Boolean = false): DataFrame = {
+    val cleaned = silverClean(silverDerive(silverParse(bronze)))
+    val deduped =
+      if (deterministicDedup) silverDedupDeterministic(cleaned)
+      else silverDedup(cleaned, streaming)
+    val flagged = silverFlag(deduped)
     flagged.select(Rides.silverColumns.map(col): _*)
   }
 
@@ -111,12 +138,19 @@ object Medallion {
     */
   def goldAggregate(silver: DataFrame,
                     withProcessingTime: Boolean = false): DataFrame = {
+    // avg fare via EXACT INTEGER CENTS: fares are 2-dp money, so
+    // round(fare·100) recovers the exact cent value and a SUM of longs
+    // is associative — the group average is bit-identical at any
+    // parallelism and in any engine. A double `avg` is summation-
+    // order-dependent in its last ulp, which flips the 2-dp rounding
+    // for knife-edge groups (observed: one group in ~300 flipped
+    // between two local runs purely from partial-agg merge order).
     val agg = silver
       .groupBy(window(col("event_timestamp"), Rides.goldWindow),
         col("driver_id"))
       .agg(
         count(col("ride_id")).as("total_rides_hourly"),
-        round(avg(col("fare")), 2).as("avg_fare_hourly"),
+        sum(round(col("fare") * 100).cast("long")).as("fare_cents"),
         sum(when(col("is_suspicious") === true, 1).otherwise(0))
           .as("total_suspicious_rides_hourly"))
     val projected = agg.select(
@@ -124,7 +158,9 @@ object Medallion {
       col("window.end").as("window_end"),
       col("driver_id"),
       col("total_rides_hourly"),
-      col("avg_fare_hourly"),
+      Hashing.portableRound(
+        (col("fare_cents").cast("double") / 100.0) / col("total_rides_hourly"),
+        2).as("avg_fare_hourly"),
       col("total_suspicious_rides_hourly"))
     if (withProcessingTime)
       projected.withColumn("processing_time", current_timestamp())

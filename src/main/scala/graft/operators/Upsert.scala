@@ -20,7 +20,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    rewrites ONLY partitions touched by the batch (partition-pruned
   *    read + dynamic partition overwrite) — rewrite cost is
   *    O(touched partitions), not O(table), matching Delta MERGE's
-  *    file-level rewrite granularity.
+  *    file-level rewrite granularity. A batch that WIDENS the schema
+  *    is the exception: it rewrites the whole table once so the
+  *    on-disk schema stays uniform.
   *  - Unpartitioned tables commit through a versioned layout with a
   *    Delta-log-style commit directory: crash-safe (readers never see
   *    a half-written version) and snapshot-isolated.
@@ -143,7 +145,13 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       val v = currentVersion(spark)
       if (v >= 0) spark.read.parquet(s"$path/v$v")
       else spark.read.parquet(path) // pre-sink data laid down externally
-    case Some(_) => spark.read.parquet(path) // _commits is _-hidden
+    case Some(_) =>
+      // mergeSchema: after (or mid-crash during) a schema-widening
+      // upsert, partitions may carry different footer schemas — without
+      // it, whether the evolved column appears depends on which footer
+      // Spark samples (nondeterministic reads). Footer-only cost,
+      // proportional to file count, not bytes. _commits is _-hidden.
+      spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** Atomic commit point: write to a dot-temp name (ignored by the
@@ -245,9 +253,24 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         // just those partitions. Untouched partitions are never read
         // or rewritten. localCheckpoint materializes the merge before
         // the overwrite deletes its input files.
-        val touched = updates.select(pc).distinct().collect().map(_.get(0))
-        val base = read(spark).filter(col(pc).isInCollection(touched.toSeq))
-        val merged = Upsert.merge(base, updates, keys).localCheckpoint(true)
+        //
+        // EXCEPT when the batch widens the schema: a touched-only
+        // rewrite would leave untouched partitions' files on the old
+        // narrow schema forever, making every later read depend on
+        // schema merging. Widening is rare, so pay a one-time FULL
+        // rewrite: merge against the whole table and emit every
+        // partition (dynamic overwrite then rewrites them all) so the
+        // on-disk schema is uniform again.
+        val baseAll = read(spark)
+        val widens = updates.columns.exists(c => !baseAll.columns.contains(c))
+        val merged =
+          if (widens)
+            Upsert.merge(baseAll, updates, keys).localCheckpoint(true)
+          else {
+            val touched = updates.select(pc).distinct().collect().map(_.get(0))
+            val base = baseAll.filter(col(pc).isInCollection(touched.toSeq))
+            Upsert.merge(base, updates, keys).localCheckpoint(true)
+          }
         val key = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "dynamic")

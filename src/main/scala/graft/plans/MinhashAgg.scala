@@ -46,7 +46,10 @@ case class MinhashAgg(
       s"minhash_agg expects a bigint shingle hash, got ${other.catalogString}")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull mirrors the declarative k-`min` spelling: a group
+  // whose inputs are all NULL yields k NULL minima (an array of nulls,
+  // not a NULL array) — see eval's empty-group branch.
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): Array[Long] =
@@ -76,7 +79,13 @@ case class MinhashAgg(
   }
 
   override def eval(buffer: Array[Long]): Any =
-    new GenericArrayData(buffer.clone())
+    // Every real hash is < p << Long.MaxValue, so a surviving sentinel
+    // means NO non-null input reached this group: return the k NULL
+    // minima the declarative k-`min` spelling produces (unreachable
+    // from docShingleHashes, but direct SQL users of minhash_agg can
+    // aggregate nullable columns).
+    if (buffer(0) == Long.MaxValue) new GenericArrayData(new Array[Any](k))
+    else new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(k * 8)

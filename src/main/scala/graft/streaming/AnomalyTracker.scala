@@ -27,6 +27,12 @@ object AnomalyTracker {
                   driverId: String,
                   rows: Iterator[RideObs],
                   state: GroupState[DriverState]): Iterator[Alert] = {
+    // validate here too (not just in alerts): this function is public
+    // and runs inside the streaming task, where `streak % 0` would
+    // kill the query with an opaque ArithmeticException and a
+    // negative threshold would silently never alert
+    require(streakThreshold > 0,
+      s"streakThreshold must be positive, got $streakThreshold")
     if (state.hasTimedOut) {
       // idle driver: event-time timeout fired with no new rows —
       // surface it as a streak-0 tombstone alert and drop the state
@@ -63,6 +69,8 @@ object AnomalyTracker {
     * suspicious rides.
     */
   def alerts(silver: DataFrame, streakThreshold: Long = 3L): Dataset[Alert] = {
+    require(streakThreshold > 0,
+      s"streakThreshold must be positive, got $streakThreshold")
     val spark = silver.sparkSession
     import spark.implicits._
     val base = silver.select("driver_id", "event_timestamp", "is_suspicious")

@@ -30,6 +30,29 @@ object MedallionStream {
     StructField("value", StringType),
     StructField("timestamp", TimestampType)))
 
+  /** Spark's RocksDB state store provider — the bounded-heap option
+    * for the chain's stateful operators at scale. The default
+    * (HDFSBackedStateStoreProvider) keeps every state row on the
+    * executor HEAP: at 100 TB the silver dedup state (one row per
+    * (ride_id, event_timestamp) within the watermark) and the gold
+    * window state become an OOM risk. RocksDB keeps the working set
+    * off-heap / on local disk with incremental checkpointing to the
+    * checkpoint location; the swap is this one session conf, applied
+    * before the queries START (provider is fixed per checkpoint
+    * lifetime — switching an existing checkpoint's provider is not
+    * supported by Spark). Exercised by StreamingSpec under the jar
+    * shipped in /opt/spark/jars (rocksdbjni).
+    */
+  val rocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Route all subsequently-started streaming queries' state through
+    * RocksDB (see [[rocksDbProvider]]).
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      rocksDbProvider)
+
   val silverSchema: StructType =
     StructType(Rides.rideSchema.fields ++ Seq(
       StructField("trip_duration_seconds", LongType),

@@ -60,6 +60,48 @@ class DedupSpec extends SparkTestBase {
       uncapped.except(dflt).count() === 0)
   }
 
+  test("hot-bucket guard bounds LSH pair fan-out on exact-dup clusters") {
+    // A 1000-copy exact-duplicate cluster: identical docs have
+    // identical signatures, so EVERY band puts all 1000 in one bucket
+    // — C(1000,2) = 499500 candidate pairs without a guard, m²/2 at
+    // any corpus size. This is the degenerate case the cap exists for
+    // (real crawls: one boilerplate error page mirrored everywhere).
+    val cluster = (0 until 1000).map(i =>
+      (i.toLong, "identical mirrored error page body served everywhere today"))
+    val rest = Seq(
+      (2000L, "regular document discussing spark query engines in detail"),
+      (2001L, "unrelated text about parquet column pruning and statistics"))
+    val corpus = (cluster ++ rest).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.docShingleHashes(corpus, "doc_id", "text", 3), 16), 16, 4)
+    val unguarded = Dedup.lshCandidatePairs(bands)
+    assert(unguarded.count() >= 499500L, "cluster should explode unguarded")
+    // cap 100: the four 1000-doc buckets are dropped (logged), the
+    // quadratic fan-out disappears; the two distinct docs don't
+    // collide, so nothing remains.
+    val guarded = Dedup.lshCandidatePairs(bands, maxBucketSize = 100)
+    assert(guarded.count() === 0, "guard must drop the oversized buckets")
+    // a cap that nothing exceeds is bit-identical to the default
+    val loose = Dedup.lshCandidatePairs(bands, maxBucketSize = 1000000)
+    assert(loose.except(unguarded).count() === 0 &&
+      unguarded.except(loose).count() === 0)
+  }
+
+  test("jaccardPairs: table-backed inverted index ≡ localCheckpoint path") {
+    val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
+    val ckpt = Dedup.jaccardPairs(sh, 0.0)
+    val table = Dedup.jaccardPairs(sh, 0.0,
+      indexPath = Some(tmpDir("jaccard-inverted-index")))
+    assert(table.except(ckpt).count() === 0 &&
+      ckpt.except(table).count() === 0)
+    // capped variant over the persisted index agrees too
+    val ckptCap = Dedup.jaccardPairs(sh, 0.0, maxShingleDf = 10)
+    val tableCap = Dedup.jaccardPairs(sh, 0.0, maxShingleDf = 10,
+      indexPath = Some(tmpDir("jaccard-inverted-index-cap")))
+    assert(tableCap.except(ckptCap).count() === 0 &&
+      ckptCap.except(tableCap).count() === 0)
+  }
+
   test("minhash LSH candidates contain the true near-duplicates") {
     val sh = Dedup.docShingleHashes(docs, "doc_id", "text", 3)
     val cands = Dedup.lshCandidatePairs(

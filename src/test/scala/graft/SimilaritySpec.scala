@@ -92,6 +92,28 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("near-dup hot-bucket guard drops identical-vector mega-clusters") {
+    import spark.implicits._
+    // 200 clones of one real vector: identical vectors land in the
+    // same bucket of EVERY table — more planes can never split them —
+    // so unguarded candidate generation emits C(200,2) pairs.
+    val planted = emb.limit(1).select(col("embedding")).as[Array[Float]].head()
+    val clones = (1000L until 1200L).map(i => (i, planted))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(clones)
+    val unguarded = graft.functions.Similarity
+      .embeddingNearDupPairs(corpus, 0.99, planes = 4, dims = 64)
+    assert(unguarded.count() >= 200L * 199 / 2,
+      "clone cluster should dominate unguarded output")
+    val guarded = graft.functions.Similarity
+      .embeddingNearDupPairs(corpus, 0.99, planes = 4, dims = 64,
+        maxBucketSize = 50)
+    val clonePairs = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => a >= 1000L && b >= 1000L }
+    assert(clonePairs === 0, "guard must remove the clone cluster's buckets")
+  }
+
   test("persisted IVF index matches the per-call path and prunes partitions") {
     val queries = emb.filter(col("vec_id") < 8)
     val idx = new graft.functions.IvfIndex(tmpDir("ivfidx"), nCells = 16)

@@ -115,6 +115,43 @@ class StreamingSpec extends SparkTestBase {
       "bounded gold diverged from batch recompute")
   }
 
+  test("medallion chain converges under the RocksDB state store") {
+    val root = tmpDir("streamr")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 3000L)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    MedallionStream.useRocksDbStateStore(spark)
+    try {
+      // the full chain: silver's watermark+dropDuplicates and gold's
+      // window aggregation both run their state through RocksDB
+      MedallionStream.runDrain(spark, p)
+      val silver = spark.read.parquet(p.silver)
+      assert(silver.count() === silver
+        .select(col("ride_id"), col("event_timestamp")).distinct().count())
+      val gold = new ParquetUpsertSink(p.gold, Rides.goldKey).read(spark)
+        .select("window_start", "window_end", "driver_id",
+          "total_rides_hourly", "avg_fare_hourly",
+          "total_suspicious_rides_hourly")
+      val expected = Medallion.goldAggregate(silver)
+      assert(gold.except(expected).count() === 0 &&
+        expected.except(gold).count() === 0,
+        "gold diverged from batch recompute under RocksDB")
+      // the checkpoint really used RocksDB (its state dirs carry the
+      // provider's on-disk layout: per-version .zip / .changelog files)
+      val stateDir = new java.io.File(s"${p.checkpoints}/silver/state")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(stateDir).exists(f => f.getName.endsWith(".zip") ||
+        f.getName.endsWith(".changelog")),
+        "silver checkpoint has no RocksDB state artifacts")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("QueryMonitor listener captures progress and renders a summary") {
     val root = tmpDir("streamm")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",

@@ -177,4 +177,39 @@ class UpsertSpec extends SparkTestBase {
     assert(got(("2024-01-01 10:00:00", "DRV001")) === 9L)
     assert(got(("2024-01-01 11:00:00", "DRV001")) === 2L)
   }
+
+  test("partitioned sink: schema-widening batch rewrites ALL partitions") {
+    val dir = tmpDir("upsertpw") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    sink.upsert(spark, base, batchId = 0)
+    // updates carry a NEW column: a touched-only rewrite would leave
+    // the untouched 11:00 partition's files on the narrow schema,
+    // making the evolved column's visibility depend on footer sampling
+    val widened = updates.withColumn("surge", lit(1.5))
+    sink.upsert(spark, widened, batchId = 1)
+    val got = sink.read(spark)
+    assert(got.columns.contains("surge"), "evolved column missing")
+    val byKey = got
+      .select(col("window_start").cast("string"), col("driver_id"),
+        col("surge"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(byKey.size === 4)
+    assert(byKey(("2024-01-01 10:00:00", "DRV001")) === Some(1.5))
+    // pre-existing rows read the evolved column as null DETERMINISTICALLY
+    assert(byKey(("2024-01-01 11:00:00", "DRV001")) === None)
+    assert(byKey(("2024-01-01 10:00:00", "DRV002")) === None)
+    // every partition's files now carry the widened schema: reading any
+    // single partition directory alone must yield the evolved column
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("window_start="))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val one = spark.read.parquet(p.getAbsolutePath)
+      assert(one.columns.contains("surge"),
+        s"partition ${p.getName} still on the narrow schema")
+    }
+  }
 }
