@@ -23,9 +23,11 @@ import graft.sources.CorpusGenerator
   */
 object ScaleProof {
 
-  private def timeMinOf3(f: () => Long): (Double, Long) = {
+  private val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+
+  private def timeMinOfReps(f: () => Long): (Double, Long) = {
     var best = Double.MaxValue; var rows = 0L
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to reps) {
       val t0 = System.nanoTime()
       rows = f()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -38,12 +40,14 @@ object ScaleProof {
     val factor = if (args.length > 1) args(1).toInt else 10
     val big = small * factor
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // NOTE: heap must come from the launching JVM (SBT_OPTS=-Xmx…) —
+    // in local mode spark.driver.memory set here, after JVM start,
+    // is a silent no-op
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
@@ -69,10 +73,15 @@ object ScaleProof {
             Dedup.lshBands(Dedup.minhashSignatures(
               Dedup.docShingleHashes(docs, "doc_id", "text", 3), 16), 16, 4),
             maxBucketSize = 1000).count()),
+        // table-backed inverted index, NOT localCheckpoint: at 500k
+        // docs the checkpointed shingle relation (~60M rows) no longer
+        // fits a single JVM's storage memory — the durable-index path
+        // is the at-scale configuration being proven
         "dedup_jaccard_pairs" -> (() =>
           Dedup.jaccardPairs(
             Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
-            maxShingleDf = 128).count()),
+            maxShingleDf = 128,
+            indexPath = Some(s"$work/jix_$n")).count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
@@ -85,9 +94,16 @@ object ScaleProof {
 
     val results = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(small, big)) {
+      // shuffle partitions scale with the corpus, exactly as a real
+      // cluster sizes them: the jaccard shuffle_hash join builds one
+      // in-memory hash relation per partition, so partition count —
+      // not heap — is the knob that keeps the build side bounded as
+      // data grows (~2k docs of shingles per partition here)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, (n / 2000L).toInt).toString)
       val (docs, emb) = corpus(n)
       for ((name, f) <- ops(n, docs, emb)) {
-        val (sec, rows) = timeMinOf3(f)
+        val (sec, rows) = timeMinOfReps(f)
         results((name, n)) = sec
         println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},"rows":$rows}""")
       }

@@ -793,7 +793,21 @@ object SparkEntry {
           "text/plain"))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           element_at(col("feature"), 1).cast("double").as("feat0"),
-          element_at(col("feature"), 8).cast("double").as("feat7")))
+          element_at(col("feature"), 8).cast("double").as("feat7"))),
+
+    // REAL image decode, end to end: encode closed-form calibration
+    // pixels to actual PNG bytes on executors, decode them back
+    // through javax.imageio, and emit exact-integer pixel statistics.
+    // The oracle recomputes the statistics from the pixel formula —
+    // PNG losslessness is what the hash match proves.
+    "multimodal_image_decode" -> ((s, d) =>
+      Multimodal.decodeImageFeatures(
+        Multimodal.pngMediaTable(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", 16, 16))
+        .select(col("doc_id"), col("width"), col("height"), col("lum_sum"),
+          element_at(col("lum_hist"), 1).as("h0"),
+          element_at(col("lum_hist"), 4).as("h3"),
+          element_at(col("lum_hist"), 8).as("h7")))
   )
 
   // ----------------------------------------------------------------
@@ -1343,6 +1357,23 @@ object SparkEntry {
         | octet_length(encode(d.text)) AS byte_len,
         | CAST(CAST(CAST(COALESCE(s.s0, 0) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS feat0,
         | CAST(CAST(CAST(COALESCE(s.s7, 0) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS feat7
-        |FROM documents d LEFT JOIN sums s USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN sums s USING (doc_id)""".stripMargin,
+
+    // The REAL ImageIO decode: recompute the calibration-pixel formula
+    // (Multimodal.calibrationPixel — pure 64-bit integer arithmetic)
+    // over the 16×16 grid and aggregate the exact statistics the
+    // kernel emits from DECODED bytes. A hash match proves the whole
+    // encode→PNG→decode→statistics path reproduced every pixel.
+    "multimodal_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, ((d.doc_id * 2654435761 + x.x * 40503 + y.y * 65537) % 256) AS v
+        |  FROM documents d, range(0, 16) x(x), range(0, 16) y(y)
+        |)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        | CAST(SUM(v) AS BIGINT) AS lum_sum,
+        | CAST(SUM(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        | CAST(SUM(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        | CAST(SUM(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM px GROUP BY doc_id""".stripMargin
   )
 }

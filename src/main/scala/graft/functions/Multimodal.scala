@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * The decode/feature-extract kernel is the only non-columnar step; it
   * runs per-partition in batches (the Scala analog of `mapInPandas`)
   * so a real decoder (JNI/FFI to an image lib) amortizes setup per
-  * batch. The container ships no media codecs, so [[fakeDecode]] is a
-  * clearly-marked deterministic stand-in with the REAL Spark-side
-  * contract: schema, batching, partition-parallelism, and null safety
-  * are production-shaped and tested; only the kernel body is fake.
+  * batch. Two kernels ship:
+  *  - [[decodeImageFeatures]] — a REAL image decode through the JDK's
+  *    `javax.imageio` (PNG/JPEG, no external jar), oracle-checked end
+  *    to end against closed-form calibration images;
+  *  - [[fakeDecode]]/[[fakeResize]] — clearly-marked deterministic
+  *    stand-ins for codecs the container does NOT ship (audio/video),
+  *    with the real Spark-side contract: schema, batching,
+  *    partition-parallelism, and null safety are production-shaped and
+  *    tested; only those kernel bodies are fake.
   */
 object Multimodal {
 
@@ -123,6 +128,131 @@ object Multimodal {
             if (payload == null) null
             else fakeDecode(payload)
           Row(id, meta.getString(0), byteLen, feat)
+        }
+      }(enc)
+  }
+
+  // ---------------- real image decode (JDK ImageIO) ----------------
+
+  /** Output schema of the REAL image-decode kernel. Pixel statistics
+    * are exact integers (a sum and an 8-bin histogram of 8-bit
+    * luminance), so the kernel's output is bit-reproducible at any
+    * parallelism and comparable across engines.
+    */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("lum_sum", LongType),
+    StructField("lum_hist", ArrayType(LongType))))
+
+  /** Pixel value of the synthetic calibration image for doc `id` at
+    * (x, y): a closed form over 64-bit integers, exactly expressible
+    * in ANSI SQL. That choice is what makes the REAL decode kernel
+    * oracle-checkable end to end: Spark encodes these pixels to PNG
+    * and decodes them back through `javax.imageio` (PNG is lossless,
+    * so decoded samples equal this formula bit for bit), while the
+    * DuckDB oracle recomputes the same statistics straight from the
+    * formula — no decoder needed on the oracle side.
+    */
+  def calibrationPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 2654435761L + x * 40503L + y * 65537L) % 256L).toInt
+
+  /** Encode the calibration image for `id` as a real grayscale PNG
+    * via the JDK's ImageIO (headless-safe, no external jar).
+    */
+  def calibrationPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, calibrationPixel(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Media table of real PNG payloads, one per id row — encoding runs
+    * per-partition on executors (the generator analog of a binaryFile
+    * ingest), so building the fixture corpus is as distributed as
+    * consuming it. Same layout as [[asMediaTable]].
+    */
+  def pngMediaTable(ids: DataFrame, idCol: String,
+                    w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = calibrationPng(id, w, h)
+          md.reset()
+          val checksum = md.digest(png).map("%02x".format(_)).mkString
+          Row(id, png, Row("image/png", png.length.toLong, checksum))
+        }
+      }(enc)
+  }
+
+  /** REAL decode kernel: `javax.imageio` PNG/JPEG decode inside the
+    * same batched mapPartitions shape as [[extractFeatures]], emitting
+    * exact-integer pixel statistics (8-bit luminance sum + 8-bin
+    * histogram). Grayscale reads band 0 of the raster directly;
+    * multi-band images use integer Rec.601 luminance
+    * ((299·R + 587·G + 114·B) / 1000, truncating division — exact in
+    * any engine). Undecodable payloads (not an image, or null) yield
+    * null statistics rather than killing the task — at 100 TB a crawl
+    * ALWAYS contains corrupt assets, and one bad byte stream must cost
+    * one null row, not a stage retry.
+    */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (payload == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              catch { case _: java.io.IOException => null }
+          if (img == null) Row(id, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val hist = new Array[Long](8)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val lum =
+                  if (bands >= 3)
+                    (299L * raster.getSample(x, y, 0) +
+                      587L * raster.getSample(x, y, 1) +
+                      114L * raster.getSample(x, y, 2)) / 1000L
+                  else raster.getSample(x, y, 0).toLong
+                sum += lum
+                hist((lum >> 5).toInt & 7) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, sum, hist.toSeq)
+          }
         }
       }(enc)
   }

@@ -28,11 +28,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    a half-written version) and snapshot-isolated.
   *  - Idempotence per micro-batch: each commit records its batchId;
   *    replays are skipped, preserving exactly-once on restart.
-  *  - Concurrency: SINGLE-WRITER by design, matching the reference
-  *    topology (one streaming query owns the gold table). Concurrent
-  *    writers would race on the commit file (no compare-and-swap);
-  *    multi-writer ACID needs a log protocol with atomic version
-  *    reservation à la Delta — out of scope here.
+  *  - Concurrency: version claims are ATOMIC compare-and-swap
+  *    (tmp-write + rename-without-overwrite, the same primitive
+  *    Delta's HDFS LogStore uses) — exactly one concurrent writer
+  *    wins each version on stores with atomic rename. The versioned
+  *    (unpartitioned) layout is fully multi-writer: a loser discards
+  *    its orphan snapshot, re-merges against the winner's state, and
+  *    retries the next version. The partitioned layout rewrites data
+  *    files IN PLACE, so losing a race is detected (the claim fails)
+  *    but cannot be rolled back — it stays documented single-writer,
+  *    now with detection instead of silent clobbering.
   */
 object Upsert {
 
@@ -82,9 +87,10 @@ object Upsert {
   * versions are retained (snapshot for in-flight readers), older ones
   * are garbage-collected.
   *
-  *  - `partitionCol = None`: versioned directories `v0, v1, ...`,
-  *    whole-table snapshot per commit — right for small/medium
-  *    aggregate tables.
+  *  - `partitionCol = None`: uniquely-named snapshot directories
+  *    (`v<version>-<uuid>`, recorded in the commit file), whole-table
+  *    snapshot per commit — right for small/medium aggregate tables,
+  *    and safe under concurrent writers (see Concurrency above).
   *  - `partitionCol = Some(c)`: data lives partitioned in place and
   *    merges rewrite only touched partitions (dynamic partition
   *    overwrite); commits then track batchId for idempotence, with
@@ -99,12 +105,19 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   private def commitsDir = new Path(path, "_commits")
 
-  /** (version, batchId) pairs of all commits, ascending by version.
-    * Torn commit files (a writer died between create and write —
-    * possible on stores without atomic rename) are SKIPPED, not
-    * fatal: the table stays readable at the last good version.
+  /** (version, batchId, dataDir) of all commits, ascending by
+    * version. The commit file's content is `<batchId> <dataDir>`;
+    * dataDir is the UNIQUELY-NAMED snapshot directory the version
+    * points at (absent in the legacy single-writer format, which used
+    * the fixed name `v<version>` — still parsed for old tables).
+    * Unique names are what make racing writers safe: each attempt
+    * writes its own directory, so a loser can discard its orphan
+    * without ever touching the winner's data. Torn commit files (a
+    * writer died between create and write — possible on stores
+    * without atomic rename) are SKIPPED, not fatal: the table stays
+    * readable at the last good version.
     */
-  private def commits(spark: SparkSession): Seq[(Long, Long)] = {
+  private def commits(spark: SparkSession): Seq[(Long, Long, String)] = {
     val f = fs(spark)
     if (!f.exists(commitsDir)) Seq.empty
     else f.listStatus(commitsDir).toSeq
@@ -112,9 +125,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         scala.util.Try {
           val v = s.getPath.getName.toLong
           val in = f.open(s.getPath)
-          val b = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          val content = try new String(in.readAllBytes(), "UTF-8").trim
           finally in.close()
-          (v, b)
+          val parts = content.split("\\s+")
+          (v, parts(0).toLong,
+            if (parts.length > 1) parts(1) else s"v$v")
         }.toOption
       }
       .sortBy(_._1)
@@ -142,9 +157,10 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>
-      val v = currentVersion(spark)
-      if (v >= 0) spark.read.parquet(s"$path/v$v")
-      else spark.read.parquet(path) // pre-sink data laid down externally
+      commits(spark).lastOption match {
+        case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
+        case None => spark.read.parquet(path) // pre-sink external data
+      }
     case Some(_) =>
       // mergeSchema: after (or mid-crash during) a schema-widening
       // upsert, partitions may carry different footer schemas — without
@@ -154,19 +170,43 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       spark.read.option("mergeSchema", "true").parquet(path)
   }
 
-  /** Atomic commit point: write to a dot-temp name (ignored by the
-    * commit parser), then rename — the commit file appears fully
-    * written or not at all.
+  /** Atomic commit point with compare-and-swap semantics: write the
+    * full content to a UNIQUE dot-temp name (ignored by the commit
+    * parser; unique so racing writers never clobber each other's
+    * temp), then rename WITHOUT overwrite — `FileContext.rename`
+    * with the default `Rename.NONE` fails if the destination exists.
+    * On stores with atomic rename (HDFS and friends) exactly one
+    * concurrent writer claims each version; the commit file appears
+    * fully written or not at all (rename is metadata-only, so no
+    * reader can observe a torn commit). Local-FS rename does an
+    * existence check rather than a kernel-level exclusive rename, so
+    * the local window is narrow-but-nonzero — the same caveat every
+    * rename-based log protocol carries there.
+    *
+    * Returns false when the version was already claimed by another
+    * writer (the caller's cue to re-merge and retry).
     */
-  private def commit(spark: SparkSession, version: Long, batchId: Long): Unit = {
+  private def tryCommit(spark: SparkSession, version: Long,
+                        content: String): Boolean = {
     val f = fs(spark)
-    val tmp = new Path(commitsDir, s".tmp-$version")
+    if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
+    val tmp = new Path(commitsDir,
+      s".tmp-$version-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val dst = new Path(commitsDir, version.toString)
-    f.delete(dst, false) // leftovers of a crashed attempt at this version
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"commit rename failed for $dst")
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst) // Rename.NONE: throws if dst exists
+      true
+    } catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        // lost the race iff the destination now exists; anything else
+        // is a real I/O failure and must surface
+        if (f.exists(dst)) false else throw e
+    }
   }
 
   /** Drop versions (and their commit files) older than the previous
@@ -175,13 +215,23 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * their commit log is trimmed the same way (only the max matters
     * for idempotence) so it cannot grow without bound.
     */
-  private def gc(spark: SparkSession, cs: Seq[(Long, Long)]): Unit = {
+  private def gc(spark: SparkSession, cs: Seq[(Long, Long, String)]): Unit = {
     val f = fs(spark)
-    cs.dropRight(2).foreach { case (v, _) =>
-      if (partitionCol.isEmpty) f.delete(new Path(s"$path/v$v"), true)
+    cs.dropRight(2).foreach { case (v, _, dir) =>
+      if (partitionCol.isEmpty) f.delete(new Path(s"$path/$dir"), true)
       f.delete(new Path(commitsDir, v.toString), false)
     }
   }
+
+  /** Unique snapshot-directory name for one commit attempt. */
+  private def newDataDir(version: Long): String =
+    s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Test seam: invoked after the attempt's data is fully written,
+    * immediately before the commit claim — the window where a
+    * concurrent writer can win the version race. No-op in production.
+    */
+  protected def beforeCommit(version: Long): Unit = ()
 
   /** Compaction (the Delta OPTIMIZE analog, reference D2:
     * `SET ...optimize.maxFileSize=128MB`, 03_gold_realtime_rides.py:75):
@@ -195,14 +245,19 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     if (partitionCol.nonEmpty) return
     val cs = commits(spark)
     if (cs.isEmpty) return
-    val (cur, lastBatch) = cs.last
-    val bytes = fs(spark).getContentSummary(new Path(s"$path/v$cur")).getLength
+    val (cur, lastBatch, curDir) = cs.last
+    val bytes = fs(spark).getContentSummary(new Path(s"$path/$curDir")).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val newV = cur + 1
-    spark.read.parquet(s"$path/v$cur").coalesce(nFiles)
-      .write.mode("overwrite").parquet(s"$path/v$newV")
-    commit(spark, newV, lastBatch)
-    gc(spark, cs :+ ((newV, lastBatch)))
+    val dir = newDataDir(newV)
+    spark.read.parquet(s"$path/$curDir").coalesce(nFiles)
+      .write.mode("overwrite").parquet(s"$path/$dir")
+    // compaction is an optimization: losing the version race to a
+    // concurrent upsert just abandons this attempt (the upsert's
+    // snapshot supersedes ours anyway)
+    if (tryCommit(spark, newV, s"$lastBatch $dir"))
+      gc(spark, cs :+ ((newV, lastBatch, dir)))
+    else fs(spark).delete(new Path(s"$path/$dir"), true)
   }
 
   /** Upsert one batch. Replayed batchIds (crash between sink commit
@@ -215,7 +270,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * streaming micro-batch id, or the sentinel -1 for ad-hoc batch
     * callers that want no idempotence/replay protection.
     */
-  def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit = {
+  def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit =
+    upsertAttempt(spark, updates, batchId, retriesLeft = 5)
+
+  @scala.annotation.tailrec
+  private def upsertAttempt(spark: SparkSession, updates: DataFrame,
+                            batchId: Long, retriesLeft: Int): Unit = {
     val cs = commits(spark)
     // Replay guard compares against the max NON-NEGATIVE committed
     // batchId: an interleaved sentinel (-1) commit must not lower the
@@ -231,19 +291,26 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // a pre-commit-log layout) is adopted as the merge base, never
     // clobbered.
     val adopt = cs.isEmpty && hasExternalData(spark)
+    val dataDir = newDataDir(newV)
     partitionCol match {
       case None =>
-        // Full new snapshot; previous version stays readable until the
-        // commit file lands, so a crash here is invisible to readers.
+        // Full new snapshot into a UNIQUELY-NAMED directory; the
+        // previous version stays readable until the commit file lands,
+        // so a crash here is invisible to readers — and a racing
+        // writer's snapshot can never share (or clobber) our path.
         val data =
           if (newV == 0 && !adopt) updates
           else {
-            val m = Upsert.merge(read(spark), updates, keys)
-            // adopt-case base lives at `path` itself, which v0 is
-            // written under — materialize before writing
+            val baseDf = cs.lastOption match {
+              case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
+              case None => spark.read.parquet(path) // adopt
+            }
+            val m = Upsert.merge(baseDf, updates, keys)
+            // adopt-case base lives at `path` itself, which the new
+            // snapshot is written under — materialize before writing
             if (adopt) m.localCheckpoint(true) else m
           }
-        data.write.mode("overwrite").parquet(s"$path/v$newV")
+        data.write.mode("overwrite").parquet(s"$path/$dataDir")
       case Some(pc) if newV == 0 && !adopt =>
         // First batch: plain create (03_gold_realtime_rides.py:97-99).
         updates.write.mode("overwrite").partitionBy(pc).parquet(path)
@@ -283,7 +350,30 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // A sentinel write records the carried-forward high-water mark so
     // GC of older commits cannot resurrect replay of a seen batch.
     val recorded = if (batchId >= 0) batchId else lastStreamBatch
-    commit(spark, newV, recorded)
-    gc(spark, cs :+ ((newV, recorded)))
+    val content =
+      if (partitionCol.isEmpty) s"$recorded $dataDir" else recorded.toString
+    beforeCommit(newV)
+    if (tryCommit(spark, newV, content)) {
+      gc(spark, cs :+ ((newV, recorded, dataDir)))
+    } else partitionCol match {
+      case Some(_) =>
+        // the in-place dynamic overwrite already rewrote shared data
+        // files — that cannot be rolled back, only surfaced
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer claimed version $newV of partitioned table " +
+            s"$path; the partitioned layout rewrites data in place and is " +
+            "single-writer — coordinate writers externally")
+      case None =>
+        // versioned layout: our orphan snapshot is invisible (no commit
+        // points at it) and uniquely named (never the winner's data) —
+        // drop it, re-merge against the winner's state, and try the
+        // next version
+        fs(spark).delete(new Path(s"$path/$dataDir"), true)
+        if (retriesLeft <= 0)
+          throw new java.util.ConcurrentModificationException(
+            s"gave up claiming a version of $path after repeated " +
+              "concurrent-writer conflicts")
+        upsertAttempt(spark, updates, batchId, retriesLeft - 1)
+    }
   }
 }

@@ -55,6 +55,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(again === r.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("real ImageIO decode: PNG round-trip reproduces every pixel") {
+    val ids = Seq(0L, 7L, 123L, 4999L).toDF("doc_id")
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.pngMediaTable(ids, "doc_id", 16, 16)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.size === 4)
+    for ((id, r) <- feats) {
+      assert(r.getInt(1) === 16 && r.getInt(2) === 16)
+      // recompute expected statistics from the closed form
+      val pix = for (y <- 0 until 16; x <- 0 until 16)
+        yield Multimodal.calibrationPixel(id, x, y).toLong
+      assert(r.getLong(3) === pix.sum, s"lum_sum mismatch for doc $id")
+      val hist = r.getSeq[Long](4)
+      assert(hist === (0 until 8).map(b => pix.count(_ >> 5 == b).toLong),
+        s"histogram mismatch for doc $id")
+    }
+  }
+
+  test("image decode survives corrupt payloads and is partition-invariant") {
+    // a real PNG, a truncated PNG, text bytes, and a null payload
+    val png = Multimodal.calibrationPng(5L, 8, 8)
+    val rows = Seq(
+      (1L, png),
+      (2L, png.take(10)),
+      (3L, "definitely not an image".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("doc_id", "payload")
+    def run(parts: Int) = Multimodal.decodeImageFeatures(media.repartition(parts))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val got = run(1)
+    assert(got(1L).isDefined, "valid PNG must decode")
+    assert(got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty,
+      "corrupt/non-image/null payloads must yield null stats, not errors")
+    assert(run(4) === got)
+  }
+
   test("feature extraction is deterministic and partition-invariant") {
     val f1 = Multimodal.extractFeatures(media.repartition(1)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap

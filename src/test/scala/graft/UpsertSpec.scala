@@ -137,7 +137,11 @@ class UpsertSpec extends SparkTestBase {
     val dirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(_.getName).sorted
-    assert(dirs.toSeq === Seq("v3", "v4"), s"got ${dirs.mkString(",")}")
+    // two snapshot dirs retained (v3-*, v4-*), older ones GC'd
+    assert(dirs.length === 2 &&
+      dirs.count(_.startsWith("v3-")) === 1 &&
+      dirs.count(_.startsWith("v4-")) === 1,
+      s"got ${dirs.mkString(",")}")
     assert(sink.read(spark).count() === 4)
   }
 
@@ -147,7 +151,9 @@ class UpsertSpec extends SparkTestBase {
     sink.upsert(spark, base.repartition(8), batchId = 0)
     val before = sink.read(spark).collect().toSet
     sink.compact(spark)
-    val vDir = new java.io.File(s"$dir/v${sink.currentVersion(spark)}")
+    val v = sink.currentVersion(spark)
+    val vDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"v$v-")).head
     val nParquet = vDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(nParquet === 1, s"expected 1 compacted file, got $nParquet")
     assert(sink.read(spark).collect().toSet === before)
@@ -176,6 +182,57 @@ class UpsertSpec extends SparkTestBase {
     assert(got.size === 4)
     assert(got(("2024-01-01 10:00:00", "DRV001")) === 9L)
     assert(got(("2024-01-01 11:00:00", "DRV001")) === 2L)
+  }
+
+  test("versioned sink: losing a version race re-merges against the winner") {
+    val dir = tmpDir("upsertcas") + "/gold"
+    // the winner's state: base with DRV002's total changed — if the
+    // loser blindly re-used its pre-race merge, this change would
+    // vanish; surviving it proves the retry re-merged
+    val winnerData = base.withColumn("total",
+      when(col("driver_id") === "DRV002", lit(42L)).otherwise(col("total")))
+    val sink: ParquetUpsertSink = new ParquetUpsertSink(dir, keys) {
+      var injected = false
+      override protected def beforeCommit(v: Long): Unit =
+        if (v == 1 && !injected) {
+          injected = true
+          winnerData.write.mode("overwrite").parquet(s"$dir/v1-winner")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_commits/1"),
+            "7 v1-winner".getBytes("UTF-8"))
+        }
+    }
+    sink.upsert(spark, base, batchId = 0) // v0
+    sink.upsert(spark, updates, batchId = 8) // loses v1 to the winner, retries
+    assert(sink.currentVersion(spark) === 2L)
+    assert(sink.lastBatchId(spark) === 8L)
+    val got = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01 10:00:00", "DRV002")) === 42L,
+      "winner's change was clobbered — loser did not re-merge")
+    assert(got(("2024-01-01 10:00:00", "DRV001")) === 9L) // our update
+    assert(got(("2024-01-01 12:00:00", "DRV003")) === 1L) // our insert
+  }
+
+  test("partitioned sink: losing a version race is detected, not silent") {
+    val dir = tmpDir("upsertcasp") + "/gold"
+    val sink: ParquetUpsertSink =
+      new ParquetUpsertSink(dir, keys, Some("window_start")) {
+        var injected = false
+        override protected def beforeCommit(v: Long): Unit =
+          if (v == 1 && !injected) {
+            injected = true
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/_commits/1"),
+              "7".getBytes("UTF-8"))
+          }
+      }
+    sink.upsert(spark, base, batchId = 0)
+    // in-place partition rewrites cannot be rolled back, so the sink
+    // must surface the conflict rather than pretend the claim worked
+    intercept[java.util.ConcurrentModificationException] {
+      sink.upsert(spark, updates, batchId = 8)
+    }
   }
 
   test("partitioned sink: schema-widening batch rewrites ALL partitions") {
