@@ -160,8 +160,16 @@ object Multimodal {
 
   /** Encode the calibration image for `id` as a real grayscale PNG
     * via the JDK's ImageIO (headless-safe, no external jar).
+    * One-shot convenience; batch paths use [[PngEncoder]] so the
+    * writer lookup and stream plumbing amortize per partition.
     */
   def calibrationPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val enc = new PngEncoder
+    try enc.encode(calibrationImage(id, w, h)) finally enc.close()
+  }
+
+  private def calibrationImage(id: Long, w: Int,
+                               h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -174,10 +182,46 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
   }
+
+  /** Reusable PNG encoder: ImageIO's static `write` re-runs the
+    * writer-provider scan and allocates fresh stream plumbing per
+    * image — per-row cost that a batched kernel is supposed to
+    * amortize. One instance per partition, `encode` per row,
+    * `close()` when the partition ends.
+    */
+  final class PngEncoder {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val baos = new java.io.ByteArrayOutputStream()
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally ios.close()
+      baos.toByteArray
+    }
+
+    private var closed = false
+    def close(): Unit = if (!closed) { closed = true; writer.dispose() }
+  }
+
+  /** Wrap a partition's row iterator so `cleanup` runs when it is
+    * exhausted — the release hook for per-partition kernel resources.
+    */
+  private def withCleanup[T](it: Iterator[T])(cleanup: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) cleanup()
+        h
+      }
+      def next(): T = it.next()
+    }
 
   /** Media table of real PNG payloads, one per id row — encoding runs
     * per-partition on executors (the generator analog of a binaryFile
@@ -193,14 +237,17 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     ids.select(col(idCol).cast("long").as("doc_id"))
       .mapPartitions { rows =>
+        // per-partition setup, per-row reuse: digest instance + PNG
+        // writer are allocated once, not once per image
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { r =>
+        val pngEnc = new PngEncoder
+        withCleanup(rows.map { r =>
           val id = r.getLong(0)
-          val png = calibrationPng(id, w, h)
+          val png = pngEnc.encode(calibrationImage(id, w, h))
           md.reset()
           val checksum = md.digest(png).map("%02x".format(_)).mkString
           Row(id, png, Row("image/png", png.length.toLong, checksum))
-        }
+        })(() => pngEnc.close())
       }(enc)
   }
 
@@ -219,6 +266,10 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(imageFeatureSchema)
     media.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
+        // ImageIO defaults to a disk-backed cache stream per decode (a
+        // temp FILE per image) — memory-cache instead; the payloads
+        // are already in memory
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
