@@ -310,4 +310,90 @@ object Dedup {
     */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  // ------------- streaming-ingest near-duplicate filter -------------
+
+  /** One micro-batch of the streaming near-dup filter: admit only
+    * documents that are not LSH near-duplicate candidates of anything
+    * admitted before them, maintaining a persisted band-key store.
+    *
+    * This is the ingest-time shape of minhash dedup — at 100 TB you
+    * cannot re-run batch dedup over the full corpus on every arrival,
+    * so the accumulated state must be something a micro-batch can
+    * equi-join: the (band, band_key, doc_id) relation of ADMITTED
+    * documents (k/bands longs hashed to 32 bytes per doc — payload
+    * never stored). Per batch:
+    *   1. band the incoming docs ([[docShingleHashes]] →
+    *      [[minhashSignatures]] → [[lshBands]]);
+    *   2. drop docs whose keys collide with the store (historical
+    *      near-dup candidates) — an equi-join on (band, band_key),
+    *      NOT a pair join, so cost is linear in collisions;
+    *   3. drop docs colliding with a SMALLER id inside the batch
+    *      (within-batch candidates — same rule batch LSH uses);
+    *   4. append the survivors' keys to the store, then return the
+    *      surviving rows for the caller's sink.
+    *
+    * Exactly-once under micro-batch REPLAY (crash between the store
+    * append and the caller's sink write): the store join excludes a
+    * doc's OWN keys (`store.doc_id != batch.doc_id`), so a replayed
+    * batch — whose survivors' keys are already stored — reproduces the
+    * identical survivor set, and duplicate store rows only repeat
+    * join matches that were already matches. Store appends are
+    * monotone; no compaction is required for correctness (periodic
+    * parquet compaction keeps file counts sane at scale).
+    *
+    * Candidate-level semantics, like [[lshCandidatePairs]]: dropping
+    * is probabilistic on true near-dups (tune k/bands), with the same
+    * degenerate-cluster guard (`maxBucketSize`) applied WITHIN the
+    * batch. Docs shorter than one shingle produce no keys and always
+    * survive. Wire it into a stream with
+    * `writeStream.foreachBatch((b, _) => nearDupFilterBatch(b, …)
+    * .write.mode("append")…)`.
+    */
+  def nearDupFilterBatch(batch: DataFrame, storePath: String,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                         maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    // banded keys feed three consumers (store join, self-join, append)
+    // — materialize once; a micro-batch is bounded, so executor-memory
+    // checkpointing is the right tool here (unlike the corpus-sized
+    // jaccard index)
+    val keys = dropOversizedBuckets(
+      lshBands(minhashSignatures(
+        docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
+      Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch")
+      .localCheckpoint(true)
+
+    val fsPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-created empty directory is not a store yet
+    val hasStore = fs.exists(fsPath) &&
+      fs.listStatus(fsPath).exists(_.getPath.getName.endsWith(".parquet"))
+    val vsStore =
+      if (hasStore) {
+        val store = spark.read.parquet(storePath).select(
+          col("doc_id").as("s_id"), col("band").as("s_band"),
+          col("band_key").as("s_key"))
+        keys.join(store,
+            col("band") === col("s_band") && col("band_key") === col("s_key")
+              && col("doc_id") =!= col("s_id"), // replay self-exclusion
+            "left_semi")
+          .select(col("doc_id"))
+      } else keys.select(col("doc_id")).limit(0)
+    val withinBatch = keys.as("l").join(keys.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("r.doc_id") < col("l.doc_id"), "left_semi")
+      .select(col("doc_id"))
+    val dropIds = vsStore.union(withinBatch).distinct()
+      .withColumnRenamed("doc_id", idCol)
+
+    val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // materialize before mutating the store
+    keys.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(storePath)
+    survivors
+  }
 }

@@ -138,6 +138,78 @@ class DedupSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming near-dup filter: store-backed LSH admission control") {
+    import spark.implicits._
+    val store = tmpDir("ndstore")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b1 = Seq(
+      (0L, textA),
+      (1L, textA), // exact dup within batch → identical keys → dropped
+      (2L, "columnar execution engines vectorize parquet scans for analytic joins"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.nearDupFilterBatch(b1, store, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(0L, 2L), s"batch-1 survivors $s1")
+
+    val b2 = Seq(
+      (3L, textA), // exact dup of stored doc 0 → dropped vs store
+      (4L, "streaming watermarks bound state for late arriving event data"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.nearDupFilterBatch(b2, store, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(4L), s"batch-2 survivors $s2")
+
+    // REPLAY of batch 2 (crash between store append and sink write):
+    // survivors' keys are already stored, but self-exclusion must make
+    // the rerun reproduce the identical survivor set
+    val s2r = Dedup.nearDupFilterBatch(b2, store, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2r === s2, s"replay changed survivors: $s2r vs $s2")
+  }
+
+  test("streaming near-dup filter wired through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("ndstream-store")
+    val out = tmpDir("ndstream-out") + "/admitted"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ndstream-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.nearDupFilterBatch(batch, store, "doc_id", "text")
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    input.addData((0L, textA),
+      (1L, "columnar execution engines vectorize parquet scans for joins"))
+    q.processAllAvailable()
+    input.addData((2L, textA), // dup of doc 0, seen two batches earlier
+      (3L, "watermarks bound streaming state for late event arrivals"))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(0L, 1L, 3L), s"admitted $admitted")
+  }
+
+  test("streaming near-dup filter drops near (not just exact) duplicates") {
+    import spark.implicits._
+    val store = tmpDir("ndstore2")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    Dedup.nearDupFilterBatch(
+      Seq((0L, base)).toDF("doc_id", "text"), store, "doc_id", "text")
+    // one token changed out of 13 → jaccard ≈ 0.78; with k=16/bands=4
+    // this must collide on at least one band (deterministic md5 family
+    // — verified once, stable forever)
+    val near = Seq((1L, base.replace("lima", "mike"))).toDF("doc_id", "text")
+    val s = Dedup.nearDupFilterBatch(near, store, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s === Set.empty[Long], s"near-dup admitted: $s")
+  }
+
   test("simhash: identical docs share fingerprints, near-dups are close") {
     val fps = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
