@@ -82,6 +82,16 @@ object ScaleProof {
             Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
             maxShingleDf = 128,
             indexPath = Some(s"$work/jix_$n")).count()),
+        // connected components over the verified pair list (planted
+        // ~2% exact + ~3% near dups → thousands of small clusters).
+        // The edge list is pre-materialized (see the per-n loop), so
+        // this times the star-contraction fixpoint loop itself; the
+        // scale story is that CC runs on the PAIR list, which the
+        // capped candidate generation already keeps orders of
+        // magnitude smaller than the corpus
+        "dedup_clusters" -> (() =>
+          Dedup.connectedComponents(
+            spark.read.parquet(s"$work/pairs_$n")).count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
@@ -102,6 +112,13 @@ object ScaleProof {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(cpus.toInt, (n / 2000L).toInt).toString)
       val (docs, emb) = corpus(n)
+      // verified-pair edge list for the CC op, built once outside
+      // its timer (its generation cost is the jaccard op's own number)
+      Dedup.jaccardPairs(
+          Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
+          maxShingleDf = 128, indexPath = Some(s"$work/jix0_$n"))
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(s"$work/pairs_$n")
       for ((name, f) <- ops(n, docs, emb)) {
         val (sec, rows) = timeMinOfReps(f)
         results((name, n)) = sec

@@ -172,6 +172,40 @@ object SparkEntry {
       |  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle FROM toks),
       |shd AS (SELECT DISTINCT doc_id, ${h60Sql("shingle")} AS sh FROM sh0)""".stripMargin
 
+  /** Verified jaccard near-dup pairs (threshold 0.5, τ=32) — the edge
+    * list the cluster queries build on.
+    */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(
+      Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
+      0.5, maxShingleDf = 32)
+
+  /** Oracle mirror of [[neardupPairs]] + [[Dedup.connectedComponents]]:
+    * the same capped-shingle jaccard pair list, then components by
+    * recursive transitive closure + MIN label (fine at oracle scale;
+    * the Spark side runs O(log² n) star-contraction instead). Must be
+    * prefixed with WITH RECURSIVE.
+    */
+  private val clustersCte =
+    shinglesCte + s""",
+      |cshc AS (SELECT doc_id, sh FROM shd WHERE sh NOT IN
+      | (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) > 32)),
+      |csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshc GROUP BY doc_id),
+      |cinter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
+      | FROM cshc l JOIN cshc r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      | GROUP BY 1, 2),
+      |cpairs AS (SELECT doc_a, doc_b FROM cinter
+      | JOIN csizes sa ON sa.doc_id = doc_a
+      | JOIN csizes sb ON sb.doc_id = doc_b
+      | WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5),
+      |csym AS (SELECT doc_a AS n, doc_b AS r FROM cpairs
+      | UNION SELECT doc_b, doc_a FROM cpairs
+      | UNION SELECT doc_a, doc_a FROM cpairs
+      | UNION SELECT doc_b, doc_b FROM cpairs),
+      |reach AS (SELECT n, r FROM csym
+      | UNION SELECT reach.n, csym.r FROM reach JOIN csym ON reach.r = csym.n),
+      |cc AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
   private val minhashK = 16
   private val minhashBands = 4
 
@@ -623,6 +657,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Deterministic stratified sampling — the data-mixing primitive of
+    // training corpora (per-stratum rates, e.g. upweight English).
+    // The membership test is a pure hash predicate evaluated scan-side
+    // (no shuffle, no RNG state), so the sampled mixture is
+    // reproducible at any parallelism and any scale, and composes with
+    // partition pruning.
+    "docs_sample_stratified" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "fr", 25).otherwise(10)
+      t(s, d, "documents")
+        .filter(pmod(Hashing.hash60(col("doc_id").cast("string")),
+          lit(100L)) < rate)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Budget-capped curation: keep only the k highest-quality docs per
+    // source — the "token budget per domain" step of corpus curation —
+    // running on the custom bounded-heap TopKPerKey plan (no per-key
+    // sort; one exchange on source).
+    "docs_quality_topk" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        docsWithTokens(t(s, d, "documents")).select(
+          col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), col("toks")).as("quality_score")),
+        keys = Seq("source"),
+        order = Seq(graft.plans.TopKPerKey.desc("quality_score"),
+          graft.plans.TopKPerKey.asc("doc_id")),
+        k = 5)
+        .select(col("source"), col("rank").cast("long").as("rk"),
+          col("doc_id"), col("quality_score"))),
+
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
@@ -679,6 +744,32 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
         0.5, maxShingleDf = 32)),
+
+    // Near-duplication is transitive in practice: pair lists must be
+    // clustered before survivor selection. Star-contraction connected
+    // components (O(log² n) rounds, not O(diameter)) over the verified
+    // jaccard pairs; the oracle's recursive CTE computes the same
+    // fixpoint by transitive closure.
+    "dedup_clusters" -> ((s, d) => {
+      val cc = Dedup.connectedComponents(neardupPairs(s, d))
+      // groupBy+broadcast-join over a window: the size agg partial-
+      // aggregates map-side and the per-cluster relation is tiny
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(broadcast(sizes), "component")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+    }),
+
+    // Keep-one-per-cluster: the full near-dup dedup pipeline end to
+    // end (shingle → cap → verify → cluster → anti-join survivors).
+    "dedup_neardup_survivors" -> ((s, d) => {
+      val drop = Dedup.connectedComponents(neardupPairs(s, d))
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
@@ -1142,6 +1233,39 @@ object SparkEntry {
          |SELECT q.doc_id, q.source, q.n_chars FROM q JOIN keep USING (doc_id)""".stripMargin
     },
 
+    "docs_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 <
+         | (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25
+         |   ELSE 10 END)""".stripMargin,
+
+    "docs_quality_topk" -> {
+      val tk = toksSql("text")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, source, text, $tk AS tk FROM documents),
+         |m AS (SELECT doc_id, source,
+         |  len(tk) AS n_tokens,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ($all)))::DOUBLE / len(tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM base),
+         |scored AS (SELECT doc_id, source,
+         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |   + least(stop_ratio * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS quality_score
+         | FROM m)
+         |SELECT source,
+         | row_number() OVER (PARTITION BY source
+         |   ORDER BY quality_score DESC, doc_id) AS rk,
+         | doc_id, quality_score
+         |FROM scored
+         |QUALIFY rk <= 5""".stripMargin
+    },
+
     "text_stats" -> {
       val tk = toksSql("text")
       val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
@@ -1237,6 +1361,18 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $clustersCte
+         |SELECT doc_id, cluster_id,
+         | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc""".stripMargin,
+
+    "dedup_neardup_survivors" ->
+      s"""WITH RECURSIVE $clustersCte
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN
+         | (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
 
     "dedup_simhash" -> {
       val h = h60Sql("t")

@@ -396,4 +396,101 @@ object Dedup {
       .write.mode("append").parquet(storePath)
     survivors
   }
+
+  // ------------------- duplicate-cluster formation -------------------
+
+  /** Connected components over a duplicate-pair edge list — the step
+    * between pairwise near-dup detection ([[jaccardPairs]],
+    * [[Similarity.embeddingNearDupPairs]]) and "keep one document per
+    * duplicate cluster": near-duplication is transitive in practice
+    * (A≈B, B≈C ⇒ one cluster), so survivors must be chosen per
+    * component, not per pair.
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round is two aggregate+join passes over the edge
+    * list keyed by node:
+    *   - large-star: every node re-points its strictly-LARGER
+    *     neighbors at the minimum of its neighborhood;
+    *   - small-star: every node re-points its smaller-or-equal
+    *     neighbors (and itself) at that minimum.
+    * Both steps preserve connectivity and monotonically shrink the
+    * potential, reaching a fixpoint of min-rooted stars in O(log² n)
+    * rounds — crucially NOT O(diameter), so a pathological
+    * million-doc chain still converges in ~40 rounds (DedupSpec runs
+    * a 64-node path). At scale this shape matters:
+    *   - no adjacency materialization: a `collect_set` formulation
+    *     would buffer a million-member boilerplate cluster on one
+    *     executor; min-aggregation is map-side partial and O(1) per
+    *     group;
+    *   - each round shuffles only (node, node) long pairs, never
+    *     payloads, and the edge set only shrinks;
+    *   - per-round `localCheckpoint` truncates the O(rounds)-deep
+    *     lineage (same caveat as [[jaccardPairs]]: for multi-hour
+    *     100 TB jobs prefer `spark.sparkContext.setCheckpointDir` +
+    *     reliable checkpoints; the fixpoint loop is indifferent).
+    * Convergence is detected by an order-insensitive checksum
+    * (count + bit-XOR of xxhash64, overflow-free under ANSI mode; the
+    * edge set is distinct so XOR cancellation needs a hash collision)
+    * of the canonical edge set — engine-internal only, so a
+    * non-portable hash is fine here.
+    *
+    * Returns (node, component) for every node appearing in `pairs`,
+    * where component = the minimum node id reachable from the node;
+    * isolated self-pairs (a = b) yield singleton components.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxRounds: Int = 64): DataFrame = {
+    // every input node, remembered before self-loops are dropped
+    val nodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node")))
+      .distinct().localCheckpoint(true)
+    // canonical orientation large→small; self-loops carry no
+    // connectivity
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+
+    var prev = checksum(edges)
+    var round = 0
+    var fixed = prev._1 == 0L
+    while (!fixed && round < maxRounds) {
+      // large-star over the symmetrized neighborhood
+      val sym = edges.union(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        // v > u ≥ m, so (v, m) is already oriented large→small
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the large→small orientation
+      val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m by minimality
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      val cur = checksum(small)
+      fixed = cur == prev
+      prev = cur
+      edges = small
+      round += 1
+    }
+    require(fixed, s"connectedComponents did not converge in $maxRounds rounds")
+    // fixpoint = min-rooted stars: (u, v) means u's component root is v
+    nodes.join(edges, nodes("node") === edges("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
+  }
+
+  /** Order-insensitive edge-set fingerprint for fixpoint detection. */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 }

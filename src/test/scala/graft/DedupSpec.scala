@@ -220,4 +220,47 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(fps(0L), fps(4L)) > hamming(fps(0L), fps(3L)),
       "unrelated doc closer than near-dup")
   }
+
+  /** Sequential union-find reference for the distributed algorithm. */
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: merges chains, keeps singletons, min-labels") {
+    val got = ccMap(Seq((1L, 2L), (2L, 3L), (9L, 8L), (5L, 5L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      8L -> 8L, 9L -> 8L, 5L -> 5L))
+  }
+
+  test("connected components: 64-node path converges (not O(diameter))") {
+    // a path is the worst case for naive label propagation (diameter
+    // 63); star-contraction must finish within the 64-round guard
+    // (O(log² n) ≈ a dozen rounds here)
+    val got = ccMap((0L until 63L).map(i => (i, i + 1)))
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val want = ufComponents(pairs)
+      assert(ccMap(pairs) === want, s"trial $trial pairs=$pairs")
+    }
+  }
 }
