@@ -688,6 +688,26 @@ object SparkEntry {
         .select(col("source"), col("rank").cast("long").as("rk"),
           col("doc_id"), col("quality_score"))),
 
+    // Concat-and-chunk sequence packing: each doc's token start
+    // offset within its source's concatenation stream, and the index
+    // of the 2048-token training sequence that offset falls in — the
+    // standard pretraining batch-assembly step. Packing is per-source
+    // (domain-sharded), so the running sum is a window partitioned by
+    // source — parallel across sources, never a single global sort.
+    // At 100 TB the same shape holds with a finer shard key (e.g.
+    // source × date) to bound per-partition window size.
+    "docs_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_idx",
+          floor(col("start_offset") / lit(2048)).cast("long"))
+    }),
+
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
@@ -813,6 +833,16 @@ object SparkEntry {
     "dedup_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.4,
         planes = 4, dims = 64, tables = 8)),
+
+    // The cluster operator composes across dedup families: the same
+    // star-contraction components over embedding-cosine (semantic)
+    // near-dup pairs, not just shingle-jaccard ones.
+    "embed_neardup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.4,
+          planes = 4, dims = 64, tables = 8),
+        aCol = "vec_a", bCol = "vec_b")
+        .select(col("node").as("vec_id"), col("component").as("cluster_id"))),
 
     // IVF ANN path (coarse-quantizer cells + probe; rows-only —
     // recall vs brute force is ScalaTest'd).
@@ -1266,6 +1296,18 @@ object SparkEntry {
          |QUALIFY rk <= 5""".stripMargin
     },
 
+    "docs_pack_sequences" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  len(${toksSql("text")})::BIGINT AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   0)::BIGINT AS start_offset
+         | FROM m)
+         |SELECT doc_id, source, n_tokens, start_offset,
+         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_idx
+         |FROM o""".stripMargin,
+
     "text_stats" -> {
       val tk = toksSql("text")
       val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
@@ -1415,6 +1457,23 @@ object SparkEntry {
          |JOIN embeddings a ON a.vec_id = vec_a
          |JOIN embeddings b ON b.vec_id = vec_b
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+    "embed_neardup_clusters" ->
+      s"""WITH RECURSIVE $srpBucketsCte,
+         |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         | FROM buckets l JOIN buckets r
+         |  ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |epairs AS (SELECT vec_a, vec_b FROM cand
+         | JOIN embeddings a ON a.vec_id = vec_a
+         | JOIN embeddings b ON b.vec_id = vec_b
+         | WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+         |esym AS (SELECT vec_a AS n, vec_b AS r FROM epairs
+         | UNION SELECT vec_b, vec_a FROM epairs
+         | UNION SELECT vec_a, vec_a FROM epairs
+         | UNION SELECT vec_b, vec_b FROM epairs),
+         |ereach AS (SELECT n, r FROM esym
+         | UNION SELECT ereach.n, esym.r FROM ereach JOIN esym ON ereach.r = esym.n)
+         |SELECT n AS vec_id, MIN(r) AS cluster_id FROM ereach GROUP BY n""".stripMargin,
 
     // Full LSH ANN pipeline: bucket match in ANY of the 8 tables →
     // exact re-rank on the 6-dp-rounded cosine. Ranking on the ROUNDED

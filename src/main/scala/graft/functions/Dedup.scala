@@ -425,10 +425,14 @@ object Dedup {
     *     group;
     *   - each round shuffles only (node, node) long pairs, never
     *     payloads, and the edge set only shrinks;
-    *   - per-round `localCheckpoint` truncates the O(rounds)-deep
-    *     lineage (same caveat as [[jaccardPairs]]: for multi-hour
-    *     100 TB jobs prefer `spark.sparkContext.setCheckpointDir` +
-    *     reliable checkpoints; the fixpoint loop is indifferent).
+    *   - per-round materialization truncates the O(rounds)-deep
+    *     lineage. The default is `localCheckpoint` (executor-memory
+    *     blocks — low-latency, right for single-job runs); pass
+    *     `checkpointDir` to write each round's edge set to durable
+    *     parquet instead (same trade-off as [[jaccardPairs]]'s
+    *     `indexPath`: survives executor loss, the configuration a
+    *     multi-hour 100 TB job wants). Identical results either way
+    *     (DedupSpec parity test).
     * Convergence is detected by an order-insensitive checksum
     * (count + bit-XOR of xxhash64, overflow-free under ANSI mode; the
     * edge set is distinct so XOR cancellation needs a hash collision)
@@ -441,18 +445,38 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxRounds: Int = 64): DataFrame = {
+                          maxRounds: Int = 64,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    var gen = 0
+    // name "nodes" is written once; edge rounds alternate two dirs —
+    // round k reads gen k-1 while writing gen k, after which the k-1
+    // dir is dead and reusable. Never overwrites a dir still
+    // referenced by a live DataFrame.
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => df.localCheckpoint(true)
+      }
+    def materializeEdges(df: DataFrame): DataFrame = {
+      val d = materialize(df, s"edges_${gen % 2}"); gen += 1; d
+    }
     // every input node, remembered before self-loops are dropped
-    val nodes = pairs.select(col(aCol).as("node"))
-      .union(pairs.select(col(bCol).as("node")))
-      .distinct().localCheckpoint(true)
+    val nodes = materialize(
+      pairs.select(col(aCol).as("node"))
+        .union(pairs.select(col(bCol).as("node")))
+        .distinct(), "nodes")
     // canonical orientation large→small; self-loops carry no
     // connectivity
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+    var edges = materializeEdges(
+      pairs
+        .select(greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
 
     var prev = checksum(edges)
     var round = 0
@@ -471,11 +495,12 @@ object Dedup {
         .distinct()
       // small-star over the large→small orientation
       val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(ssMin, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v")) // v > m by minimality
-        .union(ssMin.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(true)
+      val small = materializeEdges(
+        large.join(ssMin, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")) // v > m by minimality
+          .union(ssMin.select(col("u"), col("m").as("v")))
+          .distinct())
       val cur = checksum(small)
       fixed = cur == prev
       prev = cur

@@ -263,4 +263,17 @@ class DedupSpec extends SparkTestBase {
       assert(ccMap(pairs) === want, s"trial $trial pairs=$pairs")
     }
   }
+
+  test("connected components: durable-checkpoint path ≡ localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val pairs = ((0L until 15L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 200L))).toDF("doc_a", "doc_b")
+    val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable === local)
+    assert(durable(15L) === 0L && durable(102L) === 100L
+      && durable(200L) === 200L)
+  }
 }

@@ -76,4 +76,24 @@ class QuerySurfaceSpec extends SparkTestBase {
         s"query $q: LSH rank order violates (score desc, id asc): $ordered")
     }
   }
+
+  test("sequence packing: offsets are the per-source running token sum") {
+    // independent driver-side recomputation of the concat-and-chunk
+    // contract: within each source (ordered by doc_id) a doc's start
+    // offset equals the sum of all earlier docs' token counts, and
+    // seq_idx = start_offset / 2048
+    val rows = SparkEntry.queries("docs_pack_sequences")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      var running = 0L
+      docs.sortBy(_._2).foreach { case (_, id, n, off, seq) =>
+        assert(off === running, s"$src doc $id: offset $off != $running")
+        assert(seq === off / 2048, s"$src doc $id: seq_idx mismatch")
+        running += n
+      }
+    }
+  }
 }
