@@ -89,9 +89,13 @@ object ScaleProof {
         // scale story is that CC runs on the PAIR list, which the
         // capped candidate generation already keeps orders of
         // magnitude smaller than the corpus
+        // driverThreshold 0: the claim under proof is the DISTRIBUTED
+        // star-contraction loop (production defaults would route these
+        // pair-list sizes to the driver union-find fast path)
         "dedup_clusters" -> (() =>
           Dedup.connectedComponents(
-            spark.read.parquet(s"$work/pairs_$n")).count()),
+            spark.read.parquet(s"$work/pairs_$n"),
+            driverThreshold = 0L).count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),

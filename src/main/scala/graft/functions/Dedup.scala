@@ -439,6 +439,19 @@ object Dedup {
     * of the canonical edge set — engine-internal only, so a
     * non-portable hash is fine here.
     *
+    * Small-graph fast path: the verified pair list is routinely 4–5
+    * orders of magnitude smaller than the corpus (capped candidate
+    * generation exists precisely to guarantee that), so after ONE
+    * count of the deduplicated edge set, graphs with at most
+    * `driverThreshold` edges are solved by a driver-side union-find —
+    * the same principle as Spark's broadcast-join threshold: a
+    * hard-bounded driver structure (the default 1M edges is broadcast-
+    * relation scale) replacing several distributed rounds. Long-keyed
+    * graphs only; anything larger — or non-long keys — runs the
+    * star-contraction loop, which is the configuration proven at 100×
+    * in PLANS.md §scaling. Identical output either way (DedupSpec
+    * runs both paths against the same union-find reference).
+    *
     * Returns (node, component) for every node appearing in `pairs`,
     * where component = the minimum node id reachable from the node;
     * isolated self-pairs (a = b) yield singleton components.
@@ -446,7 +459,8 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
                           maxRounds: Int = 64,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     var gen = 0
     // name "nodes" is written once; edge rounds alternate two dirs —
@@ -479,6 +493,42 @@ object Dedup {
         .distinct())
 
     var prev = checksum(edges)
+
+    val longKeys = {
+      import org.apache.spark.sql.types.LongType
+      pairs.schema(aCol).dataType == LongType &&
+        pairs.schema(bCol).dataType == LongType
+    }
+    if (longKeys && prev._1 <= driverThreshold &&
+        nodes.count() <= 2L * driverThreshold) {
+      // driver union-find (union-by-min + path compression): the root
+      // of every set is its minimum element, matching the distributed
+      // fixpoint's min-label contract exactly
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = nodes.collect().map { r =>
+        val n = r.getLong(0)
+        org.apache.spark.sql.Row(n, find(n))
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", LongType, nullable = false),
+          StructField("component", LongType, nullable = false))))
+    }
+
     var round = 0
     var fixed = prev._1 == 0L
     while (!fixed && round < maxRounds) {

@@ -235,32 +235,43 @@ class DedupSpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).collect()
+  /** threshold 0 forces the distributed star-contraction loop;
+    * MaxValue forces the driver union-find fast path.
+    */
+  private def ccMap(pairs: Seq[(Long, Long)],
+                    threshold: Long): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"),
+        driverThreshold = threshold).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("connected components: merges chains, keeps singletons, min-labels") {
-    val got = ccMap(Seq((1L, 2L), (2L, 3L), (9L, 8L), (5L, 5L)))
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      8L -> 8L, 9L -> 8L, 5L -> 5L))
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 8L), (5L, 5L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      8L -> 8L, 9L -> 8L, 5L -> 5L)
+    assert(ccMap(pairs, 0L) === want, "distributed path")
+    assert(ccMap(pairs, Long.MaxValue) === want, "driver path")
   }
 
   test("connected components: 64-node path converges (not O(diameter))") {
     // a path is the worst case for naive label propagation (diameter
     // 63); star-contraction must finish within the 64-round guard
-    // (O(log² n) ≈ a dozen rounds here)
-    val got = ccMap((0L until 63L).map(i => (i, i + 1)))
+    // (O(log² n) ≈ a dozen rounds here). threshold 0 forces the
+    // distributed loop — the property under test
+    val got = ccMap((0L until 63L).map(i => (i, i + 1)), 0L)
     assert(got === (0L to 63L).map(_ -> 0L).toMap)
   }
 
-  test("connected components match union-find on random graphs") {
+  test("connected components match union-find on random graphs, both paths") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
       val n = 30 + trial * 10
       val pairs = Seq.fill(n)(
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       val want = ufComponents(pairs)
-      assert(ccMap(pairs) === want, s"trial $trial pairs=$pairs")
+      assert(ccMap(pairs, 0L) === want,
+        s"distributed, trial $trial pairs=$pairs")
+      assert(ccMap(pairs, Long.MaxValue) === want,
+        s"driver, trial $trial pairs=$pairs")
     }
   }
 
@@ -268,9 +279,11 @@ class DedupSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val pairs = ((0L until 15L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (200L, 200L))).toDF("doc_a", "doc_b")
-    val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    // threshold 0 so both runs exercise the round loop's materialization
+    val durable = Dedup.connectedComponents(pairs,
+        checkpointDir = Some(dir), driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = Dedup.connectedComponents(pairs)
+    val local = Dedup.connectedComponents(pairs, driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(durable === local)
     assert(durable(15L) === 0L && durable(102L) === 100L
