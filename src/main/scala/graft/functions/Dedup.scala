@@ -478,17 +478,22 @@ object Dedup {
     def materializeEdges(df: DataFrame): DataFrame = {
       val d = materialize(df, s"edges_${gen % 2}"); gen += 1; d
     }
+    // materialize the input ONCE: nodes and edges both derive from it,
+    // and the upstream pair pipeline (shingle scans, LSH joins, exact
+    // verification) is the expensive part — without this it would
+    // recompute for each derivation
+    val p = materialize(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "pairs")
     // every input node, remembered before self-loops are dropped
     val nodes = materialize(
-      pairs.select(col(aCol).as("node"))
-        .union(pairs.select(col(bCol).as("node")))
+      p.select(col("a").as("node"))
+        .union(p.select(col("b").as("node")))
         .distinct(), "nodes")
     // canonical orientation large→small; self-loops carry no
     // connectivity
     var edges = materializeEdges(
-      pairs
-        .select(greatest(col(aCol), col(bCol)).as("u"),
-          least(col(aCol), col(bCol)).as("v"))
+      p.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
 
