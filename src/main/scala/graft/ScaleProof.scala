@@ -96,6 +96,18 @@ object ScaleProof {
           Dedup.connectedComponents(
             spark.read.parquet(s"$work/pairs_$n"),
             driverThreshold = 0L).count()),
+        // real-corpus pair lists stay tiny (that is the point of
+        // capped candidate generation), so the row above mostly
+        // measures fixed overhead. This op feeds the loop n SYNTHETIC
+        // edges over n/2 nodes — supercritical Erdős–Rényi, where a
+        // giant component of diameter ~log n emerges: the regime that
+        // actually stresses the contraction rounds
+        "cc_synthetic_edges" -> (() =>
+          Dedup.connectedComponents(
+            spark.range(n).select(
+              pmod(xxhash64(col("id")), lit(n / 2)).as("doc_a"),
+              pmod(xxhash64(col("id"), lit(1L)), lit(n / 2)).as("doc_b")),
+            driverThreshold = 0L).count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),

@@ -928,7 +928,21 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("lum_sum"),
           element_at(col("lum_hist"), 1).as("h0"),
           element_at(col("lum_hist"), 4).as("h3"),
-          element_at(col("lum_hist"), 8).as("h7")))
+          element_at(col("lum_hist"), 8).as("h7"))),
+
+    // REAL audio decode: calibration clips encoded to RIFF/WAVE and
+    // decoded back through javax.sound.sampled; WAV PCM is lossless,
+    // so the oracle recomputes the amplitude stats from the
+    // closed-form sample formula — same proof shape as the PNG kernel.
+    "multimodal_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.wavMediaTable(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", 256, 8000))
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("amp_sum"),
+          element_at(col("amp_hist"), 1).as("a0"),
+          element_at(col("amp_hist"), 5).as("a4"),
+          element_at(col("amp_hist"), 8).as("a7")))
   )
 
   // ----------------------------------------------------------------
@@ -1569,6 +1583,20 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
         | CAST(SUM(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
         | CAST(SUM(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
-        |FROM px GROUP BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "multimodal_audio_decode" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id,
+        |   ((d.doc_id * 2654435761 + i.i * 48271) % 65536 - 32768) AS v
+        |  FROM documents d, range(0, 256) i(i)
+        |)
+        |SELECT doc_id, CAST(256 AS INTEGER) AS n_samples,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(SUM(abs(v)) AS BIGINT) AS amp_sum,
+        | CAST(SUM(CASE WHEN LEAST(abs(v) // 4096, 7) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        | CAST(SUM(CASE WHEN LEAST(abs(v) // 4096, 7) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+        | CAST(SUM(CASE WHEN LEAST(abs(v) // 4096, 7) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS a7
+        |FROM smp GROUP BY doc_id""".stripMargin
   )
 }

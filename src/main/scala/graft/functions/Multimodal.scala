@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   *  - [[decodeImageFeatures]] — a REAL image decode through the JDK's
   *    `javax.imageio` (PNG/JPEG, no external jar), oracle-checked end
   *    to end against closed-form calibration images;
+  *  - [[decodeAudioFeatures]] — a REAL audio decode through the JDK's
+  *    `javax.sound.sampled` (WAV/PCM, headless-safe), oracle-checked
+  *    the same way against closed-form calibration clips;
   *  - [[fakeDecode]]/[[fakeResize]] — clearly-marked deterministic
-  *    stand-ins for codecs the container does NOT ship (audio/video),
-  *    with the real Spark-side contract: schema, batching,
-  *    partition-parallelism, and null safety are production-shaped and
-  *    tested; only those kernel bodies are fake.
+  *    stand-ins for codecs the container does NOT ship (video,
+  *    compressed audio), with the real Spark-side contract: schema,
+  *    batching, partition-parallelism, and null safety are
+  *    production-shaped and tested; only those kernel bodies are fake.
   */
 object Multimodal {
 
@@ -303,6 +306,136 @@ object Multimodal {
               y += 1
             }
             Row(id, w, h, sum, hist.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  // ------------------- REAL audio decode (WAV/PCM) -------------------
+
+  /** 16-bit PCM sample of the synthetic calibration clip for doc `id`
+    * at sample index `i` — the audio analog of [[calibrationPixel]]: a
+    * closed form over 64-bit integers, exactly expressible in ANSI
+    * SQL, so the oracle recomputes decoded-sample statistics without a
+    * decoder. Range [-32768, 32767].
+    */
+  def calibrationSample(id: Long, i: Int): Int =
+    ((id * 2654435761L + i * 48271L) % 65536L - 32768L).toInt
+
+  /** Output schema of the audio decode kernel: exact integer
+    * amplitude statistics (abs-sum + 8-bin abs histogram), stable at
+    * any parallelism and comparable across engines.
+    */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("amp_sum", LongType),
+    StructField("amp_hist", ArrayType(LongType))))
+
+  private def pcmBytes(id: Long, n: Int): Array[Byte] = {
+    // 16-bit signed little-endian mono PCM
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = calibrationSample(id, i)
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    bytes
+  }
+
+  /** Media table of real RIFF/WAVE payloads (PCM_SIGNED 16-bit LE
+    * mono), one clip per id row, encoded through the JDK's
+    * `javax.sound.sampled` (headless-safe — WAV file encode/decode is
+    * pure Java, no audio device). Same layout as [[pngMediaTable]].
+    */
+  def wavMediaTable(ids: DataFrame, idCol: String,
+                    nSamples: Int, sampleRate: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // format object reused across the partition; AudioSystem's
+        // provider registry is JVM-cached, so the per-row cost is the
+        // stream plumbing only
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pcm = pcmBytes(id, nSamples)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val wav = baos.toByteArray
+          md.reset()
+          val checksum = md.digest(wav).map("%02x".format(_)).mkString
+          Row(id, wav, Row("audio/wav", wav.length.toLong, checksum))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode kernel: `javax.sound.sampled` WAV parse inside
+    * the batched mapPartitions shape, emitting exact integer amplitude
+    * statistics — abs-sum and an 8-bin histogram of `min(|s| >> 12,
+    * 7)` (the `min` keeps -32768, whose |s| is 2¹⁵, in the top bin
+    * instead of wrapping). Non-PCM16 or corrupt payloads yield null
+    * statistics, not task failures — same crawl-robustness contract as
+    * [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val decoded: Option[(Int, Int, Long, Array[Long])] =
+            if (payload == null) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getChannels != 1 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  None
+                else {
+                  val bytes = ais.readAllBytes()
+                  val n = bytes.length / 2
+                  val big = fmt.isBigEndian
+                  val hist = new Array[Long](8)
+                  var sum = 0L
+                  var i = 0
+                  while (i < n) {
+                    val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+                    val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+                    val s = ((hi << 8) | lo).toShort.toInt
+                    val a = math.abs(s.toLong)
+                    sum += a
+                    hist(math.min(a >> 12, 7L).toInt) += 1L
+                    i += 1
+                  }
+                  Some((n, fmt.getSampleRate.toInt, sum, hist))
+                }
+              } finally ais.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          decoded match {
+            case Some((n, rate, sum, hist)) =>
+              Row(id, n, rate, sum, hist.toSeq)
+            case None => Row(id, null, null, null, null)
           }
         }
       }(enc)

@@ -91,6 +91,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(run(4) === got)
   }
 
+  test("real audio decode: WAV round-trip reproduces every sample") {
+    val ids = Seq(0L, 7L, 123L, 4999L).toDF("doc_id")
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.wavMediaTable(ids, "doc_id", 256, 8000)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.size === 4)
+    for ((id, r) <- feats) {
+      assert(r.getInt(1) === 256 && r.getInt(2) === 8000)
+      // recompute expected statistics from the closed form
+      val abs = (0 until 256)
+        .map(i => math.abs(Multimodal.calibrationSample(id, i).toLong))
+      assert(r.getLong(3) === abs.sum, s"amp_sum mismatch for doc $id")
+      val hist = r.getSeq[Long](4)
+      assert(hist === (0L until 8L).map(b =>
+          abs.count(a => math.min(a >> 12, 7L) == b).toLong),
+        s"amp histogram mismatch for doc $id")
+    }
+  }
+
+  test("audio decode survives corrupt payloads and non-PCM16 formats") {
+    val wav = Multimodal.wavMediaTable(Seq(5L).toDF("doc_id"),
+      "doc_id", 64, 8000).select("payload").first().getAs[Array[Byte]](0)
+    val rows = Seq(
+      (1L, wav),
+      (2L, wav.take(10)),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("doc_id", "payload")
+    def run(parts: Int) = Multimodal.decodeAudioFeatures(media.repartition(parts))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val got = run(1)
+    assert(got(1L).isDefined, "valid WAV must decode")
+    assert(got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty,
+      "corrupt/non-audio/null payloads must yield null stats, not errors")
+    assert(run(4) === got)
+  }
+
   test("feature extraction is deterministic and partition-invariant") {
     val f1 = Multimodal.extractFeatures(media.repartition(1)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
