@@ -708,6 +708,23 @@ object SparkEntry {
           floor(col("start_offset") / lit(2048)).cast("long"))
     }),
 
+    // Within-document repetition (the Gopher-style quality signal):
+    // fraction of duplicate 3-gram shingles. Pure scan-side array
+    // math — no explode, no shuffle; at 100 TB this filter costs one
+    // pass over the text column.
+    "docs_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), Text.shingles(col("tk"), 3).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_shingles") > 0, Hashing.portableRound(
+              lit(1.0) - col("n_distinct").cast("double") /
+                col("n_shingles").cast("double"), 6))
+            .otherwise(lit(0.0)))),
+
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
@@ -1309,6 +1326,20 @@ object SparkEntry {
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin
     },
+
+    "docs_repetition" ->
+      s"""WITH $toksCte,
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(greatest(len(tk) - 2, 0)),
+         |   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS grams
+         | FROM toks),
+         |m AS (SELECT doc_id, len(grams)::BIGINT AS n_shingles,
+         |  len(list_distinct(grams))::BIGINT AS n_distinct FROM sh)
+         |SELECT doc_id, n_shingles, n_distinct,
+         | CASE WHEN n_shingles > 0 THEN
+         |  ROUND(1.0 - n_distinct::DOUBLE / n_shingles::DOUBLE, 6)
+         | ELSE 0.0 END AS dup_ratio
+         |FROM m""".stripMargin,
 
     "docs_pack_sequences" ->
       s"""WITH m AS (SELECT doc_id, source,
