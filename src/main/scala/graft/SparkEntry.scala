@@ -708,6 +708,24 @@ object SparkEntry {
           floor(col("start_offset") / lit(2048)).cast("long"))
     }),
 
+    // Benchmark decontamination: corpus documents sharing ≥ 8 distinct
+    // 3-gram shingle hashes with a benchmark/eval set (here: docs
+    // 0-49 — non-empty overlap at every driver SF) — the standard
+    // pre-training leakage check. The benchmark shingle set is
+    // eval-suite-sized at any corpus scale, so it BROADCASTS; the
+    // corpus is scanned once and only matching shingles reach the
+    // aggregate.
+    "docs_decontaminate" -> ((s, d) => {
+      val sh = Dedup.docShingleHashes(t(s, d, "documents"),
+        "doc_id", "text", 3)
+      val bench = sh.filter(col("doc_id") < 50).select(col("sh")).distinct()
+      sh.filter(col("doc_id") >= 50)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 8)
+    }),
+
     // Within-document repetition (the Gopher-style quality signal):
     // fraction of duplicate 3-gram shingles. Pure scan-side array
     // math — no explode, no shuffle; at 100 TB this filter costs one
@@ -1326,6 +1344,14 @@ object SparkEntry {
          |FROM scored
          |QUALIFY rk <= 5""".stripMargin
     },
+
+    "docs_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |bsh AS (SELECT DISTINCT sh FROM shd WHERE doc_id < 50)
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM shd JOIN bsh USING (sh)
+         |WHERE doc_id >= 50
+         |GROUP BY doc_id HAVING COUNT(*) >= 8""".stripMargin,
 
     "docs_repetition" ->
       s"""WITH $toksCte,
