@@ -179,16 +179,29 @@ object Dedup {
     if (maxBucketSize == Long.MaxValue) return rows
     require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
     val keys = keyCols.map(col)
-    val hot = rows.groupBy(keys: _*)
+    // COLLECT the hot keys in the same action that detects them: a
+    // broadcast of the unmaterialized `hot` relation would re-run the
+    // entire upstream pipeline (banding scans + this aggregate) once
+    // per consumer when the broadcast is built — and BroadcastExchange
+    // collects to the driver anyway, so this has the identical memory
+    // profile (≤ |rows|/maxBucketSize keys, the same bound that makes
+    // the anti-join broadcastable) with none of the recomputation.
+    val hotRows = rows.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
-    val nHot = hot.count()
-    if (nHot == 0) return rows
+      .select(keys: _*)
+      .collect()
+    if (hotRows.isEmpty) return rows
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"$opName: dropping $nHot bucket(s) larger than $maxBucketSize members " +
-        "from candidate generation (degenerate duplicate cluster? " +
-        "run exactDedup first)")
-    rows.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
+      s"$opName: dropping ${hotRows.length} bucket(s) larger than " +
+        s"$maxBucketSize members from candidate generation (degenerate " +
+        "duplicate cluster? run exactDedup first)")
+    val spark = rows.sparkSession
+    val hotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        keyCols.map(c => rows.schema(c))))
+    rows.join(broadcast(hotDf), keyCols, "left_anti")
   }
 
   /** Exact Jaccard similarity for every pair of documents sharing at

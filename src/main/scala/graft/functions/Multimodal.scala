@@ -215,8 +215,14 @@ object Multimodal {
 
   /** Wrap a partition's row iterator so `cleanup` runs when it is
     * exhausted — the release hook for per-partition kernel resources.
+    * Also registered as a task-completion listener: a downstream
+    * `limit`/`take` can abandon the iterator without ever driving
+    * `hasNext` to false, and the listener fires regardless (cleanup
+    * implementations must be idempotent — both paths can run).
     */
-  private def withCleanup[T](it: Iterator[T])(cleanup: () => Unit): Iterator[T] =
+  private def withCleanup[T](it: Iterator[T])(cleanup: () => Unit): Iterator[T] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => cleanup())
     new Iterator[T] {
       def hasNext: Boolean = {
         val h = it.hasNext
@@ -225,6 +231,7 @@ object Multimodal {
       }
       def next(): T = it.next()
     }
+  }
 
   /** Media table of real PNG payloads, one per id row — encoding runs
     * per-partition on executors (the generator analog of a binaryFile
@@ -281,7 +288,11 @@ object Multimodal {
             else
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(payload))
-              catch { case _: java.io.IOException => null }
+              // NonFatal, not just IOException: ImageIO throws
+              // IllegalArgumentException on CMYK JPEGs and assorted
+              // RuntimeExceptions on fuzzed headers — any of them must
+              // cost one null row, not a deterministic stage failure
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(id, null, null, null, null)
           else {
             val w = img.getWidth; val h = img.getHeight
@@ -429,8 +440,11 @@ object Multimodal {
                 }
               } finally ais.close()
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // NonFatal: the JDK WAV header parser can throw
+              // ArrayIndexOutOfBounds/NegativeArraySize on crafted or
+              // bit-rotted headers, not just the two declared
+              // exceptions — same null-row contract as images
+              case scala.util.control.NonFatal(_) => None
             }
           decoded match {
             case Some((n, rate, sum, hist)) =>

@@ -190,24 +190,53 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
                         content: String): Boolean = {
     val f = fs(spark)
     if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
-    val tmp = new Path(commitsDir,
-      s".tmp-$version-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
     val dst = new Path(commitsDir, version.toString)
-    try {
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, dst) // Rename.NONE: throws if dst exists
-      true
-    } catch {
-      case e: java.io.IOException =>
-        f.delete(tmp, false)
-        // lost the race iff the destination now exists; anything else
-        // is a real I/O failure and must surface
-        if (f.exists(dst)) false else throw e
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      val tmp = new Path(commitsDir,
+        s".tmp-$version-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, dst) // Rename.NONE: throws if dst exists
+        return true
+      } catch {
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          if (!f.exists(dst)) throw e // a real I/O failure, surface it
+          // The destination exists: a winner — or DEBRIS. A valid
+          // commit parses as "<batchId> [dir]"; an unparseable file is
+          // the leftover of a writer that died before its content
+          // landed (possible on stores without atomic rename). Debris
+          // must be self-healed, or this version is wedged FOREVER:
+          // commits() skips it, every writer recomputes the same
+          // newV, and every claim loses to a corpse. In the rename
+          // protocol nobody writes dst in place, so deleting an
+          // unparseable dst can never destroy a live writer's commit.
+          if (parsesAsCommit(f, dst)) return false // lost to a real winner
+          f.delete(dst, false)
+        // loop: retry the claim once after healing
+      }
     }
+    // healed but lost the re-claim too — only a real winner remains
+    false
   }
+
+  /** Whether `p` holds well-formed commit content (first token is the
+    * batchId long) — the same criterion commits() uses to skip torn
+    * files.
+    */
+  private def parsesAsCommit(f: org.apache.hadoop.fs.FileSystem,
+                             p: Path): Boolean =
+    scala.util.Try {
+      val in = f.open(p)
+      val content = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+      content.split("\\s+")(0).toLong
+    }.isSuccess
 
   /** Drop versions (and their commit files) older than the previous
     * one — keeps a snapshot for readers started before the last
@@ -226,6 +255,20 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
   /** Unique snapshot-directory name for one commit attempt. */
   private def newDataDir(version: Long): String =
     s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Run `body` under dynamic partition-overwrite mode, restoring the
+    * session's previous setting afterwards (don't leak dynamic mode).
+    */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Test seam: invoked after the attempt's data is fully written,
     * immediately before the commit claim — the window where a
@@ -292,7 +335,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // clobbered.
     val adopt = cs.isEmpty && hasExternalData(spark)
     val dataDir = newDataDir(newV)
-    partitionCol match {
+    val attemptOk: Boolean = partitionCol match {
       case None =>
         // Full new snapshot into a UNIQUELY-NAMED directory; the
         // previous version stays readable until the commit file lands,
@@ -310,10 +353,33 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
             // snapshot is written under — materialize before writing
             if (adopt) m.localCheckpoint(true) else m
           }
-        data.write.mode("overwrite").parquet(s"$path/$dataDir")
+        try {
+          data.write.mode("overwrite").parquet(s"$path/$dataDir")
+          true
+        } catch {
+          case e: Throwable if fnfInChain(e) &&
+              commits(spark).lastOption.map(_._1).getOrElse(-1L) >
+                cs.lastOption.map(_._1).getOrElse(-1L) =>
+            // The lazily-scanned merge base was GC'd mid-write by
+            // concurrent writers that advanced the log (retain-2
+            // keeps one spare version, so this takes TWO commits
+            // during one merge). Not a failure — a lost race:
+            // discard the partial snapshot and rebuild from the
+            // fresh head.
+            fs(spark).delete(new Path(s"$path/$dataDir"), true)
+            false
+        }
       case Some(pc) if newV == 0 && !adopt =>
-        // First batch: plain create (03_gold_realtime_rides.py:97-99).
-        updates.write.mode("overwrite").partitionBy(pc).parquet(path)
+        // First batch: create (03_gold_realtime_rides.py:97-99) — via
+        // DYNAMIC overwrite, writing only the batch's own partitions.
+        // A STATIC overwrite here would delete the entire path,
+        // including a concurrent writer's just-committed v0 data and
+        // the _commits log itself — silently clobbering the race this
+        // protocol exists to detect.
+        withDynamicOverwrite(spark) {
+          updates.write.mode("overwrite").partitionBy(pc).parquet(path)
+        }
+        true
       case Some(pc) =>
         // Partition-granular merge: read ONLY the partitions the batch
         // touches (partition-pruned scan), merge, dynamic-overwrite
@@ -338,15 +404,20 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
             val base = baseAll.filter(col(pc).isInCollection(touched.toSeq))
             Upsert.merge(base, updates, keys).localCheckpoint(true)
           }
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "dynamic")
-        try merged.write.mode("overwrite").partitionBy(pc).parquet(path)
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key) // don't leak dynamic mode
+        withDynamicOverwrite(spark) {
+          merged.write.mode("overwrite").partitionBy(pc).parquet(path)
         }
+        true
     }
+    if (!attemptOk) {
+      // lost during the snapshot write (merge base GC'd from under a
+      // lazy scan) — same recovery as losing the commit claim
+      if (retriesLeft <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated " +
+            "concurrent-writer conflicts")
+      upsertAttempt(spark, updates, batchId, retriesLeft - 1)
+    } else {
     // A sentinel write records the carried-forward high-water mark so
     // GC of older commits cannot resurrect replay of a seen batch.
     val recorded = if (batchId >= 0) batchId else lastStreamBatch
@@ -375,5 +446,21 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
               "concurrent-writer conflicts")
         upsertAttempt(spark, updates, batchId, retriesLeft - 1)
     }
+    }
+  }
+
+  /** Whether `t`'s cause chain contains a FileNotFoundException (typed
+    * or named in a wrapped task-failure message).
+    */
+  private def fnfInChain(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            c.getMessage.contains("FileNotFoundException")))
+        return true
+      c = c.getCause
+    }
+    false
   }
 }

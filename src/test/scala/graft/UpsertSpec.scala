@@ -235,6 +235,26 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("torn commit file is self-healed, not a permanent wedge") {
+    // a writer that died between creating and writing _commits/<v>
+    // (non-atomic-rename stores) leaves an unparseable file; commits()
+    // skips it, so every later writer recomputes the same version —
+    // the claim must heal the debris instead of losing to it forever
+    val dir = tmpDir("upserttorn") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys)
+    sink.upsert(spark, base, batchId = 0)
+    val v1 = java.nio.file.Paths.get(s"$dir/_commits/1")
+    java.nio.file.Files.write(v1, Array.emptyByteArray) // torn: empty
+    sink.upsert(spark, updates, batchId = 1)
+    val got = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size === 4 &&
+      got(("2024-01-01 10:00:00", "DRV001")) === 9L,
+      s"upsert after torn commit must land: $got")
+    assert(new String(java.nio.file.Files.readAllBytes(v1), "UTF-8")
+      .trim.startsWith("1"), "healed commit must carry the batch id")
+  }
+
   test("partitioned sink: schema-widening batch rewrites ALL partitions") {
     val dir = tmpDir("upsertpw") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
