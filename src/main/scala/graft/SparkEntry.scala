@@ -490,6 +490,28 @@ object SparkEntry {
     }),
 
     // Event-time sessionization: native session_window (30-min gap).
+    // Time-series gap-fill (dense resample): hourly event counts over
+    // the FULL [min, max] hour range, empty hours materialized as 0 —
+    // the dashboards/training-curve semantics a sparse groupBy cannot
+    // give. The hour spine derives from a 1-row bounds aggregate
+    // (sequence + explode — never a driver-side loop), and both join
+    // sides are aggregate-sized, so the plan is broadcast-joined and
+    // scale-independent of the event count.
+    "events_gapfill_1h" -> ((s, d) => {
+      val ev = events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(
+          sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+      spine.join(hourly, Seq("hour"), "left")
+        .select(col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     "session_windows_30m" -> ((s, d) =>
       events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -1105,6 +1127,15 @@ object SparkEntry {
          |   / COUNT(ride_id), 2) AS avg_fare_hourly,
          | CAST(SUM(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS total_suspicious_rides_hourly
          |FROM flagged GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_gapfill_1h" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |hc AS (SELECT date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT spine.hour, CAST(COALESCE(hc.n, 0) AS BIGINT) AS n_events
+        |FROM spine LEFT JOIN hc USING (hour)""".stripMargin,
 
     "session_windows_30m" ->
       """WITH g AS (SELECT user_id, ts, value,
