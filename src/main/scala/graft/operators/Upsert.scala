@@ -276,6 +276,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   protected def beforeCommit(version: Long): Unit = ()
 
+  /** Test seam: invoked after the commit log is read, immediately
+    * before the attempt's data write — the window where a concurrent
+    * writer can both write AND commit first. No-op in production.
+    */
+  protected def beforeWrite(version: Long): Unit = ()
+
   /** Compaction (the Delta OPTIMIZE analog, reference D2:
     * `SET ...optimize.maxFileSize=128MB`, 03_gold_realtime_rides.py:75):
     * rewrite the current snapshot as ⌈bytes / targetFileBytes⌉ files
@@ -335,6 +341,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // clobbered.
     val adopt = cs.isEmpty && hasExternalData(spark)
     val dataDir = newDataDir(newV)
+    beforeWrite(newV)
     val attemptOk: Boolean = partitionCol match {
       case None =>
         // Full new snapshot into a UNIQUELY-NAMED directory; the

@@ -235,6 +235,36 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned sink: losing the v0 create race preserves the winner") {
+    // the old first-batch STATIC overwrite deleted the whole path —
+    // including a concurrent winner's committed data and the commit
+    // log itself — making the v0 race silently destructive instead of
+    // detected. The dynamic-overwrite create must leave the winner's
+    // commit intact and surface the conflict.
+    val dir = tmpDir("upsertv0") + "/gold"
+    val sink: ParquetUpsertSink =
+      new ParquetUpsertSink(dir, keys, Some("window_start")) {
+        var injected = false
+        override protected def beforeWrite(v: Long): Unit =
+          if (v == 0 && !injected) {
+            injected = true
+            // a concurrent writer creates AND commits v0 first
+            new ParquetUpsertSink(dir, keys, Some("window_start"))
+              .upsert(spark, updates, batchId = 7)
+          }
+      }
+    intercept[java.util.ConcurrentModificationException] {
+      sink.upsert(spark, base, batchId = 0)
+    }
+    val reader = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    assert(reader.lastBatchId(spark) === 7,
+      "winner's commit must survive the loser's create")
+    val drv3 = reader.read(spark)
+      .filter(col("driver_id") === "DRV003").collect()
+    assert(drv3.length === 1 && drv3(0).getAs[Long]("total") === 1L,
+      s"winner's data must survive the loser's create: ${drv3.toSeq}")
+  }
+
   test("torn commit file is self-healed, not a permanent wedge") {
     // a writer that died between creating and writing _commits/<v>
     // (non-atomic-rename stores) leaves an unparseable file; commits()
