@@ -97,8 +97,19 @@ object Upsert {
   *    atomicity at partition granularity (the overwrite committer's
   *    guarantee) rather than table granularity.
   */
+/** @param retainVersions how many committed versions (snapshot dirs +
+  *   commit files) GC keeps, newest first. 2 is the single-writer
+  *   minimum (one spare for readers started before the last commit);
+  *   raise it under writer contention — a loser's lazily-scanned
+  *   merge base survives `retainVersions - 1` further commits, and
+  *   for time travel ([[readVersion]]).
+  */
 class ParquetUpsertSink(path: String, keys: Seq[String],
-                        partitionCol: Option[String] = None) {
+                        partitionCol: Option[String] = None,
+                        retainVersions: Int = 2) {
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 (got $retainVersions): the previous " +
+      "version must survive for in-flight readers")
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,6 +179,25 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       // Spark samples (nondeterministic reads). Footer-only cost,
       // proportional to file count, not bytes. _commits is _-hidden.
       spark.read.option("mergeSchema", "true").parquet(path)
+  }
+
+  /** Time travel (the Delta `versionAsOf` analog, versioned layout
+    * only): read the snapshot a specific committed version points at.
+    * Only the newest `retainVersions` commits are readable — older
+    * snapshots are GC'd. The partitioned layout rewrites in place and
+    * keeps no history.
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    require(partitionCol.isEmpty,
+      "time travel requires the versioned layout; the partitioned " +
+        "layout rewrites data in place and keeps no history")
+    commits(spark).find(_._1 == version) match {
+      case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
+      case None => throw new IllegalArgumentException(
+        s"version $version of $path is not available (GC retains the " +
+          s"newest $retainVersions; present: " +
+          s"${commits(spark).map(_._1).mkString(",")})")
+    }
   }
 
   /** Atomic commit point with compare-and-swap semantics: write the
@@ -246,7 +276,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   private def gc(spark: SparkSession, cs: Seq[(Long, Long, String)]): Unit = {
     val f = fs(spark)
-    cs.dropRight(2).foreach { case (v, _, dir) =>
+    cs.dropRight(retainVersions).foreach { case (v, _, dir) =>
       if (partitionCol.isEmpty) f.delete(new Path(s"$path/$dir"), true)
       f.delete(new Path(commitsDir, v.toString), false)
     }
@@ -290,7 +320,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * compaction would be per-partition — not needed at demo scale).
     */
   def compact(spark: SparkSession,
-              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Nil): Unit = {
     if (partitionCol.nonEmpty) return
     val cs = commits(spark)
     if (cs.isEmpty) return
@@ -299,8 +330,21 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val newV = cur + 1
     val dir = newDataDir(newV)
-    spark.read.parquet(s"$path/$curDir").coalesce(nFiles)
-      .write.mode("overwrite").parquet(s"$path/$dir")
+    val snapshot = spark.read.parquet(s"$path/$curDir")
+    // clusterBy (the OPTIMIZE ZORDER analog for one key prefix):
+    // range-partition + sort so each output file covers a DISJOINT
+    // range of the cluster key — parquet row-group min/max stats then
+    // let a point/range predicate skip whole files at scan time
+    // (data skipping), where coalesce would leave every file spanning
+    // the full key range
+    val arranged =
+      if (clusterBy.isEmpty) snapshot.coalesce(nFiles)
+      else {
+        val cols = clusterBy.map(col)
+        snapshot.repartitionByRange(nFiles, cols: _*)
+          .sortWithinPartitions(cols: _*)
+      }
+    arranged.write.mode("overwrite").parquet(s"$path/$dir")
     // compaction is an optimization: losing the version race to a
     // concurrent upsert just abandons this attempt (the upsert's
     // snapshot supersedes ours anyway)

@@ -265,6 +265,54 @@ class UpsertSpec extends SparkTestBase {
       s"winner's data must survive the loser's create: ${drv3.toSeq}")
   }
 
+  test("time travel: readVersion returns historical snapshots within retention") {
+    val dir = tmpDir("upserttt") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
+    sink.upsert(spark, base, batchId = 0)
+    sink.upsert(spark, updates, batchId = 1)
+    // v0 = base as written; v1 = merged
+    val v0 = sink.readVersion(spark, 0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v0(("2024-01-01 10:00:00", "DRV001")) === 5L &&
+      !v0.contains(("2024-01-01 12:00:00", "DRV003")),
+      s"v0 must be the pre-merge snapshot: $v0")
+    val v1 = sink.readVersion(spark, 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v1(("2024-01-01 10:00:00", "DRV001")) === 9L &&
+      v1(("2024-01-01 12:00:00", "DRV003")) === 1L)
+    // default retention (2) would have GC'd v0 after the second commit
+    val sink2 = new ParquetUpsertSink(tmpDir("upserttt2") + "/gold", keys)
+    sink2.upsert(spark, base, batchId = 0)
+    sink2.upsert(spark, updates, batchId = 1)
+    sink2.upsert(spark, updates, batchId = 2) // no-op rows, new version? replay-guarded
+    intercept[IllegalArgumentException] { sink2.readVersion(spark, 0) }
+  }
+
+  test("clustered compaction: each output file covers a disjoint key range") {
+    val dir = tmpDir("upsertclu") + "/gold"
+    val sink = new ParquetUpsertSink(dir, Seq("k"))
+    val rows = spark.range(10000).select(
+      // write in scrambled order so coalesce would leave every file
+      // spanning the whole key range
+      (col("id") * 2654435761L % 10000L).as("k"),
+      col("id").as("v"))
+    sink.upsert(spark, rows.repartition(8), batchId = 0)
+    sink.compact(spark, targetFileBytes = 64 * 1024, clusterBy = Seq("k"))
+    val perFile = sink.read(spark)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "compaction must produce multiple files")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2,
+          s"file ranges overlap: $hi1 > $lo2 in ${perFile.toSeq}")
+      case _ =>
+    }
+    // row count preserved
+    assert(sink.read(spark).count() === 10000L)
+  }
+
   test("torn commit file is self-healed, not a permanent wedge") {
     // a writer that died between creating and writing _commits/<v>
     // (non-atomic-rename stores) leaves an unparseable file; commits()
