@@ -77,6 +77,21 @@ class QuerySurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sample approximates the per-stratum rates") {
+    // en 50%, fr 25%, other 10% — the hash predicate is deterministic,
+    // so rates converge with corpus size; at 500 docs allow wide
+    // uniformity tolerance
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tot = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("docs_sample_stratified")(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(lang: String) = got.getOrElse(lang, 0L).toDouble / tot(lang)
+    assert(math.abs(rate("en") - 0.50) < 0.15, s"en rate ${rate("en")}")
+    assert(math.abs(rate("fr") - 0.25) < 0.15, s"fr rate ${rate("fr")}")
+  }
+
   test("sequence packing: offsets are the per-source running token sum") {
     // independent driver-side recomputation of the concat-and-chunk
     // contract: within each source (ordered by doc_id) a doc's start
