@@ -108,6 +108,24 @@ object ScaleProof {
               pmod(xxhash64(col("id")), lit(n / 2)).as("doc_a"),
               pmod(xxhash64(col("id"), lit(1L)), lit(n / 2)).as("doc_b")),
             driverThreshold = 0L).count()),
+        // ingest-shape dedup: the corpus arrives as 5 sequential
+        // micro-batches against a GROWING persisted band-key store —
+        // measures the store equi-join path, which is what runs
+        // forever at 100 TB ingest (fresh store per rep)
+        "neardup_ingest" -> (() => {
+          val store = s"$work/ndstore_$n"
+          val hfs = org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+          hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+          val batches = 5
+          var survivors = 0L
+          for (b <- 0 until batches) {
+            val batch = docs.filter(pmod(col("doc_id"), lit(batches)) === b)
+            survivors += Dedup.nearDupFilterBatch(
+              batch, store, "doc_id", "text").count()
+          }
+          survivors
+        }),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
