@@ -127,14 +127,21 @@ object SparkEntry {
     * exact re-rank on the rounded score — step for step the ivfTopK
     * plan.
     */
-  private val ivfOracleSql: String =
-    """WITH seeds AS (
+  /** Seed cells + one assignment step — the coarse-quantizer mirror
+    * shared by the IVF and SemDeDup oracles (identical to
+    * [[Similarity.ivfQuantize]]'s assignment).
+    */
+  private val ivfAssignCte: String =
+    """seeds AS (
       |  SELECT vec_id AS cell, embedding AS seed
       |  FROM embeddings ORDER BY vec_id LIMIT 16),
       |assigned AS (
       |  SELECT c.vec_id AS cid,
       |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
-      |  FROM embeddings c, seeds s GROUP BY c.vec_id),
+      |  FROM embeddings c, seeds s GROUP BY c.vec_id)""".stripMargin
+
+  private val ivfOracleSql: String =
+    s"""WITH $ivfAssignCte,
       |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
       |centdims AS (
@@ -765,6 +772,55 @@ object SparkEntry {
                 col("n_shingles").cast("double"), 6))
             .otherwise(lit(0.0)))),
 
+    // PII scrubbing (the pre-training redaction step). The corpus is
+    // synthetic word-salad with no organic PII, so the query PLANTS
+    // deterministic doc_id-derived emails/phones/IPs first (the same
+    // injection is mirrored in the oracle); what is under test is the
+    // detector and redactor regex machinery — counts come from
+    // matching the augmented text, not from the injection arithmetic,
+    // and the redacted-text fingerprint proves replacement parity
+    // byte for byte. Scan-side only: at 100 TB this is one codegen'd
+    // pass over the text column, no shuffle.
+    "docs_pii_scrub" -> ((s, d) => {
+      val aug = t(s, d, "documents").withColumn("pii_text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0.1"))).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+        Text.piiCount(col("pii_text"), Text.emailPattern).as("n_emails"),
+        Text.piiCount(col("pii_text"), Text.phonePattern).as("n_phones"),
+        Text.piiCount(col("pii_text"), Text.ipv4Pattern).as("n_ips"),
+        Hashing.fingerprint(Text.redactPii(col("pii_text")).cast("binary"))
+          .as("clean_fp"))
+    }),
+
+    // Unigram-LM quality proxy (the KenLM-style perplexity filter,
+    // with the corpus itself as the language model): per-doc mean
+    // token log-probability under corpus unigram frequencies. The
+    // frequency table is vocabulary-sized — broadcast to both joins,
+    // so the only shuffle is the per-doc aggregation.
+    "docs_unigram_logprob" -> ((s, d) => {
+      val words = docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val freq = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("wn"))
+      val total = freq.agg(sum(col("wn")).as("tn"))
+      words.join(broadcast(freq), "word")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          Hashing.portableRound(
+            avg(log(col("wn").cast("double") / col("tn").cast("double"))),
+            6).as("avg_logprob"))
+    }),
+
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
         col("doc_id"),
@@ -900,6 +956,14 @@ object SparkEntry {
           planes = 4, dims = 64, tables = 8),
         aCol = "vec_a", bCol = "vec_b")
         .select(col("node").as("vec_id"), col("component").as("cluster_id"))),
+
+    // SemDeDup: coarse-quantizer cells + within-cell cosine pruning —
+    // semantic (embedding-space) deduplication that lexical sketches
+    // cannot see. Threshold 0.4 suits the synthetic corpus (max
+    // pairwise cosine ≈ 0.51); real embedding spaces use ~0.95+.
+    "embed_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), nCells = 16,
+        threshold = 0.4)),
 
     // IVF ANN path (coarse-quantizer cells + probe; rows-only —
     // recall vs brute force is ScalaTest'd).
@@ -1410,6 +1474,46 @@ object SparkEntry {
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_idx
          |FROM o""".stripMargin,
 
+    // Same planted-PII augmentation, then RE2 mirrors of the Java
+    // detector/redactor regexes (the patterns are restricted to the
+    // shared dialect — see Text.emailPattern). DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // always-global semantics.
+    "docs_pii_scrub" -> {
+      val em = Text.emailPattern
+      val ph = Text.phonePattern
+      val ip = Text.ipv4Pattern
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+         |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+         |    (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END AS pii_text
+         | FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(pii_text, '$em'))::BIGINT AS n_emails,
+         | len(regexp_extract_all(pii_text, '$ph'))::BIGINT AS n_phones,
+         | len(regexp_extract_all(pii_text, '$ip'))::BIGINT AS n_ips,
+         | md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |   '$em', '<EMAIL>', 'g'),
+         |   '$ph', '<PHONE>', 'g'),
+         |   '$ip', '<IP>', 'g')) AS clean_fp
+         |FROM aug""".stripMargin
+    },
+
+    // Corpus-unigram mean log-probability. AVG over doubles is
+    // summation-order-dependent across engines (as with the IVF
+    // centroids); the 6-dp rounding absorbs the ulp noise.
+    "docs_unigram_logprob" ->
+      s"""WITH $toksCte,
+         |words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |freq AS (SELECT word, COUNT(*)::BIGINT AS wn FROM words GROUP BY word),
+         |total AS (SELECT SUM(wn)::BIGINT AS tn FROM freq)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         | ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) AS avg_logprob
+         |FROM words JOIN freq USING (word), total
+         |GROUP BY doc_id""".stripMargin,
+
     "text_stats" -> {
       val tk = toksSql("text")
       val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
@@ -1596,6 +1700,20 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id
          |   ORDER BY score DESC, neighbor_id) AS rank
          | FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // SemDeDup mirror: the shared quantizer-assignment CTE, then a
+    // within-cell self-join marks every vector dominated by a
+    // lower-id cell-mate at rounded cosine ≥ 0.4.
+    "embed_semdedup" ->
+      s"""WITH $ivfAssignCte,
+         |av AS (SELECT a.cid, a.cell, e.embedding
+         | FROM assigned a JOIN embeddings e ON e.vec_id = a.cid),
+         |dom AS (SELECT DISTINCT r.cid FROM av l JOIN av r
+         |  ON l.cell = r.cell AND l.cid < r.cid
+         | WHERE ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.4)
+         |SELECT a.cid AS vec_id, a.cell,
+         | (dom.cid IS NOT NULL) AS is_duplicate
+         |FROM assigned a LEFT JOIN dom ON dom.cid = a.cid""".stripMargin,
 
     // Full IVF ANN pipeline mirror: 16 seed cells (first vectors by
     // id), one assignment step (max_by cosine), per-dim centroid

@@ -274,6 +274,49 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    * then inside each cluster mark as duplicates the vectors that sit
+    * within cosine `threshold` of another cluster member. This prunes
+    * semantically redundant training documents that no lexical sketch
+    * (minhash/simhash) can see — paraphrases, re-renders, translations
+    * embedded near each other.
+    *
+    * Duplicate rule (deterministic, engine-portable): a vector is a
+    * duplicate iff SOME lower-id vector in the same cell has 6-dp
+    * rounded cosine ≥ threshold — the same min-id-survivor convention
+    * as exact dedup, independent of visit order (NOT the chained
+    * "survivor set" variant, whose result depends on iteration order).
+    *
+    * Scale shape: the quadratic term is confined within cells — this
+    * is the point of SemDeDup's clustering step. Choose nCells ≈
+    * corpus / target-cell-size to bound per-cell fan-out;
+    * `maxCellSize` guards the degenerate case (a mega-cluster of
+    * identical vectors) by dropping oversized cells with a logged
+    * count, exactly like the LSH band-join guard.
+    *
+    * Returns (idCol, cell, is_duplicate).
+    */
+  def semDedup(corpus: DataFrame, nCells: Int, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCellSize: Long = Long.MaxValue): DataFrame = {
+    val (assigned, _) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    val guarded = Dedup.dropOversizedBuckets(
+      assigned, Seq("cell"), maxCellSize, "semDedup")
+    // pair shuffle carries (cell) keyed rows with the vector payload —
+    // within-cell only, never corpus × corpus
+    val dominated = guarded.as("l").join(guarded.as("r"),
+        col("l.cell") === col("r.cell") && col("l.cid") < col("r.cid"))
+      .filter(
+        Hashing.portableRound(cosine(col("l.cv"), col("r.cv")), 6)
+          >= threshold)
+      .select(col("r.cid").as("cid")).distinct()
+    guarded.select(col("cid"), col("cell"))
+      .join(dominated.withColumn("dup", lit(true)), Seq("cid"), "left")
+      .select(col("cid").as(idCol), col("cell"),
+        coalesce(col("dup"), lit(false)).as("is_duplicate"))
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent SRP hash
     * tables of `planes` sign bits each; a corpus vector is a candidate
     * for a query if they share a bucket in ANY table (the standard

@@ -110,6 +110,37 @@ object Text {
       lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2, 6)
   }
 
+  /** PII patterns for corpus scrubbing. Restricted to syntax with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB, the
+    * oracle): character classes, bounded repetition, `\b`/`\d` — no
+    * lookaround, no backreferences. Order matters when chaining
+    * redactions: emails first (their local parts can contain digits
+    * that would otherwise feed the phone/IP patterns), then phones,
+    * then IPs.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Match count for one PII class.
+    * DuckDB: `len(regexp_extract_all(s, pattern))`.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redacted text: every email / phone / IPv4 occurrence replaced by
+    * a typed placeholder token. Spark's regexp_replace is global;
+    * the DuckDB mirror needs the explicit 'g' flag. Placeholders
+    * contain no digits or '@'/'.' runs, so a later pattern can never
+    * match inside an earlier replacement.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, phonePattern, "<PHONE>")
+    regexp_replace(noPhone, ipv4Pattern, "<IP>")
+  }
+
   /** Whitespace/case-normalized text for exact-duplicate detection. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -114,6 +114,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(clonePairs === 0, "guard must remove the clone cluster's buckets")
   }
 
+  test("semDedup marks within-cell near-duplicates; min id survives") {
+    import spark.implicits._
+    // four orthogonal seed directions (= the nCells seeds), two exact
+    // copies of vector 0, one near-copy (cosine .994), and one
+    // equidistant vector that is alone near its seed
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f),
+      3L -> Array(0f, 0f, 0f, 1f),
+      4L -> Array(1f, 0f, 0f, 0f),
+      5L -> Array(1f, 0f, 0f, 0f),
+      6L -> Array(0.9f, 0.1f, 0f, 0f),
+      7L -> Array(0.5f, 0.5f, 0f, 0f))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .semDedup(corpus, nCells = 4, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> false, 4L -> true, 5L -> true, 6L -> true, 7L -> false))
+  }
+
+  test("semDedup cell-size guard drops degenerate mega-cells") {
+    import spark.implicits._
+    // seeds are the first 2 ids, so id 1 must be the healthy
+    // direction; ids 0 and 2..100 are a 100-clone mega-cell
+    val clones = (0L +: (2L to 100L)).map(i => i -> Array(1f, 0f, 0f, 0f))
+    val corpus = (clones :+ (1L -> Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val unguarded = graft.functions.Similarity
+      .semDedup(corpus, nCells = 2, threshold = 0.95)
+    assert(unguarded.filter(col("is_duplicate")).count() === 99)
+    val guarded = graft.functions.Similarity
+      .semDedup(corpus, nCells = 2, threshold = 0.95, maxCellSize = 50)
+    // the clone cell is dropped entirely (logged), the healthy cell
+    // survives untouched
+    val kept = guarded.collect().map(r => r.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("persisted IVF index matches the per-call path and prunes partitions") {
     val queries = emb.filter(col("vec_id") < 8)
     val idx = new graft.functions.IvfIndex(tmpDir("ivfidx"), nCells = 16)

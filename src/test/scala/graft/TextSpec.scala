@@ -46,6 +46,33 @@ class TextSpec extends SparkTestBase {
       .select(Text.langId(col("toks"))).first().getString(0) === "und")
   }
 
+  test("PII scrub detects and redacts emails, phones and IPv4s") {
+    val r = one("reach jane.doe+x@mail.example.org or 555-123-4567 " +
+        "or 10.0.0.1 but not 12-34 or a@b")
+      .select(
+        Text.piiCount(col("text"), Text.emailPattern),
+        Text.piiCount(col("text"), Text.phonePattern),
+        Text.piiCount(col("text"), Text.ipv4Pattern),
+        Text.redactPii(col("text")))
+      .first()
+    assert(r.getLong(0) === 1)
+    assert(r.getLong(1) === 1)
+    assert(r.getLong(2) === 1)
+    val red = r.getString(3)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>")
+      && red.contains("<IP>"))
+    assert(!red.contains("jane.doe") && !red.contains("555-123-4567")
+      && !red.contains("10.0.0.1"))
+    assert(red.contains("but not 12-34 or a@b"), "non-PII text must survive")
+  }
+
+  test("PII redaction order: a phone-shaped email local part is one email") {
+    // email runs first, so the digits are gone before the phone pass
+    val red = one("x 555-123-4567@mail.com y")
+      .select(Text.redactPii(col("text"))).first().getString(0)
+    assert(red === "x <EMAIL> y")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val a = one("Hello   World").select(Text.docFingerprint(col("text")))
       .first().getString(0)
