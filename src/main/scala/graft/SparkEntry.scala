@@ -809,15 +809,20 @@ object SparkEntry {
     "docs_unigram_logprob" -> ((s, d) => {
       val words = docsWithTokens(t(s, d, "documents"))
         .select(col("doc_id"), explode(col("toks")).as("word"))
+      // vocabulary-sized model table, materialized once: the total is
+      // then a 1-row scalar off the tiny table instead of a third
+      // full tokenize-and-explode scan of the corpus (the two
+      // remaining corpus scans — model build + scoring — are the
+      // standard two-pass shape of corpus-LM filters)
       val freq = words.groupBy(col("word"))
         .agg(count(lit(1)).as("wn"))
-      val total = freq.agg(sum(col("wn")).as("tn"))
+        .localCheckpoint(true)
+      val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
       words.join(broadcast(freq), "word")
-        .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_tokens"),
           Hashing.portableRound(
-            avg(log(col("wn").cast("double") / col("tn").cast("double"))),
+            avg(log(col("wn").cast("double") / lit(tn))),
             6).as("avg_logprob"))
     }),
 

@@ -301,8 +301,15 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxCellSize: Long = Long.MaxValue): DataFrame = {
     val (assigned, _) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    // The assignment feeds three consumers (both self-join sides and
+    // the verdict's left join); without materialization Spark would
+    // recompute the scan + seed cross-join + argmax three times.
+    // localCheckpoint suits this sandbox; the 100 TB deployment
+    // persists the assignment once via IvfIndex and runs semDedup
+    // over the stored (cid, cell, cv) table instead.
     val guarded = Dedup.dropOversizedBuckets(
       assigned, Seq("cell"), maxCellSize, "semDedup")
+      .localCheckpoint(true)
     // pair shuffle carries (cell) keyed rows with the vector payload —
     // within-cell only, never corpus × corpus
     val dominated = guarded.as("l").join(guarded.as("r"),
