@@ -498,27 +498,28 @@ object Dedup {
     val p = materialize(
       pairs.select(col(aCol).as("a"), col(bCol).as("b")), "pairs")
     // every input node, remembered before self-loops are dropped
-    val nodes = materialize(
-      p.select(col("a").as("node"))
-        .union(p.select(col("b").as("node")))
-        .distinct(), "nodes")
+    val nodesDf = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node")))
+      .distinct()
     // canonical orientation large→small; self-loops carry no
     // connectivity
-    var edges = materializeEdges(
-      p.select(greatest(col("a"), col("b")).as("u"),
-          least(col("a"), col("b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct())
-
-    var prev = checksum(edges)
+    val edgesDf = p.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
 
     val longKeys = {
       import org.apache.spark.sql.types.LongType
       pairs.schema(aCol).dataType == LongType &&
         pairs.schema(bCol).dataType == LongType
     }
-    if (longKeys && prev._1 <= driverThreshold &&
-        nodes.count() <= 2L * driverThreshold) {
+    // The fast path gates on the RAW pair count (one cheap count on
+    // the checkpointed list — it upper-bounds distinct edges, and
+    // 2× it bounds the node count), then collects the pair list in
+    // ONE pass and derives nodes, edges and components driver-side:
+    // two jobs total instead of two counts + two collects. Duplicate
+    // and self pairs are handled naturally by union-find.
+    if (longKeys && p.count() <= driverThreshold) {
       // driver union-find (union-by-min + path compression): the root
       // of every set is its minimum element, matching the distributed
       // fixpoint's min-label contract exactly
@@ -530,23 +531,30 @@ object Dedup {
         while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      edges.collect().foreach { row =>
-        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        nodeSet(a) = (); nodeSet(b) = ()
+        if (a != b) {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
         }
       }
-      val out = nodes.collect().map { r =>
-        val n = r.getLong(0)
+      val out = nodeSet.keysIterator.map { n =>
         org.apache.spark.sql.Row(n, find(n))
-      }
+      }.toIndexedSeq
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        spark.sparkContext.parallelize(out, 1),
         StructType(Seq(StructField("node", LongType, nullable = false),
           StructField("component", LongType, nullable = false))))
     }
 
+    val nodes = materialize(nodesDf, "nodes")
+    var edges = materializeEdges(edgesDf)
+    var prev = checksum(edges)
     var round = 0
     var fixed = prev._1 == 0L
     while (!fixed && round < maxRounds) {
