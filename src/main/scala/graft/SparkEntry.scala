@@ -179,6 +179,29 @@ object SparkEntry {
       |  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle FROM toks),
       |shd AS (SELECT DISTINCT doc_id, ${h60Sql("shingle")} AS sh FROM sh0)""".stripMargin
 
+  /** Maximal cross-document duplicated token spans, w=8 (mirror of
+    * [[Dedup.crossDocDupSpans]]): positional 8-gram hashes → shingles
+    * in ≥2 distinct docs → gaps-and-islands interval merge per doc.
+    * Spark's first-row LAG is NULL, so `CASE WHEN pos-LAG<=w` falls
+    * to the ELSE 1 arm on both engines (identical 3VL).
+    */
+  private val dupSpansCte =
+    toksCte + s""",
+      |dsp AS (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM toks),
+      |dsh AS (SELECT doc_id, i - 1 AS pos,
+      | ${h60Sql("array_to_string(tk[i:i+7], ' ')")} AS sh FROM dsp),
+      |ddup AS (SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM dsh)
+      | GROUP BY sh HAVING COUNT(*) >= 2),
+      |dpos AS (SELECT doc_id, pos FROM dsh WHERE sh IN (SELECT sh FROM ddup)),
+      |disl AS (SELECT doc_id, pos,
+      | CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |  THEN 0 ELSE 1 END AS brk FROM dpos),
+      |dgrp AS (SELECT doc_id, pos,
+      | SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM disl),
+      |dspans AS (SELECT doc_id, MIN(pos) AS span_start,
+      | MAX(pos) - MIN(pos) + 8 AS span_tokens
+      | FROM dgrp GROUP BY doc_id, grp)""".stripMargin
+
   /** Verified jaccard near-dup pairs (threshold 0.5, τ=32) — the edge
     * list the cluster queries build on.
     */
@@ -882,6 +905,17 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
         0.5, maxShingleDf = 32)),
+
+    // Suffix-array-style exact substring dedup, Spark-shaped: maximal
+    // token spans covered by verbatim 8-gram windows shared across
+    // ≥2 distinct documents (count-then-semi-join — no pair fan-out,
+    // so boilerplate needs no hot-bucket cap here).
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.crossDocDupSpans(t(s, d, "documents"), "doc_id", "text", 8)),
+
+    // The per-doc drop/trim signal substring dedup feeds curation.
+    "docs_dup_span_fraction" -> ((s, d) =>
+      Dedup.dupSpanFraction(t(s, d, "documents"), "doc_id", "text", 8)),
 
     // Near-duplication is transitive in practice: pair lists must be
     // clustered before survivor selection. Star-contraction connected
@@ -1614,6 +1648,21 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH $dupSpansCte
+         |SELECT doc_id, span_start, span_tokens FROM dspans""".stripMargin,
+
+    "docs_dup_span_fraction" ->
+      s"""WITH $dupSpansCte,
+         |dagg AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens
+         | FROM dspans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         | CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         | CASE WHEN len(tk) = 0 THEN 0.0
+         |  ELSE COALESCE(a.dup_tokens, 0)::DOUBLE / len(tk)::DOUBLE
+         | END AS dup_fraction
+         |FROM toks t LEFT JOIN dagg a USING (doc_id)""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCte

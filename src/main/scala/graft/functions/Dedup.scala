@@ -324,6 +324,91 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // ------------- cross-document exact substring spans -------------
+
+  /** Positional width-`w` token-shingle hashes: one row per (doc,
+    * token offset) — NOT distinct, position is the payload. The base
+    * relation for exact substring-span dedup; ~one 20-byte row per
+    * corpus token, built scan-side with codegen'd array expressions.
+    */
+  def positionalShingleHashes(docs: DataFrame, idCol: String,
+                              textCol: String, w: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        posexplode(Text.shingles(col("tk"), w)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        Hashing.hash60(col("shingle")).as("sh"))
+
+  /** Cross-document duplicated substring spans — the Spark-shaped
+    * re-expression of suffix-array exact substring dedup ("any
+    * ≥w-token sequence appearing verbatim in two documents"): maximal
+    * token intervals of each document covered by width-`w` shingles
+    * that occur in ≥2 DISTINCT documents. Returns
+    * (doc_id, span_start, span_tokens); span_start is a 0-based token
+    * offset. Within-document repetition deliberately does not count
+    * (that signal is [[Text]]'s repetition fraction).
+    *
+    * A suffix array is a global sorted structure no executor can
+    * hold at 100 TB; the equivalent information — which fixed-width
+    * windows repeat across documents — needs only:
+    *   1. the positional shingle scan (linear, narrow);
+    *   2. one hash-shuffle to count distinct docs per shingle
+    *      (two-level aggregate, map-side partials; a boilerplate
+    *      shingle shared by millions of docs is a COUNT, never a
+    *      pair fan-out — this op needs no hot-bucket cap);
+    *   3. a semi-join of positions against duplicated hashes
+    *      (payload-free 8-byte key);
+    *   4. a per-document gaps-and-islands merge (window partitioned
+    *      by doc — bounded by document length, never corpus size):
+    *      consecutive duplicated offsets ≤ w apart overlap as token
+    *      intervals and fuse into one maximal span.
+    */
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = positionalShingleHashes(docs, idCol, textCol, w)
+    val dupSh = ps.select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2).select(col("sh"))
+    val dupPos = ps.join(dupSh, "sh").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gap = col("pos") - lag(col("pos"), 1).over(byDoc)
+    // NULL gap (first row) and gap > w both open a new island; the
+    // when() otherwise-0 gives NULL-gap rows 1 only via the isNull arm,
+    // mirroring SQL CASE three-valued logic exactly.
+    val brk = when(gap.isNull.or(gap > w), lit(1)).otherwise(lit(0))
+    dupPos
+      .withColumn("grp", sum(brk).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(w)).cast("long")
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Per-document fraction of tokens inside cross-document duplicated
+    * spans — the drop/trim signal substring dedup feeds a curation
+    * pipeline. Docs with no duplicated span (or shorter than one
+    * shingle) report 0.0; the division is exact-int-over-exact-int in
+    * IEEE double, so any engine reproduces it bit-for-bit.
+    */
+  def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame = {
+    val spans = crossDocDupSpans(docs, idCol, textCol, w)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L))
+            .cast("double") / col("n_tokens").cast("double"))
+          .as("dup_fraction"))
+  }
+
   // ------------- streaming-ingest near-duplicate filter -------------
 
   /** One micro-batch of the streaming near-dup filter: admit only

@@ -289,4 +289,40 @@ class DedupSpec extends SparkTestBase {
     assert(durable(15L) === 0L && durable(102L) === 100L
       && durable(200L) === 200L)
   }
+
+  test("substring spans: planted cross-doc run found, merged maximal") {
+    // docs 10/11 share a verbatim 10-token run at different offsets;
+    // doc 12 repeats a phrase WITHIN itself only; doc 13 is unrelated.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, s"intro words here $shared closing words"),
+      (11L, s"$shared completely different tail content follows now"),
+      (12L, "solo phrase repeats solo phrase repeats solo phrase repeats solo phrase repeats"),
+      (13L, "nothing in common with any other document at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.crossDocDupSpans(corpus, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 10 tokens shared, w=8 → 3 overlapping window starts merge into
+    // ONE maximal 10-token span per doc; offsets differ per doc.
+    assert(spans.toSet === Set((10L, 3L, 10L), (11L, 0L, 10L)))
+
+    val frac = Dedup.dupSpanFraction(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(frac(10L) === ((15L, 10L, 10.0 / 15.0)))
+    assert(frac(11L) === ((16L, 10L, 10.0 / 16.0)))
+    // within-doc repetition is NOT a cross-doc span; zero-dup docs
+    // still appear with fraction 0.0
+    assert(frac(12L)._2 === 0L && frac(12L)._3 === 0.0)
+    assert(frac(13L)._2 === 0L && frac(13L)._3 === 0.0)
+  }
+
+  test("substring spans: docs shorter than one shingle never match") {
+    val tiny = Seq((1L, "same short text"), (2L, "same short text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossDocDupSpans(tiny, "doc_id", "text", 8).count() === 0)
+    val fr = Dedup.dupSpanFraction(tiny, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fr === Map(1L -> 0.0, 2L -> 0.0))
+  }
 }
