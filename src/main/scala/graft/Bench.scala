@@ -46,7 +46,15 @@ object Bench {
         false
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for focused iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=dedup_jaccard_pairs,q1_agg).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(name, fn) // untimed: one-time codegen compilation of the plan
       val timings = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -365,9 +365,21 @@ object Dedup {
     *      intervals and fuse into one maximal span.
     */
   def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                       w: Int): DataFrame = {
+                       w: Int, indexPath: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ps = positionalShingleHashes(docs, idCol, textCol, w)
+    // The positional relation feeds two consumers (the distinct-doc
+    // count and the position join); materialize it once instead of
+    // running the tokenize→shingle→md5 scan twice. localCheckpoint is
+    // the single-job default; `indexPath` writes the positional index
+    // to parquet instead (same durability trade-off as
+    // [[jaccardPairs]]'s inverted index — the 100 TB configuration).
+    val raw = positionalShingleHashes(docs, idCol, textCol, w)
+    val ps = indexPath match {
+      case Some(path) =>
+        raw.write.mode("overwrite").parquet(path)
+        raw.sparkSession.read.parquet(path)
+      case None => raw.localCheckpoint(true)
+    }
     val dupSh = ps.select(col("sh"), col("doc_id")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2).select(col("sh"))

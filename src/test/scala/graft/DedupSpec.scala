@@ -317,6 +317,19 @@ class DedupSpec extends SparkTestBase {
     assert(frac(13L)._2 === 0L && frac(13L)._3 === 0.0)
   }
 
+  test("substring spans: durable positional index ≡ localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-ix").toString
+    val shared = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq(
+      (20L, s"prefix $shared"),
+      (21L, s"$shared suffix tokens here")).toDF("doc_id", "text")
+    def rows(ix: Option[String]) =
+      Dedup.crossDocDupSpans(corpus, "doc_id", "text", 8, indexPath = ix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Some(s"$dir/ps")) === rows(None))
+    assert(rows(None) === Set((20L, 1L, 11L), (21L, 0L, 11L)))
+  }
+
   test("substring spans: docs shorter than one shingle never match") {
     val tiny = Seq((1L, "same short text"), (2L, "same short text"))
       .toDF("doc_id", "text")
