@@ -645,6 +645,36 @@ object SparkEntry {
         // also rewrite a null user_id grouping key to 0
         .na.fill(0L, Seq("click", "view", "signup", "purchase", "error"))),
 
+    // Ordered conversion funnel view → click → purchase with a
+    // 24-hour per-stage conversion window: each stage's first
+    // qualifying timestamp must be at or after the previous stage's
+    // and within 24 h of it (a click BEFORE the first view doesn't
+    // convert; neither does one a week later). The window keeps every
+    // stage populated at every driver SF — an unbounded funnel
+    // saturates at stage 3. Three whole-partition window aggregates
+    // over the SAME partitioning key, so Catalyst plans ONE exchange
+    // on user_id and runs all three Window operators over it — the
+    // sequenced-funnel shape that stays a single shuffle at 100 TB.
+    "events_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val day = expr("INTERVAL 24 HOURS")
+      events(s, d)
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("ts") >= col("v")
+            && col("ts") <= col("v") + day, col("ts"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("c")
+            && col("ts") <= col("c") + day, col("ts"))).over(w))
+        .select(col("user_id"),
+          when(col("p").isNotNull, 3L).when(col("c").isNotNull, 2L)
+            .when(col("v").isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+        .distinct()
+        .groupBy(col("funnel_stage"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Exact interpolated percentiles per group.
     "value_percentiles" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
@@ -847,6 +877,84 @@ object SparkEntry {
           Hashing.portableRound(
             avg(log(col("wn").cast("double") / lit(tn))),
             6).as("avg_logprob"))
+    }),
+
+    // TF-IDF top terms per document (the classic salient-term
+    // extractor). The document-frequency table is vocabulary-sized —
+    // broadcast, like the unigram-LM model — and the per-doc ranking
+    // runs on the bounded-heap TopKPerKey plan: one exchange on
+    // doc_id, no per-doc sort. Scores are 6-dp rounded BEFORE ranking
+    // so both engines rank identical doubles (word asc tie-break). At
+    // web scale the model table caps to a top-V vocabulary; the shape
+    // is unchanged.
+    "docs_tfidf_topk" -> ((s, d) => {
+      val words = docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = t(s, d, "documents").count().toDouble
+      val scored = tf.join(broadcast(dfreq), "word")
+        .select(col("doc_id"), col("word"),
+          Hashing.portableRound(
+            col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")),
+            6).as("tfidf"))
+      graft.plans.TopKPerKey(scored,
+        keys = Seq("doc_id"),
+        order = Seq(graft.plans.TopKPerKey.desc("tfidf"),
+          graft.plans.TopKPerKey.asc("word")),
+        k = 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rk"),
+          col("word"), col("tfidf"))
+    }),
+
+    // Bigram-LM quality proxy with add-one smoothing — the unigram
+    // model's (docs_unigram_logprob) order-sensitive upgrade: mean
+    // log P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) per document. Both model
+    // tables are vocabulary-scale and broadcast; the corpus is
+    // scanned twice (model build + scoring), the standard two-pass
+    // LM-filter shape. Docs with < 2 tokens have no bigrams and drop.
+    "docs_bigram_logprob" -> ((s, d) => {
+      val bigrams = docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(Text.shingles(col("toks"), 2)).as("bg"))
+        .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true)
+      val c1 = bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
+        .localCheckpoint(true)
+      val vocab = docsWithTokens(t(s, d, "documents"))
+        .select(explode(col("toks")).as("word"))
+        .agg(countDistinct(col("word"))).first().getLong(0).toDouble
+      bigrams.join(broadcast(c2), "bg").join(broadcast(c1), "ctx")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          Hashing.portableRound(
+            avg(log((col("bn").cast("double") + 1.0)
+              / (col("cn").cast("double") + lit(vocab)))),
+            6).as("avg_bigram_logprob"))
+    }),
+
+    // Data-mixing weights: per-language token mass and the sampling
+    // weight that re-balances the mixture to uniform across observed
+    // languages (the "data mixing" step of pretraining corpus
+    // assembly). One aggregation plus a broadcast 1-row total — no
+    // second corpus scan, no collect.
+    "docs_mix_weights" -> ((s, d) => {
+      val byLang = docsWithTokens(t(s, d, "documents"))
+        .groupBy(col("lang"))
+        .agg(sum(size(col("toks")).cast("long")).as("lang_tokens"))
+      val totals = byLang.agg(
+        sum(col("lang_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      byLang.crossJoin(broadcast(totals))
+        .select(col("lang"), col("lang_tokens"),
+          Hashing.portableRound(col("lang_tokens").cast("double")
+            / col("total_tokens").cast("double"), 6).as("token_share"),
+          Hashing.portableRound(col("total_tokens").cast("double")
+            / (col("n_langs").cast("double") * col("lang_tokens").cast("double")),
+            6).as("mix_weight"))
     }),
 
     "text_stats" -> ((s, d) =>
@@ -1292,6 +1400,22 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "events_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |   OVER (PARTITION BY user_id) AS v FROM events),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= v
+        |    AND ts <= v + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS c FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c
+        |    AND ts <= c + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS p FROM w2),
+        |u AS (SELECT DISTINCT user_id,
+        |  CAST(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+        |       WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage FROM w3)
+        |SELECT funnel_stage, COUNT(*)::BIGINT AS n_users
+        |FROM u GROUP BY funnel_stage""".stripMargin,
+
     "value_percentiles" ->
       """SELECT event_type,
         | ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -1552,6 +1676,52 @@ object SparkEntry {
          | ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) AS avg_logprob
          |FROM words JOIN freq USING (word), total
          |GROUP BY doc_id""".stripMargin,
+
+    "docs_tfidf_topk" ->
+      s"""WITH $toksCte,
+         |words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+         | FROM words GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df
+         | FROM words GROUP BY word),
+         |n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, word,
+         |  ROUND(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
+         | FROM tf JOIN dfreq USING (word), n)
+         |SELECT doc_id,
+         | row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY tfidf DESC, word) AS rk,
+         | word, tfidf
+         |FROM scored
+         |QUALIFY rk <= 3""".stripMargin,
+
+    "docs_bigram_logprob" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |   range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2]))
+         |  AS bg FROM toks),
+         |bgc AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS ctx FROM bg),
+         |c2 AS (SELECT bg, COUNT(*)::BIGINT AS bn FROM bgc GROUP BY bg),
+         |c1 AS (SELECT ctx, COUNT(*)::BIGINT AS cn FROM bgc GROUP BY ctx),
+         |v AS (SELECT COUNT(DISTINCT word)::DOUBLE AS vocab
+         | FROM (SELECT unnest(tk) AS word FROM toks))
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         | ROUND(AVG(ln((bn::DOUBLE + 1.0) / (cn::DOUBLE + vocab))), 6)
+         |  AS avg_bigram_logprob
+         |FROM bgc JOIN c2 USING (bg) JOIN c1 USING (ctx), v
+         |GROUP BY doc_id""".stripMargin,
+
+    "docs_mix_weights" ->
+      s"""WITH $toksCte,
+         |bylang AS (SELECT d.lang, SUM(len(t.tk))::BIGINT AS lang_tokens
+         | FROM documents d JOIN toks t USING (doc_id) GROUP BY d.lang),
+         |tot AS (SELECT SUM(lang_tokens)::BIGINT AS total_tokens,
+         | COUNT(*)::BIGINT AS n_langs FROM bylang)
+         |SELECT lang, lang_tokens,
+         | ROUND(lang_tokens::DOUBLE / total_tokens::DOUBLE, 6) AS token_share,
+         | ROUND(total_tokens::DOUBLE / (n_langs::DOUBLE * lang_tokens::DOUBLE), 6)
+         |  AS mix_weight
+         |FROM bylang, tot""".stripMargin,
 
     "text_stats" -> {
       val tk = toksSql("text")
