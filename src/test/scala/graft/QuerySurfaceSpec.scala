@@ -111,4 +111,77 @@ class QuerySurfaceSpec extends SparkTestBase {
       }
     }
   }
+
+  test("funnel matches an independent per-user sequential recompute") {
+    // mirror SparkEntry.events: nanos parquet timestamps floored to µs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS LONG) DIV 1000 AS tsu", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val day = 24L * 3600 * 1000000L // µs
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val v = es.filter(_._3 == "view").map(_._2).minOption
+      val c = v.flatMap(t => es.filter(e => e._3 == "click" &&
+        e._2 >= t && e._2 <= t + day).map(_._2).minOption)
+      val p = c.flatMap(t => es.filter(e => e._3 == "purchase" &&
+        e._2 >= t && e._2 <= t + day).map(_._2).minOption)
+      u -> (if (p.isDefined) 3L else if (c.isDefined) 2L
+            else if (v.isDefined) 1L else 0L)
+    }
+    val expCounts = expected.values.groupBy(identity).map { case (s1, xs) =>
+      s1 -> xs.size.toLong
+    }
+    val got = SparkEntry.queries("events_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expCounts, s"funnel: $got vs $expCounts")
+  }
+
+  test("tfidf top-k: ranks are dense and ordered, scores consistent") {
+    val rows = SparkEntry.queries("docs_tfidf_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, terms) =>
+      val byRank = terms.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to terms.length).toSeq,
+        s"doc $doc: ranks not dense")
+      assert(terms.length <= 3, s"doc $doc: more than k rows")
+      // ordering contract: (tfidf desc, word asc)
+      val key = byRank.map(t => (-t._4, t._3)).toSeq
+      assert(key === key.sorted, s"doc $doc: rank order violates contract")
+    }
+  }
+
+  test("bigram LM: probabilities stay below 1, bigram counts add up") {
+    // add-one smoothing: P = (c2+1)/(c1+V) with c2 <= c1 and V > 1,
+    // so every log-prob and hence every mean must be negative
+    val rows = SparkEntry.queries("docs_bigram_logprob")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, lp) =>
+      assert(lp < 0.0, s"doc $doc: mean logprob $lp not negative")
+      assert(n > 0, s"doc $doc: zero bigrams emitted")
+    }
+    // n_bigrams is tokens-1 for every doc with >= 2 tokens
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (doc, n, _) =>
+      assert(n === toks(doc) - 1L, s"doc $doc: $n bigrams vs ${toks(doc)} tokens")
+    }
+  }
+
+  test("mix weights: shares sum to 1, rebalance is uniform") {
+    val rows = SparkEntry.queries("docs_mix_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "token shares don't sum to 1")
+    // lang_tokens × mix_weight = total/n_langs for every language
+    val total = rows.map(_._2).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { case (lang, n, _, w) =>
+      assert(math.abs(n * w - target) / target < 1e-4,
+        s"$lang: rebalanced mass ${n * w} != $target")
+    }
+  }
 }
