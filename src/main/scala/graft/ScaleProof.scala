@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, IvfIndex, Similarity}
+import graft.functions.{Dedup, Hashing, IvfIndex, Similarity, Text}
 import graft.sources.CorpusGenerator
 
 /** Empirical scaling proof for the dedup/ANN operator family: run the
@@ -126,6 +126,52 @@ object ScaleProof {
           }
           survivors
         }),
+        // corpus-model text family: both ops build a broadcastable
+        // model over the whole corpus (document frequencies / bigram
+        // counts) then score every document against it — the shape
+        // whose scale risk is MODEL size, not corpus size. The
+        // generator's ~800-word vocabulary bounds both models the way
+        // a top-V vocabulary cap does in production.
+        "docs_tfidf_topk" -> (() => {
+          val words = docs.select(col("doc_id"),
+            explode(Text.tokens(col("text"))).as("word"))
+          val tf = words.groupBy(col("doc_id"), col("word"))
+            .agg(count(lit(1)).as("tf"))
+          val dfreq = words.groupBy(col("word"))
+            .agg(countDistinct(col("doc_id")).as("df"))
+          val scored = tf.join(broadcast(dfreq), "word")
+            .select(col("doc_id"), col("word"),
+              Hashing.portableRound(col("tf").cast("double")
+                * log(lit(n.toDouble) / col("df").cast("double")), 6)
+                .as("tfidf"))
+          graft.plans.TopKPerKey(scored, keys = Seq("doc_id"),
+            order = Seq(graft.plans.TopKPerKey.desc("tfidf"),
+              graft.plans.TopKPerKey.asc("word")), k = 3).count()
+        }),
+        // bigram stream materialized as a write-once parquet temp
+        // table (the jaccard indexPath pattern), NOT localCheckpoint —
+        // at 50M+ bigrams the executor-memory copy is the thing that
+        // dies first; the durable path is the configuration under proof
+        "docs_bigram_logprob" -> (() => {
+          val bgPath = s"$work/bg_$n"
+          docs.select(col("doc_id"),
+              explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+            .withColumn("ctx", substring_index(col("bg"), " ", 1))
+            .write.mode("overwrite").parquet(bgPath)
+          val bigrams = spark.read.parquet(bgPath)
+          val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+          val c1 = bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
+          val v = docs.select(explode(Text.tokens(col("text"))).as("word"))
+            .agg(countDistinct(col("word")).cast("double").as("vocab"))
+          bigrams.join(broadcast(c2), "bg").join(broadcast(c1), "ctx")
+            .crossJoin(broadcast(v))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              Hashing.portableRound(avg(log((col("bn").cast("double") + 1.0)
+                / (col("cn").cast("double") + col("vocab")))), 6)
+                .as("avg_bigram_logprob"))
+            .count()
+        }),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
@@ -146,14 +192,22 @@ object ScaleProof {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(cpus.toInt, (n / 2000L).toInt).toString)
       val (docs, emb) = corpus(n)
+      // optional comma-separated op filter for focused reruns
+      // (e.g. SPARK_GRAFT_SCALE_ONLY=docs_bigram_logprob)
+      val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       // verified-pair edge list for the CC op, built once outside
       // its timer (its generation cost is the jaccard op's own number)
-      Dedup.jaccardPairs(
-          Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
-          maxShingleDf = 128, indexPath = Some(s"$work/jix0_$n"))
-        .select(col("doc_a"), col("doc_b"))
-        .write.mode("overwrite").parquet(s"$work/pairs_$n")
-      for ((name, f) <- ops(n, docs, emb)) {
+      if (only.forall(_.contains("dedup_clusters")))
+        Dedup.jaccardPairs(
+            Dedup.docShingleHashes(docs, "doc_id", "text", 3), 0.8,
+            maxShingleDf = 128, indexPath = Some(s"$work/jix0_$n"))
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(s"$work/pairs_$n")
+      val selected = ops(n, docs, emb).filter { case (name, _) =>
+        only.forall(_.contains(name))
+      }
+      for ((name, f) <- selected) {
         val (sec, rows) = timeMinOfReps(f)
         results((name, n)) = sec
         println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},"rows":$rows}""")

@@ -552,6 +552,28 @@ object SparkEntry {
           col("session_window.end").as("session_end"),
           col("user_id"), col("n_events"), col("session_value"))),
 
+    // Cohort retention: users bucketed by first-activity date, counted
+    // on each later active day offset. Both the cohort aggregate and
+    // the distinct-activity set hash-partition on user_id for their
+    // own aggregations, so the join between them adds NO exchange —
+    // at this SF AQE broadcasts the smaller side; at cluster scale the
+    // shuffle join reuses both existing partitionings. The only other
+    // shuffle is the final (cohort, offset) aggregate — the
+    // retention-matrix shape that survives 100× users.
+    "events_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_date"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      cohorts.join(active, "user_id")
+        .select(col("cohort_date"),
+          datediff(col("day"), col("cohort_date")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_date"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ROLLUP grouping sets (daily per-type + per-type + grand total).
     "rollup_daily" -> ((s, d) =>
       events(s, d)
@@ -946,12 +968,15 @@ object SparkEntry {
     // Data-mixing weights: per-language token mass and the sampling
     // weight that re-balances the mixture to uniform across observed
     // languages (the "data mixing" step of pretraining corpus
-    // assembly). One aggregation plus a broadcast 1-row total — no
-    // second corpus scan, no collect.
+    // assembly). The language-count-sized aggregate is materialized
+    // ONCE (without it the totals subtree re-scans the whole corpus —
+    // verified in the plan), then the 1-row total broadcasts back
+    // onto it: one corpus scan, no collect.
     "docs_mix_weights" -> ((s, d) => {
       val byLang = docsWithTokens(t(s, d, "documents"))
         .groupBy(col("lang"))
         .agg(sum(size(col("toks")).cast("long")).as("lang_tokens"))
+        .localCheckpoint(true)
       val totals = byLang.agg(
         sum(col("lang_tokens")).as("total_tokens"),
         count(lit(1)).as("n_langs"))
@@ -963,6 +988,16 @@ object SparkEntry {
             / (col("n_langs").cast("double") * col("lang_tokens").cast("double")),
             6).as("mix_weight"))
     }),
+
+    // Language-ID confusion matrix: detector guess × labeled lang —
+    // the standard classifier-evaluation query, and a data-quality
+    // audit of the heuristic the curation filter relies on. Scan-side
+    // detection, one aggregation; the matrix is |langs|² rows at any
+    // corpus size.
+    "docs_lang_confusion" -> ((s, d) =>
+      docsWithTokens(t(s, d, "documents"))
+        .groupBy(col("lang"), Text.langId(col("toks")).as("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))),
 
     "text_stats" -> ((s, d) =>
       docsWithTokens(t(s, d, "documents")).select(
@@ -1407,6 +1442,16 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "events_retention" ->
+      """WITH cohorts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        | FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort_date,
+        | CAST(date_diff('day', cohort_date, day) AS BIGINT) AS day_offset,
+        | COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM cohorts JOIN active USING (user_id)
+        |GROUP BY cohort_date, day_offset""".stripMargin,
+
     "events_funnel" ->
       """WITH w1 AS (SELECT user_id, ts, event_type,
         |  MIN(CASE WHEN event_type = 'view' THEN ts END)
@@ -1729,6 +1774,25 @@ object SparkEntry {
          | ROUND(total_tokens::DOUBLE / (n_langs::DOUBLE * lang_tokens::DOUBLE), 6)
          |  AS mix_weight
          |FROM bylang, tot""".stripMargin,
+
+    "docs_lang_confusion" -> {
+      val tk = toksSql("text")
+      val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
+      val fr = Text.frMarkers.map(m => s"'$m'").mkString(", ")
+      val es = Text.esMarkers.map(m => s"'$m'").mkString(", ")
+      s"""WITH m AS (SELECT lang,
+         |  len(list_filter($tk, t -> t IN ($en))) AS cen,
+         |  len(list_filter($tk, t -> t IN ($fr))) AS cfr,
+         |  len(list_filter($tk, t -> t IN ($es))) AS ces
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN cen >= cfr AND cen >= ces AND cen > 0 THEN 'en'
+         |      WHEN cfr >= ces AND cfr > 0 THEN 'fr'
+         |      WHEN ces > 0 THEN 'es'
+         |      ELSE 'und' END AS lang_guess,
+         | COUNT(*)::BIGINT AS n_docs
+         |FROM m GROUP BY 1, 2""".stripMargin
+    },
 
     "text_stats" -> {
       val tk = toksSql("text")
