@@ -761,6 +761,66 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // The round-4 curation capstone: every corpus-quality signal the
+    // engine ships, composed into one pipeline — scan-side gates
+    // (length, punctuation, stopword density, lang-ID, Gopher-style
+    // repetition) ∧ a corpus-LM floor (6-dp-rounded mean unigram
+    // log-prob, so threshold membership is engine-portable) ∧ the
+    // cross-document substring-span drop signal ∧ exact-dedup
+    // survivor selection. Each leg keeps its own proven scale shape
+    // (scan-only / broadcast model / count-then-semi-join / hash
+    // groupBy); the composition joins them on doc_id.
+    "docs_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scanPass = docsWithTokens(docs)
+        .filter(size(col("toks")) >= 20 &&
+          Text.punctRatio(col("text")) <= 0.1 &&
+          Text.stopwordRatio(col("toks")) >= 0.05 &&
+          Text.langId(col("toks")) === "en")
+        .select(docs.columns.map(col): _*)
+      // Gopher repetition behind an AGGREGATION BARRIER, not in the
+      // scan filter: predicate pushdown substitutes filter columns
+      // with their defining expressions, so a shingle-derived
+      // predicate re-inlines tokenize(text) into every element_at of
+      // the interpreted HOF — the quadratic trap docShingles
+      // documents, measured 14.7 s vs 0.4 s for this leg. explode
+      // evaluates the HOF once per row; the agg blocks pushdown.
+      // (Docs with < 3 tokens have no shingles and drop here, but the
+      // ≥ 20-token gate above already excludes them — conjunction
+      // semantics identical to the oracle's len(grams)=0 OR arm.)
+      val repOk = docsWithTokens(docs)
+        .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), countDistinct(col("g")).as("n_d"))
+        .filter(lit(1.0) - col("n_d").cast("double")
+          / col("n_sh").cast("double") <= 0.2)
+        .select(col("doc_id"))
+      val words = docsWithTokens(docs)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val freq = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("wn")).localCheckpoint(true)
+      val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+      val lmOk = words.join(broadcast(freq), "word")
+        .groupBy(col("doc_id"))
+        .agg(Hashing.portableRound(
+          avg(log(col("wn").cast("double") / lit(tn))), 6).as("alp"))
+        .filter(col("alp") >= -3.41)
+        .select(col("doc_id"))
+      val spanOk = Dedup.dupSpanFraction(docs, "doc_id", "text", 8)
+        .filter(col("dup_fraction") <= 0.3)
+        .select(col("doc_id"))
+      // exactDedup references its input twice (fingerprint groups +
+      // survivor semi-join); materialize the filtered survivors ONCE
+      // so the three signal pipelines don't all run twice
+      val kept = scanPass
+        .join(repOk, Seq("doc_id"), "left_semi")
+        .join(lmOk, Seq("doc_id"), "left_semi")
+        .join(spanOk, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      Dedup.exactDedup(kept, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing primitive of
     // training corpora (per-stratum rates, e.g. upweight English).
     // The membership test is a pure hash predicate evaluated scan-side
@@ -1620,6 +1680,52 @@ object SparkEntry {
          |keep AS (SELECT MIN(doc_id) AS doc_id FROM q
          |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          |SELECT q.doc_id, q.source, q.n_chars FROM q JOIN keep USING (doc_id)""".stripMargin
+    },
+
+    "docs_curation_v2" -> {
+      val en = Text.enMarkers.map(m => s"'$m'").mkString(", ")
+      val fr = Text.frMarkers.map(m => s"'$m'").mkString(", ")
+      val es = Text.esMarkers.map(m => s"'$m'").mkString(", ")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH $dupSpansCte,
+         |dagg AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens
+         | FROM dspans GROUP BY doc_id),
+         |spanok AS (SELECT t.doc_id FROM toks t LEFT JOIN dagg a USING (doc_id)
+         | WHERE CASE WHEN len(tk) = 0 THEN 0.0
+         |  ELSE COALESCE(a.dup_tokens, 0)::DOUBLE / len(tk)::DOUBLE END <= 0.3),
+         |words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |freq AS (SELECT word, COUNT(*)::BIGINT AS wn FROM words GROUP BY word),
+         |total AS (SELECT SUM(wn)::BIGINT AS tn FROM freq),
+         |lmok AS (SELECT doc_id FROM words JOIN freq USING (word), total
+         | GROUP BY doc_id
+         | HAVING ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) >= -3.41),
+         |m AS (SELECT d.*, t.tk,
+         |  list_transform(range(greatest(len(t.tk) - 2, 0)),
+         |   i -> t.tk[i+1] || ' ' || t.tk[i+2] || ' ' || t.tk[i+3]) AS grams,
+         |  len(list_filter(t.tk, x -> x IN ($en))) AS cen,
+         |  len(list_filter(t.tk, x -> x IN ($fr))) AS cfr,
+         |  len(list_filter(t.tk, x -> x IN ($es))) AS ces,
+         |  CASE WHEN len(t.tk) > 0 THEN
+         |    len(list_filter(t.tk, x -> x IN ($all)))::DOUBLE / len(t.tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(d.text) > 0 THEN
+         |    (length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))::DOUBLE / length(d.text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM documents d JOIN toks t USING (doc_id)),
+         |q AS (SELECT * FROM m WHERE len(tk) >= 20
+         |  AND p_ratio <= 0.1 AND stop_ratio >= 0.05
+         |  AND (CASE WHEN cen >= cfr AND cen >= ces AND cen > 0 THEN 'en'
+         |            WHEN cfr >= ces AND cfr > 0 THEN 'fr'
+         |            WHEN ces > 0 THEN 'es'
+         |            ELSE 'und' END) = 'en'
+         |  AND (len(grams) = 0 OR
+         |   (1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE) <= 0.2)),
+         |q2 AS (SELECT q.* FROM q
+         |  JOIN lmok USING (doc_id) JOIN spanok USING (doc_id)),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM q2
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |SELECT q2.doc_id, q2.lang, q2.source FROM q2 JOIN keep USING (doc_id)""".stripMargin
     },
 
     "docs_sample_stratified" ->

@@ -86,6 +86,25 @@ object Medallion {
     base.dropDuplicates("ride_id", "event_timestamp")
   }
 
+  /** Update-collapsing dedup on ride_id ALONE, with bounded state.
+    *
+    * The producer's 2% "re-emitted ride" updates
+    * (kafka_rides_producer.py:77-78) carry a NEW event_timestamp, so
+    * the reference's (ride_id, event_timestamp) dedup (02:91) admits
+    * them and the gold MERGE reconciles them later. This variant
+    * collapses them at admission time instead: keep only the FIRST
+    * event per ride_id seen within the watermark delay. A plain
+    * `dropDuplicates("ride_id")` would do that with state that grows
+    * forever (the key carries no event time, so nothing ever
+    * expires — the classic unbounded-state trap at 100 TB ingest);
+    * `dropDuplicatesWithinWatermark` guarantees dedup only for
+    * duplicates within the delay and in exchange expires each key
+    * once the watermark passes its first-seen time + delay.
+    */
+  def silverDedupByRide(df: DataFrame): DataFrame =
+    df.withWatermark("event_timestamp", Rides.watermarkDelay)
+      .dropDuplicatesWithinWatermark("ride_id")
+
   /** Oracle-reproducible batch dedup: same key as [[silverDedup]], but
     * `dropDuplicates` keeps an arbitrary first-encountered row — the
     * survivor depends on partitioning, so the result of the composed
