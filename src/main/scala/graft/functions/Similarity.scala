@@ -153,26 +153,40 @@ object Similarity {
     * centroid)). Shared by the per-call [[ivfTopK]] and the persisted
     * [[IvfIndex]].
     */
-  private[functions] def ivfQuantize(corpus: DataFrame, nCells: Int,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // first nCells vectors by id — id-agnostic (an id-value predicate
-    // like `id < nCells` silently selects nothing for non-zero-based
-    // id spaces) and deterministic (a bare limit() is not)
-    val seeds = broadcast(corpus
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("seed")))
-    // Assignment key = the 6-dp ROUNDED cosine with the cell id as an
-    // explicit tiebreak (max over a (sim, cell) struct is
-    // lexicographic in both Spark and DuckDB): full-precision max_by
-    // would make near-ties engine-dependent (two engines folding the
-    // same doubles in different orders disagree in the last ulp) and
-    // exact ties nondeterministic even within Spark.
-    val assigned = c.join(seeds)
+  /** Nearest-seed cell assignment for `(cid, cv)` rows. Assignment
+    * key = the 6-dp ROUNDED cosine with the cell id as an explicit
+    * tiebreak (max over a (sim, cell) struct is lexicographic in both
+    * Spark and DuckDB): full-precision max_by would make near-ties
+    * engine-dependent (two engines folding the same doubles in
+    * different orders disagree in the last ulp) and exact ties
+    * nondeterministic even within Spark. Shared by the one-shot
+    * quantizer and [[IvfIndex.append]], so incremental additions land
+    * in exactly the cell a full rebuild over the same seeds would
+    * pick.
+    */
+  private[functions] def assignToSeeds(c: DataFrame,
+      seeds: DataFrame): DataFrame =
+    c.join(seeds)
       .withColumn("sim", Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
       .groupBy(col("cid"))
       .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
       .join(c, "cid")
+
+  /** Quantizer seeds: the first nCells vectors by id — id-agnostic
+    * (an id-value predicate like `id < nCells` silently selects
+    * nothing for non-zero-based id spaces) and deterministic (a bare
+    * limit() is not).
+    */
+  private[functions] def ivfSeeds(corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("seed"))
+
+  private[functions] def ivfQuantize(corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val seeds = broadcast(ivfSeeds(corpus, nCells, idCol, vecCol))
+    val assigned = assignToSeeds(c, seeds)
     // Caveat: AVG over doubles is summation-order-dependent (Spark
     // partial-aggregates per partition; a sequential engine folds left
     // to right), so centroid values can differ across engines in the
@@ -383,7 +397,11 @@ object Similarity {
   */
 class IvfIndex(path: String, nCells: Int,
                idCol: String = "vec_id", vecCol: String = "embedding") {
-  import Similarity.{ivfQuantize, ivfProbe}
+  import Similarity.{ivfQuantize, ivfProbe, ivfSeeds, assignToSeeds}
+
+  private def hfs(spark: SparkSession) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def p(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
 
   def build(corpus: DataFrame): Unit = {
     val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
@@ -393,9 +411,9 @@ class IvfIndex(path: String, nCells: Int,
     // existing one (rebuilt on the next call) — never a mix of
     // generations served as valid.
     val spark = corpus.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    val fs = hfs(spark)
+    fs.delete(p("centroids"), true)
+    fs.delete(p("centroids_prev"), true) // torn append leftover
     // Delete assigned/ explicitly rather than trusting mode("overwrite"):
     // under spark.sql.sources.partitionOverwriteMode=dynamic (a session
     // setting callers may have on), a partitioned overwrite only
@@ -403,10 +421,46 @@ class IvfIndex(path: String, nCells: Int,
     // directories from a previous generation would survive and the
     // final centroids write would mark the mixed-generation index
     // valid.
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
+    fs.delete(p("assigned"), true)
+    fs.delete(p("seeds"), true)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
+    // persist the quantizer seeds so append() assigns against the
+    // SAME frozen quantizer a rebuild over these seeds would use
+    ivfSeeds(corpus, nCells, idCol, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incrementally add vectors to an existing index without a
+    * rebuild — the FAISS-style IVF maintenance mode: the quantizer is
+    * FROZEN after build (assignments use the persisted seeds with the
+    * exact [[Similarity.assignToSeeds]] arithmetic, so each added
+    * vector lands in the cell a full rebuild over the same seeds
+    * would pick) and cell CENTROIDS are left as built — probe
+    * rankings drift as cells grow, which is the documented trade-off;
+    * rebuild (or re-`build`) periodically to re-center, exactly as
+    * IVF deployments retrain.
+    *
+    * Crash protocol mirrors build's invalidate-first rule without
+    * rewriting data: rename centroids → centroids_prev (index now
+    * invalid), append the new assignments, rename back (valid again).
+    * A crash mid-append leaves no centroids marker, so the next
+    * `build` starts clean — a torn append is never served.
+    */
+  def append(newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    require(exists(spark), s"no index at $path to append to — call build()")
+    val fs = hfs(spark)
+    val seeds = broadcast(spark.read.parquet(s"$path/seeds"))
+    val assigned = assignToSeeds(
+      newVectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
+    require(fs.rename(p("centroids"), p("centroids_prev")),
+      s"could not invalidate $path for append")
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    require(fs.rename(p("centroids_prev"), p("centroids")),
+      s"could not re-validate $path after append")
   }
 
   def exists(spark: SparkSession): Boolean =

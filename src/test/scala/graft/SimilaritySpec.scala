@@ -173,4 +173,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.matches("(?s).*PartitionFilters: \\[cell#\\d+ IN.*"),
       s"no IN/INSET partition filter on the assigned scan:\n$plan")
   }
+
+  test("IVF append assigns like a rebuild over the frozen quantizer") {
+    val dir = tmpDir("ivfapp")
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    idx.build(half)
+    idx.append(rest)
+    assert(idx.exists(spark), "append left the index invalid")
+    // assignment parity: the seeds are the 16 smallest ids, present in
+    // BOTH corpora, so a full rebuild uses the same frozen quantizer —
+    // every appended vector must land in the same cell
+    val fullDir = tmpDir("ivffull")
+    new graft.functions.IvfIndex(fullDir, nCells = 16).build(emb)
+    def cells(p: String) = spark.read.parquet(s"$p/assigned")
+      .select(col("cid"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(dir) === cells(fullDir),
+      "appended assignments diverge from a full rebuild")
+    // appended vectors are retrievable: probing with an appended
+    // vector's value (fresh query id, so self-exclusion doesn't hide
+    // it) must return that vector at score 1.0
+    val probe = rest.filter(col("vec_id") === 300)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val hits = idx.topK(spark, probe, 3, nProbe = 8).collect()
+    assert(hits.exists(r => r.getLong(2) === 300L && r.getDouble(3) === 1.0),
+      s"appended vector not retrievable: ${hits.toSeq}")
+  }
+
+  test("IVF append to a missing index fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      new graft.functions.IvfIndex(tmpDir("ivfnone"), nCells = 4).append(emb)
+    }
+    assert(ex.getMessage.contains("append"))
+  }
 }
