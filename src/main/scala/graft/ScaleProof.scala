@@ -126,6 +126,15 @@ object ScaleProof {
           }
           survivors
         }),
+        // suffix-array-style substring dedup signal: positional-index
+        // parquet materialization (the durable path, like jaccard's
+        // inverted index), distinct-doc counting, and the per-doc
+        // gaps-and-islands window. The window partitions by doc_id —
+        // bounded per-doc state, so corpus growth adds partitions,
+        // not partition size
+        "docs_dup_span_fraction" -> (() =>
+          Dedup.dupSpanFraction(docs, "doc_id", "text", 8,
+            indexPath = Some(s"$work/psix_$n")).count()),
         // corpus-model text family: both ops build a broadcastable
         // model over the whole corpus (document frequencies / bigram
         // counts) then score every document against it — the shape

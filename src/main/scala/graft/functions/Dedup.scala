@@ -406,8 +406,8 @@ object Dedup {
     * IEEE double, so any engine reproduces it bit-for-bit.
     */
   def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
-                      w: Int): DataFrame = {
-    val spans = crossDocDupSpans(docs, idCol, textCol, w)
+                      w: Int, indexPath: Option[String] = None): DataFrame = {
+    val spans = crossDocDupSpans(docs, idCol, textCol, w, indexPath)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
     docs
       .select(col(idCol).as("doc_id"),
