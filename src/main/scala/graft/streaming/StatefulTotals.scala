@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Per-driver lifetime ride / suspicious-ride totals on Spark 4's
+  * `transformWithState` — the arbitrary-state API that succeeds
+  * `flatMapGroupsWithState` (AnomalyTracker keeps the older surface;
+  * this operator demonstrates the replacement side by side). The
+  * processor owns one small `ValueState` per driver, updated with one
+  * fold per micro-batch, and supports a state TTL so abandoned keys
+  * age out of the store without timer bookkeeping — at 100 TB the
+  * store scales with |active drivers|, not event volume, and the
+  * stream shuffles once on the driver key.
+  *
+  * `transformWithState` requires the RocksDB state store provider
+  * (`MedallionStream.useRocksDbStateStore`), which is also the
+  * bounded-heap configuration the 100 TB chain wants.
+  */
+object StatefulTotals {
+
+  case class DriverTotal(driver_id: String, total_rides: Long,
+                         suspicious_rides: Long)
+
+  class TotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, AnomalyTracker.RideObs, DriverTotal] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        Encoders.product[(Long, Long)], ttl)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[AnomalyTracker.RideObs],
+        timers: TimerValues): Iterator[DriverTotal] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; if (r.is_suspicious) s += 1 }
+      totals.update((n, s))
+      Iterator.single(DriverTotal(key, n, s))
+    }
+  }
+
+  /** Running totals stream: one updated row per driver per
+    * micro-batch (update output mode).
+    */
+  def totals(ds: Dataset[AnomalyTracker.RideObs],
+             ttl: TTLConfig = TTLConfig.NONE): Dataset[DriverTotal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.driver_id)
+      .transformWithState(new TotalsProcessor(ttl), TimeMode.None(),
+        OutputMode.Update())
+  }
+}

@@ -75,6 +75,18 @@ class SourceFormatsSpec extends SparkTestBase {
       events.except(back).count() === 0, "ORC round-trip lost data")
   }
 
+  test("Avro round-trip preserves values (self-describing schema)") {
+    // the avro classes ship inside spark-sql here but the "avro"
+    // shortname's DataSourceRegister service entry does not — address
+    // the format by class name
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val dir = tmpDir("avro")
+    events.write.mode("overwrite").format(fmt).save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.except(events).count() === 0 &&
+      events.except(back).count() === 0, "Avro round-trip lost data")
+  }
+
   test("JSON round-trip with explicit schema preserves values") {
     val dir = tmpDir("json")
     events.write.mode("overwrite")
