@@ -574,6 +574,25 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Statistical anomaly flagging: per-type z-scores against the
+    // type's own mean/stddev — the batch analog of the reference's
+    // rule-based is_suspicious flag, with the threshold in standard
+    // deviations instead of hand-picked constants. The stats table is
+    // |event types| rows (broadcast); scores are 4-dp rounded BEFORE
+    // the threshold so boundary membership is engine-portable.
+    "events_anomaly_zscore" -> ((s, d) => {
+      val ev = events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(col("sd") > 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          Hashing.portableRound((col("value") - col("mu")) / col("sd"), 4)
+            .as("zscore"))
+        .filter(abs(col("zscore")) >= 1.5)
+    }),
+
     // ROLLUP grouping sets (daily per-type + per-type + grand total).
     "rollup_daily" -> ((s, d) =>
       events(s, d)
@@ -1501,6 +1520,14 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      """WITH stats AS (SELECT event_type, AVG(value) AS mu,
+        |  stddev_samp(value) AS sd FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        | ROUND((value - mu) / sd, 4) AS zscore
+        |FROM events JOIN stats USING (event_type)
+        |WHERE sd > 0 AND abs(ROUND((value - mu) / sd, 4)) >= 1.5""".stripMargin,
 
     "events_retention" ->
       """WITH cohorts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
