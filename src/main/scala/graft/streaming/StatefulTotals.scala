@@ -50,4 +50,57 @@ object StatefulTotals {
       .transformWithState(new TotalsProcessor(ttl), TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Timer-evicting variant: each batch re-arms a per-key event-time
+    * timer at watermark + idleMs; when the timer fires with no
+    * intervening rows the key's state is dropped and a streak-0
+    * tombstone row (total_rides = -1) is emitted — the
+    * `transformWithState` spelling of AnomalyTracker's
+    * EventTimeTimeout eviction, keeping the store bounded to ACTIVE
+    * drivers. Timers replace GroupState timeouts one-for-one:
+    * `registerTimer`/`deleteTimer` are explicit (and per-key
+    * multiple), where GroupState allowed one implicit timeout.
+    */
+  class EvictingTotalsProcessor(idleMs: Long)
+      extends StatefulProcessor[String, AnomalyTracker.RideObs, DriverTotal] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[AnomalyTracker.RideObs],
+        timers: TimerValues): Iterator[DriverTotal] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; if (r.is_suspicious) s += 1 }
+      totals.update((n, s))
+      // one live timer per key: drop the previous arm, re-arm from
+      // the CURRENT watermark so the clock restarts on activity
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timers.getCurrentWatermarkInMs() + idleMs)
+      Iterator.single(DriverTotal(key, n, s))
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[DriverTotal] = {
+      totals.clear()
+      Iterator.single(DriverTotal(key, -1L, -1L))
+    }
+  }
+
+  /** Totals with idle-key eviction; input must carry a watermark on
+    * event_timestamp (event-time timers fire as the watermark
+    * advances past them).
+    */
+  def totalsWithEviction(ds: Dataset[AnomalyTracker.RideObs],
+                         idleMs: Long): Dataset[DriverTotal] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("event_timestamp", "1 second")
+      .groupByKey(_.driver_id)
+      .transformWithState(new EvictingTotalsProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
 }

@@ -53,4 +53,46 @@ class StatefulTotalsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("event-time timers evict idle keys with a tombstone") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    MedallionStream.useRocksDbStateStore(spark)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[AnomalyTracker.RideObs]
+      val q = StatefulTotals.totalsWithEviction(input.toDS(), idleMs = 5000L)
+        .writeStream.format("memory").queryName("tws_evict")
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tmpDir("twse-ckpt"))
+        .start()
+
+      input.addData(r("DRV1", 0, susp = false))
+      q.processAllAvailable()
+      // advance the watermark far past DRV1's 5 s idle timer: DRV2's
+      // event at t=60s moves the watermark to ~59s
+      input.addData(r("DRV2", 60, susp = false))
+      q.processAllAvailable()
+      // timers fire on the NEXT batch after the watermark advances
+      input.addData(r("DRV2", 70, susp = false))
+      q.processAllAvailable()
+      val rows = spark.table("tws_evict").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      assert(rows.contains(("DRV1", -1L, -1L)),
+        s"idle DRV1 not evicted: ${rows.toSeq}")
+      // activity after eviction starts from a clean slate
+      input.addData(r("DRV1", 80, susp = true))
+      q.processAllAvailable()
+      val fresh = spark.table("tws_evict").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      assert(fresh.contains(("DRV1", 1L, 1L)),
+        s"evicted key did not restart cleanly: ${fresh.toSeq}")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
