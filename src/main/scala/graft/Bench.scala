@@ -73,7 +73,12 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: stdout tail-capture truncates past ~2k
+    // chars, and the JSON outgrew that — the file is the durable record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

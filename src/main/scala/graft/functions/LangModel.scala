@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+
+/** Bigram language-model quality proxy with add-one smoothing —
+  * mean log P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) per document — with an
+  * optional DURABLE model store.
+  *
+  * The in-memory path (modelPath = None) materializes the bigram
+  * stream once per run (localCheckpoint) and rebuilds both
+  * vocabulary-scale model tables every time. That is the right shape
+  * for a one-shot run, but corpus scoring is usually repeated (new
+  * shards, re-curation sweeps), and the model build is the dominant
+  * cost at scale — ScaleProof measured it at 191 s per 500k-doc run.
+  * `modelPath` is the write-once amortization (the exact pattern
+  * [[Dedup.jaccardPairs]]'s indexPath and [[IvfIndex]] proved): the
+  * bigram-count, context-count and vocab tables are built ONCE,
+  * persisted as parquet, and every later scoring run loads them —
+  * paying only the single tokenize-and-join scoring scan.
+  *
+  * Crash protocol mirrors IvfIndex: `vocab/` (the 1-row table) is
+  * written LAST and is the validity marker — a crash mid-build leaves
+  * no marker, and the next call rebuilds from scratch; a torn store
+  * is never served.
+  *
+  * Scoring joins LEFT against the model with add-one smoothing
+  * coalesces (an unseen bigram scores (0+1)/(c(w₁·)+V), an unseen
+  * context (0+1)/(0+V)), so a frozen model scores NEW corpora with
+  * the correct smoothing semantics; over the model's own corpus the
+  * left join is exactly the inner join (every bigram is in the
+  * model), which keeps oracle parity.
+  */
+object LangModel {
+
+  /** (doc_id, bg, ctx) bigram stream — the shared scan both the model
+    * build and the scoring pass run over.
+    */
+  private def bigramStream(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+
+  def modelExists(docs: DataFrame, path: String): Boolean = {
+    val spark = docs.sparkSession
+    new Path(s"$path/vocab")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(s"$path/vocab"))
+  }
+
+  /** Build the three model tables from `docs` and persist them at
+    * `path` (c2: bigram counts; c1: context counts; vocab: 1-row
+    * vocabulary size — the validity marker, written last).
+    */
+  def buildBigramModel(docs: DataFrame, idCol: String, textCol: String,
+                       path: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/vocab"), true) // invalidate FIRST
+    val bigrams = bigramStream(docs, idCol, textCol).localCheckpoint(true)
+    bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+      .write.mode("overwrite").parquet(s"$path/c2")
+    bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
+      .write.mode("overwrite").parquet(s"$path/c1")
+    // V needs the full token vocabulary (contexts miss each doc's
+    // last token), so one more tokenize pass computes it
+    docs.select(explode(Text.tokens(col(textCol))).as("word"))
+      .agg(countDistinct(col("word")).cast("double").as("vocab"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Per-document mean bigram log-probability. With `modelPath` the
+    * model tables load from (or are first built at) the durable
+    * store; without it they are rebuilt in this run. Identical
+    * results either way over the same corpus (LangModelSpec parity).
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+                    modelPath: Option[String] = None): DataFrame = {
+    val (scoreStream, c2, c1, v) = modelPath match {
+      case Some(path) =>
+        if (!modelExists(docs, path)) buildBigramModel(docs, idCol, textCol, path)
+        val spark = docs.sparkSession
+        // the durable path's only corpus scan: tokenize-and-score
+        (bigramStream(docs, idCol, textCol),
+         spark.read.parquet(s"$path/c2"),
+         spark.read.parquet(s"$path/c1"),
+         spark.read.parquet(s"$path/vocab"))
+      case None =>
+        // the bigram stream feeds three consumers (both model builds +
+        // scoring): materialize it once instead of re-tokenizing the
+        // corpus per use — measured 1.8×
+        val bigrams = bigramStream(docs, idCol, textCol).localCheckpoint(true)
+        (bigrams,
+         bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn")),
+         bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn")),
+         docs.select(explode(Text.tokens(col(textCol))).as("word"))
+           .agg(countDistinct(col("word")).cast("double").as("vocab")))
+    }
+    scoreStream
+      .join(broadcast(c2), Seq("bg"), "left")
+      .join(broadcast(c1), Seq("ctx"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Hashing.portableRound(
+          avg(log((coalesce(col("bn"), lit(0L)).cast("double") + 1.0)
+            / (coalesce(col("cn"), lit(0L)).cast("double") + col("vocab")))),
+          6).as("avg_bigram_logprob"))
+  }
+}

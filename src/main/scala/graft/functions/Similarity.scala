@@ -455,13 +455,139 @@ class IvfIndex(path: String, nCells: Int,
     val seeds = broadcast(spark.read.parquet(s"$path/seeds"))
     val assigned = assignToSeeds(
       newVectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
-    require(fs.rename(p("centroids"), p("centroids_prev")),
-      s"could not invalidate $path for append")
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assigned")
-    require(fs.rename(p("centroids_prev"), p("centroids")),
-      s"could not re-validate $path after append")
+    // Re-adding a tombstoned id is an UPDATE, not an append: the dead
+    // row is still physically present (possibly in a different cell if
+    // the vector changed), so clearing its tombstone would resurrect
+    // it beside the new row as a duplicate. Require compact() first —
+    // it physically clears the dead rows, making the re-add a plain
+    // append.
+    tombstones(spark).foreach { t =>
+      val clash = assigned.join(broadcast(t), Seq("cid"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"append includes tombstoned id(s) — run compact() on $path first")
+    }
+    // Idempotence under retries: a re-delivered batch must not land
+    // twice (topK would then return the same id multiple times). The
+    // quantizer is frozen, so a replayed id re-assigns to the SAME
+    // cell it already occupies — anti-joining against the ids present
+    // in just the batch's target cells (a partition-pruned, id-only
+    // scan, bounded by the batch's own cell set) filters replays
+    // without a full-index scan. Materialize (persist + count) BEFORE
+    // invalidating, so the index is never read while being appended to.
+    val targetCells: Seq[Any] = assigned.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq // ≤ nCells rows — never data-sized
+    val raw = spark.read.parquet(s"$path/assigned")
+    val existing = raw
+      .filter(col("cell").isInCollection(targetCells.map(cellToNative(raw))))
+      .select(col("cid"))
+    val fresh = assigned.join(existing, Seq("cid"), "left_anti").persist()
+    try {
+      if (fresh.count() > 0) {
+        require(fs.rename(p("centroids"), p("centroids_prev")),
+          s"could not invalidate $path for append")
+        fresh.write.mode("append").partitionBy("cell")
+          .parquet(s"$path/assigned")
+        require(fs.rename(p("centroids_prev"), p("centroids")),
+          s"could not re-validate $path after append")
+      }
+    } finally fresh.unpersist()
   }
+
+  /** Pending removals as a 1-column (`cid`) relation, if any. Kept
+    * deliberately small: tombstones accumulate between compactions
+    * only, and every consumer broadcasts them.
+    */
+  private def tombstones(spark: SparkSession): Option[DataFrame] =
+    if (hfs(spark).exists(p("tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Logically delete vectors: append their ids to the tombstone set.
+    * O(|ids|) — no data file is touched; `topK` anti-joins the
+    * (broadcast) tombstones until [[compact]] rewrites the affected
+    * cells. Idempotent: re-removing an id adds a duplicate tombstone
+    * row with identical anti-join semantics, deduped at compaction.
+    * Crash protocol is append's: the index is invalid (centroids
+    * renamed away) for the duration of the tombstone write.
+    */
+  def remove(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    require(exists(spark), s"no index at $path to remove from — call build()")
+    val fs = hfs(spark)
+    val tomb = ids.select(col(idCol).as("cid")).distinct().persist()
+    try {
+      if (tomb.count() > 0) {
+        require(fs.rename(p("centroids"), p("centroids_prev")),
+          s"could not invalidate $path for remove")
+        tomb.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+        require(fs.rename(p("centroids_prev"), p("centroids")),
+          s"could not re-validate $path after remove")
+      }
+    } finally tomb.unpersist()
+  }
+
+  /** Physically apply pending tombstones: rewrite ONLY the cell
+    * partitions that contain dead rows (found via a column-pruned
+    * (cid, cell) scan against the broadcast tombstone set), then drop
+    * the tombstone set. Cells without deletions keep their files —
+    * compaction cost scales with the touched-cell fraction, not the
+    * index. The rewrite stages cleaned partitions beside the index and
+    * swaps them in per cell dir; a crash anywhere inside the
+    * invalidated window leaves no centroids marker, so a torn compact
+    * is never served (next `build` starts clean).
+    */
+  def compact(spark: SparkSession): Unit = {
+    require(exists(spark), s"no index at $path to compact — call build()")
+    val fs = hfs(spark)
+    tombstones(spark).foreach { t0 =>
+      val t = broadcast(t0.distinct())
+      val raw = spark.read.parquet(s"$path/assigned")
+      // values come straight from raw's own partition column, so they
+      // are already the inferred native type — cast-free pruning
+      val touched: Seq[Any] = raw.join(t, Seq("cid"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        val cleaned = raw.filter(col("cell").isInCollection(touched))
+          .join(t, Seq("cid"), "left_anti")
+        require(fs.rename(p("centroids"), p("centroids_prev")),
+          s"could not invalidate $path for compact")
+        fs.delete(p("assigned_stage"), true)
+        cleaned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/assigned_stage")
+        touched.foreach { c =>
+          val dir = s"cell=$c"
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$dir"), true)
+          val staged = new org.apache.hadoop.fs.Path(s"$path/assigned_stage/$dir")
+          // a cell whose every row died has no staged output — the
+          // delete above already emptied it
+          if (fs.exists(staged))
+            require(fs.rename(staged,
+                new org.apache.hadoop.fs.Path(s"$path/assigned/$dir")),
+              s"could not swap compacted cell $c into $path")
+        }
+        fs.delete(p("assigned_stage"), true)
+        fs.delete(p("tombstones"), true)
+        require(fs.rename(p("centroids_prev"), p("centroids")),
+          s"could not re-validate $path after compact")
+      } else fs.delete(p("tombstones"), true) // nothing physical to do
+    }
+  }
+
+  /** Partition-value type inference may narrow `cell` on read-back
+    * (e.g. a long id column comes back int); coerce in-memory cell
+    * values to the INFERRED type so filters compare cast-free and
+    * prune partitions. Cell ids inherit idCol's type — no Long
+    * assumption.
+    */
+  private def cellToNative(raw: DataFrame): Any => Any =
+    raw.schema("cell").dataType match {
+      case IntegerType => { case n: Number => n.intValue;  case v => v }
+      case LongType    => { case n: Number => n.longValue; case v => v }
+      case StringType  => v => v.toString
+      case other => throw new IllegalStateException(
+        s"unexpected cell partition type $other")
+    }
 
   def exists(spark: SparkSession): Boolean =
     new org.apache.hadoop.fs.Path(s"$path/centroids")
@@ -489,22 +615,18 @@ class IvfIndex(path: String, nCells: Int,
       .select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
     val raw = spark.read.parquet(s"$path/assigned")
-    // Partition-value type inference may narrow `cell` (e.g. a long id
-    // column comes back int); filter with literals of the INFERRED
-    // type so the comparison is cast-free and prunes partitions, then
-    // restore the centroids-side type for the probe join. Cell ids
-    // inherit idCol's type, so stay generic — no Long assumption.
-    val toNative: Any => Any = raw.schema("cell").dataType match {
-      case IntegerType => { case n: Number => n.intValue;  case v => v }
-      case LongType    => { case n: Number => n.longValue; case v => v }
-      case StringType  => v => v.toString
-      case other => throw new IllegalStateException(
-        s"unexpected cell partition type $other")
-    }
+    // Filter with literals of the type partition inference produced
+    // (see cellToNative) so the comparison is cast-free and prunes
+    // partitions, then restore the centroids-side type for the join.
     val assigned = raw
-      .filter(col("cell").isInCollection(probedCells.map(toNative)))
+      .filter(col("cell").isInCollection(probedCells.map(cellToNative(raw))))
       .withColumn("cell",
         col("cell").cast(centroids.schema("cell").dataType))
-    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
+    // pending removals filter out at probe time (broadcast anti-join —
+    // tombstones stay small between compactions by contract)
+    val live = tombstones(spark)
+      .map(t => assigned.join(broadcast(t), Seq("cid"), "left_anti"))
+      .getOrElse(assigned)
+    ivfProbe(live, centroids, queries, k, nProbe, idCol, vecCol)
   }
 }

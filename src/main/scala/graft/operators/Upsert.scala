@@ -378,7 +378,18 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // survives commit-log GC of the older entries that established it.
     val lastStreamBatch =
       cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
-    if (batchId >= 0 && batchId <= lastStreamBatch) return
+    if (batchId >= 0 && batchId <= lastStreamBatch) {
+      // The TABLE effect must not re-apply — but the replayed batch
+      // must still be CONSUMED: in a streaming foreachBatch the
+      // upstream stateful operators run inside this DataFrame's job,
+      // and returning without an action would leave their state
+      // stores uncommitted for this batch (Spark 4.1's state-store
+      // commit validation fails the restarted query over exactly
+      // this). The noop sink drives every partition at full speed
+      // with zero write side effects.
+      updates.write.format("noop").mode("overwrite").save()
+      return
+    }
     val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
     // An uncommitted table with pre-existing data (external writer or
     // a pre-commit-log layout) is adopted as the merge base, never

@@ -66,9 +66,17 @@ object MedallionStream {
     * (01_bronze_realtime_rides.py:66-90).
     */
   def bronzeQuery(spark: SparkSession, p: Paths,
-                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                  maxFilesPerTrigger: Option[Int] = None)
       : StreamingQuery = {
-    val raw = spark.readStream.schema(rawSchema).json(p.raw)
+    // maxFilesPerTrigger caps each micro-batch's file intake (the
+    // file-source analog of Kafka's maxOffsetsPerTrigger) — under
+    // Trigger.AvailableNow it splits a backlog drain into bounded
+    // batches instead of one giant catch-up batch, which is both the
+    // production restart posture and what StreamScaleProof measures.
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k))
+    val raw = reader.json(p.raw)
     Medallion.bronzeProject(raw)
       .writeStream
       .format("parquet")
@@ -82,9 +90,12 @@ object MedallionStream {
     * parquet append (02_silver_realtime_rides.py:41-118).
     */
   def silverQuery(spark: SparkSession, p: Paths,
-                  trigger: Trigger = Trigger.ProcessingTime("0 seconds"))
+                  trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+                  maxFilesPerTrigger: Option[Int] = None)
       : StreamingQuery = {
-    val bronze = spark.readStream.schema(Rides.bronzeSchema).parquet(p.bronze)
+    val reader = spark.readStream.schema(Rides.bronzeSchema)
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k))
+    val bronze = reader.parquet(p.bronze)
     Medallion.silverStage(bronze, streaming = true)
       .writeStream
       .format("parquet")
@@ -106,8 +117,18 @@ object MedallionStream {
   def goldQuery(spark: SparkSession, p: Paths,
                 trigger: Trigger = Trigger.ProcessingTime("45 seconds"),
                 bounded: Boolean = false,
-                partitioned: Boolean = false): StreamingQuery = {
-    val silver = spark.readStream.schema(silverSchema).parquet(p.silver)
+                partitioned: Boolean = false,
+                maxFilesPerTrigger: Option[Int] = None,
+                afterBatch: Long => Unit = _ => ()): StreamingQuery = {
+    // `afterBatch` runs AFTER the sink commit but BEFORE Spark marks
+    // the micro-batch complete in the checkpoint — the slot for batch
+    // callbacks (metrics, alerting), and for fault injection in the
+    // crash tests: a throw here is exactly the "died between sink
+    // write and checkpoint commit" window the sink's batchId replay
+    // protection exists for.
+    val reader = spark.readStream.schema(silverSchema)
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k))
+    val silver = reader.parquet(p.silver)
     // `partitioned` is the 100 TB layout: gold partitioned by window
     // date. NOTE: the O(touched partitions) rewrite benefit requires
     // pairing with `bounded = true` — in the default complete mode
@@ -131,6 +152,7 @@ object MedallionStream {
             batch.withColumn("window_date", to_date(col("window_start")))
           else batch
         sink.upsert(spark, out, batchId)
+        afterBatch(batchId)
       }
       .start()
   }

@@ -41,13 +41,23 @@ object StatefulTotals {
   }
 
   /** Running totals stream: one updated row per driver per
-    * micro-batch (update output mode).
+    * micro-batch (update output mode). A non-NONE `ttl` requires a
+    * clocked time mode — Spark 4.1 rejects TTL under `TimeMode.None()`
+    * (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL) — so the
+    * processor runs under ProcessingTime exactly when TTL aging is
+    * requested; the default stays timer-free. NOTE: under ProcessingTime
+    * the engine schedules micro-batches continuously (any batch may
+    * fire a TTL sweep), so pair a TTL'd stream with a real trigger
+    * interval — the default 0 ms trigger becomes a busy loop, and
+    * `processAllAvailable` never sees the stream settle.
     */
   def totals(ds: Dataset[AnomalyTracker.RideObs],
              ttl: TTLConfig = TTLConfig.NONE): Dataset[DriverTotal] = {
     import ds.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(_.driver_id)
-      .transformWithState(new TotalsProcessor(ttl), TimeMode.None(),
+      .transformWithState(new TotalsProcessor(ttl), timeMode,
         OutputMode.Update())
   }
 
@@ -73,13 +83,22 @@ object StatefulTotals {
         rows: Iterator[AnomalyTracker.RideObs],
         timers: TimerValues): Iterator[DriverTotal] = {
       var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
-      rows.foreach { r => n += 1; if (r.is_suspicious) s += 1 }
+      var maxEventMs = Long.MinValue
+      rows.foreach { r =>
+        n += 1; if (r.is_suspicious) s += 1
+        maxEventMs = math.max(maxEventMs, r.event_timestamp.getTime)
+      }
       totals.update((n, s))
-      // one live timer per key: drop the previous arm, re-arm from
-      // the CURRENT watermark so the clock restarts on activity
+      // one live timer per key: drop the previous arm, re-arm from the
+      // key's own clock. In the first micro-batch the global watermark
+      // is still 0 — anchoring on the watermark alone would give every
+      // new key a near-epoch timer that fires (and wipes state) on the
+      // first watermark advance, so take max(batch max event time,
+      // watermark), matching AnomalyTracker's EventTimeTimeout arm.
       getHandle.listTimers().foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(timers.getCurrentWatermarkInMs() + idleMs)
+      getHandle.registerTimer(
+        math.max(maxEventMs, timers.getCurrentWatermarkInMs()) + idleMs)
       Iterator.single(DriverTotal(key, n, s))
     }
 

@@ -6,9 +6,12 @@ class EntrySmoke extends SparkTestBase {
     val ok = SparkEntry.oracleSql.keySet
     assert((ok -- qk).isEmpty, s"oracle without query: ${ok -- qk}")
     val rowsOnly = qk -- ok
-    // only the two engine-specific sketches remain rows-only (their
-    // error bounds are ScalaTest-checked); everything else is oracled
-    assert(rowsOnly === Set("approx_distinct_users", "approx_percentiles"),
+    // only the two engine-specific sketch TWINS remain rows-only
+    // (their error bounds are ScalaTest-checked); the deterministic
+    // hash-sample estimators under the original names are oracled,
+    // like everything else
+    assert(rowsOnly === Set("approx_distinct_users_sketch",
+        "approx_percentiles_sketch"),
       s"unexpected rows-only: $rowsOnly")
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+/** Explain-plan regression harness: the load-bearing physical-plan
+  * properties hand-audited in PLANS.md, encoded as assertions so a
+  * Spark upgrade or refactor can't silently de-optimize a headline
+  * query. Asserts on the STATICALLY planned physical plan (the
+  * `AdaptiveSparkPlan isFinalPlan=false` tree — deterministic, no
+  * runtime stat dependence); broadcast decisions at this stage come
+  * from parquet size stats, which is exactly the planning a 100 TB
+  * run starts from before AQE refines it.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q5_region_revenue: all 5 joins broadcast, date + region pushed") {
+    val p = plan("q5_region_revenue")
+    assert(count(p, "BroadcastHashJoin") === 5,
+      s"expected 5 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle join crept into the star join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date range not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to the region scan:\n$p")
+  }
+
+  test("gold_hourly: one exchange after map-side partials, pruned scan") {
+    val p = plan("gold_hourly")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"windowed agg should shuffle exactly once:\n$p")
+    assert(p.contains("partial_count"),
+      s"no map-side partial aggregation before the exchange:\n$p")
+    // events carries 6 columns; the query reads 5 — `props` must be
+    // pruned out of the parquet scan
+    assert(!p.contains("props"), s"column pruning lost `props`:\n$p")
+  }
+
+  test("topk_per_key_custom: bounded heaps, no sort, one exchange") {
+    val p = plan("topk_per_key_custom")
+    assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    assert(!p.matches("(?s).*\\bSort \\[.*"),
+      s"a Sort appeared beside the bounded-heap operator:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"per-key top-k should shuffle exactly once:\n$p")
+  }
+
+  test("events_funnel: the whole window chain reuses one user_id exchange") {
+    val p = plan("events_funnel")
+    // both stage-derivation windows and the per-user distinct run on
+    // ONE user_id exchange; the only other shuffle is the final
+    // |stages|-row count re-agg — nothing else may re-shuffle the facts
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      s"funnel stages re-shuffled instead of reusing user_id partitioning:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 2,
+      s"unexpected extra exchange in the funnel chain:\n$p")
+  }
+
+  test("dedup_jaccard_pairs: shuffled-hash candidate join, no sort-merge") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(p.contains("ShuffledHashJoin"),
+      s"candidate self-join lost the shuffle_hash hint:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join on a massively-duplicated key:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
+      s"hot-shingle cap is not a broadcast anti-join:\n$p")
+  }
+
+  test("embed_topk_ivf_indexed: assigned scan is partition-pruned") {
+    val p = plan("embed_topk_ivf_indexed")
+    assert(p.matches("(?s).*PartitionFilters: \\[cell#\\d+ IN.*"),
+      s"no static IN/INSET partition filter on the assigned scan:\n$p")
+  }
+
+  test("events_anomaly_zscore: fact side never shuffles") {
+    val p = plan("events_anomaly_zscore")
+    // the per-type stats aggregate shuffles its |event-types|-sized
+    // relation; the fact-side scoring must join against a broadcast,
+    // not re-shuffle the events table
+    assert(p.contains("BroadcastHashJoin"),
+      s"z-score stats not broadcast to the fact scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact table shuffled for the stats join:\n$p")
+  }
+}

@@ -27,7 +27,7 @@ class QuerySurfaceSpec extends SparkTestBase {
   }
 
   test("approx_count_distinct is within 10% of exact") {
-    val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
+    val approx = SparkEntry.queries("approx_distinct_users_sketch")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = SparkEntry.queries("silver_clean_filter")(spark, sf)
       .groupBy(col("event_type"))
@@ -41,13 +41,39 @@ class QuerySurfaceSpec extends SparkTestBase {
   }
 
   test("approx percentile is close to the exact interpolated value") {
-    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
+    val approx = SparkEntry.queries("approx_percentiles_sketch")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exact = SparkEntry.queries("value_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (tpe, ex) =>
       assert(math.abs(approx(tpe) - ex) / math.max(ex, 1.0) < 0.05,
         s"$tpe: approx ${approx(tpe)} vs exact $ex")
+    }
+  }
+
+  test("deterministic hash-sample estimators track the exact values") {
+    // the oracle gate pins Spark == DuckDB; this pins that the
+    // deterministic spellings are also sensible ESTIMATORS (1/4
+    // hash-domain sample of 15 users / ~200 rows per type at sf0.001,
+    // so bounds are loose by design)
+    val estD = SparkEntry.queries("approx_distinct_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exD = SparkEntry.queries("silver_clean_filter")(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exD.foreach { case (tpe, ex) =>
+      val est = estD(tpe).toDouble
+      assert(est >= ex / 2.0 && est <= ex * 2.0,
+        s"$tpe: distinct-sampling estimate $est vs exact $ex")
+    }
+    val estP = SparkEntry.queries("approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exP = SparkEntry.queries("value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exP.foreach { case (tpe, ex) =>
+      assert(math.abs(estP(tpe) - ex) / math.max(ex, 1.0) < 0.25,
+        s"$tpe: sampled p50 ${estP(tpe)} vs exact $ex")
     }
   }
 

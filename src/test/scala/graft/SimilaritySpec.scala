@@ -202,6 +202,93 @@ class SimilaritySpec extends SparkTestBase {
       s"appended vector not retrievable: ${hits.toSeq}")
   }
 
+  test("IVF append replay is idempotent (retried batch adds no rows)") {
+    val dir = tmpDir("ivfreplay")
+    // leave ids 240..249 OUT of the index so the mixed batch below has
+    // genuinely new rows to contribute
+    val base = emb.filter(col("vec_id") < 240)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    idx.build(base)
+    idx.append(rest)
+    val after1 = spark.read.parquet(s"$dir/assigned").count()
+    assert(after1 === 490L)
+    // a retried delivery of the SAME batch must be a no-op: the frozen
+    // quantizer re-assigns each id to its existing cell, where the
+    // anti-join filters it
+    idx.append(rest)
+    assert(idx.exists(spark), "replayed append left the index invalid")
+    val after2 = spark.read.parquet(s"$dir/assigned").count()
+    assert(after2 === after1, s"replayed append duplicated rows: $after1 -> $after2")
+    // and a partially-new batch appends only the new ids
+    idx.append(emb.filter(col("vec_id") >= 240)) // 240..249 new, rest replay
+    val after3 = spark.read.parquet(s"$dir/assigned").count()
+    assert(after3 === after1 + 10,
+      s"mixed replay batch should add exactly 10 rows: $after1 -> $after3")
+    assert(spark.read.parquet(s"$dir/assigned").select("cid").distinct().count()
+      === after3, "duplicate ids present in the index")
+  }
+
+  test("IVF remove/compact: rebuild parity, physical rewrite, re-add cycle") {
+    val dir = tmpDir("ivfrm")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    idx.build(emb)
+    val isRemoved = col("vec_id") >= 400 && col("vec_id") < 420
+    val removed = emb.filter(isRemoved)
+    idx.remove(removed)
+    assert(idx.exists(spark), "remove left the index invalid")
+    val queries = emb.filter(col("vec_id") < 8)
+    // nProbe = nCells probes every cell, so results are the exact
+    // cosine top-k over the LIVE rows — comparable 1:1 with a
+    // from-scratch rebuild on the filtered corpus even though the
+    // original index keeps its as-built centroids. (The seeds are the
+    // 16 smallest ids, none removed, so the rebuild's quantizer
+    // assigns the survivors identically.)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val logical = rows(idx.topK(spark, queries, 10, nProbe = 16))
+    assert(!logical.exists(r => { val id = r(2).asInstanceOf[Long]
+      id >= 400L && id < 420L }), "tombstoned id surfaced in topK")
+    val rebuilt = new graft.functions.IvfIndex(tmpDir("ivfrm2"), nCells = 16)
+    rebuilt.build(emb.filter(!isRemoved))
+    assert(logical === rows(rebuilt.topK(spark, queries, 10, nProbe = 16)),
+      "tombstoned index diverged from a rebuild on the filtered corpus")
+    // physical compaction changes nothing logically…
+    idx.compact(spark)
+    assert(idx.exists(spark), "compact left the index invalid")
+    assert(logical === rows(idx.topK(spark, queries, 10, nProbe = 16)),
+      "compacted index diverged from its own tombstoned results")
+    // …but clears the dead rows and the tombstone set
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() === 480L &&
+      assigned.filter(col("cid") >= 400 && col("cid") < 420).count() === 0L,
+      "compact did not physically remove dead rows")
+    assert(!new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compact did not clear the tombstone set")
+    // full lifecycle: a compacted id can be re-added
+    idx.append(removed)
+    assert(spark.read.parquet(s"$dir/assigned").count() === 500L)
+  }
+
+  test("IVF append of a tombstoned id fails until compacted") {
+    val dir = tmpDir("ivfrmclash")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    idx.build(emb)
+    val one = emb.filter(col("vec_id") === 450)
+    idx.remove(one)
+    // re-adding while the dead row is still physically present would
+    // resurrect it beside the new row as a duplicate — must refuse
+    val ex = intercept[IllegalArgumentException] { idx.append(one) }
+    assert(ex.getMessage.contains("compact"), ex.getMessage)
+    assert(idx.exists(spark), "failed append left the index invalid")
+    idx.compact(spark)
+    idx.append(one) // now a plain append
+    assert(spark.read.parquet(s"$dir/assigned")
+      .filter(col("cid") === 450).count() === 1L)
+  }
+
   test("IVF append to a missing index fails fast") {
     val ex = intercept[IllegalArgumentException] {
       new graft.functions.IvfIndex(tmpDir("ivfnone"), nCells = 4).append(emb)

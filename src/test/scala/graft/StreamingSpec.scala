@@ -115,6 +115,83 @@ class StreamingSpec extends SparkTestBase {
       "bounded gold diverged from batch recompute")
   }
 
+  test("gold survives a kill between sink write and checkpoint commit") {
+    // The exactly-once hole every foreachBatch sink has to close: the
+    // process dies AFTER the sink committed batch N but BEFORE Spark
+    // recorded N complete in the checkpoint. On restart Spark replays
+    // batch N — the sink's batchId ledger must turn that replay into a
+    // no-op (one logical application), end to end under RocksDB.
+    val root = tmpDir("streamc")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 4000L)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    MedallionStream.useRocksDbStateStore(spark)
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      // run 1: crash injected right after the sink commit of batch 0
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+          bounded = true,
+          afterBatch = bid => throw new RuntimeException(s"injected-kill@$bid")
+        ).awaitTermination()
+      }
+      assert(ex.getMessage.contains("injected-kill@0"), ex.getMessage)
+      // the sink DID commit batch 0 before the "kill"
+      def batch0Commits(): Int = new java.io.File(s"${p.gold}/_commits")
+        .listFiles().filter(_.getName.forall(_.isDigit)) // skip .crc files
+        .count { f =>
+          scala.io.Source.fromFile(f).mkString.trim.split("\\s+")(0) == "0"
+        }
+      assert(batch0Commits() === 1, "crash window missed: no sink commit")
+      // run 2: clean restart from the same checkpoint — Spark replays
+      // batch 0; the sink must skip it, then finish the drain
+      MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+        bounded = true).awaitTermination()
+      assert(batch0Commits() === 1,
+        "replayed batch 0 was applied twice — exactly-once broken")
+      val silver = spark.read.parquet(p.silver)
+      val gold = new ParquetUpsertSink(p.gold, Rides.goldKey).read(spark)
+        .select("window_start", "window_end", "driver_id",
+          "total_rides_hourly", "avg_fare_hourly",
+          "total_suspicious_rides_hourly")
+      val expected = Medallion.goldAggregate(silver)
+      assert(gold.except(expected).count() === 0 &&
+        expected.except(gold).count() === 0,
+        "gold diverged from batch recompute after crash-replay")
+      assert(gold.count() === gold
+        .select(col("window_start"), col("window_end"), col("driver_id"))
+        .distinct().count(), "duplicate gold keys after replay")
+      // and the stream keeps moving: a later wave lands as batch 1+
+      RideGenerator.writeRaw(spark, p.raw, 1000L, seed = 9L,
+        epochStart = 1704067200L + 7200L)
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+        bounded = true).awaitTermination()
+      val gold2 = new ParquetUpsertSink(p.gold, Rides.goldKey).read(spark)
+        .select("window_start", "window_end", "driver_id",
+          "total_rides_hourly", "avg_fare_hourly",
+          "total_suspicious_rides_hourly")
+      val expected2 = Medallion.goldAggregate(spark.read.parquet(p.silver))
+      assert(gold2.except(expected2).count() === 0 &&
+        expected2.except(gold2).count() === 0,
+        "gold diverged after the post-crash wave")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("medallion chain converges under the RocksDB state store") {
     val root = tmpDir("streamr")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
