@@ -245,16 +245,29 @@ object Dedup {
     val sh =
       if (maxShingleDf == Long.MaxValue) all
       else {
-        // The hot list has at most |index|/τ entries — small enough to
-        // broadcast for the anti-join (at extreme scale drop the hint
-        // and let AQE pick; correctness is unchanged). Measured: the
-        // three consumers re-probing this cheap broadcast anti-join
-        // beats materializing the capped relation a second time.
-        val hot = all.groupBy(col("sh"))
+        // COLLECT the hot shingles in the same action that detects
+        // them, exactly like [[dropOversizedBuckets]]: the list is
+        // ≤ |index|/τ entries — the same bound that would make the
+        // anti-join broadcastable, and BroadcastExchange collects to
+        // the driver anyway, so this has the identical memory profile.
+        // What it saves is re-planning: the capped relation feeds
+        // THREE consumers (sizes + both join sides), and as a
+        // broadcast anti-join each consumer re-plans the hot-key
+        // aggregate + broadcast build (no exchange reuse across the
+        // three — verified in the r4 plan), where a driver-collected
+        // INSET filter evaluates scan-side inside each consumer's
+        // codegen for free. Measured at sf0.1: 1.53 s → 1.41 s
+        // (r3's unguarded spelling: 1.18 s — the remaining gap is the
+        // detection aggregate itself, the irreducible price of an
+        // EXACT df>τ cut; a one-pass bounded-posting-list alternative
+        // measured SLOWER, see PLANS.md §jaccard-guard).
+        val hotRows = all.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf)
           .select(col("sh"))
-        all.join(broadcast(hot), Seq("sh"), "left_anti")
+          .collect().map(_.getLong(0)).toSeq
+        if (hotRows.isEmpty) all
+        else all.filter(!col("sh").isInCollection(hotRows))
       }
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
