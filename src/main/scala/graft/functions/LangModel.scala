@@ -62,7 +62,15 @@ object LangModel {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/vocab"), true) // invalidate FIRST
-    val bigrams = bigramStream(docs, idCol, textCol).localCheckpoint(true)
+    // The bigram stream feeds both model aggregations: stage it as
+    // parquet BESIDE the model, not localCheckpoint — at 60M bigrams
+    // (500k docs) the executor-memory block copy is what dies first
+    // (ScaleProof measured AGGREGATE_OUT_OF_MEMORY at exactly this
+    // size), and a durable build already owns a durable location.
+    val stage = s"$path/_bg_stage"
+    bigramStream(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(stage)
+    val bigrams = spark.read.parquet(stage)
     bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
       .write.mode("overwrite").parquet(s"$path/c2")
     bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
@@ -72,6 +80,7 @@ object LangModel {
     docs.select(explode(Text.tokens(col(textCol))).as("word"))
       .agg(countDistinct(col("word")).cast("double").as("vocab"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    fs.delete(new Path(stage), true)
   }
 
   /** Per-document mean bigram log-probability. With `modelPath` the
