@@ -88,7 +88,12 @@ object StreamScaleProof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    MedallionStream.useRocksDbStateStore(spark)
+    // SPARK_GRAFT_STREAM_CHANGELOG=1 → RocksDB changelog checkpointing
+    // (per-batch commits upload state DELTAS, not full snapshots) for
+    // the A/B against the default snapshot-per-commit mode
+    val changelog = sys.env.get("SPARK_GRAFT_STREAM_CHANGELOG").contains("1")
+    MedallionStream.useRocksDbStateStore(spark, changelog = changelog)
+    println(s"""{"conf":"changelogCheckpointing","enabled":$changelog}""")
     val work = java.nio.file.Files.createTempDirectory("graft-sscale").toString
 
     val results = mutable.Map.empty[(String, Long), StageMetrics]

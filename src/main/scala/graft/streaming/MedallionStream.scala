@@ -48,10 +48,27 @@ object MedallionStream {
 
   /** Route all subsequently-started streaming queries' state through
     * RocksDB (see [[rocksDbProvider]]).
+    *
+    * `changelog = true` additionally enables RocksDB changelog
+    * checkpointing: each micro-batch commit uploads only the batch's
+    * state CHANGES to the checkpoint location, with full sst-file
+    * snapshots consolidated periodically in the background — instead
+    * of the default snapshot-per-commit, whose upload cost scales
+    * with total state size. This is the knob that keeps per-batch
+    * commit latency flat when state is large (the silver dedup store
+    * holds ~1.2M rows / 139 MB of sst during a 10M-event backlog
+    * drain — see PLANS.md §streaming-scaling); measured there it
+    * also removes the multi-second commit spikes. Default off so
+    * existing checkpoints keep their format.
     */
-  def useRocksDbStateStore(spark: SparkSession): Unit =
+  def useRocksDbStateStore(spark: SparkSession,
+                           changelog: Boolean = false): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       rocksDbProvider)
+    if (changelog) spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
 
   val silverSchema: StructType =
     StructType(Rides.rideSchema.fields ++ Seq(

@@ -82,6 +82,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"no static IN/INSET partition filter on the assigned scan:\n$p")
   }
 
+  test("dedup_substring_spans: count-based detection, no pair self-join") {
+    val p = plan("dedup_substring_spans")
+    // duplicated-window detection is a COUNT against a broadcast (or
+    // AQE-shuffled) distinct-doc aggregate — a self-join here would
+    // reintroduce the quadratic pair fan-out this op exists to avoid
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"substring dedup regressed to a pair join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"positions no longer join the broadcast dup-hash list:\n$p")
+    // exactly one exchange of FULL (doc_id, pos) rows — the per-doc
+    // window; the detection side's aggregates exchange only 8-byte
+    // sh keys (payload-free, uncounted here)
+    assert(count(p, "Exchange hashpartitioning(doc_id") === 1,
+      s"extra full-row exchange beside the per-doc window:\n$p")
+  }
+
+  test("docs_decontaminate: corpus scanned once against a broadcast eval set") {
+    val p = plan("docs_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the decontamination probe:\n$p")
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized

@@ -198,8 +198,14 @@ class StreamingSpec extends SparkTestBase {
       s"$root/silver", s"$root/gold", s"$root/ckpt")
     RideGenerator.writeRaw(spark, p.raw, 3000L)
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
-    MedallionStream.useRocksDbStateStore(spark)
+    val prevCl = spark.conf.getOption(clKey)
+    // changelog checkpointing ON: per-batch delta uploads + periodic
+    // snapshot consolidation is the large-state configuration — the
+    // chain must converge identically under it
+    MedallionStream.useRocksDbStateStore(spark, changelog = true)
     try {
       // the full chain: silver's watermark+dropDuplicates and gold's
       // window aggregation both run their state through RocksDB
@@ -223,9 +229,15 @@ class StreamingSpec extends SparkTestBase {
       assert(walk(stateDir).exists(f => f.getName.endsWith(".zip") ||
         f.getName.endsWith(".changelog")),
         "silver checkpoint has no RocksDB state artifacts")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 
