@@ -221,6 +221,14 @@ object Dedup {
     * Input: (doc_id, sh) from [[docShingleHashes]].
     * Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ threshold.
     */
+  /** Hot-key exclusion sets up to this size inline as a literal INSET
+    * filter; larger sets fall back to the broadcast anti-join — a
+    * literal carrying hundreds of thousands of longs rides along in
+    * the plan and every serialized task, where a broadcast ships once
+    * per executor. 10k longs ≈ 80 KB, safely inside the sweet spot.
+    */
+  private[graft] val maxInsetHotKeys = 10000
+
   def jaccardPairs(shingles: DataFrame, threshold: Double,
                    maxShingleDf: Long = Long.MaxValue,
                    indexPath: Option[String] = None): DataFrame = {
@@ -260,14 +268,31 @@ object Dedup {
         // (r3's unguarded spelling: 1.18 s — the remaining gap is the
         // detection aggregate itself, the irreducible price of an
         // EXACT df>τ cut; a one-pass bounded-posting-list alternative
-        // measured SLOWER, see PLANS.md §jaccard-guard).
-        val hotRows = all.groupBy(col("sh"))
+        // measured SLOWER, see PLANS.md §jaccard-guard). The detection
+        // relation is capped at maxInsetHotKeys+1 rows via limit —
+        // boilerplate-heavy corpora can legitimately exceed the INSET
+        // sweet spot, and an overflowing collect must not grow with it.
+        val detected = all.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf)
           .select(col("sh"))
+        val hotRows = detected.limit(maxInsetHotKeys + 1)
           .collect().map(_.getLong(0)).toSeq
         if (hotRows.isEmpty) all
-        else all.filter(!col("sh").isInCollection(hotRows))
+        else if (hotRows.length <= maxInsetHotKeys)
+          all.filter(!col("sh").isInCollection(hotRows))
+        else {
+          // Degenerate corpus: the hot list outgrew what a literal
+          // INSET should carry (plan/task serialization scales with
+          // it). Fall back to the broadcast anti-join — per-consumer
+          // re-planning is the lesser cost once the exclusion set is
+          // this large.
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"jaccardPairs: > $maxInsetHotKeys shingles over df=" +
+              s"$maxShingleDf (boilerplate-heavy corpus?); excluding " +
+              "via broadcast anti-join instead of an INSET literal")
+          all.join(broadcast(detected), Seq("sh"), "left_anti")
+        }
       }
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))

@@ -423,6 +423,10 @@ class IvfIndex(path: String, nCells: Int,
     // valid.
     fs.delete(p("assigned"), true)
     fs.delete(p("seeds"), true)
+    // tombstones belong to the PREVIOUS generation: left behind, they
+    // would silently filter legitimately-rebuilt ids out of topK
+    fs.delete(p("tombstones"), true)
+    fs.delete(p("assigned_stage"), true) // torn compact leftover
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     // persist the quantizer seeds so append() assigns against the

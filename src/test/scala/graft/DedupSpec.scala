@@ -60,6 +60,30 @@ class DedupSpec extends SparkTestBase {
       uncapped.except(dflt).count() === 0)
   }
 
+  test("oversized hot-shingle list takes the broadcast anti-join fallback") {
+    // Boilerplate-heavy corpus: three copies of a 10 100-word page
+    // put >maxInsetHotKeys distinct shingles over df=2 — the hot list
+    // outgrows what an INSET literal should carry, so exclusion must
+    // flip to the broadcast anti-join and still compute the exact
+    // capped-universe jaccard for the surviving (non-hot) docs.
+    val page = (0 until 10100).map(i => s"w$i").mkString(" ")
+    val corpus = (Seq(0L, 1L, 2L).map(id => (id, page)) ++
+      Seq((10L, "zeta eta theta iota kappa lambda"),
+          (11L, "zeta eta theta iota kappa lambda")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.docShingleHashes(corpus, "doc_id", "text", 3)
+    val nHot = sh.groupBy("sh").count()
+      .filter(col("count") > 2).count()
+    assert(nHot > Dedup.maxInsetHotKeys,
+      s"fixture too small to trigger the fallback: $nHot hot shingles")
+    val pairs = Dedup.jaccardPairs(sh, 0.5, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // the boilerplate trio loses every shingle → contributes no pairs;
+    // the small near-dup pair survives with full-universe jaccard
+    assert(pairs === Map((10L, 11L) -> 1.0), s"got $pairs")
+  }
+
   test("hot-bucket guard bounds LSH pair fan-out on exact-dup clusters") {
     // A 1000-copy exact-duplicate cluster: identical docs have
     // identical signatures, so EVERY band puts all 1000 in one bucket

@@ -289,6 +289,30 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("cid") === 450).count() === 1L)
   }
 
+  test("IVF torn compact is never served; rebuild clears stale tombstones") {
+    val dir = tmpDir("ivftorn")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    idx.build(emb)
+    idx.remove(emb.filter(col("vec_id") === 123))
+    // simulate a crash INSIDE compact's invalidated window: centroids
+    // renamed away, data half-rewritten — the index must read invalid
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids"),
+      new org.apache.hadoop.fs.Path(s"$dir/centroids_prev")))
+    assert(!idx.exists(spark), "torn compact served as valid")
+    // recovery is a rebuild — which must ALSO drop the previous
+    // generation's tombstones, or id 123 (legitimately present in the
+    // rebuilt corpus) would be silently filtered from every probe
+    idx.build(emb)
+    assert(idx.exists(spark))
+    val probe = emb.filter(col("vec_id") === 123)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val hits = idx.topK(spark, probe, 3, nProbe = 16).collect()
+    assert(hits.exists(r => r.getLong(2) === 123L && r.getDouble(3) === 1.0),
+      s"stale tombstone leaked across the rebuild: ${hits.toSeq}")
+  }
+
   test("IVF append to a missing index fails fast") {
     val ex = intercept[IllegalArgumentException] {
       new graft.functions.IvfIndex(tmpDir("ivfnone"), nCells = 4).append(emb)
