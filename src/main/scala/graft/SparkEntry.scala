@@ -445,6 +445,38 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // Co-located join over bucketed standing tables
+    // (operators/Bucketed): both fact projections are persisted
+    // bucketed on the join key — write-once per session
+    // (ensureBucketed), so repetition (Bench's 4 passes) measures the
+    // SHUFFLE-FREE join, which is the entire point of paying the
+    // layout shuffle at write time. The zero-Exchange plan property
+    // is asserted eagerly here (broadcast disabled for the probe, so
+    // the small sf can't hide a shuffle regression behind a
+    // BroadcastExchange) and pinned independently in BucketedSpec.
+    "bucketed_join_priority" -> ((s, d) => {
+      import graft.operators.Bucketed
+      val sfx = java.lang.Integer.toHexString(d.hashCode) // pin table→source dir
+      val ot = s"g_orders_bkt_$sfx"; val lt = s"g_lineitem_bkt_$sfx"
+      Bucketed.ensureBucketed(t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      Bucketed.ensureBucketed(t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        lt, "o_orderkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Bucketed.assertCoLocated(Bucketed.join(s, ot, lt, "o_orderkey"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Bucketed.join(s, ot, lt, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(Hashing.portableRound(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // Correlated scalar subquery (Catalyst decorrelates it into an
     // aggregate + join), via the spark.sql surface: orders priced at
     // more than 1.5x their customer's average.
@@ -1645,6 +1677,12 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01'
         | AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "bucketed_join_priority" ->
+      """SELECT o_orderpriority,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "above_avg_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bucketed
+
+/** Bucketed co-located joins: correctness AND the zero-Exchange plan
+  * property that is the whole point of paying the write-time shuffle.
+  */
+class BucketedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withTables[A](names: String*)(body: => A): A =
+    try body
+    finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("co-bucketed join plans with zero Exchange and exact results") {
+    val orders = (0 until 2000)
+      .map(i => (i.toLong % 400, s"o$i", i * 1.5)).toDF("cust_id", "oid", "amt")
+    val custs = (0 until 400).map(i => (i.toLong, s"name$i")).toDF("cust_id", "name")
+    withTables("b_orders", "b_custs") {
+      Bucketed.writeBucketed(orders, "b_orders", "cust_id", 8)
+      Bucketed.writeBucketed(custs, "b_custs", "cust_id", 8)
+      // broadcast would hide the property under test — force the
+      // shuffle-or-colocate decision
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = Bucketed.assertCoLocated(
+          Bucketed.join(spark, "b_orders", "b_custs", "cust_id"))
+        assert(j.count() === 2000)
+        // spot-check against the plain (shuffling) join
+        val plain = orders.join(custs, Seq("cust_id"))
+        assert(j.select(sum("amt")).head.getDouble(0) ===
+          plain.select(sum("amt")).head.getDouble(0))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("bucket-count mismatch is caught, not silently shuffled") {
+    val a = (0 until 100).map(i => (i.toLong, i)).toDF("k", "va")
+    val b = (0 until 100).map(i => (i.toLong, i * 2)).toDF("k", "vb")
+    withTables("b_mismatch_a", "b_mismatch_b") {
+      Bucketed.writeBucketed(a, "b_mismatch_a", "k", 4)
+      Bucketed.writeBucketed(b, "b_mismatch_b", "k", 6)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 4 vs 6 buckets (not integer multiples): Spark falls back to a
+      // full shuffle without an error — the assert is what surfaces it
+      try intercept[IllegalArgumentException] {
+        Bucketed.assertCoLocated(
+          Bucketed.join(spark, "b_mismatch_a", "b_mismatch_b", "k"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("ensureBucketed writes once; repetition reuses the layout") {
+    val df = (0 until 200).map(i => (i.toLong, i)).toDF("k", "v")
+    withTables("b_ensure") {
+      Bucketed.ensureBucketed(df, "b_ensure", "k", 4)
+      val files = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "b_ensure").listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 4, "one file per bucket expected")
+      val stamps = files.map(f => f.getName -> f.lastModified).toMap
+      // second ensure on an existing table must be a no-op, not a
+      // rewrite — this is what keeps benchmark/Verify repetition from
+      // re-paying the layout shuffle every pass
+      Bucketed.ensureBucketed(df.limit(10), "b_ensure", "k", 4)
+      val after = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "b_ensure").listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+      assert(after === stamps, "existing bucketed table was rewritten")
+      assert(spark.table("b_ensure").count() === 200)
+    }
+  }
+
+  test("bucketed aggregation on the bucket key also skips the exchange") {
+    val orders = (0 until 1000)
+      .map(i => (i.toLong % 50, i * 2.0)).toDF("cust_id", "amt")
+    withTables("b_agg_orders") {
+      Bucketed.writeBucketed(orders, "b_agg_orders", "cust_id", 8)
+      val agg = spark.table("b_agg_orders")
+        .groupBy("cust_id").agg(sum("amt").as("total"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on the bucket key should not shuffle:\n$plan")
+      assert(agg.count() === 50)
+      assert(agg.filter(col("cust_id") === 0L).head.getAs[Double]("total")
+        === (0 until 1000 by 50).map(_ * 2.0).sum)
+    }
+  }
+}
