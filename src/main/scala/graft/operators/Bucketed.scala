@@ -38,6 +38,20 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // A crashed (or simply previous) JVM can leave the managed-table
+    // DIRECTORY on disk with no entry in this session's catalog;
+    // saveAsTable refuses to adopt such an orphan location
+    // (LOCATION_ALREADY_EXISTS) rather than overwrite data it has no
+    // metadata for. The catalog is authoritative here: no entry means
+    // the directory is dead layout, so reclaim it before writing.
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     // pre-partition on the bucketing hash so each write task holds
     // exactly one bucket's rows — `buckets` files instead of
     // tasks×buckets splinters (the small-files tax matters at 100 TB:

@@ -134,6 +134,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarityExpr.functionDescriptor)
     ext.injectFunction(DotProductExpr.functionDescriptor)
+    ext.injectFunction(SrpBucketsExpr.functionDescriptor)
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)

@@ -137,4 +137,28 @@ object SrpBucketsExpr {
       org.apache.spark.sql.graft.ColumnBridge.expression(vec),
       org.apache.spark.sql.graft.ColumnBridge.expression(signs),
       tables, planes))
+
+  /** SQL registration (GraftExtensions). tables/planes shape the
+    * generated code, so they must be integer LITERALS — a non-literal
+    * is a hard analysis error, never a miscompile.
+    */
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("srp_buckets"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SrpBucketsExpr].getName, "srp_buckets"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"srp_buckets: $what must be an integer literal, got $other")
+      }
+      children match {
+        case Seq(vec, signs, t, p) =>
+          SrpBucketsExpr(vec, signs, intLit(t, "tables"), intLit(p, "planes"))
+        case _ => throw new IllegalArgumentException(
+          "usage: srp_buckets(vec, signs, tables, planes)")
+      }
+    })
 }

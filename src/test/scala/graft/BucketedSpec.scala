@@ -75,6 +75,27 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("orphaned warehouse location from a dead JVM is reclaimed") {
+    // A previous JVM's managed table leaves its directory under the
+    // (persistent) warehouse dir while this JVM's catalog has no
+    // entry — exactly what a Verify/Bench rerun sees. saveAsTable
+    // refuses to adopt the orphan (LOCATION_ALREADY_EXISTS); the
+    // writer must reclaim it instead of failing the whole run.
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "b_orphan")
+    dir.mkdirs()
+    val stale = new java.io.File(dir, "stale-file")
+    assert(stale.createNewFile())
+    withTables("b_orphan") {
+      assert(!spark.catalog.tableExists("b_orphan"))
+      val df = (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
+      Bucketed.writeBucketed(df, "b_orphan", "k", 4)
+      assert(spark.table("b_orphan").count() === 100)
+      assert(!stale.exists(), "stale orphan content must be gone")
+    }
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     val orders = (0 until 1000)
       .map(i => (i.toLong % 50, i * 2.0)).toDF("cust_id", "amt")
