@@ -49,14 +49,18 @@ object ScaleProof {
     // NOTE: heap must come from the launching JVM (SBT_OPTS=-Xmx…) —
     // in local mode spark.driver.memory set here, after JVM start,
     // is a silent no-op
+    val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed standing tables are managed tables — point the
+      // warehouse at the run's temp dir so scale artifacts never land
+      // in (and never collide with) the repo's warehouse
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
 
     // materialize each corpus once (operators read parquet, so timing
     // measures the operators, not generation)
@@ -173,6 +177,35 @@ object ScaleProof {
         "docs_bigram_logprob" -> (() =>
           graft.functions.LangModel.bigramLogprob(docs, "doc_id", "text",
             modelPath = Some(s"$work/bgm_$n")).count()),
+        // standing-table co-located join: docs ⋈ embedding metadata on
+        // id — two CORPUS-SIZED sides, the case broadcast can never
+        // cover and bucketing exists for. Rep 1 pays the one-time
+        // layout shuffle (ensureBucketed write-once contract); later
+        // reps read pre-partitioned buckets and the join plans with
+        // zero Exchange (asserted, broadcast disabled so small n can't
+        // fake it). The per-rep curve IS the amortization record; the
+        // exponent is measured on the min (steady state). Bucket count
+        // scales with n — the layout contract's "total size / target
+        // file size" sizing, here ~2k rows/bucket.
+        "bucketed_join_agg" -> (() => {
+          import graft.operators.Bucketed
+          val bk = math.max(8, (n / 2000L).toInt)
+          val ft = s"g_scale_docs_$n"; val dt = s"g_scale_emb_$n"
+          Bucketed.ensureBucketed(
+            docs.select(col("doc_id"), col("source"), col("n_chars")),
+            ft, "doc_id", bk)
+          Bucketed.ensureBucketed(
+            emb.select(col("vec_id").as("doc_id"), col("label")),
+            dt, "doc_id", bk)
+          val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try
+            Bucketed.assertCoLocated(Bucketed.join(spark, ft, dt, "doc_id"))
+              .groupBy(col("label"))
+              .agg(avg(col("n_chars")).as("avg_chars")).count()
+          finally
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        }),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
