@@ -952,6 +952,31 @@ object SparkEntry {
 
     // Benchmark decontamination: corpus documents sharing ≥ 8 distinct
     // 3-gram shingle hashes with a benchmark/eval set (here: docs
+    // Deterministic shuffle-and-shard: the training-order assignment
+    // between curation and batch assembly — every pretraining run
+    // permutes the corpus and splits it into shards. The permutation
+    // key is a SALTED hash of doc_id, independent of the shard hash
+    // (reusing one hash for both would order every shard by its own
+    // bucket remainders — a correlated, non-uniform "shuffle"); shard
+    // is hash-mod; position is the within-shard rank. Shards are
+    // mutually independent, so the only sort is per-shard — parallel
+    // across shards, reproducible at any parallelism (no RNG state),
+    // and shard COUNT is the scale knob: at 100 TB shards are sized
+    // to the target output file, so the per-shard sort handles
+    // file-sized runs, never the corpus (a global ORDER BY would).
+    "docs_shard_assign" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("order_key"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(Hashing.hash60(col("doc_id").cast("string")), lit(8L))
+            .cast("int").as("shard"),
+          Hashing.saltedHash60(lit("shuffle"),
+            col("doc_id").cast("string")).as("order_key"))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // 0-49 — non-empty overlap at every driver SF) — the standard
     // pre-training leakage check. The benchmark shingle set is
     // eval-suite-sized at any corpus scale, so it BROADCASTS; the
@@ -1864,6 +1889,16 @@ object SparkEntry {
          |  ROUND(1.0 - n_distinct::DOUBLE / n_shingles::DOUBLE, 6)
          | ELSE 0.0 END AS dup_ratio
          |FROM m""".stripMargin,
+
+    "docs_shard_assign" ->
+      s"""WITH a AS (SELECT doc_id,
+         |  CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         |  ${h60Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS order_key
+         | FROM documents)
+         |SELECT doc_id, shard,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |   ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM a""".stripMargin,
 
     "docs_pack_sequences" ->
       s"""WITH m AS (SELECT doc_id, source,
