@@ -1234,6 +1234,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Quality-aware survivor selection: production dedup keeps the
+    // BEST representative of each duplicate cluster, not the smallest
+    // id — the survivors rule respelled with the quality score as the
+    // ranking (6-dp-rounded, so both engines rank identical doubles;
+    // ties break on min doc_id). Scale shape: the member set is
+    // PAIR-LIST-sized (orders of magnitude below the corpus — that is
+    // what capped candidate generation buys), so only members get
+    // scored, ranking runs on the bounded-heap TopKPerKey plan (k=1
+    // per component), and the corpus is touched exactly once more, by
+    // a broadcast anti-join of the (tiny) losers list.
+    "dedup_survivors_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val members = Dedup.connectedComponents(neardupPairs(s, d))
+        .select(col("node").as("doc_id"), col("component"))
+      val scored = docsWithTokens(docs)
+        .join(broadcast(members), Seq("doc_id"))
+        .select(col("doc_id"), col("component"),
+          Text.qualityScore(col("text"), col("toks")).as("q"))
+      val best = graft.plans.TopKPerKey(scored, keys = Seq("component"),
+        order = Seq(graft.plans.TopKPerKey.desc("q"),
+          graft.plans.TopKPerKey.asc("doc_id")), k = 1)
+        .select(col("doc_id"))
+      val losers = members.join(best, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
 
@@ -2139,6 +2167,41 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN
          | (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+
+    // Same component CTE as the cluster queries; the quality formula
+    // is the docs_quality_topk mirror, computed only over cluster
+    // members (the corpus-sized scan scores nothing it won't rank).
+    "dedup_survivors_quality" -> {
+      val tk = toksSql("text")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH RECURSIVE $clustersCte,
+         |mem AS (SELECT doc_id, cluster_id FROM cc),
+         |mbase AS (SELECT d.doc_id, d.text, $tk AS tk FROM documents d
+         | WHERE d.doc_id IN (SELECT doc_id FROM mem)),
+         |mm AS (SELECT doc_id,
+         |  len(tk) AS n_tokens,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ($all)))::DOUBLE / len(tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM mbase),
+         |mscored AS (SELECT doc_id,
+         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |   + least(stop_ratio * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS q
+         | FROM mm),
+         |best AS (SELECT doc_id FROM (SELECT m.doc_id,
+         |   row_number() OVER (PARTITION BY m.cluster_id
+         |     ORDER BY s.q DESC, m.doc_id) AS rn
+         |  FROM mem m JOIN mscored s USING (doc_id)) WHERE rn = 1),
+         |losers AS (SELECT doc_id FROM mem
+         | WHERE doc_id NOT IN (SELECT doc_id FROM best))
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val h = h60Sql("t")
