@@ -1256,7 +1256,9 @@ object SparkEntry {
         order = Seq(graft.plans.TopKPerKey.desc("q"),
           graft.plans.TopKPerKey.asc("doc_id")), k = 1)
         .select(col("doc_id"))
-      val losers = members.join(best, Seq("doc_id"), "left_anti")
+      // best is ≤ |components| rows but flows out of the custom plan
+      // with no size stats — hint it, or the anti-join sort-merges
+      val losers = members.join(broadcast(best), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
       docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))

@@ -106,6 +106,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus shuffled for the decontamination probe:\n$p")
   }
 
+  test("docs_shard_assign: hashes scan-side, one exchange on shard") {
+    val p = plan("docs_shard_assign")
+    // shard + order_key are pure projections off the scan; the only
+    // shuffle is the per-shard window partitioning — a second
+    // exchange would mean the permutation stopped being scan-side
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"shard assignment should shuffle exactly once (per-shard window):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort crept into shard assignment:\n$p")
+    // only doc_id is read — text/lang/source/n_chars pruned
+    assert(p.matches("(?s).*ReadSchema: struct<doc_id:bigint>.*"),
+      s"shard assignment reads more than doc_id:\n$p")
+  }
+
+  test("dedup_survivors_quality: members broadcast, corpus never shuffled") {
+    val p = plan("dedup_survivors_quality")
+    // the member/loser sets are pair-list-sized: both the scoring join
+    // and the final anti-join must be broadcast — any shuffle join
+    // here would mean the corpus-sized side started moving
+    assert(p.contains("BroadcastHashJoin"),
+      s"member set not broadcast into the scoring join:\n$p")
+    assert(p.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
+      s"loser removal is not a broadcast anti-join:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-component best-doc ranking lost the bounded-heap plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join crept into survivor selection:\n$p")
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized
