@@ -1300,6 +1300,18 @@ object SparkEntry {
           .as(Seq("tbl", "bucket")))
     }),
 
+    // SQ8 scalar-quantized ANN: 1-byte codes + per-vector scale,
+    // approximate ranking on EXACT-integer code dot products (no
+    // float-summation ambiguity in the recall-critical step), exact
+    // cosine re-rank of the 20-candidate short list. The third ANN
+    // scale path beside LSH and IVF — this one trades recall for scan
+    // BANDWIDTH (~4× fewer bytes than float32 embeddings).
+    "embed_topk_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), 5,
+        rerank = 20)
+    }),
+
     // Embedding-cosine near-dup pairs: SRP candidate generation +
     // exact verify (the synthetic corpus tops out near cosine 0.5, so
     // the demo threshold is 0.4; production would use ~0.95).
@@ -2283,6 +2295,40 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id
          |   ORDER BY score DESC, neighbor_id) AS rank
          | FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // SQ8 mirror: same floor-half-up code formula, integer dot via
+    // list_dot_product over the (exactly representable) code doubles,
+    // fixed multiply order for the scale/norm factors, 6-dp rounding
+    // before both rankings.
+    "embed_topk_sq8" ->
+      """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
+        | FROM embeddings),
+        |zc AS (SELECT vec_id, v,
+        |  CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS s,
+        |  sqrt(list_dot_product(v, v)) AS n FROM z),
+        |codes AS (SELECT vec_id, v, s, n,
+        |  list_transform(v, x -> floor(x / s + 0.5)) AS c FROM zc),
+        |approx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROUND(list_dot_product(q.c, c.c) * q.s * c.s / (q.n * c.n), 6)
+        |    AS ascore
+        | FROM codes q JOIN codes c
+        |   ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ascore DESC, neighbor_id) AS arn
+        |  FROM approx) WHERE arn <= 20),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+        | FROM cand
+        | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        | SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, neighbor_id) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin,
 
     // SemDeDup mirror: the shared quantizer-assignment CTE, then a
     // within-cell self-join marks every vector dominated by a

@@ -377,6 +377,89 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score"))
   }
+
+  /** SQ8 scalar quantization (FAISS `SQ8`-style): each vector
+    * compresses to 1-byte codes plus one double scale —
+    * `scale = max|x|/127`, `code = floor(x/scale + 0.5)` ∈ [-127,127]
+    * (tinyint; the floor-half-up formula is engine-portable, and a
+    * zero vector takes scale 1 so codes stay defined). At 100 TB of
+    * embeddings this is the memory-bandwidth play: a candidate scan
+    * reads ~1/4 the bytes of float32 (64 B codes vs 256 B floats for
+    * 64 dims), and the codes table is the write-once artifact the
+    * [[IvfIndex]]/`indexPath` pattern would persist.
+    *
+    * Returns (idCol, sq_codes array<tinyint>, sq_scale, sq_norm) —
+    * `sq_norm` is the EXACT float-vector L2 norm, kept beside the
+    * codes so approximate cosine needs no second pass over the
+    * originals.
+    */
+  def sq8Quantize(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val absmax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol),
+        when(absmax === 0.0, lit(1.0)).otherwise(absmax / 127.0)
+          .as("sq_scale"))
+      .select(col(idCol),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") / col("sq_scale") + lit(0.5))
+            .cast("byte")).as("sq_codes"),
+        col("sq_scale"),
+        norm(col(vecCol)).as("sq_norm"))
+  }
+
+  /** SQ8 approximate top-k with exact re-rank — the third standard ANN
+    * path beside SRP-LSH (collision-bounded) and IVF (partition-
+    * pruned): scan the 1-byte codes, rank by approximate cosine
+    * `dot(codes)·sa·sb / (na·nb)`, keep `rerank ≥ k` candidates per
+    * query, then re-rank ONLY that short list with exact cosine over
+    * the full vectors.
+    *
+    * Determinism across engines is structural: the code dot product
+    * is integer arithmetic carried exactly in doubles (≤ 127²·dims ≪
+    * 2⁵³), so the approximate ranking — the recall-critical step —
+    * has no float-summation ambiguity at all; the scale/norm factors
+    * multiply in a fixed order and round to 6 dp before ranking (ids
+    * break ties). The candidate shuffle carries (ids, score) only;
+    * vectors re-enter via broadcast joins of the rerank·|queries|
+    * short list against the corpus — the corpus itself never shuffles.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              rerank: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val c = sq8Quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sq_codes").as("cc"),
+        col("sq_scale").as("cs"), col("sq_norm").as("cn"))
+    val q = broadcast(sq8Quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("sq_codes").as("qc"),
+        col("sq_scale").as("qs"), col("sq_norm").as("qn")))
+    val approx = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("ascore", Hashing.portableRound(
+        try_divide(dot(col("qc"), col("cc")) * col("qs") * col("cs"),
+          col("qn") * col("cn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("ascore"))
+    val cand = graft.plans.TopKPerKey(approx, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("ascore"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the short list: candidates are rerank·|queries|
+    // rows — broadcast them into the corpus scan, never the reverse
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val exact = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("score",
+        Hashing.portableRound(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    graft.plans.TopKPerKey(exact, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("score"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
 }
 
 /** Persisted IVF index — the write-once scale path [[Similarity.ivfTopK]]'s

@@ -50,6 +50,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("SQ8 quantization: codes bounded, reconstruction error bounded") {
+    val qz = graft.functions.Similarity.sq8Quantize(emb).collect()
+    assert(qz.nonEmpty)
+    qz.foreach { r =>
+      val codes = r.getSeq[Byte](1)
+      val scale = r.getDouble(2)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"code out of SQ8 range for vec ${r.getLong(0)}")
+      assert(scale > 0.0)
+      // round-half-up quantization error is ≤ scale/2 per component
+      val orig = emb.filter(col("vec_id") === r.getLong(0))
+        .head().getSeq[Float](1)
+      orig.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"reconstruction error above scale/2 for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("SQ8 top-k with exact re-rank achieves high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.sq8TopK(emb, queries, 5, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"SQ8 recall@5 (rerank 20): $recall%.3f")
+    // 8-bit codes barely perturb a 64-dim cosine ordering; with a 4x
+    // re-rank margin the short list should almost always contain the
+    // true top-5
+    assert(recall > 0.9, f"SQ8 recall collapsed: $recall%.3f")
+  }
+
   test("IVF probe achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 50)
     val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
