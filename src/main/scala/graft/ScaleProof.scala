@@ -209,6 +209,15 @@ object ScaleProof {
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
+        // SQ8 brute force over the persisted codes table: rep 1 pays
+        // the quantize-and-write, later reps scan 1-byte codes only.
+        // The exponent SHOULD be ~1 — SQ8 is the bandwidth play, not
+        // the complexity play (its scan is linear; LSH/IVF above are
+        // the sublinear paths) — so this row is the honest baseline
+        // the bucketed/pruned paths are compared against
+        "embed_topk_sq8" -> (() =>
+          Similarity.sq8TopK(emb, queries, 10, rerank = 40,
+            codesPath = Some(s"$work/sq8_$n")).count()),
         "embed_topk_ivf_indexed" -> (() => {
           val idx = new IvfIndex(s"$work/ivf_$n", nCells = cellsFor(n))
           idx.build(emb)

@@ -426,9 +426,28 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
               rerank: Int,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              codesPath: Option[String] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val c = sq8Quantize(corpus, idCol, vecCol)
+    // codesPath = the write-once durable-artifact configuration (the
+    // jaccard indexPath / IvfIndex / LangModel.modelPath pattern):
+    // quantize ONCE, persist, and every later query batch scans the
+    // 1-byte codes table instead of re-deriving it from the float
+    // corpus — this is where the 4× bandwidth saving actually lands.
+    // Validity = parquet's own _SUCCESS commit marker; a torn build
+    // has no marker and is rebuilt with overwrite.
+    val quantized = codesPath match {
+      case Some(p) =>
+        val spark = corpus.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          sq8Quantize(corpus, idCol, vecCol)
+            .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => sq8Quantize(corpus, idCol, vecCol)
+    }
+    val c = quantized
       .select(col(idCol).as("neighbor_id"), col("sq_codes").as("cc"),
         col("sq_scale").as("cs"), col("sq_norm").as("cn"))
     val q = broadcast(sq8Quantize(queries, idCol, vecCol)
