@@ -200,6 +200,31 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** Rows of version `to` that are NEW or CHANGED since version
+    * `from` — the change-data-feed read this sink's upsert-only
+    * semantics admit (no row deletes exist, so the delta is exactly
+    * the rows an incremental pipeline must reprocess). This is what
+    * keeps repeated curation affordable: a nightly quality/dedup/
+    * scoring pass consumes `changesBetween(prev, current)` — typically
+    * orders of magnitude smaller than the table — instead of
+    * rescanning 100 TB.
+    *
+    * Shape at scale: one hash-shuffle of 32-byte row fingerprints
+    * (same as exact dedup) — an anti-join of the new snapshot's
+    * fingerprints against the old's. The fingerprint covers the FULL
+    * row (sorted-column `to_json` → sha2), so value updates surface
+    * even when keys match; fingerprint equality means the row is
+    * byte-identical and safely skipped.
+    */
+  def changesBetween(spark: SparkSession, from: Long, to: Long): DataFrame = {
+    require(from <= to, s"from ($from) must be <= to ($to)")
+    def fp(df: DataFrame): DataFrame = df.withColumn("_fp",
+      sha2(to_json(struct(df.columns.sorted.map(col): _*)), 256))
+    val newer = fp(readVersion(spark, to))
+    val older = fp(readVersion(spark, from)).select(col("_fp"))
+    newer.join(older, Seq("_fp"), "left_anti").drop("_fp")
+  }
+
   /** Atomic commit point with compare-and-swap semantics: write the
     * full content to a UNIQUE dot-temp name (ignored by the commit
     * parser; unique so racing writers never clobber each other's

@@ -288,6 +288,26 @@ class UpsertSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { sink2.readVersion(spark, 0) }
   }
 
+  test("changesBetween yields exactly the new and changed rows") {
+    val dir = tmpDir("upsertcdc") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
+    sink.upsert(spark, base, batchId = 0)
+    sink.upsert(spark, updates, batchId = 1)
+    val delta = sink.changesBetween(spark, 0, 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // DRV001 changed (5 -> 9), DRV003 is new (1); every unchanged row
+    // must be absent — that absence is the entire point of the op
+    assert(delta === Map(
+      ("2024-01-01 10:00:00", "DRV001") -> 9L,
+      ("2024-01-01 12:00:00", "DRV003") -> 1L),
+      s"unexpected delta: $delta")
+    // self-diff is empty; inverted range is refused
+    assert(sink.changesBetween(spark, 1, 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      sink.changesBetween(spark, 1, 0)
+    }
+  }
+
   test("clustered compaction: each output file covers a disjoint key range") {
     val dir = tmpDir("upsertclu") + "/gold"
     val sink = new ParquetUpsertSink(dir, Seq("k"))
