@@ -950,6 +950,39 @@ object SparkEntry {
           floor(col("start_offset") / lit(2048)).cast("long"))
     }),
 
+    // The boundary-splitting half of sequence packing: a document
+    // whose token span crosses training-sequence boundaries emits one
+    // chunk row per sequence it touches — (seq_idx, [tok_from,
+    // tok_to) within the doc), the rows a batch assembler actually
+    // consumes. The explode's fan-out is ceil(n_tokens/seqLen) + 1,
+    // bounded per doc, so the expansion is scan-side and linear; the
+    // only shuffle remains the per-source window that assigned the
+    // offsets. seqLen here is 512 (not pack_sequences' 2048) so the
+    // boundary-straddling case actually OCCURS at the sf0.01 oracle
+    // gate (per-source streams there carry ~1.3-1.5k tokens — under
+    // 2048, which would make every oracle row a vacuous single-chunk
+    // doc); TextSpec pins the non-vacuity.
+    "docs_pack_chunks" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("n_tokens") > 0)
+        .withColumn("seq_idx", explode(sequence(
+          floor(col("start_offset") / 512.0).cast("long"),
+          floor((col("start_offset") + col("n_tokens") - 1) / 512.0)
+            .cast("long"))))
+        .select(col("doc_id"), col("source"), col("seq_idx"),
+          (greatest(col("start_offset"), col("seq_idx") * 512L)
+            - col("start_offset")).as("tok_from"),
+          (least(col("start_offset") + col("n_tokens"),
+            (col("seq_idx") + 1L) * 512L)
+            - col("start_offset")).as("tok_to"))
+    }),
+
     // Benchmark decontamination: corpus documents sharing ≥ 8 distinct
     // 3-gram shingle hashes with a benchmark/eval set (here: docs
     // Deterministic shuffle-and-shard: the training-order assignment
@@ -1953,6 +1986,26 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, start_offset,
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_idx
          |FROM o""".stripMargin,
+
+    "docs_pack_chunks" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  len(${toksSql("text")})::BIGINT AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   0)::BIGINT AS start_offset
+         | FROM m),
+         |c AS (SELECT doc_id, source, n_tokens, start_offset,
+         |  unnest(generate_series(
+         |    CAST(floor(start_offset / 512.0) AS BIGINT),
+         |    CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT)))
+         |   AS seq_idx
+         | FROM o WHERE n_tokens > 0)
+         |SELECT doc_id, source, seq_idx,
+         | greatest(start_offset, seq_idx * 512) - start_offset AS tok_from,
+         | least(start_offset + n_tokens, (seq_idx + 1) * 512)
+         |   - start_offset AS tok_to
+         |FROM c""".stripMargin,
 
     // Same planted-PII augmentation, then RE2 mirrors of the Java
     // detector/redactor regexes (the patterns are restricted to the

@@ -73,6 +73,31 @@ class TextSpec extends SparkTestBase {
     assert(red === "x <EMAIL> y")
   }
 
+  test("pack chunks: boundary-straddling docs split, spans tile exactly") {
+    // non-vacuity at the ORACLE gate's scale factor: if no doc ever
+    // crossed a sequence boundary, this query would be indistinguish-
+    // able from pack_sequences and its oracle pass meaningless
+    val chunks = SparkEntry.queries("docs_pack_chunks")(
+      spark, "/root/testdata/sf0.01")
+    val rows = chunks.collect()
+    val continuations = rows.count(_.getAs[Long]("tok_from") > 0L)
+    assert(continuations > 0,
+      "no doc straddles a sequence boundary at sf0.01 — vacuous query")
+    // chunks of one doc must tile [0, n_tokens) without gaps/overlap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val spans = rs.sortBy(_.getAs[Long]("seq_idx"))
+        .map(r => (r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to")))
+      assert(spans.head._1 === 0L, s"doc $id first chunk not at 0")
+      spans.sliding(2).foreach {
+        case Array((_, aTo), (bFrom, _)) =>
+          assert(aTo === bFrom, s"doc $id chunks gap/overlap at $aTo")
+        case _ =>
+      }
+      assert(spans.forall { case (f, t) => t > f },
+        s"doc $id has an empty chunk")
+    }
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val a = one("Hello   World").select(Text.docFingerprint(col("text")))
       .first().getString(0)
