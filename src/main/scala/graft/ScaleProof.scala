@@ -209,6 +209,27 @@ object ScaleProof {
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),
+        // CDC snapshot diff: full-row fingerprint anti-join of two
+        // versions differing in 1% of rows — the read an incremental
+        // pipeline does INSTEAD of rescanning the table, so its own
+        // cost must stay linear-ish in snapshot size (one hash
+        // shuffle of 32-byte fingerprints, same shape as exact dedup)
+        "upsert_changes_between" -> (() => {
+          val dir = s"$work/cdc_$n"
+          val hfs = org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+          hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          val sink = new graft.operators.ParquetUpsertSink(
+            dir, Seq("doc_id"), retainVersions = 3)
+          sink.upsert(spark, docs.select("doc_id", "source", "n_chars"),
+            batchId = 0)
+          sink.upsert(spark,
+            docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+              .select(col("doc_id"), col("source"),
+                (col("n_chars") + 1L).as("n_chars")),
+            batchId = 1)
+          sink.changesBetween(spark, 0, 1).count()
+        }),
         // SQ8 brute force over the persisted codes table: rep 1 pays
         // the quantize-and-write, later reps scan 1-byte codes only.
         // The exponent SHOULD be ~1 — SQ8 is the bandwidth play, not
