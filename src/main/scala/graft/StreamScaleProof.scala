@@ -133,9 +133,31 @@ object StreamScaleProof {
       record("gold_complete", n, drain(() => MedallionStream.goldQuery(
         spark, paths("gold_complete"), Trigger.AvailableNow,
         bounded = false, maxFilesPerTrigger = silverMfpt)))
+      // transformWithState totals over the same silver stream: the
+      // claim under proof is that the store scales with |ACTIVE KEYS|
+      // (fixed driver population), not event volume — state_rows must
+      // stay flat across the 100× while wall time tracks the scan
+      record("totals_tws", n, drain(() => {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val obs = spark.readStream
+          .schema(spark.read.parquet(p.silver).schema)
+          .option("maxFilesPerTrigger", silverMfpt.get)
+          .parquet(p.silver)
+          .select(col("driver_id"), col("event_timestamp"),
+            col("is_suspicious"))
+          .as[graft.streaming.AnomalyTracker.RideObs]
+        graft.streaming.StatefulTotals.totals(obs)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$root/ckpt_totals")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow)
+          .start()
+      }))
     }
 
-    val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete")
+    val stages =
+      Seq("bronze", "silver", "gold_bounded", "gold_complete", "totals_tws")
     val exponents = stages.map { s =>
       val e = math.log(results((s, big)).batchSec.sum /
           results((s, small)).batchSec.sum) /
