@@ -914,6 +914,38 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis): rank key
+    // = ln(u)/w with u a hash-derived uniform in (0,1] and w the
+    // document's quality score — the top-k per stratum IS a weighted
+    // sample without replacement, biased toward high-quality docs,
+    // reproducible at any parallelism (no RNG state; the same
+    // hash-as-uniform trick as docs_sample_stratified, upgraded from
+    // fixed per-stratum rates to per-DOC weights — the step that
+    // turns docs_mix_weights' computed weights into an actual
+    // sample). The key is 6-dp-rounded before ranking so both
+    // engines order identical doubles; w = 0 docs are ineligible
+    // (their key diverges) and are filtered, matching the oracle.
+    // Scan-side key computation, one TopKPerKey exchange per stratum.
+    "docs_sample_weighted" -> ((s, d) => {
+      // +1 in INTEGER space before the double cast: hash60 exceeds
+      // 2^53, where double +1.0 is a no-op but bigint +1 is exact —
+      // the long→double conversion must then round the SAME value in
+      // both engines (2^60 divisor is a power of two, exact)
+      val u = (Hashing.hash60(col("doc_id").cast("string")) + lit(1L))
+        .cast("double") / 1152921504606846976.0
+      val scored = docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"),
+          Text.qualityScore(col("text"), col("toks")).as("w"))
+        .filter(col("w") > 0.0)
+        .select(col("doc_id"), col("lang"),
+          Hashing.portableRound(log(u) / col("w"), 6).as("skey"))
+      graft.plans.TopKPerKey(scored, keys = Seq("lang"),
+        order = Seq(graft.plans.TopKPerKey.desc("skey"),
+          graft.plans.TopKPerKey.asc("doc_id")), k = 5)
+        .select(col("lang"), col("rank").cast("long").as("rk"),
+          col("doc_id"), col("skey"))
+    }),
+
     // Budget-capped curation: keep only the k highest-quality docs per
     // source — the "token budget per domain" step of corpus curation —
     // running on the custom bounded-heap TopKPerKey plan (no per-key
@@ -1915,6 +1947,39 @@ object SparkEntry {
          |WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 <
          | (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25
          |   ELSE 10 END)""".stripMargin,
+
+    // E-S weighted sample mirror: the quality formula inline, the
+    // same integer-space +1 before the (exact, power-of-two) 2^60
+    // division, 6-dp rounding before ranking.
+    "docs_sample_weighted" -> {
+      val tk = toksSql("text")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, lang, text, $tk AS tk FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  len(tk) AS n_tokens,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ($all)))::DOUBLE / len(tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM base),
+         |sc AS (SELECT doc_id, lang,
+         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |   + least(stop_ratio * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS w
+         | FROM m),
+         |ks AS (SELECT doc_id, lang,
+         |  ROUND(ln((${h60Sql("CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
+         |    / 1152921504606846976.0) / w, 6) AS skey
+         | FROM sc WHERE w > 0)
+         |SELECT lang, rk, doc_id, skey FROM (
+         | SELECT lang, doc_id, skey,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+         | FROM ks) WHERE rk <= 5""".stripMargin
+    },
 
     "docs_quality_topk" -> {
       val tk = toksSql("text")

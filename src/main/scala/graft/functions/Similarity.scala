@@ -457,6 +457,10 @@ object Similarity {
       .withColumn("ascore", Hashing.portableRound(
         try_divide(dot(col("qc"), col("cc")) * col("qs") * col("cs"),
           col("qn") * col("cn")), 6))
+      // zero-norm vectors have NO cosine: drop the NULL try_divide
+      // rows here, or a short candidate list (fewer real candidates
+      // than k) would surface them as NULL-scored "neighbors"
+      .filter(col("ascore").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("ascore"))
     val cand = graft.plans.TopKPerKey(approx, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("ascore"),
@@ -472,6 +476,7 @@ object Similarity {
       .join(qv, Seq("query_id"))
       .withColumn("score",
         Hashing.portableRound(cosine(col("qv"), col("cv")), 6))
+      .filter(col("score").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("score"))
     graft.plans.TopKPerKey(exact, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("score"),

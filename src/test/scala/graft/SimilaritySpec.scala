@@ -69,6 +69,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("SQ8 zero vector: scale defaults to 1, codes all zero, norm 0") {
+    import spark.implicits._
+    val z = Seq((0L, Array.fill(4)(0.0f)), (1L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = graft.functions.Similarity.sq8Quantize(z).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).getDouble(2) === 1.0, "zero vector must take scale 1")
+    assert(q(0L).getSeq[Byte](1).forall(_ == 0))
+    assert(q(0L).getDouble(3) === 0.0)
+    // and it must not poison a ranking: its approx score is NULL
+    // (try_divide) and drops out instead of sorting above real scores
+    val top = graft.functions.Similarity
+      .sq8TopK(z, z.filter(col("vec_id") === 1L), 1, rerank = 1)
+      .collect()
+    assert(top.length === 0 || top.forall(!_.isNullAt(3)),
+      "zero-norm member leaked a NULL/NaN score into the ranking")
+  }
+
   test("SQ8 top-k with exact re-rank achieves high recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 50)
     val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
