@@ -135,6 +135,39 @@ class PlanAuditSpec extends SparkTestBase {
       s"sort-merge join crept into survivor selection:\n$p")
   }
 
+  test("embed_topk_sq8: vectors never shuffle; both ranks on bounded heaps") {
+    val p = plan("embed_topk_sq8")
+    // queries broadcast into the code scan; candidates broadcast back
+    // into the corpus for the exact re-rank — any sort-merge join
+    // would mean corpus-sized rows started moving
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized side shuffled in the SQ8 pipeline:\n$p")
+    assert(count(p, "TopKPerKey") === 2,
+      s"approx + exact ranking should both run on the bounded heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query/candidate sides not broadcast:\n$p")
+  }
+
+  test("docs_pack_chunks: scan-side explode, one exchange for the window") {
+    val p = plan("docs_pack_chunks")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"chunking should reuse the single per-source offset exchange:\n$p")
+    assert(p.contains("Generate explode"),
+      s"chunk fan-out is no longer an explode:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort crept into chunking:\n$p")
+  }
+
+  test("docs_sample_weighted: key scan-side, one exchange into the heaps") {
+    val p = plan("docs_sample_weighted")
+    assert(p.contains("TopKPerKey"),
+      s"weighted sample lost the bounded-heap plan:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"weighted sampling should shuffle exactly once (per stratum):\n$p")
+    assert(!p.matches("(?s).*\\bSort \\[.*"),
+      s"a Sort appeared beside the bounded-heap sample:\n$p")
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized
