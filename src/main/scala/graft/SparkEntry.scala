@@ -1365,6 +1365,34 @@ object SparkEntry {
           .as(Seq("tbl", "bucket")))
     }),
 
+    // Per-dimension feature standardization (z-scoring) — the classic
+    // embedding prep step before clustering/indexing. The per-dim
+    // stats table is |dims| rows at ANY corpus size, so scoring joins
+    // against a BROADCAST — the corpus is scanned once by the stats
+    // aggregate (map-side partials on a posexplode stream) and once
+    // by the scorer, and never shuffles full vectors. Stats round to
+    // 6 dp BEFORE use (the assignToSeeds precedent: partial-agg
+    // summation order differs across engines in the last ulp;
+    // rounding both the stats and the z-scores absorbs it outside
+    // astronomically unlikely rounding-boundary hits). sd = 0 dims
+    // are excluded on both sides (a constant dimension has no
+    // z-score; engines disagree on x/0 semantics).
+    "embed_standardize" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+      val stats = e.groupBy(col("dim")).agg(
+        Hashing.portableRound(avg(col("v")), 6).as("mu"),
+        Hashing.portableRound(stddev_samp(col("v")), 6).as("sd"))
+        .filter(col("sd") > 0.0)
+      e.join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          Hashing.portableRound((col("v") - col("mu")) / col("sd"), 6)
+            .as("z"))
+    }),
+
     // SQ8 scalar-quantized ANN: 1-byte codes + per-vector scale,
     // approximate ranking on EXACT-integer code dot products (no
     // float-summation ambiguity in the recall-critical step), exact
@@ -2413,6 +2441,19 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id
          |   ORDER BY score DESC, neighbor_id) AS rank
          | FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // z-score mirror: positional unnest via the range/list_transform
+    // pattern, stats rounded to 6 dp before use on both sides.
+    "embed_standardize" ->
+      """WITH ev AS (SELECT vec_id,
+        |  unnest(list_transform(range(len(embedding)),
+        |    i -> {'dim': i, 'v': embedding[i+1]::DOUBLE})) AS s
+        | FROM embeddings),
+        |e AS (SELECT vec_id, s.dim::BIGINT AS dim, s.v AS v FROM ev),
+        |st AS (SELECT dim, ROUND(avg(v), 6) AS mu,
+        |  ROUND(stddev(v), 6) AS sd FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim, ROUND((e.v - st.mu) / st.sd, 6) AS z
+        |FROM e JOIN st USING (dim) WHERE st.sd > 0""".stripMargin,
 
     // SQ8 mirror: same floor-half-up code formula, integer dot via
     // list_dot_product over the (exactly representable) code doubles,
