@@ -154,10 +154,39 @@ object StreamScaleProof {
           .trigger(Trigger.AvailableNow)
           .start()
       }))
+      // stream-stream interval join: two feeds of the silver table
+      // reconciled on ride_id within a 10-minute range — the
+      // two-unbounded-sides operator whose state is THE scale hazard.
+      // Keyed on the unique ride id (a driver-keyed interval join
+      // would pair every event with every same-driver event in the
+      // window — combinatorial output by construction, not a state
+      // problem the engine can fix), so output stays linear and the
+      // measurement isolates JOIN STATE: both sides buffer only rows
+      // newer than watermark - interval, so state must track the
+      // in-flight window, not the stream
+      record("ss_join", n, drain(() => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val schema = spark.read.parquet(p.silver).schema
+        def feed() = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", silverMfpt.get).parquet(p.silver)
+        val a = feed().select(col("ride_id").as("ride_a"),
+            col("event_timestamp").as("ts_a"))
+          .withWatermark("ts_a", "10 minutes")
+        val b = feed().select(col("ride_id").as("ride_b"),
+            col("event_timestamp").as("ts_b"), col("driver_id"))
+          .withWatermark("ts_b", "10 minutes")
+        a.join(b, expr("""ride_a = ride_b AND
+            ts_b >= ts_a AND ts_b <= ts_a + INTERVAL 10 MINUTES"""))
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$root/ckpt_ssjoin")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow)
+          .start()
+      }))
     }
 
-    val stages =
-      Seq("bronze", "silver", "gold_bounded", "gold_complete", "totals_tws")
+    val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete",
+      "totals_tws", "ss_join")
     val exponents = stages.map { s =>
       val e = math.log(results((s, big)).batchSec.sum /
           results((s, small)).batchSec.sum) /
