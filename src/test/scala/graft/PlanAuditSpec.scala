@@ -168,6 +168,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"a Sort appeared beside the bounded-heap sample:\n$p")
   }
 
+  test("embed_standardize: stats broadcast, exploded fact never shuffles") {
+    val p = plan("embed_standardize")
+    // the |dims|-row stats aggregate may exchange; the exploded
+    // corpus stream must join it via broadcast, never re-shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats not broadcast to the scorer:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"exploded corpus shuffled for the stats join:\n$p")
+    assert(p.contains("partial_avg"),
+      s"stats aggregate lost its map-side partials:\n$p")
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized
