@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 import graft.operators.Upsert
 import graft.functions.Hashing
 
@@ -145,5 +146,51 @@ object EngineProperties extends Properties("graft") {
       val r = Seq(x).toDF("x")
         .select(Hashing.portableRound(col("x"), n)).first().getDouble(0)
       math.abs(r - x) <= 0.5 * math.pow(10, -n) + 1e-9
+    }
+
+  private val genVec: Gen[Array[Float]] = for {
+    n <- Gen.choose(1, 8)
+    xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0).map(_.toFloat))
+  } yield xs.toArray
+
+  property("sq8: codes in [-127,127], reconstruction within scale/2") =
+    Prop.forAll(Gen.nonEmptyListOf(genVec)) { vecs =>
+      val s = spark; import s.implicits._
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      graft.functions.Similarity.sq8Quantize(df).collect().forall { r =>
+        val codes = r.getSeq[Byte](1)
+        val sc = r.getDouble(2)
+        val orig = vecs(r.getLong(0).toInt)
+        codes.forall(c => c >= -127 && c <= 127) && sc > 0.0 &&
+          orig.zip(codes).forall { case (x, c) =>
+            math.abs(x - c * sc) <= sc / 2 + 1e-9 }
+      }
+    }
+
+  property("saltedJoin ≡ plain join for random tables and factors") =
+    Prop.forAll(genRows, genRows, Gen.choose(1, 5)) { (b, sm, f) =>
+      val big = table(b)
+      val small = table(sm).withColumnRenamed("v", "w")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("v"), col("w")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      rows(graft.operators.Skew.saltedJoin(big, small, "k", f)) ==
+        rows(big.join(small, Seq("k")))
+    }
+
+  property("changesBetween ≡ set difference of the two snapshots") =
+    Prop.forAll(genRows, genRows) { (b, u) =>
+      (b.nonEmpty && u.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cdcprop").toString + "/t"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), retainVersions = 4)
+        sink.upsert(spark, table(b), batchId = 0)
+        sink.upsert(spark, table(u), batchId = 1)
+        val delta = sink.changesBetween(spark, 0, 1).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        delta == ((b.toMap ++ u.toMap).toSet -- b.toMap.toSet)
+      }
     }
 }
