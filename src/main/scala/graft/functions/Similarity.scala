@@ -454,8 +454,15 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("sq_codes").as("qc"),
         col("sq_scale").as("qs"), col("sq_norm").as("qn")))
     val approx = c.join(q, col("neighbor_id") =!= col("query_id"))
+      // the native codegen dot (one fused loop in WSCG), not the
+      // interpreted zip_with/aggregate HOF: this expression runs
+      // n×|queries| times — the hottest loop in the operator. The
+      // tinyint→double cast is itself codegen'd and the values are
+      // exact integers either way, so the score is bit-identical.
       .withColumn("ascore", Hashing.portableRound(
-        try_divide(dot(col("qc"), col("cc")) * col("qs") * col("cs"),
+        try_divide(graft.plans.DotProductExpr.dot_product(
+            col("qc").cast("array<double>"), col("cc").cast("array<double>"))
+          * col("qs") * col("cs"),
           col("qn") * col("cn")), 6))
       // zero-norm vectors have NO cosine: drop the NULL try_divide
       // rows here, or a short candidate list (fewer real candidates
