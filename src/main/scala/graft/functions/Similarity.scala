@@ -33,17 +33,24 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm via the native codegen dot (one fused loop) — this runs
+    * per corpus row in `embed_norms` and the SQ8 quantize pass, so it
+    * gets the hot-path implementation; the self-dot accumulates left
+    * to right exactly like the HOF fold, so values are bit-identical.
+    */
+  def norm(a: Column): Column =
+    sqrt(graft.plans.DotProductExpr.dot_product(a, a))
 
   /** Cosine similarity: dot / (‖a‖·‖b‖) — higher-order-function
-    * reference formulation (interpreted; three array passes).
+    * reference formulation (interpreted; three array passes), kept
+    * fully HOF as the independent implementation the native
+    * expression's bit-parity tests compare against.
     * try_divide: zero-norm inputs yield NULL rather than an ANSI
     * divide-by-zero error (Spark 4 default) or NaN — NULLs drop out
     * of rankings instead of sorting above every real score.
     */
   def cosineHof(a: Column, b: Column): Column =
-    try_divide(dot(a, b), norm(a) * norm(b))
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Cosine similarity via the native codegen'd expression
     * ([[graft.plans.CosineSimilarityExpr]]): one fused loop inside
