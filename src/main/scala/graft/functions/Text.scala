@@ -165,7 +165,15 @@ object Text {
     * Left fold with the first token as seed, matching SQL
     * `list_reduce` semantics. NULL for empty documents.
     */
-  def rollingFingerprint(toks: Column): Column = {
+  def rollingFingerprint(toks: Column): Column =
+    graft.plans.RollingFpExpr.rolling_fp(toks)
+
+  /** The HOF reference spelling of [[rollingFingerprint]] — per-token
+    * interpreted Md5→Conv→Pmod chains, kept as the independent
+    * implementation the native expression's parity spec compares
+    * against (the same pattern as cosineHof vs the codegen cosine).
+    */
+  def rollingFingerprintHof(toks: Column): Column = {
     val hs = transform(toks, t => pmod(Hashing.hash60(t), lit(rollM)))
     // fold from 0 ≡ DuckDB's seedless list_reduce: 0·B + h₁ = h₁
     when(size(toks) > 0,

@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarityExpr.functionDescriptor)
     ext.injectFunction(DotProductExpr.functionDescriptor)
     ext.injectFunction(SrpBucketsExpr.functionDescriptor)
+    ext.injectFunction(RollingFpExpr.functionDescriptor)
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)

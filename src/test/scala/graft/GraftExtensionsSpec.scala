@@ -33,11 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  cosine_sim(array(3.0D, 0.0D), array(1.0D, 0.0D)) AS c,
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
           |  srp_buckets(array(1.0D, 2.0D),
-          |              array(1.0D, 1.0D, -1.0D, 1.0D), 1, 2) AS b
+          |              array(1.0D, 1.0D, -1.0D, 1.0D), 1, 2) AS b,
+          |  rolling_fp(array('a', 'b')) AS f
           |""".stripMargin).head()
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 11.0)
       assert(r.getSeq[String](2).length === 1) // one bucket key per table
+      assert(r.getLong(3) >= 0L)
       // non-literal table/plane counts are a hard error, not a miscompile
       val ex = intercept[Exception] {
         spark.sql("SELECT srp_buckets(array(1.0D), array(1.0D), 1 + 0, 1)")

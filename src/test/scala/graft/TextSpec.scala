@@ -98,6 +98,36 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("native rolling fingerprint ≡ HOF reference, incl. edge cases") {
+    assert(graft.plans.RollingFpExpr.B === Text.rollB &&
+      graft.plans.RollingFpExpr.M === Text.rollM,
+      "native/HOF rolling-hash constants drifted apart")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString))
+    } :+ (999L, Seq.empty[String]) // empty → NULL on both paths
+    val df = docs.toDF("doc_id", "toks")
+    val got = df.select(col("doc_id"),
+      Text.rollingFingerprint(col("toks")).as("n"),
+      Text.rollingFingerprintHof(col("toks")).as("h")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2),
+        s"null disagreement for doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2),
+          s"fingerprint mismatch for doc ${r.getLong(0)}")
+    }
+    assert(got.count(_.isNullAt(1)) === 1)
+    // a NULL element poisons the fold on both paths
+    val withNull = Seq((1L, Seq("a", null, "b"))).toDF("doc_id", "toks")
+    val nr = withNull.select(Text.rollingFingerprint(col("toks")),
+      Text.rollingFingerprintHof(col("toks"))).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val a = one("Hello   World").select(Text.docFingerprint(col("text")))
       .first().getString(0)
