@@ -62,8 +62,17 @@ object Dedup {
     */
   def docShingleHashes(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
-    docShingles(docs, idCol, textCol, n)
-      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("sh"))
+    // fused native tokenize→window→hash (ShingleHashesExpr): the
+    // shingle string never materializes and the explode carries
+    // 8-byte longs. array_distinct runs on the HASHES — exactly the
+    // oracle's `SELECT DISTINCT doc_id, h60(shingle)` semantics
+    // (the string-side distinct of [[docShingles]] differs only if
+    // two distinct shingles of one doc collide in 60 bits).
+    docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.plans.ShingleHashesExpr.shingle_hashes(col("tk"), n)))
+        .as("sh"))
 
   /** The classic universal-hash minhash permutation family over the
     * Mersenne prime p = 2³¹−1: h_i(x) = (a_i·(x mod p) + b_i) mod p.

@@ -128,6 +128,27 @@ class TextSpec extends SparkTestBase {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native shingle hashes ≡ HOF shingles + hash60") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 150).map { i =>
+      val n = rnd.nextInt(30) // includes < width docs → empty array
+      (i.toLong, (0 until n).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(9)).mkString))
+    }
+    val df = docs.toDF("doc_id", "tk")
+    for (w <- Seq(1, 3, 8)) {
+      val got = df.select(col("doc_id"),
+        graft.plans.ShingleHashesExpr.shingle_hashes(col("tk"), w).as("n"),
+        transform(Text.shingles(col("tk"), w),
+          s => graft.functions.Hashing.hash60(s)).as("h")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"width $w mismatch for doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val a = one("Hello   World").select(Text.docFingerprint(col("text")))
       .first().getString(0)
