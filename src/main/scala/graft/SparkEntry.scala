@@ -867,7 +867,9 @@ object SparkEntry {
       // ≥ 20-token gate above already excludes them — conjunction
       // semantics identical to the oracle's len(grams)=0 OR arm.)
       val repOk = docsWithTokens(docs)
-        .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("g"))
+        .select(col("doc_id"), explode(
+          graft.plans.ShingleHashesExpr.shingle_hashes(col("toks"), 3))
+          .as("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"), countDistinct(col("g")).as("n_d"))
         .filter(lit(1.0) - col("n_d").cast("double")
@@ -1065,7 +1067,12 @@ object SparkEntry {
     "docs_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), Text.shingles(col("tk"), 3).as("sh"))
+        // fused native window-hash; distinct-by-hash counts equal
+        // distinct-by-string counts (the oracle's list_distinct over
+        // strings) short of a within-doc 60-bit collision
+        .select(col("doc_id"),
+          graft.plans.ShingleHashesExpr.shingle_hashes(col("tk"), 3)
+            .as("sh"))
         .select(col("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),
           size(array_distinct(col("sh"))).cast("long").as("n_distinct"))

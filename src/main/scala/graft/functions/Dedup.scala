@@ -380,12 +380,14 @@ object Dedup {
     */
   def positionalShingleHashes(docs: DataFrame, idCol: String,
                               textCol: String, w: Int): DataFrame =
+    // fused native window-hash (see [[docShingleHashes]]); posexplode
+    // of the hash array preserves positions — the string shingle
+    // never exists
     docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"),
-        posexplode(Text.shingles(col("tk"), w)).as(Seq("pos", "shingle")))
-      .select(col("doc_id"), col("pos"),
-        Hashing.hash60(col("shingle")).as("sh"))
+        posexplode(graft.plans.ShingleHashesExpr.shingle_hashes(
+          col("tk"), w)).as(Seq("pos", "sh")))
 
   /** Cross-document duplicated substring spans — the Spark-shaped
     * re-expression of suffix-array exact substring dedup ("any
