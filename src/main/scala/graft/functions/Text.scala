@@ -41,17 +41,24 @@ object Text {
   val frMarkers: Seq[String] = Seq("le", "la", "et", "de", "un", "les", "des")
   val esMarkers: Seq[String] = Seq("el", "la", "y", "de", "un", "los", "que")
 
-  private def markerCount(toks: Column, markers: Seq[String]): Column =
+  /** HOF reference spelling of a marker count — the parity baseline
+    * TextSpec compares [[graft.plans.MarkerCountsExpr]] against.
+    */
+  private[graft] def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
   /** Deterministic language guess: argmax of marker-token counts with
     * fixed tie-break order en > fr > es > und. DuckDB mirror uses
-    * `len(list_filter(...))` and the same CASE ordering.
+    * `len(list_filter(...))` and the same CASE ordering. Counts come
+    * from the fused native [[graft.plans.MarkerCountsExpr]] — one
+    * compiled token pass instead of three interpreted filter() HOFs;
+    * TextSpec pins count parity against the HOF spelling.
     */
   def langId(toks: Column): Column = {
-    val en = markerCount(toks, enMarkers)
-    val fr = markerCount(toks, frMarkers)
-    val es = markerCount(toks, esMarkers)
+    val mc = graft.plans.MarkerCountsExpr.marker_counts(toks)
+    val en = mc.getField("en")
+    val fr = mc.getField("fr")
+    val es = mc.getField("es")
     when(en >= fr && en >= es && en > 0, lit("en"))
       .when(fr >= es && fr > 0, lit("fr"))
       .when(es > 0, lit("es"))
@@ -90,13 +97,11 @@ object Text {
   /** Stopword (marker-token) fraction — higher means more natural
     * prose; near-zero flags keyword soup / boilerplate.
     */
-  def stopwordRatio(toks: Column): Column = {
-    val all = enMarkers ++ frMarkers ++ esMarkers
+  def stopwordRatio(toks: Column): Column =
     when(size(toks) > 0,
-      markerCount(toks, all.distinct).cast("double")
-        / size(toks).cast("double")
+      graft.plans.MarkerCountsExpr.marker_counts(toks).getField("all")
+        .cast("double") / size(toks).cast("double")
     ).otherwise(lit(0.0))
-  }
 
   /** Composite document quality score in [0,1]: rewards moderate
     * length and prose-like stopword density, penalizes punctuation

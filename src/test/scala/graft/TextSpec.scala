@@ -128,6 +128,30 @@ class TextSpec extends SparkTestBase {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native marker counts ≡ HOF filter counts, incl. null tokens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers ++
+      Seq("zz", "qq", "xx", "", "LA", "The")).toIndexedSeq
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(25)).map(_ =>
+        vocab(rnd.nextInt(vocab.size))))
+    } :+ (998L, Seq("the", null, "la")) // null token is skipped, not counted
+    val df = docs.toDF("doc_id", "tk")
+    val mc = graft.plans.MarkerCountsExpr.marker_counts(col("tk"))
+    val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers).distinct
+    val got = df.select(col("doc_id"),
+      mc.getField("en"), Text.markerCount(col("tk"), Text.enMarkers),
+      mc.getField("fr"), Text.markerCount(col("tk"), Text.frMarkers),
+      mc.getField("es"), Text.markerCount(col("tk"), Text.esMarkers),
+      mc.getField("all"), Text.markerCount(col("tk"), all)).collect()
+    got.foreach { r =>
+      for (f <- Seq(1, 3, 5, 7))
+        assert(r.getInt(f) === r.getInt(f + 1),
+          s"marker count mismatch at field $f for doc ${r.getLong(0)}")
+    }
+  }
+
   test("native shingle hashes ≡ HOF shingles + hash60") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
