@@ -136,6 +136,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProductExpr.functionDescriptor)
     ext.injectFunction(SrpBucketsExpr.functionDescriptor)
     ext.injectFunction(RollingFpExpr.functionDescriptor)
+    ext.injectFunction(ShingleHashesExpr.functionDescriptor)
+    ext.injectFunction(MarkerCountsExpr.functionDescriptor)
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)

@@ -90,4 +90,17 @@ object MarkerCountsExpr {
   def marker_counts(toks: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(MarkerCountsExpr(
       org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
+
+  /** SQL registration (GraftExtensions). */
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("marker_counts"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MarkerCountsExpr].getName, "marker_counts"),
+    (children: Seq[Expression]) => children match {
+      case Seq(toks) => MarkerCountsExpr(toks)
+      case _ =>
+        throw new IllegalArgumentException("usage: marker_counts(tokens)")
+    })
 }

@@ -108,4 +108,21 @@ object ShingleHashesExpr {
   def shingle_hashes(toks: Column, n: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(ShingleHashesExpr(
       org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
+
+  /** SQL registration (GraftExtensions); width must be an integer
+    * literal — it shapes the computation, not the data.
+    */
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => children match {
+      case Seq(toks,
+          org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType)) =>
+        ShingleHashesExpr(toks, w)
+      case _ => throw new IllegalArgumentException(
+        "usage: shingle_hashes(tokens, width) with width an integer literal")
+    })
 }

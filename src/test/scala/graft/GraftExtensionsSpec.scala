@@ -34,12 +34,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
           |  srp_buckets(array(1.0D, 2.0D),
           |              array(1.0D, 1.0D, -1.0D, 1.0D), 1, 2) AS b,
-          |  rolling_fp(array('a', 'b')) AS f
+          |  rolling_fp(array('a', 'b')) AS f,
+          |  shingle_hashes(array('a', 'b', 'c'), 2) AS sh,
+          |  marker_counts(array('the', 'la', 'zz')) AS mc
           |""".stripMargin).head()
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 11.0)
       assert(r.getSeq[String](2).length === 1) // one bucket key per table
       assert(r.getLong(3) >= 0L)
+      assert(r.getSeq[Long](4).length === 2) // two 2-gram windows
+      val mc = r.getStruct(5)
+      assert(mc.getInt(0) === 1 && mc.getInt(1) === 1 && mc.getInt(3) === 2)
       // non-literal table/plane counts are a hard error, not a miscompile
       val ex = intercept[Exception] {
         spark.sql("SELECT srp_buckets(array(1.0D), array(1.0D), 1 + 0, 1)")
