@@ -859,10 +859,12 @@ object SparkEntry {
       // Gopher repetition behind an AGGREGATION BARRIER, not in the
       // scan filter: predicate pushdown substitutes filter columns
       // with their defining expressions, so a shingle-derived
-      // predicate re-inlines tokenize(text) into every element_at of
-      // the interpreted HOF — the quadratic trap docShingles
-      // documents, measured 14.7 s vs 0.4 s for this leg. explode
-      // evaluates the HOF once per row; the agg blocks pushdown.
+      // predicate would re-inline tokenize(text) into the shingle
+      // computation per consumer — the trap docShingles documents,
+      // measured 14.7 s vs 0.4 s for this leg back when the shingle
+      // builder was an interpreted HOF (it is now the fused native
+      // ShingleHashesExpr, which shrinks but does not remove the
+      // re-inlining cost). The agg blocks pushdown either way.
       // (Docs with < 3 tokens have no shingles and drop here, but the
       // ≥ 20-token gate above already excludes them — conjunction
       // semantics identical to the oracle's len(grams)=0 OR arm.)
