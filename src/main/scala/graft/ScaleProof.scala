@@ -61,6 +61,11 @@ object ScaleProof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MODEL_BCAST_MAX=0 forces the shuffle_hash regime of
+    // the size-gated model joins (ModelJoin) — the at-100 TB
+    // configuration, provable here without a 100 TB vocabulary
+    sys.env.get("SPARK_GRAFT_MODEL_BCAST_MAX").foreach(v =>
+      spark.conf.set(graft.functions.ModelJoin.broadcastMaxRowsKey, v))
 
     // materialize each corpus once (operators read parquet, so timing
     // measures the operators, not generation)

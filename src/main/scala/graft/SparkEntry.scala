@@ -358,12 +358,17 @@ object SparkEntry {
 
     // J1: MERGE upsert as a batch full-outer merge — `updates`
     // (days ≥ 10) overwrite `base` (days < 20) on the gold key.
+    // The updates side is MATERIALIZED before merging (what Delta's
+    // MERGE does with its source): merge references it twice (key
+    // broadcast + union), and without the checkpoint the whole
+    // updates aggregation — scan, shuffle, window agg — runs twice.
     "gold_upsert_batch" -> ((s, d) => {
       val ev = events(s, d)
       val base = eventsGoldHourly(
         ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")))
       val updates = eventsGoldHourly(
         ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")))
+        .localCheckpoint(true)
       Upsert.merge(base, updates, Seq("window_start", "window_end", "user_id"))
     }),
 
@@ -882,7 +887,9 @@ object SparkEntry {
       val freq = words.groupBy(col("word"))
         .agg(count(lit(1)).as("wn")).localCheckpoint(true)
       val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
-      val lmOk = words.join(broadcast(freq), "word")
+      // freq grows with the corpus vocabulary — size-gated join
+      // (broadcast small, shuffle_hash on the exploded word key large)
+      val lmOk = graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(Hashing.portableRound(
           avg(log(col("wn").cast("double") / lit(tn))), 6).as("alp"))
@@ -1116,8 +1123,9 @@ object SparkEntry {
     // Unigram-LM quality proxy (the KenLM-style perplexity filter,
     // with the corpus itself as the language model): per-doc mean
     // token log-probability under corpus unigram frequencies. The
-    // frequency table is vocabulary-sized — broadcast to both joins,
-    // so the only shuffle is the per-doc aggregation.
+    // model join is size-gated (ModelJoin): vocabulary-sized tables
+    // broadcast, corpus-scale ones shuffle_hash on the exploded word
+    // key — so the shape survives vocabulary growth at 100 TB.
     "docs_unigram_logprob" -> ((s, d) => {
       val words = docsWithTokens(t(s, d, "documents"))
         .select(col("doc_id"), explode(col("toks")).as("word"))
@@ -1130,13 +1138,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("wn"))
         .localCheckpoint(true)
       val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
-      words.join(broadcast(freq), "word")
+      graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_tokens"),
           Hashing.portableRound(
             avg(log(col("wn").cast("double") / lit(tn))),
             6).as("avg_logprob"))
     }),
+
+    // The capped-vocabulary twin of docs_unigram_logprob: top-V words
+    // by count with UNK smoothing for the OOV mass — the documented
+    // 100 TB spelling (the model is BOUNDED at V rows, so the scoring
+    // join broadcasts forever; the uncapped twin relies on ModelJoin's
+    // size gate instead). V = 20 < the 31-word fixture vocabulary, so
+    // OOV tokens genuinely occur at oracle SF (non-vacuous smoothing).
+    "docs_unigram_logprob_capped" -> ((s, d) =>
+      graft.functions.LangModel.unigramLogprobCapped(
+        t(s, d, "documents"), "doc_id", "text", 20)),
 
     // TF-IDF top terms per document (the classic salient-term
     // extractor). The document-frequency table is vocabulary-sized —
@@ -2148,6 +2166,24 @@ object SparkEntry {
          | ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) AS avg_logprob
          |FROM words JOIN freq USING (word), total
          |GROUP BY doc_id""".stripMargin,
+
+    // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a
+    // total order, so both engines select the identical set), OOV
+    // scored as one UNK type carrying the whole out-of-vocab mass.
+    "docs_unigram_logprob_capped" ->
+      s"""WITH $toksCte,
+         |words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |freq AS (SELECT word, COUNT(*)::BIGINT AS wn FROM words GROUP BY word),
+         |total AS (SELECT SUM(wn)::DOUBLE AS tn FROM freq),
+         |vocab AS (SELECT word, wn FROM freq ORDER BY wn DESC, word LIMIT 20),
+         |oov AS (SELECT tn - (SELECT SUM(wn)::DOUBLE FROM vocab) AS oovn
+         | FROM total)
+         |SELECT w.doc_id, COUNT(*)::BIGINT AS n_tokens,
+         | SUM(CASE WHEN v.wn IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+         | ROUND(AVG(ln(COALESCE(v.wn::DOUBLE, oovn) / tn)), 6)
+         |  AS avg_logprob_capped
+         |FROM words w LEFT JOIN vocab v USING (word), total, oov
+         |GROUP BY w.doc_id""".stripMargin,
 
     "docs_tfidf_topk" ->
       s"""WITH $toksCte,

@@ -23,9 +23,11 @@ import graft.functions.{Hashing, Text}
   * paying only the single tokenize-and-join scoring scan.
   *
   * Crash protocol mirrors IvfIndex: `vocab/` (the 1-row table) is
-  * written LAST and is the validity marker — a crash mid-build leaves
-  * no marker, and the next call rebuilds from scratch; a torn store
-  * is never served.
+  * written LAST and its committed `_SUCCESS` file is the validity
+  * marker — a crash mid-build (even mid vocab write, where the
+  * committer has already created the directory) leaves no marker,
+  * and the next call rebuilds from scratch; a torn store is never
+  * served.
   *
   * Scoring joins LEFT against the model with add-one smoothing
   * coalesces (an unseen bigram scores (0+1)/(c(w₁·)+V), an unseen
@@ -47,9 +49,15 @@ object LangModel {
 
   def modelExists(docs: DataFrame, path: String): Boolean = {
     val spark = docs.sparkSession
-    new Path(s"$path/vocab")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new Path(s"$path/vocab"))
+    // the marker is vocab/_SUCCESS, not the vocab/ directory: the
+    // parquet committer creates the output directory (and _temporary)
+    // at job SETUP, before any data commits, so a crash mid vocab
+    // write leaves the directory present but uncommitted — _SUCCESS
+    // is written by the committer only after the job commits (the
+    // same validity test sq8TopK's codesPath uses)
+    val marker = new Path(s"$path/vocab/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
   }
 
   /** Build the three model tables from `docs` and persist them at
@@ -83,6 +91,53 @@ object LangModel {
     fs.delete(new Path(stage), true)
   }
 
+  /** Per-document mean unigram log-probability under a TOP-V CAPPED
+    * vocabulary with UNK smoothing — the documented 100 TB spelling of
+    * the corpus-unigram LM proxy (`docs_unigram_logprob` keeps the
+    * exact uncapped spelling as its oracle twin).
+    *
+    * The cap BOUNDS the model instead of re-planning the join: the
+    * vocabulary table is at most `vocabCap` rows regardless of corpus
+    * size, so the scoring join stays a broadcast forever — the
+    * complementary defense to [[ModelJoin]]'s size gate. Out-of-vocab
+    * tokens score as ONE aggregate UNK type whose count is the total
+    * OOV mass (c(UNK) = tn − Σ_vocab wn), the standard open-vocabulary
+    * LM treatment: with `vocabCap` ≥ |vocabulary| no token is OOV and
+    * the scores equal the uncapped model's exactly (LangModelSpec pins
+    * this parity).
+    *
+    * Top-V selection is `ORDER BY wn DESC, word` + LIMIT — a total
+    * order, so the capped vocabulary is deterministic in any engine,
+    * and Catalyst plans the small-limit sort as TakeOrderedAndProject
+    * (per-partition heaps, no global sort).
+    */
+  def unigramLogprobCapped(docs: DataFrame, idCol: String, textCol: String,
+                           vocabCap: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("word"))
+    // materialized once: the scalar totals below read the tiny table
+    // instead of re-scanning the corpus (same shape as the uncapped
+    // query), and the size gate needs a countable model
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint(true)
+    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+    val vocab = freq.orderBy(col("wn").desc, col("word").asc)
+      .limit(vocabCap).localCheckpoint(true)
+    val inVocabN = Option(vocab.agg(sum(col("wn"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val oovN = tn - inVocabN
+    // oovN = 0 ⇒ no OOV rows exist, so the log(0) literal arm is never
+    // evaluated (left join finds every word)
+    ModelJoin.sizeGated(words, vocab, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("wn").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"),
+        Hashing.portableRound(
+          avg(log(coalesce(col("wn").cast("double"), lit(oovN)) / lit(tn))),
+          6).as("avg_logprob_capped"))
+  }
+
   /** Per-document mean bigram log-probability. With `modelPath` the
     * model tables load from (or are first built at) the durable
     * store; without it they are rebuilt in this run. Identical
@@ -102,17 +157,27 @@ object LangModel {
       case None =>
         // the bigram stream feeds three consumers (both model builds +
         // scoring): materialize it once instead of re-tokenizing the
-        // corpus per use — measured 1.8×
+        // corpus per use — measured 1.8×. The model aggregates are
+        // ALSO materialized: the size gate below counts them, and an
+        // unmaterialized aggregate would run twice (once for the
+        // count, again when the join executes)
         val bigrams = bigramStream(docs, idCol, textCol).localCheckpoint(true)
         (bigrams,
-         bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn")),
-         bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn")),
+         bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+           .localCheckpoint(true),
+         bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
+           .localCheckpoint(true),
          docs.select(explode(Text.tokens(col(textCol))).as("word"))
            .agg(countDistinct(col("word")).cast("double").as("vocab")))
     }
-    scoreStream
-      .join(broadcast(c2), Seq("bg"), "left")
-      .join(broadcast(c1), Seq("ctx"), "left")
+    // Both model tables grow with the corpus (bigram TYPES
+    // near-linearly — the acute case), so the joins are size-gated:
+    // broadcast below the row threshold, shuffle_hash on the already-
+    // exploded bg/ctx keys above it (see [[ModelJoin]]). v stays an
+    // unconditional broadcast — it is one row by construction.
+    ModelJoin.sizeGated(
+      ModelJoin.sizeGated(scoreStream, c2, Seq("bg"), "left"),
+      c1, Seq("ctx"), "left")
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

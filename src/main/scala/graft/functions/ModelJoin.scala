@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated model-table join — the scale guard for every
+  * "score the corpus against a corpus-derived model" operator
+  * (unigram/bigram LM proxies, the curation LM leg).
+  *
+  * Model tables (word frequencies, bigram counts) are comfortably
+  * broadcastable at test scale, but their row counts GROW with the
+  * corpus — vocabulary sublinearly (Heaps' law), bigram types
+  * near-linearly — so an unconditional `broadcast(model)` is a
+  * driver/executor OOM waiting at 100 TB. The gate measures the model
+  * (one cheap count over an already-materialized table) and picks:
+  *
+  *   - rows ≤ threshold → `broadcast(model)`: zero stream shuffle,
+  *     the test/steady-state fast path;
+  *   - rows > threshold → `model.hint("shuffle_hash")`: both sides
+  *     hash-exchange on the join key. The scoring stream is already
+  *     exploded on exactly that key (word / bg / ctx), so the
+  *     exchange is the payload-free kind [[Dedup.jaccardPairs]]
+  *     already prefers, and shuffle_hash avoids sort-merge's
+  *     per-partition sort of a massively-duplicated key.
+  *
+  * Results are identical either way (LangModelSpec pins it); only the
+  * physical join strategy moves. Callers MUST pass a materialized
+  * model (parquet read or localCheckpoint) — the count would
+  * otherwise recompute the model aggregation a second time when the
+  * join executes.
+  *
+  * Threshold conf: `graft.model.broadcastMaxRows` (default 2M rows —
+  * ~10s of MB for short-string key tables, inside executor broadcast
+  * comfort; set 0 to force the shuffle path, as the plan-audit and
+  * scale-proof runs do).
+  */
+object ModelJoin {
+
+  val broadcastMaxRowsKey = "graft.model.broadcastMaxRows"
+  val defaultBroadcastMaxRows = 2000000L
+
+  def broadcastMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(broadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(defaultBroadcastMaxRows)
+
+  /** `stream ⋈ model` on `keys`, broadcast below the row threshold,
+    * shuffled-hash above it. `model` must be materialized (see class
+    * doc); `joinType` as in `Dataset.join`.
+    */
+  def sizeGated(stream: DataFrame, model: DataFrame, keys: Seq[String],
+                joinType: String = "inner"): DataFrame =
+    if (model.count() <= broadcastMaxRows(model)) {
+      stream.join(broadcast(model), keys, joinType)
+    } else {
+      stream.join(model.hint("shuffle_hash"), keys, joinType)
+    }
+}

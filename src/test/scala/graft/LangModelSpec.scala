@@ -74,4 +74,89 @@ class LangModelSpec extends SparkTestBase {
     assert(scored.count() === 4) // healthy rebuild, 4 docs with bigrams
     assert(LangModel.modelExists(docs, path))
   }
+
+  test("a vocab dir without _SUCCESS (crash mid vocab write) is torn") {
+    // the parquet committer creates the output directory at job setup,
+    // BEFORE any data commits — a crash inside the vocab write leaves
+    // vocab/ present but uncommitted. The directory alone must not
+    // validate the store.
+    val path = tmpDir("lm-torn-mid")
+    LangModel.buildBigramModel(docs, "doc_id", "text", path)
+    val marker = new java.io.File(s"$path/vocab/_SUCCESS")
+    assert(marker.exists(), "committed build should carry the marker")
+    marker.delete()
+    assert(!LangModel.modelExists(docs, path),
+      "uncommitted vocab dir validated the store")
+    // next call rebuilds and serves the healthy model
+    val scored = LangModel.bigramLogprob(docs, "doc_id", "text", Some(path))
+    assert(scored.count() === 4)
+    assert(LangModel.modelExists(docs, path))
+  }
+
+  test("forced shuffle_hash model join scores identically to broadcast") {
+    import graft.functions.ModelJoin
+    val broadcastScores = LangModel.bigramLogprob(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    spark.conf.set(ModelJoin.broadcastMaxRowsKey, "0")
+    try {
+      val df = LangModel.bigramLogprob(docs, "doc_id", "text")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"threshold 0 did not force the shuffle_hash model join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"gated join fell back to sort-merge:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a model table still broadcast at threshold 0:\n$p")
+      val gated = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(gated === broadcastScores,
+        "shuffle_hash path diverged from the broadcast path")
+    } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
+  }
+
+  /** Hand-computed mini LM: the engine-independent expectation the
+    * capped/uncapped unigram models are checked against.
+    */
+  private def handUnigram(cap: Int): Map[Long, (Long, Long, Double)] = {
+    val toks = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat ran",
+      3L -> "a dog sat on a log", 4L -> "single",
+      5L -> "the cat sat on the mat"
+    ).map { case (id, s) => id -> s.split(" ").toSeq }
+    val counts = toks.values.flatten.groupBy(identity).map { case (w, ws) =>
+      w -> ws.size.toLong
+    }
+    val tn = counts.values.sum.toDouble
+    val vocab = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(cap).toMap
+    val oovN = tn - vocab.values.sum.toDouble
+    toks.map { case (id, ws) =>
+      val lps = ws.map(w => math.log(vocab.get(w).map(_.toDouble).getOrElse(oovN) / tn))
+      val r = lps.sum / lps.size
+      // mirror portableRound on negatives: -floor(-x·10⁶ + 0.5)/10⁶
+      id -> (ws.size.toLong, ws.count(w => !vocab.contains(w)).toLong,
+        -math.floor(-r * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("capped unigram with cap ≥ |vocab| equals the uncapped model") {
+    val got = LangModel.unigramLogprobCapped(docs, "doc_id", "text", 1000)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === handUnigram(1000))
+    assert(got.values.forall(_._2 === 0L), "full-cap run reported OOV tokens")
+  }
+
+  test("capped unigram scores OOV tokens as one UNK type") {
+    val got = LangModel.unigramLogprobCapped(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === handUnigram(2))
+    assert(got.values.exists(_._2 > 0L),
+      "cap 2 produced no OOV tokens — vacuous smoothing test")
+    assert(got.values.forall { case (_, _, lp) =>
+      !lp.isNaN && !lp.isInfinite
+    })
+  }
 }

@@ -180,6 +180,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"stats aggregate lost its map-side partials:\n$p")
   }
 
+  test("docs_unigram_logprob: corpus scanned once under either model-join strategy") {
+    import graft.functions.ModelJoin
+    // broadcast regime (default threshold): model joins broadcast, the
+    // corpus parquet is the plan's ONLY file scan (the materialized
+    // model is an RDD scan, not a re-read)
+    val pBcast = plan("docs_unigram_logprob")
+    assert(pBcast.contains("BroadcastHashJoin"),
+      s"small model table not broadcast:\n$pBcast")
+    assert(count(pBcast, "FileScan") === 1,
+      s"corpus scanned more than once in the broadcast regime:\n$pBcast")
+    // forced shuffle regime (threshold 0 — the 100 TB model-size
+    // case): the join re-plans to shuffle_hash on the exploded word
+    // key, and the corpus is STILL scanned exactly once
+    spark.conf.set(ModelJoin.broadcastMaxRowsKey, "0")
+    try {
+      val pShuf = plan("docs_unigram_logprob")
+      assert(pShuf.contains("ShuffledHashJoin"),
+        s"threshold 0 did not force shuffle_hash:\n$pShuf")
+      assert(!pShuf.contains("SortMergeJoin"),
+        s"model join fell back to sort-merge:\n$pShuf")
+      assert(count(pShuf, "FileScan") === 1,
+        s"corpus scanned more than once in the shuffle regime:\n$pShuf")
+    } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized
