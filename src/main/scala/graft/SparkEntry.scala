@@ -26,15 +26,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark (unlike DuckDB) has no native type for — read them as
-    * nano longs and floor-convert to microsecond TimestampType, the
-    * same truncation DuckDB applies when materializing ns → µs.
+  /** Schema-adaptive read of the events table's `ts` column. External
+    * tables are written by many producers over many years, so the
+    * physical parquet timestamp encoding is not ours to assume: the
+    * driver's generator has shipped both TIMESTAMP(NANOS) (which Spark
+    * has no native type for — surfaces as LongType under
+    * `nanosAsLong`) and timestamp[us] with isAdjustedToUTC=false
+    * (surfaces as TIMESTAMP_NTZ). Branch on the type Spark actually
+    * inferred and normalize every spelling to microsecond
+    * TimestampType — under the pinned UTC session the NTZ→TZ cast is
+    * instant-preserving, so DuckDB-oracle hash parity holds.
     */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nano longs: floor to µs like DuckDB
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   // ----------------------------------------------------------------

@@ -139,10 +139,10 @@ class QuerySurfaceSpec extends SparkTestBase {
   }
 
   test("funnel matches an independent per-user sequential recompute") {
-    // mirror SparkEntry.events: nanos parquet timestamps floored to µs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "CAST(ts AS LONG) DIV 1000 AS tsu", "event_type")
+    // go through the schema-adaptive reader so this recompute keeps
+    // working whatever physical ts encoding the testdata carries
+    val rows = SparkEntry.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val day = 24L * 3600 * 1000000L // µs
     val expected = rows.groupBy(_._1).map { case (u, es) =>

@@ -51,6 +51,33 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(viaKafka.count() === direct.count())
   }
 
+  test("events reader adapts to all three physical ts encodings") {
+    import org.apache.spark.sql.types.TimestampType
+    // the driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+    // (→ LongType under nanosAsLong) and as timestamp[us]
+    // isAdjustedToUTC=false (→ TIMESTAMP_NTZ); pin that every spelling
+    // the reader claims to support normalizes to the same instants
+    val canonical = events.orderBy("event_id")
+    val variants = Seq(
+      // nanos-long spelling: what a TIMESTAMP(NANOS) file surfaces as
+      "nanos-long" -> events.withColumn("ts", expr("unix_micros(ts) * 1000")),
+      // timestamp[us] isAdjustedToUTC=false
+      "ntz" -> events.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      // timestamp with timezone: identity path
+      "tz" -> events)
+    variants.foreach { case (label, frame) =>
+      val dir = tmpDir(s"events-$label")
+      frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val back = SparkEntry.events(spark, dir)
+      assert(back.schema("ts").dataType === TimestampType,
+        s"$label: ts not normalized to TimestampType")
+      val got = back.orderBy("event_id")
+      assert(got.except(canonical).count() === 0 &&
+        canonical.except(got).count() === 0,
+        s"$label: instants diverge from canonical read")
+    }
+  }
+
   test("CSV round-trip with explicit schema preserves values") {
     val dir = tmpDir("csv")
     events.write.mode("overwrite")
