@@ -201,13 +201,13 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
   }
 
   /** Rows of version `to` that are NEW or CHANGED since version
-    * `from` — the change-data-feed read this sink's upsert-only
-    * semantics admit (no row deletes exist, so the delta is exactly
-    * the rows an incremental pipeline must reprocess). This is what
+    * `from` — the additive half of the change-data feed. This is what
     * keeps repeated curation affordable: a nightly quality/dedup/
     * scoring pass consumes `changesBetween(prev, current)` — typically
     * orders of magnitude smaller than the table — instead of
-    * rescanning 100 TB.
+    * rescanning 100 TB. Rows RETRACTED between the versions (via
+    * [[delete]] or an external writer) do NOT appear here; consumers
+    * that must propagate deletes read [[changeFeed]] instead.
     *
     * Shape at scale: one hash-shuffle of 32-byte row fingerprints
     * (same as exact dedup) — an anti-join of the new snapshot's
@@ -218,11 +218,60 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def changesBetween(spark: SparkSession, from: Long, to: Long): DataFrame = {
     require(from <= to, s"from ($from) must be <= to ($to)")
-    def fp(df: DataFrame): DataFrame = df.withColumn("_fp",
-      sha2(to_json(struct(df.columns.sorted.map(col): _*)), 256))
-    val newer = fp(readVersion(spark, to))
-    val older = fp(readVersion(spark, from)).select(col("_fp"))
+    val newer = fingerprinted(readVersion(spark, to))
+    val older = fingerprinted(readVersion(spark, from)).select(col("_fp"))
     newer.join(older, Seq("_fp"), "left_anti").drop("_fp")
+  }
+
+  /** Full row fingerprint (sorted-column to_json → sha2): equality
+    * means the row is byte-identical across versions.
+    */
+  private def fingerprinted(df: DataFrame): DataFrame = df.withColumn("_fp",
+    sha2(to_json(struct(df.columns.sorted.map(col): _*)), 256))
+
+  /** The complete change-data feed between two committed versions —
+    * the Delta CDF analog (`readChangeFeed` over the reference's MERGE
+    * sink, 03_gold_realtime_rides.py:104-112). Rows carry a
+    * `_change_type` column:
+    *
+    *  - `insert`            — key absent at `from`, present at `to`
+    *  - `update_postimage`  — key present at both, any column changed
+    *    (the new row image)
+    *  - `delete`            — key present at `from`, absent at `to`
+    *    (the old row image — what a downstream consumer must retract)
+    *
+    * Unlike [[changesBetween]] (new/changed rows only), this feed lets
+    * an incremental consumer ALSO drop rows retracted upstream — via a
+    * key anti-join of its state against the `delete` slice — instead
+    * of detecting disappearance only by full recompute.
+    *
+    * Shape at scale: the same single fingerprint hash-shuffle as
+    * `changesBetween`, one key-presence join to split inserts from
+    * updates, and one reverse key anti-join for deletes — all keyed
+    * shuffles of the (small) delta plus one pass over each snapshot;
+    * never a cross product, never a driver collect. Schema evolution:
+    * a version gap that widened the schema yields `delete` rows with
+    * the new columns null-filled (`unionByName` with missing-column
+    * fill), so the feed's schema is always the NEWER snapshot's.
+    */
+  def changeFeed(spark: SparkSession, from: Long, to: Long): DataFrame = {
+    require(from <= to, s"from ($from) must be <= to ($to)")
+    val newer = readVersion(spark, to)
+    val older = readVersion(spark, from)
+    val changed = fingerprinted(newer)
+      .join(fingerprinted(older).select(col("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+    val oldKeys = older.select(keys.map(col): _*)
+      .withColumn("_in_old", lit(1))
+    val upserts = changed.join(oldKeys, keys, "left_outer")
+      .withColumn("_change_type",
+        when(col("_in_old").isNull, lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop("_in_old")
+    val deletes = older
+      .join(newer.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    upserts.unionByName(deletes, allowMissingColumns = true)
   }
 
   /** Atomic commit point with compare-and-swap semantics: write the
@@ -390,6 +439,72 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit =
     upsertAttempt(spark, updates, batchId, retriesLeft = 5)
+
+  /** Retract every row matching `predicate` in a new committed
+    * version — the `MERGE ... WHEN MATCHED DELETE` / `DELETE FROM`
+    * analog the reference's Delta sink gets for free. Versioned layout
+    * only: the partitioned layout rewrites shared files in place,
+    * where a delete that loses a writer race could destroy rows it
+    * never matched. Runs under the same CAS commit + re-merge retry
+    * protocol as [[upsert]], so concurrent upserts and deletes
+    * serialize cleanly; the retraction then surfaces to incremental
+    * consumers as `delete` rows in [[changeFeed]].
+    */
+  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+             batchId: Long): Unit = {
+    require(partitionCol.isEmpty,
+      "delete requires the versioned layout; the partitioned layout " +
+        "rewrites data files in place and cannot roll back a lost race")
+    deleteAttempt(spark, predicate, batchId, retriesLeft = 5)
+  }
+
+  @scala.annotation.tailrec
+  private def deleteAttempt(spark: SparkSession,
+                            predicate: org.apache.spark.sql.Column,
+                            batchId: Long, retriesLeft: Int): Unit = {
+    val cs = commits(spark)
+    val lastStreamBatch =
+      cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+    if (batchId >= 0 && batchId <= lastStreamBatch) return // replay: already applied
+    val adopt = cs.isEmpty && hasExternalData(spark)
+    if (cs.isEmpty && !adopt) return // empty table: nothing to retract
+    val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+    val dataDir = newDataDir(newV)
+    val base = cs.lastOption match {
+      case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
+      case None => spark.read.parquet(path) // adopt
+    }
+    val survivors = {
+      val d = base.filter(!predicate)
+      // adopt-case base lives at `path` itself, under which the new
+      // snapshot is written — materialize first
+      if (adopt) d.localCheckpoint(true) else d
+    }
+    val attemptOk =
+      try {
+        survivors.write.mode("overwrite").parquet(s"$path/$dataDir")
+        true
+      } catch {
+        case e: Throwable if fnfInChain(e) &&
+            commits(spark).lastOption.map(_._1).getOrElse(-1L) >
+              cs.lastOption.map(_._1).getOrElse(-1L) =>
+          // merge base GC'd mid-write by concurrent writers — lost race
+          fs(spark).delete(new Path(s"$path/$dataDir"), true)
+          false
+      }
+    val recorded = if (batchId >= 0) batchId else lastStreamBatch
+    if (attemptOk && tryCommit(spark, newV, s"$recorded $dataDir")) {
+      gc(spark, cs :+ ((newV, recorded, dataDir)))
+    } else {
+      if (attemptOk) // claimed by another writer: drop the orphan snapshot
+        fs(spark).delete(new Path(s"$path/$dataDir"), true)
+      if (retriesLeft <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated " +
+            "concurrent-writer conflicts")
+      deleteAttempt(spark, predicate, batchId, retriesLeft - 1)
+    }
+  }
 
   @scala.annotation.tailrec
   private def upsertAttempt(spark: SparkSession, updates: DataFrame,

@@ -58,6 +58,43 @@ class IncrementalCurationSpec extends SparkTestBase {
       "incremental per-doc scoring diverged from the full recompute")
   }
 
+  test("a doc retracted upstream disappears downstream via the change feed") {
+    val dir = tmpDir("inccurdel") + "/docs"
+    val sink = new ParquetUpsertSink(dir, Seq("doc_id"), retainVersions = 4)
+    val v0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (2L, "a short one"),
+      (3L, "el rapido zorro de la pradera y los campos de trigo"))
+      .toDF("doc_id", "text")
+    sink.upsert(spark, v0, batchId = 0)
+    val scores0 = score(sink.readVersion(spark, 0))
+
+    // ingest: doc 2 rewritten, doc 4 new — and doc 3 RETRACTED (a
+    // takedown / opt-out, the case changesBetween alone cannot see)
+    sink.upsert(spark, Seq(
+      (2L, "a much longer document of the kind the quality gate is for"),
+      (4L, "le renard et le chien dans les champs et la foret"))
+      .toDF("doc_id", "text"), batchId = 1)
+    sink.delete(spark, col("doc_id") === 3L, batchId = 2)
+
+    val feed = sink.changeFeed(spark, 0, sink.currentVersion(spark))
+    val retracted = feed.filter(col("_change_type") === "delete")
+      .select("doc_id")
+    val rescored = score(
+      feed.filter(col("_change_type") =!= "delete").drop("_change_type"))
+    // incremental = old scores minus (retracted ∪ rescored keys) +
+    // rescored delta — no read of the untouched docs' text
+    val incremental = scores0
+      .join(rescored.select("doc_id").unionByName(retracted),
+        Seq("doc_id"), "left_anti")
+      .unionByName(rescored)
+    val full = score(sink.read(spark))
+    assert(incremental.collect().toSet === full.collect().toSet,
+      "incremental scoring with deletes diverged from full recompute")
+    assert(incremental.filter(col("doc_id") === 3L).isEmpty,
+      "retracted doc 3 must not survive downstream")
+  }
+
   test("corpus-global signals are NOT incremental-safe (documented)") {
     // the unigram-LM mean log-prob of an UNCHANGED doc moves when the
     // corpus around it changes — the reason docs_unigram_logprob-class

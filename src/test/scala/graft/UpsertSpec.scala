@@ -308,6 +308,53 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("delete retracts matching rows in a new committed version") {
+    val dir = tmpDir("upsertdel") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
+    sink.upsert(spark, base, batchId = 0)
+    sink.delete(spark, col("driver_id") === "DRV002", batchId = 1)
+    val now = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!now.exists(_._2 == "DRV002") && now.size === 2,
+      s"DRV002 must be gone, others intact: $now")
+    // the retraction is a new version; time travel still sees the row
+    assert(sink.currentVersion(spark) === 1L)
+    assert(sink.readVersion(spark, 0).filter(col("driver_id") === "DRV002")
+      .count() === 1L)
+    // replay of the same batchId is a no-op (no empty new version)
+    sink.delete(spark, col("driver_id") === "DRV001", batchId = 1)
+    assert(sink.currentVersion(spark) === 1L &&
+      sink.read(spark).filter(col("driver_id") === "DRV001").count() === 2L)
+    // partitioned layout refuses: in-place rewrite can't roll back
+    intercept[IllegalArgumentException] {
+      new ParquetUpsertSink(tmpDir("upsertdelp") + "/g", keys,
+        partitionCol = Some("window_start"))
+        .delete(spark, lit(true), batchId = -1)
+    }
+  }
+
+  test("changeFeed classifies inserts, updates, and deletes") {
+    val dir = tmpDir("upsertcdf") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 4)
+    sink.upsert(spark, base, batchId = 0)
+    sink.upsert(spark, updates, batchId = 1)            // v1: update + insert
+    sink.delete(spark, col("driver_id") === "DRV002", batchId = 2) // v2
+    val feed = sink.changeFeed(spark, 0, 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(r.fieldIndex("_change_type")), r.getLong(2))).toMap
+    assert(feed === Map(
+      ("2024-01-01 10:00:00", "DRV001") -> (("update_postimage", 9L)),
+      ("2024-01-01 12:00:00", "DRV003") -> (("insert", 1L)),
+      ("2024-01-01 10:00:00", "DRV002") -> (("delete", 3L))),
+      s"unexpected feed: $feed")
+    // a row updated then deleted inside the range is a pure delete
+    val feed2 = sink.changeFeed(spark, 1, 2).collect()
+      .map(r => (r.getString(1), r.getString(r.fieldIndex("_change_type"))))
+    assert(feed2.toSeq === Seq(("DRV002", "delete")), s"got: ${feed2.toSeq}")
+    // self-diff is empty
+    assert(sink.changeFeed(spark, 2, 2).isEmpty)
+  }
+
   test("clustered compaction: each output file covers a disjoint key range") {
     val dir = tmpDir("upsertclu") + "/gold"
     val sink = new ParquetUpsertSink(dir, Seq("k"))
