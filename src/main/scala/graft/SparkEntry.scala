@@ -1498,7 +1498,7 @@ object SparkEntry {
         fs.listStatus(src).foldLeft(17L)((h, st) =>
           h * 31 + st.getLen * 31 + st.getModificationTime))
       val idx = new IvfIndex(
-        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v2-$contentKey",
+        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v3-$contentKey",
         nCells = 16)
       if (!idx.exists(s)) idx.build(emb)
       idx.topK(s, emb.filter(col("vec_id") < 8), 5, nProbe = 4)

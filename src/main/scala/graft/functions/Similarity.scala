@@ -504,199 +504,188 @@ object Similarity {
   * scaladoc promises: quantize the corpus ONCE, then every query batch
   * probes the stored index instead of rebuilding the quantizer.
   *
-  * Layout at `path`:
-  *  - `centroids/`: (cell, centroid array<double>) — nCells rows,
-  *    broadcast at query time;
-  *  - `assigned/`: (cid, cv) parquet PARTITIONED BY cell — a probe
-  *    reads only its nProbe cell directories, so per-batch corpus I/O
-  *    is ~nProbe/nCells of the table (partition-pruned scan, visible
-  *    as PartitionFilters in the plan), not a full scan.
+  * Storage is a VERSIONED-MANIFEST commit log — the same protocol as
+  * [[graft.operators.ParquetUpsertSink]]:
   *
-  * Probed cells are collected to the driver to prune statically —
-  * bounded by nCells rows (same pattern as the upsert sink's touched
-  * partitions), never data-sized.
+  *  - `_commits/<version>`: the manifest naming the uniquely-named,
+  *    IMMUTABLE data directories that make up this generation —
+  *    centroids, frozen quantizer seeds, the optional tombstone set,
+  *    and the ordered SEGMENT list. Claimed by tmp-write +
+  *    rename-without-overwrite (CAS): exactly one concurrent mutator
+  *    wins each version, and a reader never observes a torn manifest.
+  *  - `seg-*`: (cid, cv) parquet PARTITIONED BY cell. A probe reads
+  *    only its nProbe cell directories of each segment
+  *    (partition-pruned scan, visible as PartitionFilters), so
+  *    per-batch corpus I/O is ~nProbe/nCells of the table.
+  *  - `centroids-*` (nCells rows, broadcast at query time), `seeds-*`,
+  *    `tomb-*`: small side tables.
+  *
+  * Mutations are LOCK-FREE for concurrent readers: append/remove/
+  * compact write fresh directories BESIDE the live ones and flip the
+  * manifest last. A topK that resolved version N keeps reading N's
+  * immutable directories while version N+1 commits — there is no
+  * invalidation window (the previous design renamed the centroids
+  * marker away for the mutation's duration, turning every concurrent
+  * probe into an error). A mutator that loses the version race deletes
+  * its orphan directories — uniquely named, so never the winner's data
+  * — and retries against the winner's state. The newest
+  * `retainVersions` generations' directories survive GC for in-flight
+  * readers (raise it for long-running probes under heavy mutation).
+  *
+  * Probed/touched cell sets are collected to the driver to prune
+  * statically — bounded by nCells rows (same pattern as the upsert
+  * sink's touched partitions), never data-sized.
   */
 class IvfIndex(path: String, nCells: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding") {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               retainVersions: Int = 2) {
   import Similarity.{ivfQuantize, ivfProbe, ivfSeeds, assignToSeeds}
+  import IvfIndex.{Manifest, Segment}
+
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 (got $retainVersions): the previous " +
+      "generation must survive for in-flight readers")
 
   private def hfs(spark: SparkSession) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def p(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
+  private def commitsDir = p("_commits")
+  private def uid: String = java.util.UUID.randomUUID().toString.take(8)
 
-  def build(corpus: DataFrame): Unit = {
-    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
-    // Crash protocol: invalidate FIRST (drop centroids — the `exists`
-    // marker), then write assigned, then centroids last. A crash at
-    // any point leaves either the old intact index or a not-yet-
-    // existing one (rebuilt on the next call) — never a mix of
-    // generations served as valid.
-    val spark = corpus.sparkSession
-    val fs = hfs(spark)
-    fs.delete(p("centroids"), true)
-    fs.delete(p("centroids_prev"), true) // torn append leftover
-    // Delete assigned/ explicitly rather than trusting mode("overwrite"):
-    // under spark.sql.sources.partitionOverwriteMode=dynamic (a session
-    // setting callers may have on), a partitioned overwrite only
-    // replaces partitions present in THIS build — stale cell
-    // directories from a previous generation would survive and the
-    // final centroids write would mark the mixed-generation index
-    // valid.
-    fs.delete(p("assigned"), true)
-    fs.delete(p("seeds"), true)
-    // tombstones belong to the PREVIOUS generation: left behind, they
-    // would silently filter legitimately-rebuilt ids out of topK
-    fs.delete(p("tombstones"), true)
-    fs.delete(p("assigned_stage"), true) // torn compact leftover
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assigned")
-    // persist the quantizer seeds so append() assigns against the
-    // SAME frozen quantizer a rebuild over these seeds would use
-    ivfSeeds(corpus, nCells, idCol, vecCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-  }
+  // ---------------------------------------------------------------
+  // Manifest log
+  // ---------------------------------------------------------------
 
-  /** Incrementally add vectors to an existing index without a
-    * rebuild — the FAISS-style IVF maintenance mode: the quantizer is
-    * FROZEN after build (assignments use the persisted seeds with the
-    * exact [[Similarity.assignToSeeds]] arithmetic, so each added
-    * vector lands in the cell a full rebuild over the same seeds
-    * would pick) and cell CENTROIDS are left as built — probe
-    * rankings drift as cells grow, which is the documented trade-off;
-    * rebuild (or re-`build`) periodically to re-center, exactly as
-    * IVF deployments retrain.
-    *
-    * Crash protocol mirrors build's invalidate-first rule without
-    * rewriting data: rename centroids → centroids_prev (index now
-    * invalid), append the new assignments, rename back (valid again).
-    * A crash mid-append leaves no centroids marker, so the next
-    * `build` starts clean — a torn append is never served.
+  /** All parseable commits, ascending by version. Torn commit files
+    * (a writer died between create and write on a store without
+    * atomic rename) are skipped, not fatal.
     */
-  def append(newVectors: DataFrame): Unit = {
-    val spark = newVectors.sparkSession
-    require(exists(spark), s"no index at $path to append to — call build()")
-    val fs = hfs(spark)
-    val seeds = broadcast(spark.read.parquet(s"$path/seeds"))
-    val assigned = assignToSeeds(
-      newVectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
-    // Re-adding a tombstoned id is an UPDATE, not an append: the dead
-    // row is still physically present (possibly in a different cell if
-    // the vector changed), so clearing its tombstone would resurrect
-    // it beside the new row as a duplicate. Require compact() first —
-    // it physically clears the dead rows, making the re-add a plain
-    // append.
-    tombstones(spark).foreach { t =>
-      val clash = assigned.join(broadcast(t), Seq("cid"), "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        s"append includes tombstoned id(s) — run compact() on $path first")
-    }
-    // Idempotence under retries: a re-delivered batch must not land
-    // twice (topK would then return the same id multiple times). The
-    // quantizer is frozen, so a replayed id re-assigns to the SAME
-    // cell it already occupies — anti-joining against the ids present
-    // in just the batch's target cells (a partition-pruned, id-only
-    // scan, bounded by the batch's own cell set) filters replays
-    // without a full-index scan. Materialize (persist + count) BEFORE
-    // invalidating, so the index is never read while being appended to.
-    val targetCells: Seq[Any] = assigned.select("cell").distinct()
-      .collect().map(_.get(0)).toSeq // ≤ nCells rows — never data-sized
-    val raw = spark.read.parquet(s"$path/assigned")
-    val existing = raw
-      .filter(col("cell").isInCollection(targetCells.map(cellToNative(raw))))
-      .select(col("cid"))
-    val fresh = assigned.join(existing, Seq("cid"), "left_anti").persist()
-    try {
-      if (fresh.count() > 0) {
-        require(fs.rename(p("centroids"), p("centroids_prev")),
-          s"could not invalidate $path for append")
-        fresh.write.mode("append").partitionBy("cell")
-          .parquet(s"$path/assigned")
-        require(fs.rename(p("centroids_prev"), p("centroids")),
-          s"could not re-validate $path after append")
+  private def commits(spark: SparkSession): Seq[(Long, Manifest)] = {
+    val f = hfs(spark)
+    if (!f.exists(commitsDir)) Seq.empty
+    else f.listStatus(commitsDir).toSeq
+      .flatMap { s =>
+        scala.util.Try {
+          val v = s.getPath.getName.toLong
+          val in = f.open(s.getPath)
+          val content = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+          v -> Manifest.parse(content).get
+        }.toOption
       }
-    } finally fresh.unpersist()
+      .sortBy(_._1)
   }
 
-  /** Pending removals as a 1-column (`cid`) relation, if any. Kept
-    * deliberately small: tombstones accumulate between compactions
-    * only, and every consumer broadcasts them.
-    */
-  private def tombstones(spark: SparkSession): Option[DataFrame] =
-    if (hfs(spark).exists(p("tombstones")))
-      Some(spark.read.parquet(s"$path/tombstones"))
-    else None
+  private def resolve(spark: SparkSession): Option[Manifest] =
+    commits(spark).lastOption.map(_._2)
 
-  /** Logically delete vectors: append their ids to the tombstone set.
-    * O(|ids|) — no data file is touched; `topK` anti-joins the
-    * (broadcast) tombstones until [[compact]] rewrites the affected
-    * cells. Idempotent: re-removing an id adds a duplicate tombstone
-    * row with identical anti-join semantics, deduped at compaction.
-    * Crash protocol is append's: the index is invalid (centroids
-    * renamed away) for the duration of the tombstone write.
+  /** CAS version claim: write to a unique dot-temp, rename WITHOUT
+    * overwrite. Unparseable destination debris (a corpse of a writer
+    * that died mid-write) is healed exactly as the upsert sink does —
+    * see ParquetUpsertSink.tryCommit for the full rationale.
     */
-  def remove(ids: DataFrame): Unit = {
-    val spark = ids.sparkSession
-    require(exists(spark), s"no index at $path to remove from — call build()")
-    val fs = hfs(spark)
-    val tomb = ids.select(col(idCol).as("cid")).distinct().persist()
-    try {
-      if (tomb.count() > 0) {
-        require(fs.rename(p("centroids"), p("centroids_prev")),
-          s"could not invalidate $path for remove")
-        tomb.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-        require(fs.rename(p("centroids_prev"), p("centroids")),
-          s"could not re-validate $path after remove")
+  private def tryCommit(spark: SparkSession, version: Long,
+                        m: Manifest): Boolean = {
+    val f = hfs(spark)
+    if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
+    val dst = new org.apache.hadoop.fs.Path(commitsDir, version.toString)
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      val tmp = new org.apache.hadoop.fs.Path(commitsDir,
+        s".tmp-$version-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(m.serialize.getBytes("UTF-8")) finally out.close()
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, dst) // Rename.NONE: throws if dst exists
+        return true
+      } catch {
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          if (!f.exists(dst)) throw e
+          val parseable = scala.util.Try {
+            val in = f.open(dst)
+            val content = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+            Manifest.parse(content).isDefined
+          }.getOrElse(false)
+          if (parseable) return false // lost to a real winner
+          f.delete(dst, false) // heal the corpse, retry once
       }
-    } finally tomb.unpersist()
+    }
+    false
   }
 
-  /** Physically apply pending tombstones: rewrite ONLY the cell
-    * partitions that contain dead rows (found via a column-pruned
-    * (cid, cell) scan against the broadcast tombstone set), then drop
-    * the tombstone set. Cells without deletions keep their files —
-    * compaction cost scales with the touched-cell fraction, not the
-    * index. The rewrite stages cleaned partitions beside the index and
-    * swaps them in per cell dir; a crash anywhere inside the
-    * invalidated window leaves no centroids marker, so a torn compact
-    * is never served (next `build` starts clean).
+  /** Retention GC after a successful commit: drop commit files beyond
+    * the newest `retainVersions` and every data directory they
+    * referenced that no retained manifest still references. Uncommitted
+    * directories (a concurrent writer's in-flight attempt) are
+    * referenced by no manifest and are never touched.
     */
-  def compact(spark: SparkSession): Unit = {
-    require(exists(spark), s"no index at $path to compact — call build()")
-    val fs = hfs(spark)
-    tombstones(spark).foreach { t0 =>
-      val t = broadcast(t0.distinct())
-      val raw = spark.read.parquet(s"$path/assigned")
-      // values come straight from raw's own partition column, so they
-      // are already the inferred native type — cast-free pruning
-      val touched: Seq[Any] = raw.join(t, Seq("cid"), "left_semi")
-        .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
-      if (touched.nonEmpty) {
-        val cleaned = raw.filter(col("cell").isInCollection(touched))
-          .join(t, Seq("cid"), "left_anti")
-        require(fs.rename(p("centroids"), p("centroids_prev")),
-          s"could not invalidate $path for compact")
-        fs.delete(p("assigned_stage"), true)
-        cleaned.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/assigned_stage")
-        touched.foreach { c =>
-          val dir = s"cell=$c"
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$dir"), true)
-          val staged = new org.apache.hadoop.fs.Path(s"$path/assigned_stage/$dir")
-          // a cell whose every row died has no staged output — the
-          // delete above already emptied it
-          if (fs.exists(staged))
-            require(fs.rename(staged,
-                new org.apache.hadoop.fs.Path(s"$path/assigned/$dir")),
-              s"could not swap compacted cell $c into $path")
-        }
-        fs.delete(p("assigned_stage"), true)
-        fs.delete(p("tombstones"), true)
-        require(fs.rename(p("centroids_prev"), p("centroids")),
-          s"could not re-validate $path after compact")
-      } else fs.delete(p("tombstones"), true) // nothing physical to do
+  private def gcAfter(spark: SparkSession,
+                      all: Seq[(Long, Manifest)]): Unit = {
+    val f = hfs(spark)
+    val keep = all.takeRight(retainVersions).flatMap(_._2.dirs).toSet
+    all.dropRight(retainVersions).foreach { case (v, m) =>
+      m.dirs.filterNot(keep).foreach(d => f.delete(p(d), true))
+      f.delete(new org.apache.hadoop.fs.Path(commitsDir, v.toString), false)
     }
+  }
+
+  /** Test seam: invoked after an attempt's data directories are fully
+    * written, immediately before the commit claim — the window where a
+    * concurrent reader must still see the previous generation and a
+    * concurrent mutator can win the version race. No-op in production.
+    */
+  protected def beforeCommit(version: Long): Unit = ()
+
+  // ---------------------------------------------------------------
+  // Reads
+  // ---------------------------------------------------------------
+
+  def exists(spark: SparkSession): Boolean = resolve(spark).nonEmpty
+
+  /** Pending logical removals of the current generation, if any. */
+  def tombstoneIds(spark: SparkSession): Option[DataFrame] =
+    resolve(spark).flatMap(m => tombDf(spark, m))
+
+  private def tombDf(spark: SparkSession, m: Manifest): Option[DataFrame] =
+    m.tombstones.map(d => spark.read.parquet(s"$path/$d"))
+
+  /** The current generation's physical live rows (cid, cv, cell):
+    * compaction exclusions honored, tombstones NOT applied.
+    */
+  def assignedRows(spark: SparkSession): DataFrame = {
+    val m = resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no index at $path — call build()"))
+    assignedDf(spark, m, None)
+  }
+
+  /** Union of the manifest's segments, optionally pruned to `cells`.
+    * Both the probe filter and each segment's compaction-exclusion
+    * filter are applied on the segment's own inferred partition type
+    * (cast-free → partitions prune); the cell column is then cast to
+    * the centroids side's type so segments union and join uniformly.
+    */
+  private def assignedDf(spark: SparkSession, m: Manifest,
+                         cells: Option[Seq[Any]]): DataFrame = {
+    val target = spark.read.parquet(s"$path/${m.centroids}")
+      .schema("cell").dataType
+    m.segments.map { seg =>
+      val raw = spark.read.parquet(s"$path/${seg.dir}")
+      val pruned = cells match {
+        case Some(cs) =>
+          raw.filter(col("cell").isInCollection(cs.map(cellToNative(raw))))
+        case None => raw
+      }
+      val live =
+        if (seg.excluded.isEmpty) pruned
+        else pruned.filter(!col("cell")
+          .isInCollection(seg.excluded.map(stringCellToNative(raw))))
+      live.withColumn("cell", col("cell").cast(target))
+    }.reduce(_.unionByName(_))
   }
 
   /** Partition-value type inference may narrow `cell` on read-back
@@ -714,14 +703,26 @@ class IvfIndex(path: String, nCells: Int,
         s"unexpected cell partition type $other")
     }
 
-  def exists(spark: SparkSession): Boolean =
-    new org.apache.hadoop.fs.Path(s"$path/centroids")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+  /** Manifest exclusion values are strings; parse them to the
+    * segment's inferred partition type for a cast-free filter.
+    */
+  private def stringCellToNative(raw: DataFrame): String => Any =
+    raw.schema("cell").dataType match {
+      case IntegerType => _.toInt
+      case LongType    => _.toLong
+      case StringType  => identity
+      case other => throw new IllegalStateException(
+        s"unexpected cell partition type $other")
+    }
 
   def topK(spark: SparkSession, queries: DataFrame, k: Int,
            nProbe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // resolve ONCE: every read below references this generation's
+    // immutable directories — snapshot isolation against concurrent
+    // mutators
+    val m = resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no index at $path — call build()"))
+    val centroids = spark.read.parquet(s"$path/${m.centroids}")
     // Which cells will be probed? Rank centroids per query exactly as
     // ivfProbe does, keep nProbe per query, collect the ≤ nCells
     // distinct cell ids, and push them into the scan as a static
@@ -739,19 +740,275 @@ class IvfIndex(path: String, nCells: Int,
       .filter(col("prk") <= nProbe)
       .select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val raw = spark.read.parquet(s"$path/assigned")
-    // Filter with literals of the type partition inference produced
-    // (see cellToNative) so the comparison is cast-free and prunes
-    // partitions, then restore the centroids-side type for the join.
-    val assigned = raw
-      .filter(col("cell").isInCollection(probedCells.map(cellToNative(raw))))
-      .withColumn("cell",
-        col("cell").cast(centroids.schema("cell").dataType))
+    val assigned = assignedDf(spark, m, Some(probedCells))
     // pending removals filter out at probe time (broadcast anti-join —
     // tombstones stay small between compactions by contract)
-    val live = tombstones(spark)
+    val live = tombDf(spark, m)
       .map(t => assigned.join(broadcast(t), Seq("cid"), "left_anti"))
       .getOrElse(assigned)
     ivfProbe(live, centroids, queries, k, nProbe, idCol, vecCol)
+  }
+
+  // ---------------------------------------------------------------
+  // Mutations
+  // ---------------------------------------------------------------
+
+  def build(corpus: DataFrame): Unit = {
+    val spark = corpus.sparkSession
+    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    val segDir = s"seg-$uid"
+    val cenDir = s"centroids-$uid"
+    val seedDir = s"seeds-$uid"
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$segDir")
+    // persist the quantizer seeds so append() assigns against the
+    // SAME frozen quantizer a rebuild over these seeds would use
+    ivfSeeds(corpus, nCells, idCol, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$seedDir")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/$cenDir")
+    // A (re)build is a full generation replacement: its manifest
+    // carries NO tombstones — a previous generation's pending removals
+    // must not silently filter legitimately-rebuilt ids — and no prior
+    // segments. Losing the version race just claims the next number
+    // (the manifest depends on nothing but this build's own dirs).
+    val m = Manifest(cenDir, seedDir, None, Seq(Segment(segDir, Nil)))
+    var retries = 5
+    while (retries > 0) {
+      val cs = commits(spark)
+      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+      beforeCommit(v)
+      if (tryCommit(spark, v, m)) {
+        gcAfter(spark, cs :+ (v -> m))
+        return
+      }
+      retries -= 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up claiming a version of $path after repeated conflicts")
+  }
+
+  /** Incrementally add vectors to an existing index without a
+    * rebuild — the FAISS-style IVF maintenance mode: the quantizer is
+    * FROZEN after build (assignments use the persisted seeds with the
+    * exact [[Similarity.assignToSeeds]] arithmetic, so each added
+    * vector lands in the cell a full rebuild over the same seeds
+    * would pick) and cell CENTROIDS are left as built — probe
+    * rankings drift as cells grow, which is the documented trade-off;
+    * rebuild (or re-`build`) periodically to re-center, exactly as
+    * IVF deployments retrain.
+    *
+    * The batch lands as a NEW immutable segment plus a manifest flip;
+    * idempotence under retries comes from anti-joining the batch
+    * against the ids already present in its own target cells (a
+    * partition-pruned, id-only scan bounded by the batch's cell set).
+    * A replayed batch — or losing the commit race to a twin writer
+    * appending the same data — therefore converges to a no-op instead
+    * of a duplicate.
+    */
+  def append(newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    var retries = 5
+    while (true) {
+      val cs = commits(spark)
+      require(cs.nonEmpty, s"no index at $path to append to — call build()")
+      val (ver, m) = cs.last
+      val seeds = broadcast(spark.read.parquet(s"$path/${m.seeds}"))
+      val assigned = assignToSeeds(
+        newVectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
+      // Re-adding a tombstoned id is an UPDATE, not an append: the dead
+      // row is still physically present (possibly in a different cell if
+      // the vector changed), so clearing its tombstone would resurrect
+      // it beside the new row as a duplicate. Require compact() first —
+      // it physically clears the dead rows, making the re-add a plain
+      // append.
+      tombDf(spark, m).foreach { t =>
+        val clash = assigned.join(broadcast(t), Seq("cid"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"append includes tombstoned id(s) — run compact() on $path first")
+      }
+      val targetCells: Seq[Any] = assigned.select("cell").distinct()
+        .collect().map(_.get(0)).toSeq // ≤ nCells rows — never data-sized
+      val existing = assignedDf(spark, m, Some(targetCells)).select(col("cid"))
+      val fresh = assigned.join(existing, Seq("cid"), "left_anti").persist()
+      try {
+        if (fresh.count() == 0) return
+        val segDir = s"seg-$uid"
+        fresh.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/$segDir")
+        val m2 = m.copy(segments = m.segments :+ Segment(segDir, Nil))
+        beforeCommit(ver + 1)
+        if (tryCommit(spark, ver + 1, m2)) {
+          gcAfter(spark, cs :+ ((ver + 1) -> m2))
+          return
+        }
+        // lost the race: our segment is an unreferenced orphan (and the
+        // winner may even have been a rebuild with NEW seeds) — drop it
+        // and re-derive everything against the winner's state
+        hfs(spark).delete(p(segDir), true)
+      } finally fresh.unpersist()
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+
+  /** Logically delete vectors: commit a manifest whose tombstone set
+    * is the union of the current one and `ids`. O(|ids|) — no data
+    * file is touched; `topK` anti-joins the (broadcast) tombstones
+    * until [[compact]] rewrites the affected cells. Readers concurrent
+    * with the flip keep their resolved generation.
+    */
+  def remove(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    var retries = 5
+    while (true) {
+      val cs = commits(spark)
+      require(cs.nonEmpty, s"no index at $path to remove from — call build()")
+      val (ver, m) = cs.last
+      val fresh = ids.select(col(idCol).as("cid")).distinct().persist()
+      try {
+        if (fresh.count() == 0) return
+        val merged = tombDf(spark, m)
+          .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+        val tombDir = s"tomb-$uid"
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$path/$tombDir")
+        val m2 = m.copy(tombstones = Some(tombDir))
+        beforeCommit(ver + 1)
+        if (tryCommit(spark, ver + 1, m2)) {
+          gcAfter(spark, cs :+ ((ver + 1) -> m2))
+          return
+        }
+        hfs(spark).delete(p(tombDir), true)
+      } finally fresh.unpersist()
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+
+  /** Physically apply pending tombstones: rewrite the LIVE rows of
+    * only the cells that contain dead ones (found via a column-pruned
+    * scan against the broadcast tombstone set) into a fresh segment,
+    * and EXCLUDE those cells from every older segment in the new
+    * manifest — per-cell rewrite cost, zero invalidation window.
+    * Excluded rows' disk space is reclaimed when their segment's every
+    * reader-retained generation is GC'd after a `consolidate = true`
+    * compaction (which rewrites the whole live index into a single
+    * segment — the OPTIMIZE-style squash to run when the segment list
+    * or exclusion sets have grown long) or a rebuild.
+    */
+  def compact(spark: SparkSession, consolidate: Boolean = false): Unit = {
+    var retries = 5
+    while (true) {
+      val cs = commits(spark)
+      require(cs.nonEmpty, s"no index at $path to compact — call build()")
+      val (ver, m) = cs.last
+      val t0 = tombDf(spark, m)
+      val fragmented = m.segments.size > 1 || m.segments.exists(_.excluded.nonEmpty)
+      if (t0.isEmpty && !(consolidate && fragmented)) return
+      val (m2, newDirs): (Manifest, Seq[String]) =
+        if (consolidate) {
+          val all = assignedDf(spark, m, None)
+          val live = t0.map(t => all.join(broadcast(t.distinct()),
+            Seq("cid"), "left_anti")).getOrElse(all)
+          val segDir = s"seg-$uid"
+          live.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$path/$segDir")
+          (m.copy(tombstones = None, segments = Seq(Segment(segDir, Nil))),
+            Seq(segDir))
+        } else {
+          val t = broadcast(t0.get.distinct())
+          val touched: Seq[Any] = assignedDf(spark, m, None)
+            .join(t, Seq("cid"), "left_semi")
+            .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+          if (touched.isEmpty)
+            (m.copy(tombstones = None), Seq.empty)
+          else {
+            val cleaned = assignedDf(spark, m, Some(touched))
+              .join(t, Seq("cid"), "left_anti")
+            val segDir = s"seg-$uid"
+            cleaned.write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$path/$segDir")
+            val exc = touched.map(_.toString)
+            (m.copy(tombstones = None,
+              segments = m.segments.map(s =>
+                s.copy(excluded = (s.excluded ++ exc).distinct))
+                :+ Segment(segDir, Nil)),
+              Seq(segDir))
+          }
+        }
+      beforeCommit(ver + 1)
+      if (tryCommit(spark, ver + 1, m2)) {
+        gcAfter(spark, cs :+ ((ver + 1) -> m2))
+        return
+      }
+      newDirs.foreach(d => hfs(spark).delete(p(d), true))
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+}
+
+object IvfIndex {
+
+  /** One immutable segment: a cell-partitioned parquet directory plus
+    * the cells compaction has superseded (their live rows moved to a
+    * newer segment).
+    */
+  private[functions] case class Segment(dir: String, excluded: Seq[String])
+
+  /** One committed generation of the index. */
+  private[functions] case class Manifest(centroids: String, seeds: String,
+                                         tombstones: Option[String],
+                                         segments: Seq[Segment]) {
+    def dirs: Seq[String] =
+      Seq(centroids, seeds) ++ tombstones ++ segments.map(_.dir)
+
+    /** Line-oriented, whitespace-tokenized; excluded cell values are
+      * URL-encoded so arbitrary string cell ids round-trip.
+      */
+    def serialize: String = {
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      val b = new StringBuilder
+      b.append(s"centroids $centroids\n")
+      b.append(s"seeds $seeds\n")
+      tombstones.foreach(t => b.append(s"tombstones $t\n"))
+      segments.foreach { s =>
+        if (s.excluded.isEmpty) b.append(s"segment ${s.dir}\n")
+        else b.append(
+          s"segment ${s.dir} ${s.excluded.map(enc).mkString(",")}\n")
+      }
+      b.result()
+    }
+  }
+
+  private[functions] object Manifest {
+    def parse(content: String): Option[Manifest] = scala.util.Try {
+      val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
+      var cen: String = null
+      var sd: String = null
+      var tomb: Option[String] = None
+      val segs = Seq.newBuilder[Segment]
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val parts = line.trim.split("\\s+")
+        parts(0) match {
+          case "centroids" => cen = parts(1)
+          case "seeds" => sd = parts(1)
+          case "tombstones" => tomb = Some(parts(1))
+          case "segment" => segs += Segment(parts(1),
+            if (parts.length > 2) parts(2).split(",").toSeq.map(dec) else Nil)
+          case other => throw new IllegalArgumentException(
+            s"unknown manifest keyword: $other")
+        }
+      }
+      val m = Manifest(cen, sd, tomb, segs.result())
+      require(cen != null && sd != null && m.segments.nonEmpty)
+      m
+    }.toOption
   }
 }

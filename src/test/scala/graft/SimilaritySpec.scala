@@ -236,12 +236,12 @@ class SimilaritySpec extends SparkTestBase {
     // assignment parity: the seeds are the 16 smallest ids, present in
     // BOTH corpora, so a full rebuild uses the same frozen quantizer —
     // every appended vector must land in the same cell
-    val fullDir = tmpDir("ivffull")
-    new graft.functions.IvfIndex(fullDir, nCells = 16).build(emb)
-    def cells(p: String) = spark.read.parquet(s"$p/assigned")
+    val full = new graft.functions.IvfIndex(tmpDir("ivffull"), nCells = 16)
+    full.build(emb)
+    def cells(i: graft.functions.IvfIndex) = i.assignedRows(spark)
       .select(col("cid"), col("cell").cast("long")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cells(dir) === cells(fullDir),
+    assert(cells(idx) === cells(full),
       "appended assignments diverge from a full rebuild")
     // appended vectors are retrievable: probing with an appended
     // vector's value (fresh query id, so self-exclusion doesn't hide
@@ -262,21 +262,21 @@ class SimilaritySpec extends SparkTestBase {
     val idx = new graft.functions.IvfIndex(dir, nCells = 16)
     idx.build(base)
     idx.append(rest)
-    val after1 = spark.read.parquet(s"$dir/assigned").count()
+    val after1 = idx.assignedRows(spark).count()
     assert(after1 === 490L)
     // a retried delivery of the SAME batch must be a no-op: the frozen
     // quantizer re-assigns each id to its existing cell, where the
     // anti-join filters it
     idx.append(rest)
     assert(idx.exists(spark), "replayed append left the index invalid")
-    val after2 = spark.read.parquet(s"$dir/assigned").count()
+    val after2 = idx.assignedRows(spark).count()
     assert(after2 === after1, s"replayed append duplicated rows: $after1 -> $after2")
     // and a partially-new batch appends only the new ids
     idx.append(emb.filter(col("vec_id") >= 240)) // 240..249 new, rest replay
-    val after3 = spark.read.parquet(s"$dir/assigned").count()
+    val after3 = idx.assignedRows(spark).count()
     assert(after3 === after1 + 10,
       s"mixed replay batch should add exactly 10 rows: $after1 -> $after3")
-    assert(spark.read.parquet(s"$dir/assigned").select("cid").distinct().count()
+    assert(idx.assignedRows(spark).select("cid").distinct().count()
       === after3, "duplicate ids present in the index")
   }
 
@@ -310,17 +310,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(logical === rows(idx.topK(spark, queries, 10, nProbe = 16)),
       "compacted index diverged from its own tombstoned results")
     // …but clears the dead rows and the tombstone set
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned = idx.assignedRows(spark)
     assert(assigned.count() === 480L &&
       assigned.filter(col("cid") >= 400 && col("cid") < 420).count() === 0L,
       "compact did not physically remove dead rows")
-    assert(!new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+    assert(idx.tombstoneIds(spark).isEmpty,
       "compact did not clear the tombstone set")
     // full lifecycle: a compacted id can be re-added
     idx.append(removed)
-    assert(spark.read.parquet(s"$dir/assigned").count() === 500L)
+    assert(idx.assignedRows(spark).count() === 500L)
+    // a consolidating compaction squashes the fragmented segment list
+    // (build + compact + append) into one clean segment — identical
+    // logical contents, space reclaimed at GC
+    val beforeSquash = rows(idx.topK(spark, queries, 10, nProbe = 16))
+    idx.compact(spark, consolidate = true)
+    assert(idx.assignedRows(spark).count() === 500L &&
+      rows(idx.topK(spark, queries, 10, nProbe = 16)) === beforeSquash,
+      "consolidating compaction changed the index contents")
   }
 
   test("IVF append of a tombstoned id fails until compacted") {
@@ -336,32 +342,96 @@ class SimilaritySpec extends SparkTestBase {
     assert(idx.exists(spark), "failed append left the index invalid")
     idx.compact(spark)
     idx.append(one) // now a plain append
-    assert(spark.read.parquet(s"$dir/assigned")
+    assert(idx.assignedRows(spark)
       .filter(col("cid") === 450).count() === 1L)
   }
 
-  test("IVF torn compact is never served; rebuild clears stale tombstones") {
+  test("IVF crash mid-compact leaves the old generation fully served") {
+    // the lock-free property, crash half: a compact that dies AFTER
+    // writing its cleaned segment but BEFORE the manifest flip must
+    // leave readers on the previous generation — tombstoned view,
+    // no error, no partial state
     val dir = tmpDir("ivftorn")
-    val idx = new graft.functions.IvfIndex(dir, nCells = 16)
+    class CrashingIndex extends graft.functions.IvfIndex(dir, nCells = 16) {
+      var arm = false
+      override protected def beforeCommit(version: Long): Unit =
+        if (arm) throw new RuntimeException("simulated crash before commit")
+    }
+    val idx = new CrashingIndex
     idx.build(emb)
     idx.remove(emb.filter(col("vec_id") === 123))
-    // simulate a crash INSIDE compact's invalidated window: centroids
-    // renamed away, data half-rewritten — the index must read invalid
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids"),
-      new org.apache.hadoop.fs.Path(s"$dir/centroids_prev")))
-    assert(!idx.exists(spark), "torn compact served as valid")
-    // recovery is a rebuild — which must ALSO drop the previous
-    // generation's tombstones, or id 123 (legitimately present in the
-    // rebuilt corpus) would be silently filtered from every probe
+    val before = idx.topK(spark, emb.filter(col("vec_id") < 4), 5, nProbe = 16)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    idx.arm = true
+    intercept[RuntimeException] { idx.compact(spark) }
+    idx.arm = false
+    // the torn attempt is invisible: index valid, same results,
+    // tombstones still pending
+    assert(idx.exists(spark), "crashed compact corrupted the index")
+    assert(idx.topK(spark, emb.filter(col("vec_id") < 4), 5, nProbe = 16)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === before,
+      "crashed compact changed visible results")
+    assert(idx.tombstoneIds(spark).nonEmpty, "crashed compact ate tombstones")
+    // recovery: re-running the compact completes it
+    idx.compact(spark)
+    assert(idx.tombstoneIds(spark).isEmpty)
+    // a rebuild must drop the previous generation's tombstones, or a
+    // legitimately-rebuilt id would be silently filtered from probes
+    idx.remove(emb.filter(col("vec_id") === 200))
     idx.build(emb)
-    assert(idx.exists(spark))
-    val probe = emb.filter(col("vec_id") === 123)
+    val probe = emb.filter(col("vec_id") === 200)
       .select(lit(99999L).as("vec_id"), col("embedding"))
     val hits = idx.topK(spark, probe, 3, nProbe = 16).collect()
-    assert(hits.exists(r => r.getLong(2) === 123L && r.getDouble(3) === 1.0),
+    assert(hits.exists(r => r.getLong(2) === 200L && r.getDouble(3) === 1.0),
       s"stale tombstone leaked across the rebuild: ${hits.toSeq}")
+  }
+
+  test("IVF mutations are lock-free: concurrent topK never errors, no dupes") {
+    // the lock-free property, live half: a reader thread hammering
+    // topK while the writer appends, removes, and compacts must never
+    // observe an error (the old design's centroids-rename window made
+    // every concurrent probe throw) and the final index must hold no
+    // duplicate ids
+    val dir = tmpDir("ivfconc")
+    // heavy mutation under live readers: raise retention so no
+    // generation a reader may have resolved is GC'd mid-probe (the
+    // documented knob; 2 would suffice for the default mutation rate)
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16,
+      retainVersions = 12)
+    idx.build(emb.filter(col("vec_id") < 300))
+    val queries = emb.filter(col("vec_id") < 4)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = idx.topK(spark, queries, 5, nProbe = 8).count()
+          assert(n > 0)
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    try {
+      (0 until 4).foreach { i =>
+        idx.append(emb.filter(col("vec_id") >= 300 + i * 50 &&
+          col("vec_id") < 300 + (i + 1) * 50))
+      }
+      idx.remove(emb.filter(col("vec_id") >= 490))
+      idx.compact(spark)
+      idx.compact(spark, consolidate = true)
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(readerErr.get() === null,
+      s"concurrent topK errored: ${readerErr.get()}")
+    assert(reads.get() > 0, "reader thread never completed a probe")
+    val fin = idx.assignedRows(spark)
+    assert(fin.count() === 490L &&
+      fin.select("cid").distinct().count() === 490L,
+      "concurrent mutations produced duplicates or lost rows")
   }
 
   test("IVF append to a missing index fails fast") {
