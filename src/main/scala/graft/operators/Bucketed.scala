@@ -35,6 +35,17 @@ object Bucketed {
     * knob per query — pick it once per table so all co-bucketed
     * joins agree (at 100 TB: total size / ~128 MB target files).
     */
+  /** The layout contract a table name stands for: join key, bucket
+    * count, and a hash of the column schema. Persisted as table
+    * properties at write time and verified by [[ensureBucketed]] —
+    * a name is a claim about layout, and claims get checked.
+    */
+  private def fingerprint(key: String, buckets: Int,
+                          schema: org.apache.spark.sql.types.StructType): String =
+    s"key=$key;buckets=$buckets;schema=" +
+      java.lang.Long.toHexString(schema.map(f =>
+        s"${f.name}:${f.dataType.sql}").mkString(",").hashCode.toLong & 0xffffffffL)
+
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
@@ -61,6 +72,11 @@ object Bucketed {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    // record the layout contract on the table itself so a later
+    // ensureBucketed can VERIFY the name instead of trusting it
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.bucketed.fingerprint' = " +
+      s"'${fingerprint(key, buckets, df.schema)}')")
   }
 
   /** [[writeBucketed]] only if `table` isn't already in the session
@@ -68,14 +84,33 @@ object Bucketed {
     * layout shuffle once, run every later join/agg shuffle-free).
     * Callers that re-derive the same table each run (benchmarks, the
     * Verify harness) go through this so repetition measures the
-    * CO-LOCATED QUERY, not a redundant rewrite. The caller owns
-    * naming: a table name must pin its source (e.g. carry the input
-    * path's hash) since an existing name is trusted as-is.
+    * CO-LOCATED QUERY, not a redundant rewrite.
+    *
+    * An EXISTING table is verified, not trusted: its recorded
+    * layout fingerprint (key, bucket count, schema hash — written by
+    * [[writeBucketed]] as a table property) must match the requested
+    * one. A mismatch means the name collides with a different layout —
+    * reusing it would silently re-introduce the shuffle this machinery
+    * exists to elide (wrong key / count) or read the wrong relation
+    * (schema drift), so it throws instead of either clobbering the
+    * existing table or limping along.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
+                     buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
       writeBucketed(df, table, key, buckets)
+    } else {
+      val want = fingerprint(key, buckets, df.schema)
+      val got = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.get("graft.bucketed.fingerprint")
+      require(got.contains(want),
+        s"table $table exists with layout ${got.getOrElse("<unrecorded>")} " +
+          s"but $want was requested — drop the table or pick a name that " +
+          "pins this layout")
+    }
+  }
 
   /** Inner equi-join of two co-bucketed tables on `key`. The result
     * is a plain join — the value is the PLAN: with both sides
@@ -86,15 +121,44 @@ object Bucketed {
            key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
-  /** Throws if `df`'s static physical plan still contains a shuffle —
-    * the guard against the silent fallback modes (bucket-count
-    * mismatch, bucketing disabled, a non-equi condition) that turn a
+  /** Throws if `df`'s physical plan contains a SHUFFLE exchange — the
+    * guard against the silent fallback modes (bucket-count mismatch,
+    * bucketing disabled, a non-equi condition) that turn a
     * "co-located" join back into a full exchange without any error.
+    *
+    * Detection walks the plan TREE for `ShuffleExchangeLike` nodes
+    * (descending through AQE wrappers, whose children are hidden from
+    * a plain collect) rather than string-matching "Exchange": the
+    * string test also trips on BroadcastExchange — which moves a
+    * small table, not the data being co-located, and is a legitimate
+    * plan for a bucketed table joined to a tiny one — and on any
+    * operator or expression that merely mentions the word.
     */
   def assertCoLocated(df: DataFrame): DataFrame = {
-    val plan = df.queryExecution.executedPlan.toString
-    require(!plan.contains("Exchange"),
-      s"join expected to be co-located but the plan shuffles:\n$plan")
+    val shuffles = collectShuffles(df.queryExecution.executedPlan)
+    require(shuffles.isEmpty,
+      s"join expected to be co-located but the plan holds " +
+        s"${shuffles.size} shuffle exchange(s) " +
+        s"[${shuffles.map(_.nodeName).mkString(", ")}]:\n" +
+        df.queryExecution.executedPlan)
     df
   }
+
+  private def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      // AQE roots are leaf nodes to TreeNode.collect — recurse into
+      // the CURRENT wrapped plan (post-EnsureRequirements, so the
+      // inserted exchanges are visible; inputPlan would be the
+      // pre-preparation tree, which never holds them)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectShuffles(a.executedPlan)
+      // once AQE has started executing, exchanges are wrapped in
+      // (leaf) query stages — unwrap to keep the guard usable on a
+      // plan that already ran
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        Seq(s.shuffle)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        Seq(e)
+    }.flatten
 }

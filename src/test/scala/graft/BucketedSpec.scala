@@ -75,6 +75,46 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("ensureBucketed verifies the recorded layout fingerprint") {
+    val df = (0 until 200).map(i => (i.toLong, i)).toDF("k", "v")
+    withTables("b_fp") {
+      Bucketed.ensureBucketed(df, "b_fp", "k", 4)
+      // identical layout: a no-op, no error
+      Bucketed.ensureBucketed(df, "b_fp", "k", 4)
+      // different bucket count under the same name: refused — reusing
+      // it would silently shuffle every "co-located" join
+      val e1 = intercept[IllegalArgumentException] {
+        Bucketed.ensureBucketed(df, "b_fp", "k", 8)
+      }
+      assert(e1.getMessage.contains("b_fp"))
+      // different key: refused
+      intercept[IllegalArgumentException] {
+        Bucketed.ensureBucketed(df, "b_fp", "v", 4)
+      }
+      // schema drift under the same name: refused
+      intercept[IllegalArgumentException] {
+        Bucketed.ensureBucketed(df.withColumn("extra", lit(1)), "b_fp", "k", 4)
+      }
+      // and the refusals did not clobber the existing table
+      assert(spark.table("b_fp").count() === 200)
+    }
+  }
+
+  test("assertCoLocated passes a broadcast join (no data shuffle)") {
+    // BroadcastExchange moves the small table, not the data being
+    // co-located — the old string match on "Exchange" failed this
+    // legitimate plan; the tree walk for ShuffleExchangeLike must not
+    val big = (0 until 2000).map(i => (i.toLong % 100, i)).toDF("k", "v")
+    val tiny = (0 until 100).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    withTables("b_bcast") {
+      Bucketed.writeBucketed(big, "b_bcast", "k", 4)
+      val j = spark.table("b_bcast").join(broadcast(tiny), Seq("k"))
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "fixture broken: expected a BroadcastExchange in the plan")
+      assert(Bucketed.assertCoLocated(j).count() === 2000)
+    }
+  }
+
   test("orphaned warehouse location from a dead JVM is reclaimed") {
     // A previous JVM's managed table leaves its directory under the
     // (persistent) warehouse dir while this JVM's catalog has no
