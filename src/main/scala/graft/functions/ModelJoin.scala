@@ -43,13 +43,52 @@ object ModelJoin {
     df.sparkSession.conf.getOption(broadcastMaxRowsKey)
       .map(_.toLong).getOrElse(defaultBroadcastMaxRows)
 
+  /** Session-scoped memo of model row counts, so N joins against the
+    * same materialized model pay ONE count job, not N (the durable
+    * LangModel store re-reads its parquet tables per scoring call —
+    * each used to re-count). Lookup matches on the CANONICALIZED
+    * logical plan via `sameResult` (the CacheManager pattern — a hash
+    * alone could collide two plans and silently mis-gate), under which
+    * two parquet reads of the same path are equal across calls.
+    * Models are write-once by the callers' contract (modelPath /
+    * localCheckpoint), so a memoized count cannot go stale within a
+    * session; sessions are weak keys, entries FIFO-bounded.
+    */
+  private val maxCountCacheEntries = 64
+  private val countCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.ArrayDeque[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]]())
+
+  private def cachedCount(model: DataFrame): Long = {
+    val plan = model.queryExecution.analyzed
+    val entries = countCache.synchronized {
+      var e = countCache.get(model.sparkSession)
+      if (e == null) {
+        e = scala.collection.mutable.ArrayDeque.empty
+        countCache.put(model.sparkSession, e)
+      }
+      e
+    }
+    entries.synchronized {
+      entries.find(_._1.sameResult(plan)).map(_._2)
+    }.getOrElse {
+      val n = model.count() // outside the lock: counts may run long
+      entries.synchronized {
+        if (entries.size >= maxCountCacheEntries) entries.removeHead()
+        entries.append((plan, n))
+      }
+      n
+    }
+  }
+
   /** `stream ⋈ model` on `keys`, broadcast below the row threshold,
     * shuffled-hash above it. `model` must be materialized (see class
     * doc); `joinType` as in `Dataset.join`.
     */
   def sizeGated(stream: DataFrame, model: DataFrame, keys: Seq[String],
                 joinType: String = "inner"): DataFrame =
-    if (model.count() <= broadcastMaxRows(model)) {
+    if (cachedCount(model) <= broadcastMaxRows(model)) {
       stream.join(broadcast(model), keys, joinType)
     } else {
       stream.join(model.hint("shuffle_hash"), keys, joinType)

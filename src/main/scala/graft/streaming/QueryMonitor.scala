@@ -16,9 +16,19 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   */
 class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
 
+  /** `stateRows` / `droppedByWatermark` sum the batch's
+    * StateOperatorProgress entries — the two numbers that make
+    * watermark health OBSERVABLE: state that only grows means the
+    * watermark never advances (an eviction leak); a nonzero drop count
+    * is data arriving beyond the lateness bound (silently discarded —
+    * the thing an operator must alarm on, reference monitor cell
+    * 04_monitor_streams.py).
+    */
   final case class Snapshot(name: String, batchId: Long, numInputRows: Long,
                             rowsPerSec: Double, watermark: String,
-                            timestamp: String)
+                            timestamp: String,
+                            stateRows: Long = 0L,
+                            droppedByWatermark: Long = 0L)
 
   final case class Termination(id: java.util.UUID, exception: Option[String],
                                lastProgress: Option[Snapshot])
@@ -37,7 +47,10 @@ class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
       Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
       p.processedRowsPerSecond,
       Option(p.eventTime.get("watermark")).getOrElse(""),
-      p.timestamp)
+      p.timestamp,
+      stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+      droppedByWatermark =
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
     val ring = progress.computeIfAbsent(p.id,
       _ => new java.util.ArrayDeque[Snapshot]())
     ring.synchronized {
@@ -94,7 +107,8 @@ class QueryMonitor(keep: Int = 16) extends StreamingQueryListener {
   def render(): String =
     latest.values.toSeq.sortBy(_.name).map { s =>
       f"${s.name}%-24s batch=${s.batchId}%-5d rows=${s.numInputRows}%-7d " +
-        f"rate=${s.rowsPerSec}%10.1f/s wm=${s.watermark}"
+        f"rate=${s.rowsPerSec}%10.1f/s state=${s.stateRows}%-7d " +
+        f"late-dropped=${s.droppedByWatermark}%-6d wm=${s.watermark}"
     }.mkString("\n")
 }
 

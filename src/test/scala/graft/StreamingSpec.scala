@@ -241,6 +241,58 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("watermark drops and state rows are observable under RocksDB") {
+    val root = tmpDir("streamwm")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    MedallionStream.useRocksDbStateStore(spark)
+    val monitor = graft.streaming.QueryMonitor.attach(spark)
+    import org.apache.spark.sql.streaming.Trigger
+    try {
+      // wave 1: recent events — establishes silver's dedup state and a
+      // watermark ≈ max(event_timestamp) − 10 min in the checkpoint
+      RideGenerator.writeRaw(spark, p.raw, 2000L)
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      val silverAfter1 = spark.read.parquet(p.silver).count()
+      val pass1 = monitor.terminations.flatMap(_.lastProgress)
+      assert(pass1.exists(_.stateRows > 0),
+        s"dedup state rows not observable in progress: $pass1")
+      assert(pass1.forall(_.droppedByWatermark === 0L),
+        s"wave 1 must drop nothing: $pass1")
+
+      // wave 2: a full day BEHIND the persisted watermark — every row
+      // reaches the dedup operator too late and must be counted as
+      // dropped, with silver unchanged (silent data loss made visible)
+      RideGenerator.writeRaw(spark, p.raw, 400L, seed = 7L,
+        epochStart = 1704067200L - 86400L)
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      val deadline = System.currentTimeMillis() + 30000
+      def dropped = monitor.terminations.flatMap(_.lastProgress)
+        .map(_.droppedByWatermark).sum
+      while (dropped == 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(dropped > 0L, "no watermark drops observed for the late wave")
+      assert(spark.read.parquet(p.silver).count() === silverAfter1,
+        "rows behind the watermark leaked into silver")
+      assert(monitor.render().contains("late-dropped="),
+        "render must surface the drop counter")
+    } finally {
+      spark.streams.removeListener(monitor)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("QueryMonitor listener captures progress and renders a summary") {
     val root = tmpDir("streamm")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
