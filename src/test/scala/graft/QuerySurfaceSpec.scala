@@ -34,9 +34,10 @@ class QuerySurfaceSpec extends SparkTestBase {
       .agg(countDistinct(col("user_id")).as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (tpe, ex) =>
-      val ap = approx(tpe).toDouble
-      assert(math.abs(ap - ex) / ex < 0.10,
-        s"$tpe: approx $ap vs exact $ex")
+      val ap = approx.get(tpe).map(_.toDouble)
+      assert(ap.isDefined, s"$tpe missing from the sketch output")
+      assert(math.abs(ap.get - ex) / ex < 0.10,
+        s"$tpe: approx ${ap.get} vs exact $ex")
     }
   }
 
@@ -46,8 +47,10 @@ class QuerySurfaceSpec extends SparkTestBase {
     val exact = SparkEntry.queries("value_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (tpe, ex) =>
-      assert(math.abs(approx(tpe) - ex) / math.max(ex, 1.0) < 0.05,
-        s"$tpe: approx ${approx(tpe)} vs exact $ex")
+      val ap = approx.get(tpe)
+      assert(ap.isDefined, s"$tpe missing from the sketch output")
+      assert(math.abs(ap.get - ex) / math.max(ex, 1.0) < 0.05,
+        s"$tpe: approx ${ap.get} vs exact $ex")
     }
   }
 
@@ -63,17 +66,20 @@ class QuerySurfaceSpec extends SparkTestBase {
       .agg(countDistinct(col("user_id")).as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exD.foreach { case (tpe, ex) =>
-      val est = estD(tpe).toDouble
-      assert(est >= ex / 2.0 && est <= ex * 2.0,
-        s"$tpe: distinct-sampling estimate $est vs exact $ex")
+      val est = estD.get(tpe)
+      assert(est.isDefined, s"$tpe missing from the sampling estimate")
+      assert(est.get >= ex / 2.0 && est.get <= ex * 2.0,
+        s"$tpe: distinct-sampling estimate ${est.get} vs exact $ex")
     }
     val estP = SparkEntry.queries("approx_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exP = SparkEntry.queries("value_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exP.foreach { case (tpe, ex) =>
-      assert(math.abs(estP(tpe) - ex) / math.max(ex, 1.0) < 0.25,
-        s"$tpe: sampled p50 ${estP(tpe)} vs exact $ex")
+      val est = estP.get(tpe)
+      assert(est.isDefined, s"$tpe missing from the sampled percentiles")
+      assert(math.abs(est.get - ex) / math.max(ex, 1.0) < 0.25,
+        s"$tpe: sampled p50 ${est.get} vs exact $ex")
     }
   }
 
