@@ -46,40 +46,64 @@ object ModelJoin {
   /** Session-scoped memo of model row counts, so N joins against the
     * same materialized model pay ONE count job, not N (the durable
     * LangModel store re-reads its parquet tables per scoring call —
-    * each used to re-count). Lookup matches on the CANONICALIZED
-    * logical plan via `sameResult` (the CacheManager pattern — a hash
-    * alone could collide two plans and silently mis-gate), under which
-    * two parquet reads of the same path are equal across calls.
-    * Models are write-once by the callers' contract (modelPath /
-    * localCheckpoint), so a memoized count cannot go stale within a
-    * session; sessions are weak keys, entries FIFO-bounded.
+    * each used to re-count). Models are write-once by the callers'
+    * contract (modelPath / localCheckpoint), so a memoized count
+    * cannot go stale within a session.
+    *
+    * Sessions are weak keys and — critically — the VALUES are plain
+    * strings: an earlier version cached the analyzed `LogicalPlan`s
+    * themselves, whose file-source relations strongly reference the
+    * session, so the weak key could never clear and each dead session
+    * leaked itself plus its plans. The memo key is the canonicalized
+    * plan tree rendered to text PLUS the file-source root paths (the
+    * canonicalized tree alone elides locations, which would conflate
+    * two same-schema models at different paths). Plans with no file
+    * relation (e.g. checkpoint-backed RDD scans) have no stable
+    * session-free identity, so they are counted, not memoized.
     */
   private val maxCountCacheEntries = 64
   private val countCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.ArrayDeque[
-        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]]())
+      scala.collection.mutable.ArrayDeque[(String, Long)]]())
 
-  private def cachedCount(model: DataFrame): Long = {
+  /** Session-free identity of a model plan, or None if the plan holds
+    * no file-backed relation to anchor it.
+    */
+  private[graft] def memoKey(model: DataFrame): Option[String] = {
     val plan = model.queryExecution.analyzed
-    val entries = countCache.synchronized {
-      var e = countCache.get(model.sparkSession)
-      if (e == null) {
-        e = scala.collection.mutable.ArrayDeque.empty
-        countCache.put(model.sparkSession, e)
-      }
-      e
+    val paths = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).sorted.mkString(",")
+          case other => other.toString
+        }
     }
-    entries.synchronized {
-      entries.find(_._1.sameResult(plan)).map(_._2)
-    }.getOrElse {
-      val n = model.count() // outside the lock: counts may run long
+    if (paths.isEmpty) None
+    else Some(plan.canonicalized.treeString + "\n@" + paths.mkString(";"))
+  }
+
+  private def cachedCount(model: DataFrame): Long = memoKey(model) match {
+    case None => model.count()
+    case Some(key) =>
+      val entries = countCache.synchronized {
+        var e = countCache.get(model.sparkSession)
+        if (e == null) {
+          e = scala.collection.mutable.ArrayDeque.empty[(String, Long)]
+          countCache.put(model.sparkSession, e)
+        }
+        e
+      }
       entries.synchronized {
-        if (entries.size >= maxCountCacheEntries) entries.removeHead()
-        entries.append((plan, n))
+        entries.find(_._1 == key).map(_._2)
+      }.getOrElse {
+        val n = model.count() // outside the lock: counts may run long
+        entries.synchronized {
+          if (entries.size >= maxCountCacheEntries) entries.removeHead()
+          entries.append((key, n))
+        }
+        n
       }
-      n
-    }
   }
 
   /** `stream ⋈ model` on `keys`, broadcast below the row threshold,

@@ -783,6 +783,10 @@ class IvfIndex(path: String, nCells: Int,
       }
       retries -= 1
     }
+    // No manifest ever referenced this build's dirs, so the GC will
+    // never see them — reclaim the orphans before reporting failure
+    // (append/compact already do this on their lost-race paths).
+    Seq(segDir, cenDir, seedDir).foreach(d => hfs(spark).delete(p(d), true))
     throw new java.util.ConcurrentModificationException(
       s"gave up claiming a version of $path after repeated conflicts")
   }

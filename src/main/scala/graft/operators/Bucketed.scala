@@ -40,11 +40,18 @@ object Bucketed {
     * properties at write time and verified by [[ensureBucketed]] —
     * a name is a claim about layout, and claims get checked.
     */
+  private def schemaText(schema: org.apache.spark.sql.types.StructType): String =
+    schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+
   private def fingerprint(key: String, buckets: Int,
                           schema: org.apache.spark.sql.types.StructType): String =
-    s"key=$key;buckets=$buckets;schema=" +
-      java.lang.Long.toHexString(schema.map(f =>
-        s"${f.name}:${f.dataType.sql}").mkString(",").hashCode.toLong & 0xffffffffL)
+    // sha-256, not String.hashCode: a 32-bit hash over the full space
+    // of column schemas WILL collide eventually, and a collision here
+    // silently passes the layout check for the wrong relation
+    s"key=$key;buckets=$buckets;schemaSha256=" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(schemaText(schema).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
@@ -101,14 +108,36 @@ object Bucketed {
     if (!spark.catalog.tableExists(table)) {
       writeBucketed(df, table, key, buckets)
     } else {
-      val want = fingerprint(key, buckets, df.schema)
-      val got = spark.sessionState.catalog
+      val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .properties.get("graft.bucketed.fingerprint")
-      require(got.contains(want),
-        s"table $table exists with layout ${got.getOrElse("<unrecorded>")} " +
-          s"but $want was requested — drop the table or pick a name that " +
-          "pins this layout")
+      // The catalog's own bucket spec is authoritative for key/count —
+      // it's what the planner reads when deciding to elide the
+      // Exchange, so verify layout against it, not only our stamp.
+      require(meta.bucketSpec.exists(s =>
+        s.numBuckets == buckets && s.bucketColumnNames == Seq(key)),
+        s"table $table exists bucketed as " +
+          s"${meta.bucketSpec.map(s => s"key=${s.bucketColumnNames.mkString(",")};buckets=${s.numBuckets}").getOrElse("<unbucketed>")} " +
+          s"but key=$key;buckets=$buckets was requested — drop the table " +
+          "or pick a name that pins this layout")
+      val want = fingerprint(key, buckets, df.schema)
+      meta.properties.get("graft.bucketed.fingerprint") match {
+        case Some(got) if got.contains("schemaSha256=") =>
+          require(got == want,
+            s"table $table exists with layout $got but $want was " +
+              "requested — drop the table or pick a name that pins this layout")
+        case _ =>
+          // Legacy table: written before fingerprints existed (or under
+          // the old 32-bit stamp format). Rejecting it would break
+          // previously valid persisted warehouses, so verify the schema
+          // against the CATALOG's recorded schema and stamp the modern
+          // fingerprint for cheap later checks.
+          require(schemaText(meta.schema) == schemaText(df.schema),
+            s"table $table exists with schema [${schemaText(meta.schema)}] " +
+              s"but [${schemaText(df.schema)}] was requested — drop the " +
+              "table or pick a name that pins this layout")
+          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+            s"'graft.bucketed.fingerprint' = '$want')")
+      }
     }
   }
 

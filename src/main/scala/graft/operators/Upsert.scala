@@ -475,7 +475,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       case None => spark.read.parquet(path) // adopt
     }
     val survivors = {
-      val d = base.filter(!predicate)
+      // SQL/Delta DELETE retracts only rows where the predicate is
+      // TRUE; a NULL verdict (e.g. delete(col("status") === "bad") on
+      // a null status) keeps the row. A bare !predicate would treat
+      // NULL as "delete" — coalesce pins the three-valued logic.
+      val d = base.filter(not(coalesce(predicate, lit(false))))
       // adopt-case base lives at `path` itself, under which the new
       // snapshot is written — materialize first
       if (adopt) d.localCheckpoint(true) else d

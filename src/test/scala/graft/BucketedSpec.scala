@@ -100,6 +100,38 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("legacy table without a fingerprint is verified and stamped, not rejected") {
+    // Tables written before fingerprints existed (or under the old
+    // 32-bit stamp format) live in persisted warehouses; the catalog's
+    // own bucketSpec + schema are enough to verify them, after which
+    // the modern fingerprint is stamped on.
+    val df = (0 until 200).map(i => (i.toLong, i)).toDF("k", "v")
+    withTables("b_legacy") {
+      Bucketed.ensureBucketed(df, "b_legacy", "k", 4)
+      spark.sql(
+        "ALTER TABLE b_legacy UNSET TBLPROPERTIES ('graft.bucketed.fingerprint')")
+      // same layout: accepted via catalog bucketSpec + schema...
+      Bucketed.ensureBucketed(df, "b_legacy", "k", 4)
+      // ...and re-stamped for cheap later checks
+      val stamped = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("b_legacy"))
+        .properties.get("graft.bucketed.fingerprint")
+      assert(stamped.exists(_.contains("schemaSha256=")),
+        s"legacy table not re-stamped: $stamped")
+      // wrong layout against a legacy table: still refused (bucketSpec)
+      spark.sql(
+        "ALTER TABLE b_legacy UNSET TBLPROPERTIES ('graft.bucketed.fingerprint')")
+      intercept[IllegalArgumentException] {
+        Bucketed.ensureBucketed(df, "b_legacy", "k", 8)
+      }
+      // wrong schema against a legacy table: refused (catalog schema)
+      intercept[IllegalArgumentException] {
+        Bucketed.ensureBucketed(df.withColumn("extra", lit(1)), "b_legacy", "k", 4)
+      }
+      assert(spark.table("b_legacy").count() === 200)
+    }
+  }
+
   test("assertCoLocated passes a broadcast join (no data shuffle)") {
     // BroadcastExchange moves the small table, not the data being
     // co-located — the old string match on "Exchange" failed this

@@ -114,6 +114,27 @@ class LangModelSpec extends SparkTestBase {
     } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
   }
 
+  test("count-memo key is session-free and path-anchored") {
+    import graft.functions.ModelJoin
+    // The memo must not retain the SparkSession (the r8 cache stored
+    // analyzed plans whose file relations pin the session, so weak
+    // keys never cleared) — its key is a string derived from the
+    // canonicalized tree + file paths.
+    val dirA = tmpDir("memoA"); val dirB = tmpDir("memoB")
+    val m = Seq((1L, 0.5), (2L, 0.25)).toDF("tok", "p")
+    m.write.mode("overwrite").parquet(dirA)
+    m.write.mode("overwrite").parquet(dirB)
+    val readA1 = ModelJoin.memoKey(spark.read.parquet(dirA))
+    val readA2 = ModelJoin.memoKey(spark.read.parquet(dirA))
+    val readB = ModelJoin.memoKey(spark.read.parquet(dirB))
+    assert(readA1.isDefined && readA1 === readA2,
+      "two reads of the same model path must share one memo entry")
+    assert(readA1 !== readB,
+      "same-schema models at different paths must NOT share a count")
+    // no file relation → no stable session-free identity → not memoized
+    assert(ModelJoin.memoKey(m).isEmpty)
+  }
+
   /** Hand-computed mini LM: the engine-independent expectation the
     * capped/uncapped unigram models are checked against.
     */

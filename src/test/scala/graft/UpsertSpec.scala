@@ -333,6 +333,24 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("delete with a NULL predicate verdict keeps the row (SQL semantics)") {
+    // SQL/Delta DELETE retracts only pred=TRUE rows; a NULL verdict is
+    // a keep. A naive filter(!pred) would treat NULL as "delete" and
+    // silently retract every null-valued row.
+    val dir = tmpDir("upsertdelnull") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
+    val withNull = Seq(
+      ("2024-01-01 10:00:00", "DRV001", Some("bad"), 1L),
+      ("2024-01-01 10:00:00", "DRV002", None, 2L),
+      ("2024-01-01 10:00:00", "DRV003", Some("ok"), 3L)
+    ).toDF("window_start", "driver_id", "status", "total")
+    sink.upsert(spark, withNull, batchId = 0)
+    sink.delete(spark, col("status") === "bad", batchId = 1)
+    val left = sink.read(spark).select("driver_id").as[String].collect().toSet
+    assert(left === Set("DRV002", "DRV003"),
+      s"null-status DRV002 must survive the delete: $left")
+  }
+
   test("changeFeed classifies inserts, updates, and deletes") {
     val dir = tmpDir("upsertcdf") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, retainVersions = 4)
