@@ -76,9 +76,19 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: stdout tail-capture truncates past ~2k
-    // chars, and the JSON outgrew that — the file is the durable record.
+    // chars, and the JSON outgrew that — the files are the durable
+    // record. bench_last.json holds the latest run; bench_history.jsonl
+    // accumulates every run (committed, so per-round numbers survive
+    // the next round's overwrite) with a wall-clock stamp and the
+    // machine parallelism, enough to judge cross-round comparability.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val stamped = line.dropRight(1) +
+      s""","ts_ms":${System.currentTimeMillis()},"cpus":"$cpus"}""" + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -23,36 +23,18 @@ import graft.sources.RideGenerator
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** Schema-adaptive read of the events table's `ts` column. External
-    * tables are written by many producers over many years, so the
-    * physical parquet timestamp encoding is not ours to assume: the
-    * driver's generator has shipped both TIMESTAMP(NANOS) (which Spark
-    * has no native type for — surfaces as LongType under
-    * `nanosAsLong`) and timestamp[us] with isAdjustedToUTC=false
-    * (surfaces as TIMESTAMP_NTZ). Branch on the type Spark actually
-    * inferred and normalize every spelling to microsecond
-    * TimestampType — under the pinned UTC session the NTZ→TZ cast is
-    * instant-preserving, so DuckDB-oracle hash parity holds.
+  /** Every external-table read goes through [[graft.sources.Tables]]:
+    * event-time columns normalize across physical encodings
+    * (TIMESTAMP(NANOS)/NTZ/TZ — the drift class that once killed every
+    * consumer of one table at once), the other columns are validated
+    * against their accepted type family, and anything unrecognized
+    * fails loudly naming `table.column` and the offending type.
     */
-  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) read as nano longs: floor to µs like DuckDB
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType =>
-        raw
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts: unsupported physical type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
-    }
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.read(spark, dir, name)
+
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
 
   // ----------------------------------------------------------------
   // Shared building blocks (Spark side)
@@ -80,6 +62,67 @@ object SparkEntry {
 
   private def docsWithTokens(docs: DataFrame): DataFrame =
     docs.withColumn("toks", Text.tokens(col("text")))
+
+  /** The curation-v2 survivor set, lazy (callers checkpoint it):
+    * scan-side quality gates ∧ Gopher repetition ∧ corpus-LM floor ∧
+    * dup-span drop, composed by doc_id semi-joins. `toksDf` is the
+    * materialized (docs ++ toks) projection every tokenize-consuming
+    * leg reads — the single-tokenize-pass contract this query's plan
+    * audit pins; package-private so the audit can inspect the lazy
+    * plan (the query entry checkpoints it immediately, which hides
+    * the leg shapes from the final executed plan).
+    */
+  private[graft] def curationV2Survivors(docs: DataFrame,
+                                         toksDf: DataFrame): DataFrame = {
+    val scanPass = toksDf
+      .filter(size(col("toks")) >= 20 &&
+        Text.punctRatio(col("text")) <= 0.1 &&
+        Text.stopwordRatio(col("toks")) >= 0.05 &&
+        Text.langId(col("toks")) === "en")
+      .select(docs.columns.map(col): _*)
+    // Gopher repetition behind an AGGREGATION BARRIER, not in the
+    // scan filter: predicate pushdown substitutes filter columns
+    // with their defining expressions, so a shingle-derived
+    // predicate would re-inline tokenize(text) into the shingle
+    // computation per consumer — the trap docShingles documents,
+    // measured 14.7 s vs 0.4 s for this leg back when the shingle
+    // builder was an interpreted HOF (it is now the fused native
+    // ShingleHashesExpr, which shrinks but does not remove the
+    // re-inlining cost). The agg blocks pushdown either way; the
+    // checkpoint additionally pins `toks` as data, not expression.
+    // (Docs with < 3 tokens have no shingles and drop here, but the
+    // ≥ 20-token gate above already excludes them — conjunction
+    // semantics identical to the oracle's len(grams)=0 OR arm.)
+    val repOk = toksDf
+      .select(col("doc_id"), explode(
+        graft.plans.ShingleHashesExpr.shingle_hashes(col("toks"), 3))
+        .as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("g")).as("n_d"))
+      .filter(lit(1.0) - col("n_d").cast("double")
+        / col("n_sh").cast("double") <= 0.2)
+      .select(col("doc_id"))
+    val words = toksDf
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val freq = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("wn")).localCheckpoint(true)
+    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+    // freq grows with the corpus vocabulary — size-gated join
+    // (broadcast small, shuffle_hash on the exploded word key large)
+    val lmOk = graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(Hashing.portableRound(
+        avg(log(col("wn").cast("double") / lit(tn))), 6).as("alp"))
+      .filter(col("alp") >= -3.41)
+      .select(col("doc_id"))
+    val spanOk = Dedup.dupSpanFraction(docs, "doc_id", "text", 8)
+      .filter(col("dup_fraction") <= 0.3)
+      .select(col("doc_id"))
+    scanPass
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(lmOk, Seq("doc_id"), "left_semi")
+      .join(spanOk, Seq("doc_id"), "left_semi")
+  }
 
   // ----------------------------------------------------------------
   // Shared SQL snippets (DuckDB side) — kept textually tiny so each
@@ -186,6 +229,97 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id
       |   ORDER BY score DESC, neighbor_id) AS rank
       | FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Exact brute-force top-5 mirror — also the ground-truth CTE of
+    * the recall oracle.
+    */
+  private val bfTopkOracleSql: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |    c.vec_id) AS rank
+      | FROM embeddings c, embeddings q
+      | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Full LSH ANN pipeline: bucket match in ANY of the 8 tables →
+    * exact re-rank on the 6-dp-rounded cosine. Ranking on the ROUNDED
+    * score (both engines) makes rank order robust to last-ulp cosine
+    * differences between Spark's fold and list_cosine_similarity.
+    */
+  private val lshTopkOracleSql: String =
+    s"""WITH $srpBucketsCte,
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       | FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+       | FROM cand
+       | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+       | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       | SELECT query_id, neighbor_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY score DESC, neighbor_id) AS rank
+       | FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** SQ8 mirror: same floor-half-up code formula, integer dot via
+    * list_dot_product over the (exactly representable) code doubles,
+    * fixed multiply order for the scale/norm factors, 6-dp rounding
+    * before both rankings.
+    */
+  private val sq8TopkOracleSql: String =
+    """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
+      | FROM embeddings),
+      |zc AS (SELECT vec_id, v,
+      |  CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS s,
+      |  sqrt(list_dot_product(v, v)) AS n FROM z),
+      |codes AS (SELECT vec_id, v, s, n,
+      |  list_transform(v, x -> floor(x / s + 0.5)) AS c FROM zc),
+      |approx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROUND(list_dot_product(q.c, c.c) * q.s * c.s / (q.n * c.n), 6)
+      |    AS ascore
+      | FROM codes q JOIN codes c
+      |   ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ascore DESC, neighbor_id) AS arn
+      |  FROM approx) WHERE arn <= 20),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+      | FROM cand
+      | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+      |SELECT query_id, rank, neighbor_id, score FROM (
+      | SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) AS rank
+      | FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 of each approximate ANN path against brute force — the
+    * regression tripwire for silent recall drift (an index/bucketing
+    * change that stays "plausible" but loses neighbors): every CTE is
+    * the verbatim oracle of its own query, so the recall numbers are
+    * exactly reproducible from the published mirrors.
+    */
+  private val recallAnnOracleSql: String =
+    s"""WITH exact AS ($bfTopkOracleSql),
+       |ivf AS ($ivfOracleSql),
+       |lsh AS ($lshTopkOracleSql),
+       |sq8 AS ($sq8TopkOracleSql),
+       |hits AS (
+       | SELECT 'ivf' AS method, count(*) AS hits
+       |  FROM ivf JOIN exact USING (query_id, neighbor_id)
+       | UNION ALL SELECT 'lsh', count(*)
+       |  FROM lsh JOIN exact USING (query_id, neighbor_id)
+       | UNION ALL SELECT 'sq8', count(*)
+       |  FROM sq8 JOIN exact USING (query_id, neighbor_id)),
+       |tot AS (SELECT count(*) AS total FROM exact)
+       |SELECT method, hits, total,
+       | ROUND(hits * 1.0 / total, 4) AS recall FROM hits, tot""".stripMargin
 
   /** Distinct hashed 3-gram shingles per doc (mirror of
     * [[Dedup.docShingleHashes]]).
@@ -872,57 +1006,19 @@ object SparkEntry {
     // groupBy); the composition joins them on doc_id.
     "docs_curation_v2" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val scanPass = docsWithTokens(docs)
-        .filter(size(col("toks")) >= 20 &&
-          Text.punctRatio(col("text")) <= 0.1 &&
-          Text.stopwordRatio(col("toks")) >= 0.05 &&
-          Text.langId(col("toks")) === "en")
-        .select(docs.columns.map(col): _*)
-      // Gopher repetition behind an AGGREGATION BARRIER, not in the
-      // scan filter: predicate pushdown substitutes filter columns
-      // with their defining expressions, so a shingle-derived
-      // predicate would re-inline tokenize(text) into the shingle
-      // computation per consumer — the trap docShingles documents,
-      // measured 14.7 s vs 0.4 s for this leg back when the shingle
-      // builder was an interpreted HOF (it is now the fused native
-      // ShingleHashesExpr, which shrinks but does not remove the
-      // re-inlining cost). The agg blocks pushdown either way.
-      // (Docs with < 3 tokens have no shingles and drop here, but the
-      // ≥ 20-token gate above already excludes them — conjunction
-      // semantics identical to the oracle's len(grams)=0 OR arm.)
-      val repOk = docsWithTokens(docs)
-        .select(col("doc_id"), explode(
-          graft.plans.ShingleHashesExpr.shingle_hashes(col("toks"), 3))
-          .as("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"), countDistinct(col("g")).as("n_d"))
-        .filter(lit(1.0) - col("n_d").cast("double")
-          / col("n_sh").cast("double") <= 0.2)
-        .select(col("doc_id"))
-      val words = docsWithTokens(docs)
-        .select(col("doc_id"), explode(col("toks")).as("word"))
-      val freq = words.groupBy(col("word"))
-        .agg(count(lit(1)).as("wn")).localCheckpoint(true)
-      val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
-      // freq grows with the corpus vocabulary — size-gated join
-      // (broadcast small, shuffle_hash on the exploded word key large)
-      val lmOk = graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(Hashing.portableRound(
-          avg(log(col("wn").cast("double") / lit(tn))), 6).as("alp"))
-        .filter(col("alp") >= -3.41)
-        .select(col("doc_id"))
-      val spanOk = Dedup.dupSpanFraction(docs, "doc_id", "text", 8)
-        .filter(col("dup_fraction") <= 0.3)
-        .select(col("doc_id"))
+      // ONE tokenize pass feeds the scan-gate, repetition, and LM
+      // legs: tokenizing is the dominant scan cost, and instantiating
+      // docsWithTokens per leg re-ran it (three full corpus scans —
+      // at 100 TB, three corpus reads where one suffices). The
+      // materialized projection is corpus-sized but columnar-narrow
+      // (ids + tokens dominate), and each leg then starts from the
+      // checkpoint scan instead of its own tokenize pipeline
+      // (single-scan shape pinned in PlanAuditSpec).
+      val toksDf = docsWithTokens(docs).localCheckpoint(true)
       // exactDedup references its input twice (fingerprint groups +
       // survivor semi-join); materialize the filtered survivors ONCE
       // so the three signal pipelines don't all run twice
-      val kept = scanPass
-        .join(repOk, Seq("doc_id"), "left_semi")
-        .join(lmOk, Seq("doc_id"), "left_semi")
-        .join(spanOk, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
+      val kept = curationV2Survivors(docs, toksDf).localCheckpoint(true)
       Dedup.exactDedup(kept, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
@@ -1502,6 +1598,36 @@ object SparkEntry {
         nCells = 16)
       if (!idx.exists(s)) idx.build(emb)
       idx.topK(s, emb.filter(col("vec_id") < 8), 5, nProbe = 4)
+    }),
+
+    // Recall@5 of each approximate ANN path against the exact
+    // brute-force top-5 — the tripwire a hash-checked-on-fixtures
+    // approximate query can't be: a future index change (quantizer,
+    // bucketing, the append/compact paths) that silently loses
+    // neighbors moves these numbers even when its output stays
+    // plausible. Deterministic (fixed hyperplanes / seed cells / query
+    // set), so the recall values themselves are oracle-mirrored in
+    // DuckDB from the same per-path SQL mirrors.
+    "embed_recall_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      // ground truth is referenced by all three legs — materialize once
+      val exact = Similarity.bruteForceTopK(emb, qs, 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val total = exact.count()
+      def leg(method: String, approx: DataFrame): DataFrame =
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), col("hits"),
+            lit(total).as("total"),
+            Hashing.portableRound(
+              col("hits").cast("double") / lit(total.toDouble), 4)
+              .as("recall"))
+      leg("ivf", Similarity.ivfTopK(emb, qs, 5, nCells = 16, nProbe = 4))
+        .unionAll(leg("lsh",
+          Similarity.lshBucketedTopK(emb, qs, 5, planes = 4, dims = 64)))
+        .unionAll(leg("sq8", Similarity.sq8TopK(emb, qs, 5, rerank = 20)))
     }),
 
     // Per-label centroid + distance of each vector to its own
@@ -2484,25 +2610,13 @@ object SparkEntry {
          | UNION SELECT ereach.n, esym.r FROM ereach JOIN esym ON ereach.r = esym.n)
          |SELECT n AS vec_id, MIN(r) AS cluster_id FROM ereach GROUP BY n""".stripMargin,
 
-    // Full LSH ANN pipeline: bucket match in ANY of the 8 tables →
-    // exact re-rank on the 6-dp-rounded cosine. Ranking on the ROUNDED
-    // score (both engines) makes rank order robust to last-ulp cosine
-    // differences between Spark's fold and list_cosine_similarity.
-    "embed_topk_lsh" ->
-      s"""WITH $srpBucketsCte,
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         | FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
-         | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-         |scored AS (SELECT query_id, neighbor_id,
-         |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
-         | FROM cand
-         | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
-         | JOIN embeddings qe ON qe.vec_id = cand.query_id)
-         |SELECT query_id, rank, neighbor_id, score FROM (
-         | SELECT query_id, neighbor_id, score,
-         |  row_number() OVER (PARTITION BY query_id
-         |   ORDER BY score DESC, neighbor_id) AS rank
-         | FROM scored) WHERE rank <= 5""".stripMargin,
+    // Full LSH ANN pipeline — see [[lshTopkOracleSql]].
+    "embed_topk_lsh" -> lshTopkOracleSql,
+
+    // Recall@5 of every approximate ANN path vs brute force — the
+    // silent-recall-regression tripwire; composed verbatim from the
+    // per-path oracle mirrors above.
+    "embed_recall_ann" -> recallAnnOracleSql,
 
     // z-score mirror: positional unnest via the range/list_transform
     // pattern, stats rounded to 6 dp before use on both sides.
@@ -2517,39 +2631,8 @@ object SparkEntry {
         |SELECT e.vec_id, e.dim, ROUND((e.v - st.mu) / st.sd, 6) AS z
         |FROM e JOIN st USING (dim) WHERE st.sd > 0""".stripMargin,
 
-    // SQ8 mirror: same floor-half-up code formula, integer dot via
-    // list_dot_product over the (exactly representable) code doubles,
-    // fixed multiply order for the scale/norm factors, 6-dp rounding
-    // before both rankings.
-    "embed_topk_sq8" ->
-      """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
-        | FROM embeddings),
-        |zc AS (SELECT vec_id, v,
-        |  CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS s,
-        |  sqrt(list_dot_product(v, v)) AS n FROM z),
-        |codes AS (SELECT vec_id, v, s, n,
-        |  list_transform(v, x -> floor(x / s + 0.5)) AS c FROM zc),
-        |approx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  ROUND(list_dot_product(q.c, c.c) * q.s * c.s / (q.n * c.n), 6)
-        |    AS ascore
-        | FROM codes q JOIN codes c
-        |   ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
-        |cand AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |   row_number() OVER (PARTITION BY query_id
-        |    ORDER BY ascore DESC, neighbor_id) AS arn
-        |  FROM approx) WHERE arn <= 20),
-        |scored AS (SELECT query_id, neighbor_id,
-        |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
-        | FROM cand
-        | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
-        | JOIN embeddings qe ON qe.vec_id = cand.query_id)
-        |SELECT query_id, rank, neighbor_id, score FROM (
-        | SELECT query_id, neighbor_id, score,
-        |  row_number() OVER (PARTITION BY query_id
-        |   ORDER BY score DESC, neighbor_id) AS rank
-        | FROM scored) WHERE rank <= 5""".stripMargin,
+    // SQ8 mirror — see [[sq8TopkOracleSql]].
+    "embed_topk_sq8" -> sq8TopkOracleSql,
 
     // SemDeDup mirror: the shared quantizer-assignment CTE, then a
     // within-cell self-join marks every vector dominated by a
@@ -2574,15 +2657,7 @@ object SparkEntry {
     // The persisted-index probe must agree with the per-call path.
     "embed_topk_ivf_indexed" -> ivfOracleSql,
 
-    "embed_topk_bruteforce" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  row_number() OVER (PARTITION BY q.vec_id
-        |   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-        |    c.vec_id) AS rank
-        | FROM embeddings c, embeddings q
-        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 5""".stripMargin,
+    "embed_topk_bruteforce" -> bfTopkOracleSql,
 
     "multimodal_stats" ->
       """SELECT doc_id, 'text/plain' AS media_type,

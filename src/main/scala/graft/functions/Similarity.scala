@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * Two paths, as a large-scale ANN pipeline needs both:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
   *    baseline. The query side is broadcast, so the corpus is scanned
-  *    exactly once with no shuffle of embeddings; per-corpus-partition
-  *    top-k would be the next refinement (TakeOrderedAndProject
-  *    already avoids a global sort).
+  *    exactly once with no shuffle of embeddings, and the per-key
+  *    top-k operator runs a map-side partial heap pass per corpus
+  *    partition, so the ordered exchange carries at most k·partitions
+  *    rows per query instead of the full corpus×queries score set.
   *  - [[lshBucketedTopK]]: sign-random-projection LSH — corpus and
   *    queries are hashed into buckets scan-side, candidates come from
   *    bucket equi-joins (shuffle carries only (bucket, id, vec)), and

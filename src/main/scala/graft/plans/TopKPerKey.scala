@@ -28,11 +28,15 @@ import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
   * external sort + streaming rank pass, so the operator never OOMs
   * where WindowExec would have survived.
   *
-  * Stack: logical node → planner `Strategy` → `UnaryExecNode`
-  * (requiredChildDistribution = ClusteredDistribution(keys), so
-  * Catalyst inserts the single hash exchange) → per-partition heaps.
-  * Output = child columns + `rank` (1-based within key, following the
-  * given ordering with whatever tie-break columns it includes).
+  * Stack: logical node → planner `Strategy` → TWO `UnaryExecNode`
+  * phases, like partial aggregation: a map-side partial pass reduces
+  * each input partition to ≤ k rows per key, THEN the final exec's
+  * requiredChildDistribution = ClusteredDistribution(keys) makes
+  * Catalyst insert the hash exchange — which therefore carries at
+  * most k·partitions rows per key, not every input row — and the
+  * final per-key heaps rank the merged survivors. Output = child
+  * columns + `rank` (1-based within key, following the given
+  * ordering with whatever tie-break columns it includes).
   */
 case class TopKPerKeyPlan(
     keys: Seq[Expression],
@@ -52,7 +56,15 @@ case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LP): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child, rankAttr) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      // Two-phase, like partial aggregation: a map-side pass reduces
+      // each input partition to ≤ k rows per key BEFORE the hash
+      // exchange (the global top-k per key is a subset of the union
+      // of per-partition top-ks), so the shuffle carries at most
+      // k·partitions rows per key instead of every scored row — at
+      // scale the exchange, not the heap work, is the bill.
+      val partial = TopKPerKeyExec(keys, order, k, rankAttr,
+        planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -62,14 +74,20 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // The partial (map-side) phase emits plain child rows — ranks are
+  // only meaningful after the final phase has seen every candidate.
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) super.requiredChildDistribution
+    if (partial || keys.isEmpty) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -78,6 +96,7 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val outAttrs = output
+    val isPartial = partial
     // Heap mode buffers O(keys·k) rows; at high key cardinality that is
     // an executor OOM, so once a partition holds more than this many
     // buffered rows we abandon heaps and fall back to a SPILLABLE
@@ -115,13 +134,16 @@ case class TopKPerKeyExec(
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
+      // Partial phase: emit the surviving rows as-is (no rank — the
+      // final phase re-ranks after the exchange merges partitions).
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       if (!overflowed) {
         import scala.jdk.CollectionConverters._
         heaps.values().iterator().asScala.flatMap { heap =>
           val sorted = heap.dequeueAll.reverse // ascending = rank order
-          sorted.iterator.zipWithIndex.map { case (row, i) =>
+          if (isPartial) sorted.iterator.map(resultProj)
+          else sorted.iterator.zipWithIndex.map { case (row, i) =>
             resultProj(joined(row, InternalRow(i + 1)))
           }
         }
@@ -170,7 +192,8 @@ case class TopKPerKeyExec(
                 curKey = key.copy(); rank = 1
               } else rank += 1
               if (rank <= limit)
-                ready = resultProj(joined(row, InternalRow(rank)))
+                ready = if (isPartial) resultProj(row)
+                        else resultProj(joined(row, InternalRow(rank)))
             }
           }
           override def hasNext: Boolean = { advance(); ready != null }

@@ -45,6 +45,10 @@ class PlanAuditSpec extends SparkTestBase {
   test("topk_per_key_custom: bounded heaps, no sort, one exchange") {
     val p = plan("topk_per_key_custom")
     assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    // map-side partial heaps BELOW the exchange: the shuffle carries
+    // ≤ k rows per key per input partition, not every input row
+    assert(count(p, "TopKPerKeyPartial") === 1,
+      s"partial (map-side) top-k phase missing:\n$p")
     assert(!p.matches("(?s).*\\bSort \\[.*"),
       s"a Sort appeared beside the bounded-heap operator:\n$p")
     assert(count(p, "Exchange hashpartitioning") === 1,
@@ -98,6 +102,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"extra full-row exchange beside the per-doc window:\n$p")
   }
 
+  test("docs_curation_v2: one tokenize pass feeds scan-gate, repetition, LM legs") {
+    import org.apache.spark.sql.functions.col
+    // The survivor frame is audited pre-checkpoint (the query entry
+    // checkpoints it, which hides the leg shapes): the scan-gate,
+    // repetition, and LM legs must all read the materialized token
+    // projection (ExistingRDD scans), leaving exactly ONE live
+    // documents file scan — the dup-span token-count leg, the only
+    // consumer that genuinely needs its own pass.
+    val docs = graft.sources.Tables.read(spark, sf, "documents")
+    val toksDf = docs.withColumn("toks",
+      graft.functions.Text.tokens(col("text"))).localCheckpoint(true)
+    val p = SparkEntry.curationV2Survivors(docs, toksDf)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "FileScan parquet") === 1,
+      s"expected exactly one live documents scan (dup-span leg):\n$p")
+    assert(count(p, "split(") === 1,
+      s"expected exactly one live tokenize (dup-span leg):\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 3,
+      s"legs stopped reading the materialized token projection:\n$p")
+  }
+
   test("docs_decontaminate: corpus scanned once against a broadcast eval set") {
     val p = plan("docs_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
@@ -142,8 +167,9 @@ class PlanAuditSpec extends SparkTestBase {
     // would mean corpus-sized rows started moving
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-sized side shuffled in the SQ8 pipeline:\n$p")
-    assert(count(p, "TopKPerKey") === 2,
-      s"approx + exact ranking should both run on the bounded heaps:\n$p")
+    assert(count(p, "TopKPerKeyPartial") === 2 &&
+      count(p, "TopKPerKey") === 4,
+      s"approx + exact ranking should both run two-phase bounded heaps:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"query/candidate sides not broadcast:\n$p")
   }

@@ -53,6 +53,7 @@ class SourceFormatsSpec extends SparkTestBase {
 
   test("events reader adapts to all three physical ts encodings") {
     import org.apache.spark.sql.types.TimestampType
+    import graft.sources.Tables
     // the driver's generator has shipped events.ts as TIMESTAMP(NANOS)
     // (→ LongType under nanosAsLong) and as timestamp[us]
     // isAdjustedToUTC=false (→ TIMESTAMP_NTZ); pin that every spelling
@@ -60,6 +61,8 @@ class SourceFormatsSpec extends SparkTestBase {
     val canonical = events.orderBy("event_id")
     val variants = Seq(
       // nanos-long spelling: what a TIMESTAMP(NANOS) file surfaces as
+      // — only meaningful in a session where nanosAsLong is on (Spark
+      // cannot WRITE nanos parquet, so simulate the post-probe state)
       "nanos-long" -> events.withColumn("ts", expr("unix_micros(ts) * 1000")),
       // timestamp[us] isAdjustedToUTC=false
       "ntz" -> events.withColumn("ts", col("ts").cast("timestamp_ntz")),
@@ -68,14 +71,118 @@ class SourceFormatsSpec extends SparkTestBase {
     variants.foreach { case (label, frame) =>
       val dir = tmpDir(s"events-$label")
       frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
-      val back = SparkEntry.events(spark, dir)
-      assert(back.schema("ts").dataType === TimestampType,
-        s"$label: ts not normalized to TimestampType")
-      val got = back.orderBy("event_id")
-      assert(got.except(canonical).count() === 0 &&
-        canonical.except(got).count() === 0,
-        s"$label: instants diverge from canonical read")
+      if (label == "nanos-long")
+        spark.conf.set(Tables.nanosAsLongKey, "true")
+      try {
+        val back = SparkEntry.events(spark, dir)
+        assert(back.schema("ts").dataType === TimestampType,
+          s"$label: ts not normalized to TimestampType")
+        val got = back.orderBy("event_id")
+        assert(got.except(canonical).count() === 0 &&
+          canonical.except(got).count() === 0,
+          s"$label: instants diverge from canonical read")
+      } finally spark.conf.unset(Tables.nanosAsLongKey)
     }
+  }
+
+  test("reading micro/NTZ data leaves the nanosAsLong conf untouched") {
+    import graft.sources.Tables
+    // The r8 reader set nanosAsLong on EVERY events() call — a
+    // session-global side effect that silently turned any later
+    // genuinely-nanos read elsewhere into longs. The probe-based
+    // reader must stay side-effect-free when the data doesn't need it.
+    spark.conf.unset(Tables.nanosAsLongKey)
+    SparkEntry.events(spark, "/root/testdata/sf0.001").limit(1).collect()
+    assert(!spark.conf.getOption(Tables.nanosAsLongKey).contains("true"),
+      "reading non-nanos events flipped the session conf on")
+  }
+
+  test("plain-int64 event-time without nanos context fails loudly") {
+    import graft.sources.Tables
+    // An int64 ts in a session that never needed nanosAsLong carries
+    // no epoch unit (ns? µs? ms?) — guessing one would corrupt every
+    // window silently; the reader must refuse and name the column.
+    spark.conf.unset(Tables.nanosAsLongKey)
+    val dir = tmpDir("events-plainlong")
+    events.withColumn("ts", expr("unix_micros(ts)"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      SparkEntry.events(spark, dir)
+    }
+    assert(e.getMessage.contains("events.ts"), e.getMessage)
+  }
+
+  test("documents/embeddings/orders/customer readers survive encoding drift") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+
+    // documents: int32 ids/counts (a generator flip from int64)
+    val docs = Tables.read(spark, sf, "documents")
+    val dDir = tmpDir("docs-int32")
+    docs.withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      .write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    val docsBack = Tables.read(spark, dDir, "documents")
+    // pass-through (no widening cast — the oracle reads the same file)
+    assert(docsBack.schema("doc_id").dataType === IntegerType)
+    assert(docsBack.agg(sum(length(col("text")))).head.getLong(0) ===
+      docs.agg(sum(length(col("text")))).head.getLong(0))
+
+    // embeddings: float64 vectors + int64 labels
+    val emb = Tables.read(spark, sf, "embeddings")
+    val eDir = tmpDir("emb-f64")
+    emb.withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("label", col("label").cast(LongType))
+      .write.mode("overwrite").parquet(s"$eDir/embeddings.parquet")
+    val embBack = Tables.read(spark, eDir, "embeddings")
+    assert(embBack.schema("embedding").dataType === ArrayType(DoubleType, true))
+    // downstream vector ops accept both element widths
+    val c = embBack.limit(10).select(
+      graft.functions.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(math.abs(c.getDouble(0) - 1.0) < 1e-6 &&
+      math.abs(c.getDouble(1) - 1.0) < 1e-6)
+
+    // orders: NTZ and DATE order-date spellings
+    val ords = Tables.read(spark, sf, "orders")
+    val oDir = tmpDir("orders-ntz")
+    ords.withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$oDir/orders.parquet")
+    assert(Tables.read(spark, oDir, "orders")
+      .schema("o_orderdate").dataType === TimestampType)
+    val o2Dir = tmpDir("orders-date")
+    ords.withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+      .write.mode("overwrite").parquet(s"$o2Dir/orders.parquet")
+    // date stays date: every other reader of the file sees dates
+    assert(Tables.read(spark, o2Dir, "orders")
+      .schema("o_orderdate").dataType === DateType)
+
+    // customer: money as decimal → normalized to double (decimal
+    // arithmetic diverges from the double arithmetic queries use)
+    val cust = Tables.read(spark, sf, "customer")
+    val cDir = tmpDir("cust-dec")
+    cust.withColumn("c_acctbal", col("c_acctbal").cast(DecimalType(12, 2)))
+      .write.mode("overwrite").parquet(s"$cDir/customer.parquet")
+    assert(Tables.read(spark, cDir, "customer")
+      .schema("c_acctbal").dataType === DoubleType)
+
+    // a column that can't be adapted names itself on the way down
+    val badDir = tmpDir("docs-bad")
+    docs.withColumn("text", lit(42))
+      .write.mode("overwrite").parquet(s"$badDir/documents.parquet")
+    val err = intercept[IllegalStateException] {
+      Tables.read(spark, badDir, "documents")
+    }
+    assert(err.getMessage.contains("documents.text"), err.getMessage)
+    // a declared column gone missing is named too
+    val missDir = tmpDir("docs-miss")
+    docs.drop("lang")
+      .write.mode("overwrite").parquet(s"$missDir/documents.parquet")
+    val err2 = intercept[IllegalStateException] {
+      Tables.read(spark, missDir, "documents")
+    }
+    assert(err2.getMessage.contains("documents.lang"), err2.getMessage)
   }
 
   test("CSV round-trip with explicit schema preserves values") {
