@@ -42,9 +42,17 @@ object StreamScaleProof {
 
   final case class StageMetrics(wallSec: Double, batchSec: Seq[Double],
                                 stateRowsByBatch: Seq[Long],
-                                stateBytesMax: Long, rowsIn: Long)
+                                stateBytesMax: Long, rowsIn: Long,
+                                removedByBatch: Seq[Long] = Nil,
+                                droppedByWatermark: Long = 0L)
 
-  /** Drain an AvailableNow query and distill its progress ring. */
+  /** Drain an AvailableNow query and distill its progress ring —
+    * including the watermark-health gauges [[graft.streaming
+    * .QueryMonitor]] surfaces per snapshot (state rows REMOVED per
+    * batch = eviction working; rows DROPPED by the watermark = late
+    * data actually gated), so the proof can show state plateauing
+    * because expiry keeps up, not merely that totals look small.
+    */
   private def drain(start: () => StreamingQuery): StageMetrics = {
     val t0 = System.nanoTime()
     val q = start()
@@ -54,6 +62,9 @@ object StreamScaleProof {
     val batchSec = progress.map(_.durationMs.get("triggerExecution")
       .longValue() / 1e3)
     val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum)
+    val dropped = progress.map(
+      _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
     val stateBytes = progress.map(_.stateOperators.map { so =>
       // RocksDB reports its on-disk working set in custom metrics;
       // fall back to the generic heap gauge for stateless stages
@@ -62,7 +73,7 @@ object StreamScaleProof {
     }.sum)
     StageMetrics(wall, batchSec, stateRows,
       if (stateBytes.isEmpty) 0L else stateBytes.max,
-      progress.map(_.numInputRows).sum)
+      progress.map(_.numInputRows).sum, removed, dropped)
   }
 
   /** maxFilesPerTrigger that splits `dir`'s current data files into
@@ -101,9 +112,12 @@ object StreamScaleProof {
       results((stage, n)) = m
       val batches = m.batchSec.map(s => f"$s%.2f").mkString("[", ",", "]")
       val srows = m.stateRowsByBatch.mkString("[", ",", "]")
+      val removed = m.removedByBatch.mkString("[", ",", "]")
       println(s"""{"stage":"$stage","n":$n,"rows_in":${m.rowsIn},""" +
         s""""wall_sec":${f"${m.wallSec}%.2f"},""" +
         s""""batch_sec":$batches,"state_rows":$srows,""" +
+        s""""state_rows_removed":$removed,""" +
+        s""""dropped_by_watermark":${m.droppedByWatermark},""" +
         s""""state_bytes_max":${m.stateBytesMax}}""")
     }
 
@@ -203,6 +217,24 @@ object StreamScaleProof {
       s""""big":${finalState("gold_bounded", big)}},""" +
       s""""complete_final_rows":{"small":${finalState("gold_complete", small)},""" +
       s""""big":${finalState("gold_complete", big)}}}""")
+    // Watermark-health summary: bounded-mode state must PLATEAU at the
+    // factor step because eviction keeps pace (removed ≈ expired
+    // windows), not because nothing entered the store — report both
+    // sides of that ledger for the scale-safe stages.
+    def removedSum(s: String, n: Long): Long =
+      results((s, n)).removedByBatch.sum
+    def maxState(s: String, n: Long): Long = {
+      val r = results((s, n)).stateRowsByBatch
+      if (r.isEmpty) 0L else r.max
+    }
+    val wmStages = Seq("gold_bounded", "totals_tws", "ss_join")
+    val wmJson = wmStages.map { s =>
+      s""""$s":{"max_state_rows":{"small":${maxState(s, small)},""" +
+        s""""big":${maxState(s, big)}},""" +
+        s""""rows_removed":{"small":${removedSum(s, small)},""" +
+        s""""big":${removedSum(s, big)}}}"""
+    }.mkString(",")
+    println(s"""{"metric":"watermark_health",$wmJson}""")
     spark.stop()
   }
 }

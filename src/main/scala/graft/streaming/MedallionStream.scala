@@ -136,7 +136,8 @@ object MedallionStream {
                 bounded: Boolean = false,
                 partitioned: Boolean = false,
                 maxFilesPerTrigger: Option[Int] = None,
-                afterBatch: Long => Unit = _ => ()): StreamingQuery = {
+                afterBatch: Long => Unit = _ => (),
+                retainVersions: Int = 2): StreamingQuery = {
     // `afterBatch` runs AFTER the sink commit but BEFORE Spark marks
     // the micro-batch complete in the checkpoint — the slot for batch
     // callbacks (metrics, alerting), and for fault injection in the
@@ -151,10 +152,17 @@ object MedallionStream {
     // pairing with `bounded = true` — in the default complete mode
     // every batch re-emits ALL windows, touching every partition; the
     // bounded (watermark + update) variant emits only changed windows.
+    // `retainVersions` > 2 is the CDC-consumer configuration: a
+    // downstream changeFeed reader needs its `from` version to
+    // survive the commits that land while it catches up (the Delta
+    // retention analog). The default keeps the minimal 2-version
+    // window for plain readers.
     val sink =
       if (partitioned)
-        new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"))
-      else new ParquetUpsertSink(p.gold, Rides.goldKey)
+        new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"),
+          retainVersions = retainVersions)
+      else new ParquetUpsertSink(p.gold, Rides.goldKey,
+        retainVersions = retainVersions)
     val input =
       if (bounded) silver.withWatermark("event_timestamp", Rides.watermarkDelay)
       else silver
@@ -201,12 +209,14 @@ object MedallionStream {
     * stop when drained (Trigger.AvailableNow) — deterministic
     * batch-equivalent execution of the streaming topology for tests.
     */
-  def runDrain(spark: SparkSession, p: Paths): Unit = {
+  def runDrain(spark: SparkSession, p: Paths,
+               goldRetainVersions: Int = 2): Unit = {
     val b = bronzeQuery(spark, p, Trigger.AvailableNow)
     b.awaitTermination()
     val s = silverQuery(spark, p, Trigger.AvailableNow)
     s.awaitTermination()
-    val g = goldQuery(spark, p, Trigger.AvailableNow)
+    val g = goldQuery(spark, p, Trigger.AvailableNow,
+      retainVersions = goldRetainVersions)
     g.awaitTermination()
   }
 }

@@ -115,6 +115,53 @@ class StreamingSpec extends SparkTestBase {
       "bounded gold diverged from batch recompute")
   }
 
+  test("an upstream delete rides the gold change feed into an incremental consumer") {
+    // End-to-end CDC: streaming upserts (wave 2) and an ad-hoc
+    // retraction (driver opt-out) land in ONE feed window; a
+    // downstream incremental aggregate applies the feed — inserts,
+    // update post-images, AND delete retractions — and must converge
+    // to the full recompute without rereading untouched rows.
+    import spark.implicits._
+    val root = tmpDir("streamcdc")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 4000L)
+    // retention > 2: the CDC consumer's `from` version must survive
+    // the wave-2 micro-batch commits + the delete commit
+    MedallionStream.runDrain(spark, p, goldRetainVersions = 6)
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey,
+      retainVersions = 6)
+    val v1 = sink.currentVersion(spark)
+    val keys = Rides.goldKey
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("window_start"), col("window_end"), col("driver_id"),
+        (col("avg_fare_hourly") * col("total_rides_hourly")).as("revenue"))
+    val base = score(sink.readVersion(spark, v1)).localCheckpoint(true)
+
+    // wave 2 through the streaming path, then the upstream retraction
+    RideGenerator.writeRaw(spark, p.raw, 2500L, seed = 11L,
+      epochStart = 1704067200L + 7200L)
+    MedallionStream.runDrain(spark, p, goldRetainVersions = 6)
+    val victim = sink.read(spark).select("driver_id").as[String].head()
+    sink.delete(spark, col("driver_id") === victim, batchId = -1)
+
+    val v2 = sink.currentVersion(spark)
+    assert(v2 > v1)
+    val feed = sink.changeFeed(spark, v1, v2)
+    assert(feed.filter(col("_change_type") === "delete").count() > 0,
+      "the retraction must surface as delete rows in the feed")
+    // incremental maintenance: drop every touched key from the
+    // baseline, re-add the non-delete post-images
+    val touched = feed.select(keys.map(col): _*).distinct()
+    val incremental = base.join(touched, keys, "left_anti")
+      .unionByName(score(feed.filter(col("_change_type") =!= "delete")))
+    val full = score(sink.read(spark))
+    assert(incremental.except(full).isEmpty && full.except(incremental).isEmpty,
+      "incremental consumer diverged from full recompute after the delete")
+    assert(full.filter(col("driver_id") === victim).isEmpty,
+      s"retracted driver $victim must not survive downstream")
+  }
+
   test("gold survives a kill between sink write and checkpoint commit") {
     // The exactly-once hole every foreachBatch sink has to close: the
     // process dies AFTER the sink committed batch N but BEFORE Spark
