@@ -985,12 +985,17 @@ object SparkEntry {
     // integer counts, an exact IEEE operation.
     "docs_curation_filter" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // exactDedup references its input twice (fingerprint groups +
+      // survivor semi-join) — materialize the gated survivors once so
+      // the tokenize+quality scan runs once, not twice (the
+      // curation_v2 precedent, applied to the v1 pipeline)
       val quality = docs.withColumn("toks", Text.tokens(col("text")))
         .filter(size(col("toks")) >= 20 &&
           Text.punctRatio(col("text")) <= 0.1 &&
           Text.stopwordRatio(col("toks")) >= 0.05 &&
           Text.langId(col("toks")) === "en")
         .select(docs.columns.map(col): _*)
+        .localCheckpoint(true)
       Dedup.exactDedup(quality, "doc_id", "text")
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
