@@ -126,8 +126,11 @@ object Tables {
     try {
       (spark.read.parquet(path), alreadyOn)
     } catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if !alreadyOn && mentionsNanos(e) =>
+      // Matched on the NANOS analysis message across the cause chain,
+      // not on exception class: Spark surfaces the illegal-parquet-type
+      // failure as AnalysisException from driver-side inference but may
+      // wrap it (SparkException) when footers are read distributed.
+      case e: Exception if !alreadyOn && mentionsNanos(e) =>
         // Documented session precondition on nanos data (see scaladoc):
         // the conf must remain set — execution-time scans re-read it.
         spark.conf.set(nanosAsLongKey, "true")
