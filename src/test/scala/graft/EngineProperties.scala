@@ -179,6 +179,43 @@ object EngineProperties extends Properties("graft") {
         rows(big.join(small, Seq("k")))
     }
 
+  property("Tables: every supported ts encoding reads to the same instants") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 4102444800000000L)).map(_.distinct)) {
+      micros =>
+        // Random instants (1970..2100, µs precision) written under each
+        // physical encoding the reader claims to support must normalize
+        // to identical TimestampType values — the generalized form of
+        // the fixed-fixture SourceFormatsSpec cases.
+        val s = spark; import s.implicits._
+        val base = micros.zipWithIndex
+          .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            lit(0L).as("user_id"), lit("e").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        def readBack(frame: org.apache.spark.sql.DataFrame,
+                     nanosConf: Boolean): Set[(Long, Long)] = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-tsprop").toString
+          frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
+          if (nanosConf)
+            spark.conf.set(graft.sources.Tables.nanosAsLongKey, "true")
+          try {
+            val got = graft.sources.Tables.read(spark, dir, "events")
+            assert(got.schema("ts").dataType ==
+              org.apache.spark.sql.types.TimestampType)
+            got.select(col("event_id"), unix_micros(col("ts")))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          } finally spark.conf.unset(graft.sources.Tables.nanosAsLongKey)
+        }
+        val want = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toSet
+        readBack(base, nanosConf = false) == want &&
+          readBack(base.withColumn("ts", col("ts").cast("timestamp_ntz")),
+            nanosConf = false) == want &&
+          readBack(base.withColumn("ts", expr("unix_micros(ts) * 1000")),
+            nanosConf = true) == want
+    }
+
   property("changesBetween ≡ set difference of the two snapshots") =
     Prop.forAll(genRows, genRows) { (b, u) =>
       (b.nonEmpty && u.nonEmpty) ==> {
