@@ -32,10 +32,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: touch every table (parquet footers, file listing).
+    // Warm-up: touch every table (parquet footers, file listing) —
+    // through the schema-drift read layer, so an exotic physical
+    // encoding (e.g. TIMESTAMP(NANOS) order dates) can't kill the
+    // whole bench at warm-up before a single query has run.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+      "lineitem", "documents", "embeddings", "events").foreach { t =>
+      graft.sources.Tables.read(spark, sfDir, t).count()
     }
 
     def run(name: String,
