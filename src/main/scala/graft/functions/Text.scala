@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization, empty tokens dropped.
+  /** Whitespace tokenization, empty tokens dropped, via the fused
+    * native [[graft.plans.TokensExpr]] (one compiled pass; the
+    * `filter` HOF of the reference spelling is CodegenFallback and
+    * broke the codegen span on every text-family scan).
     * DuckDB: `list_filter(string_split_regex(s,'\s+'), t -> t <> '')`.
     */
   def tokens(text: Column): Column =
+    graft.plans.TokensExpr.tokens(text)
+
+  /** The declarative reference spelling of [[tokens]] — retained as
+    * the independent implementation the native's bit-parity test
+    * compares against (the cosineHof pattern).
+    */
+  def tokensHof(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles (space-joined), empty when fewer than n

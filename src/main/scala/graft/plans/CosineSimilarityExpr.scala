@@ -138,6 +138,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(RollingFpExpr.functionDescriptor)
     ext.injectFunction(ShingleHashesExpr.functionDescriptor)
     ext.injectFunction(MarkerCountsExpr.functionDescriptor)
+    ext.injectFunction(TokensExpr.functionDescriptor)
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)

@@ -117,7 +117,7 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(count(p, "FileScan parquet") === 1,
       s"expected exactly one live documents scan (dup-span leg):\n$p")
-    assert(count(p, "split(") === 1,
+    assert(count(p, "tokens(text") === 1,
       s"expected exactly one live tokenize (dup-span leg):\n$p")
     assert(count(p, "Scan ExistingRDD") >= 3,
       s"legs stopped reading the materialized token projection:\n$p")

@@ -98,6 +98,29 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("native tokens ≡ HOF filter(split) reference, corpus + edge cases") {
+    import spark.implicits._
+    // whitespace shapes the corpus never produces: leading/trailing
+    // runs, tabs, newlines, unicode text, empty, whitespace-only
+    val edges = Seq("", " ", "  \t \n ", "a", " a", "a ", "  a  b\t\nc ",
+      "tab\tsep", "nl\nsep", "múltí byte tökens", "a  b", "\na\n")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val corpus = graft.sources.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges.toDF("doc_id", "text"))
+    val diff = corpus.select(
+      Text.tokens(col("text")).as("n"),
+      Text.tokensHof(col("text")).as("h"))
+      .filter(not(col("n") <=> col("h")))
+    assert(diff.isEmpty,
+      s"native tokens diverged from filter(split): ${diff.take(3).toSeq}")
+    // null text → null array on both paths
+    val nr = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(Text.tokens(col("text")), Text.tokensHof(col("text"))).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("native rolling fingerprint ≡ HOF reference, incl. edge cases") {
     assert(graft.plans.RollingFpExpr.B === Text.rollB &&
       graft.plans.RollingFpExpr.M === Text.rollM,
