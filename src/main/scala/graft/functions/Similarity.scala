@@ -585,38 +585,26 @@ class IvfIndex(path: String, nCells: Int,
     * that died mid-write) is healed exactly as the upsert sink does —
     * see ParquetUpsertSink.tryCommit for the full rationale.
     */
+  /** Claim `version` with manifest `m` — true iff THIS writer won.
+    * Exclusive publish + torn-destination healing shared with the
+    * upsert sink's commit log ([[graft.operators.AtomicClaim]]: a
+    * plain rename claim is not exclusive on local filesystems, where
+    * two claimants could both "win" and one manifest silently
+    * clobbered the other).
+    */
   private def tryCommit(spark: SparkSession, version: Long,
                         m: Manifest): Boolean = {
     val f = hfs(spark)
-    if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
     val dst = new org.apache.hadoop.fs.Path(commitsDir, version.toString)
-    var attempt = 0
-    while (attempt < 2) {
-      attempt += 1
-      val tmp = new org.apache.hadoop.fs.Path(commitsDir,
-        s".tmp-$version-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(m.serialize.getBytes("UTF-8")) finally out.close()
-      try {
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, dst) // Rename.NONE: throws if dst exists
-        return true
-      } catch {
-        case e: java.io.IOException =>
-          f.delete(tmp, false)
-          if (!f.exists(dst)) throw e
-          val parseable = scala.util.Try {
-            val in = f.open(dst)
-            val content = try new String(in.readAllBytes(), "UTF-8")
-            finally in.close()
-            Manifest.parse(content).isDefined
-          }.getOrElse(false)
-          if (parseable) return false // lost to a real winner
-          f.delete(dst, false) // heal the corpse, retry once
-      }
-    }
-    false
+    graft.operators.AtomicClaim.claim(
+      f, spark.sparkContext.hadoopConfiguration, dst,
+      m.serialize.getBytes("UTF-8"),
+      () => scala.util.Try {
+        val in = f.open(dst)
+        val content = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+        Manifest.parse(content).isDefined
+      }.getOrElse(false))
   }
 
   /** Retention GC after a successful commit: drop commit files beyond

@@ -290,43 +290,17 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * Returns false when the version was already claimed by another
     * writer (the caller's cue to re-merge and retry).
     */
+  /** Claim `version` with `content` — true iff THIS writer won. The
+    * atomic-exclusive publish (hard-link on local filesystems, where
+    * rename silently replaces; exclusive rename elsewhere) plus the
+    * torn-destination healing both live in [[AtomicClaim]].
+    */
   private def tryCommit(spark: SparkSession, version: Long,
                         content: String): Boolean = {
     val f = fs(spark)
-    if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
     val dst = new Path(commitsDir, version.toString)
-    var attempt = 0
-    while (attempt < 2) {
-      attempt += 1
-      val tmp = new Path(commitsDir,
-        s".tmp-$version-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      try {
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, dst) // Rename.NONE: throws if dst exists
-        return true
-      } catch {
-        case e: java.io.IOException =>
-          f.delete(tmp, false)
-          if (!f.exists(dst)) throw e // a real I/O failure, surface it
-          // The destination exists: a winner — or DEBRIS. A valid
-          // commit parses as "<batchId> [dir]"; an unparseable file is
-          // the leftover of a writer that died before its content
-          // landed (possible on stores without atomic rename). Debris
-          // must be self-healed, or this version is wedged FOREVER:
-          // commits() skips it, every writer recomputes the same
-          // newV, and every claim loses to a corpse. In the rename
-          // protocol nobody writes dst in place, so deleting an
-          // unparseable dst can never destroy a live writer's commit.
-          if (parsesAsCommit(f, dst)) return false // lost to a real winner
-          f.delete(dst, false)
-        // loop: retry the claim once after healing
-      }
-    }
-    // healed but lost the re-claim too — only a real winner remains
-    false
+    AtomicClaim.claim(f, spark.sparkContext.hadoopConfiguration, dst,
+      content.getBytes("UTF-8"), () => parsesAsCommit(f, dst))
   }
 
   /** Whether `p` holds well-formed commit content (first token is the

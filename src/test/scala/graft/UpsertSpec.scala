@@ -265,6 +265,44 @@ class UpsertSpec extends SparkTestBase {
       s"winner's data must survive the loser's create: ${drv3.toSeq}")
   }
 
+  test("true concurrent writers: every upsert survives via CAS re-merge retries") {
+    // The injected-fault races above pin individual interleavings;
+    // this drives REAL threads at one table. CAS guarantees progress
+    // (a failed claim means another writer committed), so with W
+    // writers the unluckiest one needs ≤ W attempts — within the
+    // sink's retry budget for W = 5. Every writer's keys must appear
+    // in the final snapshot: a lost update means a re-merge retried
+    // against a stale base.
+    val dir = tmpDir("upsertconc") + "/gold"
+    val writers = 5
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(writers))
+    try {
+      val fs = (0 until writers).map { w =>
+        Future {
+          val sink = new ParquetUpsertSink(dir, keys,
+            retainVersions = writers + 2)
+          val rows = Seq(("2024-01-01 10:00:00", f"DRVC$w%02d",
+            w.toLong, w * 1.0))
+            .toDF("window_start", "driver_id", "total", "avg_fare")
+          sink.upsert(spark, rows, batchId = -1) // ad-hoc sentinel
+        }(pool)
+      }
+      fs.foreach(Await.result(_, Duration("180s")))
+    } finally pool.shutdown()
+    val reader = new ParquetUpsertSink(dir, keys,
+      retainVersions = writers + 2)
+    val got = reader.read(spark).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === (0 until writers)
+      .map(w => f"DRVC$w%02d" -> w.toLong).toMap,
+      s"lost update under concurrent writers: $got")
+    // one committed version per writer, all serialized
+    assert(reader.currentVersion(spark) === writers - 1L)
+  }
+
   test("time travel: readVersion returns historical snapshots within retention") {
     val dir = tmpDir("upserttt") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
