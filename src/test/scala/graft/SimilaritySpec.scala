@@ -434,6 +434,38 @@ class SimilaritySpec extends SparkTestBase {
       "concurrent mutations produced duplicates or lost rows")
   }
 
+  test("IVF concurrent appenders: every batch lands exactly once") {
+    // the lock-free property, multi-WRITER half: N real threads each
+    // append a disjoint id range; CAS manifest claims serialize them
+    // (a lost claim re-reads the winner's manifest and retries), so
+    // the final index must hold every id exactly once. This is the
+    // shape that exposed the local-filesystem rename-clobber lost
+    // update in the upsert sink's commit log — the index's manifest
+    // log shares the claim primitive, so it gets the same stress.
+    val dir = tmpDir("ivfconcw")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16,
+      retainVersions = 10)
+    idx.build(emb.filter(col("vec_id") < 100))
+    val writers = 4
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(writers))
+    try {
+      val fs = (0 until writers).map { w =>
+        Future {
+          idx.append(emb.filter(col("vec_id") >= 100 + w * 50 &&
+            col("vec_id") < 100 + (w + 1) * 50))
+        }(pool)
+      }
+      fs.foreach(Await.result(_, Duration("180s")))
+    } finally pool.shutdown()
+    val fin = idx.assignedRows(spark)
+    assert(fin.count() === 300L &&
+      fin.select("cid").distinct().count() === 300L,
+      "concurrent appends lost or duplicated a batch")
+  }
+
   test("IVF append to a missing index fails fast") {
     val ex = intercept[IllegalArgumentException] {
       new graft.functions.IvfIndex(tmpDir("ivfnone"), nCells = 4).append(emb)
