@@ -254,7 +254,20 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * the new columns null-filled (`unionByName` with missing-column
     * fill), so the feed's schema is always the NEWER snapshot's.
     */
-  def changeFeed(spark: SparkSession, from: Long, to: Long): DataFrame = {
+  def changeFeed(spark: SparkSession, from: Long, to: Long): DataFrame =
+    changeFeed(spark, from, to, withPreimages = false)
+
+  /** As [[changeFeed]]; `withPreimages = true` additionally emits
+    * `update_preimage` rows (the OLD image of every updated key —
+    * Delta CDF's fourth change type). Pre-images are what let a
+    * downstream incremental AGGREGATE retract an updated row's old
+    * contribution exactly ([[IncrementalAgg]]): without them, an
+    * update is indistinguishable from an insert to a sum. One extra
+    * keyed semi-join of the old snapshot against the changed keys —
+    * still delta-sized, never a second table scan.
+    */
+  def changeFeed(spark: SparkSession, from: Long, to: Long,
+                 withPreimages: Boolean): DataFrame = {
     require(from <= to, s"from ($from) must be <= to ($to)")
     val newer = readVersion(spark, to)
     val older = readVersion(spark, from)
@@ -271,7 +284,16 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val deletes = older
       .join(newer.select(keys.map(col): _*), keys, "left_anti")
       .withColumn("_change_type", lit("delete"))
-    upserts.unionByName(deletes, allowMissingColumns = true)
+    val base = upserts.unionByName(deletes, allowMissingColumns = true)
+    if (!withPreimages) base
+    else {
+      val updatedKeys = upserts
+        .filter(col("_change_type") === "update_postimage")
+        .select(keys.map(col): _*)
+      val preimages = older.join(updatedKeys, keys, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      base.unionByName(preimages, allowMissingColumns = true)
+    }
   }
 
   /** Atomic commit point with compare-and-swap semantics: write the

@@ -216,6 +216,38 @@ object EngineProperties extends Properties("graft") {
             nanosConf = true) == want
     }
 
+  property("incremental agg advance ≡ recompute for random feeds") =
+    Prop.forAll(genRows, genRows, Gen.choose(0, 8)) { (b, u, delKey) =>
+      (b.nonEmpty && u.nonEmpty) ==> {
+        // integer values keep double addition exact → strict equality
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-iaprop").toString + "/t"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), retainVersions = 6)
+        sink.upsert(spark, table(b), batchId = 0)
+        val v0 = sink.currentVersion(spark)
+        // group COARSER than the sink key: parity class of k (typed
+        // long/double so both maintained and recomputed views agree)
+        def grouped(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("g", (col("k") % 2).cast("long"))
+            .withColumn("v", col("v").cast("double"))
+        val view0 = graft.operators.IncrementalAgg.view(
+          grouped(sink.readVersion(spark, v0)), Seq("g"), Seq("v"))
+          .localCheckpoint(true)
+        sink.upsert(spark, table(u), batchId = 1)
+        sink.delete(spark, col("k") === delKey, batchId = 2)
+        val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+          withPreimages = true)
+        val advanced = graft.operators.IncrementalAgg.advance(
+          view0, grouped(feed), Seq("g"), Seq("v"))
+        val full = graft.operators.IncrementalAgg.view(
+          grouped(sink.read(spark)), Seq("g"), Seq("v"))
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        m(advanced) == m(full)
+      }
+    }
+
   property("changesBetween ≡ set difference of the two snapshots") =
     Prop.forAll(genRows, genRows) { (b, u) =>
       (b.nonEmpty && u.nonEmpty) ==> {

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalAgg, ParquetUpsertSink}
+
+/** Incremental view maintenance over the change feed: the maintained
+  * aggregate must equal a full recompute after any mix of inserts,
+  * updates, and deletes — including keys entering and leaving the
+  * view — without rescanning the table.
+  */
+class IncrementalAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // sink keyed by (window, driver); the VIEW aggregates coarser — per
+  // driver across windows — which is where maintaining an aggregate
+  // is meaningful (the sink's own key has one row per key by
+  // construction). Integer-valued doubles keep FP addition exact, so
+  // equality against recompute is strict.
+  private val keys = Seq("window_start", "driver_id")
+
+  private def rows(xs: (String, String, Long, Double)*) =
+    xs.toDF("window_start", "driver_id", "total", "fare")
+
+  private def recompute(sink: ParquetUpsertSink) =
+    IncrementalAgg.view(sink.read(spark), Seq("driver_id"), Seq("fare"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+
+  test("advance ≡ recompute across inserts, updates, deletes") {
+    val dir = tmpDir("incagg") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "A", 1L, 20.0),
+      ("h1", "B", 1L, 5.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg
+      .view(sink.readVersion(spark, v0), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    assert(asMap(view0) === Map("A" -> ((2L, 30.0)), "B" -> ((1L, 5.0))))
+
+    // update (h1,A): 10→40; insert (h3,C); delete B entirely
+    sink.upsert(spark, rows(
+      ("h1", "A", 2L, 40.0), ("h3", "C", 1L, 7.0)), batchId = 1)
+    sink.delete(spark, col("driver_id") === "B", batchId = 2)
+
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    // the update must carry BOTH images — retraction needs the old one
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .count() === 1)
+    val advanced = IncrementalAgg
+      .advance(view0, feed, Seq("driver_id"), Seq("fare"))
+    assert(asMap(advanced) === asMap(recompute(sink)),
+      "maintained view diverged from recompute")
+    // B left the view entirely (count reached zero)
+    assert(asMap(advanced) === Map("A" -> ((2L, 60.0)), "C" -> ((1L, 7.0))))
+  }
+
+  test("advance chains: view maintained across two feed windows") {
+    val dir = tmpDir("incagg2") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 8)
+    sink.upsert(spark, rows(("h1", "A", 1L, 3.0)), batchId = 0)
+    var viewV = sink.currentVersion(spark)
+    var view = IncrementalAgg
+      .view(sink.readVersion(spark, viewV), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    // window 1: new driver + update
+    sink.upsert(spark,
+      rows(("h1", "A", 1L, 4.0), ("h1", "B", 1L, 9.0)), batchId = 1)
+    var cur = sink.currentVersion(spark)
+    view = IncrementalAgg.advance(view,
+      sink.changeFeed(spark, viewV, cur, withPreimages = true),
+      Seq("driver_id"), Seq("fare")).localCheckpoint(true)
+    viewV = cur
+    // window 2: delete the original driver
+    sink.delete(spark, col("driver_id") === "A", batchId = 2)
+    cur = sink.currentVersion(spark)
+    view = IncrementalAgg.advance(view,
+      sink.changeFeed(spark, viewV, cur, withPreimages = true),
+      Seq("driver_id"), Seq("fare"))
+    assert(asMap(view) === asMap(recompute(sink)))
+    assert(asMap(view) === Map("B" -> ((1L, 9.0))))
+  }
+
+  test("feed without _change_type is refused") {
+    val v = IncrementalAgg.view(rows(("h1", "A", 1L, 1.0)),
+      Seq("driver_id"), Seq("fare"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.advance(v, rows(("h1", "A", 1L, 2.0)),
+        Seq("driver_id"), Seq("fare"))
+    }
+  }
+}
