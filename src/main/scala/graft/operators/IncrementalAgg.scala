@@ -40,13 +40,16 @@ object IncrementalAgg {
   /** The maintained view of `base.groupBy(keys).agg(count, sums)`:
     * per key, `_ia_count` = row count and `sum_<c>` per sum column.
     * Build once from the initial snapshot, then advance with
-    * [[advance]].
+    * [[advance]]. Sums are DOUBLE by contract on both the build and
+    * advance paths (delta arithmetic is double; integer-valued inputs
+    * stay exact within 2^53) — a native long sum here would diverge
+    * in type from the advanced view.
     */
   def view(base: DataFrame, keys: Seq[String],
            sumCols: Seq[String]): DataFrame =
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
 
   /** `prev` advanced by `feed` (a change feed WITH pre-images over the
     * same key set). Equals `view(newSnapshot, keys, sumCols)` exactly

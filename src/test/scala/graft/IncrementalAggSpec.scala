@@ -84,6 +84,45 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(asMap(view) === Map("B" -> ((1L, 9.0))))
   }
 
+  test("streaming gold feed drives the maintained view end to end") {
+    // the operator composed with the real streaming path: medallion
+    // drain populates the gold sink, the view is built once, then a
+    // second streaming wave + an upstream retraction advance it
+    // through one CDC window — equal to recompute, no table rescan
+    import graft.streaming.MedallionStream
+    import graft.sources.RideGenerator
+    import graft.model.Rides
+    val root = tmpDir("incaggstream")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 3000L)
+    MedallionStream.runDrain(spark, p, goldRetainVersions = 6)
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey,
+      retainVersions = 6)
+    val v1 = sink.currentVersion(spark)
+    val groupKeys = Seq("driver_id")
+    val sums = Seq("total_rides_hourly")
+    val view1 = IncrementalAgg.view(
+      sink.readVersion(spark, v1), groupKeys, sums).localCheckpoint(true)
+
+    RideGenerator.writeRaw(spark, p.raw, 1500L, seed = 13L,
+      epochStart = 1704067200L + 7200L)
+    MedallionStream.runDrain(spark, p, goldRetainVersions = 6)
+    val victim = sink.read(spark).select("driver_id").as[String].head()
+    sink.delete(spark, col("driver_id") === victim, batchId = -1)
+
+    val feed = sink.changeFeed(spark, v1, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg.advance(view1, feed, groupKeys, sums)
+    val full = IncrementalAgg.view(sink.read(spark), groupKeys, sums)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(advanced) === m(full),
+      "streaming-fed maintained view diverged from recompute")
+    assert(!m(advanced).contains(victim),
+      s"retracted driver $victim must leave the maintained view")
+  }
+
   test("feed without _change_type is refused") {
     val v = IncrementalAgg.view(rows(("h1", "A", 1L, 1.0)),
       Seq("driver_id"), Seq("fare"))
