@@ -80,6 +80,42 @@ object ScaleProof {
       math.max(4, (math.log(n / 100.0) / math.log(2)).round.toInt)
     def cellsFor(n: Long): Int = math.max(16, math.sqrt(n).round.toInt)
 
+    // (view0 checkpointed, feed checkpointed, sink) per corpus size —
+    // built once on first use so the timed IVM reps never pay setup.
+    // The maintained view is the token budget per source —
+    // sum(|tokens(text)|) — because that is where the refresh
+    // asymmetry lives: a NARROW column sum recomputes in job-overhead
+    // time under vectorized parquet scans at any size measurable on
+    // one box (verified: flat 0.2-0.3 s at both 50k and 5M), while a
+    // tokenize-derived sum makes recompute pay the corpus tokenize
+    // and advance only the delta's.
+    val ivmTokens = (df: DataFrame) => df.withColumn("n_toks",
+      size(graft.functions.Text.tokens(col("text"))).cast("long"))
+    val ivmCache = scala.collection.mutable.Map.empty[
+      Long, (DataFrame, DataFrame, graft.operators.ParquetUpsertSink)]
+    def ivmSetup(n: Long, docs: DataFrame)
+        : (DataFrame, DataFrame, graft.operators.ParquetUpsertSink) =
+      ivmCache.getOrElseUpdate(n, {
+        val dir = s"$work/ivm_$n"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("doc_id"), retainVersions = 4)
+        sink.upsert(spark, docs.select("doc_id", "source", "text"),
+          batchId = 0)
+        val v0 = sink.currentVersion(spark)
+        val view0 = graft.operators.IncrementalAgg.view(
+          ivmTokens(sink.readVersion(spark, v0)), Seq("source"),
+          Seq("n_toks")).localCheckpoint(true)
+        sink.upsert(spark,
+          docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+            .select(col("doc_id"), col("source"),
+              concat(col("text"), lit(" appended")).as("text")),
+          batchId = 1)
+        sink.delete(spark, pmod(col("doc_id"), lit(1000L)) === 7, batchId = 2)
+        val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+          withPreimages = true).localCheckpoint(true)
+        (view0, feed, sink)
+      })
+
     def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
       val queries = emb.filter(col("vec_id") < 64)
       Seq(
@@ -234,6 +270,27 @@ object ScaleProof {
                 (col("n_chars") + 1L).as("n_chars")),
             batchId = 1)
           sink.changesBetween(spark, 0, 1).count()
+        }),
+        // Incremental view maintenance vs recompute — the refresh-cost
+        // asymmetry IncrementalAgg exists for. Setup (sink, initial
+        // view, 1% update + delete, PRE-MATERIALIZED feed — the
+        // deployment shape: one feed, many downstream views advance
+        // from it) runs once lazily; the timed thunks measure ONLY
+        // advance (O(delta + view)) vs full recompute (O(table)).
+        // collect (20 rows), NOT count: a count() of the view lets
+        // column pruning elide the sum columns entirely — the
+        // tokenize never runs and both legs measure job overhead
+        "incr_agg_advance" -> (() => {
+          val (view0, feed, _) = ivmSetup(n, docs)
+          graft.operators.IncrementalAgg.advance(
+            view0, ivmTokens(feed), Seq("source"), Seq("n_toks"))
+            .collect().length.toLong
+        }),
+        "incr_agg_recompute" -> (() => {
+          val (_, _, sink) = ivmSetup(n, docs)
+          graft.operators.IncrementalAgg.view(
+            ivmTokens(sink.read(spark)), Seq("source"), Seq("n_toks"))
+            .collect().length.toLong
         }),
         // SQ8 brute force over the persisted codes table: rep 1 pays
         // the quantize-and-write, later reps scan 1-byte codes only.

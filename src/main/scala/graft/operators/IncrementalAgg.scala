@@ -27,11 +27,14 @@ import org.apache.spark.sql.functions._
   * update is indistinguishable from an insert to a sum.
   *
   * Covers the distributive aggregates (COUNT, SUM — and AVG as
-  * SUM/COUNT at read time). Non-distributive aggregates (MIN/MAX,
-  * COUNT DISTINCT) are NOT maintainable from deltas alone — a deleted
-  * minimum needs the base table to find the runner-up — and belong to
-  * recompute, which is why this API takes explicit sum columns rather
-  * than pretending generality.
+  * SUM/COUNT at read time) in [[view]]/[[advance]]. MIN/MAX are not
+  * maintainable from deltas alone — a deleted minimum needs the base
+  * table to find the runner-up — so [[minMaxView]]/[[advanceMinMax]]
+  * use base-assisted repair: retractions that touch a stored extremum
+  * mark the key damaged, and ONLY damaged keys recompute from the
+  * base (a semi-join), keeping refresh O(delta + affected keys).
+  * COUNT DISTINCT stays out of scope (its repair set is the whole
+  * key's history — that is recompute by another name).
   */
 object IncrementalAgg {
 
@@ -50,6 +53,80 @@ object IncrementalAgg {
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
+
+  /** The maintained MIN/MAX view of `base.groupBy(keys)`: per key,
+    * `_ia_count` plus `min_<c>`/`max_<c>` (doubles). MIN/MAX are NOT
+    * distributive under deletion — a retracted minimum needs the base
+    * table to find the runner-up — so [[advanceMinMax]] takes the new
+    * base snapshot and repairs exactly the AFFECTED keys from it.
+    */
+  def minMaxView(base: DataFrame, keys: Seq[String],
+                 cols: Seq[String]): DataFrame =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(countCol),
+        cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c"))): _*)
+
+  /** [[minMaxView]] advanced by `feed`, with base-assisted repair —
+    * the partial-recompute form of IVM for non-distributive
+    * aggregates:
+    *
+    *  - inserts / update post-images only ever IMPROVE an extremum →
+    *    fold them in with min/max, no base access;
+    *  - a delete / update pre-image that TIES the stored extremum may
+    *    have been its last witness → that key is "damaged" and its
+    *    row is recomputed from `newBase` (a semi-join against the
+    *    damaged-key set — O(affected keys' rows), never a full scan);
+    *  - keys whose rows all left drop out via the maintained count.
+    *
+    * Equals `minMaxView(newBase, keys, cols)` exactly.
+    */
+  def advanceMinMax(prev: DataFrame, feed: DataFrame, newBase: DataFrame,
+                    keys: Seq[String], cols: Seq[String]): DataFrame = {
+    require(feed.columns.contains("_change_type"),
+      "feed must be a changeFeed output (missing _change_type)")
+    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val delta = feed
+      .withColumn("_w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_w")).as(s"d_$countCol"),
+        cols.flatMap(c => Seq(
+          min(when(col("_w") === 1L, col(c).cast("double")))
+            .as(s"in_min_$c"),
+          max(when(col("_w") === 1L, col(c).cast("double")))
+            .as(s"in_max_$c"),
+          min(when(col("_w") === -1L, col(c).cast("double")))
+            .as(s"out_min_$c"),
+          max(when(col("_w") === -1L, col(c).cast("double")))
+            .as(s"out_max_$c"))): _*)
+    val joined = prev.join(delta, keys, "full_outer")
+    val newCount =
+      (coalesce(col(countCol), lit(0L)) +
+        coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)
+    // a key is damaged iff any retraction touches its stored extremum
+    val damaged = cols.map(c =>
+      (col(s"out_min_$c").isNotNull && (col(s"min_$c").isNull ||
+        col(s"out_min_$c") <= col(s"min_$c"))) ||
+      (col(s"out_max_$c").isNotNull && (col(s"max_$c").isNull ||
+        col(s"out_max_$c") >= col(s"max_$c"))))
+      .reduce(_ || _)
+    val merged = joined
+      .withColumn("_damaged", coalesce(damaged, lit(false)))
+      .select((keys.map(col) :+ newCount :+ col("_damaged")) ++
+        cols.flatMap(c => Seq(
+          least(col(s"min_$c"), col(s"in_min_$c")).as(s"min_$c"),
+          greatest(col(s"max_$c"), col(s"in_max_$c")).as(s"max_$c"))): _*)
+      .filter(col(countCol) > 0)
+    val healthy = merged.filter(!col("_damaged")).drop("_damaged")
+    val damagedKeys = merged.filter(col("_damaged"))
+      .select(keys.map(col): _*)
+    // partial recompute: ONLY the damaged keys' rows leave the base
+    val repaired = minMaxView(
+      newBase.join(damagedKeys, keys, "left_semi"), keys, cols)
+    healthy.unionByName(repaired)
+  }
 
   /** `prev` advanced by `feed` (a change feed WITH pre-images over the
     * same key set). Equals `view(newSnapshot, keys, sumCols)` exactly

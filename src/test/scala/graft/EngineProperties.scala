@@ -248,6 +248,36 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("min/max advance with base repair ≡ recompute for random feeds") =
+    Prop.forAll(genRows, genRows, Gen.choose(0, 8)) { (b, u, delKey) =>
+      (b.nonEmpty && u.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-mmprop").toString + "/t"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), retainVersions = 6)
+        sink.upsert(spark, table(b), batchId = 0)
+        val v0 = sink.currentVersion(spark)
+        def grouped(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("g", (col("k") % 2).cast("long"))
+        val view0 = graft.operators.IncrementalAgg.minMaxView(
+          grouped(sink.readVersion(spark, v0)), Seq("g"), Seq("v"))
+          .localCheckpoint(true)
+        sink.upsert(spark, table(u), batchId = 1)
+        sink.delete(spark, col("k") === delKey, batchId = 2)
+        val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+          withPreimages = true)
+        val advanced = graft.operators.IncrementalAgg.advanceMinMax(
+          view0, grouped(feed), grouped(sink.read(spark)),
+          Seq("g"), Seq("v"))
+        val full = graft.operators.IncrementalAgg.minMaxView(
+          grouped(sink.read(spark)), Seq("g"), Seq("v"))
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+        m(advanced) == m(full)
+      }
+    }
+
   property("changesBetween ≡ set difference of the two snapshots") =
     Prop.forAll(genRows, genRows) { (b, u) =>
       (b.nonEmpty && u.nonEmpty) ==> {

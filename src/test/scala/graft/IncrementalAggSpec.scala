@@ -123,6 +123,62 @@ class IncrementalAggSpec extends SparkTestBase {
       s"retracted driver $victim must leave the maintained view")
   }
 
+  test("min/max view: base-assisted repair only when an extremum is retracted") {
+    val dir = tmpDir("incaggmm") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 8)
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "A", 1L, 30.0), ("h3", "A", 1L, 20.0),
+      ("h1", "B", 1L, 5.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    def mm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val view0 = IncrementalAgg.minMaxView(
+      sink.readVersion(spark, v0), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    assert(mm(view0) === Map(
+      "A" -> ((3L, 10.0, 30.0)), "B" -> ((1L, 5.0, 5.0))))
+
+    // delete A's MINIMUM row (damaged: repair must surface 20.0),
+    // update A's max upward (insert side improves, no repair), new
+    // driver C, and B leaves entirely
+    sink.upsert(spark, rows(
+      ("h2", "A", 2L, 50.0), ("h4", "C", 1L, 7.0)), batchId = 1)
+    sink.delete(spark,
+      col("window_start") === "h1" && col("driver_id").isin("A", "B"),
+      batchId = 2)
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg.advanceMinMax(view0, feed,
+      sink.read(spark), Seq("driver_id"), Seq("fare"))
+    val full = IncrementalAgg.minMaxView(
+      sink.read(spark), Seq("driver_id"), Seq("fare"))
+    assert(mm(advanced) === mm(full),
+      "maintained min/max diverged from recompute")
+    assert(mm(advanced) === Map(
+      "A" -> ((2L, 20.0, 50.0)), "C" -> ((1L, 7.0, 7.0))))
+  }
+
+  test("min/max: retracting a non-extremal row needs no repair and stays exact") {
+    val dir = tmpDir("incaggmm2") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 8)
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "A", 1L, 20.0), ("h3", "A", 1L, 30.0)),
+      batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg.minMaxView(
+      sink.readVersion(spark, v0), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    sink.delete(spark, col("window_start") === "h2", batchId = 1) // middle row
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg.advanceMinMax(view0, feed,
+      sink.read(spark), Seq("driver_id"), Seq("fare"))
+    val full = IncrementalAgg.minMaxView(
+      sink.read(spark), Seq("driver_id"), Seq("fare"))
+    assert(advanced.collect().toSet === full.collect().toSet)
+  }
+
   test("feed without _change_type is refused") {
     val v = IncrementalAgg.view(rows(("h1", "A", 1L, 1.0)),
       Seq("driver_id"), Seq("fare"))
