@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 /** Incremental view maintenance for distributive grouped aggregates —
   * keep `base.groupBy(keys).agg(count(*), sum(col)…)` current under a
@@ -40,6 +41,52 @@ object IncrementalAgg {
 
   val countCol = "_ia_count"
 
+  /** Maintained columns must be numeric and NON-decimal: all delta
+    * arithmetic here is double-based (exact for integer-valued inputs
+    * within 2^53 — the declared contract), so a decimal money column
+    * would silently trade its exactness for double rounding. Fail
+    * loudly; a caller that accepts the contract casts to double
+    * explicitly at the call site.
+    */
+  private def requireMaintainable(df: DataFrame, cols: Seq[String],
+                                  ctx: String): Unit =
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ctx column $c is missing from " +
+            df.schema.fieldNames.mkString("[", ",", "]")))
+      f.dataType match {
+        case _: DecimalType => throw new IllegalArgumentException(
+          s"$ctx column $c is ${f.dataType}: maintained-view delta " +
+            "arithmetic is double-based and would silently lose decimal " +
+            "exactness — cast to double at the call site to accept that, " +
+            "or keep exact decimals out of maintained views")
+        case _: NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"$ctx column $c must be numeric (non-decimal), got $other")
+      }
+    }
+
+  /** A trustworthy feed is one the `withPreimages = true` change-feed
+    * path produced (its `_change_type` column carries the schema
+    * marker). The bare "has a `_change_type` column" shape check is
+    * NOT enough: the default two-arg [[ParquetUpsertSink.changeFeed]]
+    * overload passes it, yet its update post-images would add +1/+sum
+    * with no matching retraction — counts and sums silently inflate
+    * with no error. The marker rides the column metadata through
+    * projection, filtering, checkpointing, and parquet, so any
+    * derivation of a marked feed stays accepted.
+    */
+  private def requirePreimageFeed(feed: DataFrame): Unit = {
+    require(feed.columns.contains("_change_type"),
+      "feed must be a changeFeed output (missing _change_type)")
+    require(ParquetUpsertSink.hasPreimageMarker(feed),
+      "feed lacks update pre-images: exact update retraction needs the " +
+        "old row image, so build the feed with changeFeed(from, to, " +
+        "withPreimages = true) — a post-image-only feed would silently " +
+        "inflate the maintained aggregate")
+  }
+
   /** The maintained view of `base.groupBy(keys).agg(count, sums)`:
     * per key, `_ia_count` = row count and `sum_<c>` per sum column.
     * Build once from the initial snapshot, then advance with
@@ -49,10 +96,12 @@ object IncrementalAgg {
     * in type from the advanced view.
     */
   def view(base: DataFrame, keys: Seq[String],
-           sumCols: Seq[String]): DataFrame =
+           sumCols: Seq[String]): DataFrame = {
+    requireMaintainable(base, sumCols, "sum")
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
+  }
 
   /** The maintained MIN/MAX view of `base.groupBy(keys)`: per key,
     * `_ia_count` plus `min_<c>`/`max_<c>` (doubles). MIN/MAX are NOT
@@ -61,12 +110,14 @@ object IncrementalAgg {
     * base snapshot and repairs exactly the AFFECTED keys from it.
     */
   def minMaxView(base: DataFrame, keys: Seq[String],
-                 cols: Seq[String]): DataFrame =
+                 cols: Seq[String]): DataFrame = {
+    requireMaintainable(base, cols, "min/max")
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
         cols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"min_$c"),
           max(col(c).cast("double")).as(s"max_$c"))): _*)
+  }
 
   /** [[minMaxView]] advanced by `feed`, with base-assisted repair —
     * the partial-recompute form of IVM for non-distributive
@@ -84,8 +135,8 @@ object IncrementalAgg {
     */
   def advanceMinMax(prev: DataFrame, feed: DataFrame, newBase: DataFrame,
                     keys: Seq[String], cols: Seq[String]): DataFrame = {
-    require(feed.columns.contains("_change_type"),
-      "feed must be a changeFeed output (missing _change_type)")
+    requirePreimageFeed(feed)
+    requireMaintainable(feed, cols, "min/max")
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
     val delta = feed
@@ -134,8 +185,8 @@ object IncrementalAgg {
     */
   def advance(prev: DataFrame, feed: DataFrame, keys: Seq[String],
               sumCols: Seq[String]): DataFrame = {
-    require(feed.columns.contains("_change_type"),
-      "feed must be a changeFeed output (missing _change_type)")
+    requirePreimageFeed(feed)
+    requireMaintainable(feed, sumCols, "sum")
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
     val delta = feed

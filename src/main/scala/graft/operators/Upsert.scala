@@ -292,7 +292,17 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         .select(keys.map(col): _*)
       val preimages = older.join(updatedKeys, keys, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
-      base.unionByName(preimages, allowMissingColumns = true)
+      val all = base.unionByName(preimages, allowMissingColumns = true)
+      // Stamp the feed as pre-image-complete IN THE SCHEMA (column
+      // metadata on _change_type, which survives select/filter/
+      // withColumn, localCheckpoint, and a parquet round-trip). An
+      // incremental-aggregate consumer ([[IncrementalAgg]]) REQUIRES
+      // this marker: a feed from the two-arg overload passes a bare
+      // `_change_type`-exists check yet silently inflates sums —
+      // update post-images add with no matching retraction — so the
+      // feed must be self-describing, not merely well-shaped.
+      all.withColumn("_change_type", col("_change_type")
+        .as("_change_type", ParquetUpsertSink.preimagesMetadata))
     }
   }
 
@@ -665,4 +675,28 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
     false
   }
+}
+
+object ParquetUpsertSink {
+
+  /** Metadata key stamped on `_change_type` by the pre-image-complete
+    * change feed ([[ParquetUpsertSink.changeFeed]] with
+    * `withPreimages = true`) — the marker [[IncrementalAgg]] requires
+    * before trusting a feed for exact update retraction.
+    */
+  val preimagesMetadataKey = "graft.ivm.preimages"
+
+  private[graft] val preimagesMetadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(preimagesMetadataKey, true).build()
+
+  /** Whether `feed`'s `_change_type` column carries the pre-image
+    * marker — i.e. the feed was produced by the `withPreimages = true`
+    * path (possibly filtered/projected/persisted since; the metadata
+    * rides the schema through all of those).
+    */
+  def hasPreimageMarker(feed: DataFrame): Boolean =
+    feed.schema.find(_.name == "_change_type").exists(f =>
+      f.metadata.contains(preimagesMetadataKey) &&
+        f.metadata.getBoolean(preimagesMetadataKey))
 }

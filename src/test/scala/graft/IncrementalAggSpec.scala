@@ -187,4 +187,53 @@ class IncrementalAggSpec extends SparkTestBase {
         Seq("driver_id"), Seq("fare"))
     }
   }
+
+  test("post-image-only feed (two-arg changeFeed) is refused, marked feed survives persistence") {
+    // the silent-divergence trap: a feed without pre-images passes a
+    // bare _change_type-exists check but inflates sums — updates add
+    // with no retraction. The feed must be SELF-DESCRIBING: only the
+    // withPreimages=true path stamps the marker advance() requires.
+    val dir = tmpDir("incaggmark") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    sink.upsert(spark, rows(("h1", "A", 1L, 10.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg
+      .view(sink.readVersion(spark, v0), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    sink.upsert(spark, rows(("h1", "A", 2L, 40.0)), batchId = 1)
+    val cur = sink.currentVersion(spark)
+    val bare = sink.changeFeed(spark, v0, cur) // NO pre-images
+    assert(bare.columns.contains("_change_type"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.advance(view0, bare, Seq("driver_id"), Seq("fare"))
+    }
+    assert(e.getMessage.contains("withPreimages"))
+    // the marker must survive the deployment shape: materialize the
+    // feed once (parquet), advance many views from the file later
+    val marked = sink.changeFeed(spark, v0, cur, withPreimages = true)
+    val feedPath = tmpDir("incaggmark") + "/feed"
+    marked.write.mode("overwrite").parquet(feedPath)
+    val advanced = IncrementalAgg.advance(view0,
+      spark.read.parquet(feedPath)
+        .filter(col("_change_type").isNotNull), // derivation keeps marker
+      Seq("driver_id"), Seq("fare"))
+    assert(asMap(advanced) === asMap(recompute(sink)))
+  }
+
+  test("decimal sum column is refused instead of silently losing exactness") {
+    val dec = rows(("h1", "A", 1L, 10.0))
+      .withColumn("price", col("fare").cast("decimal(18,2)"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.view(dec, Seq("driver_id"), Seq("price"))
+    }
+    assert(e.getMessage.contains("decimal") ||
+      e.getMessage.contains("Decimal"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.minMaxView(dec, Seq("driver_id"), Seq("price"))
+    }
+    // non-numeric is refused too
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.view(dec, Seq("driver_id"), Seq("window_start"))
+    }
+  }
 }
