@@ -154,6 +154,34 @@ object SparkEntry {
     */
   private val ridesBronzeFixture = "/root/repo/fixtures/rides_bronze"
 
+  /** Fixture-backed IVM pipeline shared by the `incr_agg_*` queries:
+    * snapshot `documents(doc_id, source, n_chars)` into a fresh
+    * versioned upsert table under `fixtures/`, apply one deterministic
+    * feed window — `updWhere` rows get `n_chars += updDelta` (batch 1),
+    * `delWhere` rows are retracted (batch 2) — and return the sink
+    * plus the pre-feed version. Rebuilt from scratch per call: a
+    * stale commit log from a previous run at a different SF would
+    * otherwise trip the batch-replay guard and silently skip the
+    * feed batches. retainVersions=4 keeps v0 readable for the feed.
+    */
+  private def ivmFixture(s: SparkSession, d: String, sub: String,
+                         updWhere: Column, updDelta: Long, delWhere: Column)
+      : (graft.operators.ParquetUpsertSink, Long) = {
+    val dir = s"/root/repo/fixtures/ivm_$sub"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      retainVersions = 4)
+    sink.upsert(s, docs, batchId = 0)
+    val v0 = sink.currentVersion(s)
+    sink.upsert(s, docs.filter(updWhere)
+      .withColumn("n_chars", (col("n_chars") + lit(updDelta))
+        .cast(docs.schema("n_chars").dataType)), batchId = 1)
+    sink.delete(s, delWhere, batchId = 2)
+    (sink, v0)
+  }
+
   /** Per-doc tokens CTE. */
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
@@ -962,6 +990,54 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(Hashing.portableRound(expr("percentile(value, 0.5)"), 4)
           .as("p50_approx"))),
+
+    // ---------- north star: incremental view maintenance ----------
+    // The IVM operator surfaced as oracle rows: snapshot `documents`
+    // into the versioned upsert table, build the per-source COUNT/SUM
+    // view at v0, apply a deterministic update+delete window, then
+    // ADVANCE the view from the pre-image change feed alone — the
+    // O(delta + view) refresh that replaces an O(table) recompute at
+    // 100 TB. The oracle recomputes the same aggregate over the
+    // post-feed base in DuckDB (update and delete expressed as
+    // CASE/WHERE over `documents`), so a hash match proves the
+    // advance ≡ recompute contract end to end through the sink,
+    // the CDC feed, and the delta join.
+    "incr_agg_sums" -> ((s, d) => {
+      val (sink, v0) = ivmFixture(s, d, "sums",
+        updWhere = pmod(col("doc_id"), lit(10L)) === 3, updDelta = 7L,
+        delWhere = pmod(col("doc_id"), lit(10L)) === 4)
+      val view0 = graft.operators.IncrementalAgg.view(
+        sink.readVersion(s, v0), Seq("source"), Seq("n_chars"))
+      val feed = sink.changeFeed(s, v0, sink.currentVersion(s),
+        withPreimages = true)
+      graft.operators.IncrementalAgg
+        .advance(view0, feed, Seq("source"), Seq("n_chars"))
+        .select(col("source"),
+          col(graft.operators.IncrementalAgg.countCol).as("n_docs"),
+          col("sum_n_chars").as("sum_chars"))
+    }),
+
+    // MIN/MAX maintenance with base-assisted repair: the update and
+    // delete windows are chosen so retractions DO tie stored extrema
+    // at the driver SFs (every 7th doc's pre-image retracts, every
+    // 13th doc leaves), exercising the damaged-key semi-join repair
+    // path, not just the insert-fold fast path.
+    "incr_agg_minmax" -> ((s, d) => {
+      val (sink, v0) = ivmFixture(s, d, "minmax",
+        updWhere = pmod(col("doc_id"), lit(7L)) === 0, updDelta = 11L,
+        delWhere = pmod(col("doc_id"), lit(13L)) === 5)
+      val view0 = graft.operators.IncrementalAgg.minMaxView(
+        sink.readVersion(s, v0), Seq("source"), Seq("n_chars"))
+      val feed = sink.changeFeed(s, v0, sink.currentVersion(s),
+        withPreimages = true)
+      graft.operators.IncrementalAgg
+        .advanceMinMax(view0, feed, sink.read(s),
+          Seq("source"), Seq("n_chars"))
+        .select(col("source"),
+          col(graft.operators.IncrementalAgg.countCol).as("n_docs"),
+          col("min_n_chars").as("min_chars"),
+          col("max_n_chars").as("max_chars"))
+    }),
 
     // Custom whole-operator plan: per-key top-k via bounded heaps
     // (logical node + Strategy + SparkPlan) — same semantics as
@@ -1781,6 +1857,26 @@ object SparkEntry {
 
     "dedup_exact_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // The maintained view's oracle is a RECOMPUTE over the post-feed
+    // base: the fixture's update (+7 to every doc_id % 10 == 3) and
+    // delete (doc_id % 10 == 4) are deterministic row-local edits of
+    // `documents`, so the final table is expressible as CASE/WHERE —
+    // a hash match proves advance ≡ recompute through the sink + CDC
+    // feed. Sums are DOUBLE by the maintained-view contract
+    // (integer-valued, so exact on both engines).
+    "incr_agg_sums" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | SUM(CAST(n_chars + CASE WHEN doc_id % 10 = 3 THEN 7 ELSE 0 END AS DOUBLE)) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 4
+        |GROUP BY source""".stripMargin,
+
+    "incr_agg_minmax" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | MIN(CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 11 ELSE 0 END AS DOUBLE)) AS min_chars,
+        | MAX(CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 11 ELSE 0 END AS DOUBLE)) AS max_chars
+        |FROM documents WHERE doc_id % 13 <> 5
+        |GROUP BY source""".stripMargin,
 
     // Full medallion pipeline over the persisted bronze fixture:
     // parse (json_valid ≡ Spark's parse-then-7-term-drop for this
