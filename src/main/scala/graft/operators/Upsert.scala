@@ -35,9 +35,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    (unpartitioned) layout is fully multi-writer: a loser discards
   *    its orphan snapshot, re-merges against the winner's state, and
   *    retries the next version. The partitioned layout rewrites data
-  *    files IN PLACE, so losing a race is detected (the claim fails)
-  *    but cannot be rolled back — it stays documented single-writer,
-  *    now with detection instead of silent clobbering.
+  *    files IN PLACE, where optimistic retry is UNSOUND — writer A
+  *    can overwrite a shared partition between writer B's overwrite
+  *    and B's claim, so even a writer that WINS its claim may have
+  *    had its partitions clobbered, and the loser's retry re-merges
+  *    against a base that already lost them. Partitioned writers are
+  *    therefore serialized through an exclusive writer-lock file
+  *    (mutual exclusion, the only sound multi-writer contract for
+  *    in-place rewrites); the failed-claim CME remains the backstop
+  *    against external writers that bypass the lock.
   */
 object Upsert {
 
@@ -392,6 +398,46 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   protected def beforeWrite(version: Long): Unit = ()
 
+  /** Whether partitioned-layout writes take the exclusive writer
+    * lock. Overridden false only by tests simulating an EXTERNAL
+    * writer that does not honor the lock — for those, the
+    * failed-claim ConcurrentModificationException stays the backstop.
+    */
+  protected def writerLockEnabled: Boolean = true
+
+  private def writerLockPath = new Path(commitsDir, ".writer-lock")
+
+  /** Serialize in-place partitioned writes: acquire the exclusive
+    * lock file (same kernel-atomic create primitive as version
+    * claims), run `body`, release. Waiting writers poll; a lock whose
+    * holder evidently died (age beyond the staleness horizon) is
+    * broken. Both horizons are session-conf-tunable — tests shorten
+    * them, production defaults assume a micro-batch-scale critical
+    * section.
+    */
+  private def withWriterLock[T](spark: SparkSession)(body: => T): T = {
+    val f = fs(spark)
+    if (!f.exists(commitsDir)) f.mkdirs(commitsDir)
+    def conf(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val deadline = System.currentTimeMillis() +
+      conf("graft.upsert.lockWaitMs", 180000L)
+    val staleMs = conf("graft.upsert.lockStaleMs", 600000L)
+    val isLocal = AtomicClaim.isLocalFs(f)
+    while (!AtomicClaim.tryExclusiveCreate(f, writerLockPath, isLocal)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"timed out waiting for the writer lock on partitioned table " +
+            s"$path — another writer holds ${writerLockPath}")
+      val stale = scala.util.Try(f.getFileStatus(writerLockPath)).toOption
+        .exists(s =>
+          System.currentTimeMillis() - s.getModificationTime > staleMs)
+      if (stale) f.delete(writerLockPath, false) // holder died mid-write
+      Thread.sleep(100)
+    }
+    try body finally f.delete(writerLockPath, false)
+  }
+
   /** Compaction (the Delta OPTIMIZE analog, reference D2:
     * `SET ...optimize.maxFileSize=128MB`, 03_gold_realtime_rides.py:75):
     * rewrite the current snapshot as ⌈bytes / targetFileBytes⌉ files
@@ -444,7 +490,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * callers that want no idempotence/replay protection.
     */
   def upsert(spark: SparkSession, updates: DataFrame, batchId: Long): Unit =
-    upsertAttempt(spark, updates, batchId, retriesLeft = 5)
+    if (partitionCol.nonEmpty && writerLockEnabled)
+      // in-place rewrites: mutual exclusion, not optimistic retry (see
+      // class doc) — the commit-log read inside the attempt happens
+      // under the lock, so each writer merges against the fresh head
+      withWriterLock(spark)(upsertAttempt(spark, updates, batchId,
+        retriesLeft = 0))
+    else
+      upsertAttempt(spark, updates, batchId, retriesLeft = 5)
 
   /** Retract every row matching `predicate` in a new committed
     * version — the `MERGE ... WHEN MATCHED DELETE` / `DELETE FROM`
@@ -640,12 +693,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       gc(spark, cs :+ ((newV, recorded, dataDir)))
     } else partitionCol match {
       case Some(_) =>
-        // the in-place dynamic overwrite already rewrote shared data
+        // same-protocol writers serialize on the writer lock, so a
+        // lost claim here means an EXTERNAL writer bypassed it; the
+        // in-place dynamic overwrite already rewrote shared data
         // files — that cannot be rolled back, only surfaced
         throw new java.util.ConcurrentModificationException(
           s"concurrent writer claimed version $newV of partitioned table " +
-            s"$path; the partitioned layout rewrites data in place and is " +
-            "single-writer — coordinate writers externally")
+            s"$path; in-place rewrites cannot be rolled back — route all " +
+            "writers through the sink's writer lock")
       case None =>
         // versioned layout: our orphan snapshot is invisible (no commit
         // points at it) and uniquely named (never the winner's data) —

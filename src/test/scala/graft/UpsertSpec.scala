@@ -214,7 +214,10 @@ class UpsertSpec extends SparkTestBase {
     assert(got(("2024-01-01 12:00:00", "DRV003")) === 1L) // our insert
   }
 
-  test("partitioned sink: losing a version race is detected, not silent") {
+  test("partitioned sink: an external writer bypassing the lock is detected, not silent") {
+    // same-protocol writers serialize on the writer lock (stress test
+    // below); this pins the BACKSTOP — a foreign writer that commits
+    // directly, without the lock, must surface as a conflict
     val dir = tmpDir("upsertcasp") + "/gold"
     val sink: ParquetUpsertSink =
       new ParquetUpsertSink(dir, keys, Some("window_start")) {
@@ -235,6 +238,44 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned sink: true concurrent writers serialize on the writer lock") {
+    // the versioned layout's stress twin, on the layout where
+    // optimistic retry is UNSOUND (in-place overwrite of shared
+    // partition files): W real threads target the SAME partition; the
+    // writer lock must serialize them so every writer's key survives
+    // and the commit log advances once per writer
+    val dir = tmpDir("upsertconcp") + "/gold"
+    val writers = 5
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(writers))
+    try {
+      val fs = (0 until writers).map { w =>
+        Future {
+          val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
+          val rows = Seq(("2024-01-01 10:00:00", f"DRVP$w%02d",
+            w.toLong, w * 1.0))
+            .toDF("window_start", "driver_id", "total", "avg_fare")
+          sink.upsert(spark, rows, batchId = -1)
+        }(pool)
+      }
+      fs.foreach(Await.result(_, Duration("180s")))
+    } finally pool.shutdown()
+    val reader = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    val got = reader.read(spark).collect()
+      .map(r => r.getAs[String]("driver_id") -> r.getAs[Long]("total")).toMap
+    assert(got === (0 until writers)
+      .map(w => f"DRVP$w%02d" -> w.toLong).toMap,
+      s"lost update on the partitioned layout: $got")
+    assert(reader.currentVersion(spark) === writers - 1L)
+    // the lock is released, not leaked: a follow-up writer proceeds
+    val follow = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    follow.upsert(spark, Seq(("2024-01-01 10:00:00", "DRVP99", 9L, 9.0))
+      .toDF("window_start", "driver_id", "total", "avg_fare"), batchId = -1)
+    assert(follow.read(spark).count() === writers + 1L)
+  }
+
   test("partitioned sink: losing the v0 create race preserves the winner") {
     // the old first-batch STATIC overwrite deleted the whole path —
     // including a concurrent winner's committed data and the commit
@@ -248,9 +289,11 @@ class UpsertSpec extends SparkTestBase {
         override protected def beforeWrite(v: Long): Unit =
           if (v == 0 && !injected) {
             injected = true
-            // a concurrent writer creates AND commits v0 first
-            new ParquetUpsertSink(dir, keys, Some("window_start"))
-              .upsert(spark, updates, batchId = 7)
+            // a concurrent EXTERNAL writer (bypassing the writer lock
+            // the outer sink holds) creates AND commits v0 first
+            new ParquetUpsertSink(dir, keys, Some("window_start")) {
+              override protected def writerLockEnabled: Boolean = false
+            }.upsert(spark, updates, batchId = 7)
           }
       }
     intercept[java.util.ConcurrentModificationException] {
