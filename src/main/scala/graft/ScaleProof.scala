@@ -333,6 +333,11 @@ object ScaleProof {
       val selected = ops(n, docs, emb).filter { case (name, _) =>
         only.forall(_.contains(name))
       }
+      // IVM setup (sink writes, upserts, delete, feed checkpoint) is
+      // paid HERE, not inside rep 1 of whichever timed thunk runs
+      // first — the timed reps must measure only advance vs recompute
+      if (selected.exists(_._1.startsWith("incr_agg_")))
+        ivmSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

@@ -80,7 +80,15 @@ object ModelJoin {
         }
     }
     if (paths.isEmpty) None
-    else Some(plan.canonicalized.treeString + "\n@" + paths.mkString(";"))
+    // treeString with an EXPLICIT unlimited field count: the default
+    // rendering truncates per-node field lists at
+    // spark.sql.debug.maxToStringFields (25), so two plans over the
+    // same root paths differing only past the cutoff (e.g. wide
+    // aggregate lists) would render the same key and silently serve
+    // each other's cached count
+    else Some(plan.canonicalized.treeString(
+      verbose = false, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false) + "\n@" + paths.mkString(";"))
   }
 
   private def cachedCount(model: DataFrame): Long = memoKey(model) match {

@@ -47,9 +47,19 @@ import org.apache.spark.sql.types._
   * must STAY set because file scans consult it again at execution
   * time. That session-wide flip is the engine's one documented
   * precondition on nanos-encoded data (the alternative Spark offers
-  * is no read at all). A plain-int64 event-time column in a session
-  * that never needed the conf is ambiguous (nanos? micros? millis?)
-  * and fails loudly rather than guessing an epoch unit.
+  * is no read at all).
+  *
+  * Whether a LongType event-time column actually IS nanos is decided
+  * PER FILE, never from the session conf: the conf is sticky, so in a
+  * session that has read one genuinely-nanos table, a plain-int64
+  * column in a *different* table would also surface as LongType — and
+  * trusting the conf would silently divide its values by 1000. The
+  * reader instead inspects the parquet footer's logical type
+  * annotation (one footer read, only on the LongType-event-time
+  * path): TIMESTAMP(NANOS) normalizes, anything else is a plain int64
+  * with no declared epoch unit (nanos? micros? millis?) and fails
+  * loudly rather than guessing — the same refusal a fresh session
+  * gives, now order-independent of which tables were read first.
   */
 object Tables {
 
@@ -108,12 +118,57 @@ object Tables {
     * enforce).
     */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val (raw, nanosMode) = readRaw(spark, s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val (raw, nanosMode) = readRaw(spark, path)
     canonical.get(name) match {
       case None => raw
-      case Some(spec) => spec.foldLeft(raw) { case (df, (colName, kind)) =>
-        normalize(df, name, colName, kind, nanosMode)
-      }
+      case Some(spec) =>
+        // per-FILE nanos ground truth (footer logical type), probed
+        // lazily — only the LongType-event-time path consults it
+        lazy val nanosCols = nanosColumns(spark, path)
+        spec.foldLeft(raw) { case (df, (colName, kind)) =>
+          normalize(df, name, colName, kind,
+            nanosMode && nanosCols.contains(colName))
+        }
+    }
+  }
+
+  /** Column names in the first data file of `path` whose parquet
+    * logical type annotation is TIMESTAMP with NANOS unit — the
+    * per-file ground truth the session-sticky `nanosAsLong` conf
+    * cannot provide (see class doc). One footer read, proportional to
+    * file-metadata size, not data. Multi-file tables are assumed
+    * encoding-uniform (one producer per table — the same assumption
+    * Spark's own schema inference samples under).
+    */
+  private def nanosColumns(spark: SparkSession, path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val first = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).headOption
+    first match {
+      case None => Set.empty
+      case Some(st) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .iterator
+            .filter(_.isPrimitive)
+            .filter(_.asPrimitiveType().getLogicalTypeAnnotation match {
+              case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                         .TimestampLogicalTypeAnnotation =>
+                ts.getUnit ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimeUnit.NANOS
+              case _ => false
+            })
+            .map(_.getName).toSet
+        } finally reader.close()
     }
   }
 
@@ -142,8 +197,13 @@ object Tables {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .exists(t => Option(t.getMessage).exists(_.contains("NANOS")))
 
+  /** `fileNanos`: this COLUMN is TIMESTAMP(NANOS) in the file footer
+    * AND the session conf that lets Spark surface it (as LongType) is
+    * on — the only combination under which a long event-time column
+    * is interpretable.
+    */
   private def normalize(df: DataFrame, table: String, colName: String,
-                        kind: Kind, nanosMode: Boolean): DataFrame = {
+                        kind: Kind, fileNanos: Boolean): DataFrame = {
     val field = df.schema.find(_.name == colName).getOrElse(
       throw new IllegalStateException(
         s"$table.$colName: column missing from ${df.schema.fieldNames.mkString("[", ",", "]")}"))
@@ -158,11 +218,14 @@ object Tables {
           // instant-preserving under the engine's pinned UTC session
           df.withColumn(colName, col(colName).cast(TimestampType))
         case DateType => df // date stays date: every reader sees dates
-        case LongType if nanosMode =>
+        case LongType if fileNanos =>
           // TIMESTAMP(NANOS) surfaced as nano longs: floor to µs,
           // matching how nanos-aware readers (DuckDB) truncate
           df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
         case LongType =>
+          // refused even in a session whose conf is on for OTHER
+          // tables' nanos data — the footer says this column carries
+          // no timestamp annotation, so its epoch unit is a guess
           unsupported("a timestamp spelling; a plain int64 event-time " +
             "column has no declared epoch unit — re-encode it as " +
             "parquet TIMESTAMP(NANOS/MICROS/MILLIS)")

@@ -193,27 +193,37 @@ object EngineProperties extends Properties("graft") {
           .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
             lit(0L).as("user_id"), lit("e").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props"))
-        def readBack(frame: org.apache.spark.sql.DataFrame,
-                     nanosConf: Boolean): Set[(Long, Long)] = {
+        def readDir(dir: String): Set[(Long, Long)] = {
+          val got = graft.sources.Tables.read(spark, dir, "events")
+          assert(got.schema("ts").dataType ==
+            org.apache.spark.sql.types.TimestampType)
+          got.select(col("event_id"), unix_micros(col("ts")))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        def readBack(frame: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
           val dir = java.nio.file.Files
             .createTempDirectory("graft-tsprop").toString
           frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
-          if (nanosConf)
-            spark.conf.set(graft.sources.Tables.nanosAsLongKey, "true")
-          try {
-            val got = graft.sources.Tables.read(spark, dir, "events")
-            assert(got.schema("ts").dataType ==
-              org.apache.spark.sql.types.TimestampType)
-            got.select(col("event_id"), unix_micros(col("ts")))
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          } finally spark.conf.unset(graft.sources.Tables.nanosAsLongKey)
+          try readDir(dir)
+          finally spark.conf.unset(graft.sources.Tables.nanosAsLongKey)
+        }
+        // genuine footer-annotated TIMESTAMP(NANOS) (the encoding
+        // Spark cannot write): the reader must self-probe the conf
+        // AND confirm nanos-ness from the footer per file
+        def readBackNanos(): Set[(Long, Long)] = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-tsprop").toString
+          NanosParquet.writeEvents(s"$dir/events.parquet",
+            micros.zipWithIndex.map { case (us, i) =>
+              (i.toLong, us * 1000L, 0L, "e", 0.0, "{}") })
+          try readDir(dir)
+          finally spark.conf.unset(graft.sources.Tables.nanosAsLongKey)
         }
         val want = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toSet
-        readBack(base, nanosConf = false) == want &&
-          readBack(base.withColumn("ts", col("ts").cast("timestamp_ntz")),
-            nanosConf = false) == want &&
-          readBack(base.withColumn("ts", expr("unix_micros(ts) * 1000")),
-            nanosConf = true) == want
+        readBack(base) == want &&
+          readBack(base.withColumn("ts", col("ts").cast("timestamp_ntz"))) ==
+            want &&
+          readBackNanos() == want
     }
 
   property("incremental agg advance ≡ recompute for random feeds") =

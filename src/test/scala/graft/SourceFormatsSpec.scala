@@ -60,10 +60,6 @@ class SourceFormatsSpec extends SparkTestBase {
     // the reader claims to support normalizes to the same instants
     val canonical = events.orderBy("event_id")
     val variants = Seq(
-      // nanos-long spelling: what a TIMESTAMP(NANOS) file surfaces as
-      // — only meaningful in a session where nanosAsLong is on (Spark
-      // cannot WRITE nanos parquet, so simulate the post-probe state)
-      "nanos-long" -> events.withColumn("ts", expr("unix_micros(ts) * 1000")),
       // timestamp[us] isAdjustedToUTC=false
       "ntz" -> events.withColumn("ts", col("ts").cast("timestamp_ntz")),
       // timestamp with timezone: identity path
@@ -71,8 +67,6 @@ class SourceFormatsSpec extends SparkTestBase {
     variants.foreach { case (label, frame) =>
       val dir = tmpDir(s"events-$label")
       frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
-      if (label == "nanos-long")
-        spark.conf.set(Tables.nanosAsLongKey, "true")
       try {
         val back = SparkEntry.events(spark, dir)
         assert(back.schema("ts").dataType === TimestampType,
@@ -83,6 +77,34 @@ class SourceFormatsSpec extends SparkTestBase {
           s"$label: instants diverge from canonical read")
       } finally spark.conf.unset(Tables.nanosAsLongKey)
     }
+    // GENUINE TIMESTAMP(NANOS) (footer-annotated, the real driver
+    // encoding): the reader must self-probe — first read fails on the
+    // NANOS analysis error, the conf flips on, the footer confirms
+    // the column is truly nanos, values floor to µs
+    val dir = tmpDir("events-nanos")
+    spark.conf.unset(Tables.nanosAsLongKey)
+    NanosParquet.writeEvents(s"$dir/events.parquet",
+      events.orderBy("event_id")
+        .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1) * 1000L, r.getLong(2),
+            r.getString(3), r.getDouble(4),
+            Option(r.getString(5)).getOrElse("{}"))))
+    try {
+      val back = SparkEntry.events(spark, dir)
+      assert(back.schema("ts").dataType === TimestampType,
+        "nanos: ts not normalized to TimestampType")
+      val got = back.orderBy("event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val want = canonical
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      assert(got.except(want).count() === 0 &&
+        want.except(got).count() === 0,
+        "nanos: instants diverge from canonical read")
+      assert(spark.conf.getOption(Tables.nanosAsLongKey).contains("true"),
+        "probe must have flipped the session conf for nanos data")
+    } finally spark.conf.unset(Tables.nanosAsLongKey)
   }
 
   test("reading micro/NTZ data leaves the nanosAsLong conf untouched") {
@@ -110,6 +132,27 @@ class SourceFormatsSpec extends SparkTestBase {
       SparkEntry.events(spark, dir)
     }
     assert(e.getMessage.contains("events.ts"), e.getMessage)
+  }
+
+  test("plain-int64 event-time fails loudly even in a nanos-conf session") {
+    import graft.sources.Tables
+    // the session-sticky trap: after one genuinely-nanos table flips
+    // nanosAsLong on, a plain int64 in a DIFFERENT table also
+    // surfaces as LongType — trusting the conf would silently divide
+    // its instants by 1000. Nanos-ness is per FILE (footer logical
+    // type), so the refusal must be order-independent of which
+    // tables were read first.
+    val dir = tmpDir("events-plainlong-sticky")
+    events.withColumn("ts", expr("unix_micros(ts)"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.conf.set(Tables.nanosAsLongKey, "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.events(spark, dir)
+      }
+      assert(e.getMessage.contains("events.ts"), e.getMessage)
+      assert(e.getMessage.contains("epoch unit"), e.getMessage)
+    } finally spark.conf.unset(Tables.nanosAsLongKey)
   }
 
   test("documents/embeddings/orders/customer readers survive encoding drift") {
