@@ -945,6 +945,43 @@ class IvfIndex(path: String, nCells: Int,
           s"gave up claiming a version of $path after repeated conflicts")
     }
   }
+
+  /** Reclaim ORPHAN data directories — the Delta VACUUM analog and
+    * the one leak the commit-time retention GC cannot see: a mutator
+    * that died between writing its directories and claiming a version
+    * (or that lost every claim retry and then crashed before its own
+    * cleanup) leaves `seg-*`/`centroids-*`/`seeds-*`/`tomb-*` dirs no
+    * manifest will ever reference. They are invisible to readers but
+    * leak disk forever; superseded GENERATIONS, by contrast, are
+    * already dropped by [[gcAfter]] at commit time.
+    *
+    * Safety against both hazards VACUUM can introduce:
+    *  - an IN-FLIGHT writer's directories look exactly like orphans
+    *    until its commit lands → only directories older than
+    *    `olderThanMs` (mtime) are candidates, the age-horizon trade
+    *    every vacuum makes (default 1 h ≫ any write);
+    *  - a reader on an OLD retained generation must keep working →
+    *    directories referenced by ANY present commit are never
+    *    touched, whatever their age.
+    *
+    * Returns the reclaimed directory names.
+    */
+  def vacuum(spark: SparkSession,
+             olderThanMs: Long = 3600000L): Seq[String] = {
+    val f = hfs(spark)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val referenced = commits(spark).flatMap(_._2.dirs).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val prefixes = Seq("seg-", "centroids-", "seeds-", "tomb-")
+    val orphans = f.listStatus(root).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && prefixes.exists(n.startsWith) &&
+        !referenced.contains(n) && s.getModificationTime < horizon
+    }
+    orphans.foreach(s => f.delete(s.getPath, true))
+    orphans.map(_.getPath.getName)
+  }
 }
 
 object IvfIndex {

@@ -472,4 +472,40 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("append"))
   }
+
+  test("vacuum reclaims crashed-writer orphans, never a retained generation's dirs") {
+    val dir = tmpDir("ivfvac")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16,
+      retainVersions = 2)
+    idx.build(emb.filter(col("vec_id") < 200))
+    idx.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 250))
+    // both retained generations' manifests and dirs on disk
+    val hfs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def topNames() = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    val before = topNames()
+    // a writer that died after writing data but before any claim:
+    // directories no manifest references
+    Seq("seg-deadbeef", "centroids-deadbeef", "seeds-deadbeef",
+      "tomb-deadbeef").foreach { d =>
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/$d/part-0.parquet"), true)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    // age horizon 0: everything unreferenced is old enough
+    val reclaimed = idx.vacuum(spark, olderThanMs = 0L).toSet
+    assert(reclaimed === Set("seg-deadbeef", "centroids-deadbeef",
+      "seeds-deadbeef", "tomb-deadbeef"), s"reclaimed $reclaimed")
+    // every directory present before the orphans were planted —
+    // BOTH retained generations' — survives even at horizon 0, so a
+    // reader resolved on the older generation keeps working
+    assert(before.subsetOf(topNames()),
+      s"vacuum touched retained dirs: ${before -- topNames()}")
+    assert(idx.topK(spark, emb.filter(col("vec_id") < 3), 5, nProbe = 4)
+      .count() === 15L)
+    // idempotent: nothing left to reclaim
+    assert(idx.vacuum(spark, olderThanMs = 0L).isEmpty)
+  }
 }
