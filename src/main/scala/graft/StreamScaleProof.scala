@@ -108,6 +108,8 @@ object StreamScaleProof {
     val work = java.nio.file.Files.createTempDirectory("graft-sscale").toString
 
     val results = mutable.Map.empty[(String, Long), StageMetrics]
+    // (advance min-sec, recompute min-sec) per n — the IVM consumer
+    val ivm = mutable.Map.empty[Long, (Double, Double)]
     def record(stage: String, n: Long, m: StageMetrics): Unit = {
       results((stage, n)) = m
       val batches = m.batchSec.map(s => f"$s%.2f").mkString("[", ",", "]")
@@ -197,10 +199,69 @@ object StreamScaleProof {
           .trigger(Trigger.AvailableNow)
           .start()
       }))
+      // ---- IVM consumer over the streaming gold change feed ----
+      // The downstream refresh asymmetry at STREAM volume: a per-driver
+      // rollup is built once from the drained gold table, then a ~10%
+      // second wave rides bronze→silver→gold (same checkpoints — a
+      // backlog catch-up, not a re-ingest) plus one upstream
+      // retraction, and the rollup is refreshed both ways — advance
+      // from the pre-image change feed (O(delta + view)) vs recompute
+      // (O(table)). As the table grows 100x and the delta stays ~10%,
+      // advance must stay near-flat while recompute tracks the table.
+      locally {
+        import org.apache.spark.sql.functions.col
+        val pi = paths("gold_ivm") // own gold dir + checkpoint; shared silver
+        record("gold_ivm", n, drain(() => MedallionStream.goldQuery(
+          spark, pi, Trigger.AvailableNow, bounded = true,
+          maxFilesPerTrigger = silverMfpt, retainVersions = 24)))
+        val sink = new graft.operators.ParquetUpsertSink(pi.gold,
+          graft.model.Rides.goldKey, retainVersions = 24)
+        val v1 = sink.currentVersion(spark)
+        val view1 = graft.operators.IncrementalAgg.view(
+          sink.readVersion(spark, v1), Seq("driver_id"),
+          Seq("total_rides_hourly")).localCheckpoint(true)
+        // wave 2 into the SHARED raw dir; bronze/silver continue from
+        // their existing checkpoints (p), gold_ivm from its own
+        RideGenerator.writeRaw(spark, p.raw, math.max(1000L, n / 10),
+          seed = 13L, files = 8, epochStart = 1704067200L + 7200L)
+        drain(() => MedallionStream.bronzeQuery(spark, p,
+          Trigger.AvailableNow))
+        drain(() => MedallionStream.silverQuery(spark, p,
+          Trigger.AvailableNow))
+        drain(() => MedallionStream.goldQuery(
+          spark, pi, Trigger.AvailableNow, bounded = true,
+          retainVersions = 24))
+        val victim = sink.read(spark).select("driver_id")
+          .orderBy("driver_id").first().getString(0)
+        sink.delete(spark, col("driver_id") === victim, batchId = -1)
+        // the deployment shape: ONE materialized feed, many views
+        // advance from it
+        val feed = sink.changeFeed(spark, v1, sink.currentVersion(spark),
+          withPreimages = true).localCheckpoint(true)
+        def reps(f: () => Long): (Double, Seq[Double]) = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+          }
+          (ts.min, ts)
+        }
+        val (adv, advReps) = reps(() =>
+          graft.operators.IncrementalAgg.advance(view1, feed,
+            Seq("driver_id"), Seq("total_rides_hourly")).collect().length)
+        val (rec, recReps) = reps(() =>
+          graft.operators.IncrementalAgg.view(sink.read(spark),
+            Seq("driver_id"), Seq("total_rides_hourly")).collect().length)
+        ivm(n) = (adv, rec)
+        def fmt(xs: Seq[Double]) =
+          xs.map(t => f"$t%.3f").mkString("[", ",", "]")
+        println(s"""{"stage":"ivm_refresh","n":$n,""" +
+          s""""advance_sec":${f"$adv%.3f"},"advance_reps":${fmt(advReps)},""" +
+          s""""recompute_sec":${f"$rec%.3f"},"recompute_reps":${fmt(recReps)},""" +
+          s""""feed_rows":${feed.count()},"view_rows":${view1.count()}}""")
+      }
     }
 
     val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete",
-      "totals_tws", "ss_join")
+      "totals_tws", "ss_join", "gold_ivm")
     val exponents = stages.map { s =>
       val e = math.log(results((s, big)).batchSec.sum /
           results((s, small)).batchSec.sum) /
@@ -235,6 +296,16 @@ object StreamScaleProof {
         s""""big":${removedSum(s, big)}}}"""
     }.mkString(",")
     println(s"""{"metric":"watermark_health",$wmJson}""")
+    // The IVM claim in one line: advance exponent ~0 (delta-sized
+    // work), recompute exponent ~1 (table-sized) — the refresh
+    // asymmetry that makes maintained views the 100 TB answer.
+    def e(f: Long => Double): Double =
+      math.log(f(big) / f(small)) / math.log(factor.toDouble)
+    println(s"""{"metric":"ivm_refresh_asymmetry","factor":$factor,""" +
+      s""""advance_exponent":${f"${e(ivm(_)._1)}%.3f"},""" +
+      s""""recompute_exponent":${f"${e(ivm(_)._2)}%.3f"},""" +
+      s""""advance_sec":{"small":${f"${ivm(small)._1}%.3f"},"big":${f"${ivm(big)._1}%.3f"}},""" +
+      s""""recompute_sec":{"small":${f"${ivm(small)._2}%.3f"},"big":${f"${ivm(big)._2}%.3f"}}}""")
     spark.stop()
   }
 }
