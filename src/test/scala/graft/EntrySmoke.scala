@@ -6,12 +6,10 @@ class EntrySmoke extends SparkTestBase {
     val ok = SparkEntry.oracleSql.keySet
     assert((ok -- qk).isEmpty, s"oracle without query: ${ok -- qk}")
     val rowsOnly = qk -- ok
-    // only the two engine-specific sketch TWINS remain rows-only
-    // (their error bounds are ScalaTest-checked); the deterministic
-    // hash-sample estimators under the original names are oracled,
-    // like everything else
-    assert(rowsOnly === Set("approx_distinct_users_sketch",
-        "approx_percentiles_sketch"),
-      s"unexpected rows-only: $rowsOnly")
+    // EVERY query is oracle-checked — the last two rows-only entries
+    // (the engine-specific sketch twins) became bound-certification
+    // rows in r10: exact side + within_bound boolean, both
+    // DuckDB-mirrored
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly")
   }
 }
