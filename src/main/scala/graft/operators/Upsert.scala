@@ -501,20 +501,83 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   /** Retract every row matching `predicate` in a new committed
     * version — the `MERGE ... WHEN MATCHED DELETE` / `DELETE FROM`
-    * analog the reference's Delta sink gets for free. Versioned layout
-    * only: the partitioned layout rewrites shared files in place,
-    * where a delete that loses a writer race could destroy rows it
-    * never matched. Runs under the same CAS commit + re-merge retry
-    * protocol as [[upsert]], so concurrent upserts and deletes
-    * serialize cleanly; the retraction then surfaces to incremental
-    * consumers as `delete` rows in [[changeFeed]].
+    * analog the reference's Delta sink gets for free.
+    *
+    * Versioned layout: CAS commit + re-merge retry, so concurrent
+    * upserts and deletes serialize optimistically; the retraction then
+    * surfaces to incremental consumers as `delete` rows in
+    * [[changeFeed]]. Partitioned layout: same writer-lock mutual
+    * exclusion as [[upsert]] (in-place rewrites cannot be rolled
+    * back), rewriting ONLY the partitions that hold matching rows —
+    * partition-pruned cost, with fully-emptied partitions' directories
+    * dropped explicitly (dynamic overwrite only replaces partitions
+    * PRESENT in the output, so an all-rows-deleted partition would
+    * otherwise silently resurrect).
     */
   def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column,
-             batchId: Long): Unit = {
-    require(partitionCol.isEmpty,
-      "delete requires the versioned layout; the partitioned layout " +
-        "rewrites data files in place and cannot roll back a lost race")
-    deleteAttempt(spark, predicate, batchId, retriesLeft = 5)
+             batchId: Long): Unit =
+    partitionCol match {
+      case None => deleteAttempt(spark, predicate, batchId, retriesLeft = 5)
+      case Some(pc) if writerLockEnabled =>
+        withWriterLock(spark)(deletePartitioned(spark, predicate, batchId, pc))
+      case Some(pc) => deletePartitioned(spark, predicate, batchId, pc)
+    }
+
+  /** Partitioned-layout delete body — MUST run under the writer lock
+    * (or external coordination, for lock-bypassing callers). SQL
+    * three-valued semantics as the versioned path: NULL predicate
+    * verdicts KEEP the row.
+    */
+  private def deletePartitioned(spark: SparkSession,
+                                predicate: org.apache.spark.sql.Column,
+                                batchId: Long, pc: String): Unit = {
+    val cs = commits(spark)
+    val lastStreamBatch =
+      cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+    if (batchId >= 0 && batchId <= lastStreamBatch) return // replay
+    if (cs.isEmpty && !hasExternalData(spark)) return // nothing to retract
+    val newV = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+    val base = read(spark)
+    val hit = coalesce(predicate, lit(false))
+    // only partitions holding at least one matching row are touched;
+    // ≤ |partitions| values on the driver, the upsert path's bound.
+    // Values are collected CAST TO STRING — the same rendering the
+    // parquet writer uses for partition path fragments — so emptied
+    // directories resolve by name without re-encoding native types
+    // (e.g. a Timestamp's toString carries a trailing ".0" the path
+    // never has).
+    val touched = base.filter(hit)
+      .select(col(pc).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val recorded = if (batchId >= 0) batchId else lastStreamBatch
+    if (touched.nonEmpty) {
+      val scoped = base.filter(col(pc).cast("string").isInCollection(touched))
+      // materialize before the overwrite deletes its own input files
+      val survivors = scoped.filter(not(hit)).localCheckpoint(true)
+      val kept = survivors.select(col(pc).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      withDynamicOverwrite(spark) {
+        survivors.write.mode("overwrite").partitionBy(pc).parquet(path)
+      }
+      // partitions whose every row matched produce no output for the
+      // dynamic overwrite to replace — drop their directories
+      val f = fs(spark)
+      (touched.filterNot(kept)).foreach { v =>
+        val dirName = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.getPartitionPathString(pc, v)
+        f.delete(new Path(path, dirName), true)
+      }
+    } else if (batchId < 0) return // no match, nothing to record
+    // commit the batchId marker (idempotence); a lost claim means an
+    // external writer bypassed the lock — surface it, as upsert does
+    if (tryCommit(spark, newV, recorded.toString)) {
+      gc(spark, cs :+ ((newV, recorded, "")))
+    } else {
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer claimed version $newV of partitioned table " +
+          s"$path; in-place rewrites cannot be rolled back — route all " +
+          "writers through the sink's writer lock")
+    }
   }
 
   @scala.annotation.tailrec
@@ -714,6 +777,42 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         upsertAttempt(spark, updates, batchId, retriesLeft - 1)
     }
     }
+  }
+
+  /** Reclaim ORPHAN snapshot directories (versioned layout) — the
+    * Delta VACUUM analog, mirroring [[graft.functions.IvfIndex#vacuum]]:
+    * a writer that died between writing its `v<N>-<uuid>` snapshot and
+    * claiming the version (or that lost the claim and crashed before
+    * its own cleanup) leaves a directory no commit references —
+    * invisible to readers, leaking disk forever. Commit-time [[gc]]
+    * only trims COMMITTED versions, so it never sees these.
+    *
+    * Safety rails (same two as the IVF index):
+    *  - an in-flight writer's snapshot looks exactly like an orphan
+    *    until its commit lands → only directories older than
+    *    `olderThanMs` (default 1 h ≫ any snapshot write) qualify;
+    *  - a directory referenced by ANY present commit is never touched,
+    *    whatever its age — in-retention readers keep working.
+    *
+    * Returns the reclaimed directory names. No-op on the partitioned
+    * layout (data lives in place; there are no snapshot dirs).
+    */
+  def vacuum(spark: SparkSession,
+             olderThanMs: Long = 3600000L): Seq[String] = {
+    if (partitionCol.nonEmpty) return Seq.empty
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val referenced = commits(spark).map(_._3).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val snapshotName = "^v\\d+(-[0-9a-f]{8})?$".r
+    val orphans = f.listStatus(root).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && snapshotName.matches(n) &&
+        !referenced.contains(n) && s.getModificationTime < horizon
+    }
+    orphans.foreach(s => f.delete(s.getPath, true))
+    orphans.map(_.getPath.getName)
   }
 
   /** Whether `t`'s cause chain contains a FileNotFoundException (typed

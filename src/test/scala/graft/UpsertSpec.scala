@@ -238,6 +238,46 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned sink: delete rewrites only touched partitions, drops emptied ones") {
+    val dir = tmpDir("upsertdelp") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, Some("window_start"))
+    sink.upsert(spark, base, batchId = 0)
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def partFiles(part: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/window_start=$part")
+      if (!f.exists(p)) Map.empty[String, Long]
+      else f.listStatus(p).filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    }
+    val untouchedBefore = partFiles("2024-01-01 11%3A00%3A00")
+    assert(untouchedBefore.nonEmpty, "fixture: 11:00 partition must exist")
+    // one row of the 10:00 partition matches; the 11:00 partition has
+    // no match and must not be read back differently or rewritten
+    sink.delete(spark, col("driver_id") === "DRV002", batchId = 1)
+    val got = sink.read(spark).collect()
+      .map(r => r.getAs[String]("driver_id") -> r.getAs[Long]("total")).toSet
+    assert(got === Set("DRV001" -> 5L, "DRV001" -> 2L),
+      s"unexpected survivors: $got")
+    assert(partFiles("2024-01-01 11%3A00%3A00") === untouchedBefore,
+      "untouched partition's files were rewritten")
+    // now empty the whole 11:00 partition: its DIRECTORY must go —
+    // dynamic overwrite alone would leave the old files resurrected
+    sink.delete(spark,
+      col("window_start") === "2024-01-01 11:00:00", batchId = 2)
+    assert(partFiles("2024-01-01 11%3A00%3A00").isEmpty,
+      "fully-emptied partition directory must be dropped")
+    assert(sink.read(spark).count() === 1L)
+    // replay of a seen batchId is a no-op
+    sink.delete(spark, lit(true), batchId = 2)
+    assert(sink.read(spark).count() === 1L)
+    // NULL predicate verdicts KEEP rows (SQL three-valued semantics)
+    sink.delete(spark,
+      when(col("driver_id") === "DRV001", lit(null).cast("boolean")),
+      batchId = 3)
+    assert(sink.read(spark).count() === 1L)
+  }
+
   test("partitioned sink: true concurrent writers serialize on the writer lock") {
     // the versioned layout's stress twin, on the layout where
     // optimistic retry is UNSOUND (in-place overwrite of shared
@@ -346,6 +386,33 @@ class UpsertSpec extends SparkTestBase {
     assert(reader.currentVersion(spark) === writers - 1L)
   }
 
+  test("vacuum reclaims crashed-writer orphan snapshots, keeps every referenced one") {
+    val dir = tmpDir("upsertvac") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
+    sink.upsert(spark, base, batchId = 0)
+    sink.upsert(spark, updates, batchId = 1)
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def dirs() = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val before = dirs()
+    // a writer that died between snapshot write and claim
+    base.write.mode("overwrite").parquet(s"$dir/v7-deadbeef")
+    assert(sink.vacuum(spark, olderThanMs = 0L) === Seq("v7-deadbeef"))
+    assert(dirs() === before, "vacuum touched a referenced snapshot")
+    // both retained versions still read
+    assert(sink.readVersion(spark, 0).count() === 3L)
+    assert(sink.readVersion(spark, 1).count() === 4L)
+    // fresh orphans survive the default age horizon (in-flight writer)
+    base.write.mode("overwrite").parquet(s"$dir/v8-cafebabe")
+    assert(sink.vacuum(spark).isEmpty)
+    // partitioned layout: no snapshot dirs, vacuum is a no-op
+    val pdir = tmpDir("upsertvacp") + "/gold"
+    val psink = new ParquetUpsertSink(pdir, keys, Some("window_start"))
+    psink.upsert(spark, base, batchId = 0)
+    assert(psink.vacuum(spark, olderThanMs = 0L).isEmpty)
+  }
+
   test("time travel: readVersion returns historical snapshots within retention") {
     val dir = tmpDir("upserttt") + "/gold"
     val sink = new ParquetUpsertSink(dir, keys, retainVersions = 3)
@@ -406,12 +473,11 @@ class UpsertSpec extends SparkTestBase {
     sink.delete(spark, col("driver_id") === "DRV001", batchId = 1)
     assert(sink.currentVersion(spark) === 1L &&
       sink.read(spark).filter(col("driver_id") === "DRV001").count() === 2L)
-    // partitioned layout refuses: in-place rewrite can't roll back
-    intercept[IllegalArgumentException] {
-      new ParquetUpsertSink(tmpDir("upsertdelp") + "/g", keys,
-        partitionCol = Some("window_start"))
-        .delete(spark, lit(true), batchId = -1)
-    }
+    // partitioned layout (r10: supported under the writer lock) —
+    // deleting from an empty/uncommitted table is a quiet no-op
+    new ParquetUpsertSink(tmpDir("upsertdelpx") + "/g", keys,
+      partitionCol = Some("window_start"))
+      .delete(spark, lit(true), batchId = -1)
   }
 
   test("delete with a NULL predicate verdict keeps the row (SQL semantics)") {
