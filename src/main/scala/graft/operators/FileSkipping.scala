@@ -1,0 +1,666 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** File-level data skipping for the versioned upsert store — the
+  * Delta-log stats slice (the capability the reference's Delta sink
+  * gets from `delta.dataSkippingNumIndexedCols`,
+  * /root/reference/src/03_gold_realtime_rides.py:75's OPTIMIZE
+  * setting being useful precisely because stats then prune files).
+  *
+  * At commit time the writer reads the PARQUET FOOTERS of the files it
+  * just wrote — metadata-only, O(files), no second data scan; the
+  * footers already hold exact per-column min/max/null-count — and
+  * persists them as `_stats.json` INSIDE the uniquely-named snapshot
+  * directory, so the stats publish atomically with the version (the
+  * commit file is the only commit point; a crash before it leaves
+  * stats and data equally invisible).
+  *
+  * At read time [[ParquetUpsertSink.scan]] evaluates the predicate
+  * against each file's stats and enumerates only files that MAY hold a
+  * matching row. Why this matters at 100 TB even though parquet
+  * row-group stats already prune at scan time: row-group pruning
+  * happens AFTER a task was scheduled and the footer fetched — a
+  * 100 TB table is ~800k files whose footers alone are hundreds of GB
+  * of round-trips; manifest-level skipping removes the files from the
+  * scan's file index, so eliminated files cost zero tasks, zero opens,
+  * zero footer reads. Combined with [[ZOrder]]-clustered compaction
+  * (disjoint multi-column ranges per file) a point/range query touches
+  * O(matching) files instead of O(table).
+  *
+  * The pruner is CONSERVATIVE by construction: every expression shape
+  * it does not understand — non-literal comparands, casts it cannot
+  * see through, UDFs, unknown columns, missing stats — keeps the file.
+  * Skipping is only ever an optimization; correctness never depends on
+  * it (the residual predicate is still applied to survivors).
+  */
+object FileSkipping {
+
+  /** Typed stat value. Dates ride as SLong(days since epoch),
+    * timestamps as SLong(micros since epoch) — the same physical
+    * encodings parquet and Catalyst literals use, so comparisons never
+    * re-encode.
+    */
+  sealed trait SValue
+  final case class SLong(v: Long) extends SValue
+  final case class SDouble(v: Double) extends SValue
+  final case class SString(v: String) extends SValue
+  final case class SBool(v: Boolean) extends SValue
+
+  /** Per-column, per-file stats. `kind` ∈ long | double | string |
+    * bool | date | ts. min/max are None when any row group's footer
+    * lacked usable bounds (unknown ⇒ never prune on them); nulls is
+    * None when any row group's null count was unset.
+    */
+  final case class ColStats(kind: String, min: Option[SValue],
+                            max: Option[SValue], nulls: Option[Long])
+
+  final case class FileStat(file: String, rows: Long,
+                            cols: Map[String, ColStats])
+
+  /** Stats are collected for at most this many leading schema columns
+    * (Delta's `dataSkippingNumIndexedCols` default): wide tables pay
+    * footer-stat JSON proportional to indexed columns only.
+    */
+  val maxIndexedCols = 32
+
+  val statsFileName = "_stats.json"
+
+  // ---------------------------------------------------------------
+  // Collection (commit-time, footer-only)
+  // ---------------------------------------------------------------
+
+  /** Read per-file stats for every `*.parquet` under `dir` (non-
+    * recursive — snapshot dirs are flat) from the files' footers.
+    * Sequential driver loop: a snapshot's file count is bounded by the
+    * writing job's partitioning or the compaction target, and each
+    * footer read is a few KB of metadata; a deployment writing
+    * thousands of files per commit would lift this onto executors
+    * with a parallelize over file names — the per-file work is
+    * embarrassingly parallel and self-contained.
+    */
+  def collectStats(conf: Configuration, dir: Path): Seq[FileStat] = {
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.map(f => fileStats(conf, f.getPath))
+  }
+
+  private def fileStats(conf: Configuration, file: Path): FileStat = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val indexed: Set[String] = schema.getFields.asScala.iterator
+        .take(maxIndexedCols)
+        .filter(_.isPrimitive)
+        .map(_.getName).toSet
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // per-column: fold this file's row groups; ANY group with
+      // unusable bounds poisons min/max (unknown), ANY unset null
+      // count poisons the null count — sound, never optimistic
+      val perCol = scala.collection.mutable.Map[String, Agg]()
+      for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val pathArr = chunk.getPath.toArray
+        if (pathArr.length == 1 && indexed.contains(pathArr(0))) {
+          val name = pathArr(0)
+          statKind(chunk.getPrimitiveType).foreach { kind =>
+            val g = groupBounds(chunk.getStatistics, kind, block.getRowCount)
+            perCol(name) = perCol.get(name) match {
+              case None => g
+              case Some(prev) => Agg(kind,
+                boundsBad = prev.boundsBad || g.boundsBad,
+                min = mergeBound(prev.min, g.min, kind, takeMin = true),
+                max = mergeBound(prev.max, g.max, kind, takeMin = false),
+                nullsBad = prev.nullsBad || g.nullsBad,
+                nulls = prev.nulls + g.nulls)
+            }
+          }
+        }
+      }
+      val resolved = perCol.toMap.map { case (n, a) =>
+        n -> ColStats(a.kind,
+          min = if (a.boundsBad) None else a.min,
+          max = if (a.boundsBad) None else a.max,
+          nulls = if (a.nullsBad) None else Some(a.nulls))
+      }
+      FileStat(file.getName, rows, resolved)
+    } finally reader.close()
+  }
+
+  /** Row-group fold state: bounds over the non-null values seen so
+    * far (None while no group contributed any — all-null groups are
+    * legitimate and must not poison), plus poison flags for
+    * genuinely-unknown stats.
+    */
+  private final case class Agg(kind: String, boundsBad: Boolean,
+                               min: Option[SValue], max: Option[SValue],
+                               nullsBad: Boolean, nulls: Long)
+
+  private def mergeBound(a: Option[SValue], b: Option[SValue], kind: String,
+                         takeMin: Boolean): Option[SValue] = (a, b) match {
+    case (None, x) => x
+    case (x, None) => x
+    case (Some(x), Some(y)) =>
+      Some(if ((cmpSame(x, y, kind) <= 0) == takeMin) x else y)
+  }
+
+  /** One row group's contribution. Three legitimate shapes: usable
+    * bounds; a provably all-null group (null count == row count — no
+    * bounds to contribute, nothing poisoned); unknown stats (poison).
+    */
+  private def groupBounds(st: org.apache.parquet.column.statistics.Statistics[_],
+                          kind: String, groupRows: Long): Agg = {
+    if (st == null) return Agg(kind, boundsBad = true, None, None,
+      nullsBad = true, 0L)
+    val nullsKnown = st.isNumNullsSet
+    val nulls = if (nullsKnown) st.getNumNulls else 0L
+    if (st.hasNonNullValue) {
+      val mn = toSValue(st.genericGetMin, kind)
+      val mx = toSValue(st.genericGetMax, kind)
+      Agg(kind, boundsBad = mn.isEmpty || mx.isEmpty, mn, mx,
+        nullsBad = !nullsKnown, nulls)
+    } else if (nullsKnown && nulls == groupRows) {
+      Agg(kind, boundsBad = false, None, None, nullsBad = false, nulls)
+    } else Agg(kind, boundsBad = true, None, None,
+      nullsBad = !nullsKnown, nulls)
+  }
+
+  /** Parquet physical+logical type → stat kind. Unsupported encodings
+    * (INT96 timestamps have no sane stats ordering, decimals and
+    * unsigned ints would need width-aware compares, nested columns
+    * are not top-level) return None — those columns simply never
+    * prune.
+    */
+  private def statKind(pt: org.apache.parquet.schema.PrimitiveType)
+      : Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN => Some("bool")
+      case FLOAT | DOUBLE => Some("double")
+      case INT32 => pt.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if !i.isSigned => None
+        case _ => Some("long")
+      }
+      case INT64 => pt.getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // only MICROS — the unit Catalyst timestamp literals use, so
+          // comparisons never re-scale; MILLIS/NANOS columns (foreign
+          // writers) just don't prune
+          if (ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS) Some("ts")
+          else None
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if !i.isSigned => None
+        case _ => Some("long")
+      }
+      case BINARY => pt.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some("string")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Footer stat value → SValue. Non-finite doubles poison the bound
+    * (parquet writers skip NaN in stats, but belt and braces — JSON
+    * has no NaN, and a NaN bound could prune nothing soundly anyway).
+    */
+  private def toSValue(v: Any, kind: String): Option[SValue] = kind match {
+    case "bool" => Some(SBool(v.asInstanceOf[java.lang.Boolean]))
+    case "double" =>
+      val d = v match {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }
+      if (java.lang.Double.isFinite(d)) Some(SDouble(d)) else None
+    case "long" | "date" => v match {
+      case i: java.lang.Integer => Some(SLong(i.toLong))
+      case l: java.lang.Long => Some(SLong(l))
+    }
+    case "ts" => v match { // MICROS by statKind's gate
+      case l: java.lang.Long => Some(SLong(l))
+      case i: java.lang.Integer => Some(SLong(i.toLong))
+    }
+    case "string" =>
+      Some(SString(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+        .toStringUsingUTF8))
+  }
+
+  // ---------------------------------------------------------------
+  // Persistence (_stats.json inside the snapshot dir)
+  // ---------------------------------------------------------------
+
+  private def svalueToJson(v: SValue): JValue = v match {
+    case SLong(l) => JLong(l)
+    case SDouble(d) => JDouble(d)
+    case SString(s) => JString(s)
+    case SBool(b) => JBool(b)
+  }
+
+  private def svalueFromJson(j: JValue, kind: String): Option[SValue] =
+    (kind, j) match {
+      case (("long" | "date" | "ts"), JInt(bi)) => Some(SLong(bi.toLong))
+      case (("long" | "date" | "ts"), JLong(l)) => Some(SLong(l))
+      case ("double", JDouble(d)) => Some(SDouble(d))
+      case ("double", JInt(bi)) => Some(SDouble(bi.toDouble))
+      case ("double", JLong(l)) => Some(SDouble(l.toDouble))
+      case ("double", JDecimal(d)) => Some(SDouble(d.toDouble))
+      case ("string", JString(s)) => Some(SString(s))
+      case ("bool", JBool(b)) => Some(SBool(b))
+      case _ => None
+    }
+
+  def statsToJson(stats: Seq[FileStat]): String = {
+    val files = stats.map { f =>
+      JObject(
+        "file" -> JString(f.file),
+        "rows" -> JLong(f.rows),
+        "cols" -> JObject(f.cols.toList.sortBy(_._1).map { case (n, cs) =>
+          n -> (JObject(List(
+            Some("kind" -> (JString(cs.kind): JValue)),
+            cs.min.map(v => "min" -> svalueToJson(v)),
+            cs.max.map(v => "max" -> svalueToJson(v)),
+            cs.nulls.map(nl => "nulls" -> (JLong(nl): JValue))
+          ).flatten): JValue)
+        })
+      )
+    }
+    JsonMethods.compact(JsonMethods.render(
+      JObject("version" -> JInt(1), "files" -> JArray(files.toList))))
+  }
+
+  def statsFromJson(s: String): Option[Seq[FileStat]] =
+    scala.util.Try {
+      val root = JsonMethods.parse(s)
+      val JArray(files) = (root \ "files"): @unchecked
+      files.map { f =>
+        val JString(name) = (f \ "file"): @unchecked
+        val rows = (f \ "rows") match {
+          case JInt(bi) => bi.toLong
+          case JLong(l) => l
+          case other => throw new IllegalArgumentException(other.toString)
+        }
+        val cols = (f \ "cols") match {
+          case JObject(fields) => fields.flatMap { case (cn, cj) =>
+            (cj \ "kind") match {
+              case JString(kind) =>
+                val mn = (cj \ "min").toOption.flatMap(svalueFromJson(_, kind))
+                val mx = (cj \ "max").toOption.flatMap(svalueFromJson(_, kind))
+                val nulls = (cj \ "nulls") match {
+                  case JInt(bi) => Some(bi.toLong)
+                  case JLong(l) => Some(l)
+                  case _ => None
+                }
+                Some(cn -> ColStats(kind, mn, mx, nulls))
+              case _ => None
+            }
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        FileStat(name, rows, cols)
+      }
+    }.toOption
+
+  /** Collect and persist stats for the snapshot at `dir`. Failures are
+    * swallowed into "no stats" — skipping is an optimization and must
+    * never fail a commit (the reader treats an absent/corrupt stats
+    * file as prune-nothing).
+    */
+  def writeStats(conf: Configuration, dir: Path): Unit =
+    try {
+      val stats = collectStats(conf, dir)
+      val fs = dir.getFileSystem(conf)
+      val out = fs.create(new Path(dir, statsFileName), true)
+      try out.write(statsToJson(stats).getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  def readStats(fs: FileSystem, dir: Path): Option[Seq[FileStat]] = {
+    val p = new Path(dir, statsFileName)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.toOption.flatMap(statsFromJson)
+  }
+
+  // ---------------------------------------------------------------
+  // Pruning (read-time)
+  // ---------------------------------------------------------------
+
+  /** Whether `file` may hold a row satisfying `predicate` — false only
+    * when the stats PROVE no row can match. Understands conjunction/
+    * disjunction, ordered comparisons and equality against literals
+    * (either side), IN-lists, null checks, and string prefix; anything
+    * else — including any column without stats — is conservatively
+    * "may match".
+    */
+  def mayMatch(predicate: Expression, file: FileStat): Boolean = {
+    if (file.rows == 0) return false // no rows: nothing satisfies anything
+    def mm(e: Expression): Boolean = e match {
+      case And(l, r) => mm(l) && mm(r)
+      case Or(l, r) => mm(l) || mm(r)
+      case Not(IsNull(a)) => notNullLeaf(a, file)
+      case Not(IsNotNull(a)) => nullLeaf(a, file)
+      case l: Literal => l.value match {
+        case null => false // NULL filter verdict drops every row
+        case b: Boolean => b
+        case _ => true
+      }
+      case EqualTo(a, l: Literal) => cmpLeaf(a, l, file, "eq")
+      case EqualTo(l: Literal, a) => cmpLeaf(a, l, file, "eq")
+      case EqualNullSafe(a, l: Literal) =>
+        if (l.value == null) nullLeaf(a, file) else cmpLeaf(a, l, file, "eq")
+      case EqualNullSafe(l: Literal, a) =>
+        if (l.value == null) nullLeaf(a, file) else cmpLeaf(a, l, file, "eq")
+      case LessThan(a, l: Literal) => cmpLeaf(a, l, file, "lt")
+      case LessThan(l: Literal, a) => cmpLeaf(a, l, file, "gt")
+      case LessThanOrEqual(a, l: Literal) => cmpLeaf(a, l, file, "le")
+      case LessThanOrEqual(l: Literal, a) => cmpLeaf(a, l, file, "ge")
+      case GreaterThan(a, l: Literal) => cmpLeaf(a, l, file, "gt")
+      case GreaterThan(l: Literal, a) => cmpLeaf(a, l, file, "lt")
+      case GreaterThanOrEqual(a, l: Literal) => cmpLeaf(a, l, file, "ge")
+      case GreaterThanOrEqual(l: Literal, a) => cmpLeaf(a, l, file, "le")
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => cmpLeaf(a, l.asInstanceOf[Literal], file, "eq"))
+      case InSet(a, values) if a.resolved => // the optimizer's large-IN form
+        values.exists(v => cmpLeaf(a, Literal(v, a.dataType), file, "eq"))
+      case IsNull(a) => nullLeaf(a, file)
+      case IsNotNull(a) => notNullLeaf(a, file)
+      case StartsWith(a, Literal(p: UTF8String, _)) =>
+        prefixLeaf(a, p.toString, file)
+      case Not(a @ (_: AttributeReference | _: UnresolvedAttribute)) =>
+        boolLeaf(a, file, want = false)
+      case a @ (_: AttributeReference | _: UnresolvedAttribute) =>
+        boolLeaf(a, file, want = true)
+      case _ => true // unknown shape: never prune
+    }
+    mm(predicate)
+  }
+
+  /** Bare boolean column as the predicate (or its negation): prunable
+    * when the file's [min, max] excludes `want` or the column is all
+    * null.
+    */
+  private def boolLeaf(attr: Expression, f: FileStat, want: Boolean): Boolean =
+    colStats(attr, f) match {
+      case Some(cs) if cs.kind == "bool" =>
+        if (cs.nulls.contains(f.rows)) false
+        else if (want) cs.max.forall(_ == SBool(true))
+        else cs.min.forall(_ == SBool(false))
+      case _ => true
+    }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+      Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** Stats for the column `e` refers to — seeing through MONOTONE
+    * WIDENING numeric casts the analyzer puts on the attribute side of
+    * mixed-type comparisons (`cast(int_col as bigint) = 5L`): the
+    * bounds are transformed with the same cast, so `cast(v)`'s range
+    * is exactly [cast(min), cast(max)] (cast is monotone
+    * non-decreasing and total for these pairs — no overflow wrap, no
+    * new nulls). Narrowing casts wrap and are NOT seen through.
+    * Comparing the raw long bound against a double literal without the
+    * transform would be unsound at the 2^53 boundary, where
+    * `cast(v as double)` rounds onto the literal from above.
+    */
+  private def colStats(e: Expression, f: FileStat): Option[ColStats] =
+    e match {
+      case c: Cast =>
+        import org.apache.spark.sql.types._
+        colStats(c.child, f).flatMap { cs =>
+          (cs.kind, c.dataType) match {
+            case ("long", LongType) => Some(cs)
+            case ("long", DoubleType) =>
+              Some(mapBounds(cs, "double") { case SLong(v) => SDouble(v.toDouble) })
+            case ("long", FloatType) =>
+              Some(mapBounds(cs, "double") {
+                case SLong(v) => SDouble(v.toFloat.toDouble) })
+            case ("double", DoubleType) => Some(cs)
+            case ("double", FloatType) =>
+              Some(mapBounds(cs, "double") {
+                case SDouble(v) => SDouble(v.toFloat.toDouble) })
+            case _ => None
+          }
+        }
+      case _ => attrName(e).flatMap(f.cols.get)
+    }
+
+  private def mapBounds(cs: ColStats, newKind: String)
+                       (t: PartialFunction[SValue, SValue]): ColStats =
+    ColStats(newKind, cs.min.collect(t), cs.max.collect(t), cs.nulls)
+
+  /** Catalyst literal → (family, SValue). Families gate comparability:
+    * `num` literals compare against long/double stats via BigDecimal
+    * (exact — a Long→Double round at the boundary could prune a
+    * matching file); date against date (days), ts against ts (micros),
+    * string byte-lexicographically (UTF8String order == parquet's
+    * UTF8 sorted order; Java String order differs past the BMP).
+    */
+  private def litFamily(l: Literal): Option[(String, SValue)] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) return None
+    (l.dataType, l.value) match {
+      case (ByteType, v: Byte) => Some(("num", SLong(v.toLong)))
+      case (ShortType, v: Short) => Some(("num", SLong(v.toLong)))
+      case (IntegerType, v: Int) => Some(("num", SLong(v.toLong)))
+      case (LongType, v: Long) => Some(("num", SLong(v)))
+      case (FloatType, v: Float) =>
+        if (java.lang.Float.isNaN(v)) None else Some(("num", SDouble(v.toDouble)))
+      case (DoubleType, v: Double) =>
+        if (java.lang.Double.isNaN(v)) None else Some(("num", SDouble(v)))
+      case (_: DecimalType, v: org.apache.spark.sql.types.Decimal) =>
+        Some(("num", SString(v.toBigDecimal.toString))) // exact via BigDecimal
+      case (StringType, v: UTF8String) => Some(("string", SString(v.toString)))
+      case (BooleanType, v: Boolean) => Some(("bool", SBool(v)))
+      case (DateType, v: Int) => Some(("date", SLong(v.toLong)))
+      case (TimestampType, v: Long) => Some(("ts", SLong(v)))
+      case (TimestampNTZType, v: Long) => Some(("ts", SLong(v)))
+      case _ => None
+    }
+  }
+
+  /** Exact comparison of a literal against a stat bound of kind
+    * `kind`; None = incomparable (never prune).
+    */
+  private def cmpLit(lit: (String, SValue), bound: SValue, kind: String)
+      : Option[Int] = (lit, kind) match {
+    case (("num", lv), "long" | "double") => Some(toBig(lv).compare(toBig(bound)))
+    case (("date", SLong(a)), "date") =>
+      Some(java.lang.Long.compare(a, bound.asInstanceOf[SLong].v))
+    case (("ts", SLong(a)), "ts") =>
+      Some(java.lang.Long.compare(a, bound.asInstanceOf[SLong].v))
+    case (("string", SString(a)), "string") =>
+      Some(Integer.signum(UTF8String.fromString(a)
+        .compareTo(UTF8String.fromString(bound.asInstanceOf[SString].v))))
+    case (("bool", SBool(a)), "bool") =>
+      Some(java.lang.Boolean.compare(a, bound.asInstanceOf[SBool].v))
+    case _ => None
+  }
+
+  private def toBig(v: SValue): BigDecimal = v match {
+    case SLong(l) => BigDecimal(l)
+    case SDouble(d) => BigDecimal(d)
+    case SString(s) => BigDecimal(s) // decimal literal carried as string
+    case SBool(_) => throw new IllegalStateException("bool is not numeric")
+  }
+
+  /** attr <op> literal over one file's stats; true = may match. */
+  private def cmpLeaf(attr: Expression, l: Literal, f: FileStat,
+                      op: String): Boolean =
+    colStats(attr, f) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.nulls.contains(f.rows)) return false // all null: no compare is true
+        litFamily(l) match {
+          // null literal: the comparison is never true → prunable;
+          // NaN / unknown literal family: keep
+          case None => l.value != null
+          case Some(lv) =>
+            val vsMin = cs.min.flatMap(m => cmpLit(lv, m, cs.kind))
+            val vsMax = cs.max.flatMap(m => cmpLit(lv, m, cs.kind))
+            op match {
+              // eq: v ∈ [min, max]
+              case "eq" => !vsMin.exists(_ < 0) && !vsMax.exists(_ > 0)
+              // attr < v: possible iff min < v
+              case "lt" => !vsMin.exists(_ <= 0)
+              // attr <= v: possible iff min <= v
+              case "le" => !vsMin.exists(_ < 0)
+              // attr > v: possible iff max > v
+              case "gt" => !vsMax.exists(_ >= 0)
+              // attr >= v: possible iff max >= v
+              case "ge" => !vsMax.exists(_ > 0)
+            }
+        }
+    }
+
+  private def nullLeaf(attr: Expression, f: FileStat): Boolean =
+    colStats(attr, f) match {
+      case Some(cs) => cs.nulls.forall(_ > 0)
+      case None => true
+    }
+
+  private def notNullLeaf(attr: Expression, f: FileStat): Boolean =
+    colStats(attr, f) match {
+      case Some(cs) => !cs.nulls.contains(f.rows)
+      case None => true
+    }
+
+  /** startswith(attr, p): a file may hold such a string iff
+    * trunc(min, |p|) <= p <= trunc(max, |p|) in unsigned UTF-8 byte
+    * order (proper-prefix bounds compare as less). Sound under
+    * parquet's stat truncation, which only ever widens [min, max].
+    */
+  private def prefixLeaf(attr: Expression, prefix: String,
+                         f: FileStat): Boolean =
+    colStats(attr, f) match {
+      case Some(cs) if cs.kind == "string" =>
+        if (cs.nulls.contains(f.rows)) false
+        else {
+          val p = prefix.getBytes("UTF-8")
+          val okMin = cs.min.forall(m =>
+            truncCmp(m.asInstanceOf[SString].v.getBytes("UTF-8"), p) <= 0)
+          val okMax = cs.max.forall(m =>
+            truncCmp(m.asInstanceOf[SString].v.getBytes("UTF-8"), p) >= 0)
+          okMin && okMax
+        }
+      case _ => true
+    }
+
+  /** Compare a's first |p| bytes against p, unsigned; a proper prefix
+    * of p compares less (no string starting with p can be ≤ it).
+    */
+  private def truncCmp(a: Array[Byte], p: Array[Byte]): Int = {
+    val n = math.min(a.length, p.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (p(i) & 0xff)
+      if (d != 0) return Integer.signum(d)
+      i += 1
+    }
+    if (a.length >= p.length) 0 else -1
+  }
+
+  /** Compare two SValues of the same kind (collection-side fold). */
+  private def cmpSame(a: SValue, b: SValue, kind: String): Int = (a, b) match {
+    case (SLong(x), SLong(y)) => java.lang.Long.compare(x, y)
+    case (SDouble(x), SDouble(y)) => java.lang.Double.compare(x, y)
+    case (SString(x), SString(y)) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+    case (SBool(x), SBool(y)) => java.lang.Boolean.compare(x, y)
+    case _ => 0
+  }
+}
+
+/** Multi-column Z-order clustering for compaction — the true
+  * `OPTIMIZE ZORDER BY (a, b, …)`: interleave the bits of per-column
+  * EQUAL-DEPTH bucket ranks (quantile-derived, so skew cannot pile
+  * the whole table into one bucket) into a single space-filling-curve
+  * key, then range-partition + sort on it. Every output file then
+  * covers a small hyper-rectangle of the clustered space — min/max
+  * stats are tight on EVERY clustered column, where a lexicographic
+  * sort gives tight bounds only on the first. With
+  * [[FileSkipping]]-based scans, a predicate on ANY clustered column
+  * prunes ~(1 - 1/2^bits-per-col) of the files.
+  *
+  * Write-time cost: one quantile sketch pass over the snapshot
+  * (sample-based, driver-collected boundaries — ≤ 255·cols doubles)
+  * plus the same shuffle+sort a plain clustered compaction pays. The
+  * z-value is computed by a scalar closure over the casted columns —
+  * acceptable off the read path (compaction is already a full
+  * rewrite); scans never see it.
+  */
+object ZOrder {
+  import org.apache.spark.sql.functions._
+
+  /** Arrange `df` into `nFiles` z-ordered partitions on `cols` (all
+    * must cast to double: numerics out of the box; date/timestamp
+    * callers pre-project an epoch column). `bits` per column bounds
+    * the interleaved key at bits·|cols| ≤ 63.
+    */
+  def arrange(df: DataFrame, cols: Seq[String], nFiles: Int,
+              bits: Int = 8): DataFrame = {
+    require(cols.size >= 2, "z-order needs >= 2 columns (one column is a sort)")
+    require(bits * cols.size <= 63, s"bits($bits) * cols(${cols.size}) > 63")
+    val nb = 1 << bits
+    val casted = cols.map(c => col(c).cast("double"))
+    df.schema // force analysis so a bad cast surfaces here, not mid-write
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val qcols = cols.indices.map(i => s"_zq_$i")
+    val projected = df.select(cols.indices.map(i =>
+      casted(i).as(qcols(i))): _*)
+    // one aggregation pass computes all columns' boundaries
+    val bounds: Array[Array[Double]] =
+      projected.stat.approxQuantile(qcols.toArray, probs, 0.001)
+    val zf = udf { (vals: Seq[java.lang.Double]) =>
+      var z = 0L
+      var bit = bits - 1
+      while (bit >= 0) {
+        var i = 0
+        while (i < vals.length) {
+          val b = bucketOf(bounds(i), vals(i))
+          z = (z << 1) | ((b >> bit) & 1L)
+          i += 1
+        }
+        bit -= 1
+      }
+      z
+    }
+    df.withColumn("_z", zf(array(casted: _*)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+
+  /** Equal-depth bucket of `v` given sorted cut points; nulls sort
+    * first (bucket 0).
+    */
+  private def bucketOf(cuts: Array[Double], v: java.lang.Double): Long = {
+    if (v == null || v.isNaN) return 0L
+    val idx = java.util.Arrays.binarySearch(cuts, v.doubleValue())
+    val ip = if (idx >= 0) idx + 1 else -idx - 1
+    math.min(ip.toLong, cuts.length.toLong)
+  }
+}

@@ -172,6 +172,78 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** Predicate-pruned read (versioned layout): consult the snapshot's
+    * per-file stats manifest ([[FileSkipping]], written atomically
+    * with each commit) and enumerate ONLY files whose min/max/null
+    * stats admit a matching row, then apply the predicate to the
+    * survivors. Semantically identical to `read(spark).filter(pred)`;
+    * at 100 TB the difference is that pruned files cost zero scheduled
+    * tasks, zero opens, zero footer fetches — with a
+    * [[compact]] `clusterBy`/`zorder` layout a point/range query
+    * touches O(matching) files instead of O(table). Tables without
+    * stats (legacy snapshots, collection failures) and the
+    * partitioned layout (where directory-level partition pruning
+    * already does this job) fall back to the full scan + filter.
+    */
+  def scan(spark: SparkSession, predicate: org.apache.spark.sql.Column)
+      : DataFrame = partitionCol match {
+    case Some(_) => read(spark).filter(predicate)
+    case None => commits(spark).lastOption match {
+      case None => read(spark).filter(predicate)
+      case Some((_, _, dir)) =>
+        val (kept, total) = scanFileSelection(spark, dir, predicate)
+        if (kept.size == total) // nothing pruned (or no stats)
+          spark.read.parquet(s"$path/$dir").filter(predicate)
+        else if (kept.isEmpty) {
+          // stats prove no file can match: empty frame, same schema
+          val schema = spark.read.parquet(s"$path/$dir").schema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        } else
+          spark.read.parquet(kept.map(f => s"$path/$dir/$f"): _*)
+            .filter(predicate)
+    }
+  }
+
+  /** (files kept, total files) the stats manifest admits for
+    * `predicate` — the pruning decision [[scan]] acts on, exposed for
+    * tests and skip-ratio telemetry. No stats ⇒ everything kept.
+    *
+    * The predicate is taken from the OPTIMIZED plan of
+    * `snapshot.filter(predicate)`: that resolves attributes, folds
+    * literal casts (`=== 500` against a bigint column arrives as a
+    * typed long literal), rewrites null-safe-null to IS NULL, and —
+    * when the optimizer can prove the predicate unsatisfiable —
+    * collapses the plan to an empty relation, which prunes every
+    * file outright. A plan with no Filter left (condition absorbed
+    * some other way) conservatively keeps everything.
+    */
+  private[graft] def scanFileSelection(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): (Seq[String], Int) =
+    FileSkipping.readStats(fs(spark), new Path(s"$path/$dir")) match {
+      case None =>
+        val all = fs(spark).listStatus(new Path(s"$path/$dir")).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName)
+        (all, all.size)
+      case Some(stats) =>
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          Filter => LFilter, LocalRelation}
+        val plan = spark.read.parquet(s"$path/$dir")
+          .filter(predicate).queryExecution.optimizedPlan
+        val provablyEmpty = plan.collectFirst {
+          case l: LocalRelation if l.data.isEmpty => l
+        }.isDefined
+        if (provablyEmpty) (Seq.empty, stats.size)
+        else plan.collect { case f: LFilter => f.condition }
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And) match {
+            case None => (stats.map(_.file), stats.size)
+            case Some(cond) =>
+              (stats.filter(FileSkipping.mayMatch(cond, _)).map(_.file),
+                stats.size)
+          }
+    }
+
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>
       commits(spark).lastOption match {
@@ -447,7 +519,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Nil): Unit = {
+              clusterBy: Seq[String] = Nil,
+              zorder: Boolean = false): Unit = {
     if (partitionCol.nonEmpty) return
     val cs = commits(spark)
     if (cs.isEmpty) return
@@ -459,18 +532,26 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val snapshot = spark.read.parquet(s"$path/$curDir")
     // clusterBy (the OPTIMIZE ZORDER analog for one key prefix):
     // range-partition + sort so each output file covers a DISJOINT
-    // range of the cluster key — parquet row-group min/max stats then
-    // let a point/range predicate skip whole files at scan time
-    // (data skipping), where coalesce would leave every file spanning
-    // the full key range
+    // range of the cluster key — file-manifest and row-group min/max
+    // stats then let a point/range predicate skip whole files ([[scan]]
+    // prunes them before any task is scheduled), where coalesce would
+    // leave every file spanning the full key range.
+    // zorder=true with >= 2 keys interleaves equal-depth bucket ranks
+    // into a space-filling-curve key ([[ZOrder]]) — each file covers a
+    // hyper-rectangle, so predicates on ANY clustered column prune,
+    // not just the leading one of a lexicographic sort.
     val arranged =
       if (clusterBy.isEmpty) snapshot.coalesce(nFiles)
+      else if (zorder && clusterBy.size >= 2)
+        ZOrder.arrange(snapshot, clusterBy, nFiles)
       else {
         val cols = clusterBy.map(col)
         snapshot.repartitionByRange(nFiles, cols: _*)
           .sortWithinPartitions(cols: _*)
       }
     arranged.write.mode("overwrite").parquet(s"$path/$dir")
+    FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+      new Path(s"$path/$dir"))
     // compaction is an optimization: losing the version race to a
     // concurrent upsert just abandons this attempt (the upsert's
     // snapshot supersedes ours anyway)
@@ -609,6 +690,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val attemptOk =
       try {
         survivors.write.mode("overwrite").parquet(s"$path/$dataDir")
+        FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+          new Path(s"$path/$dataDir"))
         true
       } catch {
         case e: Throwable if fnfInChain(e) &&
@@ -683,6 +766,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           }
         try {
           data.write.mode("overwrite").parquet(s"$path/$dataDir")
+          // footer-derived per-file stats land INSIDE the snapshot dir
+          // before the commit claim — published atomically with the
+          // version, powering [[scan]]'s file pruning
+          FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+            new Path(s"$path/$dataDir"))
           true
         } catch {
           case e: Throwable if fnfInChain(e) &&

@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{FileSkipping, ParquetUpsertSink}
+
+/** File-level data skipping on the versioned upsert store: footer
+  * stats collection, the conservative predicate pruner, scan parity,
+  * clustered/z-ordered pruning effectiveness, and every fallback that
+  * must keep rather than prune.
+  */
+class FileSkippingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Mixed-type table: 1000 rows over 8 range-disjoint files on `id`
+    * (written pre-ranged, so v0's stats already cluster), with a
+    * nullable column null on ids ≡ 0 (mod 4) and an all-null column.
+    */
+  private def mixedSink(dir: String): ParquetUpsertSink = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("score", col("id").cast("double") / 10.0)
+      .withColumn("name", concat(lit("user"), format_string("%04d", col("id"))))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 10).cast("int")))
+      .withColumn("at", timestamp_seconds(lit(1717200000L) + col("id")))
+      .withColumn("flag", col("id") % 2 === 0)
+      .withColumn("maybe", when(col("id") % 4 =!= 0, col("id") * 2))
+      .withColumn("void", lit(null).cast("long"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    sink.upsert(spark, df, batchId = -1)
+    sink
+  }
+
+  private def snapshotDir(sink: ParquetUpsertSink, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v")).maxBy(identity)
+  }
+
+  private def assertParity(sink: ParquetUpsertSink, pred: Column): Unit = {
+    val viaScan = sink.scan(spark, pred).collect().map(_.toString).sorted
+    val viaRead = sink.read(spark).filter(pred).collect().map(_.toString).sorted
+    assert(viaScan.toSeq === viaRead.toSeq)
+  }
+
+  private def selection(sink: ParquetUpsertSink, dir: String, pred: Column)
+      : (Int, Int) = {
+    val (kept, total) = sink.scanFileSelection(spark,
+      snapshotDir(sink, dir), pred)
+    (kept.size, total)
+  }
+
+  test("commit writes a stats manifest with per-kind min/max/nulls") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val snap = snapshotDir(sink, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = FileSkipping.readStats(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/$snap"))
+    assert(stats.isDefined, "stats manifest missing")
+    val fss = stats.get
+    assert(fss.size === 8)
+    assert(fss.map(_.rows).sum === 1000L)
+    // global bounds across files reproduce the data's true extrema
+    import FileSkipping._
+    def allMin(c: String) = fss.flatMap(_.cols(c).min)
+    def allMax(c: String) = fss.flatMap(_.cols(c).max)
+    assert(allMin("id").collect { case SLong(v) => v }.min === 0L)
+    assert(allMax("id").collect { case SLong(v) => v }.max === 999L)
+    assert(allMin("score").collect { case SDouble(v) => v }.min === 0.0)
+    assert(allMax("score").collect { case SDouble(v) => v }.max === 99.9)
+    assert(allMin("name").collect { case SString(v) => v }.min === "user0000")
+    assert(fss.head.cols("day").kind === "date")
+    assert(fss.head.cols("at").kind === "ts")
+    assert(fss.head.cols("flag").kind === "bool")
+    // null accounting: `maybe` has nulls in every file, `void` is all
+    // null (bounds absent, nulls == rows), `id` has none
+    assert(fss.forall(f => f.cols("maybe").nulls.exists(_ > 0)))
+    assert(fss.forall(f => f.cols("void").nulls.contains(f.rows) &&
+      f.cols("void").min.isEmpty))
+    assert(fss.forall(f => f.cols("id").nulls.contains(0L)))
+  }
+
+  test("point and range predicates prune range-clustered files") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val (kPoint, total) = selection(sink, dir, col("id") === 500L)
+    assert(total === 8)
+    assert(kPoint === 1, s"point lookup kept $kPoint of $total")
+    val (kRange, _) = selection(sink, dir,
+      col("id") >= 100L && col("id") < 300L)
+    assert(kRange <= 3, s"range kept $kRange of $total")
+    val (kTop, _) = selection(sink, dir, col("id") > 990L)
+    assert(kTop === 1)
+    assertParity(sink, col("id") === 500L)
+    assertParity(sink, col("id") >= 100L && col("id") < 300L)
+    assertParity(sink, col("id") > 990L)
+  }
+
+  test("string equality, IN-lists and prefix predicates prune") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val (kEq, total) = selection(sink, dir, col("name") === "user0042")
+    assert(kEq === 1, s"string point kept $kEq of $total")
+    val (kIn, _) = selection(sink, dir,
+      col("id").isin(1L, 2L, 901L))
+    assert(kIn === 2, s"IN kept $kIn")
+    val (kPre, _) = selection(sink, dir, col("name").startsWith("user09"))
+    assert(kPre <= 2, s"prefix kept $kPre")
+    // prefix shorter than a file's whole range: matches everything
+    val (kPreAll, t2) = selection(sink, dir, col("name").startsWith("user"))
+    assert(kPreAll === t2)
+    assertParity(sink, col("name") === "user0042")
+    assertParity(sink, col("id").isin(1L, 2L, 901L))
+    assertParity(sink, col("name").startsWith("user09"))
+  }
+
+  test("date, timestamp and boolean predicates prune") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val (kDay, total) = selection(sink, dir,
+      col("day") === lit(java.sql.Date.valueOf("2024-01-05")))
+    assert(kDay === 1, s"date point kept $kDay of $total")
+    val (kTs, _) = selection(sink, dir,
+      col("at") < lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1717200120L))))
+    assert(kTs === 1, s"ts range kept $kTs")
+    // flag alternates per row: bool stats span both values, no pruning
+    val (kFlag, t2) = selection(sink, dir, col("flag"))
+    assert(kFlag === t2)
+    assertParity(sink, col("day") === lit(java.sql.Date.valueOf("2024-01-05")))
+    assertParity(sink, col("at") <
+      lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1717200120L))))
+    assertParity(sink, col("flag"))
+  }
+
+  test("null-check predicates use null counts; SQL three-valued logic holds") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    // `void` is all null: any comparison on it prunes everything;
+    // IS NULL keeps everything
+    val (kCmp, _) = selection(sink, dir, col("void") === 5L)
+    assert(kCmp === 0)
+    val (kIsNull, t) = selection(sink, dir, col("void").isNull)
+    assert(kIsNull === t)
+    val (kNotNull, _) = selection(sink, dir, col("void").isNotNull)
+    assert(kNotNull === 0)
+    // `id` has no nulls: IS NULL prunes everything
+    val (kIdNull, _) = selection(sink, dir, col("id").isNull)
+    assert(kIdNull === 0)
+    // comparisons against a NULL literal can never be true
+    val (kNullLit, _) = selection(sink, dir,
+      col("id") === lit(null).cast("long"))
+    assert(kNullLit === 0)
+    // null-safe equality against NULL = IS NULL semantics
+    val (kNse, t3) = selection(sink, dir, col("maybe") <=> lit(null))
+    assert(kNse === t3)
+    assertParity(sink, col("void").isNull)
+    assertParity(sink, col("maybe").isNull)
+    assertParity(sink, col("id") === lit(null).cast("long"))
+    assertParity(sink, col("maybe") <=> lit(null))
+  }
+
+  test("conjunction narrows, disjunction widens, unknown shapes keep") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val (kAnd, _) = selection(sink, dir,
+      col("id") < 100L && col("name") === "user0500")
+    assert(kAnd === 0, "contradictory conjunction must prune everything")
+    val (kOr, _) = selection(sink, dir,
+      col("id") === 5L || col("id") === 995L)
+    assert(kOr === 2)
+    // a shape the pruner does not model keeps every file
+    val (kUdf, t) = selection(sink, dir, length(col("name")) > 3)
+    assert(kUdf === t)
+    // ...including inside a conjunction with a prunable leaf
+    val (kMix, _) = selection(sink, dir,
+      length(col("name")) > 3 && col("id") === 5L)
+    assert(kMix === 1)
+    assertParity(sink, col("id") === 5L || col("id") === 995L)
+    assertParity(sink, length(col("name")) > 3 && col("id") === 5L)
+  }
+
+  test("scan with a nothing-matches predicate returns an empty frame, same schema") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val out = sink.scan(spark, col("id") === -42L)
+    assert(out.schema === sink.read(spark).schema)
+    assert(out.count() === 0)
+  }
+
+  test("missing stats manifest falls back to keep-everything, scan stays correct") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val snap = snapshotDir(sink, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/$snap/${FileSkipping.statsFileName}"), false)
+    val (kept, total) = selection(sink, dir, col("id") === 500L)
+    assert(kept === total, "no stats must mean no pruning")
+    assertParity(sink, col("id") === 500L)
+  }
+
+  test("delete and compact refresh stats; compact(clusterBy) tightens pruning") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    // delete a range, then compact into ~4 id-clustered files
+    sink.delete(spark, col("id") >= 800L, batchId = -1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preDir = snapshotDir(sink, dir)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$dir/$preDir")).getLength
+    sink.compact(spark, targetFileBytes = math.max(1L, bytes / 4),
+      clusterBy = Seq("id"))
+    val (kPoint, total) = selection(sink, dir, col("id") === 100L)
+    assert(total >= 3, s"compaction produced only $total files")
+    assert(kPoint === 1, s"clustered point lookup kept $kPoint of $total")
+    // the deleted range is provably absent
+    val (kGone, _) = selection(sink, dir, col("id") >= 800L)
+    assert(kGone === 0)
+    assertParity(sink, col("id") === 100L)
+    assert(sink.scan(spark, col("id") >= 800L).count() === 0)
+  }
+
+  test("z-order compaction prunes on EVERY clustered column; lexicographic only on the first") {
+    import org.apache.hadoop.fs.Path
+    val grid = spark.range(64L * 64).toDF("i")
+      .withColumn("x", col("i") % 64)
+      .withColumn("y", (col("i") / 64).cast("long"))
+      .withColumn("payload", concat(lit("p"), col("i")))
+      .drop("i")
+
+    def build(dir: String, zorder: Boolean): ParquetUpsertSink = {
+      val sink = new ParquetUpsertSink(dir, Seq("x", "y"))
+      sink.upsert(spark, grid, batchId = -1)
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pre = snapshotDir(sink, dir)
+      val bytes = fs.getContentSummary(new Path(s"$dir/$pre")).getLength
+      sink.compact(spark, targetFileBytes = math.max(1L, bytes / 16),
+        clusterBy = Seq("x", "y"), zorder = zorder)
+      sink
+    }
+
+    val zDir = tmpDir("fskip") + "/z"
+    val lexDir = tmpDir("fskip") + "/lex"
+    val zSink = build(zDir, zorder = true)
+    val lexSink = build(lexDir, zorder = false)
+
+    val onX = col("x") < 8L
+    val onY = col("y") < 8L
+    val (zx, zTotal) = selection(zSink, zDir, onX)
+    val (zy, _) = selection(zSink, zDir, onY)
+    val (lx, lexTotal) = selection(lexSink, lexDir, onX)
+    val (ly, _) = selection(lexSink, lexDir, onY)
+    assert(zTotal >= 8 && lexTotal >= 8,
+      s"want >=8 files, got z=$zTotal lex=$lexTotal")
+    // z-order: BOTH axes prune
+    assert(zx <= zTotal / 2, s"z-order x-predicate kept $zx of $zTotal")
+    assert(zy <= zTotal / 2, s"z-order y-predicate kept $zy of $zTotal")
+    // lexicographic: leading key prunes, trailing key cannot
+    assert(lx <= lexTotal / 2, s"lex x-predicate kept $lx of $lexTotal")
+    assert(ly >= lexTotal - 1, s"lex y-predicate should keep ~all, kept $ly")
+    // identical results on every layout and path
+    for (sink <- Seq(zSink, lexSink); pred <- Seq(onX, onY, onX && onY))
+      assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+        grid.filter(pred).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("stats JSON round-trips byte-identically") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    val snap = snapshotDir(sink, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = FileSkipping.readStats(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/$snap")).get
+    val reparsed = FileSkipping.statsFromJson(
+      FileSkipping.statsToJson(stats))
+    assert(reparsed === Some(stats))
+  }
+}
