@@ -116,6 +116,32 @@ object ScaleProof {
         (view0, feed, sink)
       })
 
+    // Z-order-compacted versioned table per corpus size for the
+    // data-skipping legs — built once outside the timers (the build is
+    // `upsert_changes_between`'s + compaction's own cost). FIXED
+    // 256 KB target files so the FILE COUNT grows with n, exactly as
+    // a real table's does: the pruning claim is about file count.
+    val skipCache = scala.collection.mutable.Map.empty[
+      Long, graft.operators.ParquetUpsertSink]
+    def skipSetup(n: Long, docs: DataFrame)
+        : graft.operators.ParquetUpsertSink =
+      skipCache.getOrElseUpdate(n, {
+        val dir = s"$work/skip_$n"
+        val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"))
+        sink.upsert(spark, docs.select("doc_id", "source", "n_chars"),
+          batchId = -1)
+        sink.compact(spark, targetFileBytes = 256L * 1024,
+          clusterBy = Seq("doc_id", "n_chars"), zorder = true)
+        // the at-scale figure of merit: files the manifest ELIMINATES
+        // for the benchmark predicate (each is a task + open + footer
+        // fetch that never happens on a cluster)
+        val (kept, total) = sink.scanFileCounts(spark,
+          col("doc_id").between(0L, 999L) && col("n_chars") > 200L)
+        println(s"""{"op":"scan_pruned_files","n":$n,""" +
+          s""""kept":$kept,"total":$total}""")
+        sink
+      })
+
     def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
       val queries = emb.filter(col("vec_id") < 64)
       Seq(
@@ -292,6 +318,26 @@ object ScaleProof {
             ivmTokens(sink.read(spark)), Seq("source"), Seq("n_toks"))
             .collect().length.toLong
         }),
+        // File-level data skipping: a FIXED-WIDTH id window (constant
+        // matching rows as n grows) through the stats-manifest scan vs
+        // the full read+filter. Measurement honesty: at one-box sizes
+        // BOTH wall-clocks are flat — a two-narrow-column vectorized
+        // scan is job-overhead-bound at any n a single JVM holds (the
+        // same trap the IVM recompute leg documents), so the exponent
+        // pair only proves scan adds no regression. The 100 TB claim
+        // lives in the `scan_pruned_files` line skipSetup prints: the
+        // kept/total FILE counts — each eliminated file is a task, an
+        // open, and a footer fetch a 1000-executor cluster never pays.
+        "scan_pruned" -> (() => {
+          val sink = skipSetup(n, docs)
+          sink.scan(spark, col("doc_id").between(0L, 999L) &&
+            col("n_chars") > 200L).count()
+        }),
+        "scan_full" -> (() => {
+          val sink = skipSetup(n, docs)
+          sink.read(spark).filter(col("doc_id").between(0L, 999L) &&
+            col("n_chars") > 200L).count()
+        }),
         // SQ8 brute force over the persisted codes table: rep 1 pays
         // the quantize-and-write, later reps scan 1-byte codes only.
         // The exponent SHOULD be ~1 — SQ8 is the bandwidth play, not
@@ -338,6 +384,9 @@ object ScaleProof {
       // first — the timed reps must measure only advance vs recompute
       if (selected.exists(_._1.startsWith("incr_agg_")))
         ivmSetup(n, docs)
+      // same for the skip-scan table (snapshot write + z-compaction)
+      if (selected.exists(_._1.startsWith("scan_")))
+        skipSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

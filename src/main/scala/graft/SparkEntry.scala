@@ -182,6 +182,28 @@ object SparkEntry {
     (sink, v0)
   }
 
+  /** Fixture for the `upsert_scan_prune` query: snapshot the narrow
+    * documents projection into a versioned upsert table, then compact
+    * it Z-ORDERED on (doc_id, n_chars) into ~8 files — each file a
+    * hyper-rectangle of the (id, length) space, so the query's
+    * stats-manifest scan prunes on BOTH columns. Rebuilt per call
+    * (same rationale as [[ivmFixture]]).
+    */
+  private def skipScanFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/skip_scan"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"))
+    sink.upsert(s, docs, batchId = -1)
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    sink.compact(s, targetFileBytes = math.max(1L, bytes / 8),
+      clusterBy = Seq("doc_id", "n_chars"), zorder = true)
+    sink
+  }
+
   /** Per-doc tokens CTE. */
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
@@ -1053,6 +1075,22 @@ object SparkEntry {
           col("max_n_chars").as("max_chars"))
     }),
 
+    // ---------- north star: file-level data skipping ----------
+    // The stats-manifest scan end to end through the oracle: snapshot
+    // documents into the versioned store, Z-ORDER-compact on
+    // (doc_id, n_chars), then read through `scan`, whose file pruning
+    // consults the per-file min/max manifest for BOTH clustered
+    // columns (plus the point-lookup disjunct). The oracle recomputes
+    // the predicate over the base table — a hash match proves the
+    // pruner never drops a file holding a matching row, on a layout
+    // specifically built to make over-pruning visible.
+    "upsert_scan_prune" -> ((s, d) => {
+      val sink = skipScanFixture(s, d)
+      sink.scan(s,
+        (col("doc_id") < 200L && col("n_chars").between(150L, 400L)) ||
+          col("doc_id") === 450L)
+    }),
+
     // Custom whole-operator plan: per-key top-k via bounded heaps
     // (logical node + Strategy + SparkPlan) — same semantics as
     // window_topn_orders, O(n log k) instead of a full per-key sort.
@@ -1884,6 +1922,15 @@ object SparkEntry {
         | SUM(CAST(n_chars + CASE WHEN doc_id % 10 = 3 THEN 7 ELSE 0 END AS DOUBLE)) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 4
         |GROUP BY source""".stripMargin,
+
+    // The skip-scan fixture is a verbatim snapshot of `documents`
+    // (narrow projection, rearranged by the z-order compaction —
+    // row-set-identical), so the oracle is the same predicate over
+    // the base table.
+    "upsert_scan_prune" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE (doc_id < 200 AND n_chars BETWEEN 150 AND 400)
+        |   OR doc_id = 450""".stripMargin,
 
     "incr_agg_minmax" ->
       """SELECT source, COUNT(*) AS n_docs,

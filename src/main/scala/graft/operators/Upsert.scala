@@ -123,9 +123,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
   private def commitsDir = new Path(path, "_commits")
 
   /** (version, batchId, dataDir) of all commits, ascending by
-    * version. The commit file's content is `<batchId> <dataDir>`;
-    * dataDir is the UNIQUELY-NAMED snapshot directory the version
-    * points at (absent in the legacy single-writer format, which used
+    * version. The commit file's content is
+    * `<batchId> <dataDir> [<epochMillis> <operation>]` (the trailing
+    * pair feeds [[history]]; partitioned commits carry `-` for the
+    * dir they don't have); dataDir is the UNIQUELY-NAMED snapshot
+    * directory the version points at (absent in the legacy
+    * single-writer format, which used
     * the fixed name `v<version>` — still parsed for old tables).
     * Unique names are what make racing writers safe: each attempt
     * writes its own directory, so a loser can discard its orphan
@@ -242,6 +245,24 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
               (stats.filter(FileSkipping.mayMatch(cond, _)).map(_.file),
                 stats.size)
           }
+    }
+
+  /** (files kept, total files) the stats manifest admits for
+    * `predicate` on the CURRENT version — skip-ratio telemetry (the
+    * at-scale figure of merit: every pruned file is a task, an open,
+    * and a footer fetch that never happens). (0, 0) when no committed
+    * version or no stats exist.
+    */
+  def scanFileCounts(spark: SparkSession,
+                     predicate: org.apache.spark.sql.Column): (Int, Int) =
+    partitionCol match {
+      case Some(_) => (0, 0)
+      case None => commits(spark).lastOption match {
+        case None => (0, 0)
+        case Some((_, _, dir)) =>
+          val (kept, total) = scanFileSelection(spark, dir, predicate)
+          (kept.size, total)
+      }
     }
 
   def read(spark: SparkSession): DataFrame = partitionCol match {
@@ -428,14 +449,20 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
 
   /** Drop versions (and their commit files) older than the previous
     * one — keeps a snapshot for readers started before the last
-    * commit. Partitioned tables have no version directories, but
-    * their commit log is trimmed the same way (only the max matters
-    * for idempotence) so it cannot grow without bound.
+    * commit. REFERENCE-COUNTED: a snapshot dir still pointed at by a
+    * retained commit survives its own version's expiry ([[restore]]
+    * re-references an old dir from a new commit, Delta-style zero-copy
+    * rollback — deleting it under the restored version would corrupt
+    * the current table). Partitioned tables have no version
+    * directories, but their commit log is trimmed the same way (only
+    * the max matters for idempotence) so it cannot grow without bound.
     */
   private def gc(spark: SparkSession, cs: Seq[(Long, Long, String)]): Unit = {
     val f = fs(spark)
+    val referenced = cs.takeRight(retainVersions).map(_._3).toSet
     cs.dropRight(retainVersions).foreach { case (v, _, dir) =>
-      if (partitionCol.isEmpty) f.delete(new Path(s"$path/$dir"), true)
+      if (partitionCol.isEmpty && !referenced.contains(dir))
+        f.delete(new Path(s"$path/$dir"), true)
       f.delete(new Path(commitsDir, v.toString), false)
     }
   }
@@ -555,7 +582,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // compaction is an optimization: losing the version race to a
     // concurrent upsert just abandons this attempt (the upsert's
     // snapshot supersedes ours anyway)
-    if (tryCommit(spark, newV, s"$lastBatch $dir"))
+    if (tryCommit(spark, newV,
+        s"$lastBatch $dir ${System.currentTimeMillis()} compact"))
       gc(spark, cs :+ ((newV, lastBatch, dir)))
     else fs(spark).delete(new Path(s"$path/$dir"), true)
   }
@@ -651,7 +679,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     } else if (batchId < 0) return // no match, nothing to record
     // commit the batchId marker (idempotence); a lost claim means an
     // external writer bypassed the lock — surface it, as upsert does
-    if (tryCommit(spark, newV, recorded.toString)) {
+    if (tryCommit(spark, newV,
+        s"$recorded - ${System.currentTimeMillis()} delete")) {
       gc(spark, cs :+ ((newV, recorded, "")))
     } else {
       throw new java.util.ConcurrentModificationException(
@@ -702,7 +731,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           false
       }
     val recorded = if (batchId >= 0) batchId else lastStreamBatch
-    if (attemptOk && tryCommit(spark, newV, s"$recorded $dataDir")) {
+    if (attemptOk && tryCommit(spark, newV,
+        s"$recorded $dataDir ${System.currentTimeMillis()} delete")) {
       gc(spark, cs :+ ((newV, recorded, dataDir)))
     } else {
       if (attemptOk) // claimed by another writer: drop the orphan snapshot
@@ -838,7 +868,9 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // GC of older commits cannot resurrect replay of a seen batch.
     val recorded = if (batchId >= 0) batchId else lastStreamBatch
     val content =
-      if (partitionCol.isEmpty) s"$recorded $dataDir" else recorded.toString
+      if (partitionCol.isEmpty)
+        s"$recorded $dataDir ${System.currentTimeMillis()} upsert"
+      else s"$recorded - ${System.currentTimeMillis()} upsert"
     beforeCommit(newV)
     if (tryCommit(spark, newV, content)) {
       gc(spark, cs :+ ((newV, recorded, dataDir)))
@@ -901,6 +933,80 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
     orphans.foreach(s => f.delete(s.getPath, true))
     orphans.map(_.getPath.getName)
+  }
+
+  /** One row per RETAINED commit, newest first — the Delta
+    * `DESCRIBE HISTORY` analog. Columns: version, batch_id,
+    * operation (upsert/delete/compact/restore), committed_at,
+    * data_dir. Only the newest `retainVersions` commits exist (GC
+    * trims the rest with their snapshots); commits written before
+    * this format carry null operation/timestamp, and partitioned
+    * commits a null data_dir. Driver-side listing of ≤ retainVersions
+    * files — O(1) at any table size.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val f = fs(spark)
+    val rows =
+      (if (!f.exists(commitsDir)) Seq.empty
+       else f.listStatus(commitsDir).toSeq.flatMap { s =>
+         scala.util.Try {
+           val v = s.getPath.getName.toLong
+           val in = f.open(s.getPath)
+           val content = try new String(in.readAllBytes(), "UTF-8").trim
+           finally in.close()
+           val p = content.split("\\s+")
+           org.apache.spark.sql.Row(v, p(0).toLong,
+             if (p.length > 3) p(3) else null,
+             if (p.length > 2)
+               scala.util.Try(new java.sql.Timestamp(p(2).toLong))
+                 .getOrElse(null)
+             else null,
+             if (p.length > 1 && p(1) != "-") p(1) else null)
+         }.toOption
+       }).sortBy(-_.getLong(0))
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("batch_id", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("committed_at", TimestampType),
+      StructField("data_dir", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Roll the table back to a retained `version` — the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` analog (versioned layout
+    * only; raise `retainVersions` to widen the restore window).
+    * ZERO-COPY: the new commit re-references the old snapshot
+    * directory — [[gc]] is reference-counted, so the shared dir
+    * survives until no retained commit points at it — and the
+    * rollback is itself a NEW commit: readers are never interrupted,
+    * [[history]] records it, and the change feed across the restore
+    * shows exactly the retractions/re-inserts a downstream
+    * incremental consumer must apply. The batchId high-water mark
+    * carries forward so streaming replay protection survives the
+    * rollback.
+    */
+  def restore(spark: SparkSession, version: Long): Unit = {
+    require(partitionCol.isEmpty,
+      "restore requires the versioned layout; the partitioned layout " +
+        "rewrites data in place and keeps no history")
+    val cs = commits(spark)
+    val target = cs.find(_._1 == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $path is not available (GC retains the " +
+          s"newest $retainVersions; present: ${cs.map(_._1).mkString(",")})"))
+    if (cs.last._1 == version) return // already current
+    val lastStreamBatch =
+      cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+    val newV = cs.last._1 + 1
+    if (tryCommit(spark, newV,
+        s"$lastStreamBatch ${target._3} ${System.currentTimeMillis()} restore"))
+      gc(spark, cs :+ ((newV, lastStreamBatch, target._3)))
+    else throw new java.util.ConcurrentModificationException(
+      s"concurrent writer claimed version $newV of $path during " +
+        "restore — re-check the table state and retry")
   }
 
   /** Whether `t`'s cause chain contains a FileNotFoundException (typed
