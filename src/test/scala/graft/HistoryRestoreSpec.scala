@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ParquetUpsertSink
+
+/** DESCRIBE HISTORY / RESTORE analogs on the versioned upsert store:
+  * operation+timestamp audit rows, zero-copy rollback via commit
+  * re-reference, reference-counted GC of shared snapshot dirs, and
+  * the replay guard surviving a restore.
+  */
+class HistoryRestoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(tag: String) = Seq(
+    (1L, s"a-$tag"), (2L, s"b-$tag"), (3L, s"c-$tag")
+  ).toDF("id", "payload")
+
+  test("history records operation, timestamp and commit order, newest first") {
+    val dir = tmpDir("hist") + "/t"
+    val sink = new ParquetUpsertSink(dir, Seq("id"), retainVersions = 6)
+    sink.upsert(spark, docs("v0"), batchId = 0)
+    sink.upsert(spark, docs("v1"), batchId = 1)
+    sink.delete(spark, col("id") === 3L, batchId = 2)
+    sink.compact(spark)
+    val h = sink.history(spark).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("compact", "delete", "upsert", "upsert"))
+    assert(h.map(_.getLong(1)).toSeq === Seq(2L, 2L, 1L, 0L))
+    // timestamps present and non-decreasing with version
+    val ts = h.reverse.map(_.getTimestamp(3))
+    assert(ts.forall(_ != null))
+    assert(ts.sliding(2).forall(p => !p(0).after(p(1))))
+    // every versioned commit names its snapshot dir
+    assert(h.forall(r => r.getString(4) != null && r.getString(4).startsWith("v")))
+  }
+
+  test("restore rolls back to a retained version; CDC and replay guard follow") {
+    val dir = tmpDir("hist") + "/t"
+    val sink = new ParquetUpsertSink(dir, Seq("id"), retainVersions = 6)
+    sink.upsert(spark, docs("orig"), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    sink.upsert(spark, docs("changed").filter(col("id") <= 2L), batchId = 1)
+    sink.delete(spark, col("id") === 3L, batchId = 2)
+    sink.restore(spark, v0)
+    // content is exactly v0's again — the change feed across
+    // (v0 → post-restore) is empty
+    assert(sink.read(spark).collect().map(_.getString(1)).sorted.toSeq ===
+      Seq("a-orig", "b-orig", "c-orig"))
+    assert(sink.changesBetween(spark, v0, sink.currentVersion(spark))
+      .count() === 0)
+    assert(sink.history(spark).first().getString(2) === "restore")
+    // the feed across the restore commit itself carries the
+    // retractions/re-inserts a downstream consumer must apply
+    val feed = sink.changeFeed(spark, sink.currentVersion(spark) - 1,
+      sink.currentVersion(spark))
+    assert(feed.filter(col("_change_type") === "insert").count() === 1) // id 3 back
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() === 2) // ids 1,2 back to orig
+    // replay protection survives the rollback: batch 2 already seen
+    val before = sink.read(spark).collect().toSet
+    sink.upsert(spark, docs("replayed"), batchId = 2)
+    assert(sink.read(spark).collect().toSet === before)
+    // a genuinely new batch applies
+    sink.upsert(spark, docs("fresh").filter(col("id") === 1L), batchId = 3)
+    assert(sink.read(spark).filter(col("id") === 1L)
+      .first().getString(1) === "a-fresh")
+  }
+
+  test("restore is zero-copy: the shared snapshot dir survives GC until unreferenced") {
+    val dir = tmpDir("hist") + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirOf(version: Long, sink: ParquetUpsertSink): String =
+      sink.history(spark).filter(col("version") === version)
+        .first().getString(4)
+    val sink = new ParquetUpsertSink(dir, Seq("id")) // retainVersions = 2
+    sink.upsert(spark, docs("v0"), batchId = -1)
+    val v0 = sink.currentVersion(spark)
+    val v0dir = dirOf(v0, sink)
+    sink.upsert(spark, docs("v1"), batchId = -1)
+    sink.restore(spark, v0) // v2 re-references v0's dir; v0's commit ages out
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$v0dir")),
+      "restored-to dir must survive its own version's GC")
+    assert(sink.read(spark).collect().map(_.getString(1)).sorted.toSeq ===
+      Seq("a-v0", "b-v0", "c-v0"))
+    // one more commit: v2 (→ v0dir) still retained, dir survives
+    sink.upsert(spark, docs("v3"), batchId = -1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$v0dir")))
+    // and once no retained commit references it, it is reclaimed
+    sink.upsert(spark, docs("v4"), batchId = -1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$v0dir")),
+      "unreferenced dir must be GC'd")
+    assert(sink.read(spark).collect().map(_.getString(1)).sorted.toSeq ===
+      Seq("a-v4", "b-v4", "c-v4"))
+  }
+
+  test("restore refuses unknown versions and the partitioned layout") {
+    val dir = tmpDir("hist") + "/t"
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    sink.upsert(spark, docs("v0"), batchId = -1)
+    intercept[IllegalArgumentException] { sink.restore(spark, 99L) }
+    val pdir = tmpDir("hist") + "/p"
+    val psink = new ParquetUpsertSink(pdir, Seq("id"),
+      partitionCol = Some("payload"))
+    psink.upsert(spark, docs("v0"), batchId = -1)
+    intercept[IllegalArgumentException] { psink.restore(spark, 0L) }
+  }
+
+  test("restore to the current version is a no-op") {
+    val dir = tmpDir("hist") + "/t"
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    sink.upsert(spark, docs("v0"), batchId = -1)
+    val v = sink.currentVersion(spark)
+    sink.restore(spark, v)
+    assert(sink.currentVersion(spark) === v)
+  }
+}
