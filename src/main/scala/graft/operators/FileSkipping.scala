@@ -583,6 +583,38 @@ object FileSkipping {
     if (a.length >= p.length) 0 else -1
   }
 
+  /** Pseudo column stats for a PARTITION-VALUE directory (partitioned
+    * layout): the directory name pins every row's value, so the
+    * column's per-file stats are min = max = value, zero nulls — and
+    * the one pruner handles partition pruning and data-column
+    * skipping uniformly. The Hive default-partition directory means
+    * "value is null": all-null stats. Types without a lossless
+    * path-string round-trip return None (those columns simply don't
+    * prune).
+    */
+  def partitionColStats(dt: org.apache.spark.sql.types.DataType,
+                        raw: String, rows: Long): Option[ColStats] = {
+    import org.apache.spark.sql.types._
+    def point(kind: String, v: SValue) =
+      ColStats(kind, Some(v), Some(v), Some(0L))
+    if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME)
+      return Some(ColStats("string", None, None, Some(rows)))
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(raw.toLong).toOption.map(v => point("long", SLong(v)))
+      case FloatType | DoubleType =>
+        scala.util.Try(raw.toDouble).toOption
+          .filter(java.lang.Double.isFinite)
+          .map(v => point("double", SDouble(v)))
+      case StringType => Some(point("string", SString(raw)))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay).toOption
+          .map(d => point("date", SLong(d)))
+      case _ => None
+    }
+  }
+
   /** Compare two SValues of the same kind (collection-side fold). */
   private def cmpSame(a: SValue, b: SValue, kind: String): Int = (a, b) match {
     case (SLong(x), SLong(y)) => java.lang.Long.compare(x, y)

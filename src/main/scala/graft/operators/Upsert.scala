@@ -190,21 +190,122 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   def scan(spark: SparkSession, predicate: org.apache.spark.sql.Column)
       : DataFrame = partitionCol match {
-    case Some(_) => read(spark).filter(predicate)
+    case Some(pc) =>
+      partitionedFileSelection(spark, pc, predicate) match {
+        case None => read(spark).filter(predicate)
+        case Some((kept, total)) if kept.size == total =>
+          read(spark).filter(predicate)
+        case Some((kept, _)) if kept.isEmpty =>
+          emptyLike(spark, read(spark).schema)
+        case Some((kept, _)) =>
+          // basePath keeps the partition column derivable from the
+          // kept leaf-file paths
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(kept.map(k => s"$path/$k"): _*)
+            .filter(predicate)
+      }
     case None => commits(spark).lastOption match {
       case None => read(spark).filter(predicate)
       case Some((_, _, dir)) =>
         val (kept, total) = scanFileSelection(spark, dir, predicate)
         if (kept.size == total) // nothing pruned (or no stats)
           spark.read.parquet(s"$path/$dir").filter(predicate)
-        else if (kept.isEmpty) {
-          // stats prove no file can match: empty frame, same schema
-          val schema = spark.read.parquet(s"$path/$dir").schema
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        } else
+        else if (kept.isEmpty) // stats prove no file can match
+          emptyLike(spark, spark.read.parquet(s"$path/$dir").schema)
+        else
           spark.read.parquet(kept.map(f => s"$path/$dir/$f"): _*)
             .filter(predicate)
+    }
+  }
+
+  private def emptyLike(spark: SparkSession,
+                        schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The predicate as the optimizer sees it over `df` — resolved,
+    * literal casts folded, unsatisfiable conditions collapsed.
+    */
+  private sealed trait EffPred
+  private case object PredEmpty extends EffPred   // provably no rows
+  private case object PredUnknown extends EffPred // no Filter derivable
+  private final case class PredCond(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends EffPred
+
+  private def effectivePredicate(df: DataFrame,
+      predicate: org.apache.spark.sql.Column): EffPred = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, LocalRelation}
+    val plan = df.filter(predicate).queryExecution.optimizedPlan
+    if (plan.collectFirst {
+        case l: LocalRelation if l.data.isEmpty => l }.isDefined)
+      PredEmpty
+    else plan.collect { case f: LFilter => f.condition }
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(PredCond.apply).getOrElse(PredUnknown)
+  }
+
+  /** Partitioned-layout pruning decision: (kept file paths relative to
+    * the table root, total files), or None when nothing can be decided
+    * (no partition dirs, pc missing from schema, no Filter derivable)
+    * — the caller then falls back to the plain read + filter.
+    *
+    * Per directory, the PARTITION VALUE parsed from the dir name
+    * becomes pseudo min=max stats ([[FileSkipping.partitionColStats]])
+    * merged into each file's manifest stats, so one pruner does both
+    * partition pruning and data-column skipping. STALENESS GUARD: a
+    * manifest is trusted only if its file names exactly match the
+    * directory's current parquet listing — dynamic partition overwrite
+    * writes fresh unique names, so a manifest left behind by a
+    * pre-stats writer (or clobbered by one) self-invalidates into
+    * keep-all-in-dir (partition-value pruning still applies via 1-row
+    * surrogates).
+    */
+  private[graft] def partitionedFileSelection(spark: SparkSession, pc: String,
+      predicate: org.apache.spark.sql.Column): Option[(Seq[String], Int)] = {
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return None
+    val dirs = f.listStatus(root).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+    if (dirs.isEmpty) return None
+    val base = read(spark)
+    if (!base.columns.contains(pc)) return None
+    effectivePredicate(base, predicate) match {
+      case PredUnknown => None
+      case PredEmpty =>
+        Some((Seq.empty, dirs.map(d => f.listStatus(d.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+          .sum))
+      case PredCond(cond) =>
+        val dt = base.schema(pc).dataType
+        var total = 0
+        val kept = dirs.flatMap { d =>
+          val raw = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              d.getPath.getName.drop(pc.length + 1))
+          val listed = f.listStatus(d.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName)
+          val manifest = FileSkipping.readStats(f, d.getPath)
+            .filter(_.map(_.file).toSet == listed.toSet)
+          val files = manifest.getOrElse(
+            // no trustworthy manifest: 1-row surrogates — data columns
+            // cannot prune, the partition value still can
+            listed.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
+          total += files.size
+          files.filter { fileStat =>
+            val enriched = FileSkipping
+              .partitionColStats(dt, raw, fileStat.rows)
+              .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
+              .getOrElse(fileStat)
+            FileSkipping.mayMatch(cond, enriched)
+          }.map(k => s"${d.getPath.getName}/${k.file}")
+        }
+        Some((kept, total))
     }
   }
 
@@ -230,21 +331,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           .map(_.getPath.getName)
         (all, all.size)
       case Some(stats) =>
-        import org.apache.spark.sql.catalyst.plans.logical.{
-          Filter => LFilter, LocalRelation}
-        val plan = spark.read.parquet(s"$path/$dir")
-          .filter(predicate).queryExecution.optimizedPlan
-        val provablyEmpty = plan.collectFirst {
-          case l: LocalRelation if l.data.isEmpty => l
-        }.isDefined
-        if (provablyEmpty) (Seq.empty, stats.size)
-        else plan.collect { case f: LFilter => f.condition }
-          .reduceOption(org.apache.spark.sql.catalyst.expressions.And) match {
-            case None => (stats.map(_.file), stats.size)
-            case Some(cond) =>
-              (stats.filter(FileSkipping.mayMatch(cond, _)).map(_.file),
-                stats.size)
-          }
+        effectivePredicate(spark.read.parquet(s"$path/$dir"),
+          predicate) match {
+          case PredEmpty => (Seq.empty, stats.size)
+          case PredUnknown => (stats.map(_.file), stats.size)
+          case PredCond(cond) =>
+            (stats.filter(FileSkipping.mayMatch(cond, _)).map(_.file),
+              stats.size)
+        }
     }
 
   /** (files kept, total files) the stats manifest admits for
@@ -256,7 +350,10 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
   def scanFileCounts(spark: SparkSession,
                      predicate: org.apache.spark.sql.Column): (Int, Int) =
     partitionCol match {
-      case Some(_) => (0, 0)
+      case Some(pc) =>
+        partitionedFileSelection(spark, pc, predicate)
+          .map { case (kept, total) => (kept.size, total) }
+          .getOrElse((0, 0))
       case None => commits(spark).lastOption match {
         case None => (0, 0)
         case Some((_, _, dir)) =>
@@ -485,6 +582,39 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** Refresh the per-file stats manifest of the partition directories
+    * named by `values` (partition values as path-rendered STRINGS —
+    * the cast-to-string convention the writer's path fragments use;
+    * null → the Hive default dir). Touched-partition granularity:
+    * untouched directories keep their manifests, and a directory this
+    * writer emptied simply no longer exists.
+    */
+  private def refreshPartitionStats(spark: SparkSession, pc: String,
+                                    values: Seq[String]): Unit = {
+    val f = fs(spark)
+    values.foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.getPartitionPathString(pc, v)
+      val dir = new Path(path, dirName)
+      if (f.exists(dir))
+        FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration, dir)
+    }
+  }
+
+  /** As above for a FULL-table rewrite (schema widening): refresh
+    * every partition directory present on disk.
+    */
+  private def refreshAllPartitionStats(spark: SparkSession,
+                                       pc: String): Unit = {
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+      .foreach(d => FileSkipping.writeStats(
+        spark.sparkContext.hadoopConfiguration, d.getPath))
+  }
+
   /** Test seam: invoked after the attempt's data is fully written,
     * immediately before the commit claim — the window where a
     * concurrent writer can win the version race. No-op in production.
@@ -676,6 +806,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           .ExternalCatalogUtils.getPartitionPathString(pc, v)
         f.delete(new Path(path, dirName), true)
       }
+      // rewritten-and-surviving directories get fresh stats manifests
+      refreshPartitionStats(spark, pc, kept.toSeq)
     } else if (batchId < 0) return // no match, nothing to record
     // commit the batchId marker (idempotence); a lost claim means an
     // external writer bypassed the lock — surface it, as upsert does
@@ -825,6 +957,9 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         withDynamicOverwrite(spark) {
           updates.write.mode("overwrite").partitionBy(pc).parquet(path)
         }
+        refreshPartitionStats(spark, pc,
+          updates.select(col(pc).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq)
         true
       case Some(pc) =>
         // Partition-granular merge: read ONLY the partitions the batch
@@ -853,6 +988,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         withDynamicOverwrite(spark) {
           merged.write.mode("overwrite").partitionBy(pc).parquet(path)
         }
+        // touched-partition granularity for the manifest refresh too;
+        // a widening rewrite touched every partition
+        if (widens) refreshAllPartitionStats(spark, pc)
+        else refreshPartitionStats(spark, pc,
+          updates.select(col(pc).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq)
         true
     }
     if (!attemptOk) {

@@ -273,6 +273,92 @@ class FileSkippingSpec extends SparkTestBase {
         grid.filter(pred).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("partitioned layout: partition values and file stats both prune; parity holds") {
+    val dir = tmpDir("fskip") + "/part"
+    // 1000 rows, 4 date partitions of 250 ids each; range-partitioned
+    // writer tasks align with partitions, so each dir gets files with
+    // disjoint id ranges — both pruning axes observable
+    val df = spark.range(1000).toDF("id")
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 250).cast("int")))
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("day"))
+    sink.upsert(spark, df, batchId = 0)
+
+    val d2 = lit(java.sql.Date.valueOf("2024-01-02")) // ids 250..499
+    val (kDay, total) = sink.scanFileCounts(spark, col("day") === d2)
+    assert(total >= 8, s"want >=8 files across partitions, got $total")
+    assert(kDay <= total / 4 + 1, s"day predicate kept $kDay of $total")
+    // data-column pruning inside the surviving partition
+    val (kBoth, _) = sink.scanFileCounts(spark,
+      col("day") === d2 && col("id") < 300L)
+    assert(kBoth < kDay, s"id predicate should narrow $kDay, kept $kBoth")
+    // non-partition column alone prunes across all dirs
+    val (kId, _) = sink.scanFileCounts(spark, col("id") === 600L)
+    assert(kId === 1, s"point id kept $kId")
+    // parity on every shape, including unprunable
+    for (pred <- Seq(col("day") === d2, col("day") === d2 && col("id") < 300L,
+        col("id") === 600L, col("v") % 7 === 0))
+      assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+        sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+    // nothing-matches predicate: empty frame, same schema
+    val none = sink.scan(spark,
+      col("day") === lit(java.sql.Date.valueOf("2099-01-01")))
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.sorted.toSeq ===
+      sink.read(spark).schema.fieldNames.sorted.toSeq)
+  }
+
+  test("partitioned layout: touched-only manifest refresh; stale manifests self-invalidate") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("fskip") + "/part2"
+    val df = spark.range(400).toDF("id")
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 200).cast("int")))
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(4, col("id"))
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("day"))
+    sink.upsert(spark, df, batchId = 0)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(day: String): String = {
+      val p = new Path(s"$dir/day=$day/_stats.json")
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val untouchedBefore = manifest("2024-01-01")
+    // batch touching only the second partition refreshes only its dir
+    sink.upsert(spark, df.filter(col("id") >= 200L && col("id") < 210L)
+      .withColumn("v", col("v") + 1L), batchId = 1)
+    assert(manifest("2024-01-01") === untouchedBefore,
+      "untouched partition's manifest must not be rewritten")
+    // the rewritten partition stays consistent: parity + pruning
+    val pred = col("id") === 205L
+    assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+      sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+    // a stale/corrupt manifest (naming files that no longer exist)
+    // self-invalidates into keep-all-in-dir, never wrong results
+    val bogus = untouchedBefore.replaceAll("part-[^\"]+", "part-gone.parquet")
+    val out = fs.create(new Path(s"$dir/day=2024-01-01/_stats.json"), true)
+    try out.write(bogus.getBytes("UTF-8")) finally out.close()
+    val all = col("id") < 400L
+    assert(sink.scan(spark, all).count() === sink.read(spark).filter(all).count())
+    val (kStale, _) = sink.scanFileCounts(spark, col("id") === 5L)
+    // id=5 lives in day=2024-01-01 whose manifest is untrusted: every
+    // file of that dir is kept, files of other dirs still prune away
+    val day1Files = fs.listStatus(new Path(s"$dir/day=2024-01-01")).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(kStale === day1Files, s"stale-dir keep-all: $kStale vs $day1Files")
+    // delete that empties a partition drops its dir; scan sees nothing
+    sink.delete(spark, col("day") === lit(java.sql.Date.valueOf("2024-01-02")),
+      batchId = 2)
+    assert(!fs.exists(new Path(s"$dir/day=2024-01-02")))
+    assert(sink.scan(spark,
+      col("day") === lit(java.sql.Date.valueOf("2024-01-02"))).count() === 0)
+  }
+
   test("stats JSON round-trips byte-identically") {
     val dir = tmpDir("fskip") + "/t"
     val sink = mixedSink(dir)
