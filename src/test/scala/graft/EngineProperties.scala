@@ -302,4 +302,59 @@ object EngineProperties extends Properties("graft") {
         delta == ((b.toMap ++ u.toMap).toSet -- b.toMap.toSet)
       }
     }
+
+  // ---- file-skipping soundness: scan ≡ read.filter for RANDOM
+  // predicates over a stats-bearing clustered table. The pruner is
+  // conservative-by-construction; this is the law that construction
+  // must deliver — a single over-pruned file under any predicate
+  // shape (negation, contradiction, out-of-range literals, null
+  // traps, nested boolean structure) falsifies it.
+
+  private lazy val skipSink: graft.operators.ParquetUpsertSink = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skipprop").toString + "/t"
+    val df = spark.range(300).toDF("id")
+      .withColumn("score", col("id").cast("double") / 10.0)
+      .withColumn("name", format_string("user%03d", col("id")))
+      .withColumn("maybe", when(col("id") % 3 =!= 0, col("id") * 2))
+      .repartitionByRange(6, col("id"))
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("id"))
+    sink.upsert(spark, df, batchId = -1)
+    sink
+  }
+
+  private val genSkipLeaf: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+    Gen.choose(-50L, 350L).map(v => col("id") <= v),
+    Gen.choose(-50L, 350L).map(v => col("id") > v),
+    Gen.choose(-50L, 350L).map(v => col("id") === v),
+    Gen.choose(-5.0, 35.0).map(v => col("score") < v),
+    Gen.listOfN(3, Gen.choose(-50L, 350L))
+      .map(vs => col("id").isin(vs: _*)),
+    Gen.const(col("maybe").isNull),
+    Gen.const(col("maybe").isNotNull),
+    Gen.oneOf("user0", "user29", "zzz", "user299x")
+      .map(p => col("name").startsWith(p)),
+    Gen.choose(-50L, 650L).map(v => col("maybe") >= v),
+    Gen.const(col("id") === lit(null).cast("long")))
+
+  private def genSkipPred(depth: Int): Gen[org.apache.spark.sql.Column] =
+    if (depth == 0) genSkipLeaf
+    else Gen.frequency(
+      3 -> genSkipLeaf,
+      2 -> Gen.zip(genSkipPred(depth - 1), genSkipPred(depth - 1))
+        .map { case (a, b) => a && b },
+      2 -> Gen.zip(genSkipPred(depth - 1), genSkipPred(depth - 1))
+        .map { case (a, b) => a || b },
+      1 -> genSkipPred(depth - 1).map(p => !p))
+
+  property("file skipping: scan ≡ read.filter under random predicates") =
+    Prop.forAll(Gen.listOfN(6, genSkipPred(2))) { preds =>
+      preds.forall { pred =>
+        val viaScan = skipSink.scan(spark, pred)
+          .collect().map(_.toString).sorted.toSeq
+        val viaRead = skipSink.read(spark).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        viaScan == viaRead
+      }
+    }
 }
