@@ -1075,6 +1075,27 @@ object SparkEntry {
           col("max_n_chars").as("max_chars"))
     }),
 
+    // ---------- north star: corpus topic clustering ----------
+    // Engine-portable Lloyd's k-means over the embeddings (2
+    // iterations, 6-dp-rounded carried centroids — the rounding is
+    // what lets DuckDB iterate over bit-identical state), aggregated
+    // into the data-mixing view: per-topic size, cohesion (mean
+    // rounded cosine to the final centroid), and the uniform-rebalance
+    // sampling weight over the PRESENT topics (the docs_mix_weights
+    // policy, applied to semantic clusters instead of language).
+    "embed_topic_mix" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (assigned, _) = graft.functions.Similarity.kmeans(emb, 8, 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      assigned.groupBy(col("cell").as("topic"))
+        .agg(count(lit(1)).as("n_vecs"),
+          Hashing.portableRound(avg(col("sim")), 6).as("cohesion"))
+        .withColumn("weight", Hashing.portableRound(
+          sum(col("n_vecs")).over(w) /
+            (count(lit(1)).over(w) * col("n_vecs")), 6))
+    }),
+
     // ---------- north star: file-level data skipping ----------
     // The stats-manifest scan end to end through the oracle: snapshot
     // documents into the versioned store, Z-ORDER-compact on
@@ -1922,6 +1943,40 @@ object SparkEntry {
         | SUM(CAST(n_chars + CASE WHEN doc_id % 10 = 3 THEN 7 ELSE 0 END AS DOUBLE)) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 4
         |GROUP BY source""".stripMargin,
+
+    // k-means mirror: every iteration's carried centroid state is
+    // ROUND(...,6)-quantized on BOTH engines, so the three assignment
+    // rounds see bit-identical operands; struct_pack max ≡ Spark's
+    // max(struct(sim, cell)) lexicographic tiebreak.
+    "embed_topic_mix" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, embedding AS seed
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT c.vec_id AS cid,
+        |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
+        |  FROM embeddings c, seeds s GROUP BY c.vec_id),
+        |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+        |cd1 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
+        |  FROM a1 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd1 GROUP BY cell),
+        |a2 AS (
+        |  SELECT c.vec_id AS cid,
+        |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell))).c AS cell
+        |  FROM embeddings c, c1 s GROUP BY c.vec_id),
+        |cd2 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
+        |  FROM a2 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+        |c2 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd2 GROUP BY cell),
+        |a3 AS (
+        |  SELECT c.vec_id AS cid,
+        |   max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell)) AS w
+        |  FROM embeddings c, c2 s GROUP BY c.vec_id),
+        |agg AS (SELECT (w).c AS topic, COUNT(*) AS n_vecs,
+        |  ROUND(AVG((w).s), 6) AS cohesion FROM a3 GROUP BY 1)
+        |SELECT topic, n_vecs, cohesion,
+        | ROUND(SUM(n_vecs) OVER () / (COUNT(*) OVER () * n_vecs), 6) AS weight
+        |FROM agg""".stripMargin,
 
     // The skip-scan fixture is a verbatim snapshot of `documents`
     // (narrow projection, rearranged by the z-order compaction —

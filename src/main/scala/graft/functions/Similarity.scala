@@ -212,6 +212,64 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Deterministic, ENGINE-PORTABLE Lloyd's k-means over an embedding
+    * column — corpus topic clustering for data-mixing curation (the
+    * SemDeDup/DoReMi-style "what is the corpus made of" signal).
+    * Seeds = first `k` vectors by id (the [[ivfSeeds]] rule); each
+    * iteration assigns every vector to the nearest centroid by
+    * 6-dp-ROUNDED cosine (cell-id tiebreak, the [[assignToSeeds]]
+    * discipline) and recomputes per-cell per-dim means ROUNDED to
+    * 6 dp. Rounding the CARRIED centroid state is what makes
+    * iteration reproducible across engines: an unrounded AVG differs
+    * in the last ulp with summation order (partial aggregation vs a
+    * sequential fold), and a second assignment against it would
+    * compound that divergence into different clusters — rounded, both
+    * engines iterate over bit-identical centroids.
+    *
+    * Returns (assignments = (cid, cell, sim) — sim is the rounded
+    * cosine to the centroid the final assignment used — and
+    * centroids = (cell, centroid)). Scale shape: per iteration one
+    * broadcast join against k centroid rows + one posexplode
+    * aggregation — linear corpus passes, centroids never collected,
+    * nothing quadratic; cells that attract no vectors simply drop
+    * out (both engines identically).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      c.join(broadcast(cents))
+        .withColumn("sim",
+          Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
+        .groupBy(col("cid"))
+        .agg(max(struct(col("sim"), col("cell"))).as("w"))
+        .select(col("cid"), col("w.cell").as("cell"),
+          col("w.sim").as("sim"))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.join(c, "cid")
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(Hashing.portableRound(avg(col("v")), 6).as("cval"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cval")))),
+          s => s.getField("cval")).as("seed"))
+    var cents = ivfSeeds(corpus, k, idCol, vecCol)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(cents)
+      // k-row frame: checkpoint keeps the per-iteration lineage flat
+      // (without it the plan doubles each round)
+      cents = recompute(assigned).localCheckpoint(true)
+    }
+    // final assignment against the final centroids, so `sim` and the
+    // returned centroids describe the same partition of the corpus
+    val finalAssign = assign(cents)
+    (finalAssign, cents.select(col("cell"), col("seed").as("centroid")))
+  }
+
   /** Probe + exact re-rank against an (assigned, centroids) pair —
     * in-memory or read back from a persisted [[IvfIndex]].
     */

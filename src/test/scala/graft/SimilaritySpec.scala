@@ -508,4 +508,53 @@ class SimilaritySpec extends SparkTestBase {
     // idempotent: nothing left to reclaim
     assert(idx.vacuum(spark, olderThanMs = 0L).isEmpty)
   }
+
+  test("kmeans: deterministic, self-consistent, partitions the corpus") {
+    import org.apache.spark.sql.functions._
+    val (a1, c1) = Similarity.kmeans(emb, 8, 2)
+    val (a2, c2) = Similarity.kmeans(emb, 8, 2)
+    // every vector assigned exactly once
+    val n = emb.count()
+    assert(a1.count() === n)
+    assert(a1.select("cid").distinct().count() === n)
+    // deterministic across runs (assignments AND centroids)
+    assert(a1.collect().map(_.toString).sorted.toSeq ===
+      a2.collect().map(_.toString).sorted.toSeq)
+    assert(c1.collect().map(_.toString).sorted.toSeq ===
+      c2.collect().map(_.toString).sorted.toSeq)
+    // assignments reference only returned centroids
+    val cells = c1.select("cell").collect().map(_.getLong(0)).toSet
+    assert(a1.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(cells))
+    // self-consistency: each row's sim IS the rounded cosine to its
+    // cell's centroid, and no OTHER centroid is strictly closer
+    // (ties broken toward the larger cell id, the documented rule)
+    val cents = c1.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    val rows = a1.join(emb.select(col("vec_id").as("cid"),
+      col("embedding")), "cid").collect()
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val cell = r.getLong(r.fieldIndex("cell"))
+      val sim = r.getDouble(r.fieldIndex("sim"))
+      def simTo(c: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < vec.length) {
+          d += vec(i) * c(i); na += vec(i) * vec(i); nb += c(i) * c(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      assert(r6(simTo(cents(cell))) === sim)
+      cents.foreach { case (other, cvec) =>
+        val os = r6(simTo(cvec))
+        assert(os < sim || (os == sim && other <= cell),
+          s"cid ${r.getLong(0)}: cell $other (sim $os) beats $cell ($sim)")
+      }
+    }
+    // the mixing view degenerates nowhere: sizes positive, cohesion
+    // within [-1, 1]
+    val sizes = a1.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ > 0) && sizes.sum === n)
+  }
 }
