@@ -273,6 +273,11 @@ object ScaleProof {
           finally
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         }),
+        // corpus topic clustering: per iteration one broadcast
+        // assignment join (k-row build side) + one posexplode
+        // aggregation — linear corpus passes, exponent should be ~1
+        "embed_kmeans" -> (() =>
+          Similarity.kmeans(emb, 16, 2)._1.count()),
         "embed_topk_lsh" -> (() =>
           Similarity.lshBucketedTopK(emb, queries, 10,
             planes = planesFor(n), dims = 64, tables = 8).count()),

@@ -241,4 +241,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"fact table shuffled for the stats join:\n$p")
   }
+
+  test("embed_topic_mix: every k-means assignment joins broadcast, nothing sort-merges") {
+    val p = plan("embed_topic_mix")
+    // earlier iterations materialize eagerly at their k-row centroid
+    // localCheckpoints, so the final describing assignment is the one
+    // in this plan: a corpus x k-centroids join that must broadcast —
+    // the corpus never shuffles for a k-row build side
+    assert(count(p, "BroadcastNestedLoopJoin") +
+      count(p, "BroadcastHashJoin") >= 1,
+      s"k-means assignment join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into k-means:\n$p")
+    // per-dim centroid means partial-aggregate map-side
+    assert(p.contains("partial_avg") || p.contains("partial_"),
+      s"no map-side partials under the centroid recompute:\n$p")
+  }
+
+  test("upsert_scan_prune: the scan enumerates a pruned file subset") {
+    // plan text can't show file counts; assert the DECISION directly —
+    // the z-ordered fixture must admit fewer files than the snapshot
+    // holds for the query's two-column predicate (sf0.001: 500-doc
+    // documents table, same fixture pipeline as the oracle query)
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("upsert_scan_prune")(spark, sf).count() // build fixture
+    val sink = new graft.operators.ParquetUpsertSink(
+      "/root/repo/fixtures/skip_scan", Seq("doc_id"))
+    val (kept, total) = sink.scanFileCounts(spark,
+      (col("doc_id") < 200L && col("n_chars").between(150L, 400L)) ||
+        col("doc_id") === 450L)
+    assert(total >= 4, s"fixture produced only $total files")
+    assert(kept < total, s"no files pruned: kept $kept of $total")
+  }
 }
