@@ -204,6 +204,38 @@ object SparkEntry {
     sink
   }
 
+  /** DuckDB CTE chain replaying `Similarity.kmeans(embeddings, 8, 2)`
+    * up to the final describing assignment `a3(cid, w)` where
+    * `w = struct(s := rounded cosine, c := cell)` — every carried
+    * centroid is ROUND(...,6)-quantized exactly as the Spark side, so
+    * the three assignment rounds see bit-identical operands. Shared by
+    * the topic-clustering oracles.
+    */
+  private val kmeansCtes =
+    """seeds AS (
+      |  SELECT vec_id AS cell, embedding AS seed
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT c.vec_id AS cid,
+      |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
+      |  FROM embeddings c, seeds s GROUP BY c.vec_id),
+      |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      |cd1 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
+      |  FROM a1 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd1 GROUP BY cell),
+      |a2 AS (
+      |  SELECT c.vec_id AS cid,
+      |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell))).c AS cell
+      |  FROM embeddings c, c1 s GROUP BY c.vec_id),
+      |cd2 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
+      |  FROM a2 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+      |c2 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd2 GROUP BY cell),
+      |a3 AS (
+      |  SELECT c.vec_id AS cid,
+      |   max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell)) AS w
+      |  FROM embeddings c, c2 s GROUP BY c.vec_id)""".stripMargin
+
   /** Per-doc tokens CTE. */
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
@@ -1096,6 +1128,34 @@ object SparkEntry {
             (count(lit(1)).over(w) * col("n_vecs")), 6))
     }),
 
+    // Topic-BALANCED corpus sampling: the k-means topics joined 1:1
+    // to documents (vec_id = doc_id), then Efraimidis-Spirakis
+    // quality-weighted sampling without replacement per TOPIC on the
+    // bounded-heap TopKPerKey plan — "balance the training mix by
+    // semantic cluster, keep the best draws within each" (the
+    // docs_sample_weighted estimator re-keyed from language to
+    // semantic topic).
+    "docs_topic_sample" -> ((s, d) => {
+      val (assigned, _) = graft.functions.Similarity.kmeans(
+        t(s, d, "embeddings"), 8, 2)
+      val topics = assigned.select(col("cid").as("doc_id"),
+        col("cell").as("topic"))
+      val u = (Hashing.hash60(col("doc_id").cast("string")) + lit(1L))
+        .cast("double") / 1152921504606846976.0
+      val scored = docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"),
+          Text.qualityScore(col("text"), col("toks")).as("w"))
+        .filter(col("w") > 0.0)
+        .select(col("doc_id"),
+          Hashing.portableRound(log(u) / col("w"), 6).as("skey"))
+        .join(topics, "doc_id")
+      graft.plans.TopKPerKey(scored, keys = Seq("topic"),
+        order = Seq(graft.plans.TopKPerKey.desc("skey"),
+          graft.plans.TopKPerKey.asc("doc_id")), k = 3)
+        .select(col("topic"), col("rank").cast("long").as("rk"),
+          col("doc_id"), col("skey"))
+    }),
+
     // ---------- north star: file-level data skipping ----------
     // The stats-manifest scan end to end through the oracle: snapshot
     // documents into the versioned store, Z-ORDER-compact on
@@ -1949,34 +2009,48 @@ object SparkEntry {
     // rounds see bit-identical operands; struct_pack max ≡ Spark's
     // max(struct(sim, cell)) lexicographic tiebreak.
     "embed_topic_mix" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS cell, embedding AS seed
-        |  FROM embeddings ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        |  SELECT c.vec_id AS cid,
-        |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
-        |  FROM embeddings c, seeds s GROUP BY c.vec_id),
-        |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-        |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
-        |cd1 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
-        |  FROM a1 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
-        |c1 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd1 GROUP BY cell),
-        |a2 AS (
-        |  SELECT c.vec_id AS cid,
-        |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell))).c AS cell
-        |  FROM embeddings c, c1 s GROUP BY c.vec_id),
-        |cd2 AS (SELECT a.cell, e.dim, ROUND(AVG(e.v), 6) AS cval
-        |  FROM a2 a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
-        |c2 AS (SELECT cell, list(cval ORDER BY dim) AS seed FROM cd2 GROUP BY cell),
-        |a3 AS (
-        |  SELECT c.vec_id AS cid,
-        |   max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed), 6), c := s.cell)) AS w
-        |  FROM embeddings c, c2 s GROUP BY c.vec_id),
+      s"""WITH $kmeansCtes,
         |agg AS (SELECT (w).c AS topic, COUNT(*) AS n_vecs,
         |  ROUND(AVG((w).s), 6) AS cohesion FROM a3 GROUP BY 1)
         |SELECT topic, n_vecs, cohesion,
         | ROUND(SUM(n_vecs) OVER () / (COUNT(*) OVER () * n_vecs), 6) AS weight
         |FROM agg""".stripMargin,
+
+    // topic-balanced sampling: the kmeans chain feeding the
+    // Efraimidis-Spirakis weighted rank, partitioned by TOPIC
+    "docs_topic_sample" -> {
+      val tk = toksSql("text")
+      val all = (Text.enMarkers ++ Text.frMarkers ++ Text.esMarkers)
+        .distinct.map(m => s"'$m'").mkString(", ")
+      s"""WITH $kmeansCtes,
+         |topics AS (SELECT cid AS doc_id, (w).c AS topic FROM a3),
+         |base AS (SELECT doc_id, text, $tk AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(tk) AS n_tokens,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ($all)))::DOUBLE / len(tk)::DOUBLE
+         |   ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |   ELSE 0.0 END AS p_ratio
+         | FROM base),
+         |sc AS (SELECT doc_id,
+         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |   + least(stop_ratio * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS w
+         | FROM m),
+         |ks AS (SELECT doc_id,
+         |  ROUND(ln((${h60Sql("CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
+         |    / 1152921504606846976.0) / w, 6) AS skey
+         | FROM sc WHERE w > 0),
+         |j AS (SELECT t.topic, k.doc_id, k.skey
+         |  FROM ks k JOIN topics t ON t.doc_id = k.doc_id)
+         |SELECT topic, rk, doc_id, skey FROM (
+         | SELECT topic, doc_id, skey,
+         |  CAST(row_number() OVER (PARTITION BY topic
+         |    ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+         | FROM j) WHERE rk <= 3""".stripMargin
+    },
 
     // The skip-scan fixture is a verbatim snapshot of `documents`
     // (narrow projection, rearranged by the z-order compaction —

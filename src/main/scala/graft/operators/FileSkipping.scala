@@ -79,20 +79,57 @@ object FileSkipping {
 
   /** Read per-file stats for every `*.parquet` under `dir` (non-
     * recursive — snapshot dirs are flat) from the files' footers.
-    * Sequential driver loop: a snapshot's file count is bounded by the
-    * writing job's partitioning or the compaction target, and each
-    * footer read is a few KB of metadata; a deployment writing
-    * thousands of files per commit would lift this onto executors
-    * with a parallelize over file names — the per-file work is
-    * embarrassingly parallel and self-contained.
+    * Small snapshots use a sequential driver loop (each footer read is
+    * a few KB of metadata); past [[distributedThresholdKey]] files the
+    * work moves onto executors — a 100 TB compaction emits ~800k
+    * files, and 800k serial footer round-trips on the driver would
+    * dominate the commit. The per-file work is self-contained; the
+    * Hadoop conf ships as its property list and is rebuilt per
+    * partition (the conf object itself is not serializable).
     */
-  def collectStats(conf: Configuration, dir: Path): Seq[FileStat] = {
+  def collectStats(spark: org.apache.spark.sql.SparkSession,
+                   dir: Path): Seq[FileStat] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    files.map(f => fileStats(conf, f.getPath))
+    val threshold = spark.conf.getOption(distributedThresholdKey)
+      .map(_.toInt).getOrElse(64)
+    if (files.size <= threshold)
+      files.map(f => fileStats(conf, f.getPath))
+    else {
+      import scala.jdk.CollectionConverters._
+      val props = conf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      val names = files.map(_.getPath.toString)
+      val slices = math.min(names.size,
+        spark.sparkContext.defaultParallelism * 4)
+      spark.sparkContext.parallelize(names, slices)
+        .mapPartitions { it =>
+          val c = new Configuration(false)
+          props.foreach { case (k, v) => c.set(k, v) }
+          it.map(n => fileStats(c, new Path(n)))
+        }
+        .collect().toSeq.sortBy(_.file)
+    }
   }
+
+  /** Driver-conf variant for callers without a session at hand —
+    * always sequential.
+    */
+  def collectStats(conf: Configuration, dir: Path): Seq[FileStat] = {
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(f => fileStats(conf, f.getPath))
+  }
+
+  /** Session conf key: file count above which commit-time stats
+    * collection runs distributed instead of on the driver.
+    */
+  val distributedThresholdKey = "graft.skipping.distributedStatsThreshold"
 
   private def fileStats(conf: Configuration, file: Path): FileStat = {
     import scala.jdk.CollectionConverters._
@@ -323,14 +360,23 @@ object FileSkipping {
     * never fail a commit (the reader treats an absent/corrupt stats
     * file as prune-nothing).
     */
+  def writeStats(spark: org.apache.spark.sql.SparkSession, dir: Path): Unit =
+    try persist(spark.sparkContext.hadoopConfiguration, dir,
+      collectStats(spark, dir))
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Sequential variant (no session). */
   def writeStats(conf: Configuration, dir: Path): Unit =
-    try {
-      val stats = collectStats(conf, dir)
-      val fs = dir.getFileSystem(conf)
-      val out = fs.create(new Path(dir, statsFileName), true)
-      try out.write(statsToJson(stats).getBytes("UTF-8"))
-      finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    try persist(conf, dir, collectStats(conf, dir))
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private def persist(conf: Configuration, dir: Path,
+                      stats: Seq[FileStat]): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val out = fs.create(new Path(dir, statsFileName), true)
+    try out.write(statsToJson(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
 
   def readStats(fs: FileSystem, dir: Path): Option[Seq[FileStat]] = {
     val p = new Path(dir, statsFileName)

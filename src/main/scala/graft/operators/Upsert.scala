@@ -597,7 +597,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         .ExternalCatalogUtils.getPartitionPathString(pc, v)
       val dir = new Path(path, dirName)
       if (f.exists(dir))
-        FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration, dir)
+        FileSkipping.writeStats(spark, dir)
     }
   }
 
@@ -611,8 +611,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     if (!f.exists(root)) return
     f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-      .foreach(d => FileSkipping.writeStats(
-        spark.sparkContext.hadoopConfiguration, d.getPath))
+      .foreach(d => FileSkipping.writeStats(spark, d.getPath))
   }
 
   /** Test seam: invoked after the attempt's data is fully written,
@@ -707,7 +706,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           .sortWithinPartitions(cols: _*)
       }
     arranged.write.mode("overwrite").parquet(s"$path/$dir")
-    FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+    FileSkipping.writeStats(spark,
       new Path(s"$path/$dir"))
     // compaction is an optimization: losing the version race to a
     // concurrent upsert just abandons this attempt (the upsert's
@@ -851,7 +850,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val attemptOk =
       try {
         survivors.write.mode("overwrite").parquet(s"$path/$dataDir")
-        FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+        FileSkipping.writeStats(spark,
           new Path(s"$path/$dataDir"))
         true
       } catch {
@@ -931,7 +930,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           // footer-derived per-file stats land INSIDE the snapshot dir
           // before the commit claim — published atomically with the
           // version, powering [[scan]]'s file pruning
-          FileSkipping.writeStats(spark.sparkContext.hadoopConfiguration,
+          FileSkipping.writeStats(spark,
             new Path(s"$path/$dataDir"))
           true
         } catch {

@@ -359,6 +359,30 @@ class FileSkippingSpec extends SparkTestBase {
       col("day") === lit(java.sql.Date.valueOf("2024-01-02"))).count() === 0)
   }
 
+  test("distributed stats collection matches the driver loop exactly") {
+    val dir = tmpDir("fskip") + "/dist"
+    val prev = spark.conf.getOption(FileSkipping.distributedThresholdKey)
+    try {
+      spark.conf.set(FileSkipping.distributedThresholdKey, "2")
+      val sink = mixedSink(dir) // 8 files > threshold → executor path
+      val snap = snapshotDir(sink, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val viaManifest = FileSkipping.readStats(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$snap")).get
+      val sequential = FileSkipping.collectStats(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(s"$dir/$snap"))
+      assert(viaManifest === sequential)
+      // and pruning works off the distributed-collected manifest
+      val (kept, total) = selection(sink, dir, col("id") === 500L)
+      assert(total === 8 && kept === 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(FileSkipping.distributedThresholdKey, v)
+      case None => spark.conf.unset(FileSkipping.distributedThresholdKey)
+    }
+  }
+
   test("stats JSON round-trips byte-identically") {
     val dir = tmpDir("fskip") + "/t"
     val sink = mixedSink(dir)
