@@ -110,12 +110,29 @@ object Upsert {
   *   merge base survives `retainVersions - 1` further commits, and
   *   for time travel ([[readVersion]]).
   */
+/** @param autoCompact hands-free OPTIMIZE (the Delta autoCompact
+  *   analog, versioned layout): after a successful upsert whose new
+  *   snapshot holds more than `files` small files, immediately run
+  *   [[compact]] with the given layout spec — a streaming sink then
+  *   never accumulates micro-batch fragmentation without operator
+  *   intervention. Compaction rides the normal commit protocol
+  *   (losing its version race to a concurrent writer just abandons
+  *   the attempt), so auto mode adds no new failure surface.
+  */
+final case class AutoCompact(files: Int,
+                             targetFileBytes: Long = 128L * 1024 * 1024,
+                             clusterBy: Seq[String] = Nil,
+                             zorder: Boolean = false)
+
 class ParquetUpsertSink(path: String, keys: Seq[String],
                         partitionCol: Option[String] = None,
-                        retainVersions: Int = 2) {
+                        retainVersions: Int = 2,
+                        autoCompact: Option[AutoCompact] = None) {
   require(retainVersions >= 2,
     s"retainVersions must be >= 2 (got $retainVersions): the previous " +
       "version must survive for in-flight readers")
+  require(autoCompact.forall(_.files > 0),
+    "autoCompact.files must be positive")
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -614,6 +631,21 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       .foreach(d => FileSkipping.writeStats(spark, d.getPath))
   }
 
+  /** After a successful versioned upsert: compact immediately when the
+    * new snapshot exceeds the configured small-file budget. Runs OUTSIDE
+    * the committed write (the upsert is already durable; a crash here
+    * just leaves the fragmentation for the next trigger).
+    */
+  private def maybeAutoCompact(spark: SparkSession, dataDir: String): Unit =
+    autoCompact.foreach { ac =>
+      if (partitionCol.isEmpty) {
+        val nFiles = fs(spark).listStatus(new Path(s"$path/$dataDir"))
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (nFiles > ac.files)
+          compact(spark, ac.targetFileBytes, ac.clusterBy, ac.zorder)
+      }
+    }
+
   /** Test seam: invoked after the attempt's data is fully written,
     * immediately before the commit claim — the window where a
     * concurrent writer can win the version race. No-op in production.
@@ -1014,6 +1046,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     beforeCommit(newV)
     if (tryCommit(spark, newV, content)) {
       gc(spark, cs :+ ((newV, recorded, dataDir)))
+      maybeAutoCompact(spark, dataDir)
     } else partitionCol match {
       case Some(_) =>
         // same-protocol writers serialize on the writer lock, so a

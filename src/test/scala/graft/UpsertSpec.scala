@@ -599,4 +599,34 @@ class UpsertSpec extends SparkTestBase {
         s"partition ${p.getName} still on the narrow schema")
     }
   }
+
+  test("autoCompact bounds the snapshot's file count hands-free") {
+    import graft.operators.AutoCompact
+    val dir = tmpDir("upserts") + "/auto"
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      autoCompact = Some(AutoCompact(files = 4, clusterBy = Seq("k"))))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def currentFiles(): Int = {
+      val d = sink.history(spark).first().getString(4)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val wide = spark.range(200).toDF("k")
+      .withColumn("v", col("k") * 10).repartition(8)
+    sink.upsert(spark, wide, batchId = 0)
+    // the 8-file upsert triggered an immediate compaction commit
+    val ops = sink.history(spark).collect().map(_.getString(2)).toSeq
+    assert(ops === Seq("compact", "upsert"), s"history: $ops")
+    assert(currentFiles() <= 4, s"still ${currentFiles()} files")
+    assert(sink.read(spark).count() === 200)
+    // a small batch does not trigger (no churn when within budget)
+    sink.upsert(spark, spark.range(5).toDF("k")
+      .withColumn("v", lit(-1L)).repartition(2), batchId = 1)
+    assert(sink.history(spark).first().getString(2) === "upsert")
+    assert(sink.read(spark).filter(col("v") === -1L).count() === 5)
+    // merge parallelism (4 shuffle partitions here) stays within the
+    // budget; data intact either way
+    assert(sink.read(spark).count() === 200)
+  }
 }
