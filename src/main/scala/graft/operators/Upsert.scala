@@ -379,6 +379,20 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       }
     }
 
+  /** Metadata-only row count of the current snapshot (versioned
+    * layout): the sum of per-file row counts the commit-time stats
+    * manifest already holds — zero tasks, zero file opens, the
+    * `SELECT COUNT(*)` a 100 TB table answers from its log. None when
+    * no stats exist (legacy snapshot, partitioned layout) — callers
+    * fall back to `read(spark).count()`.
+    */
+  def countRows(spark: SparkSession): Option[Long] =
+    if (partitionCol.nonEmpty) None
+    else commits(spark).lastOption.flatMap { case (_, _, dir) =>
+      FileSkipping.readStats(fs(spark), new Path(s"$path/$dir"))
+        .map(_.map(_.rows).sum)
+    }
+
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>
       commits(spark).lastOption match {

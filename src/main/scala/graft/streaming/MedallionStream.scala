@@ -137,7 +137,9 @@ object MedallionStream {
                 partitioned: Boolean = false,
                 maxFilesPerTrigger: Option[Int] = None,
                 afterBatch: Long => Unit = _ => (),
-                retainVersions: Int = 2): StreamingQuery = {
+                retainVersions: Int = 2,
+                autoCompact: Option[graft.operators.AutoCompact] = None)
+      : StreamingQuery = {
     // `afterBatch` runs AFTER the sink commit but BEFORE Spark marks
     // the micro-batch complete in the checkpoint — the slot for batch
     // callbacks (metrics, alerting), and for fault injection in the
@@ -157,12 +159,16 @@ object MedallionStream {
     // survive the commits that land while it catches up (the Delta
     // retention analog). The default keeps the minimal 2-version
     // window for plain readers.
+    // `autoCompact` (versioned layout): every micro-batch commit that
+    // fragments the snapshot past the budget compacts immediately —
+    // the long-running-stream configuration, since 45 s batches
+    // accumulate small files forever otherwise
     val sink =
       if (partitioned)
         new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"),
           retainVersions = retainVersions)
       else new ParquetUpsertSink(p.gold, Rides.goldKey,
-        retainVersions = retainVersions)
+        retainVersions = retainVersions, autoCompact = autoCompact)
     val input =
       if (bounded) silver.withWatermark("event_timestamp", Rides.watermarkDelay)
       else silver

@@ -364,4 +364,44 @@ class StreamingSpec extends SparkTestBase {
       assert(monitor.terminations.exists(_.lastProgress.isDefined))
     } finally spark.streams.removeListener(monitor)
   }
+
+  test("gold stream with autoCompact keeps the snapshot defragmented; countRows is metadata-only") {
+    val root = tmpDir("stream")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    RideGenerator.writeRaw(spark, p.raw, 4000L)
+    MedallionStream.bronzeQuery(spark, p,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.silverQuery(spark, p,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow)
+      .awaitTermination()
+    MedallionStream.goldQuery(spark, p,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow,
+      autoCompact = Some(graft.operators.AutoCompact(files = 2)))
+      .awaitTermination()
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey)
+    // the micro-batch fragmented past the budget → an immediate
+    // compaction commit follows the upsert
+    val ops = sink.history(spark).collect().map(_.getString(2)).toSeq
+    assert(ops.headOption.contains("compact"), s"history: $ops")
+    val fs = new org.apache.hadoop.fs.Path(p.gold)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = sink.history(spark).first().getString(4)
+    val nFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${p.gold}/$d"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"snapshot still holds $nFiles files")
+    // gold content still converges to the batch recompute
+    val silver = spark.read.parquet(p.silver)
+    val gold = sink.read(spark)
+      .select("window_start", "window_end", "driver_id",
+        "total_rides_hourly", "avg_fare_hourly",
+        "total_suspicious_rides_hourly")
+    val expected = Medallion.goldAggregate(silver)
+    assert(gold.except(expected).count() === 0 &&
+      expected.except(gold).count() === 0)
+    // manifest-backed count agrees with the scan count, zero tasks
+    assert(sink.countRows(spark) === Some(gold.count()))
+  }
 }
