@@ -704,7 +704,6 @@ object ZOrder {
     require(bits * cols.size <= 63, s"bits($bits) * cols(${cols.size}) > 63")
     val nb = 1 << bits
     val casted = cols.map(c => col(c).cast("double"))
-    df.schema // force analysis so a bad cast surfaces here, not mid-write
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val qcols = cols.indices.map(i => s"_zq_$i")
     val projected = df.select(cols.indices.map(i =>

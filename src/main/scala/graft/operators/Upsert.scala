@@ -289,30 +289,44 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val dirs = f.listStatus(root).toSeq.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
     if (dirs.isEmpty) return None
-    val base = read(spark)
-    if (!base.columns.contains(pc)) return None
-    effectivePredicate(base, predicate) match {
+    // one listing pass per dir (needed for the freshness checks and
+    // surrogates regardless); predicate resolution then uses a single
+    // sample leaf with basePath, so Spark never re-lists the table for
+    // the pruning decision. Post-widening narrow files can fail that
+    // resolution — fall back to the mergeSchema read (rare path).
+    val listed: Seq[(String, Seq[String])] = dirs.map { d =>
+      (d.getPath.getName, f.listStatus(d.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName))
+    }
+    val firstLeaf = listed.collectFirst {
+      case (dn, ns) if ns.nonEmpty => s"$path/$dn/${ns.head}"
+    }
+    if (firstLeaf.isEmpty) return None
+    val schemaDf = scala.util.Try(
+      spark.read.option("basePath", path).parquet(firstLeaf.get))
+      .getOrElse(read(spark))
+    if (!schemaDf.columns.contains(pc)) return None
+    val eff = scala.util.Try(effectivePredicate(schemaDf, predicate))
+      .orElse(scala.util.Try(effectivePredicate(read(spark), predicate)))
+      .getOrElse(PredUnknown)
+    eff match {
       case PredUnknown => None
-      case PredEmpty =>
-        Some((Seq.empty, dirs.map(d => f.listStatus(d.getPath)
-          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-          .sum))
+      case PredEmpty => Some((Seq.empty, listed.map(_._2.size).sum))
       case PredCond(cond) =>
-        val dt = base.schema(pc).dataType
+        val dt = schemaDf.schema(pc).dataType
         var total = 0
-        val kept = dirs.flatMap { d =>
+        val kept = listed.flatMap { case (dirName, names) =>
           val raw = org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils.unescapePathName(
-              d.getPath.getName.drop(pc.length + 1))
-          val listed = f.listStatus(d.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.getName)
-          val manifest = FileSkipping.readStats(f, d.getPath)
-            .filter(_.map(_.file).toSet == listed.toSet)
+              dirName.drop(pc.length + 1))
+          val manifest = FileSkipping
+            .readStats(f, new Path(path, dirName))
+            .filter(_.map(_.file).toSet == names.toSet)
           val files = manifest.getOrElse(
             // no trustworthy manifest: 1-row surrogates — data columns
             // cannot prune, the partition value still can
-            listed.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
+            names.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
           total += files.size
           files.filter { fileStat =>
             val enriched = FileSkipping
@@ -320,7 +334,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
               .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
               .getOrElse(fileStat)
             FileSkipping.mayMatch(cond, enriched)
-          }.map(k => s"${d.getPath.getName}/${k.file}")
+          }.map(k => s"$dirName/${k.file}")
         }
         Some((kept, total))
     }
@@ -348,8 +362,15 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           .map(_.getPath.getName)
         (all, all.size)
       case Some(stats) =>
-        effectivePredicate(spark.read.parquet(s"$path/$dir"),
-          predicate) match {
+        // predicate resolution against ONE sample file: a versioned
+        // snapshot is schema-uniform (full rewrite per version), and a
+        // whole-directory read here would make Spark re-list every
+        // file — O(files) driver work the pruning exists to avoid
+        val predDf = stats.headOption match {
+          case Some(first) => spark.read.parquet(s"$path/$dir/${first.file}")
+          case None => spark.read.parquet(s"$path/$dir")
+        }
+        effectivePredicate(predDf, predicate) match {
           case PredEmpty => (Seq.empty, stats.size)
           case PredUnknown => (stats.map(_.file), stats.size)
           case PredCond(cond) =>
