@@ -629,6 +629,42 @@ object FileSkipping {
     if (a.length >= p.length) 0 else -1
   }
 
+  /** Global [min, max] of `column` across a snapshot's file stats —
+    * sound only when EVERY file has known bounds or is provably
+    * all-null (a single unknown file could hold the true extremum →
+    * None), and at least one file holds a non-null value. Unwraps
+    * SValues to plain Scala values.
+    */
+  def globalBounds(stats: Seq[FileStat], column: String)
+      : Option[(Any, Any)] = {
+    val files = stats.filter(_.rows > 0)
+    // every non-empty file must carry stats for the column, and each
+    // must either have known bounds or be provably all-null — one
+    // unknown file could hold the true extremum
+    val perFile: Seq[Option[(Option[SValue], Option[SValue])]] =
+      files.map { f =>
+        f.cols.get(column).flatMap { c =>
+          if (c.min.isDefined && c.max.isDefined) Some((c.min, c.max))
+          else if (c.nulls.contains(f.rows)) Some((None, None)) // all null
+          else None // unknown bounds
+        }
+      }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
+    val kind = files.flatMap(_.cols.get(column)).head.kind
+    val mins = perFile.flatten.flatMap(_._1)
+    val maxs = perFile.flatten.flatMap(_._2)
+    if (mins.isEmpty || maxs.isEmpty) return None // no non-null values
+    val gMin = mins.reduce((a, b) => if (cmpSame(a, b, kind) <= 0) a else b)
+    val gMax = maxs.reduce((a, b) => if (cmpSame(a, b, kind) >= 0) a else b)
+    def unwrap(v: SValue): Any = v match {
+      case SLong(l) => l
+      case SDouble(d) => d
+      case SString(s) => s
+      case SBool(b) => b
+    }
+    Some((unwrap(gMin), unwrap(gMax)))
+  }
+
   /** Pseudo column stats for a PARTITION-VALUE directory (partitioned
     * layout): the directory name pins every row's value, so the
     * column's per-file stats are min = max = value, zero nulls — and

@@ -414,6 +414,24 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         .map(_.map(_.rows).sum)
     }
 
+  /** Metadata-only global [min, max] of `column` on the current
+    * snapshot (versioned layout) — the MIN/MAX a 100 TB table answers
+    * from its log: the fold of the manifest's per-file bounds, zero
+    * tasks. None when stats are absent, the column is unindexed, any
+    * file's bounds are unknown (unknown files could hold the true
+    * extremum), or every file is all-null. Values come back in the
+    * manifest's representation: Long for integral columns, Double,
+    * String, Boolean, days-since-epoch Long for dates, micros Long
+    * for timestamps.
+    */
+  def columnBounds(spark: SparkSession, column: String)
+      : Option[(Any, Any)] =
+    if (partitionCol.nonEmpty) None
+    else commits(spark).lastOption.flatMap { case (_, _, dir) =>
+      FileSkipping.readStats(fs(spark), new Path(s"$path/$dir"))
+        .flatMap(FileSkipping.globalBounds(_, column))
+    }
+
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>
       commits(spark).lastOption match {

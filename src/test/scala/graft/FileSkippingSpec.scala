@@ -383,6 +383,29 @@ class FileSkippingSpec extends SparkTestBase {
     }
   }
 
+  test("countRows and columnBounds answer from the manifest, no scan") {
+    val dir = tmpDir("fskip") + "/t"
+    val sink = mixedSink(dir)
+    assert(sink.countRows(spark) === Some(1000L))
+    assert(sink.columnBounds(spark, "id") === Some((0L, 999L)))
+    assert(sink.columnBounds(spark, "score") === Some((0.0, 99.9)))
+    assert(sink.columnBounds(spark, "name") ===
+      Some(("user0000", "user0999")))
+    // all-null column: no non-null extrema to report
+    assert(sink.columnBounds(spark, "void") === None)
+    // unknown column: None, never a guess
+    assert(sink.columnBounds(spark, "nope") === None)
+    // without a manifest both degrade to None (callers fall back to
+    // the scan-based aggregate)
+    val snap = snapshotDir(sink, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/$snap/${FileSkipping.statsFileName}"), false)
+    assert(sink.countRows(spark) === None)
+    assert(sink.columnBounds(spark, "id") === None)
+  }
+
   test("stats JSON round-trips byte-identically") {
     val dir = tmpDir("fskip") + "/t"
     val sink = mixedSink(dir)
