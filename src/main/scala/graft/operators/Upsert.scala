@@ -755,8 +755,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * `SET ...optimize.maxFileSize=128MB`, 03_gold_realtime_rides.py:75):
     * rewrite the current snapshot as ⌈bytes / targetFileBytes⌉ files
     * in a new committed version. Safe under the same crash protocol
-    * as upserts; no-op on empty or partitioned tables (partitioned
-    * compaction would be per-partition — not needed at demo scale).
+    * as upserts; no-op on empty or partitioned tables (those
+    * consolidate per-partition via [[compactPartitions]]).
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 128L * 1024 * 1024,
@@ -800,6 +800,68 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         s"$lastBatch $dir ${System.currentTimeMillis()} compact"))
       gc(spark, cs :+ ((newV, lastBatch, dir)))
     else fs(spark).delete(new Path(s"$path/$dir"), true)
+  }
+
+  /** Per-partition compaction — OPTIMIZE for the PARTITIONED layout
+    * ([[compact]] covers the versioned one): every partition directory
+    * holding more files than ⌈bytes / targetFileBytes⌉ is rewritten to
+    * that count, IN PLACE under the writer lock (the only sound
+    * multi-writer contract for in-place rewrites), through one dynamic
+    * partition overwrite — replaced files are swapped at commit, so a
+    * crash mid-job leaves every partition's old content intact.
+    * Untouched partitions are never read or rewritten; rewritten ones
+    * get fresh stats manifests. The streaming gold sink in its
+    * date-partitioned mode re-fragments each touched partition to the
+    * batch's write parallelism — this is the periodic consolidation
+    * that turns those task-count files back into size-targeted ones.
+    * Returns the rewritten partition directory names.
+    */
+  def compactPartitions(spark: SparkSession,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val pc = partitionCol.getOrElse(return Seq.empty)
+    withWriterLock(spark) {
+      val f = fs(spark)
+      val root = new Path(path)
+      if (!f.exists(root)) Seq.empty
+      else {
+        val eligible = f.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+          .flatMap { d =>
+            val files = f.listStatus(d.getPath).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            val bytes = files.map(_.getLen).sum
+            val want = math.max(1,
+              math.ceil(bytes.toDouble / targetFileBytes).toInt)
+            if (files.size > want) Some((d.getPath.getName, want))
+            else None
+          }
+        if (eligible.isEmpty) Seq.empty
+        else {
+          // one read over just the eligible dirs; basePath derives the
+          // partition column from each file's path. Materialize before
+          // the overwrite swaps the input files out from under a
+          // lazily-rescanned plan (the upsert path's precedent).
+          val rows = spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(eligible.map(e => s"$path/${e._1}"): _*)
+          val total = eligible.map(_._2).sum
+          // range-partition on (pc, first key): each partition's rows
+          // land in contiguous tasks, so dirs get ~their ⌈share⌉ of
+          // the total file budget
+          val arranged = rows
+            .repartitionByRange(total, col(pc), col(keys.head))
+            .localCheckpoint(true)
+          withDynamicOverwrite(spark) {
+            arranged.write.mode("overwrite").partitionBy(pc).parquet(path)
+          }
+          refreshPartitionStats(spark, pc, eligible.map { e =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(e._1.drop(pc.length + 1))
+          })
+          eligible.map(_._1)
+        }
+      }
+    }
   }
 
   /** Upsert one batch. Replayed batchIds (crash between sink commit

@@ -629,4 +629,37 @@ class UpsertSpec extends SparkTestBase {
     // budget; data intact either way
     assert(sink.read(spark).count() === 200)
   }
+
+  test("compactPartitions consolidates fragmented partition dirs in place") {
+    val dir = tmpDir("upserts") + "/pcompact"
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      partitionCol = Some("day"))
+    val df = spark.range(400).toDF("k")
+      .withColumn("day", when(col("k") < 200, lit("a")).otherwise(lit("b")))
+      .withColumn("v", col("k") * 3)
+      .repartition(8) // every task holds both days → ~8 files per dir
+    sink.upsert(spark, df, batchId = 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(day: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/day=$day"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(filesIn("a") > 1 && filesIn("b") > 1, "fixture not fragmented")
+    val rewritten = sink.compactPartitions(spark,
+      targetFileBytes = 1L << 40)
+    assert(rewritten.toSet === Set("day=a", "day=b"))
+    assert(filesIn("a") === 1 && filesIn("b") === 1,
+      s"still ${filesIn("a")}/${filesIn("b")} files")
+    // content intact, stats manifests refreshed → pruning + parity
+    assert(sink.read(spark).count() === 400)
+    assert(sink.read(spark).agg(sum(col("v"))).first().getLong(0) ===
+      (0L until 400L).map(_ * 3).sum)
+    val (kept, total) = sink.scanFileCounts(spark, col("day") === "a")
+    assert(total === 2 && kept === 1)
+    val pred = col("k") === 123L
+    assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+      sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+    // idempotent: nothing left over budget
+    assert(sink.compactPartitions(spark, targetFileBytes = 1L << 40).isEmpty)
+  }
 }
