@@ -405,6 +405,28 @@ object FileSkipping {
       case Or(l, r) => mm(l) || mm(r)
       case Not(IsNull(a)) => notNullLeaf(a, file)
       case Not(IsNotNull(a)) => nullLeaf(a, file)
+      // negated equality: NOT(a = v) passes only non-null values ≠ v —
+      // prunable when the file is single-valued AT v (min = max = v,
+      // so every non-null row fails) or all null (NOT(null) is null,
+      // filtered). The optimizer does not rewrite these, so they
+      // reach the pruner as-is.
+      case Not(EqualTo(a, l: Literal)) => notEqLeaf(a, l, file)
+      case Not(EqualTo(l: Literal, a)) => notEqLeaf(a, l, file)
+      case Not(EqualNullSafe(a, l: Literal)) if l.value != null =>
+        // <=> with a non-null literal is null-free: nulls PASS the
+        // negation, so only the single-valued-at-v zero-null file
+        // prunes
+        notEqLeaf(a, l, file, nullsPass = true)
+      case Not(EqualNullSafe(l: Literal, a)) if l.value != null =>
+        notEqLeaf(a, l, file, nullsPass = true)
+      case Not(In(a, list)) if list.forall(_.isInstanceOf[Literal]) =>
+        // NOT IN = a ≠ every element, a conjunction — the file prunes
+        // if ANY conjunct is unsatisfiable for it; a null element
+        // nulls every verdict (nothing ever passes)
+        if (list.exists(_.asInstanceOf[Literal].value == null)) false
+        else list.forall(l => notEqLeaf(a, l.asInstanceOf[Literal], file))
+      case Not(StartsWith(a, Literal(p: UTF8String, _))) =>
+        notPrefixLeaf(a, p.toString, file)
       case l: Literal => l.value match {
         case null => false // NULL filter verdict drops every row
         case b: Boolean => b
@@ -440,6 +462,55 @@ object FileSkipping {
     }
     mm(predicate)
   }
+
+  /** NOT(attr = v): may the file hold a NON-NULL value ≠ v? False
+    * (prunable) when the file is single-valued exactly at v, or —
+    * unless `nullsPass` (the null-safe form, where nulls satisfy the
+    * negation) — when it is all null.
+    */
+  private def notEqLeaf(attr: Expression, l: Literal, f: FileStat,
+                        nullsPass: Boolean = false): Boolean =
+    colStats(attr, f) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.nulls.contains(f.rows)) return nullsPass // all null
+        litFamily(l) match {
+          case None => l.value != null // null literal: nothing passes
+          case Some(lv) =>
+            val singleValuedAtV =
+              cs.min.flatMap(m => cmpLit(lv, m, cs.kind)).contains(0) &&
+                cs.max.flatMap(m => cmpLit(lv, m, cs.kind)).contains(0)
+            if (!singleValuedAtV) true
+            // every non-null value equals v: plain ≠ passes nothing
+            // (nulls filter out); the null-safe form passes exactly
+            // the nulls, so the file survives only if it may have some
+            else if (nullsPass) !cs.nulls.contains(0L)
+            else false
+        }
+    }
+
+  /** NOT(startswith(attr, p)): if both min and max start with p, every
+    * value lexicographically between them does too (a differing first
+    * |p| bytes would fall outside [min, max]) — no non-null row can
+    * pass, and nulls never pass NOT(null). Prunable.
+    */
+  private def notPrefixLeaf(attr: Expression, prefix: String,
+                            f: FileStat): Boolean =
+    colStats(attr, f) match {
+      case Some(cs) if cs.kind == "string" =>
+        if (cs.nulls.contains(f.rows)) false // all null: nothing passes
+        else {
+          val p = prefix.getBytes("UTF-8")
+          def startsWithP(v: SValue): Boolean = {
+            val b = v.asInstanceOf[SString].v.getBytes("UTF-8")
+            b.length >= p.length && truncCmp(b, p) == 0
+          }
+          val covered = cs.min.exists(startsWithP) &&
+            cs.max.exists(startsWithP)
+          !covered
+        }
+      case _ => true
+    }
 
   /** Bare boolean column as the predicate (or its negation): prunable
     * when the file's [min, max] excludes `want` or the column is all
