@@ -340,6 +340,29 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** [[scan]] against a RETAINED historical version — time travel and
+    * data skipping compose for free: each snapshot directory carries
+    * its own stats manifest, so a point lookup into last night's
+    * version prunes exactly like one into today's.
+    */
+  def scanVersion(spark: SparkSession, version: Long,
+                  predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(partitionCol.isEmpty,
+      "time travel requires the versioned layout")
+    commits(spark).find(_._1 == version) match {
+      case None => readVersion(spark, version) // throws the standard error
+      case Some((_, _, dir)) =>
+        val (kept, total) = scanFileSelection(spark, dir, predicate)
+        if (kept.size == total)
+          spark.read.parquet(s"$path/$dir").filter(predicate)
+        else if (kept.isEmpty)
+          emptyLike(spark, spark.read.parquet(s"$path/$dir").schema)
+        else
+          spark.read.parquet(kept.map(f => s"$path/$dir/$f"): _*)
+            .filter(predicate)
+    }
+  }
+
   /** (files kept, total files) the stats manifest admits for
     * `predicate` — the pruning decision [[scan]] acts on, exposed for
     * tests and skip-ratio telemetry. No stats ⇒ everything kept.

@@ -439,6 +439,32 @@ class FileSkippingSpec extends SparkTestBase {
     assert(sink.columnBounds(spark, "id") === None)
   }
 
+  test("scanVersion: time travel and pruning compose") {
+    val dir = tmpDir("fskip") + "/tt"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+    val sink = new ParquetUpsertSink(dir, Seq("id"), retainVersions = 4)
+    sink.upsert(spark, df, batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    sink.delete(spark, col("id") >= 500L, batchId = 1)
+    // the historical version still holds (and prunes for) the
+    // since-deleted range
+    val hist = sink.scanVersion(spark, v0, col("id") === 700L)
+    assert(hist.count() === 1)
+    assert(sink.scan(spark, col("id") === 700L).count() === 0)
+    // parity against the plain historical read
+    val pred = col("id") >= 100L && col("id") < 300L
+    assert(sink.scanVersion(spark, v0, pred).collect()
+      .map(_.toString).sorted.toSeq ===
+      sink.readVersion(spark, v0).filter(pred).collect()
+        .map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      sink.scanVersion(spark, 99L, pred).count()
+    }
+  }
+
   test("stats JSON round-trips byte-identically") {
     val dir = tmpDir("fskip") + "/t"
     val sink = mixedSink(dir)
