@@ -357,4 +357,54 @@ object EngineProperties extends Properties("graft") {
         viaScan == viaRead
       }
     }
+
+  // same law on the PARTITIONED layout, whose pruning path has more
+  // moving parts: partition-value pseudo-stats, the manifest
+  // staleness guard, and the basePath subset read — plus predicates
+  // over the partition column itself
+  private lazy val partSkipSink: graft.operators.ParquetUpsertSink = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pskipprop").toString + "/t"
+    val df = spark.range(300).toDF("id")
+      .withColumn("grp", concat(lit("g"), (col("id") % 5).cast("string")))
+      .withColumn("score", col("id").cast("double") / 10.0)
+      .withColumn("maybe", when(col("id") % 3 =!= 0, col("id") * 2))
+      .repartitionByRange(6, col("id"))
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("grp"))
+    sink.upsert(spark, df, batchId = -1)
+    sink
+  }
+
+  private val genPartLeaf: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+    Gen.oneOf("g0", "g3", "g7").map(v => col("grp") === v),
+    Gen.oneOf("g1", "g4").map(v => col("grp") =!= v),
+    Gen.listOfN(2, Gen.oneOf("g0", "g2", "g9"))
+      .map(vs => col("grp").isin(vs: _*)),
+    Gen.choose(-50L, 350L).map(v => col("id") <= v),
+    Gen.choose(-50L, 350L).map(v => col("id") === v),
+    Gen.choose(-5.0, 35.0).map(v => col("score") > v),
+    Gen.const(col("maybe").isNull),
+    Gen.const(col("maybe").isNotNull))
+
+  private def genPartPred(depth: Int): Gen[org.apache.spark.sql.Column] =
+    if (depth == 0) genPartLeaf
+    else Gen.frequency(
+      3 -> genPartLeaf,
+      2 -> Gen.zip(genPartPred(depth - 1), genPartPred(depth - 1))
+        .map { case (a, b) => a && b },
+      2 -> Gen.zip(genPartPred(depth - 1), genPartPred(depth - 1))
+        .map { case (a, b) => a || b },
+      1 -> genPartPred(depth - 1).map(p => !p))
+
+  property("partitioned file skipping: scan ≡ read.filter under random predicates") =
+    Prop.forAll(Gen.listOfN(6, genPartPred(2))) { preds =>
+      preds.forall { pred =>
+        val viaScan = partSkipSink.scan(spark, pred)
+          .collect().map(_.toString).sorted.toSeq
+        val viaRead = partSkipSink.read(spark).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        viaScan == viaRead
+      }
+    }
 }
