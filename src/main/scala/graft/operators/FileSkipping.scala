@@ -281,6 +281,206 @@ object FileSkipping {
   }
 
   // ---------------------------------------------------------------
+  // Bloom-filter file index (_blooms.json inside the snapshot dir)
+  // ---------------------------------------------------------------
+
+  /** Per-file split-block bloom filters over chosen columns — the
+    * equality-skipping channel min/max stats cannot serve (the Delta
+    * `bloomfilter` index analog): a point lookup on a HIGH-CARDINALITY
+    * key (`doc_id = <uuid>`) finds every file's [min, max] spanning
+    * the keyspace unless the table is clustered on exactly that key,
+    * but a per-file bloom answers "definitely not in this file" for
+    * ~97% of non-matching files at fpp 0.03 — independent of the
+    * physical sort order, so it composes with clustering on OTHER
+    * columns. False positives only ever KEEP a file (the residual
+    * predicate still runs), so bloom pruning inherits the stats
+    * pruner's soundness story; absent/corrupt/stale index entries
+    * degrade to keep, never to wrong results.
+    *
+    * Cost model, stated for the 100 TB case: building the index is one
+    * column-pruned scan of the files just written (unlike footer
+    * stats, blooms need the data), so it rides the commit that already
+    * wrote those bytes; the index itself is O(rows · bits-per-row) for
+    * the indexed columns only — choose them like Delta does, per
+    * column, not table-wide. Probing is metadata-only at plan time.
+    *
+    * Encodings (write and probe MUST agree): integral columns hash the
+    * value as a long, strings as UTF-8 bytes, dates as epoch days.
+    * Other types are skipped at build time and never probed.
+    */
+  val bloomsFileName = "_blooms.json"
+
+  /** Default false-positive rate (Delta's default neighborhood): ~7
+    * bits/row. Lower fpp prunes marginally more but grows the index
+    * linearly in log(1/fpp).
+    */
+  val bloomDefaultFpp = 0.03
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  /** Per-file bloom index of one snapshot directory:
+    * column → (encoding kind, file → filter).
+    */
+  final case class BloomIndex(
+      cols: Map[String, (String, Map[String, BloomFilter])]) {
+    /** col → (kind, filter) slice for one file — the shape
+      * [[mayMatch]] consumes.
+      */
+    def forFile(file: String): Map[String, (String, BloomFilter)] =
+      cols.flatMap { case (c, (kind, byFile)) =>
+        byFile.get(file).map(bf => c -> (kind, bf))
+      }
+  }
+
+  /** Bloom-supported encoding for a Spark type: how values are fed to
+    * the filter (and how probe literals must be fed later). None =
+    * the column cannot be bloom-indexed.
+    */
+  private def bloomKind(dt: org.apache.spark.sql.types.DataType)
+      : Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case StringType => Some("string")
+      case DateType => Some("date")
+      case _ => None
+    }
+  }
+
+  /** Build and persist per-file blooms over `cols` for every parquet
+    * file under `dir`. One distributed column-pruned pass: each input
+    * partition folds its rows into partial filters keyed by
+    * (file, column); the driver merges partials (bit-OR — filters are
+    * built with identical per-file sizing, so they are mergeable) and
+    * writes `_blooms.json`. Sizing comes from the stats manifest's
+    * per-file row counts (written immediately before in every commit
+    * path); files missing from it get a conservative default.
+    * Failures are swallowed into "no index" — like stats, blooms are
+    * an optimization and must never fail a commit.
+    */
+  def writeBlooms(spark: org.apache.spark.sql.SparkSession, dir: Path,
+                  cols: Seq[String], fpp: Double = bloomDefaultFpp): Unit =
+    try {
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rowsByFile: Map[String, Long] =
+        readStats(fs, dir).map(_.map(s => s.file -> s.rows).toMap)
+          .getOrElse(Map.empty)
+      val df = spark.read.parquet(dir.toString)
+      val indexed = cols.distinct.flatMap { c =>
+        df.schema.find(_.name == c)
+          .flatMap(f => bloomKind(f.dataType).map(k => (c, k)))
+      }
+      if (indexed.isEmpty) return
+      val projected = df.select(
+        org.apache.spark.sql.functions.input_file_name().as("_bf_file") +:
+          indexed.map { case (c, _) => org.apache.spark.sql.functions.col(c) }: _*)
+      val kinds = indexed.map(_._2).toArray
+      val names = indexed.map(_._1).toArray
+      val sizing = rowsByFile // serialized to executors; O(files) entries
+      val defaultItems = 1000000L
+      // partial filters per (file, colIdx), serialized for the collect
+      val partials: Array[((String, Int), Array[Byte])] =
+        projected.rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.Map[(String, Int), BloomFilter]()
+          it.foreach { row =>
+            val fileName = {
+              val p = row.getString(0)
+              p.substring(p.lastIndexOf('/') + 1)
+            }
+            var i = 0
+            while (i < kinds.length) {
+              if (!row.isNullAt(i + 1)) {
+                val bf = acc.getOrElseUpdate((fileName, i), BloomFilter.create(
+                  math.max(1L, sizing.getOrElse(fileName, defaultItems)), fpp))
+                kinds(i) match {
+                  case "long" => bf.putLong(row.get(i + 1) match {
+                    case b: java.lang.Byte => b.longValue()
+                    case s: java.lang.Short => s.longValue()
+                    case n: java.lang.Integer => n.longValue()
+                    case l: java.lang.Long => l.longValue()
+                  })
+                  case "date" => bf.putLong(row.getAs[java.sql.Date](i + 1)
+                    .toLocalDate.toEpochDay)
+                  case "string" => bf.putString(row.getString(i + 1))
+                }
+              }
+              i += 1
+            }
+          }
+          acc.iterator.map { case (k, bf) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            (k, bos.toByteArray)
+          }
+        }.collect()
+      val merged = scala.collection.mutable.Map[(String, Int), BloomFilter]()
+      partials.foreach { case (k, bytes) =>
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        merged.get(k) match {
+          case None => merged(k) = bf
+          case Some(prev) => prev.mergeInPlace(bf)
+        }
+      }
+      val enc = java.util.Base64.getEncoder
+      val json = JObject(
+        "version" -> JInt(1),
+        "fpp" -> JDouble(fpp),
+        "cols" -> JObject(names.indices.map { i =>
+          names(i) -> (JObject(
+            "kind" -> (JString(kinds(i)): JValue),
+            "files" -> (JObject(merged.toList.collect {
+              case ((f, ci), bf) if ci == i =>
+                val bos = new java.io.ByteArrayOutputStream()
+                bf.writeTo(bos)
+                f -> (JString(enc.encodeToString(bos.toByteArray)): JValue)
+            }): JValue)): JValue)
+        }.toList))
+      val out = fs.create(new Path(dir, bloomsFileName), true)
+      try out.write(JsonMethods.compact(JsonMethods.render(json))
+        .getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Read a directory's bloom index; None on absence or any parse
+    * problem (prune-nothing, like stats). Per-file entries are
+    * inherently fresh: data files are uniquely named, so an entry for
+    * a replaced file simply never matches a current listing, and a
+    * new file without an entry just isn't bloom-pruned.
+    */
+  def readBlooms(fs: FileSystem, dir: Path): Option[BloomIndex] = {
+    val p = new Path(dir, bloomsFileName)
+    if (!fs.exists(p)) return None
+    scala.util.Try {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val root = JsonMethods.parse(s)
+      val dec = java.util.Base64.getDecoder
+      val cols = (root \ "cols") match {
+        case JObject(fields) => fields.flatMap { case (cn, cj) =>
+          (cj \ "kind") match {
+            case JString(kind) =>
+              val files = (cj \ "files") match {
+                case JObject(fs2) => fs2.flatMap { case (fn, fj) =>
+                  fj match {
+                    case JString(b64) => scala.util.Try(BloomFilter.readFrom(
+                      new java.io.ByteArrayInputStream(dec.decode(b64))))
+                      .toOption.map(fn -> _)
+                    case _ => None
+                  }
+                }.toMap
+                case _ => Map.empty[String, BloomFilter]
+              }
+              Some(cn -> (kind, files))
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[String, (String, Map[String, BloomFilter])]
+      }
+      BloomIndex(cols)
+    }.toOption
+  }
+
+  // ---------------------------------------------------------------
   // Persistence (_stats.json inside the snapshot dir)
   // ---------------------------------------------------------------
 
@@ -398,8 +598,34 @@ object FileSkipping {
     * else — including any column without stats — is conservatively
     * "may match".
     */
-  def mayMatch(predicate: Expression, file: FileStat): Boolean = {
+  def mayMatch(predicate: Expression, file: FileStat): Boolean =
+    mayMatch(predicate, file, Map.empty)
+
+  /** As above, additionally consulting the file's bloom filters
+    * (column → (encoding kind, filter), the [[BloomIndex.forFile]]
+    * slice) on EQUALITY leaves: a bloom that proves the probed value
+    * absent falsifies that leaf for this file exactly like an
+    * out-of-[min,max] verdict — sound under And/Or/In nesting because
+    * the leaf itself is unsatisfiable (nulls never equal a non-null
+    * literal, so "no non-null occurrence" is "no occurrence").
+    * Kind-mismatched or unsupported probes keep the file.
+    */
+  def mayMatch(predicate: Expression, file: FileStat,
+               blooms: Map[String, (String, BloomFilter)]): Boolean = {
     if (file.rows == 0) return false // no rows: nothing satisfies anything
+    def bloomLeaf(attr: Expression, l: Literal): Boolean =
+      attrName(attr).flatMap(blooms.get) match {
+        case None => true // no bloom for the column (or a cast in the way)
+        case Some((kind, bf)) => litFamily(l) match {
+          case Some(("num", SLong(v))) if kind == "long" =>
+            bf.mightContainLong(v)
+          case Some(("date", SLong(days))) if kind == "date" =>
+            bf.mightContainLong(days)
+          case Some(("string", SString(s))) if kind == "string" =>
+            bf.mightContainString(s)
+          case _ => true // unsupported/mismatched encoding: keep
+        }
+      }
     def mm(e: Expression): Boolean = e match {
       case And(l, r) => mm(l) && mm(r)
       case Or(l, r) => mm(l) || mm(r)
@@ -432,12 +658,16 @@ object FileSkipping {
         case b: Boolean => b
         case _ => true
       }
-      case EqualTo(a, l: Literal) => cmpLeaf(a, l, file, "eq")
-      case EqualTo(l: Literal, a) => cmpLeaf(a, l, file, "eq")
+      case EqualTo(a, l: Literal) =>
+        cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
+      case EqualTo(l: Literal, a) =>
+        cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
       case EqualNullSafe(a, l: Literal) =>
-        if (l.value == null) nullLeaf(a, file) else cmpLeaf(a, l, file, "eq")
+        if (l.value == null) nullLeaf(a, file)
+        else cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
       case EqualNullSafe(l: Literal, a) =>
-        if (l.value == null) nullLeaf(a, file) else cmpLeaf(a, l, file, "eq")
+        if (l.value == null) nullLeaf(a, file)
+        else cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
       case LessThan(a, l: Literal) => cmpLeaf(a, l, file, "lt")
       case LessThan(l: Literal, a) => cmpLeaf(a, l, file, "gt")
       case LessThanOrEqual(a, l: Literal) => cmpLeaf(a, l, file, "le")
@@ -447,9 +677,15 @@ object FileSkipping {
       case GreaterThanOrEqual(a, l: Literal) => cmpLeaf(a, l, file, "ge")
       case GreaterThanOrEqual(l: Literal, a) => cmpLeaf(a, l, file, "le")
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists(l => cmpLeaf(a, l.asInstanceOf[Literal], file, "eq"))
+        list.exists { l0 =>
+          val l = l0.asInstanceOf[Literal]
+          cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
+        }
       case InSet(a, values) if a.resolved => // the optimizer's large-IN form
-        values.exists(v => cmpLeaf(a, Literal(v, a.dataType), file, "eq"))
+        values.exists { v =>
+          val l = Literal(v, a.dataType)
+          cmpLeaf(a, l, file, "eq") && bloomLeaf(a, l)
+        }
       case IsNull(a) => nullLeaf(a, file)
       case IsNotNull(a) => notNullLeaf(a, file)
       case StartsWith(a, Literal(p: UTF8String, _)) =>
@@ -565,9 +801,21 @@ object FileSkipping {
       case _ => attrName(e).flatMap(f.cols.get)
     }
 
+  /** Bounds transformed by `t`, DROPPING any mapped bound that lands
+    * non-finite (e.g. a double value beyond Float range maps to
+    * Infinity under a float cast): a non-finite bound would blow up
+    * the exact BigDecimal comparison downstream, and "unknown" is the
+    * sound verdict for it anyway — the file is simply kept.
+    */
   private def mapBounds(cs: ColStats, newKind: String)
-                       (t: PartialFunction[SValue, SValue]): ColStats =
-    ColStats(newKind, cs.min.collect(t), cs.max.collect(t), cs.nulls)
+                       (t: PartialFunction[SValue, SValue]): ColStats = {
+    def finite(v: SValue): Boolean = v match {
+      case SDouble(d) => java.lang.Double.isFinite(d)
+      case _ => true
+    }
+    ColStats(newKind, cs.min.collect(t).filter(finite),
+      cs.max.collect(t).filter(finite), cs.nulls)
+  }
 
   /** Catalyst literal → (family, SValue). Families gate comparability:
     * `num` literals compare against long/double stats via BigDecimal
@@ -584,10 +832,14 @@ object FileSkipping {
       case (ShortType, v: Short) => Some(("num", SLong(v.toLong)))
       case (IntegerType, v: Int) => Some(("num", SLong(v.toLong)))
       case (LongType, v: Long) => Some(("num", SLong(v)))
+      // non-finite literals (NaN, ±Infinity) never prune: NaN compares
+      // unlike its IEEE self in stats order, and an infinity would
+      // break the exact BigDecimal comparison — keep the file instead
       case (FloatType, v: Float) =>
-        if (java.lang.Float.isNaN(v)) None else Some(("num", SDouble(v.toDouble)))
+        if (!java.lang.Float.isFinite(v)) None
+        else Some(("num", SDouble(v.toDouble)))
       case (DoubleType, v: Double) =>
-        if (java.lang.Double.isNaN(v)) None else Some(("num", SDouble(v)))
+        if (!java.lang.Double.isFinite(v)) None else Some(("num", SDouble(v)))
       case (_: DecimalType, v: org.apache.spark.sql.types.Decimal) =>
         Some(("num", SString(v.toBigDecimal.toString))) // exact via BigDecimal
       case (StringType, v: UTF8String) => Some(("string", SString(v.toString)))
@@ -806,9 +1058,34 @@ object ZOrder {
     * the interleaved key at bits·|cols| ≤ 63.
     */
   def arrange(df: DataFrame, cols: Seq[String], nFiles: Int,
-              bits: Int = 8): DataFrame = {
+              bits: Int = 8): DataFrame =
+    withZColumn(df, cols, bits)
+      .repartitionByRange(nFiles, col(zColName))
+      .sortWithinPartitions(zColName)
+      .drop(zColName)
+
+  /** Name of the interleaved-curve column [[withZColumn]] appends. */
+  val zColName = "_z"
+
+  /** `df` plus the interleaved z-curve key as column [[zColName]] —
+    * the composable half of [[arrange]], for callers that need to
+    * combine the curve with their own partitioning (e.g. the
+    * partitioned layout's per-directory compaction, which range-
+    * partitions on (partition value, z) so each directory's files
+    * cover disjoint curve ranges WITHIN the directory).
+    */
+  def withZColumn(df: DataFrame, cols: Seq[String],
+                  bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "z-order needs >= 2 columns (one column is a sort)")
     require(bits * cols.size <= 63, s"bits($bits) * cols(${cols.size}) > 63")
+    // a non-numeric column would cast to null for every row, silently
+    // collapsing its dimension of the curve into bucket 0 — fail fast
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric (got $dt): pre-project " +
+          "date/timestamp/string columns to a numeric key at the call site")
+    }
     val nb = 1 << bits
     val casted = cols.map(c => col(c).cast("double"))
     val probs = (1 until nb).map(_.toDouble / nb).toArray
@@ -832,10 +1109,7 @@ object ZOrder {
       }
       z
     }
-    df.withColumn("_z", zf(array(casted: _*)))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    df.withColumn(zColName, zf(array(casted: _*)))
   }
 
   /** Equal-depth bucket of `v` given sorted cut points; nulls sort

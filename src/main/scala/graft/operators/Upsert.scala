@@ -707,18 +707,38 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       .foreach(d => FileSkipping.writeStats(spark, d.getPath))
   }
 
-  /** After a successful versioned upsert: compact immediately when the
-    * new snapshot exceeds the configured small-file budget. Runs OUTSIDE
-    * the committed write (the upsert is already durable; a crash here
-    * just leaves the fragmentation for the next trigger).
+  /** After a successful upsert: compact immediately when the new state
+    * exceeds the configured small-file budget. Runs OUTSIDE the
+    * committed write (the upsert is already durable; a crash here just
+    * leaves the fragmentation for the next trigger).
+    *
+    * Versioned layout: snapshot file count over budget → [[compact]].
+    * Partitioned layout: any partition DIRECTORY over budget →
+    * per-partition compaction — invoked directly on the locked body,
+    * since the enclosing upsert already holds the writer lock
+    * ([[withWriterLock]] is not reentrant); a lock-bypassing caller
+    * (`writerLockEnabled = false`) accepts the same exposure its
+    * upserts already have.
     */
   private def maybeAutoCompact(spark: SparkSession, dataDir: String): Unit =
     autoCompact.foreach { ac =>
-      if (partitionCol.isEmpty) {
-        val nFiles = fs(spark).listStatus(new Path(s"$path/$dataDir"))
-          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        if (nFiles > ac.files)
-          compact(spark, ac.targetFileBytes, ac.clusterBy, ac.zorder)
+      partitionCol match {
+        case None =>
+          val nFiles = fs(spark).listStatus(new Path(s"$path/$dataDir"))
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (nFiles > ac.files)
+            compact(spark, ac.targetFileBytes, ac.clusterBy, ac.zorder)
+        case Some(pc) =>
+          val f = fs(spark)
+          val root = new Path(path)
+          val fragmented = f.exists(root) && f.listStatus(root).exists { s =>
+            s.isDirectory && s.getPath.getName.startsWith(s"$pc=") &&
+              f.listStatus(s.getPath).count(x =>
+                x.isFile && x.getPath.getName.endsWith(".parquet")) > ac.files
+          }
+          if (fragmented)
+            compactPartitionsLocked(spark, pc, ac.targetFileBytes,
+              ac.clusterBy, ac.zorder, maxBytesPerRun = None)
       }
     }
 
@@ -839,51 +859,109 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * that turns those task-count files back into size-targeted ones.
     * Returns the rewritten partition directory names.
     */
+  /** @param clusterBy / `zorder`: in-partition layout, mirroring
+    *   [[compact]]'s options — `clusterBy` range-partitions + sorts
+    *   each directory's rewrite on the given data columns (tight
+    *   min/max on the leading key), `zorder = true` with ≥ 2 columns
+    *   interleaves them into a space-filling curve so predicates on
+    *   ANY clustered column prune files WITHIN a partition directory
+    *   (the partitioned layout's stats manifests + partition-value
+    *   pseudo-stats then compose: directory pruning on the partition
+    *   column, curve pruning inside survivors).
+    * @param maxBytesPerRun bound on the bytes materialized per rewrite
+    *   round: eligible directories are compacted in greedily-packed
+    *   groups of at most this many input bytes, each group its own
+    *   materialize + dynamic overwrite (still one writer-lock
+    *   acquisition for the invocation). A heavily fragmented 100 TB
+    *   table thus never pins its whole rewrite set in executor
+    *   storage in one non-fault-tolerant shot — a crash between
+    *   groups leaves every completed group compacted and every
+    *   pending group intact. None = single round (small tables).
+    */
   def compactPartitions(spark: SparkSession,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false,
+      maxBytesPerRun: Option[Long] = None): Seq[String] = {
     val pc = partitionCol.getOrElse(return Seq.empty)
+    require(maxBytesPerRun.forall(_ > 0), "maxBytesPerRun must be positive")
     withWriterLock(spark) {
-      val f = fs(spark)
-      val root = new Path(path)
-      if (!f.exists(root)) Seq.empty
-      else {
-        val eligible = f.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-          .flatMap { d =>
-            val files = f.listStatus(d.getPath).toSeq
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            val bytes = files.map(_.getLen).sum
-            val want = math.max(1,
-              math.ceil(bytes.toDouble / targetFileBytes).toInt)
-            if (files.size > want) Some((d.getPath.getName, want))
-            else None
-          }
-        if (eligible.isEmpty) Seq.empty
-        else {
-          // one read over just the eligible dirs; basePath derives the
-          // partition column from each file's path. Materialize before
-          // the overwrite swaps the input files out from under a
-          // lazily-rescanned plan (the upsert path's precedent).
-          val rows = spark.read.option("mergeSchema", "true")
-            .option("basePath", path)
-            .parquet(eligible.map(e => s"$path/${e._1}"): _*)
-          val total = eligible.map(_._2).sum
-          // range-partition on (pc, first key): each partition's rows
-          // land in contiguous tasks, so dirs get ~their ⌈share⌉ of
-          // the total file budget
-          val arranged = rows
-            .repartitionByRange(total, col(pc), col(keys.head))
-            .localCheckpoint(true)
-          withDynamicOverwrite(spark) {
-            arranged.write.mode("overwrite").partitionBy(pc).parquet(path)
-          }
-          refreshPartitionStats(spark, pc, eligible.map { e =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(e._1.drop(pc.length + 1))
-          })
-          eligible.map(_._1)
-        }
+      compactPartitionsLocked(spark, pc, targetFileBytes, clusterBy,
+        zorder, maxBytesPerRun)
+    }
+  }
+
+  /** [[compactPartitions]] body — caller MUST hold the writer lock
+    * (or accept lock-bypass, as the auto-compact path inside an
+    * already-locked upsert does).
+    */
+  private def compactPartitionsLocked(spark: SparkSession, pc: String,
+      targetFileBytes: Long, clusterBy: Seq[String], zorder: Boolean,
+      maxBytesPerRun: Option[Long]): Seq[String] = {
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val eligible = f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+      .flatMap { d =>
+        val files = f.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        if (files.size > want) Some((d.getPath.getName, want, bytes))
+        else None
       }
+    if (eligible.isEmpty) return Seq.empty
+    // greedy byte-bounded grouping; a single directory larger than the
+    // budget still compacts (alone in its group) — the bound caps the
+    // group, it cannot make a directory uncompactable
+    val groups: Seq[Seq[(String, Int, Long)]] = maxBytesPerRun match {
+      case None => Seq(eligible)
+      case Some(budget) =>
+        val gs = Seq.newBuilder[Seq[(String, Int, Long)]]
+        var cur = Vector.empty[(String, Int, Long)]
+        var curBytes = 0L
+        eligible.foreach { e =>
+          if (cur.nonEmpty && curBytes + e._3 > budget) {
+            gs += cur; cur = Vector(e); curBytes = e._3
+          } else { cur = cur :+ e; curBytes += e._3 }
+        }
+        if (cur.nonEmpty) gs += cur
+        gs.result()
+    }
+    groups.flatMap { group =>
+      // one read over just the group's dirs; basePath derives the
+      // partition column from each file's path. Materialize before
+      // the overwrite swaps the input files out from under a
+      // lazily-rescanned plan (the upsert path's precedent).
+      val rows = spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(group.map(e => s"$path/${e._1}"): _*)
+      val total = group.map(_._2).sum
+      // range-partition on (pc, in-partition key): each directory's
+      // rows land in contiguous tasks, so dirs get ~their ⌈share⌉ of
+      // the group's file budget — and the in-partition key gives each
+      // file a tight range of it
+      val arranged = (if (zorder && clusterBy.size >= 2)
+          ZOrder.withZColumn(rows, clusterBy)
+            .repartitionByRange(total, col(pc), col(ZOrder.zColName))
+            .sortWithinPartitions(col(pc), col(ZOrder.zColName))
+            .drop(ZOrder.zColName)
+        else {
+          val inKey = if (clusterBy.nonEmpty) clusterBy else Seq(keys.head)
+          val cols = col(pc) +: inKey.map(col)
+          rows.repartitionByRange(total, cols: _*)
+            .sortWithinPartitions(cols: _*)
+        }).localCheckpoint(true)
+      withDynamicOverwrite(spark) {
+        arranged.write.mode("overwrite").partitionBy(pc).parquet(path)
+      }
+      refreshPartitionStats(spark, pc, group.map { e =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(e._1.drop(pc.length + 1))
+      })
+      group.map(_._1)
     }
   }
 

@@ -159,14 +159,17 @@ object MedallionStream {
     // survive the commits that land while it catches up (the Delta
     // retention analog). The default keeps the minimal 2-version
     // window for plain readers.
-    // `autoCompact` (versioned layout): every micro-batch commit that
-    // fragments the snapshot past the budget compacts immediately —
-    // the long-running-stream configuration, since 45 s batches
-    // accumulate small files forever otherwise
+    // `autoCompact`: every micro-batch commit that fragments the
+    // table past the budget compacts immediately — the long-running-
+    // stream configuration, since 45 s batches accumulate small files
+    // forever otherwise. Versioned layout: snapshot-level OPTIMIZE;
+    // partitioned layout: per-partition compaction of any directory
+    // whose file count exceeds the budget (under the writer lock the
+    // upsert already holds).
     val sink =
       if (partitioned)
         new ParquetUpsertSink(p.gold, Rides.goldKey, Some("window_date"),
-          retainVersions = retainVersions)
+          retainVersions = retainVersions, autoCompact = autoCompact)
       else new ParquetUpsertSink(p.gold, Rides.goldKey,
         retainVersions = retainVersions, autoCompact = autoCompact)
     val input =

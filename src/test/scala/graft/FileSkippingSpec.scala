@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.{FileSkipping, ParquetUpsertSink}
+import graft.operators.{FileSkipping, ParquetUpsertSink, ZOrder}
 
 /** File-level data skipping on the versioned upsert store: footer
   * stats collection, the conservative predicate pruner, scan parity,
@@ -304,6 +304,67 @@ class FileSkippingSpec extends SparkTestBase {
     for (sink <- Seq(zSink, lexSink); pred <- Seq(onX, onY, onX && onY))
       assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
         grid.filter(pred).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("partitioned z-order compaction: BOTH clustered columns prune inside a partition dir") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("fskip") + "/pz"
+    // two partitions, each holding a full 64x64 (x, y) grid
+    val grid = spark.range(2L * 64 * 64).toDF("i")
+      .withColumn("day", when(col("i") % 2 === 0, lit("a")).otherwise(lit("b")))
+      .withColumn("x", (col("i") / 2) % 64)
+      .withColumn("y", ((col("i") / 2) / 64).cast("long"))
+      .withColumn("payload", concat(lit("p"), col("i")))
+      .drop("i")
+    val sink = new ParquetUpsertSink(dir, Seq("x", "y"),
+      partitionCol = Some("day"))
+    sink.upsert(spark, grid.repartition(24), batchId = 0)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(s"$dir/day=a")).getLength
+    val rewritten = sink.compactPartitions(spark,
+      targetFileBytes = math.max(1L, bytes / 8),
+      clusterBy = Seq("x", "y"), zorder = true)
+    assert(rewritten.toSet === Set("day=a", "day=b"))
+    val inDay = col("day") === "a"
+    val (kAll, _) = sink.scanFileCounts(spark, inDay)
+    assert(kAll >= 6, s"want >=6 z-ordered files in the dir, got $kAll")
+    // within the surviving directory, predicates on EITHER clustered
+    // column prune files — the hyper-rectangle property per dir
+    val (kx, _) = sink.scanFileCounts(spark, inDay && col("x") < 8L)
+    val (ky, _) = sink.scanFileCounts(spark, inDay && col("y") < 8L)
+    assert(kx <= kAll / 2, s"x-predicate kept $kx of $kAll")
+    assert(ky <= kAll / 2, s"y-predicate kept $ky of $kAll")
+    // parity on every shape (read appends the partition column last,
+    // so compare scan against the sink's own full read)
+    for (pred <- Seq(inDay && col("x") < 8L, inDay && col("y") < 8L,
+        col("x") < 8L && col("y") < 8L)) {
+      assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+        sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+      assert(sink.scan(spark, pred).count() === grid.filter(pred).count())
+    }
+  }
+
+  test("non-finite cast bounds and non-finite literals keep files, never crash") {
+    val dir = tmpDir("fskip") + "/inf"
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    val df = spark.range(4).toDF("id")
+      .withColumn("d", lit(1.0e300) * (col("id") + 1).cast("double"))
+    sink.upsert(spark, df, batchId = -1)
+    // an explicit float cast maps the double bounds beyond Float range
+    // to Infinity — dropped to unknown, file kept, result correct
+    // (previously: NumberFormatException out of the pruner)
+    assertParity(sink, col("d").cast("float") > 1.0f)
+    // an infinite literal never prunes, never throws
+    assertParity(sink, col("d") < Double.PositiveInfinity)
+    assertParity(sink, col("d") === Double.NegativeInfinity)
+  }
+
+  test("z-order rejects non-numeric cluster columns loudly") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("n", "s")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.arrange(df, Seq("n", "s"), 2)
+    }
+    assert(e.getMessage.contains("must be numeric"))
   }
 
   test("partitioned layout: partition values and file stats both prune; parity holds") {

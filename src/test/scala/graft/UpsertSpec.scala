@@ -662,4 +662,68 @@ class UpsertSpec extends SparkTestBase {
     // idempotent: nothing left over budget
     assert(sink.compactPartitions(spark, targetFileBytes = 1L << 40).isEmpty)
   }
+
+  test("compactPartitions: maxBytesPerRun bounds each round, same final layout") {
+    val dir = tmpDir("upserts") + "/pchunk"
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      partitionCol = Some("day"))
+    val df = spark.range(800).toDF("k")
+      .withColumn("day", concat(lit("d"), pmod(col("k"), lit(4L)).cast("string")))
+      .withColumn("v", col("k") * 7)
+      .repartition(6) // every task holds all four days → ~6 files per dir
+    sink.upsert(spark, df, batchId = 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(day: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/day=$day"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (0 until 4).foreach(i =>
+      assert(filesIn(s"d$i") > 1, s"fixture dir d$i not fragmented"))
+    // a 1-byte budget forces EVERY eligible dir into its own rewrite
+    // round (the at-least-one-dir-per-group rule keeps progress) — the
+    // outcome must equal the unbounded single-round run's
+    val rewritten = sink.compactPartitions(spark, targetFileBytes = 1L << 40,
+      maxBytesPerRun = Some(1L))
+    assert(rewritten.toSet === (0 until 4).map(i => s"day=d$i").toSet)
+    (0 until 4).foreach(i =>
+      assert(filesIn(s"d$i") === 1, s"d$i still ${filesIn(s"d$i")} files"))
+    assert(sink.read(spark).count() === 800)
+    assert(sink.read(spark).agg(sum(col("v"))).first().getLong(0) ===
+      (0L until 800L).map(_ * 7).sum)
+    // stats manifests refreshed per round: pruning + parity intact
+    val pred = col("k") === 123L
+    assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+      sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+    // idempotent: nothing left over budget
+    assert(sink.compactPartitions(spark, targetFileBytes = 1L << 40,
+      maxBytesPerRun = Some(1L)).isEmpty)
+  }
+
+  test("autoCompact on the partitioned layout consolidates fragmented dirs hands-free") {
+    import graft.operators.AutoCompact
+    val dir = tmpDir("upserts") + "/pauto"
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      partitionCol = Some("day"),
+      autoCompact = Some(AutoCompact(files = 3)))
+    val df = spark.range(400).toDF("k")
+      .withColumn("day", when(col("k") < 200, lit("a")).otherwise(lit("b")))
+      .withColumn("v", col("k") * 2)
+      .repartition(8) // 8 files per dir — over the 3-file budget
+    sink.upsert(spark, df, batchId = 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(day: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/day=$day"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // the over-budget upsert triggered per-partition compaction inside
+    // the same writer-lock hold — no operator intervention
+    assert(filesIn("a") === 1 && filesIn("b") === 1,
+      s"still ${filesIn("a")}/${filesIn("b")} files")
+    assert(sink.read(spark).count() === 400)
+    // an in-budget follow-up batch does not churn
+    sink.upsert(spark, df.filter(col("k") < 2L)
+      .withColumn("v", lit(-5L)).coalesce(1), batchId = 1)
+    assert(sink.read(spark).filter(col("v") === -5L).count() === 2)
+    assert(sink.read(spark).count() === 400)
+  }
 }
