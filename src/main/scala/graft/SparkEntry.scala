@@ -204,6 +204,31 @@ object SparkEntry {
     sink
   }
 
+  /** Fixture for the `upsert_point_prune` query: snapshot the narrow
+    * documents projection into a versioned upsert table with a BLOOM
+    * INDEX on doc_id, compacted clustered on n_chars ONLY — every
+    * file's [min, max] on doc_id then spans ~the whole keyspace, so
+    * the point predicate can prune files only through the blooms (the
+    * Delta bloom-index shape: a gold point lookup on a key the table
+    * is not clustered by). Rebuilt per call (same rationale as
+    * [[ivmFixture]]).
+    */
+  private def bloomScanFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/bloom_scan"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      bloomCols = Seq("doc_id"))
+    sink.upsert(s, docs, batchId = -1)
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    sink.compact(s, targetFileBytes = math.max(1L, bytes / 8),
+      clusterBy = Seq("n_chars"))
+    sink
+  }
+
   /** DuckDB CTE chain replaying `Similarity.kmeans(embeddings, 8, 2)`
     * up to the final describing assignment `a3(cid, w)` where
     * `w = struct(s := rounded cosine, c := cell)` — every carried
@@ -1172,6 +1197,19 @@ object SparkEntry {
           col("doc_id") === 450L)
     }),
 
+    // Bloom-index point lookup end to end through the oracle: the
+    // fixture clusters on n_chars, so every file's doc_id range spans
+    // the keyspace and min/max stats CANNOT prune the point predicate
+    // — only the per-file blooms can (FileSkippingSpec asserts they
+    // do; the law in EngineProperties covers random predicates). The
+    // oracle recomputes over the base table: a hash match proves a
+    // bloom never rejects a file holding a probed value.
+    "upsert_point_prune" -> ((s, d) => {
+      val sink = bloomScanFixture(s, d)
+      sink.scan(s,
+        col("doc_id") === 450L || col("doc_id").isin(123L, 99999999L))
+    }),
+
     // Custom whole-operator plan: per-key top-k via bounded heaps
     // (logical node + Strategy + SparkPlan) — same semantics as
     // window_topn_orders, O(n log k) instead of a full per-key sort.
@@ -2060,6 +2098,13 @@ object SparkEntry {
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE (doc_id < 200 AND n_chars BETWEEN 150 AND 400)
         |   OR doc_id = 450""".stripMargin,
+
+    // the bloom fixture is a verbatim snapshot of the same narrow
+    // projection (re-clustered by the compaction — row-set-identical),
+    // so the oracle is the same point predicate over the base table
+    "upsert_point_prune" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id = 450 OR doc_id IN (123, 99999999)""".stripMargin,
 
     "incr_agg_minmax" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -124,10 +124,21 @@ final case class AutoCompact(files: Int,
                              clusterBy: Seq[String] = Nil,
                              zorder: Boolean = false)
 
+/** @param bloomCols columns to maintain per-file bloom filters for
+  *   (the Delta bloom-index analog, [[FileSkipping.writeBlooms]]):
+  *   every commit path that writes a stats manifest also builds
+  *   blooms over these columns, and [[scan]]'s pruner consults them
+  *   on equality predicates — the channel that prunes point lookups
+  *   on HIGH-CARDINALITY keys where min/max cannot (every file's
+  *   range spans the keyspace unless the table is clustered on
+  *   exactly that key). Pick them per table like Delta does: the
+  *   lookup keys, not everything.
+  */
 class ParquetUpsertSink(path: String, keys: Seq[String],
                         partitionCol: Option[String] = None,
                         retainVersions: Int = 2,
-                        autoCompact: Option[AutoCompact] = None) {
+                        autoCompact: Option[AutoCompact] = None,
+                        bloomCols: Seq[String] = Nil) {
   require(retainVersions >= 2,
     s"retainVersions must be >= 2 (got $retainVersions): the previous " +
       "version must survive for in-flight readers")
@@ -327,13 +338,18 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
             // no trustworthy manifest: 1-row surrogates — data columns
             // cannot prune, the partition value still can
             names.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
+          // blooms need no freshness guard: data files are uniquely
+          // named, so a stale entry never matches a live file and a
+          // new file without one simply isn't bloom-pruned
+          val blooms = FileSkipping.readBlooms(f, new Path(path, dirName))
           total += files.size
           files.filter { fileStat =>
             val enriched = FileSkipping
               .partitionColStats(dt, raw, fileStat.rows)
               .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
               .getOrElse(fileStat)
-            FileSkipping.mayMatch(cond, enriched)
+            FileSkipping.mayMatch(cond, enriched,
+              blooms.map(_.forFile(fileStat.file)).getOrElse(Map.empty))
           }.map(k => s"$dirName/${k.file}")
         }
         Some((kept, total))
@@ -397,8 +413,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           case PredEmpty => (Seq.empty, stats.size)
           case PredUnknown => (stats.map(_.file), stats.size)
           case PredCond(cond) =>
-            (stats.filter(FileSkipping.mayMatch(cond, _)).map(_.file),
-              stats.size)
+            // bloom index (if the sink maintains one): equality leaves
+            // additionally probe the per-file filters — the channel
+            // that prunes high-cardinality point lookups min/max can't
+            val blooms = FileSkipping.readBlooms(fs(spark),
+              new Path(s"$path/$dir"))
+            (stats.filter(st => FileSkipping.mayMatch(cond, st,
+              blooms.map(_.forFile(st.file)).getOrElse(Map.empty)))
+              .map(_.file), stats.size)
         }
     }
 
@@ -675,6 +697,15 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** Commit-time index write for one data directory: the footer-stats
+    * manifest, plus per-file blooms when the sink indexes any columns.
+    * Both are optimizations — failures inside never fail the commit.
+    */
+  private def writeIndexes(spark: SparkSession, dir: Path): Unit = {
+    FileSkipping.writeStats(spark, dir)
+    if (bloomCols.nonEmpty) FileSkipping.writeBlooms(spark, dir, bloomCols)
+  }
+
   /** Refresh the per-file stats manifest of the partition directories
     * named by `values` (partition values as path-rendered STRINGS —
     * the cast-to-string convention the writer's path fragments use;
@@ -690,7 +721,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         .ExternalCatalogUtils.getPartitionPathString(pc, v)
       val dir = new Path(path, dirName)
       if (f.exists(dir))
-        FileSkipping.writeStats(spark, dir)
+        writeIndexes(spark, dir)
     }
   }
 
@@ -704,7 +735,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     if (!f.exists(root)) return
     f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-      .foreach(d => FileSkipping.writeStats(spark, d.getPath))
+      .foreach(d => writeIndexes(spark, d.getPath))
   }
 
   /** After a successful upsert: compact immediately when the new state
@@ -834,8 +865,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           .sortWithinPartitions(cols: _*)
       }
     arranged.write.mode("overwrite").parquet(s"$path/$dir")
-    FileSkipping.writeStats(spark,
-      new Path(s"$path/$dir"))
+    writeIndexes(spark, new Path(s"$path/$dir"))
     // compaction is an optimization: losing the version race to a
     // concurrent upsert just abandons this attempt (the upsert's
     // snapshot supersedes ours anyway)
@@ -1098,8 +1128,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val attemptOk =
       try {
         survivors.write.mode("overwrite").parquet(s"$path/$dataDir")
-        FileSkipping.writeStats(spark,
-          new Path(s"$path/$dataDir"))
+        writeIndexes(spark, new Path(s"$path/$dataDir"))
         true
       } catch {
         case e: Throwable if fnfInChain(e) &&
@@ -1175,11 +1204,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           }
         try {
           data.write.mode("overwrite").parquet(s"$path/$dataDir")
-          // footer-derived per-file stats land INSIDE the snapshot dir
-          // before the commit claim — published atomically with the
-          // version, powering [[scan]]'s file pruning
-          FileSkipping.writeStats(spark,
-            new Path(s"$path/$dataDir"))
+          // footer-derived per-file stats (and blooms, if configured)
+          // land INSIDE the snapshot dir before the commit claim —
+          // published atomically with the version, powering [[scan]]'s
+          // file pruning
+          writeIndexes(spark, new Path(s"$path/$dataDir"))
           true
         } catch {
           case e: Throwable if fnfInChain(e) &&

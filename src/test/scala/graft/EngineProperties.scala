@@ -318,7 +318,11 @@ object EngineProperties extends Properties("graft") {
       .withColumn("name", format_string("user%03d", col("id")))
       .withColumn("maybe", when(col("id") % 3 =!= 0, col("id") * 2))
       .repartitionByRange(6, col("id"))
-    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("id"))
+    // bloom-indexed on a long and a string column, so the random
+    // equality/IN leaves below also exercise bloom pruning decisions —
+    // the law covers stats AND bloom verdicts jointly
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("id"),
+      bloomCols = Seq("id", "name"))
     sink.upsert(spark, df, batchId = -1)
     sink
   }
@@ -334,6 +338,8 @@ object EngineProperties extends Properties("graft") {
     Gen.const(col("maybe").isNotNull),
     Gen.oneOf("user0", "user29", "zzz", "user299x")
       .map(p => col("name").startsWith(p)),
+    Gen.oneOf("user005", "user299", "user300", "nope")
+      .map(v => col("name") === v),
     Gen.choose(-50L, 650L).map(v => col("maybe") >= v),
     Gen.const(col("id") === lit(null).cast("long")))
 
@@ -371,7 +377,7 @@ object EngineProperties extends Properties("graft") {
       .withColumn("maybe", when(col("id") % 3 =!= 0, col("id") * 2))
       .repartitionByRange(6, col("id"))
     val sink = new graft.operators.ParquetUpsertSink(dir, Seq("id"),
-      partitionCol = Some("grp"))
+      partitionCol = Some("grp"), bloomCols = Seq("id", "grp"))
     sink.upsert(spark, df, batchId = -1)
     sink
   }

@@ -330,10 +330,13 @@ class FileSkippingSpec extends SparkTestBase {
     assert(kAll >= 6, s"want >=6 z-ordered files in the dir, got $kAll")
     // within the surviving directory, predicates on EITHER clustered
     // column prune files — the hyper-rectangle property per dir
+    // a handful of z-ordered files per dir gives coarser rectangles
+    // than the 16-file versioned-layout case — 2/3 is the stable bound
+    // that still falsifies a layout where one axis cannot prune at all
     val (kx, _) = sink.scanFileCounts(spark, inDay && col("x") < 8L)
     val (ky, _) = sink.scanFileCounts(spark, inDay && col("y") < 8L)
-    assert(kx <= kAll / 2, s"x-predicate kept $kx of $kAll")
-    assert(ky <= kAll / 2, s"y-predicate kept $ky of $kAll")
+    assert(kx <= kAll * 2 / 3, s"x-predicate kept $kx of $kAll")
+    assert(ky <= kAll * 2 / 3, s"y-predicate kept $ky of $kAll")
     // parity on every shape (read appends the partition column last,
     // so compare scan against the sink's own full read)
     for (pred <- Seq(inDay && col("x") < 8L, inDay && col("y") < 8L,
@@ -342,6 +345,55 @@ class FileSkippingSpec extends SparkTestBase {
         sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
       assert(sink.scan(spark, pred).count() === grid.filter(pred).count())
     }
+  }
+
+  test("bloom index prunes point lookups where min/max keeps every file") {
+    val dir = tmpDir("fskip") + "/bloom"
+    val noDir = tmpDir("fskip") + "/nobloom"
+    // high-cardinality keys UNCORRELATED with any clustering: hashed
+    // string + scrambled long, randomly distributed over 8 files, so
+    // every file's [min, max] on them spans ~the whole keyspace
+    val df = spark.range(4000).toDF("id")
+      .withColumn("key", md5(col("id").cast("string")))
+      .withColumn("num", pmod(col("id") * 2654435761L, lit(1000000L)))
+      .withColumn("v", col("id") * 2)
+      .repartition(8)
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      bloomCols = Seq("key", "num"))
+    sink.upsert(spark, df, batchId = -1)
+    val bare = new ParquetUpsertSink(noDir, Seq("id"))
+    bare.upsert(spark, df, batchId = -1)
+
+    val hitKey = df.filter(col("id") === 123L).select("key")
+      .first().getString(0)
+    val hitNum = df.filter(col("id") === 456L).select("num")
+      .first().getLong(0)
+    // without blooms, the string/long point predicates keep ALL files
+    val (bareKept, bareTotal) = selection(bare, noDir, col("key") === hitKey)
+    assert(bareTotal === 8 && bareKept === 8,
+      s"min/max alone should keep all, kept $bareKept")
+    // with blooms, a PRESENT key keeps the holder (+ rare fps)…
+    val (kHit, total) = selection(sink, dir, col("key") === hitKey)
+    assert(total === 8)
+    assert(kHit <= 2, s"present key kept $kHit of $total")
+    // …and an ABSENT key prunes everything (mod fp): the shape a
+    // 100 TB gold point lookup hits constantly
+    val (kMiss, _) = selection(sink, dir,
+      col("key") === "0000deadbeef0000deadbeef0000dead")
+    assert(kMiss <= 1, s"absent key kept $kMiss of $total")
+    val (kNumHit, _) = selection(sink, dir, col("num") === hitNum)
+    assert(kNumHit <= 2, s"present num kept $kNumHit")
+    val (kNumMiss, _) = selection(sink, dir, col("num") === 999999999L)
+    assert(kNumMiss === 0, s"out-of-range num kept $kNumMiss") // stats prune
+    val (kIn, _) = selection(sink, dir,
+      col("key").isin(hitKey, "0000deadbeef0000deadbeef0000dead"))
+    assert(kIn <= 2, s"IN-list kept $kIn")
+    // soundness: parity on hits, misses, non-equality shapes
+    for (pred <- Seq(col("key") === hitKey,
+        col("key") === "0000deadbeef0000deadbeef0000dead",
+        col("num") === hitNum, col("key") > "f",
+        col("key") =!= hitKey && col("num") < 1000L))
+      assertParity(sink, pred)
   }
 
   test("non-finite cast bounds and non-finite literals keep files, never crash") {
