@@ -229,6 +229,33 @@ object SparkEntry {
     sink
   }
 
+  /** Fixture for the `upsert_join_prune` query: snapshot the narrow
+    * orders projection into a versioned upsert table CLUSTERED BY
+    * o_custkey (tight per-file key ranges) with a bloom index on the
+    * same key — the layout under which dynamic file pruning pays off:
+    * a selective dim-side key set maps to O(matching) fact files via
+    * the sorted-key window against per-file [min, max], bloom-refined.
+    * Rebuilt per call (same rationale as [[ivmFixture]]).
+    */
+  private def joinPruneFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/join_prune"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val ords = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("o_orderkey"),
+      bloomCols = Seq("o_custkey"))
+    sink.upsert(s, ords, batchId = -1)
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    // ~32 files: enough granularity that a handful of dim keys maps to
+    // a strict file subset at every driver SF
+    sink.compact(s, targetFileBytes = math.max(1L, bytes / 32),
+      clusterBy = Seq("o_custkey"))
+    sink
+  }
+
   /** DuckDB CTE chain replaying `Similarity.kmeans(embeddings, 8, 2)`
     * up to the final describing assignment `a3(cid, w)` where
     * `w = struct(s := rounded cosine, c := cell)` — every carried
@@ -1210,6 +1237,26 @@ object SparkEntry {
         col("doc_id") === 450L || col("doc_id").isin(123L, 99999999L))
     }),
 
+    // Dynamic file pruning end to end through the oracle: the q3
+    // star-join shape — a selective customer-side filter whose keys
+    // prune the versioned orders store's FILES before scheduling
+    // (sorted-key windows against per-file min/max + bloom refinement;
+    // PlanAuditSpec asserts kept ≪ total on this very fixture). The
+    // oracle recomputes the semi-join + aggregate over the base
+    // tables — a hash match proves key-based file pruning never drops
+    // a file holding a matching order.
+    "upsert_join_prune" -> ((s, d) => {
+      val sink = joinPruneFixture(s, d)
+      val dim = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_nationkey") <= 2L)
+        .select(col("c_custkey"))
+      sink.scanForJoin(s, "o_custkey", dim)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Hashing.portableRound(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
     // Custom whole-operator plan: per-key top-k via bounded heaps
     // (logical node + Strategy + SparkPlan) — same semantics as
     // window_topn_orders, O(n log k) instead of a full per-key sort.
@@ -2105,6 +2152,17 @@ object SparkEntry {
     "upsert_point_prune" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id = 450 OR doc_id IN (123, 99999999)""".stripMargin,
+
+    // the join-prune fixture is a verbatim orders snapshot
+    // (re-clustered — row-set-identical), so the oracle is the plain
+    // semi-join + aggregate over the base tables
+    "upsert_join_prune" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey <= 2)
+        |GROUP BY o_custkey""".stripMargin,
 
     "incr_agg_minmax" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -952,6 +952,109 @@ object FileSkipping {
     if (a.length >= p.length) 0 else -1
   }
 
+  // ---------------------------------------------------------------
+  // Dynamic file pruning (join-key sets against one file's stats)
+  // ---------------------------------------------------------------
+
+  /** Collected build-side join keys → (stat kind, SORTED SValue array)
+    * in the same representation the probe column's stats use, so
+    * [[mayHoldAnyKey]] compares without re-encoding. None =
+    * unsupported type (callers fall back to unpruned scans). Input
+    * values are the Row-external types of the named DataType; nulls
+    * must be pre-filtered (a null never equals a join key).
+    */
+  def keySValues(dt: org.apache.spark.sql.types.DataType,
+                 values: Seq[Any]): Option[(String, Array[SValue])] = {
+    import org.apache.spark.sql.types._
+    val conv: Option[(String, Any => SValue)] = dt match {
+      case ByteType => Some(("long", v => SLong(v.asInstanceOf[Byte].toLong)))
+      case ShortType => Some(("long", v => SLong(v.asInstanceOf[Short].toLong)))
+      case IntegerType => Some(("long", v => SLong(v.asInstanceOf[Int].toLong)))
+      case LongType => Some(("long", v => SLong(v.asInstanceOf[Long])))
+      case FloatType => Some(("double",
+        v => SDouble(v.asInstanceOf[Float].toDouble)))
+      case DoubleType => Some(("double", v => SDouble(v.asInstanceOf[Double])))
+      case StringType => Some(("string", v => SString(v.asInstanceOf[String])))
+      case DateType => Some(("date", v =>
+        SLong(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
+      case TimestampType => Some(("ts", v => {
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        SLong(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+      }))
+      case _ => None
+    }
+    conv.map { case (kind, f) =>
+      (kind, values.map(f).sortWith((a, b) => cmpSame(a, b, kind) < 0).toArray)
+    }
+  }
+
+  /** May `file` hold ANY of `sortedKeys` in `column`? The per-file
+    * half of dynamic file pruning: binary-search the sorted key array
+    * for the file's [min, max] window — O(log |keys|) per file, never
+    * O(|keys|), which is what keeps a 2M-key build side affordable
+    * against an 800k-file probe manifest — then refine the (usually
+    * few) in-window keys against the file's bloom, capped at
+    * `maxProbes` probes. Unknown stats, kind mismatches, and
+    * over-budget probe sets all KEEP the file; `false` only when no
+    * key can be present.
+    */
+  def mayHoldAnyKey(file: FileStat, column: String, kind: String,
+                    sortedKeys: Array[SValue],
+                    bloom: Option[(String, BloomFilter)],
+                    maxProbes: Int = 64): Boolean = {
+    if (file.rows == 0) return false
+    if (sortedKeys.isEmpty) return false
+    def bloomSaysMaybe(lo: Int, hi: Int): Boolean = bloom match {
+      case Some((bkind, bf)) if hi - lo <= maxProbes =>
+        (lo until hi).exists { i =>
+          (bkind, sortedKeys(i)) match {
+            case ("long", SLong(x)) => bf.mightContainLong(x)
+            case ("date", SLong(x)) => bf.mightContainLong(x)
+            case ("string", SString(s)) => bf.mightContainString(s)
+            case _ => true // indeterminate encoding: keep
+          }
+        }
+      case _ => true // no bloom / too many probes: keep
+    }
+    file.cols.get(column) match {
+      case Some(cs) if cs.kind == kind =>
+        if (cs.nulls.contains(file.rows)) return false // all null
+        val lo = cs.min match {
+          case Some(mn) => lowerBound(sortedKeys, mn, kind)
+          case None => 0
+        }
+        val hi = cs.max match {
+          case Some(mx) => upperBound(sortedKeys, mx, kind)
+          case None => sortedKeys.length
+        }
+        lo < hi && bloomSaysMaybe(lo, hi)
+      case Some(_) => true // kind mismatch: keep
+      case None => bloomSaysMaybe(0, sortedKeys.length)
+    }
+  }
+
+  /** First index whose key >= bound (binary search). */
+  private def lowerBound(keys: Array[SValue], bound: SValue,
+                         kind: String): Int = {
+    var lo = 0; var hi = keys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmpSame(keys(mid), bound, kind) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** First index whose key > bound (binary search). */
+  private def upperBound(keys: Array[SValue], bound: SValue,
+                         kind: String): Int = {
+    var lo = 0; var hi = keys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmpSame(keys(mid), bound, kind) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Global [min, max] of `column` across a snapshot's file stats —
     * sound only when EVERY file has known bounds or is provably
     * all-null (a single unknown file could hold the true extremum →

@@ -356,6 +356,103 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     }
   }
 
+  /** DYNAMIC FILE PRUNING for a selective equi-join (the Delta/Photon
+    * DFP analog): prune this table's FILES by the build side's join
+    * keys BEFORE any task is scheduled, then return the row-level
+    * semi-join-reduced probe side — semantically
+    * `scan(predicate)` ∩ (`joinKey` ∈ `buildKeys`), so an inner
+    * equi-join over the result is unchanged while the fact scan
+    * touches O(matching files). At 100 TB this is the difference
+    * between scanning 3 files and 800k for a star join whose dim-side
+    * filter is selective: min/max windows answer in O(log |keys|) per
+    * file (a sorted-key binary search, never a per-key sweep), and a
+    * [[bloomCols]] index on the join key refines the few in-window
+    * keys per file.
+    *
+    * `buildKeys` must be a single-column frame of join values (any
+    * column name); it is collected DISTINCT to the driver, gated by
+    * `maxKeys` — above the gate (or for key types without a stats
+    * representation) the method degrades to the ordinary pruned scan
+    * plus a broadcast semi-join, still correct, just not file-pruned
+    * by keys. Row-level reduction uses an IN-list for small key sets
+    * (codegen'd set probe) and a broadcast left-semi join for large
+    * ones (a 2M-literal plan would bloat serialization).
+    */
+  def scanForJoin(spark: SparkSession, joinKey: String,
+                  buildKeys: DataFrame,
+                  predicate: org.apache.spark.sql.Column = lit(true),
+                  maxKeys: Int = 2000000): DataFrame = {
+    require(buildKeys.columns.length == 1,
+      s"buildKeys must have exactly one column, got " +
+        buildKeys.columns.mkString(","))
+    val bk = buildKeys.columns.head
+    val distinctKeys = buildKeys.filter(col(bk).isNotNull).distinct()
+    val collected: Array[Any] =
+      distinctKeys.limit(maxKeys + 1).collect().map(_.get(0))
+    def semiJoined(df: DataFrame): DataFrame =
+      df.join(broadcast(distinctKeys.withColumnRenamed(bk, joinKey)),
+        Seq(joinKey), "left_semi")
+    def rowReduced(df: DataFrame): DataFrame =
+      if (collected.length <= 10000)
+        df.filter(col(joinKey).isInCollection(collected.toSeq))
+      else semiJoined(df)
+    if (collected.length > maxKeys)
+      return semiJoined(scan(spark, predicate)) // build side too large
+    partitionCol match {
+      case Some(_) =>
+        // the partitioned pruner already handles IN over partition
+        // values and (via manifests + blooms) data columns
+        if (collected.length <= 10000)
+          scan(spark, predicate && col(joinKey).isInCollection(collected.toSeq))
+        else semiJoined(scan(spark, predicate))
+      case None => commits(spark).lastOption match {
+        case None => rowReduced(read(spark).filter(predicate))
+        case Some((_, _, dir)) =>
+          val (kept, total) = scanForJoinSelection(spark, dir, joinKey,
+            collected, predicate)
+          val reduced =
+            if (kept.size == total)
+              rowReduced(spark.read.parquet(s"$path/$dir").filter(predicate))
+            else if (kept.isEmpty)
+              emptyLike(spark, spark.read.parquet(s"$path/$dir").schema)
+            else rowReduced(spark.read
+              .parquet(kept.map(fl => s"$path/$dir/$fl"): _*)
+              .filter(predicate))
+          reduced
+      }
+    }
+  }
+
+  /** The DFP pruning decision for one snapshot dir: files kept after
+    * BOTH the base-predicate stats pruning and the join-key window +
+    * bloom check, with the total — exposed for tests and skip-ratio
+    * telemetry.
+    */
+  private[graft] def scanForJoinSelection(spark: SparkSession, dir: String,
+      joinKey: String, keys: Array[Any],
+      predicate: org.apache.spark.sql.Column): (Seq[String], Int) = {
+    val (keptBase, total) = scanFileSelection(spark, dir, predicate)
+    val f = fs(spark)
+    val statsByFile = FileSkipping.readStats(f, new Path(s"$path/$dir"))
+      .map(_.map(s => s.file -> s).toMap).getOrElse(Map.empty)
+    val dt = scala.util.Try(read(spark).schema(joinKey).dataType).toOption
+    val converted = dt.flatMap(FileSkipping.keySValues(_, keys.toSeq))
+    converted match {
+      case None => (keptBase, total) // untyped: no key-based pruning
+      case Some((kind, sortedKeys)) =>
+        val blooms = FileSkipping.readBlooms(f, new Path(s"$path/$dir"))
+        val kept = keptBase.filter { fn =>
+          statsByFile.get(fn).forall { st =>
+            FileSkipping.mayHoldAnyKey(st, joinKey, kind, sortedKeys,
+              blooms.flatMap(_.cols.get(joinKey)).flatMap {
+                case (bkind, byFile) => byFile.get(fn).map(bf => (bkind, bf))
+              })
+          }
+        }
+        (kept, total)
+    }
+  }
+
   /** [[scan]] against a RETAINED historical version — time travel and
     * data skipping compose for free: each snapshot directory carries
     * its own stats manifest, so a point lookup into last night's

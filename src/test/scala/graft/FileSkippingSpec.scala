@@ -396,6 +396,60 @@ class FileSkippingSpec extends SparkTestBase {
       assertParity(sink, pred)
   }
 
+  test("dynamic file pruning: build-side keys prune fact files before scheduling") {
+    val dir = tmpDir("fskip") + "/dfp"
+    // fact clustered by key, SPARSE (even keys only) so bloom
+    // refinement is observable: an odd key falls inside every window
+    // but inside no file
+    val fact = spark.range(2000).toDF("i")
+      .withColumn("k", col("i") * 2)
+      .withColumn("v", col("i") * 3)
+      .drop("i")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+    val sink = new ParquetUpsertSink(dir, Seq("k"), bloomCols = Seq("k"))
+    sink.upsert(spark, fact, batchId = -1)
+    val snap = snapshotDir(sink, dir)
+    def sel(keys: Array[Any]): (Int, Int) = {
+      val (kept, total) = sink.scanForJoinSelection(spark, snap, "k",
+        keys, lit(true))
+      (kept.size, total)
+    }
+    // neighboring keys: one file
+    val (kNear, total) = sel(Array[Any](10L, 14L, 20L))
+    assert(total === 8 && kNear === 1, s"near keys kept $kNear of $total")
+    // spread keys: ~one file each
+    val (kSpread, _) = sel(Array[Any](10L, 2000L, 3900L))
+    assert(kSpread <= 3, s"spread keys kept $kSpread")
+    // odd keys INSIDE the windows: only the bloom can refute them
+    // (<= 3 allows the nominal 3% fp rate across 24 probes)
+    val (kOdd, _) = sel(Array[Any](11L, 1001L, 2501L))
+    assert(kOdd <= 3, s"absent keys kept $kOdd of $total")
+    // out-of-range keys: windows alone refute
+    val (kOut, _) = sel(Array[Any](-4L, 99999L))
+    assert(kOut === 0, s"out-of-range keys kept $kOut")
+    // end-to-end semantics: scanForJoin ≡ filter + semi-join, with
+    // and without a base predicate, hits and misses mixed
+    val build = Seq(10L, 14L, 11L, 99999L).toDF("ck")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val wantAll = rows(sink.read(spark)
+      .filter(col("k").isin(10L, 14L, 11L, 99999L)))
+    assert(rows(sink.scanForJoin(spark, "k", build)) === wantAll)
+    assert(rows(sink.scanForJoin(spark, "k", build,
+        predicate = col("v") > 16L)) ===
+      rows(sink.read(spark).filter(col("v") > 16L &&
+        col("k").isin(10L, 14L, 11L, 99999L))))
+    // oversized build side degrades to the broadcast semi-join path —
+    // same rows either way
+    assert(rows(sink.scanForJoin(spark, "k", build, maxKeys = 2)) === wantAll)
+    // empty build side: empty result, schema intact
+    val none = sink.scanForJoin(spark, "k",
+      spark.range(0).toDF("ck"))
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === sink.read(spark).schema.fieldNames.toSeq)
+  }
+
   test("non-finite cast bounds and non-finite literals keep files, never crash") {
     val dir = tmpDir("fskip") + "/inf"
     val sink = new ParquetUpsertSink(dir, Seq("id"))

@@ -273,4 +273,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(total >= 4, s"fixture produced only $total files")
     assert(kept < total, s"no files pruned: kept $kept of $total")
   }
+
+  test("upsert_join_prune: dim-side keys prune fact files before scheduling") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("upsert_join_prune")(spark, sf).count() // build fixture
+    val sink = new graft.operators.ParquetUpsertSink(
+      "/root/repo/fixtures/join_prune", Seq("o_orderkey"),
+      bloomCols = Seq("o_custkey"))
+    val snap = sink.history(spark).first().getString(4)
+    val keys: Array[Any] = graft.sources.Tables.read(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") <= 2L)
+      .select(col("c_custkey")).collect().map(_.get(0))
+    assert(keys.nonEmpty, "dim filter selected no customers at this SF")
+    val (kept, total) = sink.scanForJoinSelection(spark, snap,
+      "o_custkey", keys, lit(true))
+    assert(total >= 16, s"fixture produced only $total files")
+    // the custkey-clustered layout maps the selective key set to a
+    // strict file subset — the DFP payoff the 100 TB star join needs;
+    // each key can touch at most a couple of range-neighboring files
+    assert(kept.size < total, s"no files pruned: kept ${kept.size} of $total")
+    assert(kept.size <= 2 * keys.length,
+      s"kept ${kept.size} files for ${keys.length} keys of $total")
+  }
 }
