@@ -238,36 +238,73 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    def assign(cents: DataFrame): DataFrame =
-      c.join(broadcast(cents))
-        .withColumn("sim",
-          Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
-        .groupBy(col("cid"))
-        .agg(max(struct(col("sim"), col("cell"))).as("w"))
-        .select(col("cid"), col("w.cell").as("cell"),
-          col("w.sim").as("sim"))
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned.join(c, "cid")
-        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
+
+    // SCAN-SIDE assignment: the centroid state is collected to the
+    // driver (a k-row frame, bounded by construction) and re-enters
+    // the plan as an ARRAY LITERAL of (cell, seed) structs, so each
+    // iteration's assignment is ONE projection over the corpus —
+    // argmax-cosine via array_max(transform(...)), whose struct
+    // ordering is exactly the max(struct(sim, cell)) the former
+    // broadcast-join + re-aggregate computed, rounded-tie cell
+    // tiebreak included. No join, no shuffle, and the recompute
+    // consumes the same projection (the vectors never ride a shuffle
+    // keyed by cid). The literal also cuts the per-iteration lineage,
+    // so no checkpoint is needed to keep plans flat.
+    def assignStruct(rows: Array[org.apache.spark.sql.Row],
+                     cellDt: org.apache.spark.sql.types.DataType,
+                     seedDt: org.apache.spark.sql.types.DataType): Column = {
+      val entries = rows.map { r =>
+        struct(
+          ColumnBridge.column(Literal.create(r.get(0), cellDt)).as("cell"),
+          ColumnBridge.column(Literal.create(r.get(1), seedDt)).as("seed"))
+      }
+      array_max(transform(array(entries.toIndexedSeq: _*), s =>
+        struct(
+          Hashing.portableRound(cosine(col("cv"), s.getField("seed")), 6)
+            .as("sim"),
+          s.getField("cell").as("cell"))))
+    }
+    def assigned(rows: Array[org.apache.spark.sql.Row],
+                 cellDt: org.apache.spark.sql.types.DataType,
+                 seedDt: org.apache.spark.sql.types.DataType): DataFrame =
+      c.withColumn("_w", assignStruct(rows, cellDt, seedDt))
+        .select(col("cid"), col("_w.cell").as("cell"),
+          col("_w.sim").as("sim"), col("cv"))
+    def recompute(a: DataFrame): DataFrame =
+      a.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(Hashing.portableRound(avg(col("v")), 6).as("cval"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cval")))),
           s => s.getField("cval")).as("seed"))
-    var cents = ivfSeeds(corpus, k, idCol, vecCol)
-    var assigned: DataFrame = null
+
+    var centsDf = ivfSeeds(corpus, k, idCol, vecCol)
+    var cellDt = centsDf.schema.head.dataType
+    var seedDt = centsDf.schema(1).dataType
+    var rows = centsDf.collect()
     for (_ <- 1 to iters) {
-      assigned = assign(cents)
-      // k-row frame: checkpoint keeps the per-iteration lineage flat
-      // (without it the plan doubles each round)
-      cents = recompute(assigned).localCheckpoint(true)
+      centsDf = recompute(assigned(rows, cellDt, seedDt))
+      cellDt = centsDf.schema.head.dataType
+      seedDt = centsDf.schema(1).dataType
+      rows = centsDf.collect() // k rows per iteration, bounded
     }
     // final assignment against the final centroids, so `sim` and the
-    // returned centroids describe the same partition of the corpus
-    val finalAssign = assign(cents)
-    (finalAssign, cents.select(col("cell"), col("seed").as("centroid")))
+    // returned centroids describe the same partition of the corpus;
+    // the centroid frame is rebuilt from the already-collected rows —
+    // no recompute pass when the caller evaluates it
+    val finalAssign = assigned(rows, cellDt, seedDt)
+      .select(col("cid"), col("cell"), col("sim"))
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", cellDt),
+        org.apache.spark.sql.types.StructField("centroid", seedDt))))
+    (finalAssign, centroids)
   }
 
   /** Probe + exact re-rank against an (assigned, centroids) pair —
