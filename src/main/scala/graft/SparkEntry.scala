@@ -1159,6 +1159,29 @@ object SparkEntry {
           col("max_n_chars").as("max_chars"))
     }),
 
+    // COUNT(DISTINCT) maintenance through the (key, value) →
+    // multiplicity side table: the update window SHIFTS n_chars values
+    // (pre-image retracts the old value, post-image admits the new —
+    // both multiplicity moves), the delete window retracts witnesses
+    // outright, and the read-off equals a DuckDB COUNT(DISTINCT)
+    // recompute over the post-feed base — the reference's re-agg
+    // verification shape (verify_gold_layer_data.py:37-41) kept
+    // incremental.
+    "incr_agg_distinct" -> ((s, d) => {
+      val (sink, v0) = ivmFixture(s, d, "distinct",
+        updWhere = pmod(col("doc_id"), lit(9L)) === 2, updDelta = 5L,
+        delWhere = pmod(col("doc_id"), lit(11L)) === 7)
+      val state0 = graft.operators.IncrementalAgg.distinctState(
+        sink.readVersion(s, v0), Seq("source"), "n_chars")
+      val feed = sink.changeFeed(s, v0, sink.currentVersion(s),
+        withPreimages = true)
+      val state1 = graft.operators.IncrementalAgg
+        .advanceDistinct(state0, feed, Seq("source"), "n_chars")
+      graft.operators.IncrementalAgg
+        .readDistinct(state1, Seq("source"), "n_chars")
+        .select(col("source"), col("distinct_n_chars").as("n_distinct"))
+    }),
+
     // ---------- north star: corpus topic clustering ----------
     // Engine-portable Lloyd's k-means over the embeddings (2
     // iterations, 6-dp-rounded carried centroids — the rounding is
@@ -2163,6 +2186,15 @@ object SparkEntry {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey <= 2)
         |GROUP BY o_custkey""".stripMargin,
+
+    // distinct-count maintenance: recompute over the post-feed base —
+    // the update shifts every (doc_id % 9 = 2) row's n_chars by +5,
+    // the delete drops every (doc_id % 11 = 7) row
+    "incr_agg_distinct" ->
+      """SELECT source,
+        | COUNT(DISTINCT n_chars + CASE WHEN doc_id % 9 = 2 THEN 5 ELSE 0 END) AS n_distinct
+        |FROM documents WHERE doc_id % 11 <> 7
+        |GROUP BY source""".stripMargin,
 
     "incr_agg_minmax" ->
       """SELECT source, COUNT(*) AS n_docs,

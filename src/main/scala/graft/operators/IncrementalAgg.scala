@@ -34,8 +34,16 @@ import org.apache.spark.sql.types.{DecimalType, NumericType}
   * use base-assisted repair: retractions that touch a stored extremum
   * mark the key damaged, and ONLY damaged keys recompute from the
   * base (a semi-join), keeping refresh O(delta + affected keys).
-  * COUNT DISTINCT stays out of scope (its repair set is the whole
-  * key's history — that is recompute by another name).
+  *
+  * COUNT(DISTINCT col) is maintained EXACTLY through a
+  * (key, value) → multiplicity SIDE TABLE ([[distinctState]] /
+  * [[advanceDistinct]] / [[readDistinct]]) — the counting algorithm
+  * generalized one level down: the state tracks how many live rows
+  * witness each (key, value) pair, feed weights move multiplicities,
+  * pairs at zero drop out, and the distinct count per key is the
+  * state's row count. Refresh stays O(delta + state); the state is
+  * bounded by the number of LIVE DISTINCT pairs, which is what any
+  * exact distinct-count must pay.
   */
 object IncrementalAgg {
 
@@ -178,6 +186,62 @@ object IncrementalAgg {
       newBase.join(damagedKeys, keys, "left_semi"), keys, cols)
     healthy.unionByName(repaired)
   }
+
+  val multCol = "_ia_mult"
+
+  /** The maintained side table backing exact per-key
+    * COUNT(DISTINCT `valueCol`): one row per LIVE (keys, value) pair
+    * with its multiplicity (how many base rows witness it). SQL
+    * COUNT(DISTINCT) ignores nulls, so null values never enter the
+    * state. Any value type works — no numeric contract here, the
+    * state only counts witnesses. Build once from the initial
+    * snapshot, then advance with [[advanceDistinct]]; read the
+    * distinct counts off with [[readDistinct]].
+    */
+  def distinctState(base: DataFrame, keys: Seq[String],
+                    valueCol: String): DataFrame =
+    base.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(multCol))
+
+  /** [[distinctState]] advanced by `feed` (a change feed WITH
+    * pre-images): feed weights (+1 insert/post-image, −1
+    * delete/pre-image) move per-(keys, value) multiplicities; pairs
+    * whose multiplicity reaches zero leave the state — including the
+    * old value of an update that CHANGED the column, whose pre-image
+    * retracts it while the post-image admits the new value. Equals
+    * `distinctState(newSnapshot, keys, valueCol)` exactly. One keyed
+    * join of two delta/state-sized relations — O(delta + state),
+    * never a base-table scan.
+    */
+  def advanceDistinct(prev: DataFrame, feed: DataFrame, keys: Seq[String],
+                      valueCol: String): DataFrame = {
+    requirePreimageFeed(feed)
+    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val delta = feed.filter(col(valueCol).isNotNull)
+      .withColumn("_w", w)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(col("_w")).as(s"d_$multCol"))
+    prev.join(delta, keys :+ valueCol, "full_outer")
+      .select((keys :+ valueCol).map(col) :+
+        (coalesce(col(multCol), lit(0L)) +
+          coalesce(col(s"d_$multCol"), lit(0L))).as(multCol): _*)
+      .filter(col(multCol) > 0)
+  }
+
+  /** Per-key COUNT(DISTINCT) off the maintained state: the state's
+    * row count per key, as `distinct_<valueCol>`. Keys with no live
+    * non-null value simply don't appear — exactly what a GROUP BY
+    * over the base would produce for COUNT(DISTINCT) readers that
+    * drop empty groups (a key's group exists in SQL, with count 0,
+    * only if the key has OTHER live rows; join against [[view]]'s
+    * `_ia_count` when that distinction matters).
+    */
+  def readDistinct(state: DataFrame, keys: Seq[String],
+                   valueCol: String): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"distinct_$valueCol"))
 
   /** `prev` advanced by `feed` (a change feed WITH pre-images over the
     * same key set). Equals `view(newSnapshot, keys, sumCols)` exactly

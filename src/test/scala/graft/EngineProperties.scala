@@ -258,6 +258,44 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("distinct-count advance ≡ recompute for random feeds") =
+    Prop.forAll(genRows, genRows, Gen.choose(0, 8)) { (b, u, delKey) =>
+      (b.nonEmpty && u.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-dsprop").toString + "/t"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), retainVersions = 6)
+        sink.upsert(spark, table(b), batchId = 0)
+        val v0 = sink.currentVersion(spark)
+        // group coarser than the sink key; random value updates MOVE
+        // multiplicities between (group, value) pairs, random deletes
+        // retract witnesses — the full distinct-maintenance algebra
+        def grouped(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("g", (col("k") % 2).cast("long"))
+        val state0 = graft.operators.IncrementalAgg.distinctState(
+          grouped(sink.readVersion(spark, v0)), Seq("g"), "v")
+          .localCheckpoint(true)
+        sink.upsert(spark, table(u), batchId = 1)
+        sink.delete(spark, col("k") === delKey, batchId = 2)
+        val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+          withPreimages = true)
+        val advanced = graft.operators.IncrementalAgg.advanceDistinct(
+          state0, grouped(feed), Seq("g"), "v")
+        val full = graft.operators.IncrementalAgg.distinctState(
+          grouped(sink.read(spark)), Seq("g"), "v")
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.get(1).toString) -> r.getLong(2)).toMap
+        def c(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.IncrementalAgg.readDistinct(df, Seq("g"), "v")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        m(advanced.select(col("g"), col("v"),
+          col(graft.operators.IncrementalAgg.multCol))) ==
+          m(full.select(col("g"), col("v"),
+            col(graft.operators.IncrementalAgg.multCol))) &&
+          c(advanced) == c(full)
+      }
+    }
+
   property("min/max advance with base repair ≡ recompute for random feeds") =
     Prop.forAll(genRows, genRows, Gen.choose(0, 8)) { (b, u, delKey) =>
       (b.nonEmpty && u.nonEmpty) ==> {

@@ -179,6 +179,90 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(advanced.collect().toSet === full.collect().toSet)
   }
 
+  test("distinct state: advance ≡ recompute across value shifts, deletes, null values") {
+    val dir = tmpDir("incdst") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "A", 1L, 20.0), ("h3", "A", 1L, 10.0),
+      ("h1", "B", 1L, 5.0), ("h2", "B", 1L, 5.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val state0 = IncrementalAgg.distinctState(
+      sink.readVersion(spark, v0), Seq("driver_id"), "fare")
+      .localCheckpoint(true)
+    // A sees {10, 20} (10 twice-witnessed); B sees {5} twice-witnessed
+    def counts(st: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.readDistinct(st, Seq("driver_id"), "fare")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(state0) === Map("A" -> 2L, "B" -> 1L))
+
+    // value shift (h1,A): 10→30 (old value keeps its other witness);
+    // (h2,B): 5→5 (no-op for distinctness); delete h3 (10 loses its
+    // last A-witness only if h1 moved — it did, so 10 must drop)
+    sink.upsert(spark, rows(
+      ("h1", "A", 2L, 30.0), ("h2", "B", 2L, 5.0)), batchId = 1)
+    sink.delete(spark, col("window_start") === "h3", batchId = 2)
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val state1 = IncrementalAgg.advanceDistinct(
+      state0, feed, Seq("driver_id"), "fare")
+    val recomputed = IncrementalAgg.distinctState(
+      sink.read(spark), Seq("driver_id"), "fare")
+    assert(counts(state1) === counts(recomputed),
+      "maintained distinct state diverged from recompute")
+    assert(counts(state1) === Map("A" -> 2L, "B" -> 1L)) // A: {20, 30}
+
+    // multiplicities themselves must match (not just the counts)
+    def multMap(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(multMap(state1.select(col("driver_id"), col("fare"),
+        col(IncrementalAgg.multCol))) ===
+      multMap(recomputed.select(col("driver_id"), col("fare"),
+        col(IncrementalAgg.multCol))))
+  }
+
+  test("distinct state ignores null values like SQL COUNT(DISTINCT)") {
+    val dir = tmpDir("incdst2") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    val withNull = Seq(
+      ("h1", "A", 1L, Some(10.0)), ("h2", "A", 1L, None),
+      ("h1", "B", 1L, None))
+      .toDF("window_start", "driver_id", "total", "fare")
+    sink.upsert(spark, withNull, batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val state0 = IncrementalAgg.distinctState(
+      sink.readVersion(spark, v0), Seq("driver_id"), "fare")
+      .localCheckpoint(true)
+    // B has only a null value: absent from the state entirely
+    assert(state0.filter(col("driver_id") === "B").count() === 0)
+    // a null→value update ADDS a witness; value→null RETRACTS one
+    sink.upsert(spark, Seq(("h2", "A", 2L, Some(20.0)),
+        ("h1", "A", 2L, Option.empty[Double]))
+      .toDF("window_start", "driver_id", "total", "fare"), batchId = 1)
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val state1 = IncrementalAgg.advanceDistinct(
+      state0, feed, Seq("driver_id"), "fare")
+    val rec = IncrementalAgg.distinctState(
+      sink.read(spark), Seq("driver_id"), "fare")
+    assert(state1.collect().map(_.toString).sorted.toSeq ===
+      rec.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("distinct advance refuses a post-image-only feed") {
+    val dir = tmpDir("incdst3") + "/t"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    sink.upsert(spark, rows(("h1", "A", 1L, 1.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val state0 = IncrementalAgg.distinctState(
+      sink.readVersion(spark, v0), Seq("driver_id"), "fare")
+    sink.upsert(spark, rows(("h1", "A", 2L, 2.0)), batchId = 1)
+    val bare = sink.changeFeed(spark, v0, sink.currentVersion(spark))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.advanceDistinct(state0, bare, Seq("driver_id"), "fare")
+    }
+    assert(e.getMessage.contains("pre-image"))
+  }
+
   test("feed without _change_type is refused") {
     val v = IncrementalAgg.view(rows(("h1", "A", 1L, 1.0)),
       Seq("driver_id"), Seq("fare"))
