@@ -12,6 +12,24 @@ class SourceFormatsSpec extends SparkTestBase {
   private lazy val events =
     SparkEntry.events(spark, "/root/testdata/sf0.001")
 
+  test("kafka source loads through the 1-line seam when the connector jar is present") {
+    // conditionally enabled on the jar (skipped VISIBLY, not silently
+    // absent): the day spark-sql-kafka-0-10 lands in /opt/spark/jars,
+    // this proves the swap — format("kafka") resolves and its source
+    // schema carries the key/value/timestamp columns bronzeProject
+    // consumes. No broker needed: load() is lazy.
+    val jars = Option(new java.io.File("/opt/spark/jars").listFiles())
+      .getOrElse(Array.empty)
+    assume(jars.exists(_.getName.startsWith("spark-sql-kafka")),
+      "spark-sql-kafka-0-10 is absent from /opt/spark/jars")
+    val kafka = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", "localhost:9092")
+      .option("subscribe", "realtime_rides")
+      .load()
+    for (c <- Seq("key", "value", "timestamp"))
+      assert(kafka.columns.contains(c), s"kafka source lacks $c")
+  }
+
   test("kafkaRecords matches the Kafka producer-sink contract") {
     import org.apache.spark.sql.types._
     val recs = graft.sources.RideGenerator.kafkaRecords(
