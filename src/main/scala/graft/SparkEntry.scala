@@ -204,6 +204,30 @@ object SparkEntry {
     sink
   }
 
+  /** Fixture for the `upsert_scan_prune_part` query: the PARTITIONED
+    * layout's skipping story — documents partitioned by lang
+    * (fragmented by the write parallelism), then per-partition
+    * Z-ORDER compaction on (doc_id, n_chars), so directory pruning on
+    * the partition column composes with in-directory curve pruning on
+    * BOTH data columns. Rebuilt per call.
+    */
+  private def partSkipFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/skip_scan_part"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true)
+    val docs = t(s, d, "documents")
+      .select("doc_id", "source", "n_chars", "lang").repartition(8)
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      partitionCol = Some("lang"))
+    sink.upsert(s, docs, batchId = 0)
+    val bytes = fsys.getContentSummary(p).getLength
+    sink.compactPartitions(s, targetFileBytes = math.max(1L, bytes / 24),
+      clusterBy = Seq("doc_id", "n_chars"), zorder = true)
+    sink
+  }
+
   /** Fixture for the `upsert_point_prune` query: snapshot the narrow
     * documents projection into a versioned upsert table with a BLOOM
     * INDEX on doc_id, compacted clustered on n_chars ONLY — every
@@ -1247,6 +1271,17 @@ object SparkEntry {
           col("doc_id") === 450L)
     }),
 
+    // Partitioned-layout skipping end to end: directory pruning on
+    // the partition column + per-directory z-curve pruning on BOTH
+    // data columns (the r11 compactPartitions clusterBy/zorder path).
+    // The oracle recomputes the predicate over the base table — a
+    // hash match proves neither pruning axis drops a matching row.
+    "upsert_scan_prune_part" -> ((s, d) => {
+      val sink = partSkipFixture(s, d)
+      sink.scan(s, col("lang") === "en" &&
+        (col("doc_id") < 300L || col("n_chars") > 450L))
+    }),
+
     // Bloom-index point lookup end to end through the oracle: the
     // fixture clusters on n_chars, so every file's doc_id range spans
     // the keyspace and min/max stats CANNOT prune the point predicate
@@ -2175,6 +2210,12 @@ object SparkEntry {
     "upsert_point_prune" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id = 450 OR doc_id IN (123, 99999999)""".stripMargin,
+
+    // the partitioned fixture is a verbatim snapshot re-laid-out by
+    // the per-partition z-order compaction — row-set-identical
+    "upsert_scan_prune_part" ->
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE lang = 'en' AND (doc_id < 300 OR n_chars > 450)""".stripMargin,
 
     // the join-prune fixture is a verbatim orders snapshot
     // (re-clustered — row-set-identical), so the oracle is the plain
