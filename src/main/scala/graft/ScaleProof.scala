@@ -116,6 +116,17 @@ object ScaleProof {
         (view0, feed, sink)
       })
 
+    // pre-feed COUNT(DISTINCT) multiplicity state (built once per n,
+    // off the ivm sink's retained v0 — the timed reps advance it)
+    val distinctCache = scala.collection.mutable.Map.empty[Long, DataFrame]
+    def distinctSetup(n: Long, docs: DataFrame): DataFrame =
+      distinctCache.getOrElseUpdate(n, {
+        val (_, _, sink) = ivmSetup(n, docs)
+        graft.operators.IncrementalAgg.distinctState(
+          ivmTokens(sink.readVersion(spark, 0)), Seq("source"), "n_toks")
+          .localCheckpoint(true)
+      })
+
     // Z-order-compacted versioned table per corpus size for the
     // data-skipping legs — built once outside the timers (the build is
     // `upsert_changes_between`'s + compaction's own cost). FIXED
@@ -139,6 +150,50 @@ object ScaleProof {
           col("doc_id").between(0L, 999L) && col("n_chars") > 200L)
         println(s"""{"op":"scan_pruned_files","n":$n,""" +
           s""""kept":$kept,"total":$total}""")
+        sink
+      })
+
+    // Bloom-indexed table clustered on n_chars ONLY, so doc_id point
+    // lookups are prunable exclusively through the per-file blooms —
+    // the high-cardinality-key shape min/max can never serve. Printed
+    // kept/total is the at-scale figure of merit: total grows with n
+    // (fixed 256 KB files), kept stays ~1 + fpp·total.
+    val bloomCache = scala.collection.mutable.Map.empty[
+      Long, graft.operators.ParquetUpsertSink]
+    def bloomSetup(n: Long, docs: DataFrame)
+        : graft.operators.ParquetUpsertSink =
+      bloomCache.getOrElseUpdate(n, {
+        val dir = s"$work/bloom_$n"
+        val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+          bloomCols = Seq("doc_id"))
+        sink.upsert(spark, docs.select("doc_id", "source", "n_chars"),
+          batchId = -1)
+        sink.compact(spark, targetFileBytes = 256L * 1024,
+          clusterBy = Seq("n_chars"))
+        val (kept, total) = sink.scanFileCounts(spark,
+          col("doc_id") === lit(n / 2))
+        println(s"""{"op":"bloom_pruned_files","n":$n,""" +
+          s""""kept":$kept,"total":$total}""")
+        // DFP file decision for a SELECTIVE build side (4 neighboring
+        // keys — the shape a filtered dim produces; 16 keys spread
+        // uniformly over 12 files would legitimately admit every
+        // window) on BOTH layouts: against the key-clustered table
+        // the sorted-key windows prune directly (the star-join
+        // configuration); against THIS adversarial layout only the
+        // blooms refine
+        val dfpKeys: Array[Any] =
+          Seq(0L, 3L, 7L, 11L).map(i => (n / 2 + i): Any).toArray
+        val snap = sink.history(spark).first().getString(4)
+        val (jKept, jTotal) = sink.scanForJoinSelection(spark, snap,
+          "doc_id", dfpKeys, lit(true))
+        println(s"""{"op":"dfp_bloom_files","n":$n,""" +
+          s""""kept":${jKept.size},"total":$jTotal}""")
+        val clustered = skipSetup(n, docs)
+        val cSnap = clustered.history(spark).first().getString(4)
+        val (cKept, cTotal) = clustered.scanForJoinSelection(spark, cSnap,
+          "doc_id", dfpKeys, lit(true))
+        println(s"""{"op":"dfp_clustered_files","n":$n,""" +
+          s""""kept":${cKept.size},"total":$cTotal}""")
         sink
       })
 
@@ -343,6 +398,39 @@ object ScaleProof {
           sink.read(spark).filter(col("doc_id").between(0L, 999L) &&
             col("n_chars") > 200L).count()
         }),
+        // Bloom point lookup on the NON-clustered key (wall time
+        // flat-ish on one box, like scan_pruned — the cluster-scale
+        // claim is the bloom_pruned_files line bloomSetup prints)
+        "scan_bloom_point" -> (() => {
+          val sink = bloomSetup(n, docs)
+          sink.scan(spark, col("doc_id") === lit(n / 2)).count()
+        }),
+        // Dynamic file pruning end to end: 16 spread keys against the
+        // same table (dfp_pruned_files carries the file-count story)
+        "scan_join_prune" -> (() => {
+          val sink = bloomSetup(n, docs)
+          val keys = spark.range(16).select((col("id") * lit(n / 16))
+            .as("doc_id"))
+          sink.scanForJoin(spark, "doc_id", keys).count()
+        }),
+        // COUNT(DISTINCT) maintenance vs recompute — same asymmetry
+        // claim as the sum pair: advance touches the delta + the
+        // multiplicity state, recompute re-tokenizes the corpus
+        "incr_distinct_advance" -> (() => {
+          val (_, feed, _) = ivmSetup(n, docs)
+          val st0 = distinctSetup(n, docs)
+          val st1 = graft.operators.IncrementalAgg.advanceDistinct(
+            st0, ivmTokens(feed), Seq("source"), "n_toks")
+          graft.operators.IncrementalAgg.readDistinct(
+            st1, Seq("source"), "n_toks").collect().length.toLong
+        }),
+        "incr_distinct_recompute" -> (() => {
+          val (_, _, sink) = ivmSetup(n, docs)
+          graft.operators.IncrementalAgg.readDistinct(
+            graft.operators.IncrementalAgg.distinctState(
+              ivmTokens(sink.read(spark)), Seq("source"), "n_toks"),
+            Seq("source"), "n_toks").collect().length.toLong
+        }),
         // SQ8 brute force over the persisted codes table: rep 1 pays
         // the quantize-and-write, later reps scan 1-byte codes only.
         // The exponent SHOULD be ~1 — SQ8 is the bandwidth play, not
@@ -387,11 +475,16 @@ object ScaleProof {
       // IVM setup (sink writes, upserts, delete, feed checkpoint) is
       // paid HERE, not inside rep 1 of whichever timed thunk runs
       // first — the timed reps must measure only advance vs recompute
-      if (selected.exists(_._1.startsWith("incr_agg_")))
+      if (selected.exists(_._1.startsWith("incr_")))
         ivmSetup(n, docs)
-      // same for the skip-scan table (snapshot write + z-compaction)
+      if (selected.exists(_._1.startsWith("incr_distinct")))
+        distinctSetup(n, docs)
+      // same for the skip-scan tables (snapshot write + compaction)
       if (selected.exists(_._1.startsWith("scan_")))
         skipSetup(n, docs)
+      if (selected.exists(s => s._1 == "scan_bloom_point" ||
+          s._1 == "scan_join_prune"))
+        bloomSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec
