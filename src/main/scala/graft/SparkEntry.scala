@@ -243,11 +243,15 @@ object SparkEntry {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val docs = t(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
-    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
-      bloomCols = Seq("doc_id"))
-    sink.upsert(s, docs, batchId = -1)
+    // blooms enabled at OPTIMIZE time, not on the throwaway initial
+    // snapshot — sinks are handles over the same commit log, so the
+    // bloom-indexed handle compacts and serves the scans
+    val loader = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"))
+    loader.upsert(s, docs, batchId = -1)
     val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      bloomCols = Seq("doc_id"))
     sink.compact(s, targetFileBytes = math.max(1L, bytes / 8),
       clusterBy = Seq("n_chars"))
     sink
@@ -268,9 +272,11 @@ object SparkEntry {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val ords = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    // blooms enabled at OPTIMIZE time (see [[bloomScanFixture]])
+    val loader = new graft.operators.ParquetUpsertSink(dir, Seq("o_orderkey"))
+    loader.upsert(s, ords, batchId = -1)
     val sink = new graft.operators.ParquetUpsertSink(dir, Seq("o_orderkey"),
       bloomCols = Seq("o_custkey"))
-    sink.upsert(s, ords, batchId = -1)
     val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
     // ~32 files: enough granularity that a handful of dim keys maps to
