@@ -319,17 +319,35 @@ object FileSkipping {
   import org.apache.spark.util.sketch.BloomFilter
 
   /** Per-file bloom index of one snapshot directory:
-    * column → (encoding kind, file → filter).
+    * column → (encoding kind, file → STILL-ENCODED filter). Filters
+    * decode LAZILY, per requested file: plan-time deserialization
+    * cost is proportional to the files that survive stats pruning
+    * and get bloom-probed, not to the table — the distinction that
+    * matters when a snapshot has 800k files and the stats already
+    * pruned all but a handful. (The index document itself is one
+    * JSON per snapshot dir, like the stats manifest; at extreme file
+    * counts both would shard, the same evolution Delta's log took.)
     */
   final case class BloomIndex(
-      cols: Map[String, (String, Map[String, BloomFilter])]) {
+      cols: Map[String, (String, Map[String, String])]) {
     /** col → (kind, filter) slice for one file — the shape
-      * [[mayMatch]] consumes.
+      * [[mayMatch]] consumes. Decodes just this file's entries.
       */
     def forFile(file: String): Map[String, (String, BloomFilter)] =
       cols.flatMap { case (c, (kind, byFile)) =>
-        byFile.get(file).map(bf => c -> (kind, bf))
+        byFile.get(file).flatMap(decode).map(bf => c -> (kind, bf))
       }
+    /** One (file, column) filter — the dynamic-file-pruning probe. */
+    def forFileCol(file: String, column: String)
+        : Option[(String, BloomFilter)] =
+      cols.get(column).flatMap { case (kind, byFile) =>
+        byFile.get(file).flatMap(decode).map(bf => (kind, bf))
+      }
+    /** True when no column carries any filter (skip the probe pass). */
+    def isEmpty: Boolean = cols.forall(_._2._2.isEmpty)
+    private def decode(b64: String): Option[BloomFilter] =
+      scala.util.Try(BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(b64)))).toOption
   }
 
   /** Bloom-supported encoding for a Spark type: how values are fed to
@@ -454,27 +472,21 @@ object FileSkipping {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val root = JsonMethods.parse(s)
-      val dec = java.util.Base64.getDecoder
       val cols = (root \ "cols") match {
         case JObject(fields) => fields.flatMap { case (cn, cj) =>
           (cj \ "kind") match {
             case JString(kind) =>
               val files = (cj \ "files") match {
-                case JObject(fs2) => fs2.flatMap { case (fn, fj) =>
-                  fj match {
-                    case JString(b64) => scala.util.Try(BloomFilter.readFrom(
-                      new java.io.ByteArrayInputStream(dec.decode(b64))))
-                      .toOption.map(fn -> _)
-                    case _ => None
-                  }
+                case JObject(fs2) => fs2.collect {
+                  case (fn, JString(b64)) => fn -> b64
                 }.toMap
-                case _ => Map.empty[String, BloomFilter]
+                case _ => Map.empty[String, String]
               }
               Some(cn -> (kind, files))
             case _ => None
           }
         }.toMap
-        case _ => Map.empty[String, (String, Map[String, BloomFilter])]
+        case _ => Map.empty[String, (String, Map[String, String])]
       }
       BloomIndex(cols)
     }.toOption
@@ -1000,7 +1012,7 @@ object FileSkipping {
     */
   def mayHoldAnyKey(file: FileStat, column: String, kind: String,
                     sortedKeys: Array[SValue],
-                    bloom: Option[(String, BloomFilter)],
+                    bloom: => Option[(String, BloomFilter)],
                     maxProbes: Int = 64): Boolean = {
     if (file.rows == 0) return false
     if (sortedKeys.isEmpty) return false

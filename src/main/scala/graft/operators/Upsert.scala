@@ -338,19 +338,27 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
             // no trustworthy manifest: 1-row surrogates — data columns
             // cannot prune, the partition value still can
             names.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
-          // blooms need no freshness guard: data files are uniquely
-          // named, so a stale entry never matches a live file and a
-          // new file without one simply isn't bloom-pruned
-          val blooms = FileSkipping.readBlooms(f, new Path(path, dirName))
           total += files.size
-          files.filter { fileStat =>
-            val enriched = FileSkipping
-              .partitionColStats(dt, raw, fileStat.rows)
+          val enriched = files.map { fileStat =>
+            FileSkipping.partitionColStats(dt, raw, fileStat.rows)
               .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
               .getOrElse(fileStat)
-            FileSkipping.mayMatch(cond, enriched,
-              blooms.map(_.forFile(fileStat.file)).getOrElse(Map.empty))
-          }.map(k => s"$dirName/${k.file}")
+          }
+          val statsKept = enriched.filter(FileSkipping.mayMatch(cond, _))
+          // bloom refinement of the stats survivors only (lazy per-
+          // file decode); blooms need no freshness guard — data files
+          // are uniquely named, so a stale entry never matches a live
+          // file and a new file without one simply isn't bloom-pruned
+          val blooms =
+            if (statsKept.isEmpty) None
+            else FileSkipping.readBlooms(f, new Path(path, dirName))
+              .filterNot(_.isEmpty)
+          val kept = blooms match {
+            case None => statsKept
+            case Some(bi) => statsKept.filter(st =>
+              FileSkipping.mayMatch(cond, st, bi.forFile(st.file)))
+          }
+          kept.map(k => s"$dirName/${k.file}")
         }
         Some((kept, total))
     }
@@ -444,9 +452,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         val kept = keptBase.filter { fn =>
           statsByFile.get(fn).forall { st =>
             FileSkipping.mayHoldAnyKey(st, joinKey, kind, sortedKeys,
-              blooms.flatMap(_.cols.get(joinKey)).flatMap {
-                case (bkind, byFile) => byFile.get(fn).map(bf => (bkind, bf))
-              })
+              blooms.flatMap(_.forFileCol(fn, joinKey)))
           }
         }
         (kept, total)
@@ -510,14 +516,21 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           case PredEmpty => (Seq.empty, stats.size)
           case PredUnknown => (stats.map(_.file), stats.size)
           case PredCond(cond) =>
-            // bloom index (if the sink maintains one): equality leaves
-            // additionally probe the per-file filters — the channel
-            // that prunes high-cardinality point lookups min/max can't
-            val blooms = FileSkipping.readBlooms(fs(spark),
-              new Path(s"$path/$dir"))
-            (stats.filter(st => FileSkipping.mayMatch(cond, st,
-              blooms.map(_.forFile(st.file)).getOrElse(Map.empty)))
-              .map(_.file), stats.size)
+            // two passes: stats first, then the bloom index (if the
+            // sink maintains one) refines the SURVIVORS on equality
+            // leaves — so filter deserialization cost is proportional
+            // to files the stats could not prune, never to the table
+            val statsKept = stats.filter(FileSkipping.mayMatch(cond, _))
+            val blooms =
+              if (statsKept.isEmpty) None
+              else FileSkipping.readBlooms(fs(spark),
+                new Path(s"$path/$dir")).filterNot(_.isEmpty)
+            val kept = blooms match {
+              case None => statsKept
+              case Some(bi) => statsKept.filter(st =>
+                FileSkipping.mayMatch(cond, st, bi.forFile(st.file)))
+            }
+            (kept.map(_.file), stats.size)
         }
     }
 
