@@ -562,12 +562,42 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * no stats exist (legacy snapshot, partitioned layout) — callers
     * fall back to `read(spark).count()`.
     */
-  def countRows(spark: SparkSession): Option[Long] =
-    if (partitionCol.nonEmpty) None
-    else commits(spark).lastOption.flatMap { case (_, _, dir) =>
+  def countRows(spark: SparkSession): Option[Long] = partitionCol match {
+    case None => commits(spark).lastOption.flatMap { case (_, _, dir) =>
       FileSkipping.readStats(fs(spark), new Path(s"$path/$dir"))
         .map(_.map(_.rows).sum)
     }
+    case Some(pc) =>
+      // partitioned layout: sum every directory's manifest, each
+      // trusted only when FRESH (file names match the live listing —
+      // the same staleness guard the pruner applies); one stale or
+      // absent manifest makes the whole answer None rather than wrong
+      freshPartitionManifests(spark, pc).map(_.flatten.map(_.rows).sum)
+  }
+
+  /** Per-directory FRESH stats manifests of the partitioned layout —
+    * Some(list of per-dir file stats) only when EVERY partition
+    * directory carries a manifest matching its live parquet listing.
+    * None ⇒ metadata-only answers are unavailable (fall back to a
+    * scan); also None when the table has no partition directories.
+    */
+  private def freshPartitionManifests(spark: SparkSession, pc: String)
+      : Option[Seq[Seq[FileSkipping.FileStat]]] = {
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return None
+    val dirs = f.listStatus(root).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+    if (dirs.isEmpty) return None
+    val perDir = dirs.map { d =>
+      val names = f.listStatus(d.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+      FileSkipping.readStats(f, d.getPath)
+        .filter(_.map(_.file).toSet == names.toSet)
+    }
+    if (perDir.exists(_.isEmpty)) None else Some(perDir.map(_.get))
+  }
 
   /** Metadata-only global [min, max] of `column` on the current
     * snapshot (versioned layout) — the MIN/MAX a 100 TB table answers
@@ -580,12 +610,19 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * for timestamps.
     */
   def columnBounds(spark: SparkSession, column: String)
-      : Option[(Any, Any)] =
-    if (partitionCol.nonEmpty) None
-    else commits(spark).lastOption.flatMap { case (_, _, dir) =>
+      : Option[(Any, Any)] = partitionCol match {
+    case None => commits(spark).lastOption.flatMap { case (_, _, dir) =>
       FileSkipping.readStats(fs(spark), new Path(s"$path/$dir"))
         .flatMap(FileSkipping.globalBounds(_, column))
     }
+    case Some(pc) =>
+      // data columns only (the partition column itself lives in dir
+      // names, not footers); all manifests must be fresh and every
+      // file's bounds known — the versioned path's soundness rule
+      if (column == pc) None
+      else freshPartitionManifests(spark, pc)
+        .flatMap(per => FileSkipping.globalBounds(per.flatten, column))
+  }
 
   def read(spark: SparkSession): DataFrame = partitionCol match {
     case None =>

@@ -606,6 +606,38 @@ class FileSkippingSpec extends SparkTestBase {
     assert(sink.columnBounds(spark, "id") === None)
   }
 
+  test("partitioned countRows/columnBounds answer from fresh manifests only") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("fskip") + "/pcount"
+    val df = spark.range(600).toDF("id")
+      .withColumn("day", when(col("id") < 300, lit("a")).otherwise(lit("b")))
+      .withColumn("v", col("id").cast("double") / 4.0)
+      .repartitionByRange(4, col("id"))
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("day"))
+    sink.upsert(spark, df, batchId = 0)
+    assert(sink.countRows(spark) === Some(600L))
+    assert(sink.columnBounds(spark, "id") === Some((0L, 599L)))
+    assert(sink.columnBounds(spark, "v") === Some((0.0, 599.0 / 4.0)))
+    // the partition column itself has no footer stats — no answer
+    assert(sink.columnBounds(spark, "day").isEmpty)
+    // a delete keeps both metadata answers current
+    sink.delete(spark, col("id") >= 500L, batchId = 1)
+    assert(sink.countRows(spark) === Some(500L))
+    assert(sink.columnBounds(spark, "id") === Some((0L, 499L)))
+    // a stale manifest (naming dead files) poisons the whole answer
+    // to None — never a wrong count
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(s"$dir/day=a/${FileSkipping.statsFileName}")
+    val in = fs.open(mPath)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val out = fs.create(mPath, true)
+    try out.write(content.replaceAll("part-[^\"]+", "part-gone.parquet")
+      .getBytes("UTF-8")) finally out.close()
+    assert(sink.countRows(spark).isEmpty)
+    assert(sink.columnBounds(spark, "id").isEmpty)
+  }
+
   test("scanVersion: time travel and pruning compose") {
     val dir = tmpDir("fskip") + "/tt"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
