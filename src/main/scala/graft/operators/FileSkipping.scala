@@ -417,8 +417,10 @@ object FileSkipping {
                     case n: java.lang.Integer => n.longValue()
                     case l: java.lang.Long => l.longValue()
                   })
-                  case "date" => bf.putLong(row.getAs[java.sql.Date](i + 1)
-                    .toLocalDate.toEpochDay)
+                  case "date" => bf.putLong(row.get(i + 1) match {
+                    case d: java.sql.Date => d.toLocalDate.toEpochDay
+                    case d: java.time.LocalDate => d.toEpochDay
+                  })
                   case "string" => bf.putString(row.getString(i + 1))
                 }
               }
@@ -987,16 +989,26 @@ object FileSkipping {
         v => SDouble(v.asInstanceOf[Float].toDouble)))
       case DoubleType => Some(("double", v => SDouble(v.asInstanceOf[Double])))
       case StringType => Some(("string", v => SString(v.asInstanceOf[String])))
-      case DateType => Some(("date", v =>
-        SLong(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
-      case TimestampType => Some(("ts", v => {
-        val ts = v.asInstanceOf[java.sql.Timestamp]
-        SLong(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+      // both external representations (java.sql.* default,
+      // java.time.* under spark.sql.datetime.java8API.enabled)
+      case DateType => Some(("date", {
+        case d: java.sql.Date => SLong(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => SLong(d.toEpochDay)
+      }))
+      case TimestampType => Some(("ts", {
+        case ts: java.sql.Timestamp =>
+          SLong(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+        case i: java.time.Instant =>
+          SLong(i.getEpochSecond * 1000000L + i.getNano / 1000)
       }))
       case _ => None
     }
-    conv.map { case (kind, f) =>
-      (kind, values.map(f).sortWith((a, b) => cmpSame(a, b, kind) < 0).toArray)
+    // any unexpected external representation degrades to "no key
+    // pruning" (None), never to a failed scan
+    conv.flatMap { case (kind, f) =>
+      scala.util.Try(
+        (kind, values.map(f).sortWith((a, b) => cmpSame(a, b, kind) < 0)
+          .toArray)).toOption
     }
   }
 
