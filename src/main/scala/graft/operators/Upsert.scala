@@ -293,7 +293,22 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * surrogates).
     */
   private[graft] def partitionedFileSelection(spark: SparkSession, pc: String,
-      predicate: org.apache.spark.sql.Column): Option[(Seq[String], Int)] = {
+      predicate: org.apache.spark.sql.Column): Option[(Seq[String], Int)] =
+    partitionedFileSelection(spark, pc, predicate, joinFilter = None)
+
+  /** As above; `joinFilter = Some((joinKey, kind, sortedKeys))`
+    * additionally applies the dynamic-file-pruning key-window check
+    * per file ([[FileSkipping.mayHoldAnyKey]]) — and because each
+    * file's stats are enriched with the partition-value pseudo-stats,
+    * a join ON THE PARTITION COLUMN prunes whole directories through
+    * the same code path. With a join filter present, a predicate the
+    * optimizer absorbs entirely (e.g. `lit(true)`) still prunes by
+    * keys instead of falling back.
+    */
+  private[graft] def partitionedFileSelection(spark: SparkSession, pc: String,
+      predicate: org.apache.spark.sql.Column,
+      joinFilter: Option[(String, String, Array[FileSkipping.SValue])])
+      : Option[(Seq[String], Int)] = {
     val f = fs(spark)
     val root = new Path(path)
     if (!f.exists(root)) return None
@@ -321,47 +336,58 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val eff = scala.util.Try(effectivePredicate(schemaDf, predicate))
       .orElse(scala.util.Try(effectivePredicate(read(spark), predicate)))
       .getOrElse(PredUnknown)
-    eff match {
-      case PredUnknown => None
-      case PredEmpty => Some((Seq.empty, listed.map(_._2.size).sum))
-      case PredCond(cond) =>
-        val dt = schemaDf.schema(pc).dataType
-        var total = 0
-        val kept = listed.flatMap { case (dirName, names) =>
-          val raw = org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(
-              dirName.drop(pc.length + 1))
-          val manifest = FileSkipping
-            .readStats(f, new Path(path, dirName))
-            .filter(_.map(_.file).toSet == names.toSet)
-          val files = manifest.getOrElse(
-            // no trustworthy manifest: 1-row surrogates — data columns
-            // cannot prune, the partition value still can
-            names.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
-          total += files.size
-          val enriched = files.map { fileStat =>
-            FileSkipping.partitionColStats(dt, raw, fileStat.rows)
-              .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
-              .getOrElse(fileStat)
-          }
-          val statsKept = enriched.filter(FileSkipping.mayMatch(cond, _))
-          // bloom refinement of the stats survivors only (lazy per-
-          // file decode); blooms need no freshness guard — data files
-          // are uniquely named, so a stale entry never matches a live
-          // file and a new file without one simply isn't bloom-pruned
-          val blooms =
-            if (statsKept.isEmpty) None
-            else FileSkipping.readBlooms(f, new Path(path, dirName))
-              .filterNot(_.isEmpty)
-          val kept = blooms match {
-            case None => statsKept
-            case Some(bi) => statsKept.filter(st =>
-              FileSkipping.mayMatch(cond, st, bi.forFile(st.file)))
-          }
-          kept.map(k => s"$dirName/${k.file}")
-        }
-        Some((kept, total))
+    val condOpt: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      eff match {
+        case PredEmpty => return Some((Seq.empty, listed.map(_._2.size).sum))
+        // no Filter derivable: without a join filter nothing can be
+        // decided; with one, key windows still prune (cond = TRUE)
+        case PredUnknown if joinFilter.isEmpty => return None
+        case PredUnknown => None
+        case PredCond(c) => Some(c)
+      }
+    val dt = schemaDf.schema(pc).dataType
+    var total = 0
+    val kept = listed.flatMap { case (dirName, names) =>
+      val raw = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(
+          dirName.drop(pc.length + 1))
+      val manifest = FileSkipping
+        .readStats(f, new Path(path, dirName))
+        .filter(_.map(_.file).toSet == names.toSet)
+      val files = manifest.getOrElse(
+        // no trustworthy manifest: 1-row surrogates — data columns
+        // cannot prune, the partition value still can
+        names.map(n => FileSkipping.FileStat(n, 1L, Map.empty)))
+      total += files.size
+      val enriched = files.map { fileStat =>
+        FileSkipping.partitionColStats(dt, raw, fileStat.rows)
+          .map(p => fileStat.copy(cols = fileStat.cols + (pc -> p)))
+          .getOrElse(fileStat)
+      }
+      val statsKept = condOpt match {
+        case Some(cond) => enriched.filter(FileSkipping.mayMatch(cond, _))
+        case None => enriched
+      }
+      // bloom refinement of the stats survivors only (lazy per-
+      // file decode); blooms need no freshness guard — data files
+      // are uniquely named, so a stale entry never matches a live
+      // file and a new file without one simply isn't bloom-pruned
+      lazy val blooms = FileSkipping.readBlooms(f, new Path(path, dirName))
+        .filterNot(_.isEmpty)
+      val bloomKept = (condOpt, if (statsKept.isEmpty) None else blooms) match {
+        case (Some(cond), Some(bi)) => statsKept.filter(st =>
+          FileSkipping.mayMatch(cond, st, bi.forFile(st.file)))
+        case _ => statsKept
+      }
+      val keyKept = joinFilter match {
+        case None => bloomKept
+        case Some((jk, kind, keys)) => bloomKept.filter(st =>
+          FileSkipping.mayHoldAnyKey(st, jk, kind, keys,
+            blooms.flatMap(_.forFileCol(st.file, jk))))
+      }
+      keyKept.map(k => s"$dirName/${k.file}")
     }
+    Some((kept, total))
   }
 
   /** DYNAMIC FILE PRUNING for a selective equi-join (the Delta/Photon
@@ -407,12 +433,27 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     if (collected.length > maxKeys)
       return semiJoined(scan(spark, predicate)) // build side too large
     partitionCol match {
-      case Some(_) =>
-        // the partitioned pruner already handles IN over partition
-        // values and (via manifests + blooms) data columns
-        if (collected.length <= 10000)
-          scan(spark, predicate && col(joinKey).isInCollection(collected.toSeq))
-        else semiJoined(scan(spark, predicate))
+      case Some(pc) =>
+        // same key-window + bloom machinery as the versioned layout;
+        // the partition-value pseudo-stats mean a join ON the
+        // partition column prunes whole directories
+        val converted = scala.util.Try(read(spark).schema(joinKey).dataType)
+          .toOption.flatMap(FileSkipping.keySValues(_, collected.toSeq))
+        val selection = converted.flatMap { case (kind, sortedKeys) =>
+          partitionedFileSelection(spark, pc, predicate,
+            joinFilter = Some((joinKey, kind, sortedKeys)))
+        }
+        selection match {
+          case None => rowReduced(scan(spark, predicate))
+          case Some((kept, total)) =>
+            val full = read(spark)
+            if (kept.size == total) rowReduced(full.filter(predicate))
+            else if (kept.isEmpty) emptyLike(spark, full.schema)
+            else rowReduced(spark.read.option("mergeSchema", "true")
+              .option("basePath", path)
+              .parquet(kept.map(k => s"$path/$k"): _*)
+              .filter(predicate))
+        }
       case None => commits(spark).lastOption match {
         case None => rowReduced(read(spark).filter(predicate))
         case Some((_, _, dir)) =>

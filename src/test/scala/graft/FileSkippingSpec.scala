@@ -450,6 +450,54 @@ class FileSkippingSpec extends SparkTestBase {
     assert(none.schema.fieldNames.toSeq === sink.read(spark).schema.fieldNames.toSeq)
   }
 
+  test("partitioned dynamic file pruning: key windows prune files, partition keys prune dirs") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = tmpDir("fskip") + "/pdfp"
+    val df = spark.range(3000).toDF("k")
+      .withColumn("day", concat(lit("d"), pmod(col("k"), lit(3L)).cast("string")))
+      .withColumn("v", col("k") * 2)
+      .repartition(6)
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      partitionCol = Some("day"))
+    sink.upsert(spark, df, batchId = 0)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirBytes = fs.getContentSummary(new Path(s"$dir/day=d0")).getLength
+    sink.compactPartitions(spark,
+      targetFileBytes = math.max(1L, dirBytes / 4), clusterBy = Seq("k"))
+    def sel(jk: String, dt: org.apache.spark.sql.types.DataType,
+            keys: Seq[Any]): (Seq[String], Int) = {
+      val Some((kind, sk)) = FileSkipping.keySValues(dt, keys): @unchecked
+      sink.partitionedFileSelection(spark, "day", lit(true),
+        Some((jk, kind, sk))).get
+    }
+    // concentrated data-column keys: a strict file subset per dir
+    val (kNear, total) = sel("k", LongType, Seq(10L, 16L, 22L))
+    assert(total >= 9, s"fixture produced only $total files")
+    assert(kNear.size <= total / 3, s"near keys kept ${kNear.size} of $total")
+    // a join ON the partition column prunes whole directories through
+    // the same pseudo-stats path
+    val (kDay, _) = sel("day", StringType, Seq("d1"))
+    assert(kDay.nonEmpty && kDay.forall(_.startsWith("day=d1/")),
+      s"partition-key join kept: $kDay")
+    // out-of-range keys prune everything
+    assert(sel("k", LongType, Seq(99999L))._1.isEmpty)
+    // end-to-end semantics on both key shapes, hits and misses mixed
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val build = Seq(10L, 16L, 99999L).toDF("ck")
+    assert(rows(sink.scanForJoin(spark, "k", build)) ===
+      rows(sink.read(spark).filter(col("k").isin(10L, 16L, 99999L))))
+    val buildDay = Seq("d1").toDF("dd")
+    assert(rows(sink.scanForJoin(spark, "day", buildDay)) ===
+      rows(sink.read(spark).filter(col("day") === "d1")))
+    // with a residual predicate on top
+    assert(rows(sink.scanForJoin(spark, "k", build,
+        predicate = col("v") > 21L)) ===
+      rows(sink.read(spark).filter(col("v") > 21L &&
+        col("k").isin(10L, 16L, 99999L))))
+  }
+
   test("non-finite cast bounds and non-finite literals keep files, never crash") {
     val dir = tmpDir("fskip") + "/inf"
     val sink = new ParquetUpsertSink(dir, Seq("id"))
