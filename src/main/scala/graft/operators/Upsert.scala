@@ -134,16 +134,36 @@ final case class AutoCompact(files: Int,
   *   exactly that key). Pick them per table like Delta does: the
   *   lookup keys, not everything.
   */
+/** @param retainHistory (partitioned layout only) keep the files each
+  *   commit replaces, frozen under `_history/v<version>/` by
+  *   metadata-only renames, with a per-commit add/remove actions log
+  *   ([[PartitionedHistory]]) — giving the in-place layout the
+  *   versioned layout's whole capability set: time travel
+  *   ([[readVersion]]), change feed ([[changeFeed]]), restore, and —
+  *   as a byproduct of the write-ahead intent + rollback recovery —
+  *   TABLE-granularity crash atomicity (a torn multi-partition batch
+  *   is rolled back to the last commit instead of left partially
+  *   applied). Retention follows `retainVersions`, the versioned
+  *   layout's contract. Cost per commit: O(touched files) renames and
+  *   one small JSON record — never a byte copied; history bytes are
+  *   bounded by the replaced data of the retained commits and
+  *   reclaimed by the same GC. Plain `spark.read.parquet(path)` still
+  *   works: `_history` is underscore-hidden.
+  */
 class ParquetUpsertSink(path: String, keys: Seq[String],
                         partitionCol: Option[String] = None,
                         retainVersions: Int = 2,
                         autoCompact: Option[AutoCompact] = None,
-                        bloomCols: Seq[String] = Nil) {
+                        bloomCols: Seq[String] = Nil,
+                        retainHistory: Boolean = false) {
   require(retainVersions >= 2,
     s"retainVersions must be >= 2 (got $retainVersions): the previous " +
       "version must survive for in-flight readers")
   require(autoCompact.forall(_.files > 0),
     "autoCompact.files must be positive")
+  require(!retainHistory || partitionCol.nonEmpty,
+    "retainHistory applies to the partitioned layout; the versioned " +
+      "layout keeps history through its immutable snapshots already")
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -312,6 +332,10 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val f = fs(spark)
     val root = new Path(path)
     if (!f.exists(root)) return None
+    // a crashed writer's torn directories make the live listing (and
+    // its manifests) untrustworthy — decline to prune; the row-level
+    // fallback routes through the consistent read
+    if (pendingHistory(spark).nonEmpty) return None
     val dirs = f.listStatus(root).toSeq.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
     if (dirs.isEmpty) return None
@@ -627,6 +651,9 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val f = fs(spark)
     val root = new Path(path)
     if (!f.exists(root)) return None
+    // torn directories from a crashed writer: metadata answers would
+    // describe an uncommitted state — decline, callers recompute
+    if (pendingHistory(spark).nonEmpty) return None
     val dirs = f.listStatus(root).toSeq.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
     if (dirs.isEmpty) return None
@@ -671,33 +698,134 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
         case None => spark.read.parquet(path) // pre-sink external data
       }
-    case Some(_) =>
+    case Some(pc) =>
       // mergeSchema: after (or mid-crash during) a schema-widening
       // upsert, partitions may carry different footer schemas — without
       // it, whether the evolved column appears depends on which footer
       // Spark samples (nondeterministic reads). Footer-only cost,
       // proportional to file count, not bytes. _commits is _-hidden.
-      spark.read.option("mergeSchema", "true").parquet(path)
+      val pending = pendingHistory(spark)
+      if (pending.isEmpty)
+        spark.read.option("mergeSchema", "true").parquet(path)
+      else
+        // a writer died mid-commit and no locked write has run since:
+        // route around the torn directories through the frozen
+        // originals — readers see the last COMMITTED state, mutating
+        // nothing (recovery proper runs under the writer lock)
+        readFileMap(spark, PartitionedHistory.consistentLive(fs(spark),
+          new Path(path), commitsDir, pc, commits(spark).map(_._1).toSet))
   }
 
-  /** Time travel (the Delta `versionAsOf` analog, versioned layout
-    * only): read the snapshot a specific committed version points at.
-    * Only the newest `retainVersions` commits are readable — older
-    * snapshots are GC'd. The partitioned layout rewrites in place and
-    * keeps no history.
+  /** Versions with a pending (uncommitted) history intent — nonempty
+    * only between a writer crash and the next locked write's recovery.
+    * Zero-cost when history is off.
     */
-  def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    require(partitionCol.isEmpty,
-      "time travel requires the versioned layout; the partitioned " +
-        "layout rewrites data in place and keeps no history")
-    commits(spark).find(_._1 == version) match {
-      case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
-      case None => throw new IllegalArgumentException(
-        s"version $version of $path is not available (GC retains the " +
-          s"newest $retainVersions; present: " +
-          s"${commits(spark).map(_._1).mkString(",")})")
+  private def pendingHistory(spark: SparkSession): Seq[Long] =
+    if (!retainHistory) Seq.empty
+    else PartitionedHistory.pendingVersions(fs(spark), commitsDir,
+      commits(spark).map(_._1).toSet)
+
+  /** Roll back incomplete history commits (writer died between intent
+    * and commit claim) — runs at the start of every locked write, so
+    * the table a writer merges against is always the last committed
+    * state, whatever happened to its predecessor.
+    */
+  private def recoverIncomplete(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    pendingHistory(spark).foreach { v =>
+      val touched =
+        PartitionedHistory.rollback(f, new Path(path), commitsDir, v)
+      touched.foreach { d =>
+        val dir = new Path(path, d)
+        if (f.exists(dir)) writeIndexes(spark, dir)
+      }
     }
   }
+
+  /** Heal a table whose last writer died mid-commit without waiting
+    * for the next write: takes the writer lock (recovery runs on
+    * acquisition) and releases it. No-op when nothing is pending or
+    * history is off.
+    */
+  def recoverIncompleteCommit(spark: SparkSession): Unit =
+    if (retainHistory) withWriterLock(spark)(())
+
+  /** Read a resolved file map (relpath → location under `path`): live
+    * files with basePath at the table root; frozen files grouped per
+    * `_history/v<w>` with basePath below the underscore segment, so
+    * partition values still derive from the mirrored directory
+    * structure. Groups union by name with missing-column fill — a
+    * version gap that widened the schema reads back null-filled,
+    * the change feed's convention.
+    */
+  private def readFileMap(spark: SparkSession,
+                          files: Map[String, String]): DataFrame = {
+    if (files.isEmpty) {
+      val schema = scala.util.Try(
+        spark.read.option("mergeSchema", "true").parquet(path).schema)
+      return schema.map(emptyLike(spark, _)).getOrElse(spark.emptyDataFrame)
+    }
+    val groups = files.values.toSeq.groupBy { sub =>
+      if (sub.startsWith(PartitionedHistory.historyDirName + "/"))
+        sub.split('/').take(2).mkString("/") // "_history/v<w>"
+      else ""
+    }
+    groups.toSeq.sortBy(_._1).map { case (g, subs) =>
+      val bp = if (g.isEmpty) path else s"$path/$g"
+      spark.read.option("mergeSchema", "true").option("basePath", bp)
+        .parquet(subs.sorted.map(s => s"$path/$s"): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Escaped partition-directory name for one value of `pc` (the
+    * writer's own path rendering, so lookups by name always agree
+    * with what's on disk).
+    */
+  private def partDirName(pc: String, v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(pc, v)
+
+  /** Time travel (the Delta `versionAsOf` analog): read the table as
+    * of a specific committed version. Only the newest `retainVersions`
+    * commits are readable — older snapshots/history are GC'd.
+    *
+    * Versioned layout: the commit's immutable snapshot directory.
+    * Partitioned layout (requires `retainHistory`): backward replay of
+    * the per-commit add/remove actions from the consistent current
+    * listing — each replaced file reads from its frozen home under
+    * `_history/v<w>/` ([[PartitionedHistory.liveAt]]). Metadata cost
+    * O(live files + retained deltas); no data is ever copied to
+    * travel.
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    partitionCol match {
+      case None => commits(spark).find(_._1 == version) match {
+        case Some((_, _, dir)) => spark.read.parquet(s"$path/$dir")
+        case None => throw new IllegalArgumentException(
+          s"version $version of $path is not available (GC retains the " +
+            s"newest $retainVersions; present: " +
+            s"${commits(spark).map(_._1).mkString(",")})")
+      }
+      case Some(pc) =>
+        require(retainHistory,
+          "time travel on the partitioned layout requires " +
+            "retainHistory = true (the plain layout rewrites in place " +
+            "and keeps no history)")
+        val cs = commits(spark)
+        if (!cs.exists(_._1 == version))
+          throw new IllegalArgumentException(
+            s"version $version of $path is not available (GC retains " +
+              s"the newest $retainVersions; present: " +
+              s"${cs.map(_._1).mkString(",")})")
+        val f = fs(spark)
+        val current = PartitionedHistory.consistentLive(f, new Path(path),
+          commitsDir, pc, cs.map(_._1).toSet)
+        val files =
+          if (version == cs.last._1) current
+          else PartitionedHistory.liveAt(f, new Path(path), commitsDir,
+            version, cs.map(_._1).sorted.reverse, current)
+        readFileMap(spark, files)
+    }
 
   /** Rows of version `to` that are NEW or CHANGED since version
     * `from` — the additive half of the change-data feed. This is what
@@ -863,6 +991,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     cs.dropRight(retainVersions).foreach { case (v, _, dir) =>
       if (partitionCol.isEmpty && !referenced.contains(dir))
         f.delete(new Path(s"$path/$dir"), true)
+      // a dropped commit's frozen files and actions record can never
+      // be needed again: backward replay from any RETAINED version
+      // only walks newer commits' actions
+      if (retainHistory)
+        PartitionedHistory.gcVersion(f, new Path(path), commitsDir, v)
       f.delete(new Path(commitsDir, v.toString), false)
     }
   }
@@ -973,6 +1106,13 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     */
   protected def beforeWrite(version: Long): Unit = ()
 
+  /** Test seam (history mode): invoked after the write-ahead intent
+    * and the renames into `_history/v<version>/`, immediately before
+    * the in-place data write — the widest torn window the rollback
+    * protocol must heal. No-op in production.
+    */
+  protected def betweenHistoryMoveAndWrite(version: Long): Unit = ()
+
   /** Whether partitioned-layout writes take the exclusive writer
     * lock. Overridden false only by tests simulating an EXTERNAL
     * writer that does not honor the lock — for those, the
@@ -1010,7 +1150,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       if (stale) f.delete(writerLockPath, false) // holder died mid-write
       Thread.sleep(100)
     }
-    try body finally f.delete(writerLockPath, false)
+    try {
+      // under the lock, before any work: heal whatever a crashed
+      // predecessor left half-applied (history mode's rollback)
+      if (retainHistory) recoverIncomplete(spark)
+      body
+    } finally f.delete(writerLockPath, false)
   }
 
   /** Compaction (the Delta OPTIMIZE analog, reference D2:
@@ -1172,6 +1317,22 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           rows.repartitionByRange(total, cols: _*)
             .sortWithinPartitions(cols: _*)
         }).localCheckpoint(true)
+      // history mode: each group is its own recorded commit (intent →
+      // freeze → rewrite → actions → claim), so a crash between
+      // groups loses nothing and time travel sees compaction as a
+      // layout-only delta — identical fingerprints, an EMPTY change
+      // feed across it, exactly Delta's dataChange=false
+      val groupDirs = group.map(_._1)
+      val csNow = if (retainHistory) commits(spark) else Seq.empty
+      val newV = csNow.lastOption.map(_._1).getOrElse(-1L) + 1
+      val movedRels =
+        if (!retainHistory) Seq.empty[String]
+        else {
+          PartitionedHistory.writeIntent(f, commitsDir, newV, groupDirs)
+          val m = PartitionedHistory.moveToHistory(f, root, newV, groupDirs)
+          betweenHistoryMoveAndWrite(newV)
+          m
+        }
       withDynamicOverwrite(spark) {
         arranged.write.mode("overwrite").partitionBy(pc).parquet(path)
       }
@@ -1179,7 +1340,23 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(e._1.drop(pc.length + 1))
       })
-      group.map(_._1)
+      if (retainHistory) {
+        PartitionedHistory.writeActions(f, commitsDir, newV,
+          PartitionedHistory.Actions(
+            PartitionedHistory.listDirFiles(f, root, groupDirs),
+            movedRels))
+        val lastStreamBatch =
+          csNow.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+        if (tryCommit(spark, newV,
+            s"$lastStreamBatch - ${System.currentTimeMillis()} compact")) {
+          f.delete(PartitionedHistory.intentPath(commitsDir, newV), false)
+          gc(spark, csNow :+ ((newV, lastStreamBatch, "")))
+        } else throw new java.util.ConcurrentModificationException(
+          s"concurrent writer claimed version $newV of partitioned " +
+            s"table $path during compaction; route all writers through " +
+            "the sink's writer lock")
+      }
+      groupDirs
     }
   }
 
@@ -1254,30 +1431,51 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       .select(col(pc).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     val recorded = if (batchId >= 0) batchId else lastStreamBatch
+    val f = fs(spark)
     if (touched.nonEmpty) {
       val scoped = base.filter(col(pc).cast("string").isInCollection(touched))
       // materialize before the overwrite deletes its own input files
       val survivors = scoped.filter(not(hit)).localCheckpoint(true)
       val kept = survivors.select(col(pc).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet
+      val touchedDirs = touched.map(partDirName(pc, _))
+      val movedRels =
+        if (!retainHistory) Seq.empty[String]
+        else {
+          PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
+          val m = PartitionedHistory.moveToHistory(f, new Path(path),
+            newV, touchedDirs)
+          betweenHistoryMoveAndWrite(newV)
+          m
+        }
       withDynamicOverwrite(spark) {
         survivors.write.mode("overwrite").partitionBy(pc).parquet(path)
       }
       // partitions whose every row matched produce no output for the
-      // dynamic overwrite to replace — drop their directories
-      val f = fs(spark)
+      // dynamic overwrite to replace — drop their directories (their
+      // data files, in history mode, are already frozen away)
       (touched.filterNot(kept)).foreach { v =>
-        val dirName = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.getPartitionPathString(pc, v)
-        f.delete(new Path(path, dirName), true)
+        f.delete(new Path(path, partDirName(pc, v)), true)
       }
       // rewritten-and-surviving directories get fresh stats manifests
       refreshPartitionStats(spark, pc, kept.toSeq)
+      if (retainHistory)
+        PartitionedHistory.writeActions(f, commitsDir, newV,
+          PartitionedHistory.Actions(
+            PartitionedHistory.listDirFiles(f, new Path(path),
+              touchedDirs), movedRels))
     } else if (batchId < 0) return // no match, nothing to record
+    else if (retainHistory)
+      // marker commit (replay protection) with no file change — the
+      // actions record must still exist for backward replay
+      PartitionedHistory.writeActions(f, commitsDir, newV,
+        PartitionedHistory.Actions(Nil, Nil))
     // commit the batchId marker (idempotence); a lost claim means an
     // external writer bypassed the lock — surface it, as upsert does
     if (tryCommit(spark, newV,
         s"$recorded - ${System.currentTimeMillis()} delete")) {
+      if (retainHistory)
+        f.delete(PartitionedHistory.intentPath(commitsDir, newV), false)
       gc(spark, cs :+ ((newV, recorded, "")))
     } else {
       throw new java.util.ConcurrentModificationException(
@@ -1418,12 +1616,25 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         // including a concurrent writer's just-committed v0 data and
         // the _commits log itself — silently clobbering the race this
         // protocol exists to detect.
+        val vals = updates.select(col(pc).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val touchedDirs = vals.map(partDirName(pc, _))
+        val f = fs(spark)
+        if (retainHistory) {
+          // nothing to move at create — the intent still makes a torn
+          // v0 rollbackable (delete whatever was partially written)
+          PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
+          betweenHistoryMoveAndWrite(newV)
+        }
         withDynamicOverwrite(spark) {
           updates.write.mode("overwrite").partitionBy(pc).parquet(path)
         }
-        refreshPartitionStats(spark, pc,
-          updates.select(col(pc).cast("string")).distinct()
-            .collect().map(_.getString(0)).toSeq)
+        refreshPartitionStats(spark, pc, vals)
+        if (retainHistory)
+          PartitionedHistory.writeActions(f, commitsDir, newV,
+            PartitionedHistory.Actions(
+              PartitionedHistory.listDirFiles(f, new Path(path),
+                touchedDirs), Nil))
         true
       case Some(pc) =>
         // Partition-granular merge: read ONLY the partitions the batch
@@ -1449,15 +1660,47 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
             val base = baseAll.filter(col(pc).isInCollection(touched.toSeq))
             Upsert.merge(base, updates, keys).localCheckpoint(true)
           }
+        val f = fs(spark)
+        val updateVals = updates.select(col(pc).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        // a widening batch rewrites EVERY partition — its touched set
+        // is every directory on disk plus any the batch creates
+        val touchedDirs =
+          if (!widens) updateVals.map(partDirName(pc, _))
+          else {
+            val onDisk =
+              if (!f.exists(new Path(path))) Seq.empty[String]
+              else f.listStatus(new Path(path)).toSeq
+                .filter(s => s.isDirectory &&
+                  s.getPath.getName.startsWith(s"$pc="))
+                .map(_.getPath.getName)
+            (onDisk ++ updateVals.map(partDirName(pc, _))).distinct
+          }
+        // history protocol: intent (write-ahead), metadata-only
+        // renames of the files this batch replaces, THEN the in-place
+        // write — `merged` is already materialized, so the moves never
+        // pull files out from under a lazy plan
+        val movedRels =
+          if (!retainHistory) Seq.empty[String]
+          else {
+            PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
+            val m = PartitionedHistory.moveToHistory(f, new Path(path),
+              newV, touchedDirs)
+            betweenHistoryMoveAndWrite(newV)
+            m
+          }
         withDynamicOverwrite(spark) {
           merged.write.mode("overwrite").partitionBy(pc).parquet(path)
         }
         // touched-partition granularity for the manifest refresh too;
         // a widening rewrite touched every partition
         if (widens) refreshAllPartitionStats(spark, pc)
-        else refreshPartitionStats(spark, pc,
-          updates.select(col(pc).cast("string")).distinct()
-            .collect().map(_.getString(0)).toSeq)
+        else refreshPartitionStats(spark, pc, updateVals)
+        if (retainHistory)
+          PartitionedHistory.writeActions(f, commitsDir, newV,
+            PartitionedHistory.Actions(
+              PartitionedHistory.listDirFiles(f, new Path(path),
+                touchedDirs), movedRels))
         true
     }
     if (!attemptOk) {
@@ -1478,6 +1721,9 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       else s"$recorded - ${System.currentTimeMillis()} upsert"
     beforeCommit(newV)
     if (tryCommit(spark, newV, content)) {
+      if (retainHistory) // the write-ahead record has served its term
+        fs(spark).delete(PartitionedHistory.intentPath(commitsDir, newV),
+          false)
       gc(spark, cs :+ ((newV, recorded, dataDir)))
       maybeAutoCompact(spark, dataDir)
     } else partitionCol match {
