@@ -95,6 +95,32 @@ object IncrementalAgg {
         "inflate the maintained aggregate")
   }
 
+  /** Full-outer join of `prev` and `delta` on `joinCols` with
+    * NULL-SAFE key equality, join columns coalesced into single output
+    * columns — the shape `join(delta, joinCols, "full_outer")` would
+    * give, except that a NULL key matches its counterpart instead of
+    * producing two disjoint rows. SQL GROUP BY treats NULL keys as one
+    * group, so every advance join here must too: with the null-unsafe
+    * using-column join, a null-keyed group's prev-state and delta rows
+    * never merge and the maintained aggregate silently double-counts
+    * that group. `<=>` keys still extract as equi-join keys, so the
+    * plan stays a hash join, not a cross product.
+    */
+  private def fullOuterNullSafe(prev: DataFrame, delta: DataFrame,
+                                joinCols: Seq[String]): DataFrame = {
+    val l = prev.alias("_ia_l")
+    val r = delta.alias("_ia_r")
+    val cond = joinCols.map(c => col(s"_ia_l.$c") <=> col(s"_ia_r.$c"))
+      .reduce(_ && _)
+    val outCols =
+      joinCols.map(c => coalesce(col(s"_ia_l.$c"), col(s"_ia_r.$c")).as(c)) ++
+        prev.columns.filterNot(joinCols.contains)
+          .map(c => col(s"_ia_l.$c")) ++
+        delta.columns.filterNot(joinCols.contains)
+          .map(c => col(s"_ia_r.$c"))
+    l.join(r, cond, "full_outer").select(outCols: _*)
+  }
+
   /** The maintained view of `base.groupBy(keys).agg(count, sums)`:
     * per key, `_ia_count` = row count and `sum_<c>` per sum column.
     * Build once from the initial snapshot, then advance with
@@ -160,7 +186,7 @@ object IncrementalAgg {
             .as(s"out_min_$c"),
           max(when(col("_w") === -1L, col(c).cast("double")))
             .as(s"out_max_$c"))): _*)
-    val joined = prev.join(delta, keys, "full_outer")
+    val joined = fullOuterNullSafe(prev, delta, keys)
     val newCount =
       (coalesce(col(countCol), lit(0L)) +
         coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)
@@ -181,9 +207,15 @@ object IncrementalAgg {
     val healthy = merged.filter(!col("_damaged")).drop("_damaged")
     val damagedKeys = merged.filter(col("_damaged"))
       .select(keys.map(col): _*)
-    // partial recompute: ONLY the damaged keys' rows leave the base
+    // partial recompute: ONLY the damaged keys' rows leave the base —
+    // null-safe keys, or a damaged NULL-key group's base rows would
+    // never match and the group would silently vanish from the view
+    val b = newBase.alias("_ia_b")
+    val k = damagedKeys.alias("_ia_k")
+    val semiCond = keys.map(c => col(s"_ia_b.$c") <=> col(s"_ia_k.$c"))
+      .reduce(_ && _)
     val repaired = minMaxView(
-      newBase.join(damagedKeys, keys, "left_semi"), keys, cols)
+      b.join(k, semiCond, "left_semi"), keys, cols)
     healthy.unionByName(repaired)
   }
 
@@ -223,7 +255,7 @@ object IncrementalAgg {
       .withColumn("_w", w)
       .groupBy((keys :+ valueCol).map(col): _*)
       .agg(sum(col("_w")).as(s"d_$multCol"))
-    prev.join(delta, keys :+ valueCol, "full_outer")
+    fullOuterNullSafe(prev, delta, keys :+ valueCol)
       .select((keys :+ valueCol).map(col) :+
         (coalesce(col(multCol), lit(0L)) +
           coalesce(col(s"d_$multCol"), lit(0L))).as(multCol): _*)
@@ -262,7 +294,7 @@ object IncrementalAgg {
     // full outer: keys new to the view (pure inserts) and keys leaving
     // it (all rows deleted) both flow through one join of two
     // aggregate-sized relations
-    val joined = prev.join(delta, keys, "full_outer")
+    val joined = fullOuterNullSafe(prev, delta, keys)
     val newCount =
       (coalesce(col(countCol), lit(0L)) +
         coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)

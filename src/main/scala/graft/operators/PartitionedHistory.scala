@@ -19,10 +19,12 @@ import org.json4s.jackson.JsonMethods
   * Protocol (per commit `v`, always under the sink's writer lock):
   *
   *  1. write `_commits/actions-<v>.intent` — the WRITE-AHEAD record of
-  *     the partition directories this commit will rewrite (tmp +
-  *     rename, so a parseable intent means it was fully written BEFORE
-  *     any move; an unparseable one means no move has happened yet);
-  *  2. RENAME every live parquet file of those directories into
+  *     the partition directories this commit will rewrite AND the
+  *     per-file relative paths of every committed original those
+  *     directories currently hold (tmp + rename, so a parseable intent
+  *     means it was fully written BEFORE any move; an unparseable one
+  *     means no move has happened yet);
+  *  2. RENAME exactly the intent's listed files into
   *     `_history/v<v>/<partition-dir>/<file>` — metadata-only, never a
   *     byte copied, so history costs O(touched files) namenode ops,
   *     not O(touched bytes);
@@ -34,13 +36,19 @@ import org.json4s.jackson.JsonMethods
   *     a Delta log entry records;
   *  5. claim the commit file; delete the intent.
   *
-  * Crash anywhere in 1–5 is ROLLED BACK, not forward: the old files
-  * still exist under `_history/v<v>/` with their original directory
-  * structure, so recovery deletes whatever the torn overwrite wrote in
-  * the intent's directories and renames the old files back — restoring
-  * the last committed state exactly. That is strictly STRONGER than
-  * the plain partitioned layout, whose dynamic overwrite is atomic
-  * only per partition: with history on, a multi-partition batch is
+  * Crash anywhere in 1–5 is ROLLED BACK, not forward. The intent's
+  * per-file list is what makes that correct at EVERY crash point, not
+  * just after the moves finish: a listed file is a committed original
+  * wherever it currently sits (still live if the crash preceded its
+  * move, frozen under `_history/v<v>/` if not), while an UNLISTED live
+  * file in a touched directory can only be torn overwrite output
+  * (overwrite tasks write fresh uniquely-named files). Recovery
+  * therefore deletes only unlisted files, renames the frozen listed
+  * ones back, and leaves listed still-live ones alone — restoring the
+  * last committed state exactly whether the writer died before, during
+  * or after the history move. That is strictly STRONGER than the plain
+  * partitioned layout, whose dynamic overwrite is atomic only per
+  * partition: with history on, a multi-partition batch is
   * all-or-nothing at table granularity.
   *
   * Time travel reads replay the deltas BACKWARD from the current live
@@ -59,6 +67,15 @@ private[graft] object PartitionedHistory {
     * `_history/v<version>/` once the commit lands.
     */
   final case class Actions(adds: Seq[String], removes: Seq[String])
+
+  /** The write-ahead record of one in-flight commit: the partition
+    * directories it will rewrite and the relative paths of every
+    * committed original those directories held when the intent was
+    * written — exactly the set step 2 will move. The file list is the
+    * crash-recovery ground truth: anything live-and-unlisted in a
+    * touched directory is torn overwrite output.
+    */
+  final case class Intent(touched: Seq[String], files: Seq[String])
 
   def intentPath(commitsDir: Path, v: Long): Path =
     new Path(commitsDir, s"actions-$v.intent")
@@ -91,29 +108,30 @@ private[graft] object PartitionedHistory {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }.toOption
 
-  /** Write the write-ahead intent: the partition directories commit
-    * `v` is about to rewrite. MUST complete before any file moves.
+  /** Write the write-ahead intent for commit `v`. MUST complete before
+    * any file moves.
     */
   def writeIntent(fs: FileSystem, commitsDir: Path, v: Long,
-                  touchedDirs: Seq[String]): Unit =
+                  intent: Intent): Unit =
     writeAtomic(fs, intentPath(commitsDir, v),
       JsonMethods.compact(JsonMethods.render(JObject(
         "version" -> JInt(v),
-        "touched" -> JArray(touchedDirs.map(JString(_)).toList)))))
+        "touched" -> JArray(intent.touched.map(JString(_)).toList),
+        "files" -> JArray(intent.files.map(JString(_)).toList)))))
 
-  /** The intent's touched directories; None when absent OR
-    * unparseable — and unparseable means the intent never finished
-    * writing, which (tmp + rename) cannot happen, so in practice
-    * None = absent.
+  /** The intent of commit `v`; None when absent OR unparseable — and
+    * unparseable means the intent never finished writing, which
+    * (tmp + rename) cannot happen, so in practice None = absent.
     */
   def readIntent(fs: FileSystem, commitsDir: Path,
-                 v: Long): Option[Seq[String]] =
+                 v: Long): Option[Intent] =
     readString(fs, intentPath(commitsDir, v)).flatMap { s =>
       scala.util.Try {
-        JsonMethods.parse(s) \ "touched" match {
+        def arr(k: String): Seq[String] = JsonMethods.parse(s) \ k match {
           case JArray(xs) => xs.collect { case JString(d) => d }
           case _ => Seq.empty[String]
         }
+        Intent(arr("touched"), arr("files"))
       }.toOption
     }
 
@@ -166,26 +184,25 @@ private[graft] object PartitionedHistory {
     listDirFiles(fs, root, dirs)
   }
 
-  /** Step 2 of the protocol: rename every live parquet file of
-    * `touchedDirs` into `_history/v<v>/`, preserving the directory
-    * structure. Returns the moved relative paths (= the commit's
-    * `removes`).
+  /** Step 2 of the protocol: rename exactly the intent's listed files
+    * into `_history/v<v>/`, preserving the directory structure. The
+    * caller passes the SAME list it recorded in the intent — listing
+    * once and moving that list is what keeps the write-ahead record
+    * and the moves consistent.
     */
   def moveToHistory(fs: FileSystem, root: Path, v: Long,
-                    touchedDirs: Seq[String]): Seq[String] = {
-    val moved = listDirFiles(fs, root, touchedDirs)
+                    files: Seq[String]): Unit = {
     val hv = historyDir(root, v)
-    touchedDirs.foreach { d =>
-      if (fs.exists(new Path(root, d))) fs.mkdirs(new Path(hv, d))
+    files.map(_.takeWhile(_ != '/')).distinct.foreach { d =>
+      fs.mkdirs(new Path(hv, d))
     }
-    moved.foreach { rel =>
+    files.foreach { rel =>
       val from = new Path(root, rel)
       val to = new Path(hv, rel)
       if (!fs.rename(from, to))
         throw new java.io.IOException(
           s"history move failed: $from -> $to")
     }
-    moved
   }
 
   /** Versions with a pending intent but no commit file — commits that
@@ -205,28 +222,48 @@ private[graft] object PartitionedHistory {
     }.sorted.reverse
   }
 
-  /** Roll back one incomplete commit `v`: delete whatever the torn
-    * overwrite wrote in the intent's directories, rename the frozen
-    * originals back from `_history/v<v>/`, and clear the commit's
-    * intent/actions/history leftovers. Directories that end up empty
-    * (they were CREATED by the torn commit) are dropped. Returns the
-    * partition directories whose contents changed, so the caller can
-    * refresh their stats manifests.
+  /** Roll back one incomplete commit `v`, correct at every crash point
+    * of the intent→move→write window:
+    *
+    *  - live-and-UNLISTED files in the intent's directories are torn
+    *    overwrite output (overwrite tasks write fresh unique names) —
+    *    deleted;
+    *  - listed files frozen under `_history/v<v>/` are committed
+    *    originals the move got to — renamed back;
+    *  - listed files still live are committed originals the move never
+    *    reached (the writer died before/during step 2) — left exactly
+    *    where they are.
+    *
+    * Directories that end up without data files (they were CREATED by
+    * the torn commit) are dropped, as are the commit's
+    * intent/actions/history leftovers. Returns the partition
+    * directories whose contents changed, so the caller can refresh
+    * their stats manifests.
     */
   def rollback(fs: FileSystem, root: Path, commitsDir: Path,
                v: Long): Seq[String] = {
-    val touched = readIntent(fs, commitsDir, v).getOrElse(Seq.empty)
+    val intent = readIntent(fs, commitsDir, v).getOrElse(Intent(Nil, Nil))
+    val listed = intent.files.toSet
     val hv = historyDir(root, v)
-    touched.foreach { d =>
+    val frozen = listDirFiles(fs, hv, intent.touched).toSet
+    intent.touched.foreach { d =>
       val live = new Path(root, d)
       if (fs.exists(live))
         fs.listStatus(live).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => fs.delete(s.getPath, false))
-      val frozen = new Path(hv, d)
-      if (fs.exists(frozen)) {
+          .foreach { s =>
+            val rel = s"$d/${s.getPath.getName}"
+            // unlisted → torn overwrite output; listed-but-also-frozen
+            // → a (vanishingly unlikely) name collision where the
+            // frozen copy is the original — either way the live file
+            // is not a committed original
+            if (!listed.contains(rel) || frozen.contains(rel))
+              fs.delete(s.getPath, false)
+          }
+      val fdir = new Path(hv, d)
+      if (fs.exists(fdir)) {
         if (!fs.exists(live)) fs.mkdirs(live)
-        fs.listStatus(frozen).toSeq.filter(_.isFile).foreach { s =>
+        fs.listStatus(fdir).toSeq.filter(_.isFile).foreach { s =>
           if (!fs.rename(s.getPath, new Path(live, s.getPath.getName)))
             throw new java.io.IOException(
               s"history rollback failed: ${s.getPath} -> $live")
@@ -241,34 +278,33 @@ private[graft] object PartitionedHistory {
     fs.delete(hv, true)
     fs.delete(actionsPath(commitsDir, v), false)
     fs.delete(intentPath(commitsDir, v), false)
-    touched
+    intent.touched
   }
 
   /** The CONSISTENT live file map at the current committed version:
     * relpath → path relative to `root`, routing around any pending
     * (uncommitted) intent without mutating anything — a reader's view
-    * of the last committed state even mid-crash. With no pending
-    * intent this is exactly the live listing.
+    * of the last committed state even mid-crash. The same per-file
+    * reasoning as [[rollback]], applied read-only: a listed relpath
+    * resolves to its frozen home if the move got to it, else to its
+    * still-live original; unlisted live files in touched directories
+    * (torn overwrite output) are excluded. With no pending intent this
+    * is exactly the live listing.
     */
   def consistentLive(fs: FileSystem, root: Path, commitsDir: Path,
                      pc: String, committed: Set[Long])
       : Map[String, String] = {
     val live = liveRelpaths(fs, root, pc).map(r => r -> r).toMap
     pendingVersions(fs, commitsDir, committed).foldLeft(live) { (acc, v) =>
-      val touched = readIntent(fs, commitsDir, v).getOrElse(Seq.empty).toSet
-      // live files in a torn commit's touched dirs are untrustworthy;
-      // the frozen originals under _history/v<v> are the truth
-      val cleaned = acc.filterNot { case (rel, _) =>
-        touched.contains(rel.takeWhile(_ != '/'))
-      }
+      val intent = readIntent(fs, commitsDir, v).getOrElse(Intent(Nil, Nil))
+      val touched = intent.touched.toSet
+      val listed = intent.files.toSet
       val hv = historyDir(root, v)
-      val frozen =
-        if (!fs.exists(hv)) Seq.empty[String]
-        else fs.listStatus(hv).toSeq.filter(_.isDirectory).flatMap { d =>
-          fs.listStatus(d.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(s => s"${d.getPath.getName}/${s.getPath.getName}")
-        }
+      val frozen = listDirFiles(fs, hv, intent.touched).toSet
+      val cleaned = acc.filterNot { case (rel, _) =>
+        touched.contains(rel.takeWhile(_ != '/')) &&
+          (!listed.contains(rel) || frozen.contains(rel))
+      }
       cleaned ++ frozen.map(rel =>
         rel -> s"$historyDirName/v$v/$rel").toMap
     }

@@ -119,10 +119,17 @@ object Upsert {
   *   (losing its version race to a concurrent writer just abandons
   *   the attempt), so auto mode adds no new failure surface.
   */
+/** @param maxBytesPerRun (partitioned layout) byte budget per rewrite
+  *   round, the [[ParquetUpsertSink.compactPartitions]] knob — a
+  *   pathologically fragmented table's first hands-free compaction
+  *   then proceeds in bounded groups instead of materializing its
+  *   whole rewrite set in one shot. None = single round.
+  */
 final case class AutoCompact(files: Int,
                              targetFileBytes: Long = 128L * 1024 * 1024,
                              clusterBy: Seq[String] = Nil,
-                             zorder: Boolean = false)
+                             zorder: Boolean = false,
+                             maxBytesPerRun: Option[Long] = None)
 
 /** @param bloomCols columns to maintain per-file bloom filters for
   *   (the Delta bloom-index analog, [[FileSkipping.writeBlooms]]):
@@ -161,6 +168,8 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       "version must survive for in-flight readers")
   require(autoCompact.forall(_.files > 0),
     "autoCompact.files must be positive")
+  require(autoCompact.forall(_.maxBytesPerRun.forall(_ > 0)),
+    "autoCompact.maxBytesPerRun must be positive")
   require(!retainHistory || partitionCol.nonEmpty,
     "retainHistory applies to the partitioned layout; the versioned " +
       "layout keeps history through its immutable snapshots already")
@@ -1090,7 +1099,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
           }
           if (fragmented)
             compactPartitionsLocked(spark, pc, ac.targetFileBytes,
-              ac.clusterBy, ac.zorder, maxBytesPerRun = None)
+              ac.clusterBy, ac.zorder, ac.maxBytesPerRun)
       }
     }
 
@@ -1328,10 +1337,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       val movedRels =
         if (!retainHistory) Seq.empty[String]
         else {
-          PartitionedHistory.writeIntent(f, commitsDir, newV, groupDirs)
-          val m = PartitionedHistory.moveToHistory(f, root, newV, groupDirs)
+          val originals = PartitionedHistory.listDirFiles(f, root, groupDirs)
+          PartitionedHistory.writeIntent(f, commitsDir, newV,
+            PartitionedHistory.Intent(groupDirs, originals))
+          PartitionedHistory.moveToHistory(f, root, newV, originals)
           betweenHistoryMoveAndWrite(newV)
-          m
+          originals
         }
       withDynamicOverwrite(spark) {
         arranged.write.mode("overwrite").partitionBy(pc).parquet(path)
@@ -1442,11 +1453,13 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       val movedRels =
         if (!retainHistory) Seq.empty[String]
         else {
-          PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
-          val m = PartitionedHistory.moveToHistory(f, new Path(path),
-            newV, touchedDirs)
+          val originals = PartitionedHistory.listDirFiles(f, new Path(path),
+            touchedDirs)
+          PartitionedHistory.writeIntent(f, commitsDir, newV,
+            PartitionedHistory.Intent(touchedDirs, originals))
+          PartitionedHistory.moveToHistory(f, new Path(path), newV, originals)
           betweenHistoryMoveAndWrite(newV)
-          m
+          originals
         }
       withDynamicOverwrite(spark) {
         survivors.write.mode("overwrite").partitionBy(pc).parquet(path)
@@ -1621,9 +1634,11 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         val touchedDirs = vals.map(partDirName(pc, _))
         val f = fs(spark)
         if (retainHistory) {
-          // nothing to move at create — the intent still makes a torn
-          // v0 rollbackable (delete whatever was partially written)
-          PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
+          // nothing to move at create — the intent (with an empty file
+          // list: no committed originals exist) still makes a torn v0
+          // rollbackable (delete whatever was partially written)
+          PartitionedHistory.writeIntent(f, commitsDir, newV,
+            PartitionedHistory.Intent(touchedDirs, Nil))
           betweenHistoryMoveAndWrite(newV)
         }
         withDynamicOverwrite(spark) {
@@ -1683,11 +1698,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         val movedRels =
           if (!retainHistory) Seq.empty[String]
           else {
-            PartitionedHistory.writeIntent(f, commitsDir, newV, touchedDirs)
-            val m = PartitionedHistory.moveToHistory(f, new Path(path),
-              newV, touchedDirs)
+            val originals = PartitionedHistory.listDirFiles(f,
+              new Path(path), touchedDirs)
+            PartitionedHistory.writeIntent(f, commitsDir, newV,
+              PartitionedHistory.Intent(touchedDirs, originals))
+            PartitionedHistory.moveToHistory(f, new Path(path), newV,
+              originals)
             betweenHistoryMoveAndWrite(newV)
-            m
+            originals
           }
         withDynamicOverwrite(spark) {
           merged.write.mode("overwrite").partitionBy(pc).parquet(path)
@@ -1828,37 +1846,130 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
   }
 
   /** Roll the table back to a retained `version` — the Delta
-    * `RESTORE TABLE ... TO VERSION AS OF` analog (versioned layout
-    * only; raise `retainVersions` to widen the restore window).
-    * ZERO-COPY: the new commit re-references the old snapshot
-    * directory — [[gc]] is reference-counted, so the shared dir
-    * survives until no retained commit points at it — and the
-    * rollback is itself a NEW commit: readers are never interrupted,
-    * [[history]] records it, and the change feed across the restore
-    * shows exactly the retractions/re-inserts a downstream
-    * incremental consumer must apply. The batchId high-water mark
-    * carries forward so streaming replay protection survives the
-    * rollback.
+    * `RESTORE TABLE ... TO VERSION AS OF` analog (raise
+    * `retainVersions` to widen the restore window). The rollback is
+    * itself a NEW commit: readers are never interrupted, [[history]]
+    * records it, and the change feed across the restore shows exactly
+    * the retractions/re-inserts a downstream incremental consumer must
+    * apply. The batchId high-water mark carries forward so streaming
+    * replay protection survives the rollback.
+    *
+    * Versioned layout: ZERO-COPY — the new commit re-references the
+    * old snapshot directory ([[gc]] is reference-counted, so the
+    * shared dir survives until no retained commit points at it).
+    *
+    * Partitioned layout (requires `retainHistory`): a locked commit
+    * through the normal history protocol whose delta is computed from
+    * [[PartitionedHistory.liveAt]] — live files absent at the target
+    * version are frozen (metadata renames), files the target had that
+    * are now frozen are COPIED back out of their `_history/v<w>/`
+    * homes (the frozen copy must stay: backward replay of versions
+    * older than `w` still resolves there). Cost is O(restored delta)
+    * renames + bytes, never a table rewrite; crash-safe at every step
+    * under the same write-ahead-intent rollback as any other commit.
     */
-  def restore(spark: SparkSession, version: Long): Unit = {
-    require(partitionCol.isEmpty,
-      "restore requires the versioned layout; the partitioned layout " +
-        "rewrites data in place and keeps no history")
+  def restore(spark: SparkSession, version: Long): Unit = partitionCol match {
+    case None =>
+      val cs = commits(spark)
+      val target = cs.find(_._1 == version).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version of $path is not available (GC retains the " +
+            s"newest $retainVersions; present: ${cs.map(_._1).mkString(",")})"))
+      if (cs.last._1 == version) return // already current
+      val lastStreamBatch =
+        cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
+      val newV = cs.last._1 + 1
+      if (tryCommit(spark, newV,
+          s"$lastStreamBatch ${target._3} ${System.currentTimeMillis()} restore"))
+        gc(spark, cs :+ ((newV, lastStreamBatch, target._3)))
+      else throw new java.util.ConcurrentModificationException(
+        s"concurrent writer claimed version $newV of $path during " +
+          "restore — re-check the table state and retry")
+    case Some(pc) =>
+      require(retainHistory,
+        "restore on the partitioned layout requires retainHistory = " +
+          "true (the plain layout rewrites in place and keeps no " +
+          "history to roll back to)")
+      if (writerLockEnabled)
+        withWriterLock(spark)(restorePartitioned(spark, version, pc))
+      else restorePartitioned(spark, version, pc)
+  }
+
+  /** Partitioned-layout restore body — MUST run under the writer lock
+    * (recovery of any torn predecessor has already run on lock
+    * acquisition, so the live listing is trustworthy).
+    */
+  private def restorePartitioned(spark: SparkSession, version: Long,
+                                 pc: String): Unit = {
     val cs = commits(spark)
-    val target = cs.find(_._1 == version).getOrElse(
+    if (!cs.exists(_._1 == version))
       throw new IllegalArgumentException(
         s"version $version of $path is not available (GC retains the " +
-          s"newest $retainVersions; present: ${cs.map(_._1).mkString(",")})"))
+          s"newest $retainVersions; present: ${cs.map(_._1).mkString(",")})")
     if (cs.last._1 == version) return // already current
+    val f = fs(spark)
+    val root = new Path(path)
+    val current = PartitionedHistory.consistentLive(f, root, commitsDir,
+      pc, cs.map(_._1).toSet)
+    val targetMap = PartitionedHistory.liveAt(f, root, commitsDir,
+      version, cs.map(_._1).sorted.reverse, current)
+    // add/remove algebra over uniquely-named immutable files: a
+    // relpath live at both versions is the same physical file — only
+    // the symmetric difference moves
+    val toFreeze = (current.keySet -- targetMap.keySet).toSeq.sorted
+    val toAdd = (targetMap.keySet -- current.keySet).toSeq.sorted
     val lastStreamBatch =
       cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
     val newV = cs.last._1 + 1
+    if (toFreeze.isEmpty && toAdd.isEmpty) {
+      // states identical (only layout-preserving commits since) — the
+      // restore is an empty delta, still recorded for backward replay.
+      // The empty intent keeps the crash window uniform: a death
+      // before the claim is rolled back (actions record included) by
+      // the same recovery as any other commit.
+      PartitionedHistory.writeIntent(f, commitsDir, newV,
+        PartitionedHistory.Intent(Nil, Nil))
+      PartitionedHistory.writeActions(f, commitsDir, newV,
+        PartitionedHistory.Actions(Nil, Nil))
+    } else {
+      val touchedDirs =
+        (toFreeze ++ toAdd).map(_.takeWhile(_ != '/')).distinct.sorted
+      val originals = PartitionedHistory.listDirFiles(f, root, touchedDirs)
+      PartitionedHistory.writeIntent(f, commitsDir, newV,
+        PartitionedHistory.Intent(touchedDirs, originals))
+      PartitionedHistory.moveToHistory(f, root, newV, toFreeze)
+      betweenHistoryMoveAndWrite(newV)
+      // re-adds are unlisted in the intent (they were not live), so a
+      // crash from here on deletes them and thaws toFreeze — exact
+      // pre-restore state
+      toAdd.foreach { rel =>
+        val from = new Path(root, targetMap(rel))
+        val to = new Path(root, rel)
+        if (!f.exists(to.getParent)) f.mkdirs(to.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(f, from, f, to, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+      // emptied directories vanish; surviving touched dirs get fresh
+      // index manifests
+      touchedDirs.foreach { d =>
+        val dir = new Path(root, d)
+        if (f.exists(dir)) {
+          val hasData = f.listStatus(dir).exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (hasData) writeIndexes(spark, dir) else f.delete(dir, true)
+        }
+      }
+      PartitionedHistory.writeActions(f, commitsDir, newV,
+        PartitionedHistory.Actions(toAdd, toFreeze))
+    }
     if (tryCommit(spark, newV,
-        s"$lastStreamBatch ${target._3} ${System.currentTimeMillis()} restore"))
-      gc(spark, cs :+ ((newV, lastStreamBatch, target._3)))
-    else throw new java.util.ConcurrentModificationException(
-      s"concurrent writer claimed version $newV of $path during " +
-        "restore — re-check the table state and retry")
+        s"$lastStreamBatch - ${System.currentTimeMillis()} restore")) {
+      f.delete(PartitionedHistory.intentPath(commitsDir, newV), false)
+      gc(spark, cs :+ ((newV, lastStreamBatch, "")))
+    } else throw new java.util.ConcurrentModificationException(
+      s"concurrent writer claimed version $newV of partitioned table " +
+        s"$path during restore; route all writers through the sink's " +
+        "writer lock")
   }
 
   /** Whether `t`'s cause chain contains a FileNotFoundException (typed

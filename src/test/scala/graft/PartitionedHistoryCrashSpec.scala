@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import graft.operators.{ParquetUpsertSink, PartitionedHistory}
+
+/** Crash-ordering tests for the partitioned layout's history protocol
+  * (retainHistory): a writer is killed at every step of the
+  * intent → freeze → write → actions → claim window, and after each
+  * torn state BOTH contracts must hold —
+  *
+  *  1. the READ path (read / readVersion) serves exactly the last
+  *     committed state, mutating nothing;
+  *  2. locked-write recovery (rollback) restores the live file set
+  *     and contents EXACTLY, after which the table accepts new
+  *     commits and retained time travel still works.
+  *
+  * The pre-move windows (intent written, zero or some files frozen)
+  * are the ones where live files ARE the committed originals — the
+  * states a frozen-files-only recovery would destroy.
+  */
+class PartitionedHistoryCrashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hfs = new Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Sink with injectable crashes at the protocol's two seams. */
+  private class CrashSink(path: String)
+      extends ParquetUpsertSink(path, Seq("id"), Some("dt"),
+        retainVersions = 6, retainHistory = true) {
+    @volatile var crashAt: String = ""
+    override protected def betweenHistoryMoveAndWrite(v: Long): Unit =
+      if (crashAt == "afterMove")
+        throw new RuntimeException(s"injected crash: after move, v$v")
+    override protected def beforeCommit(v: Long): Unit =
+      if (crashAt == "beforeClaim")
+        throw new RuntimeException(s"injected crash: before claim, v$v")
+  }
+
+  private def batch(tag: String, ids: (Long, String)*): DataFrame =
+    ids.map { case (id, dt) => (id, dt, tag) }.toDF("id", "dt", "payload")
+
+  private def content(df: DataFrame): Set[(Long, String, String)] =
+    df.select("id", "dt", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private def listing(dir: String): Set[String] =
+    PartitionedHistory.liveRelpaths(hfs, new Path(dir), "dt").toSet
+
+  /** Two committed versions over three partitions; returns
+    * (sink, committed content, committed file listing).
+    */
+  private def committedTable(dir: String)
+      : (CrashSink, Set[(Long, String, String)], Set[String]) = {
+    val sink = new CrashSink(dir)
+    sink.upsert(spark, batch("v0", 1L -> "a", 2L -> "a", 3L -> "b"), 0L)
+    sink.upsert(spark, batch("v1", 3L -> "b", 4L -> "c"), 1L)
+    (sink, content(sink.read(spark)), listing(dir))
+  }
+
+  test("crash after intent, before ANY move: live files are the " +
+      "committed originals — reads serve them, recovery keeps them") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, files) = committedTable(dir)
+    // simulate the narrowest torn window by hand: a fully-written
+    // intent for v2 naming both dirs and every committed file, with
+    // the writer dead before a single rename
+    val touched = Seq("dt=a", "dt=b")
+    val originals = PartitionedHistory.listDirFiles(hfs, new Path(dir), touched)
+    assert(originals.nonEmpty)
+    PartitionedHistory.writeIntent(hfs, new Path(dir, "_commits"), 2L,
+      PartitionedHistory.Intent(touched, originals))
+    // read path: last committed state, nothing mutated
+    assert(content(sink.read(spark)) === want)
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    assert(listing(dir) === files, "reads must not mutate the table")
+    // recovery: exact restore — no committed file may be lost
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === files,
+      "rollback of a pre-move torn commit must not delete committed data")
+    assert(content(sink.read(spark)) === want)
+    assert(!hfs.exists(PartitionedHistory.intentPath(
+      new Path(dir, "_commits"), 2L)))
+    assert(!hfs.exists(PartitionedHistory.historyDir(new Path(dir), 2L)))
+    // the healed table accepts the retried commit
+    sink.upsert(spark, batch("v2", 2L -> "a"), 2L)
+    assert(content(sink.read(spark)) ===
+      want.filterNot(_._1 == 2L) + ((2L, "a", "v2")))
+  }
+
+  test("crash MID-move (some files frozen, some live): recovery " +
+      "reunites both halves exactly") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, files) = committedTable(dir)
+    val touched = Seq("dt=a", "dt=b", "dt=c")
+    val originals = PartitionedHistory.listDirFiles(hfs, new Path(dir), touched)
+    assert(originals.size >= 2)
+    PartitionedHistory.writeIntent(hfs, new Path(dir, "_commits"), 2L,
+      PartitionedHistory.Intent(touched, originals))
+    // the move dies halfway through its list
+    PartitionedHistory.moveToHistory(hfs, new Path(dir), 2L,
+      originals.take(originals.size / 2))
+    assert(listing(dir) !== files, "setup: some files must be frozen")
+    // read path routes each listed file to wherever it currently sits
+    assert(content(sink.read(spark)) === want)
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    // recovery: frozen half renamed back, live half untouched
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === files)
+    assert(content(sink.read(spark)) === want)
+    assert(!hfs.exists(PartitionedHistory.historyDir(new Path(dir), 2L)))
+  }
+
+  test("crash after ALL moves, before the data write (seam): torn dirs " +
+      "read from history; the next locked write heals then applies") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, files) = committedTable(dir)
+    sink.crashAt = "afterMove"
+    val boom = intercept[RuntimeException] {
+      sink.upsert(spark, batch("vX", 2L -> "a", 4L -> "c"), 2L)
+    }
+    assert(boom.getMessage.contains("after move"))
+    sink.crashAt = ""
+    // mid-crash: touched dirs are empty on disk, reads still whole
+    assert(content(sink.read(spark)) === want)
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    // the next ordinary locked write recovers first, then applies
+    sink.upsert(spark, batch("v2", 2L -> "a", 4L -> "c"), 2L)
+    val expect = want.filterNot(r => r._1 == 2L || r._1 == 4L) +
+      ((2L, "a", "v2")) + ((4L, "c", "v2"))
+    assert(content(sink.read(spark)) === expect)
+    // time travel across the healed gap is intact
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    assert(hfs.exists(PartitionedHistory.historyDir(new Path(dir), 2L)),
+      "the RETRIED commit's history must exist")
+  }
+
+  test("crash after write + actions, before the claim (seam): rolled " +
+      "BACK, not forward — fully-written new data is discarded") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, files) = committedTable(dir)
+    sink.crashAt = "beforeClaim"
+    intercept[RuntimeException] {
+      sink.upsert(spark, batch("vX", 1L -> "a", 5L -> "b"), 2L)
+    }
+    sink.crashAt = ""
+    // the overwrite completed — torn output is live on disk — yet
+    // readers must still see only the committed state
+    assert(listing(dir) !== files, "setup: torn output must be on disk")
+    assert(content(sink.read(spark)) === want)
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === files,
+      "rollback must restore the exact committed file set")
+    assert(content(sink.read(spark)) === want)
+    // scan (manifest-pruned path) agrees after the manifests refresh
+    assert(content(sink.scan(spark, col("dt") === "a")) ===
+      want.filter(_._2 == "a"))
+    // uncommitted batchId 2 must NOT be replay-protected: it never
+    // committed, so the retry applies
+    sink.upsert(spark, batch("v2", 5L -> "b"), 2L)
+    assert(content(sink.read(spark)) === want + ((5L, "b", "v2")))
+  }
+
+  test("torn DELETE and torn COMPACTION roll back like any commit") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, files) = committedTable(dir)
+    sink.crashAt = "afterMove"
+    intercept[RuntimeException] { sink.delete(spark, col("id") === 3L, 2L) }
+    sink.crashAt = ""
+    assert(content(sink.read(spark)) === want)
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === files)
+    // fragment a partition deterministically (duplicate one of its
+    // files under a fresh name), then tear its compaction
+    val aFiles = hfs.listStatus(new Path(dir, "dt=a")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    org.apache.hadoop.fs.FileUtil.copy(hfs, aFiles.head.getPath, hfs,
+      new Path(dir, "dt=a/part-copy.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val post = content(sink.read(spark))
+    val postFiles = listing(dir)
+    sink.crashAt = "afterMove"
+    intercept[RuntimeException] {
+      sink.compactPartitions(spark, 1024L * 1024 * 1024)
+    }
+    sink.crashAt = ""
+    assert(content(sink.read(spark)) === post)
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === postFiles)
+    assert(content(sink.read(spark)) === post)
+    // and a clean compaction afterwards succeeds with identical rows
+    sink.compactPartitions(spark, 1024L * 1024 * 1024)
+    assert(content(sink.read(spark)) === post)
+  }
+
+  test("torn CREATE (v0): rollback leaves no table, a fresh create works") {
+    val dir = tmpDir("phc") + "/t"
+    val sink = new CrashSink(dir)
+    sink.crashAt = "afterMove" // create-case seam fires pre-write
+    intercept[RuntimeException] {
+      sink.upsert(spark, batch("v0", 1L -> "a"), 0L)
+    }
+    sink.crashAt = ""
+    assert(sink.read(spark).count() === 0L)
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir).isEmpty)
+    sink.upsert(spark, batch("v0", 1L -> "a", 2L -> "b"), 0L)
+    assert(content(sink.read(spark)) ===
+      Set((1L, "a", "v0"), (2L, "b", "v0")))
+    assert(sink.currentVersion(spark) === 0L)
+  }
+
+  test("readVersion(v) ≡ the state recorded after commit v, for every " +
+      "retained v across upserts, deletes and compaction") {
+    val dir = tmpDir("phc") + "/t"
+    val sink = new CrashSink(dir)
+    val recorded = scala.collection.mutable.Map.empty[Long, Set[(Long, String, String)]]
+    def record(): Unit =
+      recorded(sink.currentVersion(spark)) = content(sink.read(spark))
+    sink.upsert(spark, batch("v0", 1L -> "a", 2L -> "a", 3L -> "b"), 0L); record()
+    sink.upsert(spark, batch("v1", 2L -> "a", 4L -> "c"), 1L); record()
+    sink.delete(spark, col("dt") === "b", 2L); record()
+    sink.upsert(spark, batch("v3", 3L -> "b", 5L -> "a"), 3L); record()
+    sink.compactPartitions(spark, 1024L * 1024 * 1024); record()
+    sink.upsert(spark, batch("v5", 1L -> "a"), 4L); record()
+    recorded.foreach { case (v, want) =>
+      assert(content(sink.readVersion(spark, v)) === want,
+        s"time travel to v$v diverged from the recorded state")
+    }
+    // compaction is a layout-only delta: empty change feed across it
+    assert(sink.changeFeed(spark, 3L, 4L).count() === 0L)
+  }
+}
