@@ -197,6 +197,34 @@ object ScaleProof {
         sink
       })
 
+    // Partitioned history table per corpus size for the delta-CDC
+    // leg: with retainHistory the feed between adjacent versions is
+    // built from the actions files' add/remove lists and reads ONLY
+    // the touched directories' old+new files — so a FIXED-SIZE commit
+    // (one directory of 32) must cost ~the same at n and 10n.
+    // Contrast `upsert_changes_between`, the versioned snapshot-diff
+    // whose cost follows table size.
+    val partFeedCache = scala.collection.mutable.Map.empty[
+      Long, graft.operators.ParquetUpsertSink]
+    def partFeedSetup(n: Long, docs: DataFrame)
+        : graft.operators.ParquetUpsertSink =
+      partFeedCache.getOrElseUpdate(n, {
+        val dir = s"$work/pfeed_$n"
+        val sink = new graft.operators.ParquetUpsertSink(dir,
+          Seq("doc_id"), partitionCol = Some("pt"), retainVersions = 4,
+          retainHistory = true)
+        val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pt", pmod(col("doc_id"), lit(32L)))
+        sink.upsert(spark, base, batchId = 0)
+        // fixed-size commit: ~n/32 capped to doc_id < 512 → ≤16 rows,
+        // exactly ONE touched directory whatever n is
+        sink.upsert(spark,
+          base.filter(col("pt") === 0L && col("doc_id") < 512L)
+            .withColumn("n_chars", col("n_chars") + 1L),
+          batchId = 1)
+        sink
+      })
+
     def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
       val queries = emb.filter(col("vec_id") < 64)
       Seq(
@@ -413,6 +441,15 @@ object ScaleProof {
             .as("doc_id"))
           sink.scanForJoin(spark, "doc_id", keys).count()
         }),
+        // Delta-built partitioned CDC: fixed-size commit against a
+        // growing history table — the feed reads only the touched
+        // directory's old+new files, so the exponent should sit ~0
+        // where the versioned snapshot-diff (`upsert_changes_between`)
+        // follows table size
+        "part_feed_delta" -> (() => {
+          val sink = partFeedSetup(n, docs)
+          sink.changeFeed(spark, 0L, 1L, withPreimages = true).count()
+        }),
         // COUNT(DISTINCT) maintenance vs recompute — same asymmetry
         // claim as the sum pair: advance touches the delta + the
         // multiplicity state, recompute re-tokenizes the corpus
@@ -485,6 +522,8 @@ object ScaleProof {
       if (selected.exists(s => s._1 == "scan_bloom_point" ||
           s._1 == "scan_join_prune"))
         bloomSetup(n, docs)
+      if (selected.exists(_._1 == "part_feed_delta"))
+        partFeedSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

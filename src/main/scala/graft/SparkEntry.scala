@@ -257,6 +257,64 @@ object SparkEntry {
     sink
   }
 
+  /** Fixture for the `upsert_point_prune_part` query: the PARTITIONED
+    * analog of [[bloomScanFixture]] — documents partitioned by lang
+    * with a bloom index on doc_id, per-partition compaction clustered
+    * on n_chars ONLY, so within every directory each file's [min, max]
+    * on doc_id spans ~the whole keyspace and the point predicate
+    * prunes only through the per-file blooms, composing with directory
+    * pruning on the partition column. (The reference's gold point
+    * lookup, verify_gold_layer_data.py:20-22, runs against a
+    * time-partitioned Delta table with exactly this shape.)
+    */
+  private def partBloomFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/bloom_scan_part"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true)
+    val docs = t(s, d, "documents")
+      .select("doc_id", "source", "n_chars", "lang").repartition(8)
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      partitionCol = Some("lang"), bloomCols = Seq("doc_id"))
+    sink.upsert(s, docs, batchId = 0)
+    val bytes = fsys.getContentSummary(p).getLength
+    sink.compactPartitions(s, targetFileBytes = math.max(1L, bytes / 24),
+      clusterBy = Seq("n_chars"))
+    sink
+  }
+
+  /** Fixture for the `part_history_*` queries: a lang-partitioned
+    * documents store with `retainHistory` — the log-structured history
+    * protocol ([[graft.operators.PartitionedHistory]]) under an
+    * oracle. Three deterministic commits: v0 the full snapshot, v1 an
+    * update (+5 n_chars on the doc_id % 9 == 2 slice) plus an insert
+    * (doc_id % 17 == 3 slice re-keyed +16 830 000 — a multiple of
+    * 9·11·17, so every modular slice below is offset-invariant), v2 a
+    * delete of the doc_id % 11 == 7 slice. Time travel, restore and
+    * the delta-built change feed all recompute in ANSI SQL from those
+    * three closed-form slices. Rebuilt per call.
+    */
+  private def partHistoryFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = {
+    val dir = "/root/repo/fixtures/part_history"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, d, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    val sink = new graft.operators.ParquetUpsertSink(dir, Seq("doc_id"),
+      partitionCol = Some("lang"), retainVersions = 6,
+      retainHistory = true)
+    sink.upsert(s, docs, batchId = 0)
+    val updates = docs.filter(col("doc_id") % 9 === 2)
+      .withColumn("n_chars", col("n_chars") + 5)
+    val inserts = docs.filter(col("doc_id") % 17 === 3)
+      .withColumn("doc_id", col("doc_id") + 16830000L)
+    sink.upsert(s, updates.unionByName(inserts), batchId = 1)
+    sink.delete(s, col("doc_id") % 11 === 7, batchId = 2)
+    sink
+  }
+
   /** Fixture for the `upsert_join_prune` query: snapshot the narrow
     * orders projection into a versioned upsert table CLUSTERED BY
     * o_custkey (tight per-file key ranges) with a bloom index on the
@@ -1301,6 +1359,48 @@ object SparkEntry {
         col("doc_id") === 450L || col("doc_id").isin(123L, 99999999L))
     }),
 
+    // Bloom point lookup on the PARTITIONED layout: the fixture
+    // clusters each directory on n_chars, so in-dir min/max on doc_id
+    // cannot prune — only the per-directory blooms can, and the
+    // lang-guarded branch composes them with directory pruning
+    // (FileSkippingSpec pins both axes). Oracle recomputes over the
+    // base table — a hash match proves no bloom rejects a holder.
+    "upsert_point_prune_part" -> ((s, d) => {
+      val sink = partBloomFixture(s, d)
+      sink.scan(s, col("doc_id").isin(450L, 123L, 99999999L) ||
+        (col("lang") === "en" && col("doc_id") === 777L))
+    }),
+
+    // Partitioned time travel through the history protocol: read the
+    // table AS OF v1 (update+insert applied, delete not yet) by
+    // backward replay of the delete commit's actions — frozen files
+    // under _history re-enter the plan. Oracle recomputes v1's state
+    // from the base table's closed-form slices.
+    "part_history_travel" -> ((s, d) => {
+      val sink = partHistoryFixture(s, d)
+      sink.readVersion(s, 1L)
+    }),
+
+    // Partitioned RESTORE: roll the store back to v0 through a locked
+    // history commit (freeze + copy-back of frozen originals), then
+    // read. Oracle is the untouched base projection — a hash match
+    // proves the roundtrip is exact to the row.
+    "part_history_restore" -> ((s, d) => {
+      val sink = partHistoryFixture(s, d)
+      sink.restore(s, 0L)
+      sink.read(s)
+    }),
+
+    // Delta-built CDC across the whole history (v0 → v2): insert /
+    // update pre+post / delete classification computed from the
+    // actions files' add/remove lists — only touched directories'
+    // files are read (PartitionedHistoryCrashSpec pins the file set).
+    // Oracle derives each change slice in closed form.
+    "part_changefeed" -> ((s, d) => {
+      val sink = partHistoryFixture(s, d)
+      sink.changeFeed(s, 0L, 2L, withPreimages = true)
+    }),
+
     // Dynamic file pruning end to end through the oracle: the q3
     // star-join shape — a selective customer-side filter whose keys
     // prune the versioned orders store's FILES before scheduling
@@ -2216,6 +2316,51 @@ object SparkEntry {
     "upsert_point_prune" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id = 450 OR doc_id IN (123, 99999999)""".stripMargin,
+
+    // the partitioned bloom fixture is a verbatim snapshot re-laid-out
+    // per directory — row-set-identical, so the oracle is the same
+    // point predicate over the base table
+    "upsert_point_prune_part" ->
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id IN (450, 123, 99999999)
+        |   OR (lang = 'en' AND doc_id = 777)""".stripMargin,
+
+    // state AS OF v1: update applied to the mod-9 slice, inserts
+    // (re-keyed by +16830000, a multiple of 9*11*17) present, the
+    // mod-11 delete not yet applied
+    "part_history_travel" ->
+      """SELECT doc_id, source, lang,
+        | n_chars + CASE WHEN doc_id % 9 = 2 THEN 5 ELSE 0 END AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 16830000 AS doc_id, source, lang, n_chars
+        |FROM documents WHERE doc_id % 17 = 3""".stripMargin,
+
+    // restore(0) must reproduce the v0 snapshot exactly — the
+    // untouched base projection
+    "part_history_restore" ->
+      "SELECT doc_id, source, lang, n_chars FROM documents",
+
+    // endpoint diff v0 → v2: inserts that survived the delete,
+    // updates (both images) on rows that survived it, deletes with
+    // their v0 image; insert-then-deleted rows appear in NEITHER
+    // endpoint and so nowhere in the feed
+    "part_changefeed" ->
+      """SELECT doc_id + 16830000 AS doc_id, source, lang, n_chars,
+        | 'insert' AS _change_type
+        |FROM documents WHERE doc_id % 17 = 3 AND doc_id % 11 <> 7
+        |UNION ALL
+        |SELECT doc_id, source, lang, n_chars + 5 AS n_chars,
+        | 'update_postimage' AS _change_type
+        |FROM documents WHERE doc_id % 9 = 2 AND doc_id % 11 <> 7
+        |UNION ALL
+        |SELECT doc_id, source, lang, n_chars,
+        | 'update_preimage' AS _change_type
+        |FROM documents WHERE doc_id % 9 = 2 AND doc_id % 11 <> 7
+        |UNION ALL
+        |SELECT doc_id, source, lang, n_chars,
+        | 'delete' AS _change_type
+        |FROM documents WHERE doc_id % 11 = 7""".stripMargin,
 
     // the partitioned fixture is a verbatim snapshot re-laid-out by
     // the per-partition z-order compaction — row-set-identical

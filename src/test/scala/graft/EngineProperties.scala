@@ -341,6 +341,48 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("partitioned delta-built change feed ≡ snapshot-diff semantics") =
+    Prop.forAll(genRows, genRows, Gen.choose(0, 8)) { (b, u, delKey) =>
+      (b.nonEmpty && u.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-pfeed").toString + "/t"
+        // history-keeping PARTITIONED sink: the feed between retained
+        // versions is built from the actions files' add/remove lists
+        // (reading only touched directories' files), and must agree
+        // exactly with what the two full snapshots imply. Partition
+        // derived from the key, so updates stay in their partition.
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), partitionCol = Some("p"), retainVersions = 8,
+          retainHistory = true)
+        def ptable(rows: Seq[(Int, Long)]) =
+          table(rows).withColumn("p", (col("k") % 3).cast("long"))
+        sink.upsert(spark, ptable(b), batchId = 0)
+        val v0 = sink.currentVersion(spark)
+        sink.upsert(spark, ptable(u), batchId = 1)
+        sink.delete(spark, col("k") === delKey, batchId = 2)
+        val head = sink.currentVersion(spark)
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[Int]("k") -> r.getAs[Long]("v")).toMap
+        val older = m(sink.readVersion(spark, v0))
+        val newer = m(sink.read(spark))
+        val expected =
+          newer.collect { case (k, v) if !older.contains(k) =>
+            ("insert", k, v) }.toSet ++
+          newer.collect { case (k, v)
+              if older.contains(k) && older(k) != v =>
+            ("update_postimage", k, v) }.toSet ++
+          older.collect { case (k, v)
+              if newer.contains(k) && newer(k) != v =>
+            ("update_preimage", k, v) }.toSet ++
+          older.collect { case (k, v) if !newer.contains(k) =>
+            ("delete", k, v) }.toSet
+        val feed = sink.changeFeed(spark, v0, head, withPreimages = true)
+          .collect().map(r => (r.getAs[String]("_change_type"),
+            r.getAs[Int]("k"), r.getAs[Long]("v"))).toSet
+        feed == expected
+      }
+    }
+
   // ---- file-skipping soundness: scan ≡ read.filter for RANDOM
   // predicates over a stats-bearing clustered table. The pruner is
   // conservative-by-construction; this is the law that construction

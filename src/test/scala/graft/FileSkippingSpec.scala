@@ -396,6 +396,54 @@ class FileSkippingSpec extends SparkTestBase {
       assertParity(sink, pred)
   }
 
+  test("partitioned layout: blooms prune INSIDE a partition dir where " +
+      "min/max keeps every file") {
+    val dir = tmpDir("fskip") + "/pbloom"
+    val noDir = tmpDir("fskip") + "/pnobloom"
+    // 2 partitions × 4 files; hashed key uncorrelated with layout, so
+    // every file's [min, max] on it spans ~the whole keyspace
+    val df = spark.range(4000).toDF("id")
+      .withColumn("day", when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")))
+      .withColumn("key", md5(col("id").cast("string")))
+      .withColumn("v", col("id") * 3)
+      .repartition(4) // each task holds both days → 4 files per dir
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("day"), bloomCols = Seq("key"))
+    sink.upsert(spark, df, batchId = -1)
+    val bare = new ParquetUpsertSink(noDir, Seq("id"),
+      partitionCol = Some("day"))
+    bare.upsert(spark, df, batchId = -1)
+    def pkept(s: ParquetUpsertSink, pred: Column): (Seq[String], Int) =
+      s.partitionedFileSelection(spark, "day", pred).get
+    val hitKey = df.filter(col("id") === 123L).select("key")
+      .first().getString(0) // id 123 is odd → lives in day=b
+    // stats alone keep every file in every dir
+    val (bareKept, bareTotal) = pkept(bare, col("key") === hitKey)
+    assert(bareTotal === 8 && bareKept.size === 8,
+      s"min/max alone should keep all 8, kept ${bareKept.size}")
+    // blooms keep the holder(s) only
+    val (kHit, total) = pkept(sink, col("key") === hitKey)
+    assert(total === 8)
+    assert(kHit.size <= 2, s"present key kept ${kHit.size} of $total")
+    // absent key prunes everything (mod fp)
+    val (kMiss, _) = pkept(sink,
+      col("key") === "0000deadbeef0000deadbeef0000dead")
+    assert(kMiss.size <= 1, s"absent key kept ${kMiss.size}")
+    // composed with DIRECTORY pruning: partition predicate confines
+    // the bloom probes to one dir's files
+    val (kBoth, _) = pkept(sink, col("day") === "b" && col("key") === hitKey)
+    assert(kBoth.nonEmpty && kBoth.forall(_.startsWith("day=b")),
+      s"kept files must all be in day=b, got $kBoth")
+    assert(kBoth.size <= 2, s"dir+bloom kept ${kBoth.size}")
+    // soundness: scan ≡ read.filter on hits, misses and mixed shapes
+    for (pred <- Seq(col("key") === hitKey,
+        col("key") === "0000deadbeef0000deadbeef0000dead",
+        col("day") === "b" && col("key") === hitKey,
+        col("day") === "a" || col("key") === hitKey))
+      assert(sink.scan(spark, pred).collect().map(_.toString).sorted.toSeq ===
+        sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("dynamic file pruning: build-side keys prune fact files before scheduling") {
     val dir = tmpDir("fskip") + "/dfp"
     // fact clustered by key, SPARSE (even keys only) so bloom

@@ -95,6 +95,69 @@ class HistoryRestoreSpec extends SparkTestBase {
       Seq("a-v4", "b-v4", "c-v4"))
   }
 
+  test("partitioned restore (retainHistory): full roundtrip — content, " +
+      "directories, history row, CDC, replay guard, time travel") {
+    val dir = tmpDir("hist") + "/p"
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      hfs.exists(new org.apache.hadoop.fs.Path(dir, sub))
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("dt"), retainVersions = 6, retainHistory = true)
+    def b(tag: String, ids: (Long, String)*) =
+      ids.map { case (id, dt) => (id, dt, tag) }.toDF("id", "dt", "payload")
+    def content() = sink.read(spark).select("id", "dt", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    sink.upsert(spark, b("v0", 1L -> "a", 2L -> "a", 3L -> "b"), 0L)
+    val v0 = sink.currentVersion(spark)
+    val want = content()
+    sink.upsert(spark, b("v1", 2L -> "a", 4L -> "c"), 1L) // update + new dir
+    sink.delete(spark, col("dt") === "b", 2L)             // empties dt=b
+    val preRestoreHead = sink.currentVersion(spark)
+    val preRestoreState = content()
+    sink.restore(spark, v0)
+    // content is exactly v0's again; emptied dirs are back, created
+    // dirs are gone
+    assert(content() === want)
+    assert(exists("dt=b"), "a partition emptied since v0 must return")
+    assert(!exists("dt=c"), "a partition created since v0 must vanish")
+    assert(sink.history(spark).first().getString(2) === "restore")
+    assert(sink.changesBetween(spark, v0, sink.currentVersion(spark))
+      .count() === 0)
+    // the restore commit's own feed carries what a consumer must apply
+    val feed = sink.changeFeed(spark, preRestoreHead,
+      sink.currentVersion(spark))
+    assert(feed.filter(col("_change_type") === "insert").count() === 1)  // 3 back
+    assert(feed.filter(col("_change_type") === "delete").count() === 1)  // 4 out
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() === 1) // 2 back to v0
+    // time travel still reaches the pre-restore head THROUGH the
+    // restore commit's actions
+    assert(sink.readVersion(spark, preRestoreHead)
+      .select("id", "dt", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      preRestoreState)
+    // scan over the restored table agrees (fresh manifests)
+    assert(sink.scan(spark, col("dt") === "a").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // replay guard survives (batch 2 seen), new batches apply
+    sink.upsert(spark, b("replayed", 9L -> "a"), 2L)
+    assert(content() === want)
+    sink.upsert(spark, b("v4", 9L -> "a"), 3L)
+    assert(content() === want + ((9L, "a", "v4")))
+    // roll forward then back; then a restore targeting a version whose
+    // state equals the current one takes the empty-delta marker path
+    val headBefore = sink.currentVersion(spark)
+    sink.upsert(spark, b("v5", 9L -> "a"), 4L)
+    sink.restore(spark, headBefore)
+    assert(content() === want + ((9L, "a", "v4")))
+    val h2 = sink.currentVersion(spark)
+    sink.restore(spark, headBefore) // identical state → marker commit
+    assert(sink.currentVersion(spark) === h2 + 1)
+    assert(content() === want + ((9L, "a", "v4")))
+  }
+
   test("restore refuses unknown versions and the partitioned layout") {
     val dir = tmpDir("hist") + "/t"
     val sink = new ParquetUpsertSink(dir, Seq("id"))

@@ -304,6 +304,72 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(asMap(advanced) === asMap(recompute(sink)))
   }
 
+  test("NULL group keys advance as ONE group (SQL GROUP BY semantics), " +
+      "across sums, distinct counts and min/max repair") {
+    val dir = tmpDir("incagg") + "/nullkey"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    // group column: NULL for driver A/B, "g1" for the rest — the view
+    // key the advance joins on is nullable, where a null-unsafe join
+    // would split the NULL group into prev-state + delta twins
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("g",
+        when(col("driver_id").isin("A", "B"), lit(null).cast("string"))
+          .otherwise(lit("g1")))
+    def key(r: org.apache.spark.sql.Row): Option[String] =
+      Option(r.getString(0))
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "B", 1L, 20.0),
+      ("h1", "C", 1L, 5.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg.view(
+      grouped(sink.readVersion(spark, v0)), Seq("g"), Seq("fare"))
+      .localCheckpoint(true)
+    val mm0 = IncrementalAgg.minMaxView(
+      grouped(sink.readVersion(spark, v0)), Seq("g"), Seq("fare"))
+      .localCheckpoint(true)
+    val ds0 = IncrementalAgg.distinctState(
+      grouped(sink.readVersion(spark, v0)), Seq("g"), "driver_id")
+      .localCheckpoint(true)
+    // update inside the null group (A: 10→40), delete its extremum
+    // holder (B, fare 20 = max), insert into it (D)
+    sink.upsert(spark, rows(
+      ("h1", "A", 2L, 40.0), ("h4", "D", 1L, 1.0)), batchId = 1)
+    sink.delete(spark, col("driver_id") === "B", batchId = 2)
+    // D must land in the null group on BOTH feed and recompute sides
+    def g2(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("g",
+        when(col("driver_id").isin("A", "B", "D"),
+          lit(null).cast("string")).otherwise(lit("g1")))
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg.advance(view0, g2(feed), Seq("g"),
+      Seq("fare"))
+    val full = IncrementalAgg.view(g2(sink.read(spark)), Seq("g"),
+      Seq("fare"))
+    def sums(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => key(r) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sums(advanced) === sums(full))
+    assert(sums(advanced).contains(None), "null group must survive")
+    assert(sums(advanced)(None) === ((2L, 41.0)))
+    // min/max: B held the null group's max — base-assisted repair must
+    // find the null-keyed rows (null-safe semi-join)
+    val mmAdv = IncrementalAgg.advanceMinMax(mm0, g2(feed),
+      g2(sink.read(spark)), Seq("g"), Seq("fare"))
+    val mmFull = IncrementalAgg.minMaxView(g2(sink.read(spark)),
+      Seq("g"), Seq("fare"))
+    def mm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => key(r) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(mm(mmAdv) === mm(mmFull))
+    assert(mm(mmAdv)(None) === ((2L, 1.0, 40.0)))
+    // distinct: the null group's live distinct drivers are {A, D}
+    val dsAdv = IncrementalAgg.advanceDistinct(ds0, g2(feed), Seq("g"),
+      "driver_id")
+    val cnt = IncrementalAgg.readDistinct(dsAdv, Seq("g"), "driver_id")
+      .collect().map(r => key(r) -> r.getLong(1)).toMap
+    assert(cnt === Map(None -> 2L, Some("g1") -> 1L))
+  }
+
   test("decimal sum column is refused instead of silently losing exactness") {
     val dec = rows(("h1", "A", 1L, 10.0))
       .withColumn("price", col("fare").cast("decimal(18,2)"))

@@ -233,4 +233,26 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
     // compaction is a layout-only delta: empty change feed across it
     assert(sink.changeFeed(spark, 3L, 4L).count() === 0L)
   }
+
+  test("delta-built change feed reads ONLY the touched directories' " +
+      "files — CDC cost is O(commit), not O(2 × table)") {
+    val dir = tmpDir("phc") + "/t"
+    val sink = new CrashSink(dir)
+    // 8 partitions committed, then a commit touching exactly one
+    sink.upsert(spark,
+      batch("v0", (1 to 8).map(i => (i.toLong, s"d$i")): _*), 0L)
+    sink.upsert(spark, batch("v1", 1L -> "d1", 99L -> "d1"), 1L)
+    val feed = sink.changeFeed(spark, 0L, 1L, withPreimages = true)
+    val files = feed.inputFiles.toSet
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("dt=d1")),
+      s"feed over a dt=d1-only commit must scan only dt=d1 files " +
+        s"(live + frozen), got:\n${files.mkString("\n")}")
+    // and the feed content is still exact
+    val rows = feed.collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("payload"))).toSet
+    assert(rows === Set(("insert", 99L, "v1"),
+      ("update_postimage", 1L, "v1"), ("update_preimage", 1L, "v0")))
+  }
 }

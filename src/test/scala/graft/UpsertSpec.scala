@@ -726,4 +726,37 @@ class UpsertSpec extends SparkTestBase {
     assert(sink.read(spark).filter(col("v") === -5L).count() === 2)
     assert(sink.read(spark).count() === 400)
   }
+
+  test("autoCompact honors maxBytesPerRun: a fragmented hands-free " +
+      "compaction splits into bounded rounds") {
+    import graft.operators.AutoCompact
+    val dir = tmpDir("upserts") + "/pautochunk"
+    // retainHistory makes each compaction round its own recorded
+    // commit — the round count is then directly observable: a 1-byte
+    // budget must put each of the three fragmented dirs in its own
+    // round (3 commits after the upsert's), where the unbounded path
+    // would take one
+    val sink = new ParquetUpsertSink(dir, Seq("k"),
+      partitionCol = Some("day"), retainVersions = 8,
+      retainHistory = true,
+      autoCompact = Some(AutoCompact(files = 3,
+        maxBytesPerRun = Some(1L))))
+    val df = spark.range(600).toDF("k")
+      .withColumn("day", concat(lit("d"), pmod(col("k"), lit(3L)).cast("string")))
+      .withColumn("v", col("k") * 5)
+      .repartition(8) // ~8 files per dir — over the 3-file budget
+    sink.upsert(spark, df, batchId = 0)
+    assert(sink.currentVersion(spark) === 3L,
+      "upsert v0 + one bounded compaction round per fragmented dir")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/day=d$i"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(n === 1, s"day=d$i still $n files")
+    }
+    assert(sink.read(spark).count() === 600)
+    assert(sink.read(spark).agg(sum(col("v"))).first().getLong(0) ===
+      (0L until 600L).map(_ * 5).sum)
+  }
 }
