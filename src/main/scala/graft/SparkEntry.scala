@@ -295,9 +295,8 @@ object SparkEntry {
     * the delta-built change feed all recompute in ANSI SQL from those
     * three closed-form slices. Rebuilt per call.
     */
-  private def partHistoryFixture(s: SparkSession, d: String)
+  private def buildPartHistory(s: SparkSession, d: String, dir: String)
       : graft.operators.ParquetUpsertSink = {
-    val dir = "/root/repo/fixtures/part_history"
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val docs = t(s, d, "documents")
@@ -313,6 +312,25 @@ object SparkEntry {
     sink.upsert(s, updates.unionByName(inserts), batchId = 1)
     sink.delete(s, col("doc_id") % 11 === 7, batchId = 2)
     sink
+  }
+
+  // travel + changefeed only READ the fixture, so one build per
+  // (process, sf) serves both; restore MUTATES and builds its own
+  // copy per call (separate dir, so it never poisons the shared one)
+  private val partHistoryCache =
+    scala.collection.mutable.Map.empty[String, graft.operators.ParquetUpsertSink]
+
+  private def partHistoryFixture(s: SparkSession, d: String)
+      : graft.operators.ParquetUpsertSink = synchronized {
+    partHistoryCache.get(d) match {
+      case Some(sink) => sink
+      case None =>
+        val sink = buildPartHistory(s, d,
+          "/root/repo/fixtures/part_history")
+        partHistoryCache.clear()
+        partHistoryCache(d) = sink
+        sink
+    }
   }
 
   /** Fixture for the `upsert_join_prune` query: snapshot the narrow
@@ -1386,7 +1404,8 @@ object SparkEntry {
     // read. Oracle is the untouched base projection — a hash match
     // proves the roundtrip is exact to the row.
     "part_history_restore" -> ((s, d) => {
-      val sink = partHistoryFixture(s, d)
+      val sink = buildPartHistory(s, d,
+        "/root/repo/fixtures/part_history_restore")
       sink.restore(s, 0L)
       sink.read(s)
     }),

@@ -234,6 +234,33 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
     assert(sink.changeFeed(spark, 3L, 4L).count() === 0L)
   }
 
+  test("time travel and CDC across a schema-WIDENING commit (the " +
+      "full-table freeze path)") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, want, _) = committedTable(dir)
+    // widening batch rewrites EVERY partition; with history on, that
+    // commit freezes the entire pre-widening table
+    sink.upsert(spark,
+      batch("v2", 2L -> "a").withColumn("extra", lit(7L)), 2L)
+    val head = sink.read(spark)
+    assert(head.columns.contains("extra"))
+    assert(head.filter(col("id") === 2L).select("extra")
+      .first().getLong(0) === 7L)
+    assert(head.filter(col("id") =!= 2L).select("extra")
+      .collect().forall(_.isNullAt(0)), "pre-existing rows null-fill")
+    // travel back across the widening: the frozen files carry the
+    // narrow schema and exactly the old rows
+    assert(content(sink.readVersion(spark, 1L)) === want)
+    // the feed across the widening reports ONLY the real change:
+    // to_json drops null fields, so a null-filled widened row
+    // fingerprints identically to its narrow original
+    val feed = sink.changeFeed(spark, 1L, 2L, withPreimages = true)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() === 1L)
+    assert(feed.filter(col("_change_type")
+      .isin("insert", "delete")).count() === 0L)
+  }
+
   test("delta-built change feed reads ONLY the touched directories' " +
       "files — CDC cost is O(commit), not O(2 × table)") {
     val dir = tmpDir("phc") + "/t"
