@@ -88,6 +88,60 @@ class StreamingSpec extends SparkTestBase {
       .exists(f => f.isDirectory && f.getName.startsWith("window_date=")))
   }
 
+  test("partitioned gold with retainHistory: the LIVE streaming table " +
+      "time-travels and feeds delta CDC across waves") {
+    val root = tmpDir("streamh")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    import org.apache.spark.sql.streaming.Trigger
+    def drainWave(): Unit = {
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+        bounded = true, partitioned = true, retainVersions = 6,
+        retainHistory = true).awaitTermination()
+    }
+    RideGenerator.writeRaw(spark, p.raw, 3000L)
+    drainWave()
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey,
+      Some("window_date"), retainVersions = 6, retainHistory = true)
+    val v1 = sink.currentVersion(spark)
+    val cols = Seq("window_start", "window_end", "driver_id",
+      "total_rides_hourly", "avg_fare_hourly",
+      "total_suspicious_rides_hourly")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toString).toSet
+    val state1 = asSet(sink.read(spark))
+    // second wave: later events through the SAME checkpoints
+    RideGenerator.writeRaw(spark, p.raw, 2000L, seed = 7L,
+      epochStart = 1704067200L + 3600L)
+    drainWave()
+    val v2 = sink.currentVersion(spark)
+    assert(v2 > v1, "second wave must commit new gold versions")
+    assert(asSet(sink.read(spark)) !== state1)
+    // time travel on the live streaming table: v1 reads back exactly
+    assert(asSet(sink.readVersion(spark, v1)) === state1)
+    // the delta-built feed between the waves advances a maintained
+    // per-driver rollup to the head state — nightly-incremental
+    // consumption of the streaming gold table
+    val grouped = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("rides", col("total_rides_hourly").cast("double"))
+    val view1 = graft.operators.IncrementalAgg.view(
+      grouped(sink.readVersion(spark, v1)), Seq("driver_id"),
+      Seq("rides")).localCheckpoint(true)
+    val feed = sink.changeFeed(spark, v1, v2, withPreimages = true)
+    val advanced = graft.operators.IncrementalAgg.advance(
+      view1, grouped(feed), Seq("driver_id"), Seq("rides"))
+    val full = graft.operators.IncrementalAgg.view(
+      grouped(sink.read(spark)), Seq("driver_id"), Seq("rides"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(advanced) === m(full),
+      "maintained rollup diverged from recompute across the feed")
+  }
+
   test("bounded gold variant (watermark + update mode) also converges") {
     val root = tmpDir("streamb")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",

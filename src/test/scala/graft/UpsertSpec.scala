@@ -316,6 +316,82 @@ class UpsertSpec extends SparkTestBase {
     assert(follow.read(spark).count() === writers + 1L)
   }
 
+  test("history-keeping partitioned sink: concurrent writers serialize, " +
+      "every intermediate version stays reconstructible") {
+    // the stress twin WITH retainHistory: serialized writers must
+    // leave a replayable actions chain — after the storm, every
+    // retained version time-travels to a state that is a prefix-merge
+    // of the writers that had committed by then
+    val dir = tmpDir("upsertconch") + "/gold"
+    val writers = 5
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(writers))
+    try {
+      val fs = (0 until writers).map { w =>
+        Future {
+          val sink = new ParquetUpsertSink(dir, keys,
+            Some("window_start"), retainVersions = 8,
+            retainHistory = true)
+          val rows = Seq(("2024-01-01 10:00:00", f"DRVH$w%02d",
+            w.toLong, w * 1.0))
+            .toDF("window_start", "driver_id", "total", "avg_fare")
+          sink.upsert(spark, rows, batchId = -1)
+        }(pool)
+      }
+      fs.foreach(Await.result(_, Duration("180s")))
+    } finally pool.shutdown()
+    val reader = new ParquetUpsertSink(dir, keys, Some("window_start"),
+      retainVersions = 8, retainHistory = true)
+    val got = reader.read(spark).collect()
+      .map(r => r.getAs[String]("driver_id") -> r.getAs[Long]("total")).toMap
+    assert(got === (0 until writers)
+      .map(w => f"DRVH$w%02d" -> w.toLong).toMap,
+      s"lost update under history mode: $got")
+    assert(reader.currentVersion(spark) === writers - 1L)
+    // every retained version reconstructs, row counts grow by one per
+    // commit (each writer added one distinct key), and each version's
+    // keys are a subset of the next's
+    val states = (0L until writers.toLong).map { v =>
+      reader.readVersion(spark, v).collect()
+        .map(_.getAs[String]("driver_id")).toSet
+    }
+    states.zipWithIndex.foreach { case (s, i) =>
+      assert(s.size === i + 1, s"v$i should hold ${i + 1} rows, got $s")
+    }
+    states.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "version chain must be monotone")
+    }
+  }
+
+  test("history GC: versions past retainVersions lose their frozen " +
+      "sets and fail reconstruction LOUDLY") {
+    val dir = tmpDir("upserthgc") + "/gold"
+    val sink = new ParquetUpsertSink(dir, keys, Some("window_start"),
+      retainVersions = 2, retainHistory = true)
+    (0 until 4).foreach { i =>
+      sink.upsert(spark,
+        Seq(("2024-01-01 10:00:00", f"DRV$i%02d", i.toLong, i * 1.0))
+          .toDF("window_start", "driver_id", "total", "avg_fare"),
+        batchId = i.toLong)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only the retained window's frozen sets survive
+    (0 until 2).foreach { v =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_history/v$v")), s"v$v frozen set should be GC'd")
+      val e = intercept[IllegalArgumentException] {
+        sink.readVersion(spark, v.toLong).collect()
+      }
+      assert(e.getMessage.contains("not available"))
+    }
+    // the retained non-head version still travels
+    assert(sink.readVersion(spark, 2L).count() === 3L)
+    assert(sink.readVersion(spark, 3L).count() === 4L)
+  }
+
   test("partitioned sink: losing the v0 create race preserves the winner") {
     // the old first-batch STATIC overwrite deleted the whole path —
     // including a concurrent winner's committed data and the commit
