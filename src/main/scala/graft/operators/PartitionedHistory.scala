@@ -95,6 +95,11 @@ private[graft] object PartitionedHistory {
       s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    // intents/actions are only ever written under the sink's writer
+    // lock, so replacing a torn predecessor's leftover (e.g. an
+    // actions record whose commit never claimed) is race-free — and
+    // necessary on stores whose rename refuses existing destinations
+    if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"could not publish $p")
