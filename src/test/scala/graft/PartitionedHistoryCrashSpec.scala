@@ -281,5 +281,17 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
         r.getAs[String]("payload"))).toSet
     assert(rows === Set(("insert", 99L, "v1"),
       ("update_postimage", 1L, "v1"), ("update_preimage", 1L, "v0")))
+    // time travel reads the frozen files IN PLACE under _history —
+    // never a copied byte — alongside the untouched live directories
+    val travel = sink.readVersion(spark, 0L)
+    val tFiles = travel.inputFiles.toSet
+    assert(tFiles.exists(_.contains("_history/v1/dt=d1")),
+      s"v0's dt=d1 image must come from its frozen home, got $tFiles")
+    assert(tFiles.count(_.contains("_history/")) ===
+      tFiles.count(_.contains("_history/v1/dt=d1")),
+      "only the replaced directory's files read from history")
+    assert((2 to 8).forall(i => tFiles.exists(f =>
+      f.contains(s"dt=d$i") && !f.contains("_history"))),
+      "untouched directories read live")
   }
 }
