@@ -173,12 +173,52 @@ object Similarity {
     * pick.
     */
   private[functions] def assignToSeeds(c: DataFrame,
-      seeds: DataFrame): DataFrame =
-    c.join(seeds)
-      .withColumn("sim", Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
-      .groupBy(col("cid"))
-      .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
-      .join(c, "cid")
+      seeds: DataFrame): DataFrame = {
+    // SCAN-SIDE argmax when the seed set is literal-sized (the r11
+    // k-means discipline, which proved the struct orderings
+    // identical): the seeds re-enter as an array literal and the
+    // assignment is ONE projection — array_max(transform(...)) over
+    // (sim, cell) structs ≡ the join form's max(struct(sim, cell)),
+    // rounded-tie cell tiebreak included. The join form pairs every
+    // vector with every seed (n·cells rows, each carrying both float
+    // arrays) and shuffles that by cid — at 500k vectors × √n seeds
+    // that is a 350M-row shuffle for what one codegen'd projection
+    // computes in place. Above the gate (a seed set too large to ship
+    // as a plan literal) the join form remains the fallback.
+    val gate = 4096
+    val probe = seeds.limit(gate + 1).collect()
+    if (probe.length > gate)
+      c.join(seeds)
+        .withColumn("sim", Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
+        .groupBy(col("cid"))
+        .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
+        .join(c, "cid")
+    else {
+      val cellDt = seeds.schema.head.dataType
+      val seedDt = seeds.schema(1).dataType
+      // native fused argmax (whole-stage codegen, FLOP-bound) when the
+      // seed rows fit its contract; else the portable HOF spelling —
+      // all three forms compute the identical (sim, cell) max-struct
+      val w = graft.plans.ArgmaxCosineExpr
+        .forSeeds(col("cv"), probe, cellDt, seedDt)
+        .getOrElse {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.graft.ColumnBridge
+          val entries = probe.map { r =>
+            struct(
+              ColumnBridge.column(Literal.create(r.get(0), cellDt)).as("cell"),
+              ColumnBridge.column(Literal.create(r.get(1), seedDt)).as("seed"))
+          }
+          array_max(transform(array(entries.toIndexedSeq: _*), s =>
+            struct(
+              Hashing.portableRound(cosine(col("cv"), s.getField("seed")), 6)
+                .as("sim"),
+              s.getField("cell").as("cell"))))
+        }
+      c.withColumn("_w", w)
+        .select(col("cid"), col("_w.cell").as("cell"), col("cv"))
+    }
+  }
 
   /** Quantizer seeds: the first nCells vectors by id — id-agnostic
     * (an id-value predicate like `id < nCells` silently selects
@@ -843,7 +883,12 @@ class IvfIndex(path: String, nCells: Int,
     val segDir = s"seg-$uid"
     val cenDir = s"centroids-$uid"
     val seedDir = s"seeds-$uid"
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // repartition by cell BEFORE the partitioned write: each cell's
+    // rows land in one task, so the segment holds ~one file per cell
+    // instead of (write tasks × cells) fragments — at √n cells the
+    // difference between ~700 files and ~180k namenode creates
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/$segDir")
     // persist the quantizer seeds so append() assigns against the
     // SAME frozen quantizer a rebuild over these seeds would use
@@ -922,7 +967,8 @@ class IvfIndex(path: String, nCells: Int,
       try {
         if (fresh.count() == 0) return
         val segDir = s"seg-$uid"
-        fresh.write.mode("overwrite").partitionBy("cell")
+        fresh.repartition(col("cell")) // one file per touched cell
+          .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$path/$segDir")
         val m2 = m.copy(segments = m.segments :+ Segment(segDir, Nil))
         beforeCommit(ver + 1)
@@ -1003,7 +1049,8 @@ class IvfIndex(path: String, nCells: Int,
           val live = t0.map(t => all.join(broadcast(t.distinct()),
             Seq("cid"), "left_anti")).getOrElse(all)
           val segDir = s"seg-$uid"
-          live.write.mode("overwrite").partitionBy("cell")
+          live.repartition(col("cell")) // one file per cell (see build)
+            .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$path/$segDir")
           (m.copy(tombstones = None, segments = Seq(Segment(segDir, Nil))),
             Seq(segDir))
@@ -1018,7 +1065,8 @@ class IvfIndex(path: String, nCells: Int,
             val cleaned = assignedDf(spark, m, Some(touched))
               .join(t, Seq("cid"), "left_anti")
             val segDir = s"seg-$uid"
-            cleaned.write.mode("overwrite").partitionBy("cell")
+            cleaned.repartition(col("cell")) // one file per touched cell
+              .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$path/$segDir")
             val exc = touched.map(_.toString)
             (m.copy(tombstones = None,

@@ -1991,14 +1991,28 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       betweenHistoryMoveAndWrite(newV)
       // re-adds are unlisted in the intent (they were not live), so a
       // crash from here on deletes them and thaws toFreeze — exact
-      // pre-restore state
-      toAdd.foreach { rel =>
-        val from = new Path(root, targetMap(rel))
-        val to = new Path(root, rel)
-        if (!f.exists(to.getParent)) f.mkdirs(to.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(f, from, f, to, false,
-          spark.sparkContext.hadoopConfiguration)
-      }
+      // pre-restore state. Copies run on a bounded driver pool: the
+      // per-file work is pure IO against the store, so a large
+      // restored delta streams at aggregate store bandwidth instead
+      // of one file at a time (directories pre-created serially —
+      // mkdirs is not write-contended that way)
+      toAdd.map(rel => new Path(root, rel).getParent).distinct
+        .foreach(p => if (!f.exists(p)) f.mkdirs(p))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, toAdd.size)))
+      try {
+        toAdd.map { rel =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              org.apache.hadoop.fs.FileUtil.copy(f,
+                new Path(root, targetMap(rel)), f, new Path(root, rel),
+                false, conf)
+              ()
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       // emptied directories vanish; surviving touched dirs get fresh
       // index manifests
       touchedDirs.foreach { d =>
