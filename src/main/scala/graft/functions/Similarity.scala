@@ -296,18 +296,23 @@ object Similarity {
     // so no checkpoint is needed to keep plans flat.
     def assignStruct(rows: Array[org.apache.spark.sql.Row],
                      cellDt: org.apache.spark.sql.types.DataType,
-                     seedDt: org.apache.spark.sql.types.DataType): Column = {
-      val entries = rows.map { r =>
-        struct(
-          ColumnBridge.column(Literal.create(r.get(0), cellDt)).as("cell"),
-          ColumnBridge.column(Literal.create(r.get(1), seedDt)).as("seed"))
-      }
-      array_max(transform(array(entries.toIndexedSeq: _*), s =>
-        struct(
-          Hashing.portableRound(cosine(col("cv"), s.getField("seed")), 6)
-            .as("sim"),
-          s.getField("cell").as("cell"))))
-    }
+                     seedDt: org.apache.spark.sql.types.DataType): Column =
+      // native fused argmax when the centroid rows fit its contract
+      // (bit-identical to the HOF below — ArgmaxCosineSpec), else the
+      // portable HOF spelling
+      graft.plans.ArgmaxCosineExpr.forSeeds(col("cv"), rows, cellDt, seedDt)
+        .getOrElse {
+          val entries = rows.map { r =>
+            struct(
+              ColumnBridge.column(Literal.create(r.get(0), cellDt)).as("cell"),
+              ColumnBridge.column(Literal.create(r.get(1), seedDt)).as("seed"))
+          }
+          array_max(transform(array(entries.toIndexedSeq: _*), s =>
+            struct(
+              Hashing.portableRound(cosine(col("cv"), s.getField("seed")), 6)
+                .as("sim"),
+              s.getField("cell").as("cell"))))
+        }
     def assigned(rows: Array[org.apache.spark.sql.Row],
                  cellDt: org.apache.spark.sql.types.DataType,
                  seedDt: org.apache.spark.sql.types.DataType): DataFrame =
