@@ -2026,6 +2026,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       PartitionedHistory.writeActions(f, commitsDir, newV,
         PartitionedHistory.Actions(toAdd, toFreeze))
     }
+    beforeCommit(newV)
     if (tryCommit(spark, newV,
         s"$lastStreamBatch - ${System.currentTimeMillis()} restore")) {
       f.delete(PartitionedHistory.intentPath(commitsDir, newV), false)

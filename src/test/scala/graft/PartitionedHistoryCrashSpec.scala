@@ -196,6 +196,45 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
     assert(content(sink.read(spark)) === post)
   }
 
+  test("torn RESTORE rolls back to the exact pre-restore state " +
+      "(re-added copies are unlisted → deleted; frozen files thaw)") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, _, _) = committedTable(dir)
+    sink.delete(spark, col("dt") === "c", 2L) // dt=c leaves, frozen at v2
+    val preState = content(sink.read(spark))
+    val preFiles = listing(dir)
+    // restore(1) must re-add dt=c's file by copy and freeze nothing
+    // new in dt=c; crash right after its freeze+intent step
+    sink.crashAt = "afterMove"
+    intercept[RuntimeException] { sink.restore(spark, 1L) }
+    sink.crashAt = ""
+    assert(content(sink.read(spark)) === preState,
+      "mid-crash reads must serve the pre-restore state")
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === preFiles,
+      "torn-restore rollback must restore the exact file set")
+    assert(content(sink.read(spark)) === preState)
+    // now tear it AFTER the copy-back, before the claim: the restored
+    // copies are live on disk but UNLISTED in the intent — recovery
+    // must delete them and return to the pre-restore state again
+    sink.crashAt = "beforeClaim"
+    intercept[RuntimeException] { sink.restore(spark, 1L) }
+    sink.crashAt = ""
+    assert(listing(dir) !== preFiles, "setup: copies must be on disk")
+    assert(content(sink.read(spark)) === preState,
+      "mid-crash reads must exclude the unlisted restore copies")
+    sink.recoverIncompleteCommit(spark)
+    assert(listing(dir) === preFiles,
+      "unlisted restore copies must be deleted by rollback")
+    assert(content(sink.read(spark)) === preState)
+    // the retried restore completes and round-trips
+    sink.restore(spark, 1L)
+    assert(content(sink.read(spark))
+      === content(sink.readVersion(spark, 1L)))
+    assert(content(sink.read(spark)).exists(_._2 == "c"),
+      "restored state must hold the deleted partition's rows again")
+  }
+
   test("torn CREATE (v0): rollback leaves no table, a fresh create works") {
     val dir = tmpDir("phc") + "/t"
     val sink = new CrashSink(dir)
