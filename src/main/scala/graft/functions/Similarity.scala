@@ -187,6 +187,12 @@ object Similarity {
     // as a plan literal) the join form remains the fallback.
     val gate = 4096
     val probe = seeds.limit(gate + 1).collect()
+    // an empty seed set has no nearest cell — fail fast rather than
+    // let the two branches diverge silently (the literal-argmax form
+    // would emit every row with a null cell, the join form an empty
+    // frame; neither is an assignment)
+    require(probe.nonEmpty,
+      "assignToSeeds: the seed set is empty — nothing to assign to")
     if (probe.length > gate)
       c.join(seeds)
         .withColumn("sim", Hashing.portableRound(cosine(col("cv"), col("seed")), 6))
@@ -215,8 +221,12 @@ object Similarity {
                 .as("sim"),
               s.getField("cell").as("cell"))))
         }
+      // project the SAME schema the join form produces — (cid, cell,
+      // then every other column of c) — so callers passing extra
+      // columns get them back from either branch
+      val rest = c.columns.filter(_ != "cid").toSeq.map(col)
       c.withColumn("_w", w)
-        .select(col("cid"), col("_w.cell").as("cell"), col("cv"))
+        .select(col("cid") +: col("_w.cell").as("cell") +: rest: _*)
     }
   }
 

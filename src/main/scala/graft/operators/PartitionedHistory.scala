@@ -86,6 +86,19 @@ private[graft] object PartitionedHistory {
   def historyDir(root: Path, v: Long): Path =
     new Path(new Path(root, historyDirName), s"v$v")
 
+  /** Staging area for restore commit `v`'s distributed copy-back:
+    * executor tasks copy frozen files HERE (under `_commits`, so
+    * invisible to every reader — liveRelpaths only walks `<pc>=`
+    * directories and the commit parser skips non-numeric names), and
+    * only the driver publishes them into the live tree by
+    * metadata-only renames once the copy job has fully succeeded.
+    * That ordering is what keeps a failed/straggling copy task
+    * harmless: it can never land bytes in a live directory after a
+    * recovery's rollback has scanned it.
+    */
+  def stageDir(commitsDir: Path, v: Long): Path =
+    new Path(commitsDir, s"restore-stage-v$v")
+
   // -----------------------------------------------------------------
   // Persistence
   // -----------------------------------------------------------------
@@ -95,14 +108,29 @@ private[graft] object PartitionedHistory {
       s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // intents/actions are only ever written under the sink's writer
-    // lock, so replacing a torn predecessor's leftover (e.g. an
-    // actions record whose commit never claimed) is race-free — and
-    // necessary on stores whose rename refuses existing destinations
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"could not publish $p")
+    // Intents/actions are only ever WRITTEN under the sink's writer
+    // lock, but lock-free READERS (consistentLive / liveAt / the read
+    // path) may race a replacement of an existing destination (e.g. a
+    // torn predecessor's actions record): a delete-then-rename window
+    // would make a reconstructible version transiently throw
+    // not-reconstructible, or briefly expose torn files as live. So
+    // replace ATOMICALLY where the store can (FileContext rename with
+    // OVERWRITE — readers see old-or-new, never absent); stores
+    // without FileContext fall back to delete+rename and accept the
+    // window their semantics force.
+    val replaced = scala.util.Try {
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      true
+    }.getOrElse(false)
+    if (!replaced) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"could not publish $p")
+      }
     }
   }
 
@@ -281,6 +309,10 @@ private[graft] object PartitionedHistory {
         fs.delete(live, true)
     }
     fs.delete(hv, true)
+    // a torn restore's staged copies (and anything a straggler copy
+    // task wrote there after the driver died) are reclaimed with the
+    // commit — they were never visible to readers
+    fs.delete(stageDir(commitsDir, v), true)
     fs.delete(actionsPath(commitsDir, v), false)
     fs.delete(intentPath(commitsDir, v), false)
     intent.touched
@@ -341,6 +373,7 @@ private[graft] object PartitionedHistory {
   def gcVersion(fs: FileSystem, root: Path, commitsDir: Path,
                 v: Long): Unit = {
     fs.delete(historyDir(root, v), true)
+    fs.delete(stageDir(commitsDir, v), true)
     fs.delete(actionsPath(commitsDir, v), false)
     fs.delete(intentPath(commitsDir, v), false)
     // drop the _history container once empty, so a table that never

@@ -932,7 +932,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
                           to: Long): Option[(DataFrame, DataFrame)] =
     partitionCol match {
       case Some(pc) if retainHistory && from < to =>
-        scala.util.Try {
+        try {
           val cs = commits(spark)
           require(cs.exists(_._1 == from) && cs.exists(_._1 == to))
           val f = fs(spark)
@@ -944,11 +944,25 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
               v, cs.map(_._1).sorted.reverse, current)
           val atTo = at(to)
           val atFrom = at(from)
-          (readFileMap(spark,
+          Some((readFileMap(spark,
              atTo.filter { case (rel, _) => !atFrom.contains(rel) }),
            readFileMap(spark,
-             atFrom.filter { case (rel, _) => !atTo.contains(rel) }))
-        }.toOption
+             atFrom.filter { case (rel, _) => !atTo.contains(rel) })))
+        } catch {
+          // ONLY the expected not-reconstructible cases degrade to the
+          // full-snapshot path (a version written before retainHistory
+          // was enabled, or whose actions record is GC'd — both raised
+          // as IllegalArgumentException by liveAt / the require
+          // above). Anything else (IO failure, a real bug in
+          // liveAt/consistentLive) must PROPAGATE: silently eating it
+          // would mask the failure behind a 2×-table-scan feed.
+          case e: IllegalArgumentException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"change feed over $path [$from, $to] falling back to " +
+                s"full-snapshot diff (delta not reconstructible: " +
+                s"${e.getMessage})")
+            None
+        }
       case _ => None
     }
 
@@ -1171,6 +1185,14 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * protocol must heal. No-op in production.
     */
   protected def betweenHistoryMoveAndWrite(version: Long): Unit = ()
+
+  /** Test seam (restore): invoked after the distributed copy job has
+    * fully staged the re-added files, immediately before the driver
+    * publishes them into the live tree — the window where the staging
+    * dir is populated but no live directory has changed since the
+    * freeze. No-op in production.
+    */
+  protected def afterRestoreStage(version: Long): Unit = ()
 
   /** Whether partitioned-layout writes take the exclusive writer
     * lock. Overridden false only by tests simulating an EXTERNAL
@@ -1989,30 +2011,35 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
         PartitionedHistory.Intent(touchedDirs, originals))
       PartitionedHistory.moveToHistory(f, root, newV, toFreeze)
       betweenHistoryMoveAndWrite(newV)
-      // re-adds are unlisted in the intent (they were not live), so a
+      // Re-adds are unlisted in the intent (they were not live), so a
       // crash from here on deletes them and thaws toFreeze — exact
-      // pre-restore state. Copies run on a bounded driver pool: the
-      // per-file work is pure IO against the store, so a large
-      // restored delta streams at aggregate store bandwidth instead
-      // of one file at a time (directories pre-created serially —
-      // mkdirs is not write-contended that way)
-      toAdd.map(rel => new Path(root, rel).getParent).distinct
-        .foreach(p => if (!f.exists(p)) f.mkdirs(p))
-      val conf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, math.max(1, toAdd.size)))
+      // pre-restore state. The byte work runs as a SPARK JOB, not a
+      // driver pool: a restore that re-adds terabytes must stream
+      // executor→store at cluster aggregate bandwidth, never funnel
+      // through one driver NIC. Tasks copy into a staging dir under
+      // `_commits` (invisible to every reader); only after the job
+      // has FULLY succeeded does the driver publish the staged files
+      // into the live tree by metadata-only renames. The ordering is
+      // the crash-safety argument: a failed or STRAGGLING copy task
+      // can only ever write staged bytes — it cannot land a file in a
+      // live directory after a later recovery's rollback scanned it —
+      // and staged leftovers are reclaimed by rollback/GC with the
+      // torn commit.
+      val stage = PartitionedHistory.stageDir(commitsDir, newV)
+      restoreCopyBack(spark, stage,
+        toAdd.map(rel => (new Path(root, targetMap(rel)).toString,
+          new Path(stage, rel).toString)))
+      afterRestoreStage(newV)
       try {
-        toAdd.map { rel =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = {
-              org.apache.hadoop.fs.FileUtil.copy(f,
-                new Path(root, targetMap(rel)), f, new Path(root, rel),
-                false, conf)
-              ()
-            }
-          })
-        }.foreach(_.get())
-      } finally pool.shutdown()
+        toAdd.foreach { rel =>
+          val dst = new Path(root, rel)
+          val parent = dst.getParent
+          if (!f.exists(parent)) f.mkdirs(parent)
+          if (!f.rename(new Path(stage, rel), dst))
+            throw new java.io.IOException(
+              s"restore publish failed: $stage/$rel -> $dst")
+        }
+      } finally f.delete(stage, true)
       // emptied directories vanish; surviving touched dirs get fresh
       // index manifests
       touchedDirs.foreach { d =>
@@ -2035,6 +2062,54 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       s"concurrent writer claimed version $newV of partitioned table " +
         s"$path during restore; route all writers through the sink's " +
         "writer lock")
+  }
+
+  /** The restore delta's byte work, DISTRIBUTED: each (src, dst) copy
+    * is a Spark task (dst always under the staging dir — the caller
+    * owns the publish ordering), so a restore that re-adds terabytes
+    * streams at cluster aggregate bandwidth. Slices default to one
+    * task wave (`defaultParallelism`), overridable via the session
+    * conf `graft.upsert.restoreCopySlices` — ScaleProof uses the knob
+    * to show wall-time scales with parallelism, not
+    * file count × single-pipe bandwidth. On ANY failure the staged
+    * bytes are reclaimed best-effort and the error propagates: no
+    * live-tree write has happened yet, so the pending intent rolls
+    * back exactly as if no copy had run (a straggler task that is
+    * still copying can only write MORE staged bytes, which the
+    * rollback also sweeps).
+    */
+  private def restoreCopyBack(spark: SparkSession, stage: Path,
+                              pairs: Seq[(String, String)]): Unit = {
+    if (pairs.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    // the conf object is not serializable; ship its property list and
+    // rebuild per partition (same discipline as FileSkipping's
+    // distributed stats collection)
+    val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(pairs.size,
+      spark.conf.getOption("graft.upsert.restoreCopySlices").map(_.toInt)
+        .getOrElse(math.max(1, spark.sparkContext.defaultParallelism))))
+    try {
+      spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        props.foreach { case (k, v) => c.set(k, v) }
+        it.foreach { case (src, dst) =>
+          val sp = new Path(src)
+          val dp = new Path(dst)
+          val dfs = dp.getFileSystem(c)
+          dfs.mkdirs(dp.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(c), sp, dfs, dp, false, true, c))
+            throw new java.io.IOException(
+              s"restore copy failed: $src -> $dst")
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(fs(spark).delete(stage, true))
+        throw t
+    }
   }
 
   /** Whether `t`'s cause chain contains a FileNotFoundException (typed

@@ -37,6 +37,9 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
     override protected def beforeCommit(v: Long): Unit =
       if (crashAt == "beforeClaim")
         throw new RuntimeException(s"injected crash: before claim, v$v")
+    override protected def afterRestoreStage(v: Long): Unit =
+      if (crashAt == "afterStage")
+        throw new RuntimeException(s"injected crash: after stage, v$v")
   }
 
   private def batch(tag: String, ids: (Long, String)*): DataFrame =
@@ -233,6 +236,67 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
       === content(sink.readVersion(spark, 1L)))
     assert(content(sink.read(spark)).exists(_._2 == "c"),
       "restored state must hold the deleted partition's rows again")
+  }
+
+  test("crash between restore STAGING and publish: staged copies are " +
+      "invisible to readers; rollback sweeps the stage dir") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink, _, _) = committedTable(dir)
+    sink.delete(spark, col("dt") === "c", 2L)
+    val preState = content(sink.read(spark))
+    val preFiles = listing(dir)
+    // the distributed copy job lands dt=c's file under
+    // _commits/restore-stage-v3/, the driver dies before a single
+    // publish rename: the live tree holds only the freeze's result
+    sink.crashAt = "afterStage"
+    intercept[RuntimeException] { sink.restore(spark, 1L) }
+    sink.crashAt = ""
+    val stage = PartitionedHistory.stageDir(new Path(dir, "_commits"), 3L)
+    assert(hfs.exists(stage) &&
+      PartitionedHistory.listDirFiles(hfs, stage, Seq("dt=c")).nonEmpty,
+      "setup: the copy job must have staged dt=c's file")
+    assert(content(sink.read(spark)) === preState,
+      "staged-but-unpublished copies must be invisible to readers")
+    sink.recoverIncompleteCommit(spark)
+    assert(!hfs.exists(stage),
+      "rollback must reclaim the torn restore's staging dir")
+    assert(listing(dir) === preFiles)
+    assert(content(sink.read(spark)) === preState)
+    // the retried restore completes
+    sink.restore(spark, 1L)
+    assert(content(sink.read(spark)).exists(_._2 == "c"))
+  }
+
+  test("cross-process failover: a SECOND sink instance over the same " +
+      "dir recovers a predecessor's torn commit on lock acquisition") {
+    val dir = tmpDir("phc") + "/t"
+    val (sink1, want, files) = committedTable(dir)
+    // instance one dies in the widest torn window: intent written,
+    // originals frozen, fresh overwrite output partially live
+    sink1.crashAt = "beforeClaim"
+    intercept[RuntimeException] {
+      sink1.upsert(spark, batch("v2", 1L -> "a", 5L -> "c"), 2L)
+    }
+    assert(PartitionedHistory.pendingVersions(hfs,
+      new Path(dir, "_commits"), Set(0L, 1L)) === Seq(2L),
+      "setup: instance one must leave a pending intent behind")
+    // a FRESH instance (new JVM in production — nothing shared but the
+    // directory) takes the writer lock for a normal upsert; recovery
+    // of the torn v2 runs on acquisition, then its own commit lands
+    val sink2 = new ParquetUpsertSink(dir, Seq("id"), Some("dt"),
+      retainVersions = 6, retainHistory = true)
+    sink2.upsert(spark, batch("v2b", 4L -> "c"), 2L)
+    assert(content(sink2.read(spark)) ===
+      want.filterNot(_._1 == 4L) + ((4L, "c", "v2b")),
+      "the failover write must apply over the last COMMITTED state, " +
+        "not instance one's torn leftovers")
+    assert(PartitionedHistory.pendingVersions(hfs,
+      new Path(dir, "_commits"), Set(0L, 1L, 2L)).isEmpty,
+      "recovery must have consumed the torn intent")
+    // both instances' views agree, and retained travel still works
+    assert(content(sink1.read(spark)) === content(sink2.read(spark)))
+    assert(content(sink2.readVersion(spark, 1L)) === want)
+    assert(listing(dir) !== files)
   }
 
   test("torn CREATE (v0): rollback leaves no table, a fresh create works") {
