@@ -383,6 +383,64 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  // ---- GC × restore composition: restore re-references frozen files
+  // of OLDER commits (by copy, under a new version), and GC later
+  // drops those older commits' history. The law the protocol must
+  // deliver: after ANY interleaving of upsert / delete / restore (GC
+  // runs after every commit), every RETAINED version reads back
+  // exactly the state recorded right after its commit, and every
+  // GC'd version fails loudly — never a silent wrong answer and never
+  // a stranded reference into a reclaimed _history/v<w>/ home.
+  property("GC × restore composition: readVersion(v) ≡ recorded state " +
+      "for every retained v; GC'd versions fail loudly") =
+    Prop.forAll(genRows,
+        Gen.listOfN(5, Gen.zip(Gen.choose(0, 2), genRows,
+          Gen.choose(0, 8)))) { (b, ops) =>
+      b.nonEmpty ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-gcrest").toString + "/t"
+        val sink = new graft.operators.ParquetUpsertSink(
+          dir, Seq("k"), partitionCol = Some("p"), retainVersions = 4,
+          retainHistory = true)
+        def ptable(rows: Seq[(Int, Long)]) =
+          table(rows).withColumn("p", (col("k") % 3).cast("long"))
+        def m(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+          df.collect()
+            .map(r => r.getAs[Int]("k") -> r.getAs[Long]("v")).toMap
+        def retainedVs: Seq[Long] = sink.history(spark)
+          .select("version").collect().map(_.getLong(0)).sorted
+        val recorded =
+          scala.collection.mutable.Map.empty[Long, Map[Int, Long]]
+        var batch = 0L
+        sink.upsert(spark, ptable(b), batch); batch += 1
+        recorded(sink.currentVersion(spark)) = m(sink.read(spark))
+        ops.foreach { case (kind, rows, sel) =>
+          val cur = recorded(sink.currentVersion(spark))
+          kind match {
+            case 0 =>
+              sink.upsert(spark, ptable(rows), batch); batch += 1
+            case 1 =>
+              // never empty the table: an empty partitioned root has
+              // no schema to read back, which is a different contract
+              if (cur.contains(sel) && cur.size > 1) {
+                sink.delete(spark, col("k") === sel, batch); batch += 1
+              }
+            case 2 =>
+              val vs = retainedVs
+              sink.restore(spark, vs(sel % vs.size))
+          }
+          recorded(sink.currentVersion(spark)) = m(sink.read(spark))
+        }
+        val retained = retainedVs.toSet
+        recorded.forall { case (v, want) =>
+          if (retained(v)) m(sink.readVersion(spark, v)) == want
+          else
+            try { sink.readVersion(spark, v); false }
+            catch { case _: IllegalArgumentException => true }
+        }
+      }
+    }
+
   // ---- file-skipping soundness: scan ≡ read.filter for RANDOM
   // predicates over a stats-bearing clustered table. The pruner is
   // conservative-by-construction; this is the law that construction

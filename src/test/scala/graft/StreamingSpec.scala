@@ -142,6 +142,85 @@ class StreamingSpec extends SparkTestBase {
       "maintained rollup diverged from recompute across the feed")
   }
 
+  test("RESTORE of the streaming gold table between waves: replay " +
+      "guard survives the rollback commit, CDC feeds the retraction " +
+      "to an incremental consumer, and the stream continues") {
+    val root = tmpDir("streamr")
+    val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
+      s"$root/silver", s"$root/gold", s"$root/ckpt")
+    import org.apache.spark.sql.streaming.Trigger
+    def drainWave(): Unit = {
+      MedallionStream.bronzeQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.silverQuery(spark, p, Trigger.AvailableNow)
+        .awaitTermination()
+      MedallionStream.goldQuery(spark, p, Trigger.AvailableNow,
+        bounded = true, partitioned = true, retainVersions = 8,
+        retainHistory = true).awaitTermination()
+    }
+    RideGenerator.writeRaw(spark, p.raw, 3000L)
+    drainWave()
+    val sink = new ParquetUpsertSink(p.gold, Rides.goldKey,
+      Some("window_date"), retainVersions = 8, retainHistory = true)
+    val v1 = sink.currentVersion(spark)
+    val cols = Seq("window_start", "window_end", "driver_id",
+      "total_rides_hourly", "avg_fare_hourly",
+      "total_suspicious_rides_hourly")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toString).toSet
+    val state1 = asSet(sink.read(spark))
+    RideGenerator.writeRaw(spark, p.raw, 2000L, seed = 7L,
+      epochStart = 1704067200L + 3600L)
+    drainWave()
+    val v2 = sink.currentVersion(spark)
+    assert(v2 > v1)
+    // a downstream rollup maintained at v2, BEFORE the restore lands
+    val grouped = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("rides", col("total_rides_hourly").cast("double"))
+    val view2 = graft.operators.IncrementalAgg.view(
+      grouped(sink.readVersion(spark, v2)), Seq("driver_id"),
+      Seq("rides")).localCheckpoint(true)
+    // admin rolls the gold table back to the wave-1 state
+    sink.restore(spark, v1)
+    val v3 = sink.currentVersion(spark)
+    assert(v3 > v2, "restore must land as a NEW commit")
+    assert(asSet(sink.read(spark)) === state1,
+      "restored gold must read as the wave-1 state")
+    // 1. replay guard: the batchId high-water carried FORWARD through
+    // the rollback commit, so a re-delivered micro-batch (a restarted
+    // query whose checkpoint never committed wave 2's batch) is
+    // skipped, not double-applied over the restored state
+    val lastBatch = sink.history(spark)
+      .agg(max(col("batch_id"))).collect()(0).getLong(0)
+    assert(lastBatch >= 0, "setup: a streaming batch id must be recorded")
+    val replayed = sink.readVersion(spark, v2).limit(5)
+    sink.upsert(spark, replayed, lastBatch)
+    assert(sink.currentVersion(spark) === v3,
+      "a replayed batchId must be skipped after the restore")
+    assert(asSet(sink.read(spark)) === state1)
+    // 2. CDC across the rollback: the v2→v3 feed carries exactly the
+    // retractions/re-inserts that advance a v2-state rollup to the
+    // restored head — the downstream consumer never resyncs from scratch
+    val feed = sink.changeFeed(spark, v2, v3, withPreimages = true)
+    val advanced = graft.operators.IncrementalAgg.advance(
+      view2, grouped(feed), Seq("driver_id"), Seq("rides"))
+    val full = graft.operators.IncrementalAgg.view(
+      grouped(sink.read(spark)), Seq("driver_id"), Seq("rides"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(advanced) === m(full),
+      "rollup advanced across the restore diverged from recompute")
+    // 3. the stream itself continues: a third wave of NEW events
+    // drains through the same checkpoints and commits over the
+    // restored table
+    RideGenerator.writeRaw(spark, p.raw, 1000L, seed = 13L,
+      epochStart = 1704067200L + 7200L)
+    drainWave()
+    assert(sink.currentVersion(spark) > v3,
+      "post-restore waves must keep committing")
+    assert(asSet(sink.read(spark)) !== state1)
+  }
+
   test("bounded gold variant (watermark + update mode) also converges") {
     val root = tmpDir("streamb")
     val p = MedallionStream.Paths(s"$root/raw", s"$root/bronze",
