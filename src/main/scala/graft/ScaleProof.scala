@@ -204,6 +204,59 @@ object ScaleProof {
     // (one directory of 32) must cost ~the same at n and 10n.
     // Contrast `upsert_changes_between`, the versioned snapshot-diff
     // whose cost follows table size.
+    // Restore copy-back: a history table whose delete froze HALF the
+    // partition directories (a FIXED 512-file delta — file count, not
+    // bytes, is what a one-box page cache lets this leg measure);
+    // restore() must copy that half back. The copies run as a Spark
+    // job (graft.upsert.restoreCopySlices tunes the task count), so
+    // the serial-vs-parallel pair below is the wall-clock
+    // demonstration that the byte path is executor-parallel — the
+    // measured gap IS the serialized per-file cost the old driver
+    // pool shape would pay on every file — while the ~0 exponent
+    // across a 10× table shows restore cost follows the restored
+    // delta, never the table. The restore_delta line records the
+    // moved file/byte volume behind each number.
+    val restoreCache = scala.collection.mutable.Map.empty[
+      Long, (graft.operators.ParquetUpsertSink, Long, Long)]
+    def restoreSetup(n: Long, docs: DataFrame)
+        : (graft.operators.ParquetUpsertSink, Long, Long) =
+      restoreCache.getOrElseUpdate(n, {
+        val dir = s"$work/restore_$n"
+        // retainVersions sized so every ping-pong restore below keeps
+        // v0/v1 reconstructible for all reps of both parallelism legs
+        val sink = new graft.operators.ParquetUpsertSink(dir,
+          Seq("doc_id"), partitionCol = Some("pt"),
+          retainVersions = 64, retainHistory = true)
+        // keep the text column: the leg measures BYTE movement, and a
+        // narrow 3-column table would make every copy a page-cache
+        // blink whatever the parallelism
+        val base = docs.select(col("doc_id"), col("text"), col("source"))
+          .withColumn("pt", pmod(col("doc_id"), lit(64L)))
+        sink.upsert(spark, base, batchId = 0)
+        val vFull = sink.currentVersion(spark)
+        sink.delete(spark, col("pt") < 32L, batchId = 1)
+        val vHalf = sink.currentVersion(spark)
+        val fsys = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val frozen = graft.operators.PartitionedHistory
+          .historyDir(new org.apache.hadoop.fs.Path(dir), vHalf)
+        val sum = fsys.getContentSummary(frozen)
+        println(s"""{"metric":"restore_delta","n":$n,""" +
+          s""""files":${sum.getFileCount},"bytes":${sum.getLength}}""")
+        (sink, vFull, vHalf)
+      })
+    // one timed unit = copy-back restore (to vFull) + rename-only
+    // reset restore (to vHalf); the reset is metadata-only and common
+    // to both parallelism variants, so the variant DELTA is pure copy
+    def restoreRoundtrip(n: Long, docs: DataFrame): Long = {
+      val (sink, vFull, vHalf) = restoreSetup(n, docs)
+      sink.restore(spark, vFull)
+      sink.restore(spark, vHalf)
+      graft.operators.PartitionedHistory.liveRelpaths(
+        new org.apache.hadoop.fs.Path(s"$work/restore_$n")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$work/restore_$n"), "pt").size.toLong
+    }
     val partFeedCache = scala.collection.mutable.Map.empty[
       Long, graft.operators.ParquetUpsertSink]
     def partFeedSetup(n: Long, docs: DataFrame)
@@ -481,6 +534,16 @@ object ScaleProof {
           val idx = new IvfIndex(s"$work/ivf_$n", nCells = cellsFor(n))
           idx.build(emb)
           idx.topK(spark, queries, 10, nProbe = 8).count()
+        }),
+        // Distributed restore copy-back at full task parallelism vs
+        // forced single-task: the wall-clock pair is the proof the
+        // byte path is executor-parallel (see restoreSetup's
+        // restore_delta line for the moved file/byte volume)
+        "restore_copyback" -> (() => restoreRoundtrip(n, docs)),
+        "restore_copyback_serial" -> (() => {
+          spark.conf.set("graft.upsert.restoreCopySlices", "1")
+          try restoreRoundtrip(n, docs)
+          finally spark.conf.unset("graft.upsert.restoreCopySlices")
         }))
     }
 
@@ -524,6 +587,8 @@ object ScaleProof {
         bloomSetup(n, docs)
       if (selected.exists(_._1 == "part_feed_delta"))
         partFeedSetup(n, docs)
+      if (selected.exists(_._1.startsWith("restore_copyback")))
+        restoreSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

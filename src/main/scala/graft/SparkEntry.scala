@@ -63,6 +63,69 @@ object SparkEntry {
   private def docsWithTokens(docs: DataFrame): DataFrame =
     docs.withColumn("toks", Text.tokens(col("text")))
 
+  /** Multi-consumer staging for a projection N downstream legs read:
+    * below the gate, `localCheckpoint` (executor blocks, zero file
+    * IO — the right spelling when the projection is tens of MB).
+    * Above it, the projection is WRITTEN to a staging parquet dir and
+    * read back: localCheckpoint stores blocks on executors WITHOUT
+    * lineage, so at 100 TB one lost executor fails the whole query
+    * instead of recomputing — durable staging trades one extra write
+    * pass (≈ the projection's size at store bandwidth, amortized over
+    * every consumer leg) for executor-loss-tolerant re-reads. The
+    * crossover is roughly where the projection stops fitting reliably
+    * replicated in executor storage memory: default 4 GiB
+    * (`graft.stage.durableBytes`; `graft.stage.dir` must point at a
+    * SHARED store path on a real cluster — staging dirs are
+    * per-invocation UUIDs the operator TTLs like any scratch space).
+    */
+  private[graft] def staged(s: SparkSession, df: DataFrame,
+                            approxBytes: Long, tag: String): DataFrame = {
+    val gate = s.conf.getOption("graft.stage.durableBytes").map(_.toLong)
+      .getOrElse(4L * 1024 * 1024 * 1024)
+    if (approxBytes < gate) df.localCheckpoint(true)
+    else {
+      val root = s.conf.getOption("graft.stage.dir")
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-stage")
+      val dir = s"$root/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+    }
+  }
+
+  /** Total bytes under a table's parquet dir — the cheap size proxy
+    * [[staged]]'s gate reads (one namenode summary call, no scan).
+    */
+  private def dirBytes(s: SparkSession, dir: String): Long =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }.getOrElse(0L)
+
+  /** The persisted ANN index over `d`'s embeddings, built at most once
+    * per (process, sf) — [[memoFixture]]: the index is read-only once
+    * built, so repeat bench/verify calls measure the PROBE (the
+    * steady-state cost; the build's scaling lives in ScaleProof). The
+    * store path is keyed by source-data content (file sizes + mtimes)
+    * and a code-version suffix, so regenerated testdata or a quantizer
+    * change can never serve a stale index — and the memo additionally
+    * saves the per-call content-key listing and existence probe.
+    */
+  private def ivfIndexFixture(s: SparkSession, d: String,
+                              emb: DataFrame): IvfIndex =
+    memoFixture("ivf_index", d) {
+      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val contentKey = java.lang.Long.toHexString(
+        fs.listStatus(src).foldLeft(17L)((h, st) =>
+          h * 31 + st.getLen * 31 + st.getModificationTime))
+      val idx = new IvfIndex(
+        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v3-$contentKey",
+        nCells = 16)
+      if (!idx.exists(s)) idx.build(emb)
+      idx
+    }
+
   /** The curation-v2 survivor set, lazy (callers checkpoint it):
     * scan-side quality gates ∧ Gopher repetition ∧ corpus-LM floor ∧
     * dup-span drop, composed by doc_id semi-joins. `toksDf` is the
@@ -1523,11 +1586,17 @@ object SparkEntry {
       // (ids + tokens dominate), and each leg then starts from the
       // checkpoint scan instead of its own tokenize pipeline
       // (single-scan shape pinned in PlanAuditSpec).
-      val toksDf = docsWithTokens(docs).localCheckpoint(true)
+      // the staging spelling is size-gated: localCheckpoint at bench
+      // SF (identical plan to every prior round), durable parquet
+      // staging once the projection outgrows executor memory — see
+      // [[staged]] for the crossover argument
+      val corpusBytes = dirBytes(s, s"$d/documents.parquet")
+      val toksDf = staged(s, docsWithTokens(docs), corpusBytes, "cur2-toks")
       // exactDedup references its input twice (fingerprint groups +
       // survivor semi-join); materialize the filtered survivors ONCE
       // so the three signal pipelines don't all run twice
-      val kept = curationV2Survivors(docs, toksDf).localCheckpoint(true)
+      val kept = staged(s, curationV2Survivors(docs, toksDf),
+        corpusBytes, "cur2-kept")
       Dedup.exactDedup(kept, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
@@ -2097,16 +2166,8 @@ object SparkEntry {
     // can never serve a stale index.
     "embed_topk_ivf_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val contentKey = java.lang.Long.toHexString(
-        fs.listStatus(src).foldLeft(17L)((h, st) =>
-          h * 31 + st.getLen * 31 + st.getModificationTime))
-      val idx = new IvfIndex(
-        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v3-$contentKey",
-        nCells = 16)
-      if (!idx.exists(s)) idx.build(emb)
-      idx.topK(s, emb.filter(col("vec_id") < 8), 5, nProbe = 4)
+      ivfIndexFixture(s, d, emb).topK(s, emb.filter(col("vec_id") < 8),
+        5, nProbe = 4)
     }),
 
     // Recall@5 of each approximate ANN path against the exact

@@ -786,6 +786,37 @@ class IvfIndex(path: String, nCells: Int,
 
   def exists(spark: SparkSession): Boolean = resolve(spark).nonEmpty
 
+  /** Per-GENERATION probe-path cache. Resolving the manifest (one
+    * commit-log listing) stays per-call — that IS the snapshot
+    * isolation against concurrent mutators — but everything a
+    * manifest points at is immutable by construction (data dirs are
+    * write-once and replaced, never mutated), so an unchanged
+    * generation's centroid frame (localCheckpointed — bounded by
+    * nCells rows at ANY corpus size) and segment parquet relations
+    * (partition discovery + schema inference, the per-probe driver
+    * cost that dominated repeat probes) are safely reused. Keyed by
+    * the manifest's exact serialization: any append/compact/delete
+    * commit changes the key and rebuilds the cache on next probe.
+    */
+  @volatile private var probeCache
+      : Option[(String, DataFrame, Map[String, DataFrame])] = None
+
+  private def generation(spark: SparkSession, m: Manifest)
+      : (DataFrame, Map[String, DataFrame]) = {
+    val key = m.serialize
+    probeCache match {
+      case Some((k, c, segs)) if k == key => (c, segs)
+      case _ =>
+        val c = spark.read.parquet(s"$path/${m.centroids}")
+          .localCheckpoint(true)
+        val segs = m.segments
+          .map(sg => sg.dir -> spark.read.parquet(s"$path/${sg.dir}"))
+          .toMap
+        probeCache = Some((key, c, segs))
+        (c, segs)
+    }
+  }
+
   /** Pending logical removals of the current generation, if any. */
   def tombstoneIds(spark: SparkSession): Option[DataFrame] =
     resolve(spark).flatMap(m => tombDf(spark, m))
@@ -810,10 +841,10 @@ class IvfIndex(path: String, nCells: Int,
     */
   private def assignedDf(spark: SparkSession, m: Manifest,
                          cells: Option[Seq[Any]]): DataFrame = {
-    val target = spark.read.parquet(s"$path/${m.centroids}")
-      .schema("cell").dataType
+    val (centroids, segRelations) = generation(spark, m)
+    val target = centroids.schema("cell").dataType
     m.segments.map { seg =>
-      val raw = spark.read.parquet(s"$path/${seg.dir}")
+      val raw = segRelations(seg.dir)
       val pruned = cells match {
         case Some(cs) =>
           raw.filter(col("cell").isInCollection(cs.map(cellToNative(raw))))
@@ -861,7 +892,7 @@ class IvfIndex(path: String, nCells: Int,
     // mutators
     val m = resolve(spark).getOrElse(throw new IllegalArgumentException(
       s"no index at $path — call build()"))
-    val centroids = spark.read.parquet(s"$path/${m.centroids}")
+    val (centroids, _) = generation(spark, m)
     // Which cells will be probed? Rank centroids per query exactly as
     // ivfProbe does, keep nProbe per query, collect the ≤ nCells
     // distinct cell ids, and push them into the scan as a static

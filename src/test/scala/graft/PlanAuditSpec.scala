@@ -123,6 +123,33 @@ class PlanAuditSpec extends SparkTestBase {
       s"legs stopped reading the materialized token projection:\n$p")
   }
 
+  test("docs_curation_v2: durable staging (above the size gate) " +
+      "returns the identical survivor set") {
+    // force the spill-to-store spelling (gate = 0 routes every staging
+    // call through the parquet round-trip) and pin it against the
+    // localCheckpoint path byte-for-byte — the cluster-grade durable
+    // form must be a pure materialization-strategy swap
+    def run(): Set[String] = SparkEntry.queries("docs_curation_v2")(spark, sf)
+      .collect().map(_.toString).toSet
+    val local = run()
+    val stageRoot = tmpDir("cur2stage")
+    spark.conf.set("graft.stage.durableBytes", "0")
+    spark.conf.set("graft.stage.dir", stageRoot)
+    try {
+      val durable = run()
+      assert(durable === local,
+        "durable staging changed docs_curation_v2's result")
+      val staged = new java.io.File(stageRoot).list()
+      assert(staged != null && staged.exists(_.startsWith("cur2-toks")) &&
+        staged.exists(_.startsWith("cur2-kept")),
+        s"expected both projections staged under $stageRoot, " +
+          s"got ${Option(staged).map(_.mkString(",")).getOrElse("nothing")}")
+    } finally {
+      spark.conf.unset("graft.stage.durableBytes")
+      spark.conf.unset("graft.stage.dir")
+    }
+  }
+
   test("docs_decontaminate: corpus scanned once against a broadcast eval set") {
     val p = plan("docs_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
