@@ -158,6 +158,34 @@ class HistoryRestoreSpec extends SparkTestBase {
     assert(content() === want + ((9L, "a", "v4")))
   }
 
+  test("restore copy-back is identical at any task-slice count " +
+      "(graft.upsert.restoreCopySlices)") {
+    // the distributed copy job's slicing is a pure parallelism knob:
+    // forced single-task and default-parallelism restores of the same
+    // delta must produce byte-identical tables
+    def roundtrip(slices: Option[String]): Set[(Long, String, String)] = {
+      val dir = tmpDir("histsl") + "/p"
+      val sink = new ParquetUpsertSink(dir, Seq("id"),
+        partitionCol = Some("dt"), retainVersions = 6,
+        retainHistory = true)
+      def b(tag: String, ids: (Long, String)*) =
+        ids.map { case (id, dt) => (id, dt, tag) }.toDF("id", "dt", "payload")
+      sink.upsert(spark, b("v0", 1L -> "a", 2L -> "a", 3L -> "b"), 0L)
+      sink.delete(spark, col("dt") === "a", 1L)
+      slices.foreach(v =>
+        spark.conf.set("graft.upsert.restoreCopySlices", v))
+      try sink.restore(spark, 0L)
+      finally spark.conf.unset("graft.upsert.restoreCopySlices")
+      sink.read(spark).select("id", "dt", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    }
+    val serial = roundtrip(Some("1"))
+    val parallel = roundtrip(None)
+    assert(serial === parallel)
+    assert(serial === Set((1L, "a", "v0"), (2L, "a", "v0"),
+      (3L, "b", "v0")))
+  }
+
   test("restore refuses unknown versions and the partitioned layout") {
     val dir = tmpDir("hist") + "/t"
     val sink = new ParquetUpsertSink(dir, Seq("id"))
