@@ -75,8 +75,12 @@ object SparkEntry {
     * crossover is roughly where the projection stops fitting reliably
     * replicated in executor storage memory: default 4 GiB
     * (`graft.stage.durableBytes`; `graft.stage.dir` must point at a
-    * SHARED store path on a real cluster — staging dirs are
-    * per-invocation UUIDs the operator TTLs like any scratch space).
+    * SHARED store path on a real cluster). Staging dirs are
+    * per-invocation UUIDs registered for deletion at JVM exit
+    * (`FileSystem.deleteOnExit`) — they must outlive every downstream
+    * consumer of the returned frame, and query end is not observable
+    * from here; a crash that skips the exit hook leaves orphans an
+    * operator TTLs like any scratch space.
     */
   private[graft] def staged(s: SparkSession, df: DataFrame,
                             approxBytes: Long, tag: String): DataFrame = {
@@ -88,6 +92,8 @@ object SparkEntry {
         .getOrElse(sys.props("java.io.tmpdir") + "/graft-stage")
       val dir = s"$root/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
       df.write.mode("overwrite").parquet(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
       s.read.parquet(dir)
     }
   }
@@ -243,6 +249,11 @@ object SparkEntry {
           fixtureMemo((name, d)) = v
           v
       }
+    }
+  private def memoDrop(name: String): Unit =
+    synchronized {
+      fixtureMemo.keys.filter(_._1 == name).toList
+        .foreach(fixtureMemo.remove)
     }
 
   /** Fixture-backed IVM pipeline shared by the `incr_agg_*` queries:
@@ -436,10 +447,19 @@ object SparkEntry {
     * preceded it.
     */
   private def partRestoreFixture(s: SparkSession, d: String)
-      : graft.operators.ParquetUpsertSink =
-    memoFixture("part_history_restore", d)(
+      : graft.operators.ParquetUpsertSink = {
+    def get = memoFixture("part_history_restore", d)(
       buildPartHistory(s, d, "/root/repo/fixtures/part_history_restore",
         retainVersions = 64))
+    val sink = get
+    // retention headroom: each query call adds ≤2 restore commits, and
+    // v0 must stay inside the 64-version window for the next restore —
+    // a long-lived process (high rep counts, a REPL) rebuilds the
+    // fixture before the window can close instead of failing at call
+    // ~31
+    if (sink.currentVersion(s) <= 48L) sink
+    else { memoDrop("part_history_restore"); get }
+  }
 
   /** Fixture for the `upsert_join_prune` query: snapshot the narrow
     * orders projection into a versioned upsert table CLUSTERED BY

@@ -791,28 +791,36 @@ class IvfIndex(path: String, nCells: Int,
     * isolation against concurrent mutators — but everything a
     * manifest points at is immutable by construction (data dirs are
     * write-once and replaced, never mutated), so an unchanged
-    * generation's centroid frame (localCheckpointed — bounded by
-    * nCells rows at ANY corpus size) and segment parquet relations
-    * (partition discovery + schema inference, the per-probe driver
-    * cost that dominated repeat probes) are safely reused. Keyed by
-    * the manifest's exact serialization: any append/compact/delete
-    * commit changes the key and rebuilds the cache on next probe.
+    * generation's centroid rows (collected ONCE — bounded by nCells
+    * at ANY corpus size — and re-issued as a LOCAL relation, so there
+    * is no executor storage block or checkpoint lineage to lose: the
+    * cache survives executor loss, unlike a localCheckpoint) and
+    * segment parquet relations (partition discovery + schema
+    * inference, the per-probe driver cost that dominated repeat
+    * probes; lazy file scans, also loss-proof) are safely reused.
+    * Keyed by the owning SparkSession AND the manifest's exact
+    * serialization: a different session rebuilds (DataFrames are
+    * session-bound), and any append/compact/delete commit changes the
+    * manifest key on its next probe.
     */
   @volatile private var probeCache
-      : Option[(String, DataFrame, Map[String, DataFrame])] = None
+      : Option[(SparkSession, String, DataFrame, Map[String, DataFrame])] =
+    None
 
   private def generation(spark: SparkSession, m: Manifest)
       : (DataFrame, Map[String, DataFrame]) = {
     val key = m.serialize
     probeCache match {
-      case Some((k, c, segs)) if k == key => (c, segs)
+      case Some((s, k, c, segs)) if (s eq spark) && k == key => (c, segs)
       case _ =>
-        val c = spark.read.parquet(s"$path/${m.centroids}")
-          .localCheckpoint(true)
+        val raw = spark.read.parquet(s"$path/${m.centroids}")
+        val rows = raw.collect()
+        val c = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), raw.schema)
         val segs = m.segments
           .map(sg => sg.dir -> spark.read.parquet(s"$path/${sg.dir}"))
           .toMap
-        probeCache = Some((key, c, segs))
+        probeCache = Some((spark, key, c, segs))
         (c, segs)
     }
   }

@@ -94,10 +94,30 @@ private[graft] object PartitionedHistory {
     * metadata-only renames once the copy job has fully succeeded.
     * That ordering is what keeps a failed/straggling copy task
     * harmless: it can never land bytes in a live directory after a
-    * recovery's rollback has scanned it.
+    * recovery's rollback has scanned it. Each ATTEMPT gets its own
+    * uniquely-named dir ([[newStageDir]]): a RETRY of a failed restore
+    * must never share a stage path with a zombie copy task of the
+    * previous attempt (cooperative task kill is best-effort — a
+    * straggler finishing its overwrite into a REUSED path after the
+    * retry's job succeeded would hand the publish loop a torn file).
+    * Recovery sweeps every dir carrying the version's prefix.
     */
-  def stageDir(commitsDir: Path, v: Long): Path =
-    new Path(commitsDir, s"restore-stage-v$v")
+  def stagePrefix(v: Long): String = s"restore-stage-v$v-"
+
+  def newStageDir(commitsDir: Path, v: Long): Path =
+    new Path(commitsDir,
+      stagePrefix(v) + java.util.UUID.randomUUID().toString.take(8))
+
+  /** Delete every staging dir of commit `v`, whatever attempt wrote
+    * it — staged bytes are reader-invisible by construction, so the
+    * sweep is safe at any point the commit itself is dead.
+    */
+  def sweepStageDirs(fs: FileSystem, commitsDir: Path, v: Long): Unit =
+    if (fs.exists(commitsDir))
+      fs.listStatus(commitsDir).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith(stagePrefix(v)))
+          fs.delete(s.getPath, true)
+      }
 
   // -----------------------------------------------------------------
   // Persistence
@@ -118,13 +138,29 @@ private[graft] object PartitionedHistory {
     // OVERWRITE — readers see old-or-new, never absent); stores
     // without FileContext fall back to delete+rename and accept the
     // window their semantics force.
-    val replaced = scala.util.Try {
-      val fc = org.apache.hadoop.fs.FileContext
-        .getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      true
-    }.getOrElse(false)
+    val replaced =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        // no FileContext implementation for this store — the expected,
+        // silent fallback case
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          false
+        // anything else (a transient IO failure) still falls back for
+        // robustness, but LOUDLY: the fallback re-opens the torn
+        // window the atomic path exists to close, and an operator
+        // should know the store is degrading
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"atomic replace of $p failed (${e.getMessage}); falling " +
+              "back to delete+rename — lock-free readers may observe " +
+              "the record absent for an instant")
+          false
+      }
     if (!replaced) {
       if (fs.exists(p)) fs.delete(p, false)
       if (!fs.rename(tmp, p)) {
@@ -312,7 +348,7 @@ private[graft] object PartitionedHistory {
     // a torn restore's staged copies (and anything a straggler copy
     // task wrote there after the driver died) are reclaimed with the
     // commit — they were never visible to readers
-    fs.delete(stageDir(commitsDir, v), true)
+    sweepStageDirs(fs, commitsDir, v)
     fs.delete(actionsPath(commitsDir, v), false)
     fs.delete(intentPath(commitsDir, v), false)
     intent.touched
@@ -373,7 +409,7 @@ private[graft] object PartitionedHistory {
   def gcVersion(fs: FileSystem, root: Path, commitsDir: Path,
                 v: Long): Unit = {
     fs.delete(historyDir(root, v), true)
-    fs.delete(stageDir(commitsDir, v), true)
+    sweepStageDirs(fs, commitsDir, v)
     fs.delete(actionsPath(commitsDir, v), false)
     fs.delete(intentPath(commitsDir, v), false)
     // drop the _history container once empty, so a table that never

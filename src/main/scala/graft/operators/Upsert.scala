@@ -1993,6 +1993,12 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     val lastStreamBatch =
       cs.iterator.map(_._2).filter(_ >= 0).foldLeft(-1L)(math.max)
     val newV = cs.last._1 + 1
+    // parse the copy-parallelism conf BEFORE any mutation: a malformed
+    // value must fail the restore as a clean no-op, not abort after
+    // the intent is written and originals are frozen
+    val copySlices = spark.conf
+      .getOption("graft.upsert.restoreCopySlices").map(_.toInt)
+      .getOrElse(math.max(1, spark.sparkContext.defaultParallelism))
     if (toFreeze.isEmpty && toAdd.isEmpty) {
       // states identical (only layout-preserving commits since) — the
       // restore is an empty delta, still recorded for backward replay.
@@ -2025,16 +2031,18 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       // live directory after a later recovery's rollback scanned it —
       // and staged leftovers are reclaimed by rollback/GC with the
       // torn commit.
-      val stage = PartitionedHistory.stageDir(commitsDir, newV)
-      restoreCopyBack(spark, stage,
+      // per-ATTEMPT stage dir: a retry never shares a path with a
+      // zombie copy task of a failed predecessor (newStageDir doc)
+      val stage = PartitionedHistory.newStageDir(commitsDir, newV)
+      restoreCopyBack(spark, stage, copySlices,
         toAdd.map(rel => (new Path(root, targetMap(rel)).toString,
           new Path(stage, rel).toString)))
       afterRestoreStage(newV)
       try {
+        toAdd.map(rel => new Path(root, rel).getParent).distinct
+          .foreach(parent => if (!f.exists(parent)) f.mkdirs(parent))
         toAdd.foreach { rel =>
           val dst = new Path(root, rel)
-          val parent = dst.getParent
-          if (!f.exists(parent)) f.mkdirs(parent)
           if (!f.rename(new Path(stage, rel), dst))
             throw new java.io.IOException(
               s"restore publish failed: $stage/$rel -> $dst")
@@ -2079,6 +2087,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * rollback also sweeps).
     */
   private def restoreCopyBack(spark: SparkSession, stage: Path,
+                              copySlices: Int,
                               pairs: Seq[(String, String)]): Unit = {
     if (pairs.isEmpty) return
     import scala.jdk.CollectionConverters._
@@ -2087,9 +2096,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     // distributed stats collection)
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    val slices = math.max(1, math.min(pairs.size,
-      spark.conf.getOption("graft.upsert.restoreCopySlices").map(_.toInt)
-        .getOrElse(math.max(1, spark.sparkContext.defaultParallelism))))
+    val slices = math.max(1, math.min(pairs.size, copySlices))
     try {
       spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
         val c = new org.apache.hadoop.conf.Configuration(false)

@@ -186,6 +186,31 @@ class HistoryRestoreSpec extends SparkTestBase {
       (3L, "b", "v0")))
   }
 
+  test("a malformed restoreCopySlices fails the restore BEFORE any " +
+      "mutation (clean no-op, no torn commit to recover)") {
+    val dir = tmpDir("histbad") + "/p"
+    val sink = new ParquetUpsertSink(dir, Seq("id"),
+      partitionCol = Some("dt"), retainVersions = 6,
+      retainHistory = true)
+    def b(tag: String, ids: (Long, String)*) =
+      ids.map { case (id, dt) => (id, dt, tag) }.toDF("id", "dt", "payload")
+    sink.upsert(spark, b("v0", 1L -> "a", 2L -> "b"), 0L)
+    sink.delete(spark, col("dt") === "a", 1L)
+    val before = sink.read(spark).collect().map(_.toString).toSet
+    spark.conf.set("graft.upsert.restoreCopySlices", "max")
+    try intercept[NumberFormatException] { sink.restore(spark, 0L) }
+    finally spark.conf.unset("graft.upsert.restoreCopySlices")
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.operators.PartitionedHistory.pendingVersions(hfs,
+      new org.apache.hadoop.fs.Path(dir, "_commits"),
+      Set(0L, 1L)).isEmpty,
+      "the typo must not write an intent or freeze a file")
+    assert(sink.read(spark).collect().map(_.toString).toSet === before)
+    sink.restore(spark, 0L) // the corrected call completes
+    assert(sink.read(spark).count() === 2L)
+  }
+
   test("restore refuses unknown versions and the partitioned layout") {
     val dir = tmpDir("hist") + "/t"
     val sink = new ParquetUpsertSink(dir, Seq("id"))

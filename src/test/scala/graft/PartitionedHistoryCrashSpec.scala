@@ -251,15 +251,18 @@ class PartitionedHistoryCrashSpec extends SparkTestBase {
     sink.crashAt = "afterStage"
     intercept[RuntimeException] { sink.restore(spark, 1L) }
     sink.crashAt = ""
-    val stage = PartitionedHistory.stageDir(new Path(dir, "_commits"), 3L)
-    assert(hfs.exists(stage) &&
-      PartitionedHistory.listDirFiles(hfs, stage, Seq("dt=c")).nonEmpty,
+    def stageDirs = hfs.listStatus(new Path(dir, "_commits")).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(PartitionedHistory.stagePrefix(3L)))
+      .map(_.getPath)
+    assert(stageDirs.nonEmpty && stageDirs.forall(sd =>
+      PartitionedHistory.listDirFiles(hfs, sd, Seq("dt=c")).nonEmpty),
       "setup: the copy job must have staged dt=c's file")
     assert(content(sink.read(spark)) === preState,
       "staged-but-unpublished copies must be invisible to readers")
     sink.recoverIncompleteCommit(spark)
-    assert(!hfs.exists(stage),
-      "rollback must reclaim the torn restore's staging dir")
+    assert(stageDirs.isEmpty,
+      "rollback must reclaim the torn restore's staging dir(s)")
     assert(listing(dir) === preFiles)
     assert(content(sink.read(spark)) === preState)
     // the retried restore completes
