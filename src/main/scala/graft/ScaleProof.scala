@@ -359,9 +359,15 @@ object ScaleProof {
             explode(Text.tokens(col("text"))).as("word"))
           val tf = words.groupBy(col("doc_id"), col("word"))
             .agg(count(lit(1)).as("tf"))
+          // same size-gated model join as the query surface (a
+          // hardcoded broadcast churned a full-vocabulary broadcast
+          // per rep — the measured 21→43 s rep drift at 500k — and
+          // ignored the MODEL_BCAST_MAX=0 at-scale regime)
           val dfreq = words.groupBy(col("word"))
             .agg(countDistinct(col("doc_id")).as("df"))
-          val scored = tf.join(broadcast(dfreq), "word")
+            .localCheckpoint(true)
+          val scored = graft.functions.ModelJoin.sizeGated(
+              tf, dfreq, Seq("word"))
             .select(col("doc_id"), col("word"),
               Hashing.portableRound(col("tf").cast("double")
                 * log(lit(n.toDouble) / col("df").cast("double")), 6)

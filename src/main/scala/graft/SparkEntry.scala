@@ -1902,10 +1902,18 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("toks")).as("word"))
       val tf = words.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
+      // vocabulary-sized document-frequency model, materialized once
+      // and joined through the SIZE-GATED discipline every corpus-LM
+      // family uses (broadcast under the row threshold, shuffle-hash
+      // above): a 100 TB corpus's vocabulary outgrows a broadcast,
+      // and a hardcoded broadcast() would also sidestep the
+      // at-scale shuffle_hash regime ScaleProof proves with
+      // graft.model.broadcastMaxRows=0
       val dfreq = words.groupBy(col("word"))
         .agg(countDistinct(col("doc_id")).as("df"))
+        .localCheckpoint(true)
       val nDocs = t(s, d, "documents").count().toDouble
-      val scored = tf.join(broadcast(dfreq), "word")
+      val scored = graft.functions.ModelJoin.sizeGated(tf, dfreq, Seq("word"))
         .select(col("doc_id"), col("word"),
           Hashing.portableRound(
             col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")),
