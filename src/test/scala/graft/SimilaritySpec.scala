@@ -225,6 +225,33 @@ class SimilaritySpec extends SparkTestBase {
       s"no IN/INSET partition filter on the assigned scan:\n$plan")
   }
 
+  test("IVF probe cache is generation- and session-scoped: a second " +
+      "SparkSession and a post-append probe both see correct state") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val idx = new graft.functions.IvfIndex(tmpDir("ivfsess"), nCells = 16)
+    idx.build(emb.filter(col("vec_id") < 200))
+    val r1 = idx.topK(spark, queries, 5, nProbe = 4).collect().toSet
+    // a DIFFERENT session must not be handed frames bound to the
+    // first (DataFrames are session-scoped); the cache rebuilds
+    val s2 = spark.newSession()
+    val r2 = idx.topK(s2, s2.createDataFrame(
+      java.util.Arrays.asList(queries.collect(): _*),
+      queries.schema), 5, nProbe = 4).collect().toSet
+    assert(r2 === r1, "cross-session probe diverged")
+    // a mutation commit changes the manifest key: the next probe must
+    // serve the NEW generation, not the cached one — probing with an
+    // appended vector's value (fresh query id; wide nProbe so the
+    // centroid ranking surely reaches its nearest-seed cell) must
+    // return that vector at score 1.0, and it exists only in the
+    // post-append segments
+    idx.append(emb.filter(col("vec_id") >= 200))
+    val appendedQ = emb.filter(col("vec_id") === 230)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val hits = idx.topK(spark, appendedQ, 3, nProbe = 16).collect()
+    assert(hits.exists(r => r.getLong(2) === 230L && r.getDouble(3) === 1.0),
+      s"post-append probe served a stale cached generation: ${hits.toSeq}")
+  }
+
   test("IVF append assigns like a rebuild over the frozen quantizer") {
     val dir = tmpDir("ivfapp")
     val half = emb.filter(col("vec_id") < 250)
