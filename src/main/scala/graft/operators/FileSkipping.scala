@@ -402,8 +402,15 @@ object FileSkipping {
           val acc = scala.collection.mutable.Map[(String, Int), BloomFilter]()
           it.foreach { row =>
             val fileName = {
+              // input_file_name() is the percent-ENCODED URI form;
+              // every read-side lookup (probe, sizing) keys on the
+              // decoded FileStatus name — decode here or a file whose
+              // name percent-encodes (space, '%', unicode) gets an
+              // index entry nothing can ever find
               val p = row.getString(0)
-              p.substring(p.lastIndexOf('/') + 1)
+              val decoded = scala.util.Try(new java.net.URI(p).getPath)
+                .getOrElse(p)
+              decoded.substring(decoded.lastIndexOf('/') + 1)
             }
             var i = 0
             while (i < kinds.length) {
@@ -996,8 +1003,17 @@ object FileSkipping {
         case d: java.time.LocalDate => SLong(d.toEpochDay)
       }))
       case TimestampType => Some(("ts", {
+        // getTime already FLOORS to millis for pre-1970 instants and
+        // getNanos carries the non-negative sub-second part, so the
+        // micros-within-milli remainder just adds on — Spark's own
+        // fromJavaTimestamp shape. (A truncating getTime/1000*1e6 +
+        // nanos/1000 spelling is wrong for negative instants: it
+        // rounds the seconds toward zero and then adds the full
+        // sub-second forward, mis-encoding e.g. 1969-12-31T23:59:58.5
+        // by a full second — and a mis-encoded key can fall outside a
+        // file's true [min,max], pruning a file that HOLDS the key.)
         case ts: java.sql.Timestamp =>
-          SLong(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+          SLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L)
         case i: java.time.Instant =>
           SLong(i.getEpochSecond * 1000000L + i.getNano / 1000)
       }))
@@ -1100,7 +1116,14 @@ object FileSkipping {
         }
       }
     if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
-    val kind = files.flatMap(_.cols.get(column)).head.kind
+    // ALL files must agree on the stat kind: manifests written against
+    // different schema generations (e.g. a column widened long→double)
+    // are incomparable, and folding mixed kinds through cmpSame (which
+    // returns 0 for a kind mismatch) would keep an arbitrary operand —
+    // an unsound bound. Unknown beats wrong.
+    val kinds = files.flatMap(_.cols.get(column)).map(_.kind).distinct
+    if (kinds.size != 1) return None
+    val kind = kinds.head
     val mins = perFile.flatten.flatMap(_._1)
     val maxs = perFile.flatten.flatMap(_._2)
     if (mins.isEmpty || maxs.isEmpty) return None // no non-null values
@@ -1205,6 +1228,12 @@ object ZOrder {
                   bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "z-order needs >= 2 columns (one column is a sort)")
     require(bits * cols.size <= 63, s"bits($bits) * cols(${cols.size}) > 63")
+    // withColumn would silently REPLACE a user column of this name and
+    // arrange() would then drop it from the rewritten snapshot — the
+    // same fail-fast style as the non-numeric check below
+    require(!df.columns.contains(zColName),
+      s"input already has a column named $zColName — rename it before " +
+        "z-ordering (the curve key would silently replace it)")
     // a non-numeric column would cast to null for every row, silently
     // collapsing its dimension of the curve into bucket 0 — fail fast
     cols.foreach { c =>

@@ -110,8 +110,11 @@ object IncrementalAgg {
                                 joinCols: Seq[String]): DataFrame = {
     val l = prev.alias("_ia_l")
     val r = delta.alias("_ia_r")
+    // foldLeft, not reduce: keys = Nil is the GLOBAL rollup (a legal
+    // groupBy() aggregate), whose advance joins the two 1-row frames
+    // on the always-true condition — reduce would throw on empty
     val cond = joinCols.map(c => col(s"_ia_l.$c") <=> col(s"_ia_r.$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     val outCols =
       joinCols.map(c => coalesce(col(s"_ia_l.$c"), col(s"_ia_r.$c")).as(c)) ++
         prev.columns.filterNot(joinCols.contains)
@@ -132,9 +135,16 @@ object IncrementalAgg {
   def view(base: DataFrame, keys: Seq[String],
            sumCols: Seq[String]): DataFrame = {
     requireMaintainable(base, sumCols, "sum")
+    // `_nn_<c>` = non-null WITNESS count per sum column, the state
+    // that lets advance reproduce SQL's NULL-sum semantics exactly: a
+    // live key whose measure values are all NULL must read sum = NULL
+    // (what a recompute yields), not 0.0 — indistinguishable from the
+    // sum alone once deltas start coalescing. Appended AFTER the sums
+    // so positional consumers of (keys, count, sums...) are unmoved.
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
-        sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")) ++
+          sumCols.map(c => count(col(c)).as(s"_nn_$c")): _*)
   }
 
   /** The maintained MIN/MAX view of `base.groupBy(keys)`: per key,
@@ -191,12 +201,14 @@ object IncrementalAgg {
       (coalesce(col(countCol), lit(0L)) +
         coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)
     // a key is damaged iff any retraction touches its stored extremum
+    // (foldLeft: cols = Nil legally maintains a count-only view with
+    // nothing to damage)
     val damaged = cols.map(c =>
       (col(s"out_min_$c").isNotNull && (col(s"min_$c").isNull ||
         col(s"out_min_$c") <= col(s"min_$c"))) ||
       (col(s"out_max_$c").isNotNull && (col(s"max_$c").isNull ||
         col(s"out_max_$c") >= col(s"max_$c"))))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     val merged = joined
       .withColumn("_damaged", coalesce(damaged, lit(false)))
       .select((keys.map(col) :+ newCount :+ col("_damaged")) ++
@@ -205,15 +217,35 @@ object IncrementalAgg {
           greatest(col(s"max_$c"), col(s"in_max_$c")).as(s"max_$c"))): _*)
       .filter(col(countCol) > 0)
     val healthy = merged.filter(!col("_damaged")).drop("_damaged")
-    val damagedKeys = merged.filter(col("_damaged"))
-      .select(keys.map(col): _*)
+    // the damaged-key SET is derivable from the delta side alone
+    // joined to prev's stored extrema — only a feed retraction can
+    // damage a key — so it is a DELTA-sized left join rather than a
+    // second reference to the full-outer `merged` subtree: the
+    // view-sized join appears exactly once in the output plan (the
+    // healthy branch). A damaged key whose rows all left contributes
+    // no base rows below and so, correctly, no repaired row.
+    val dd = delta.alias("_ia_d")
+    val pp = prev.alias("_ia_p")
+    val dkCond = keys.map(c => col(s"_ia_d.$c") <=> col(s"_ia_p.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val damagedFromDelta = cols.map(c =>
+      (col(s"_ia_d.out_min_$c").isNotNull &&
+        (col(s"_ia_p.min_$c").isNull ||
+          col(s"_ia_d.out_min_$c") <= col(s"_ia_p.min_$c"))) ||
+      (col(s"_ia_d.out_max_$c").isNotNull &&
+        (col(s"_ia_p.max_$c").isNull ||
+          col(s"_ia_d.out_max_$c") >= col(s"_ia_p.max_$c"))))
+      .foldLeft(lit(false))(_ || _)
+    val damagedKeys = dd.join(pp, dkCond, "left_outer")
+      .filter(coalesce(damagedFromDelta, lit(false)))
+      .select(keys.map(c => col(s"_ia_d.$c").as(c)): _*)
     // partial recompute: ONLY the damaged keys' rows leave the base —
     // null-safe keys, or a damaged NULL-key group's base rows would
     // never match and the group would silently vanish from the view
     val b = newBase.alias("_ia_b")
     val k = damagedKeys.alias("_ia_k")
     val semiCond = keys.map(c => col(s"_ia_b.$c") <=> col(s"_ia_k.$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     val repaired = minMaxView(
       b.join(k, semiCond, "left_semi"), keys, cols)
     healthy.unionByName(repaired)
@@ -290,7 +322,10 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_w")).as(s"d_$countCol"),
         sumCols.map(c =>
-          sum(col(c) * col("_w").cast("double")).as(s"d_sum_$c")): _*)
+          sum(col(c) * col("_w").cast("double")).as(s"d_sum_$c")) ++
+          sumCols.map(c =>
+            sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
+              .as(s"d_nn_$c")): _*)
     // full outer: keys new to the view (pure inserts) and keys leaving
     // it (all rows deleted) both flow through one join of two
     // aggregate-sized relations
@@ -298,17 +333,25 @@ object IncrementalAgg {
     val newCount =
       (coalesce(col(countCol), lit(0L)) +
         coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)
+    val newNns = sumCols.map { c =>
+      (coalesce(col(s"_nn_$c"), lit(0L)) +
+        coalesce(col(s"d_nn_$c"), lit(0L))).as(s"_nn_$c")
+    }
     val newSums = sumCols.map { c =>
-      // a sum over zero remaining rows is NULL, matching what a
-      // recompute would produce for a key that no longer exists —
-      // but such keys are dropped by the count filter below anyway;
-      // for surviving keys both sides null-coalesce (a key absent
-      // from the delta keeps its old sum, a new key starts from 0)
-      (coalesce(col(s"sum_$c"), lit(0.0)) +
-        coalesce(col(s"d_sum_$c"), lit(0.0))).as(s"sum_$c")
+      // both sides null-coalesce for the arithmetic (a key absent
+      // from the delta keeps its old sum, a new key starts from 0) —
+      // but the RESULT is NULL whenever zero non-null witnesses
+      // remain, exactly as a recompute's SUM over an all-NULL (or
+      // emptied) measure would be; without the witness count, 0.0 and
+      // "no measured values" are indistinguishable here
+      when(coalesce(col(s"_nn_$c"), lit(0L)) +
+          coalesce(col(s"d_nn_$c"), lit(0L)) > 0L,
+        coalesce(col(s"sum_$c"), lit(0.0)) +
+          coalesce(col(s"d_sum_$c"), lit(0.0)))
+        .otherwise(lit(null).cast("double")).as(s"sum_$c")
     }
     joined
-      .select((keys.map(col) :+ newCount) ++ newSums: _*)
+      .select((keys.map(col) :+ newCount) ++ newSums ++ newNns: _*)
       .filter(col(countCol) > 0)
   }
 }

@@ -444,6 +444,59 @@ class FileSkippingSpec extends SparkTestBase {
         sink.read(spark).filter(pred).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("timestamp join keys with PRE-1970 fractional seconds prune " +
+      "soundly (the truncating-division micros encoding lost them)") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = tmpDir("fskip") + "/ts1970"
+    // keys from 10 s before to 10 s after the epoch, 50 ms apart,
+    // range-clustered so each file's [min, max] micros window is tight
+    // — a key mis-encoded by a second lands OUTSIDE its true file's
+    // window and the file holding it would be pruned
+    val fact = spark.range(0, 400).toDF("i")
+      .withColumn("ts", timestamp_micros(col("i") * 50000L - 10000000L))
+      .withColumn("v", col("i"))
+      .drop("i")
+      // 32 files over 20 s → ~0.6 s per file window: a key mis-encoded
+      // by up to a second cannot still fall inside its own file
+      .repartitionByRange(32, col("ts"))
+      .sortWithinPartitions("ts")
+    val sink = new ParquetUpsertSink(dir, Seq("ts"))
+    sink.upsert(spark, fact, batchId = -1)
+    // build side: 1969-12-31T23:59:58.5Z (pre-1970, fractional) and a
+    // post-1970 control — collected as java.sql.Timestamp by default
+    val build = Seq(-1500000L, 5000000L).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val got = rows(sink.scanForJoin(spark, "ts", build))
+    val want = rows(sink.read(spark).join(build, Seq("ts"), "left_semi"))
+    assert(want.size === 2, s"setup: both keys must exist, got $want")
+    assert(got === want,
+      "file pruning lost a pre-1970 fractional-second timestamp key")
+  }
+
+  test("globalBounds refuses mixed stat kinds (manifests from " +
+      "different schema generations are incomparable)") {
+    import graft.operators.FileSkipping._
+    val a = FileStat("a.parquet", 10, Map("x" ->
+      ColStats("long", Some(SLong(5L)), Some(SLong(9L)), Some(0L))))
+    val b = FileStat("b.parquet", 10, Map("x" ->
+      ColStats("double", Some(SDouble(1.5)), Some(SDouble(2.5)), Some(0L))))
+    assert(globalBounds(Seq(a, b), "x") === None,
+      "mixed-kind bounds must be unknown, not an arbitrary operand")
+    assert(globalBounds(Seq(a), "x") === Some((5L, 9L)))
+  }
+
+  test("z-order refuses an input that already has the curve column") {
+    val df = spark.range(4).toDF("a")
+      .withColumn("b", col("a") * 2)
+      .withColumn(graft.operators.ZOrder.zColName, col("a"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.arrange(df, Seq("a", "b"), 2)
+    }
+    assert(e.getMessage.contains(graft.operators.ZOrder.zColName))
+  }
+
   test("dynamic file pruning: build-side keys prune fact files before scheduling") {
     val dir = tmpDir("fskip") + "/dfp"
     // fact clustered by key, SPARSE (even keys only) so bloom

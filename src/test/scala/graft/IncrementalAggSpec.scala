@@ -58,6 +58,71 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(asMap(advanced) === Map("A" -> ((2L, 60.0)), "C" -> ((1L, 7.0))))
   }
 
+  test("all-NULL measure keys: advance preserves SQL's NULL sum " +
+      "(never 0.0) — including a key NULLED by retraction") {
+    val dir = tmpDir("incagg") + "/nullsum"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    def nrows(xs: (String, String, Long, Option[Double])*) =
+      xs.toDF("window_start", "driver_id", "total", "fare")
+    // D1's fares are all NULL from the start; D2 has one real fare
+    sink.upsert(spark, nrows(
+      ("h1", "D1", 1L, None), ("h2", "D1", 1L, None),
+      ("h1", "D2", 1L, Some(5.0)), ("h2", "D2", 1L, None)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg
+      .view(sink.readVersion(spark, v0), Seq("driver_id"), Seq("fare"))
+      .localCheckpoint(true)
+    def asNMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("driver_id"), col(IncrementalAgg.countCol),
+        col("sum_fare")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(asNMap(view0) ===
+      Map("D1" -> ((2L, None)), "D2" -> ((2L, Some(5.0)))),
+      "built view must carry SQL's NULL sum for an all-NULL key")
+    // feed: one more NULL row for D1 (stays all-NULL), and DELETE
+    // D2's only non-null row — D2 becomes all-NULL via retraction,
+    // the case a sum-only state cannot distinguish from 0.0
+    sink.upsert(spark, nrows(("h3", "D1", 1L, None)), batchId = 1)
+    sink.delete(spark,
+      col("window_start") === "h1" && col("driver_id") === "D2",
+      batchId = 2)
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg
+      .advance(view0, feed, Seq("driver_id"), Seq("fare"))
+    assert(asNMap(advanced) === asNMap(recompute(sink)),
+      "advanced NULL-sum state diverged from recompute")
+    assert(asNMap(advanced) ===
+      Map("D1" -> ((3L, None)), "D2" -> ((1L, None))))
+  }
+
+  test("global rollup (keys = Nil): view builds and advance maintains " +
+      "the single-row aggregate") {
+    val dir = tmpDir("incagg") + "/global"
+    val sink = new ParquetUpsertSink(dir, keys, retainVersions = 6)
+    sink.upsert(spark, rows(
+      ("h1", "A", 1L, 10.0), ("h2", "B", 1L, 20.0)), batchId = 0)
+    val v0 = sink.currentVersion(spark)
+    val view0 = IncrementalAgg
+      .view(sink.readVersion(spark, v0), Seq.empty, Seq("fare"))
+      .localCheckpoint(true)
+    assert(view0.count() === 1L &&
+      view0.select(col("sum_fare")).first().getDouble(0) === 30.0)
+    sink.upsert(spark, rows(("h3", "C", 1L, 12.0)), batchId = 1)
+    sink.delete(spark, col("driver_id") === "A", batchId = 2)
+    val feed = sink.changeFeed(spark, v0, sink.currentVersion(spark),
+      withPreimages = true)
+    val advanced = IncrementalAgg
+      .advance(view0, feed, Seq.empty, Seq("fare"))
+    val rec = IncrementalAgg.view(sink.read(spark), Seq.empty, Seq("fare"))
+    assert(advanced.select(col(IncrementalAgg.countCol), col("sum_fare"))
+      .first().toString ===
+      rec.select(col(IncrementalAgg.countCol), col("sum_fare"))
+        .first().toString,
+      "global-rollup advance diverged from recompute")
+  }
+
   test("advance chains: view maintained across two feed windows") {
     val dir = tmpDir("incagg2") + "/t"
     val sink = new ParquetUpsertSink(dir, keys, retainVersions = 8)
