@@ -2441,7 +2441,7 @@ object SparkEntry {
          |   ELSE 0.0 END AS p_ratio
          | FROM base),
          |sc AS (SELECT doc_id,
-         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |  ROUND(least(coalesce(n_tokens, 0)::DOUBLE / 100.0, 1.0) * 0.5
          |   + least(stop_ratio * 5.0, 1.0) * 0.3
          |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS w
          | FROM m),
@@ -2955,7 +2955,7 @@ object SparkEntry {
          |   ELSE 0.0 END AS p_ratio
          | FROM base),
          |sc AS (SELECT doc_id, lang,
-         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |  ROUND(least(coalesce(n_tokens, 0)::DOUBLE / 100.0, 1.0) * 0.5
          |   + least(stop_ratio * 5.0, 1.0) * 0.3
          |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS w
          | FROM m),
@@ -2985,7 +2985,7 @@ object SparkEntry {
          |   ELSE 0.0 END AS p_ratio
          | FROM base),
          |scored AS (SELECT doc_id, source,
-         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |  ROUND(least(coalesce(n_tokens, 0)::DOUBLE / 100.0, 1.0) * 0.5
          |   + least(stop_ratio * 5.0, 1.0) * 0.3
          |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS quality_score
          | FROM m)
@@ -3211,7 +3211,7 @@ object SparkEntry {
          |  ELSE 0.0 END, 6) AS avg_token_len,
          | ROUND(p_ratio, 6) AS punct_ratio,
          | ROUND(stop_ratio, 6) AS stopword_ratio,
-         | ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         | ROUND(least(coalesce(n_tokens, 0)::DOUBLE / 100.0, 1.0) * 0.5
          |  + least(stop_ratio * 5.0, 1.0) * 0.3
          |  + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS quality_score,
          | CASE WHEN cen >= cfr AND cen >= ces AND cen > 0 THEN 'en'
@@ -3328,7 +3328,7 @@ object SparkEntry {
          |   ELSE 0.0 END AS p_ratio
          | FROM mbase),
          |mscored AS (SELECT doc_id,
-         |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+         |  ROUND(least(coalesce(n_tokens, 0)::DOUBLE / 100.0, 1.0) * 0.5
          |   + least(stop_ratio * 5.0, 1.0) * 0.3
          |   + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.2, 6) AS q
          | FROM mm),

@@ -134,6 +134,11 @@ object Dedup {
     * 32-byte hash — payload-free candidate generation.
     */
   def lshBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    // bands > k would make every band key md5("") — ALL documents
+    // mutual candidates, the exact O(n²) blowup this module prevents;
+    // a non-dividing bands silently ignores trailing signature values
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must be positive and divide k ($k)")
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val key = md5(concat_ws(",",
@@ -188,29 +193,39 @@ object Dedup {
     if (maxBucketSize == Long.MaxValue) return rows
     require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
     val keys = keyCols.map(col)
-    // COLLECT the hot keys in the same action that detects them: a
-    // broadcast of the unmaterialized `hot` relation would re-run the
-    // entire upstream pipeline (banding scans + this aggregate) once
-    // per consumer when the broadcast is built — and BroadcastExchange
-    // collects to the driver anyway, so this has the identical memory
-    // profile (≤ |rows|/maxBucketSize keys, the same bound that makes
-    // the anti-join broadcastable) with none of the recomputation.
-    val hotRows = rows.groupBy(keys: _*)
+    // materialize ONCE when the guard is active: the detection
+    // aggregate is its own ACTION and would otherwise re-run the
+    // entire upstream pipeline (tokenize → minhash → band) for
+    // detection and again for the candidate join — the same
+    // materialize-before-detect discipline jaccardPairs uses
+    val mat = rows.localCheckpoint(true)
+    val hot = mat.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
       .select(keys: _*)
-      .collect()
-    if (hotRows.isEmpty) return rows
+    // the collect is CAPPED (jaccardPairs' rule: an overflowing
+    // collect must not grow with the corpus — |rows|/maxBucketSize is
+    // a bound, not a constant): past the cap, exclusion falls back to
+    // a plain anti-join against the aggregate over the checkpoint
+    val hotRows = hot.limit(maxInsetHotKeys + 1).collect()
+    if (hotRows.isEmpty) return mat
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"$opName: dropping ${hotRows.length} bucket(s) larger than " +
-        s"$maxBucketSize members from candidate generation (degenerate " +
-        "duplicate cluster? run exactDedup first)")
-    val spark = rows.sparkSession
-    val hotDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
-      org.apache.spark.sql.types.StructType(
-        keyCols.map(c => rows.schema(c))))
-    rows.join(broadcast(hotDf), keyCols, "left_anti")
+      s"$opName: dropping bucket(s) larger than $maxBucketSize " +
+        "members from candidate generation (degenerate duplicate " +
+        "cluster? run exactDedup first)")
+    if (hotRows.length <= maxInsetHotKeys) {
+      val spark = mat.sparkSession
+      val hotDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(
+          keyCols.map(c => mat.schema(c))))
+      mat.join(broadcast(hotDf), keyCols, "left_anti")
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$opName: > $maxInsetHotKeys oversized buckets — excluding " +
+          "via a shuffled anti-join instead of a driver-collected list")
+      mat.join(hot, keyCols, "left_anti")
+    }
   }
 
   /** Exact Jaccard similarity for every pair of documents sharing at
@@ -246,10 +261,13 @@ object Dedup {
     // right for a single-job run, but its lineage-truncated blocks
     // live in executor memory and are LOST on executor failure, which
     // at 100 TB means recomputing the whole shingle scan. `indexPath`
-    // is the durable alternative: the shingle relation becomes a
-    // write-once parquet inverted index (same pattern as IvfIndex),
-    // fault-tolerant and reusable across jobs. Identical results
-    // either way (DedupSpec parity test).
+    // is the durable alternative: the shingle relation is written to
+    // parquet and read back, fault-tolerant within the job. Each call
+    // REBUILDS the index (mode overwrite — the corpus may have
+    // changed and this function cannot know); a caller wanting
+    // cross-job reuse reads the parquet dir directly instead of
+    // re-invoking this. Identical results either way (DedupSpec
+    // parity test).
     // shuffle_hash beats sort-merge here — the join
     // key is massively duplicated, so sorting pays n·log n for
     // nothing while a hash table streams the probe side.
@@ -641,8 +659,14 @@ object Dedup {
     // and the upstream pair pipeline (shingle scans, LSH joins, exact
     // verification) is the expensive part — without this it would
     // recompute for each derivation
+    // NULL endpoints carry no connectivity and are dropped UP FRONT so
+    // both paths agree: the driver union-find would NPE on getLong and
+    // the distributed greatest/least would silently degrade a
+    // null-sided edge to a self-loop while leaking the null node —
+    // same input, crash vs wrong answer, depending only on size
     val p = materialize(
-      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "pairs")
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull), "pairs")
     // every input node, remembered before self-loops are dropped
     val nodesDf = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node")))
@@ -711,9 +735,9 @@ object Dedup {
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       val large = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
-        // v > u ≥ m, so (v, m) is already oriented large→small
+        // v > u ≥ m, so (v, m) is already oriented large→small and
+        // can never be a self-loop — no re-check needed
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
         .distinct()
       // small-star over the large→small orientation
       val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))

@@ -35,6 +35,10 @@ object Text {
     * i -> toks[i+1] || ' ' || ... || toks[i+n])`.
     */
   def shingles(toks: Column, n: Int): Column = {
+    // same contract as the fused ShingleHashesExpr twin: n = 0 would
+    // emit size+1 empty-string shingles that array_distinct collapses
+    // into one "" every document shares — Jaccard 1.0 for all pairs
+    require(n > 0, s"shingle width must be positive: $n")
     val gram = (i: Column) =>
       concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)
     when(size(toks) >= n,
@@ -118,7 +122,12 @@ object Text {
     * soup. Deterministic double arithmetic, mirrored 1:1 in SQL.
     */
   def qualityScore(text: Column, toks: Column): Column = {
-    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    // coalesce first: least() SKIPS null operands, so a NULL-text doc
+    // (toks null → size null) would take lenScore 1.0 — a missing
+    // document outscoring every real short one. Null reads as empty:
+    // lenScore 0, same as "".
+    val lenScore =
+      least(coalesce(size(toks), lit(0)).cast("double") / 100.0, lit(1.0))
     val stopScore = least(stopwordRatio(toks) * 5.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
     Hashing.portableRound(

@@ -299,6 +299,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components drop NULL-sided edges identically on " +
+      "both paths (no driver NPE, no silent null node)") {
+    val pairs = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (Some(9L), None), (None, Some(9L)), (None, None),
+      (Some(7L), Some(7L))).toDF("doc_a", "doc_b")
+    def m(threshold: Long) =
+      Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L)
+    assert(m(Long.MaxValue) === want, "driver path")
+    assert(m(0L) === want, "distributed path")
+  }
+
+  test("lshBands refuses band counts that break the signature split") {
+    val sigs = Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("doc_id", "sig")
+    intercept[IllegalArgumentException] { Dedup.lshBands(sigs, 4, 8) }
+    intercept[IllegalArgumentException] { Dedup.lshBands(sigs, 4, 3) }
+    intercept[IllegalArgumentException] { Dedup.lshBands(sigs, 4, 0) }
+    assert(Dedup.lshBands(sigs, 4, 2).count() === 2L)
+  }
+
   test("connected components: durable-checkpoint path ≡ localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val pairs = ((0L until 15L).map(i => (i, i + 1)) ++

@@ -37,6 +37,25 @@ class TextSpec extends SparkTestBase {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("NULL text scores like empty text, never a perfect length score") {
+    import spark.implicits._
+    // least() skips null operands, so an unguarded size(toks)/100 term
+    // would hand a NULL-text document lenScore 1.0 (score 0.7) —
+    // outscoring every real short document in any curation gate
+    val df = Seq(Option.empty[String], Some("")).toDF("text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(Text.qualityScore(col("text"), col("toks")).as("q"))
+    val qs = df.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(qs(0) === qs(1),
+      s"null text must score exactly like empty text, got ${qs.toSeq}")
+    assert(qs(0).exists(_ <= 0.2))
+  }
+
+  test("shingles refuses a non-positive width like its fused twin") {
+    intercept[IllegalArgumentException] { Text.shingles(col("toks"), 0) }
+  }
+
   test("langId picks the dominant marker set deterministically") {
     assert(one("the cat and the dog is a pet")
       .select(Text.langId(col("toks"))).first().getString(0) === "en")
