@@ -1346,6 +1346,56 @@ object SparkEntry {
         .agg(Hashing.portableRound(expr("percentile(value, 0.5)"), 4)
           .as("p50_approx"))),
 
+    // Frequent-items sketch (Misra-Gries) — the third classic sketch
+    // family next to approx-distinct and approx-percentile, and the
+    // bounded-state answer to "top boilerplate tokens over 100 TB"
+    // when the exact token-universe shuffle is the cost being avoided
+    // (state is k counters per partition, merged map-side). Same
+    // bound-certification shape as the other sketch rows: individual
+    // estimates are partition-dependent, but the MG guarantees
+    // (est <= exact, exact - est <= n/(k+1), and presence of every
+    // token above n/(k+1)) hold for ANY merge tree — so the booleans
+    // are deterministic and the oracle mirrors the exact side plus
+    // literal TRUEs. k=30 sits just under the corpus vocabulary so
+    // the sketch genuinely evicts (decrement rounds do happen) while
+    // the top-10 exact counts stay above the n/(k+1) bound at every
+    // test SF (sf0.01: 918 > 27165/31; sf0.1: 9100 > 270704/31).
+    "approx_top_tokens_sketch" -> ((s, d) => {
+      val tk = docsWithTokens(t(s, d, "documents"))
+        .select(explode(col("toks")).as("token"))
+      val est = tk
+        .agg(graft.plans.MisraGriesAgg.misra_gries(col("token"), 30).as("sk"))
+        .select(col("sk.total").as("n_total"),
+          explode(col("sk.items")).as("it"))
+        .select(col("n_total"), col("it.token").as("token"),
+          col("it.est").as("est"))
+      tk.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+        .limit(10)
+        .join(broadcast(est), Seq("token"), "left")
+        .select(col("token"), col("exact_cnt"),
+          col("est").isNotNull.as("present"),
+          (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")) * lit(31L) <= col("n_total"))
+            .as("within_bound"))
+    }),
+
+    // Deterministic twin: exact token counts over a 25% seeded-hash
+    // DOCUMENT sample, scaled by 4 — the sample predicate evaluates
+    // scan-side before tokenization so 75% of the corpus is never
+    // tokenized; reproducible at any parallelism and mirrored
+    // hash-for-hash by DuckDB (total order: count desc, token asc).
+    "approx_top_tokens" -> ((s, d) =>
+      docsWithTokens(t(s, d, "documents")
+        .filter(pmod(Hashing.hash60(col("doc_id").cast("string")),
+          lit(4L)) === 0))
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg((count(lit(1)) * 4).as("approx_occurrences"))
+        .orderBy(col("approx_occurrences").desc, col("token").asc)
+        .limit(10)),
+
     // ---------- north star: incremental view maintenance ----------
     // The IVM operator surfaced as oracle rows: snapshot `documents`
     // into the versioned upsert table, build the per-source COUNT/SUM
@@ -2731,6 +2781,28 @@ object SparkEntry {
          | ROUND(quantile_cont(value, 0.5), 4) AS p50_approx
          |FROM events WHERE ${h60Sql("CAST(event_id AS VARCHAR)")} % 4 = 0
          |GROUP BY event_type""".stripMargin,
+
+    // MG sketch row: the oracle recomputes the exact top-10 and
+    // asserts TRUE for the two deterministic MG guarantees (presence
+    // + n/(k+1) bound) — a sketch regression flips a boolean and
+    // hash-fails even though the estimates themselves are
+    // partition-dependent.
+    "approx_top_tokens_sketch" ->
+      s"""WITH $toksCte,
+         |w AS (SELECT doc_id, unnest(tk) AS token FROM toks)
+         |SELECT token, COUNT(*) AS exact_cnt,
+         | TRUE AS present, TRUE AS within_bound
+         |FROM w GROUP BY token
+         |ORDER BY exact_cnt DESC, token ASC LIMIT 10""".stripMargin,
+
+    "approx_top_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS tk FROM documents
+         |  WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 4 = 0),
+         |w AS (SELECT doc_id, unnest(tk) AS token FROM toks)
+         |SELECT token, CAST(COUNT(*) * 4 AS BIGINT) AS approx_occurrences
+         |FROM w GROUP BY token
+         |ORDER BY approx_occurrences DESC, token ASC LIMIT 10""".stripMargin,
 
     "value_moments" ->
       """SELECT event_type,

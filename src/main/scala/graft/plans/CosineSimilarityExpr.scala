@@ -141,6 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TokensExpr.functionDescriptor)
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
+    ext.injectFunction(MisraGriesAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -52,6 +52,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("integer literal"))
 
+      // native aggregates reachable from pure SQL (simhash/minhash/MG)
+      val ag = spark.sql(
+        """SELECT simhash_agg(h) AS sh, minhash_agg(h, 4) AS mh,
+          |       misra_gries(t, 2) AS mg
+          |FROM VALUES (1L, 'a'), (3L, 'a'), (1L, 'b') AS v(h, t)""".stripMargin)
+        .head()
+      assert(ag.getSeq[Long](1).length === 4)
+      val mg = ag.getStruct(2)
+      assert(mg.getLong(0) === 3L) // total
+      assert(mg.getSeq[org.apache.spark.sql.Row](1).map(r =>
+        (r.getString(0), r.getLong(1))).toMap === Map("a" -> 2L, "b" -> 1L))
+
       // rank-filter rewrite fires with no install() call anywhere
       import spark.implicits._
       Seq((1, "a", 3.0), (1, "b", 1.0), (2, "c", 2.0))
