@@ -1939,6 +1939,20 @@ object SparkEntry {
       graft.functions.LangModel.unigramLogprobCapped(
         t(s, d, "documents"), "doc_id", "text", 20)),
 
+    // CCNet-style head/middle/tail tiering per language by unigram-LM
+    // score — the "keep the head, sample the middle, drop the tail"
+    // curation signal. Tercile thresholds are integer algebra over the
+    // distinct-score level frame (no per-doc NTILE sort; see
+    // LangModel.perplexityBuckets). The scored frame feeds two
+    // consumers, so it stages through the size-gated helper like
+    // docs_curation_v2's projections (scores are ~1/4 of corpus bytes
+    // — id + lang + two numerics vs full text).
+    "docs_perplexity_buckets" -> ((s, d) =>
+      graft.functions.LangModel.perplexityBuckets(
+        t(s, d, "documents"), "doc_id", "text", "lang",
+        stage = df => staged(s, df,
+          dirBytes(s, s"$d/documents.parquet") / 4, "pplbuck-scored"))),
+
     // TF-IDF top terms per document (the classic salient-term
     // extractor). The document-frequency table is vocabulary-sized —
     // broadcast, like the unigram-LM model — and the per-doc ranking
@@ -3172,6 +3186,35 @@ object SparkEntry {
          | ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) AS avg_logprob
          |FROM words JOIN freq USING (word), total
          |GROUP BY doc_id""".stripMargin,
+
+    // CCNet tiering mirror: identical scored frame as
+    // docs_unigram_logprob (plus lang), then the integer tercile
+    // algebra over the distinct-score levels. The cumulative window's
+    // order keys are distinct within a language, so DuckDB's default
+    // RANGE frame ≡ Spark's ROWS frame.
+    "docs_perplexity_buckets" ->
+      s"""WITH $toksCte,
+         |words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |freq AS (SELECT word, COUNT(*)::BIGINT AS wn FROM words GROUP BY word),
+         |total AS (SELECT SUM(wn)::BIGINT AS tn FROM freq),
+         |sl AS (SELECT w.doc_id, d.lang, COUNT(*)::BIGINT AS n_tokens,
+         |  ROUND(AVG(ln(wn::DOUBLE / tn::DOUBLE)), 6) AS avg_logprob
+         | FROM words w JOIN freq USING (word)
+         |  JOIN documents d ON d.doc_id = w.doc_id, total
+         | GROUP BY w.doc_id, d.lang),
+         |lvl AS (SELECT lang, avg_logprob, COUNT(*)::BIGINT AS ln_docs
+         | FROM sl GROUP BY lang, avg_logprob),
+         |tot AS (SELECT lang, SUM(ln_docs)::BIGINT AS n FROM lvl GROUP BY lang),
+         |buck AS (SELECT lang, avg_logprob,
+         |  CASE WHEN cum * 3 <= n THEN 'head'
+         |       WHEN cum * 3 <= 2 * n THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         | FROM (SELECT lang, avg_logprob,
+         |    SUM(ln_docs) OVER (PARTITION BY lang
+         |      ORDER BY avg_logprob DESC)::BIGINT AS cum FROM lvl)
+         |  JOIN tot USING (lang))
+         |SELECT sl.doc_id, sl.lang, sl.n_tokens, sl.avg_logprob, bucket
+         |FROM sl JOIN buck USING (lang, avg_logprob)""".stripMargin,
 
     // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a
     // total order, so both engines select the identical set), OOV

@@ -186,4 +186,69 @@ object LangModel {
             / (coalesce(col("cn"), lit(0L)).cast("double") + col("vocab")))),
           6).as("avg_bigram_logprob"))
   }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus unigram LM (the [[unigramLogprobCapped]] family's uncapped
+    * spelling), then split each LANGUAGE into head / middle / tail
+    * terciles by score — the standard "keep the head, sample the
+    * middle, drop the tail" curation signal (CCNet, Wenzek et al.
+    * 2020; the reference has no LM-quality tiering at all, this is
+    * north-star surface).
+    *
+    * Tercile thresholds are computed on the DISTINCT-SCORE level
+    * frame, not per document: a per-doc NTILE would be a total sort
+    * of the corpus per language, while the level frame is bounded by
+    * the number of distinct 6-dp-rounded scores — the rounding IS the
+    * histogram bin structure (CCNet itself buckets on quantized
+    * perplexities). Bucket algebra is pure integer arithmetic
+    * (`cum·3 ≤ n`, `cum·3 ≤ 2n` over the score-descending cumulative
+    * doc count), so there is no float threshold to disagree across
+    * engines, and a score level that straddles a tercile boundary
+    * lands WHOLLY in the later bucket — identical-quality documents
+    * are never split by an id tiebreak.
+    *
+    * Scale shape: two corpus scans (model build, score) like every
+    * corpus-LM filter, both model joins size-gated; the threshold
+    * window runs over the level frame partitioned by language; the
+    * bucket map joins back to the scored frame through the same size
+    * gate. `stage` is the multi-consumer staging hook for the scored
+    * frame (it feeds both the level aggregation and the final join) —
+    * callers at scale pass a durable spill, the default
+    * localCheckpoint suits test/bench SF.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String,
+                        stage: DataFrame => DataFrame =
+                          _.localCheckpoint(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      col(langCol).as("lang"),
+      explode(Text.tokens(col(textCol))).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint(true)
+    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+    val scored = stage(ModelJoin.sizeGated(words, freq, Seq("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        Hashing.portableRound(
+          avg(log(col("wn").cast("double") / lit(tn))), 6)
+          .as("avg_logprob")))
+    val lvl = scored.groupBy(col("lang"), col("avg_logprob"))
+      .agg(count(lit(1)).as("ln_docs"))
+    val tot = lvl.groupBy(col("lang")).agg(sum(col("ln_docs")).as("n"))
+    // score-descending cumulative count: keys are distinct within a
+    // language by construction, so the default RANGE frame ≡ ROWS in
+    // any engine
+    val cum = sum(col("ln_docs")).over(
+      Window.partitionBy(col("lang")).orderBy(col("avg_logprob").desc))
+    val buck = lvl.withColumn("cum", cum)
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("avg_logprob"),
+        when(col("cum") * 3 <= col("n"), lit("head"))
+          .when(col("cum") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    ModelJoin.sizeGated(scored, buck, Seq("lang", "avg_logprob"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_logprob"), col("bucket"))
+  }
 }

@@ -180,4 +180,49 @@ class LangModelSpec extends SparkTestBase {
       !lp.isNaN && !lp.isInfinite
     })
   }
+
+  // ---------- CCNet-style perplexity tiering ----------
+
+  /** en: four docs with strictly ordered scores (corpus wn: x=6 y=4
+    * z=2 w=1) → cum·3 ≤ n algebra over n=4 puts exactly d1 in head,
+    * d2 in middle, d3/d4 in tail. fr: a 3-doc identical-text level at
+    * the top (cum=3 of n=6 → 9 > 6) must land WHOLLY in middle —
+    * head stays empty, the straddle never splits equal-quality docs.
+    */
+  private def tierDocs = Seq(
+    (1L, "x x x x", "en"), (2L, "x x y y", "en"),
+    (3L, "y y z", "en"), (4L, "z w", "en"),
+    (11L, "p q", "fr"), (12L, "p q", "fr"), (13L, "p q", "fr"),
+    (14L, "q r", "fr"), (15L, "r s", "fr"), (16L, "s t", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("perplexity buckets: tercile algebra and whole-level straddle") {
+    val got = LangModel.perplexityBuckets(tierDocs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(4)))
+      .toMap
+    assert(got.size === 10)
+    assert(got(1L) === ("en", "head"))
+    assert(got(2L) === ("en", "middle"))
+    assert(got(3L) === ("en", "tail") && got(4L) === ("en", "tail"))
+    // the identical-score level (cum 3, n 6) straddles the head
+    // boundary → whole level goes middle; f4's level closes middle
+    // exactly (cum 4 → 12 ≤ 12)
+    assert(Seq(11L, 12L, 13L, 14L).forall(got(_) === ("fr", "middle")))
+    assert(got(15L) === ("fr", "tail") && got(16L) === ("fr", "tail"))
+    assert(!got.values.exists(v => v._1 == "fr" && v._2 == "head"),
+      "straddled fr level leaked into head")
+  }
+
+  test("perplexity buckets: durable stage hook is result-identical") {
+    val dir = tmpDir("pplbuck-stage")
+    val durable = LangModel.perplexityBuckets(tierDocs, "doc_id", "text",
+      "lang", stage = df => {
+        df.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      })
+    val local = LangModel.perplexityBuckets(tierDocs, "doc_id", "text", "lang")
+    assert(durable.except(local).count() === 0 &&
+      local.except(durable).count() === 0,
+      "durable-staged tiering diverged from the localCheckpoint path")
+  }
 }
