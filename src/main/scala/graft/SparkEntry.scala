@@ -668,6 +668,66 @@ object SparkEntry {
       |   ORDER BY score DESC, neighbor_id) AS rank
       | FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** Product-quantization ADC mirror of [[Similarity.pqTopK]] (m=8,
+    * nCodes=16, rerank=40): per-subspace seed assignment and encode
+    * use the ivfAssignCte max-struct rule on 6-dp-rounded cosines;
+    * the codebook is ROUND(AVG, 6) carried state (the kmeans
+    * discipline — both engines then encode and build LUTs from
+    * bit-identical centroids); the ADC terms are
+    * FLOOR(dot·10⁶ + 0.5) BIGINTs, so the SUM over subspaces — the
+    * recall-critical ranking — is exact integer arithmetic in both
+    * engines (the SQ8 rule).
+    */
+  private val pqTopkOracleSql: String =
+    """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ss AS (SELECT unnest(range(8)) AS s),
+      |sub AS (SELECT z.vec_id, ss.s, z.v[ss.s*8+1 : ss.s*8+8] AS sv FROM z, ss),
+      |seedv AS (SELECT vec_id, v FROM z ORDER BY vec_id LIMIT 16),
+      |seedc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      | FROM seedv),
+      |sseed AS (SELECT ss.s, sc.code, sc.v[ss.s*8+1 : ss.s*8+8] AS ssv
+      | FROM seedc sc, ss),
+      |a1 AS (SELECT c.vec_id, c.s,
+      |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, sd.ssv), 6), c := sd.code))).c AS code
+      | FROM sub c JOIN sseed sd ON sd.s = c.s GROUP BY c.vec_id, c.s),
+      |centd AS (SELECT a.s, a.code, generate_subscripts(c.sv, 1) AS dim,
+      |  unnest(c.sv) AS x
+      | FROM a1 a JOIN sub c ON c.vec_id = a.vec_id AND c.s = a.s),
+      |centav AS (SELECT s, code, dim, ROUND(AVG(x), 6) AS cval
+      | FROM centd GROUP BY s, code, dim),
+      |cent AS (SELECT s, code, list(cval ORDER BY dim) AS centroid
+      | FROM centav GROUP BY s, code),
+      |codes AS (SELECT c.vec_id, c.s,
+      |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, ct.centroid), 6), c := ct.code))).c AS code
+      | FROM sub c JOIN cent ct ON ct.s = c.s GROUP BY c.vec_id, c.s),
+      |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM z),
+      |terms AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+      |  CAST(FLOOR(list_dot_product(q.sv, ct.centroid) * 1000000.0 + 0.5) AS BIGINT) AS t
+      | FROM codes cd JOIN cent ct ON ct.s = cd.s AND ct.code = cd.code
+      | JOIN sub q ON q.s = cd.s
+      | WHERE q.vec_id < 8 AND cd.vec_id <> q.vec_id),
+      |adc AS (SELECT query_id, neighbor_id, SUM(t)::BIGINT AS adci
+      | FROM terms GROUP BY query_id, neighbor_id),
+      |approx AS (SELECT query_id, neighbor_id,
+      |  ROUND((adci::DOUBLE / 1000000.0) / (qn.n * cn.n), 6) AS ascore
+      | FROM adc JOIN norms qn ON qn.vec_id = adc.query_id
+      |  JOIN norms cn ON cn.vec_id = adc.neighbor_id),
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ascore DESC, neighbor_id) AS arn
+      |  FROM approx) WHERE arn <= 40),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  ROUND(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+      | FROM cand
+      | JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      | JOIN embeddings qe ON qe.vec_id = cand.query_id)
+      |SELECT query_id, rank, neighbor_id, score FROM (
+      | SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) AS rank
+      | FROM scored) WHERE rank <= 5""".stripMargin
+
   /** Recall@5 of each approximate ANN path against brute force — the
     * regression tripwire for silent recall drift (an index/bucketing
     * change that stays "plausible" but loses neighbors): every CTE is
@@ -678,12 +738,15 @@ object SparkEntry {
     s"""WITH exact AS ($bfTopkOracleSql),
        |ivf AS ($ivfOracleSql),
        |lsh AS ($lshTopkOracleSql),
+       |pq AS ($pqTopkOracleSql),
        |sq8 AS ($sq8TopkOracleSql),
        |hits AS (
        | SELECT 'ivf' AS method, count(*) AS hits
        |  FROM ivf JOIN exact USING (query_id, neighbor_id)
        | UNION ALL SELECT 'lsh', count(*)
        |  FROM lsh JOIN exact USING (query_id, neighbor_id)
+       | UNION ALL SELECT 'pq', count(*)
+       |  FROM pq JOIN exact USING (query_id, neighbor_id)
        | UNION ALL SELECT 'sq8', count(*)
        |  FROM sq8 JOIN exact USING (query_id, neighbor_id)),
        |tot AS (SELECT count(*) AS total FROM exact)
@@ -2237,6 +2300,18 @@ object SparkEntry {
         rerank = 20)
     }),
 
+    // Product-quantization ADC: the fourth ANN path — m=8 per-subspace
+    // codebooks, vectors stored as 8 small codes, approximate ranking
+    // = 8 integer LUT lookups per corpus row (no float vector touched
+    // until the exact re-rank). The codebook is 6-dp-rounded carried
+    // state and the LUT terms are exact integers, so the whole
+    // approximate ranking is engine-portable (see Similarity.pqTopK).
+    "embed_topk_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        m = 8, nCodes = 16, rerank = 40)
+    }),
+
     // Embedding-cosine near-dup pairs: SRP candidate generation +
     // exact verify (the synthetic corpus tops out near cosine 0.5, so
     // the demo threshold is 0.4; production would use ~0.95).
@@ -2311,6 +2386,8 @@ object SparkEntry {
       leg("ivf", Similarity.ivfTopK(emb, qs, 5, nCells = 16, nProbe = 4))
         .unionAll(leg("lsh",
           Similarity.lshBucketedTopK(emb, qs, 5, planes = 4, dims = 64)))
+        .unionAll(leg("pq",
+          Similarity.pqTopK(emb, qs, 5, m = 8, nCodes = 16, rerank = 40)))
         .unionAll(leg("sq8", Similarity.sq8TopK(emb, qs, 5, rerank = 20)))
     }),
 
@@ -3539,6 +3616,9 @@ object SparkEntry {
 
     // SQ8 mirror — see [[sq8TopkOracleSql]].
     "embed_topk_sq8" -> sq8TopkOracleSql,
+
+    // PQ ADC mirror — see [[pqTopkOracleSql]].
+    "embed_topk_pq" -> pqTopkOracleSql,
 
     // SemDeDup mirror: the shared quantizer-assignment CTE, then a
     // within-cell self-join marks every vector dominated by a

@@ -649,6 +649,188 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score"))
   }
+
+  /** Product-quantization ANN (Jégou et al. 2011) — the fourth
+    * standard scale path beside SRP-LSH, IVF, and SQ8, and the one
+    * with the best bandwidth/recall trade at billion-vector scale:
+    * the vector splits into `m` subspaces, each subspace gets its own
+    * `nCodes`-entry codebook, and a vector is stored as `m` small
+    * code ids (m·log₂nCodes bits ≈ 16 bytes/vector at classical
+    * settings vs 256 for float32×64). Query time is ADC (asymmetric
+    * distance computation): ONE lookup table of query-to-centroid
+    * dot products per (query, subspace), and every corpus vector's
+    * approximate score is m table lookups + adds — no float vector
+    * is touched until the exact re-rank of the short list.
+    *
+    * Determinism discipline (the proven house rules, composed):
+    *  - codebook = first-nCodes-by-id seeds + ONE spherical Lloyd
+    *    step per subspace, assignment by 6-dp-ROUNDED cosine with
+    *    larger-code tiebreak (the [[assignToSeeds]] max-struct rule,
+    *    running on the native [[graft.plans.ArgmaxCosineExpr]] where
+    *    its contract holds), per-dim unrounded AVG centroids with
+    *    every downstream comparison rounded (the ivfQuantize rule);
+    *  - the ADC ranking — the recall-critical step — is INTEGER
+    *    arithmetic (the SQ8 rule): LUT entries are
+    *    floor(dot·10⁶ + 0.5) as BIGINT, computed driver-side by the
+    *    same left-to-right fold DuckDB's list_dot_product uses, and
+    *    the per-vector score is an exact integer sum of m of them, so
+    *    approximate rank order has zero float-summation ambiguity;
+    *    only the final normalized score divides by the (identically
+    *    folded) norms and rounds to 6 dp.
+    *
+    * Scale shape: codebook build is one corpus scan (scan-side seed
+    * argmax + one per-(subspace, code, dim) mean — the write-once
+    * artifact; persist it via the IvfIndex/sq8 codesPath pattern when
+    * probing repeatedly); encode + ADC is ONE corpus scan in full
+    * whole-stage codegen (m literal-array argmaxes to encode, then
+    * m element_at lookups per query — queries and codebooks re-enter
+    * as plan literals, nothing joins, nothing shuffles until the
+    * rerank·|queries|-row candidate heap); the exact re-rank
+    * broadcasts the short list into a pruned corpus scan. `queries`
+    * and `m·nCodes` must fit the 4096-literal gate — chunk larger
+    * query batches.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
+    require(m * nCodes <= 4096,
+      s"m*nCodes (${m * nCodes}) exceeds the literal gate — shrink the codebook")
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTopK: empty corpus")
+    val dims = dimRow(0).getInt(0)
+    require(dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+
+    def dotSeq(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    // nearest-codebook-entry argmax for subspace s — native codegen
+    // expression when its contract holds, the portable HOF max-struct
+    // spelling otherwise (identical semantics incl. tiebreak)
+    def assignExpr(s: Int, cents: Array[(Int, IndexedSeq[Double])]): Column = {
+      val svCol = slice(col("v"), s * sub + 1, sub)
+      val rows = cents.map { case (code, vec) =>
+        org.apache.spark.sql.Row(code, vec) }
+      graft.plans.ArgmaxCosineExpr.forSeeds(svCol, rows, IntegerType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+        .map(_.getField("cell"))
+        .getOrElse {
+          val entries = cents.map { case (code, vec) =>
+            struct(lit(code).as("cell"),
+              typedlit(vec.toSeq).as("seed")) }
+          array_max(transform(array(entries.toIndexedSeq: _*), st =>
+            struct(
+              Hashing.portableRound(cosine(svCol, st.getField("seed")), 6)
+                .as("sim"),
+              st.getField("cell").as("cell")))).getField("cell")
+        }
+    }
+
+    // ---- codebook: first-nCodes seeds, one per-subspace Lloyd step ----
+    val seedVecs = corpus.orderBy(col(idCol)).limit(nCodes)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    require(seedVecs.nonEmpty, "pqTopK: no seed vectors")
+    val seedCents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] =
+      (0 until m).map(s => seedVecs.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * sub, (s + 1) * sub)) }.toArray)
+    val assignedCols = (0 until m).map(s => struct(lit(s).as("s"),
+      assignExpr(s, seedCents(s)).as("code"),
+      slice(col("v"), s * sub + 1, sub).as("sv")))
+    val centDf = c.select(explode(array(assignedCols: _*)).as("a"))
+      .select(col("a.s").as("s"), col("a.code").as("code"),
+        posexplode(col("a.sv")).as(Seq("dim", "x")))
+      // 6-dp-ROUNDED carried state (the kmeans discipline): the
+      // codebook feeds BOTH the encode argmax and the ADC lookup
+      // tables, so rounding here collapses both engines onto
+      // bit-identical centroids instead of re-exposing the AVG's
+      // last-ulp summation noise at every downstream floor/round
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(Hashing.portableRound(avg(col("x")), 6).as("cval"))
+      .groupBy(col("s"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cval")))),
+        st => st.getField("cval")).as("centroid"))
+    val cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] = {
+      val all = centDf.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+      (0 until m).map(s =>
+        all.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toArray)
+    }
+
+    // ---- queries: collected once; LUT of integer dot terms ----
+    val qRows = queries
+      .select(col(idCol), col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, "pqTopK: empty query batch")
+    require(qRows.length <= 4096,
+      s"pqTopK: ${qRows.length} queries exceed the literal gate — chunk the batch")
+    val qIds = qRows.map(_.get(0))
+    val qVecs = qRows.map(_.getSeq[Double](1).toIndexedSeq)
+    val qNorms = qVecs.map(v => math.sqrt(dotSeq(v, v)))
+    // lut(j)(s) indexed by code id (dropped codes never occur in
+    // pq_codes — their slots are inert zeros)
+    val lut: Array[Array[Array[Long]]] = Array.tabulate(qRows.length) { j =>
+      Array.tabulate(m) { s =>
+        val qsv = qVecs(j).slice(s * sub, (s + 1) * sub)
+        val row = Array.fill(nCodes)(0L)
+        cents(s).foreach { case (code, cv) =>
+          row(code) = math.floor(dotSeq(qsv, cv) * 1e6 + 0.5).toLong }
+        row
+      }
+    }
+
+    // ---- one fused scan: encode + ADC against every query ----
+    val codesArr = array((0 until m).map(s => assignExpr(s, cents(s))): _*)
+    val perQuery = qIds.indices.map { j =>
+      val adc = (0 until m).map { s =>
+        element_at(typedlit(lut(j)(s).toSeq),
+          element_at(col("pq_codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      struct(lit(qIds(j)).as("query_id"),
+        Hashing.portableRound(
+          try_divide(adc.cast("double") / lit(1e6),
+            lit(qNorms(j)) * col("pq_norm")), 6).as("ascore"))
+    }
+    val approx = c
+      .select(col("cid").as("neighbor_id"), codesArr.as("pq_codes"),
+        norm(col("v")).as("pq_norm"))
+      .select(col("neighbor_id"),
+        explode(array(perQuery.toIndexedSeq: _*)).as("p"))
+      .select(col("p.query_id").as("query_id"), col("neighbor_id"),
+        col("p.ascore").as("ascore"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("ascore").isNotNull)
+    val cand = graft.plans.TopKPerKey(approx, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("ascore"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the short list (the sq8TopK tail): candidates
+    // broadcast into the corpus scan, never the reverse
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val exact = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("score",
+        Hashing.portableRound(cosine(col("qv"), col("cv")), 6))
+      .filter(col("score").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    graft.plans.TopKPerKey(exact, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.desc("score"),
+        graft.plans.TopKPerKey.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
 }
 
 /** Persisted IVF index — the write-once scale path [[Similarity.ivfTopK]]'s

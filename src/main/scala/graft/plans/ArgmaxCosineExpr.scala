@@ -218,8 +218,8 @@ case class ArgmaxCosineExpr(child: Expression,
        |}
        |int $bestIdx = -1; double $bestSim = 0.0; boolean $bestNull = true;
        |for (int $k = 0; $k < $cellsRef.length; $k++) {
-       |  boolean $simNull = $rowBad || $nullsRef[$k] || $n != $lensRef[$k]
-       |    || $rowNorm == 0.0 || $normsRef[$k] == 0.0;
+       |  boolean $simNull = $rowBad || $nullsRef[$k] || $n != $lensRef[$k] ||
+       |    $rowNorm == 0.0 || $normsRef[$k] == 0.0;
        |  double $sim = 0.0;
        |  if (!$simNull) {
        |    double $dot = 0.0;

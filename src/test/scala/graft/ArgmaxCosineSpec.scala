@@ -133,4 +133,24 @@ class ArgmaxCosineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast === slow)
   }
+
+  test("generated code actually COMPILES (janino), incl. function extraction") {
+    // Regression: Spark's Expression.genCode extracts large expression
+    // bodies into helper functions via an outer s"""...""".stripMargin
+    // — any emitted line whose first non-blank char is '|' (e.g. a
+    // `|| cond` continuation) loses its prefix there and the janino
+    // compile fails SILENTLY (Spark falls back to interpreted eval, an
+    // ERROR log the only witness). Generating the projection directly
+    // turns that silent fallback into a test failure.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val expr = ArgmaxCosineExpr(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      IndexedSeq(0L, 1L),
+      IndexedSeq(IndexedSeq(1.0, 2.0), IndexedSeq(3.0, 4.0)),
+      IndexedSeq(false, false), IntegerType)
+    // throws CompileException (no interpreted fallback at this layer)
+    // if the emitted Java is malformed
+    GenerateUnsafeProjection.generate(Seq(expr.asInstanceOf[Expression]))
+  }
 }

@@ -584,4 +584,60 @@ class SimilaritySpec extends SparkTestBase {
     val sizes = a1.groupBy("cell").count().collect().map(_.getLong(1))
     assert(sizes.forall(_ > 0) && sizes.sum === n)
   }
+
+  // ---------- product quantization (ADC) ----------
+
+  test("PQ top-k with exact re-rank achieves high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.pqTopK(emb, queries, 5, m = 8, nCodes = 16,
+      rerank = 40).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ recall@5 (m=8, 16 codes, rerank 40): $recall%.3f")
+    assert(recall > 0.5, f"PQ recall collapsed: $recall%.3f")
+  }
+
+  test("PQ output contract: k per query, no self, scores exact-cosine") {
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5,
+      m = 8, nCodes = 16, rerank = 40).collect()
+    assert(rows.length === 15)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L),
+        s"query $q ranks not 1..5")
+      assert(!rs.exists(_.getLong(2) == q), s"query $q returned itself")
+      // the published score IS the exact rounded cosine of the pair —
+      // the re-rank step's contract
+      rs.foreach { r =>
+        val want = r6(cosine(all(q), all(r.getLong(2))))
+        assert(r.getDouble(3) === want,
+          s"query $q neighbor ${r.getLong(2)}: score ${r.getDouble(3)} != $want")
+      }
+      // ranks descend by score with id tiebreak
+      val ordered = rs.sortBy(_.getLong(1))
+        .map(r => (-r.getDouble(3), r.getLong(2))).toSeq
+      assert(ordered === ordered.sorted, s"query $q rank order broken")
+    }
+  }
+
+  test("PQ is deterministic across invocations and rejects bad configs") {
+    val q = emb.filter(col("vec_id") < 8)
+    val a = Similarity.pqTopK(emb, q, 5).collect().toSet
+    val b = Similarity.pqTopK(emb, q, 5).collect().toSet
+    assert(a === b, "PQ diverged across two identical invocations")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, 5, m = 5) // 64 % 5 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 0), 5) // empty batch
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, 5, rerank = 3) // rerank < k
+    }
+  }
 }
