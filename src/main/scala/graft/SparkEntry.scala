@@ -527,6 +527,53 @@ object SparkEntry {
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
 
+  /** DuckDB mirror of [[graft.functions.Text.bpeMerges]]: the CTE
+    * chain replays every training round — weighted adjacent-pair
+    * count over the vocabulary state, argmax by (cnt DESC, a, b)
+    * LIMIT 1 (the same total order), then the greedy merge as island
+    * algebra (consecutive candidate positions → odd ranks apply, the
+    * following symbol drops). Generated per round, so the oracle is
+    * the full iteration, not a one-step approximation.
+    */
+  private def bpeMergesOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $toksCte,
+      |bpw AS (SELECT unnest(tk) AS word FROM toks),
+      |bpwc AS (SELECT word, COUNT(*)::BIGINT AS n FROM bpw GROUP BY word),
+      |bpst0 AS MATERIALIZED (SELECT word, n,
+      |  list_transform(range(1, length(word)+1), i -> word[i:i]) || ['</w>'] AS syms
+      | FROM bpwc)""".stripMargin)
+    for (i <- 1 to nMerges) {
+      val p = i - 1
+      sb.append(s""",
+        |bppl$i AS MATERIALIZED (SELECT word, n, pos, sym,
+        |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nx FROM (
+        |  SELECT word, n, generate_subscripts(syms, 1) - 1 AS pos,
+        |   unnest(syms) AS sym FROM bpst$p)),
+        |bpbest$i AS MATERIALIZED (SELECT sym AS a, nx AS b, SUM(n)::BIGINT AS cnt
+        | FROM bppl$i WHERE nx IS NOT NULL GROUP BY sym, nx
+        | ORDER BY cnt DESC, a, b LIMIT 1),
+        |bpapp$i AS MATERIALIZED (SELECT word, pos FROM (
+        |  SELECT word, pos,
+        |   row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rk
+        |  FROM (SELECT c.word, c.pos,
+        |    c.pos - row_number() OVER (PARTITION BY c.word ORDER BY c.pos) AS isl
+        |   FROM bppl$i c, bpbest$i bb WHERE c.sym = bb.a AND c.nx = bb.b))
+        | WHERE rk % 2 = 1),
+        |bpst$i AS MATERIALIZED (SELECT p.word, p.n,
+        |  list(CASE WHEN ap.pos IS NOT NULL THEN bb.a || bb.b ELSE p.sym END
+        |    ORDER BY p.pos) AS syms
+        | FROM bppl$i p CROSS JOIN bpbest$i bb
+        | LEFT JOIN bpapp$i ap ON ap.word = p.word AND ap.pos = p.pos
+        | LEFT JOIN bpapp$i ap2 ON ap2.word = p.word AND ap2.pos = p.pos - 1
+        | WHERE ap2.pos IS NULL GROUP BY p.word, p.n)""".stripMargin)
+    }
+    sb.append((1 to nMerges).map(i =>
+      s"\nSELECT $i::BIGINT AS rank, a AS lhs, b AS rhs, a || b AS merged," +
+        s" cnt AS pair_count FROM bpbest$i").mkString("", "\nUNION ALL", ""))
+    sb.toString
+  }
+
   /** DuckDB mirror of [[Similarity.srpBucket]] for table `tb`
     * (planes=4, dims=64): explicit left-to-right projection sum from
     * the same [[Similarity.srpSign]] constants — bit-identical sign
@@ -2016,6 +2063,15 @@ object SparkEntry {
         stage = df => staged(s, df,
           dirBytes(s, s"$d/documents.parquet") / 4, "pplbuck-scored"))),
 
+    // BPE merge training: the learned top-8 merge table over the
+    // corpus — one corpus scan into word counts, then every round
+    // runs on the vocabulary-sized state (see Text.bpeMerges). The
+    // oracle replays all 8 rounds (pair count → argmax → greedy
+    // windowed apply) in DuckDB from the same word counts.
+    "docs_bpe_merges" -> ((s, d) =>
+      graft.functions.Text.bpeMerges(t(s, d, "documents"),
+        "doc_id", "text", 8)),
+
     // TF-IDF top terms per document (the classic salient-term
     // extractor). The document-frequency table is vocabulary-sized —
     // broadcast, like the unigram-LM model — and the per-doc ranking
@@ -3292,6 +3348,9 @@ object SparkEntry {
          |  JOIN tot USING (lang))
          |SELECT sl.doc_id, sl.lang, sl.n_tokens, sl.avg_logprob, bucket
          |FROM sl JOIN buck USING (lang, avg_logprob)""".stripMargin,
+
+    // Full BPE training replay — see [[bpeMergesOracleSql]].
+    "docs_bpe_merges" -> bpeMergesOracleSql(8),
 
     // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a
     // total order, so both engines select the identical set), OOV

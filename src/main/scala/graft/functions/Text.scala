@@ -204,4 +204,86 @@ object Text {
       aggregate(hs, lit(0L), (acc, x) => pmod(acc * rollB + x, lit(rollM)))
     ).otherwise(lit(null).cast("long"))
   }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016) — learn the
+    * top `nMerges` byte-pair merges over the corpus: start from
+    * per-character symbol sequences (plus the `</w>` end-of-word
+    * marker), and each round merge the most frequent adjacent symbol
+    * pair everywhere it occurs, greedily left to right. Returns the
+    * learned merge table (rank, lhs, rhs, merged, pair_count) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape is the standard trainer trick made distributed: the
+    * corpus is scanned ONCE into the word-frequency table, and every
+    * merge round runs over that VOCABULARY-sized state (word, syms, n)
+    * — pair counting weights each word's pairs by its corpus count, so
+    * no round ever touches the corpus again. Rounds are a driver loop
+    * of: one windowed pair count + TakeOrdered(1) argmax (count desc,
+    * then lexicographic pair — a total order, so the chosen merge is
+    * deterministic in any engine), then one windowed merge apply. The
+    * state localCheckpoints each round to keep the plan linear in
+    * rounds, bounded by vocabulary size, never corpus size.
+    *
+    * Greedy left-to-right overlap resolution is expressed portably as
+    * window algebra rather than a fold: candidate positions (sym = a,
+    * next = b) group into islands of consecutive positions
+    * (pos − row_number), and within an island exactly the odd-ranked
+    * candidates apply — "aaaa" under (a,a) merges positions 0 and 2
+    * into [aa, aa], exactly the reference trainer's behaviour. A
+    * symbol at an applied position becomes the merged pair; the
+    * symbol AFTER an applied position is consumed and dropped.
+    */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256,
+      s"nMerges must be in [1, 256] (got $nMerges)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var st = wc.select(col("word"), col("n"),
+      concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val pl = st.select(col("word"), col("n"),
+        posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nx", lead(col("sym"), 1).over(byWord))
+      val best = pl.filter(col("nx").isNotNull)
+        .groupBy(col("sym").as("a"), col("nx").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0); val b = best(0).getString(1)
+        merges += ((i.toLong, a, b, a + b, best(0).getLong(2)))
+        val applied = pl.filter(col("sym") === a && col("nx") === b)
+          .select(col("word"), col("pos"))
+          .withColumn("isl",
+            col("pos") - row_number().over(byWord))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("word"), col("isl")).orderBy(col("pos"))))
+          .filter(col("rk") % 2 === 1)
+          .select(col("word"), col("pos"), lit(true).as("ap"))
+        st = pl
+          .join(applied, Seq("word", "pos"), "left")
+          .join(applied.select(col("word"),
+            (col("pos") + 1).as("pos"), col("ap").as("apPrev")),
+            Seq("word", "pos"), "left")
+          .filter(col("apPrev").isNull)
+          .groupBy(col("word"), col("n"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            when(col("ap").isNotNull, lit(a + b)).otherwise(col("sym"))
+              .as("sym")))),
+            s => s.getField("sym")).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
 }

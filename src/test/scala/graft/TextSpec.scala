@@ -222,4 +222,83 @@ class TextSpec extends SparkTestBase {
       .first().getString(0)
     assert(a === b)
   }
+
+  // ---------- BPE merge training ----------
+
+  /** Independent driver-side reference trainer: same definition —
+    * per-char symbols + `</w>`, overlapping adjacent-pair counts
+    * weighted by word frequency, argmax by (count desc, pair asc),
+    * greedy left-to-right apply.
+    */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var st = words.toSeq.map { case (w, n) =>
+      (w.map(_.toString).toVector :+ "</w>", n) }
+    val out =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (i <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      st.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n } }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) =
+          counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((i.toLong, a, b, a + b, cnt))
+        st = st.map { case (syms, n) =>
+          val nb = scala.collection.mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              nb += a + b; j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          (nb.toVector, n)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordCounts(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  test("BPE merges match an independent driver-side trainer") {
+    val texts = Seq("low low low lower lowest", "new newer newest low wider")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Text.bpeMerges(docs, "doc_id", "text", 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === refBpe(wordCounts(texts), 10))
+    assert(got.size === 10)
+  }
+
+  test("BPE greedy overlap: runs merge left to right, odd positions") {
+    // "aaaa" under merge (a,a): positions 0 and 2 apply → [aa, aa];
+    // "aaa" → [aa, a] — the merge must not chain into the consumed
+    // symbol
+    val docs = Seq((1L, "aaaa aaa aaaa")).toDF("doc_id", "text")
+    val got = Text.bpeMerges(docs, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === refBpe(wordCounts(Seq("aaaa aaa aaaa")), 3))
+    // round 1 is (a,a) seen 2+3+... times: aaaa has 3 overlapping
+    // (a,a) pairs and aaa has 2, aaaa appears twice → count 8
+    assert(got.head === ((1L, "a", "a", "aa", 8L)))
+    // round 2: after the greedy apply the corpus is [aa,aa,</w>]×2,
+    // [aa,a,</w>] — (aa,aa) and (aa,</w>) tie at 2 and the
+    // lexicographic tiebreak picks (aa,</w>) ('<' sorts before 'a')
+    assert(got(1)._2 === "aa" && got(1)._3 === "</w>" && got(1)._5 === 2L)
+  }
+
+  test("BPE exhaustion: a corpus collapses before nMerges and stops") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab" → a,b,</w>: merges (a,b)→ab, (ab,</w>)→ab</w>, then no
+    // pairs remain — asking for 10 merges yields exactly 2
+    val got = Text.bpeMerges(docs, "doc_id", "text", 10).collect()
+    assert(got.length === 2)
+    assert(got.map(_.getString(3)).toSet === Set("ab", "ab</w>"))
+  }
 }
