@@ -535,7 +535,24 @@ object SparkEntry {
     * following symbol drops). Generated per round, so the oracle is
     * the full iteration, not a one-step approximation.
     */
-  private def bpeMergesOracleSql(nMerges: Int): String = {
+  private def bpeMergesOracleSql(nMerges: Int): String =
+    bpeChainCtes(nMerges) + (1 to nMerges).map(i =>
+      s"\nSELECT $i::BIGINT AS rank, a AS lhs, b AS rhs, a || b AS merged," +
+        s" cnt AS pair_count FROM bpbest$i").mkString("", "\nUNION ALL", "")
+
+  /** The per-doc BPE segmentation mirror: the same training chain,
+    * then the final vocabulary state joins back to the tokenized
+    * corpus for per-doc word/BPE-token counts.
+    */
+  private def bpeTokenCountsOracleSql(nMerges: Int): String =
+    bpeChainCtes(nMerges) + s"""
+      |SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+      | SUM(len(st.syms))::BIGINT AS n_bpe_tokens
+      |FROM (SELECT doc_id, unnest(tk) AS word FROM toks) w
+      |JOIN bpst$nMerges st USING (word)
+      |GROUP BY w.doc_id""".stripMargin
+
+  private def bpeChainCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH $toksCte,
       |bpw AS (SELECT unnest(tk) AS word FROM toks),
@@ -568,9 +585,6 @@ object SparkEntry {
         | LEFT JOIN bpapp$i ap2 ON ap2.word = p.word AND ap2.pos = p.pos - 1
         | WHERE ap2.pos IS NULL GROUP BY p.word, p.n)""".stripMargin)
     }
-    sb.append((1 to nMerges).map(i =>
-      s"\nSELECT $i::BIGINT AS rank, a AS lhs, b AS rhs, a || b AS merged," +
-        s" cnt AS pair_count FROM bpbest$i").mkString("", "\nUNION ALL", ""))
     sb.toString
   }
 
@@ -2072,6 +2086,14 @@ object SparkEntry {
       graft.functions.Text.bpeMerges(t(s, d, "documents"),
         "doc_id", "text", 8)),
 
+    // The apply side of BPE: per-doc word and BPE-token counts from
+    // the trained vocabulary state joined back through the size-gated
+    // model join — encoding is one corpus scan; the rounds only ever
+    // touched the vocabulary.
+    "docs_bpe_token_counts" -> ((s, d) =>
+      graft.functions.Text.bpeEncodeCounts(t(s, d, "documents"),
+        "doc_id", "text", 8)),
+
     // TF-IDF top terms per document (the classic salient-term
     // extractor). The document-frequency table is vocabulary-sized —
     // broadcast, like the unigram-LM model — and the per-doc ranking
@@ -3351,6 +3373,9 @@ object SparkEntry {
 
     // Full BPE training replay — see [[bpeMergesOracleSql]].
     "docs_bpe_merges" -> bpeMergesOracleSql(8),
+
+    // BPE segmentation counts — see [[bpeTokenCountsOracleSql]].
+    "docs_bpe_token_counts" -> bpeTokenCountsOracleSql(8),
 
     // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a
     // total order, so both engines select the identical set), OOV

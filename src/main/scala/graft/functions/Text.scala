@@ -236,10 +236,45 @@ object Text {
   def bpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, nMerges: Int)
       : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, nMerges)._1
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a trained BPE segmentation to the corpus: per document,
+    * the word count and the BPE token count (each word contributing
+    * its merged-symbol sequence length, `</w>` marker included).
+    * The trained state is the VOCABULARY-sized (word → syms) table,
+    * so encoding is one tokenize scan joined against a model table
+    * through [[ModelJoin.sizeGated]] — broadcast below the gate,
+    * shuffle-hash on the already-exploded word key above it; the
+    * merge rounds themselves never touch the corpus (see
+    * [[bpeMerges]]).
+    */
+  def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val state = bpeTrain(docs, textCol, nMerges)._2
+      .select(col("word"), size(col("syms")).as("wlen"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    ModelJoin.sizeGated(words, state, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("wlen")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** The shared training loop: returns the merge list and the final
+    * (word, n, syms) vocabulary state.
+    */
+  private def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+                       textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)],
+         org.apache.spark.sql.DataFrame) = {
     require(nMerges >= 1 && nMerges <= 256,
       s"nMerges must be in [1, 256] (got $nMerges)")
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
     val wc = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     var st = wc.select(col("word"), col("n"),
@@ -283,7 +318,6 @@ object Text {
           .localCheckpoint(true)
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    (merges.toSeq, st)
   }
 }

@@ -293,6 +293,34 @@ class TextSpec extends SparkTestBase {
     assert(got(1)._2 === "aa" && got(1)._3 === "</w>" && got(1)._5 === 2L)
   }
 
+  test("BPE encode counts match the reference segmentation") {
+    val texts = Seq("low low low lower lowest", "new newer newest low wider")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = refBpe(wordCounts(texts), 6)
+    def seg(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (_, a, b, _, _) =>
+        val nb = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            nb += a + b; j += 2
+          } else { nb += syms(j); j += 1 }
+        }
+        syms = nb.toVector
+      }
+      syms
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (i.toLong, ws.length.toLong, ws.map(seg(_).length.toLong).sum)
+    }.toSet
+    val got = Text.bpeEncodeCounts(docs, "doc_id", "text", 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("BPE exhaustion: a corpus collapses before nMerges and stops") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // "ab" → a,b,</w>: merges (a,b)→ab, (ab,</w>)→ab</w>, then no
