@@ -527,6 +527,29 @@ object SparkEntry {
   private val toksCte =
     s"toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents)"
 
+  /** DuckDB mirror of [[graft.functions.Dsir]]'s shared core: hashed-
+    * unigram bucket histograms, the Laplace-smoothed target/raw bucket
+    * model (lang = 'en' as the target proxy), and the per-bucket
+    * log-ratio — arithmetic spelled term-for-term like the Spark side
+    * so only ln()'s last ulp differs (absorbed by the 6-dp rounding).
+    */
+  private def dsirCtes(nBuckets: Int): String =
+    s"""WITH $toksCte,
+       |wb AS (SELECT doc_id,
+       |  ${h60Sql("word")} % $nBuckets AS bucket
+       | FROM (SELECT doc_id, unnest(tk) AS word FROM toks)),
+       |hist AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt
+       | FROM wb GROUP BY 1, 2),
+       |model AS (SELECT bucket, SUM(cnt)::BIGINT AS raw_n,
+       |  SUM(CASE WHEN d.lang = 'en' THEN cnt ELSE 0 END)::BIGINT AS tgt_n
+       | FROM hist JOIN documents d USING (doc_id) GROUP BY bucket),
+       |tot AS (SELECT SUM(raw_n)::BIGINT AS rt, SUM(tgt_n)::BIGINT AS tt
+       | FROM model),
+       |lrt AS (SELECT bucket,
+       |  ln(((tgt_n + 1)::DOUBLE / (tt + $nBuckets)::DOUBLE)
+       |   / ((raw_n + 1)::DOUBLE / (rt + $nBuckets)::DOUBLE)) AS lr
+       | FROM model, tot)""".stripMargin
+
   /** DuckDB mirror of [[graft.functions.Text.bpeMerges]]: the CTE
     * chain replays every training round — weighted adjacent-pair
     * count over the vocabulary state, argmax by (cnt DESC, a, b)
@@ -2094,6 +2117,27 @@ object SparkEntry {
       graft.functions.Text.bpeEncodeCounts(t(s, d, "documents"),
         "doc_id", "text", 8)),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc mean hashed-
+    // unigram log-likelihood ratio of a target distribution (lang=en
+    // as the target proxy) vs the raw corpus. One tokenize pass folded
+    // to per-doc bucket histograms; the 64-row bucket model is a
+    // collected local relation so the scoring join broadcasts forever.
+    "docs_dsir_weights" -> ((s, d) =>
+      graft.functions.Dsir.importanceWeights(t(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", 64,
+        stage = df => staged(s, df,
+          dirBytes(s, s"$d/documents.parquet") / 4, "dsir-hist"))),
+
+    // The sampling half of DSIR: deterministic Gumbel-top-k over the
+    // per-doc importance weight sums — the step that turns the weights
+    // into an actual selected subset (global TakeOrderedAndProject,
+    // bounded per-partition heaps).
+    "docs_dsir_resample" -> ((s, d) =>
+      graft.functions.Dsir.gumbelResample(t(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", 64, 25,
+        stage = df => staged(s, df,
+          dirBytes(s, s"$d/documents.parquet") / 4, "dsir-hist"))),
+
     // TF-IDF top terms per document (the classic salient-term
     // extractor). The document-frequency table is vocabulary-sized —
     // broadcast, like the unigram-LM model — and the per-doc ranking
@@ -3376,6 +3420,23 @@ object SparkEntry {
 
     // BPE segmentation counts — see [[bpeTokenCountsOracleSql]].
     "docs_bpe_token_counts" -> bpeTokenCountsOracleSql(8),
+
+    // DSIR weights — see [[dsirCtes]] for the shared model chain.
+    "docs_dsir_weights" -> (dsirCtes(64) + s"""
+      |SELECT h.doc_id, SUM(cnt)::BIGINT AS n_tokens,
+      | ROUND(SUM(cnt::DOUBLE * lr) / SUM(cnt)::DOUBLE, 6)
+      |  AS avg_dsir_logratio
+      |FROM hist h JOIN lrt USING (bucket) GROUP BY h.doc_id""".stripMargin),
+
+    // DSIR Gumbel-top-k resample: the same u-from-hash60 uniform as
+    // docs_sample_weighted, perturbing the per-doc log-ratio SUM.
+    "docs_dsir_resample" -> (dsirCtes(64) + s""",
+      |score AS (SELECT h.doc_id, SUM(cnt::DOUBLE * lr) AS slr
+      | FROM hist h JOIN lrt USING (bucket) GROUP BY h.doc_id)
+      |SELECT doc_id, ROUND(slr - ln(-ln(
+      |  ((${h60Sql("doc_id::VARCHAR")}) + 1)::DOUBLE
+      |   / 1152921504606846976.0)), 6) AS skey
+      |FROM score ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin),
 
     // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a
     // total order, so both engines select the identical set), OOV
