@@ -386,6 +386,14 @@ object ScaleProof {
         "docs_bigram_logprob" -> (() =>
           graft.functions.LangModel.bigramLogprob(docs, "doc_id", "text",
             modelPath = Some(s"$work/bgm_$n")).count()),
+        // DSIR: one tokenize pass folded to per-doc bucket histograms
+        // (map-side combinable — the shuffle carries ≤ docs×B rows,
+        // never raw tokens), a ≤B-row collected model, broadcast
+        // scoring. Expect ~linear in corpus bytes, nothing worse.
+        "docs_dsir_weights" -> (() =>
+          graft.functions.Dsir.importanceWeights(docs, "doc_id", "text",
+            col("lang") === "en", 1024,
+            stage = _.localCheckpoint(true)).count()),
         // standing-table co-located join: docs ⋈ embedding metadata on
         // id — two CORPUS-SIZED sides, the case broadcast can never
         // cover and bucketing exists for. Rep 1 pays the one-time

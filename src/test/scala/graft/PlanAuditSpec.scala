@@ -258,6 +258,28 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
   }
 
+  test("docs_dsir_weights: one corpus scan, local-relation model broadcast") {
+    val p = plan("docs_dsir_weights")
+    // the staged histogram is the ONLY corpus derivation (built once,
+    // eagerly, inside stage()); every consumer reads it back — the
+    // scoring plan must carry no parquet re-scan, and the model must
+    // be a LocalTableScan (collected relation, no checkpoint block)
+    assert(count(p, "FileScan") === 0 && p.contains("Scan ExistingRDD"),
+      s"scoring plan re-derives the corpus instead of the staged hist:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LocalTableScan"),
+      s"bounded bucket model not a broadcast local relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle join crept into the bounded-model join:\n$p")
+  }
+
+  test("docs_dsir_resample: global top-k on TakeOrderedAndProject") {
+    val p = plan("docs_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"resample's LIMIT did not plan as bounded per-partition heaps:\n$p")
+    assert(count(p, "FileScan") === 0 && p.contains("Scan ExistingRDD"),
+      s"scoring plan re-derives the corpus instead of the staged hist:\n$p")
+  }
+
   test("events_anomaly_zscore: fact side never shuffles") {
     val p = plan("events_anomaly_zscore")
     // the per-type stats aggregate shuffles its |event-types|-sized
