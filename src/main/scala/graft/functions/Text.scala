@@ -254,22 +254,36 @@ object Text {
     */
   def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame =
+    bpeEncodeCountsFrom(docs, idCol, textCol,
+      bpeTrain(docs, textCol, nMerges)._2)
+
+  /** Encode against an already-trained `(word, n, syms)` vocabulary
+    * state (e.g. [[bpeTrain]]'s output persisted as the write-once
+    * tokenizer artifact) — the steady-state corpus-encoding path:
+    * one tokenize scan, no training rounds.
+    */
+  def bpeEncodeCountsFrom(docs: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          state: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val state = bpeTrain(docs, textCol, nMerges)._2
-      .select(col("word"), size(col("syms")).as("wlen"))
+    val wlens = state.select(col("word"), size(col("syms")).as("wlen"))
     val words = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))
-    ModelJoin.sizeGated(words, state, Seq("word"))
+    ModelJoin.sizeGated(words, wlens, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("wlen")).cast("long").as("n_bpe_tokens"))
   }
 
   /** The shared training loop: returns the merge list and the final
-    * (word, n, syms) vocabulary state.
+    * (word, n, syms) vocabulary state. Package-visible so callers can
+    * persist the trained state once (the tokenizer is a write-once
+    * artifact) and encode against it repeatedly via
+    * [[bpeEncodeCountsFrom]].
     */
-  private def bpeTrain(docs: org.apache.spark.sql.DataFrame,
-                       textCol: String, nMerges: Int)
+  private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+                              textCol: String, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)],
          org.apache.spark.sql.DataFrame) = {
     require(nMerges >= 1 && nMerges <= 256,
