@@ -386,6 +386,15 @@ object ScaleProof {
         "docs_bigram_logprob" -> (() =>
           graft.functions.LangModel.bigramLogprob(docs, "doc_id", "text",
             modelPath = Some(s"$work/bgm_$n")).count()),
+        // BPE training (the bench rows measure the steady state off
+        // the persisted tokenizer, so the BUILD's scaling lives
+        // here): one corpus scan into word counts, then nMerges
+        // VOCABULARY-sized rounds (≤800 distinct words whatever n
+        // is) — expect ≈ the cost of the word-count scan, flat
+        // rounds.
+        "docs_bpe_train" -> (() =>
+          graft.functions.Text.bpeMerges(docs, "doc_id", "text", 4)
+            .count()),
         // DSIR: one tokenize pass folded to per-doc bucket histograms
         // (map-side combinable — the shuffle carries ≤ docs×B rows,
         // never raw tokens), a ≤B-row collected model, broadcast
