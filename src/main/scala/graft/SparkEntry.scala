@@ -784,8 +784,11 @@ object SparkEntry {
     * recall-critical ranking — is exact integer arithmetic in both
     * engines (the SQ8 rule).
     */
-  private val pqTopkOracleSql: String =
-    """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The PQ codebook/encode/LUT chain (no WITH, no terms): shared by
+    * the flat-PQ mirror and the IVF-PQ composition below.
+    */
+  private val pqChainCtes: String =
+    """z AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |ss AS (SELECT unnest(range(8)) AS s),
       |sub AS (SELECT z.vec_id, ss.s, z.v[ss.s*8+1 : ss.s*8+8] AS sv FROM z, ss),
       |seedv AS (SELECT vec_id, v FROM z ORDER BY vec_id LIMIT 16),
@@ -806,11 +809,18 @@ object SparkEntry {
       |codes AS (SELECT c.vec_id, c.s,
       |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, ct.centroid), 6), c := ct.code))).c AS code
       | FROM sub c JOIN cent ct ON ct.s = c.s GROUP BY c.vec_id, c.s),
-      |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM z),
+      |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM z)"""
+      .stripMargin
+
+  /** The ADC terms → rerank → exact-re-rank tail; `termsExtra` lets
+    * the IVF-PQ mirror gate the terms to each query's probed cells.
+    */
+  private def pqTailSql(termsExtra: String): String =
+    s""",
       |terms AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
       |  CAST(FLOOR(list_dot_product(q.sv, ct.centroid) * 1000000.0 + 0.5) AS BIGINT) AS t
       | FROM codes cd JOIN cent ct ON ct.s = cd.s AND ct.code = cd.code
-      | JOIN sub q ON q.s = cd.s
+      | JOIN sub q ON q.s = cd.s$termsExtra
       | WHERE q.vec_id < 8 AND cd.vec_id <> q.vec_id),
       |adc AS (SELECT query_id, neighbor_id, SUM(t)::BIGINT AS adci
       | FROM terms GROUP BY query_id, neighbor_id),
@@ -834,6 +844,37 @@ object SparkEntry {
       |   ORDER BY score DESC, neighbor_id) AS rank
       | FROM scored) WHERE rank <= 5""".stripMargin
 
+  private val pqTopkOracleSql: String =
+    "WITH " + pqChainCtes + pqTailSql("")
+
+  /** IVF-PQ mirror: the [[ivfAssignCte]] coarse quantizer + the
+    * [[ivfOracleSql]] centroid/probe CTEs (renamed ccent* to avoid
+    * clashing with the PQ codebook's `cent`), composed with the PQ
+    * chain by gating the ADC terms on the neighbor's coarse cell
+    * being one of the query's 4 probed cells — exactly the `when`
+    * gate [[graft.functions.Similarity.ivfPqTopK]] applies inside
+    * its fused scan.
+    */
+  private val ivfPqTopkOracleSql: String =
+    s"""WITH $ivfAssignCte,
+      |cexp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      |ccentdims AS (
+      |  SELECT a.cell, e.dim, AVG(e.v) AS cval
+      |  FROM assigned a JOIN cexp e ON e.vec_id = a.cid GROUP BY 1, 2),
+      |ccent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
+      |  FROM ccentdims GROUP BY cell),
+      |probes AS (
+      |  SELECT q.vec_id AS query_id, c.cell,
+      |   row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
+      |     c.cell) AS prk
+      |  FROM embeddings q, ccent c WHERE q.vec_id < 8),
+      |""".stripMargin + pqChainCtes + pqTailSql("""
+      | JOIN assigned av ON av.cid = cd.vec_id
+      | JOIN probes p ON p.query_id = q.vec_id AND p.cell = av.cell
+      |  AND p.prk <= 4""".stripMargin)
+
   /** Recall@5 of each approximate ANN path against brute force — the
     * regression tripwire for silent recall drift (an index/bucketing
     * change that stays "plausible" but loses neighbors): every CTE is
@@ -844,6 +885,7 @@ object SparkEntry {
     s"""WITH exact AS ($bfTopkOracleSql),
        |ivf AS ($ivfOracleSql),
        |lsh AS ($lshTopkOracleSql),
+       |ivfpq AS ($ivfPqTopkOracleSql),
        |pq AS ($pqTopkOracleSql),
        |sq8 AS ($sq8TopkOracleSql),
        |hits AS (
@@ -851,6 +893,8 @@ object SparkEntry {
        |  FROM ivf JOIN exact USING (query_id, neighbor_id)
        | UNION ALL SELECT 'lsh', count(*)
        |  FROM lsh JOIN exact USING (query_id, neighbor_id)
+       | UNION ALL SELECT 'ivfpq', count(*)
+       |  FROM ivfpq JOIN exact USING (query_id, neighbor_id)
        | UNION ALL SELECT 'pq', count(*)
        |  FROM pq JOIN exact USING (query_id, neighbor_id)
        | UNION ALL SELECT 'sq8', count(*)
@@ -2462,6 +2506,17 @@ object SparkEntry {
         m = 8, nCodes = 16, rerank = 40)
     }),
 
+    // IVF-PQ — the classical FAISS composition: the IVF coarse
+    // quantizer restricts each query's ADC scan to its 4 probed
+    // cells, PQ's integer ADC ranks within them, exact re-rank of
+    // the short list. Both halves keep their proven mirrors; the
+    // oracle composes them on the probed-cell gate.
+    "embed_topk_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        nCells = 16, nProbe = 4, m = 8, nCodes = 16, rerank = 40)
+    }),
+
     // Embedding-cosine near-dup pairs: SRP candidate generation +
     // exact verify (the synthetic corpus tops out near cosine 0.5, so
     // the demo threshold is 0.4; production would use ~0.95).
@@ -2536,6 +2591,9 @@ object SparkEntry {
       leg("ivf", Similarity.ivfTopK(emb, qs, 5, nCells = 16, nProbe = 4))
         .unionAll(leg("lsh",
           Similarity.lshBucketedTopK(emb, qs, 5, planes = 4, dims = 64)))
+        .unionAll(leg("ivfpq",
+          Similarity.ivfPqTopK(emb, qs, 5, nCells = 16, nProbe = 4,
+            m = 8, nCodes = 16, rerank = 40)))
         .unionAll(leg("pq",
           Similarity.pqTopK(emb, qs, 5, m = 8, nCodes = 16, rerank = 40)))
         .unionAll(leg("sq8", Similarity.sq8TopK(emb, qs, 5, rerank = 20)))
@@ -3792,6 +3850,8 @@ object SparkEntry {
 
     // PQ ADC mirror — see [[pqTopkOracleSql]].
     "embed_topk_pq" -> pqTopkOracleSql,
+
+    "embed_topk_ivfpq" -> ivfPqTopkOracleSql,
 
     // SemDeDup mirror: the shared quantizer-assignment CTE, then a
     // within-cell self-join marks every vector dominated by a

@@ -693,7 +693,62 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    pqAdc(corpus, queries, k, m, nCodes, rerank, idCol, vecCol, None)
+
+  /** IVF-PQ (the classical FAISS IVFPQ pairing): the [[ivfTopK]]
+    * coarse quantizer restricts each query's ADC scan to its
+    * `nProbe` nearest cells, and [[pqTopK]]'s integer ADC ranks only
+    * within that restriction — the composition that makes
+    * billion-vector search tractable (PQ alone still reads every
+    * code; IVF alone still touches full float vectors per probed
+    * cell; together: 1/nCells of the corpus at m-byte codes).
+    *
+    * Determinism: the coarse assignment and probe selection are the
+    * exact [[ivfTopK]] spellings (6-dp-rounded cosines, cell-id
+    * tiebreaks), the ADC stage the exact [[pqTopK]] spelling — so the
+    * composed result is DuckDB-reproducible from the two existing
+    * mirrors joined on the probed-cell gate. Gating happens INSIDE
+    * the fused encode+ADC scan (a per-query `when` on the scan-side
+    * coarse cell — short-circuits the m lookups for unprobed pairs);
+    * nothing joins, nothing shuffles until the rerank-row heap.
+    * Probe lists collect `queries × nProbe` (cell, query) pairs —
+    * bounded by the same 4096-literal query gate as the LUTs.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells] (got $nProbe of $nCells)")
+    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    // the ivfProbe probe rule verbatim; collected (queries × nProbe
+    // rows, bounded by the query-literal gate)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probeRows = q.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        Hashing.portableRound(cosine(col("qv"), col("centroid")), 6))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("cell")).collect()
+    val probed: Map[Any, Seq[Any]] = probeRows.groupBy(_.get(0))
+      .map { case (qid, rows) => qid -> rows.map(_.get(1)).toSeq }
+    pqAdc(corpus, queries, k, m, nCodes, rerank, idCol, vecCol,
+      Some((assigned, probed)))
+  }
+
+  /** Shared PQ core: codebook build + fused encode/ADC scan + exact
+    * re-rank, optionally gated per query to the coarse cells in
+    * `coarse` (the IVF-PQ composition).
+    */
+  private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+                    m: Int, nCodes: Int, rerank: Int,
+                    idCol: String, vecCol: String,
+                    coarse: Option[(DataFrame, Map[Any, Seq[Any]])])
+      : DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
     require(m * nCodes <= 4096,
@@ -709,8 +764,14 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val c = corpus.select(col(idCol).as("cid"),
-      col(vecCol).cast("array<double>").as("v"))
+    // gated: the scan reads the coarse-assigned relation so the cell
+    // rides the same projection the encode uses — no join
+    val c = coarse match {
+      case Some((assigned, _)) => assigned.select(col("cid"),
+        col("cv").cast("array<double>").as("v"), col("cell"))
+      case None => corpus.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+    }
 
     // nearest-codebook-entry argmax for subspace s — native codegen
     // expression when its contract holds, the portable HOF max-struct
@@ -795,14 +856,25 @@ object Similarity {
         element_at(typedlit(lut(j)(s).toSeq),
           element_at(col("pq_codes"), s + 1) + 1)
       }.reduce(_ + _)
-      struct(lit(qIds(j)).as("query_id"),
-        Hashing.portableRound(
-          try_divide(adc.cast("double") / lit(1e6),
-            lit(qNorms(j)) * col("pq_norm")), 6).as("ascore"))
+      val ascore = Hashing.portableRound(
+        try_divide(adc.cast("double") / lit(1e6),
+          lit(qNorms(j)) * col("pq_norm")), 6)
+      // IVF-PQ gate: ADC only when the vector's coarse cell is one of
+      // query j's probed cells (a when() on the scan-side cell, so
+      // unprobed pairs short-circuit past the m lookups and fall to
+      // the existing null-ascore filter)
+      val gated = coarse match {
+        case Some((_, probed)) =>
+          when(col("cell").isin(probed.getOrElse(qIds(j), Nil): _*), ascore)
+        case None => ascore
+      }
+      struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
     }
+    val projCols = Seq(col("cid").as("neighbor_id"),
+      codesArr.as("pq_codes"), norm(col("v")).as("pq_norm")) ++
+      (if (coarse.isDefined) Seq(col("cell")) else Nil)
     val approx = c
-      .select(col("cid").as("neighbor_id"), codesArr.as("pq_codes"),
-        norm(col("v")).as("pq_norm"))
+      .select(projCols: _*)
       .select(col("neighbor_id"),
         explode(array(perQuery.toIndexedSeq: _*)).as("p"))
       .select(col("p.query_id").as("query_id"), col("neighbor_id"),

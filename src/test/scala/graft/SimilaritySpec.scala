@@ -625,6 +625,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: probing ALL cells reproduces flat PQ exactly") {
+    // with nProbe = nCells the coarse gate is vacuous, so the
+    // composition must be bit-identical to the flat ADC path — the
+    // strongest pin that the gate only ever REMOVES candidates
+    val q = emb.filter(col("vec_id") < 8)
+    val flat = Similarity.pqTopK(emb, q, 5, m = 8, nCodes = 16,
+      rerank = 40).collect().toSet
+    val composed = Similarity.ivfPqTopK(emb, q, 5, nCells = 16,
+      nProbe = 16, m = 8, nCodes = 16, rerank = 40).collect().toSet
+    assert(composed === flat)
+  }
+
+  test("IVF-PQ with narrow probes: contract holds, recall reasonable") {
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4,
+      m = 8, nCodes = 16, rerank = 40).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rs.length.toLong), s"query $qid ranks not contiguous")
+      assert(!rs.exists(_.getLong(2) == qid), s"query $qid returned itself")
+    }
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 (16 cells, 4 probes): $recall%.3f")
+    assert(recall > 0.3, f"IVF-PQ recall collapsed: $recall%.3f")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 17)
+    }
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
