@@ -553,6 +553,17 @@ object ScaleProof {
         "embed_topk_sq8" -> (() =>
           Similarity.sq8TopK(emb, queries, 10, rerank = 40,
             codesPath = Some(s"$work/sq8_$n")).count()),
+        // flat PQ and the IVF-PQ composition: both are ONE fused
+        // encode+ADC corpus scan; ivfpq adds the coarse-quantize pass
+        // and gates each query's ADC to its probed cells (the scan
+        // itself still reads every code — partition-level pruning is
+        // the persisted-index path above)
+        "embed_topk_pq" -> (() =>
+          Similarity.pqTopK(emb, queries, 5, m = 8, nCodes = 16,
+            rerank = 40).count()),
+        "embed_topk_ivfpq" -> (() =>
+          Similarity.ivfPqTopK(emb, queries, 5, nCells = cellsFor(n),
+            nProbe = 4, m = 8, nCodes = 16, rerank = 40).count()),
         "embed_topk_ivf_indexed" -> (() => {
           val idx = new IvfIndex(s"$work/ivf_$n", nCells = cellsFor(n))
           idx.build(emb)
