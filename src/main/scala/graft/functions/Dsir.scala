@@ -37,17 +37,22 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Per-document importance weights: `(doc_id, n_tokens,
-    * avg_dsir_logratio)` where the log-ratio of a token in bucket b is
-    * `ln(pT(b) / pR(b))` with `pX(b) = (count_X(b)+1) / (total_X+B)`.
-    * The emitted score is the per-token mean (length-normalized, the
+    * avg_dsir_logratio)` where the log-ratio of a feature in bucket b
+    * is `ln(pT(b) / pR(b))` with `pX(b) = (count_X(b)+1) /
+    * (total_X+B)`. Features are hashed word `ngram`s — the paper's
+    * configuration is n = 2 (hashed bigrams); n = 1 (unigrams) keeps
+    * the oracle algebra smallest, so the oracle rows use it. The
+    * emitted score is the per-feature mean (length-normalized, the
     * filter-signal form); 6-dp portable rounding absorbs float-sum
     * ordering noise as in `docs_unigram_logprob`.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, nBuckets: Int,
-                        stage: DataFrame => DataFrame = identity)
+                        stage: DataFrame => DataFrame = identity,
+                        ngram: Int = 1)
       : DataFrame = {
-    val scored = score(docs, idCol, textCol, targetPred, nBuckets, stage)
+    val scored = score(docs, idCol, textCol, targetPred, nBuckets, stage,
+      ngram)
     scored.select(col("doc_id"),
       col("n_tokens"),
       Hashing.portableRound(
@@ -63,10 +68,12 @@ object Dsir {
     */
   def gumbelResample(docs: DataFrame, idCol: String, textCol: String,
                      targetPred: Column, nBuckets: Int, k: Int,
-                     stage: DataFrame => DataFrame = identity)
+                     stage: DataFrame => DataFrame = identity,
+                     ngram: Int = 1)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val scored = score(docs, idCol, textCol, targetPred, nBuckets, stage)
+    val scored = score(docs, idCol, textCol, targetPred, nBuckets, stage,
+      ngram)
     // u in (0, 1]: +1 in LONG space before the double cast (hash60
     // exceeds 2^53 where double +1.0 no-ops); 2^60 divisor is exact.
     val u = (Hashing.hash60(col("doc_id").cast("string")) + lit(1L))
@@ -83,14 +90,21 @@ object Dsir {
     */
   private def score(docs: DataFrame, idCol: String, textCol: String,
                     targetPred: Column, nBuckets: Int,
-                    stage: DataFrame => DataFrame): DataFrame = {
+                    stage: DataFrame => DataFrame,
+                    ngram: Int = 1): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20] (got $nBuckets)")
+    require(ngram >= 1 && ngram <= 8, s"ngram must be in [1, 8] (got $ngram)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // n = 1: bare tokens (the oracle spelling); n > 1: word n-grams
+    // via the shared shingle builder — same scan shape, the explode
+    // just emits size-n+1 features per doc instead of size
+    val feats = if (ngram == 1) Text.tokens(col(textCol))
+      else Text.shingles(Text.tokens(col(textCol)), ngram)
     val hist = stage(docs
       .select(col(idCol).as("doc_id"), targetPred.as("is_tgt"),
-        explode(Text.tokens(col(textCol))).as("word"))
+        explode(feats).as("word"))
       .select(col("doc_id"), col("is_tgt"),
         pmod(Hashing.hash60(col("word")), lit(nBuckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("is_tgt"), col("bucket"))

@@ -29,12 +29,15 @@ class DsirSpec extends SparkTestBase {
   private def round6(x: Double): Double =
     math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Independent reference: doc_id -> (n_tokens, sum_lr). */
+  /** Independent reference: doc_id -> (n_features, sum_lr). */
   private def refSums(docs: Seq[(Long, String, String)], tgtLang: String,
-                      b: Int): Map[Long, (Long, Double)] = {
+                      b: Int, ngram: Int = 1): Map[Long, (Long, Double)] = {
     val toks = docs.map { case (id, t, lang) =>
-      (id, lang == tgtLang,
-        t.split("\\s+").filter(_.nonEmpty).map(w => h60(w) % b).toSeq)
+      val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = if (ngram == 1) ws
+        else ws.sliding(ngram).filter(_.length == ngram)
+          .map(_.mkString(" ")).toSeq
+      (id, lang == tgtLang, feats.map(w => h60(w) % b))
     }
     val raw = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
@@ -66,6 +69,24 @@ class DsirSpec extends SparkTestBase {
           s"avg_lr doc $id b=$b: got ${got(id)._2} exp ${round6(slr / n)}")
       }
     }
+  }
+
+  test("bigram features (the paper's config) match the reference") {
+    val exp = refSums(corpus, "en", 8, ngram = 2)
+    val got = Dsir.importanceWeights(docsDF, "doc_id", "text",
+      col("lang") === "en", 8, ngram = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (id, (n, slr)) =>
+      assert(got(id)._1 === n, s"n_features doc $id")
+      assert(math.abs(got(id)._2 - round6(slr / n)) < 1e-9, s"doc $id")
+    }
+    // a 1-word doc has no bigram features and is absent, not a null row
+    val withShort = (corpus :+ ((9L, "solo", "en"))).toDF(
+      "doc_id", "text", "lang")
+    val ids = Dsir.importanceWeights(withShort, "doc_id", "text",
+      col("lang") === "en", 8, ngram = 2).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L, 4L, 5L))
   }
 
   test("weights are directional: target-like docs above the spam doc") {
