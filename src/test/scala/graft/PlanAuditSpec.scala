@@ -258,6 +258,22 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
   }
 
+  test("embed_topk_ivfpq: join-free gated ADC, bounded heaps, no sort-merge") {
+    val p = plan("embed_topk_ivfpq")
+    // the approx (encode + gated ADC) side is pure projection over the
+    // corpus scan — the ONLY joins in the whole plan are the exact
+    // re-rank's two broadcasts (candidate list, query vectors)
+    assert(count(p, "BroadcastHashJoin") === 2,
+      s"expected exactly the two re-rank broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a shuffle join crept into the ADC path:\n$p")
+    // both rank stages on the bounded-heap plan, map-side partials
+    assert(count(p, "TopKPerKeyPartial") === 2,
+      s"expected partial heaps for ADC rerank + final top-k:\n$p")
+    assert(!p.matches("(?s).*\\bSort \\[.*"),
+      s"a Sort appeared beside the bounded-heap operators:\n$p")
+  }
+
   test("docs_dsir_weights: one corpus scan, local-relation model broadcast") {
     val p = plan("docs_dsir_weights")
     // the staged histogram is the ONLY corpus derivation (built once,
