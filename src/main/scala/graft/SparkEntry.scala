@@ -88,14 +88,25 @@ object SparkEntry {
       .getOrElse(4L * 1024 * 1024 * 1024)
     if (approxBytes < gate) df.localCheckpoint(true)
     else {
-      val root = s.conf.getOption("graft.stage.dir")
-        .getOrElse(sys.props("java.io.tmpdir") + "/graft-stage")
-      val dir = s"$root/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dir = scratchDir(s, tag)
       df.write.mode("overwrite").parquet(dir)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
       s.read.parquet(dir)
     }
+  }
+
+  /** Per-invocation durable scratch dir under `graft.stage.dir`
+    * (UUID-suffixed, registered for JVM-exit deletion) — the one
+    * spelling of the scratch-space lifecycle, shared by [[staged]]'s
+    * durable branch and write-once fixture artifacts like
+    * [[bpeFixture]]; see [[staged]]'s doc for the crash-orphan caveat.
+    */
+  private def scratchDir(s: SparkSession, tag: String): String = {
+    val root = s.conf.getOption("graft.stage.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-stage")
+    val dir = s"$root/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    dir
   }
 
   /** Total bytes under a table's parquet dir — the cheap size proxy
@@ -252,11 +263,8 @@ object SparkEntry {
     memoFixture("bpe_state", d) {
       val (merges, st) = graft.functions.Text.bpeTrain(
         t(s, d, "documents"), "text", 8)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-bpe-" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val dir = scratchDir(s, "bpe-state")
       st.write.mode("overwrite").parquet(dir)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
       (merges, dir)
     }
 
@@ -592,9 +600,10 @@ object SparkEntry {
   private def bpeTokenCountsOracleSql(nMerges: Int): String =
     bpeChainCtes(nMerges) + s"""
       |SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
-      | SUM(len(st.syms))::BIGINT AS n_bpe_tokens
+      | SUM(COALESCE(len(st.syms), length(w.word) + 1))::BIGINT
+      |  AS n_bpe_tokens
       |FROM (SELECT doc_id, unnest(tk) AS word FROM toks) w
-      |JOIN bpst$nMerges st USING (word)
+      |LEFT JOIN bpst$nMerges st USING (word)
       |GROUP BY w.doc_id""".stripMargin
 
   private def bpeChainCtes(nMerges: Int): String = {
@@ -628,7 +637,10 @@ object SparkEntry {
         | FROM bppl$i p CROSS JOIN bpbest$i bb
         | LEFT JOIN bpapp$i ap ON ap.word = p.word AND ap.pos = p.pos
         | LEFT JOIN bpapp$i ap2 ON ap2.word = p.word AND ap2.pos = p.pos - 1
-        | WHERE ap2.pos IS NULL GROUP BY p.word, p.n)""".stripMargin)
+        | WHERE ap2.pos IS NULL GROUP BY p.word, p.n
+        | UNION ALL
+        | SELECT word, n, syms FROM bpst$p
+        |  WHERE NOT EXISTS (SELECT 1 FROM bpbest$i))""".stripMargin)
     }
     sb.toString
   }
@@ -675,21 +687,31 @@ object SparkEntry {
       |   (max(struct_pack(s := ROUND(list_cosine_similarity(c.embedding::DOUBLE[], s.seed::DOUBLE[]), 6), c := s.cell))).c AS cell
       |  FROM embeddings c, seeds s GROUP BY c.vec_id)""".stripMargin
 
-  private val ivfOracleSql: String =
-    s"""WITH $ivfAssignCte,
-      |exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+  /** Coarse centroid + probe-selection CTEs shared by the IVF mirror
+    * and the IVF-PQ composition (`p` prefixes the centroid CTE names
+    * so they can coexist with the PQ codebook's `cent`): per-cell
+    * per-dim AVG centroids over `assigned`, then per-query probe
+    * ranks by ROUNDED centroid cosine with the cell-id tiebreak —
+    * ONE spelling, so a probe-rule fix reaches every composition.
+    */
+  private def ivfCentProbeCtes(p: String): String =
+    s"""${p}exp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
-      |centdims AS (
+      |${p}centdims AS (
       |  SELECT a.cell, e.dim, AVG(e.v) AS cval
-      |  FROM assigned a JOIN exp e ON e.vec_id = a.cid GROUP BY 1, 2),
-      |cent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
-      |  FROM centdims GROUP BY cell),
+      |  FROM assigned a JOIN ${p}exp e ON e.vec_id = a.cid GROUP BY 1, 2),
+      |${p}cent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
+      |  FROM ${p}centdims GROUP BY cell),
       |probes AS (
       |  SELECT q.vec_id AS query_id, c.cell,
       |   row_number() OVER (PARTITION BY q.vec_id
       |    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
       |     c.cell) AS prk
-      |  FROM embeddings q, cent c WHERE q.vec_id < 8),
+      |  FROM embeddings q, ${p}cent c WHERE q.vec_id < 8)""".stripMargin
+
+  private val ivfOracleSql: String =
+    s"""WITH $ivfAssignCte,
+      |${ivfCentProbeCtes("")},
       |cand AS (
       |  SELECT p.query_id, a.cid AS neighbor_id
       |  FROM probes p JOIN assigned a ON a.cell = p.cell
@@ -857,19 +879,7 @@ object SparkEntry {
     */
   private val ivfPqTopkOracleSql: String =
     s"""WITH $ivfAssignCte,
-      |cexp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-      |  unnest(embedding::DOUBLE[]) AS v FROM embeddings),
-      |ccentdims AS (
-      |  SELECT a.cell, e.dim, AVG(e.v) AS cval
-      |  FROM assigned a JOIN cexp e ON e.vec_id = a.cid GROUP BY 1, 2),
-      |ccent AS (SELECT cell, list(cval ORDER BY dim) AS centroid
-      |  FROM ccentdims GROUP BY cell),
-      |probes AS (
-      |  SELECT q.vec_id AS query_id, c.cell,
-      |   row_number() OVER (PARTITION BY q.vec_id
-      |    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
-      |     c.cell) AS prk
-      |  FROM embeddings q, ccent c WHERE q.vec_id < 8),
+      |${ivfCentProbeCtes("c")},
       |""".stripMargin + pqChainCtes + pqTailSql("""
       | JOIN assigned av ON av.cid = cd.vec_id
       | JOIN probes p ON p.query_id = q.vec_id AND p.cell = av.cell
@@ -3519,9 +3529,9 @@ object SparkEntry {
     "docs_dsir_resample" -> (dsirCtes(64) + s""",
       |score AS (SELECT h.doc_id, SUM(cnt::DOUBLE * lr) AS slr
       | FROM hist h JOIN lrt USING (bucket) GROUP BY h.doc_id)
-      |SELECT doc_id, ROUND(slr - ln(-ln(
+      |SELECT doc_id, ROUND(slr - ln(greatest(-ln(
       |  ((${h60Sql("doc_id::VARCHAR")}) + 1)::DOUBLE
-      |   / 1152921504606846976.0)), 6) AS skey
+      |   / 1152921504606846976.0), 1e-300)), 6) AS skey
       |FROM score ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin),
 
     // Capped twin: top-20 vocabulary (wn DESC, word tie-break — a

@@ -48,7 +48,8 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, nBuckets: Int,
-                        stage: DataFrame => DataFrame = identity,
+                        stage: DataFrame => DataFrame =
+                          _.localCheckpoint(true),
                         ngram: Int = 1)
       : DataFrame = {
     val scored = score(docs, idCol, textCol, targetPred, nBuckets, stage,
@@ -68,7 +69,8 @@ object Dsir {
     */
   def gumbelResample(docs: DataFrame, idCol: String, textCol: String,
                      targetPred: Column, nBuckets: Int, k: Int,
-                     stage: DataFrame => DataFrame = identity,
+                     stage: DataFrame => DataFrame =
+                       _.localCheckpoint(true),
                      ngram: Int = 1)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -78,9 +80,16 @@ object Dsir {
     // exceeds 2^53 where double +1.0 no-ops); 2^60 divisor is exact.
     val u = (Hashing.hash60(col("doc_id").cast("string")) + lit(1L))
       .cast("double") / 1152921504606846976.0
+    // clamp the inner -ln(u) away from 0: at u = 1 exactly (hash60 =
+    // 2^60−1, p ≈ 2^-60) Spark's log(0) is NULL while DuckDB's ln(0)
+    // is -inf — a maximal divergence on the interval boundary. The
+    // clamp fires ONLY there (the next-largest u gives -ln(u) ≈
+    // 8.7e-19 ≫ 1e-300) and both engines parse 1e-300 to the same
+    // double, so every other key is bit-unchanged.
+    val innerNeg = greatest(-log(u), lit(1e-300))
     scored
       .select(col("doc_id"),
-        Hashing.portableRound(col("sum_lr") - log(-log(u)), 6).as("skey"))
+        Hashing.portableRound(col("sum_lr") - log(innerNeg), 6).as("skey"))
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(k)
   }

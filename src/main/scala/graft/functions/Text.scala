@@ -261,7 +261,11 @@ object Text {
   /** Encode against an already-trained `(word, n, syms)` vocabulary
     * state (e.g. [[bpeTrain]]'s output persisted as the write-once
     * tokenizer artifact) — the steady-state corpus-encoding path:
-    * one tokenize scan, no training rounds.
+    * one tokenize scan, no training rounds. Out-of-vocabulary words
+    * (fresh documents always contain some) count as character-level
+    * segmentation — `length(word) + 1` symbols (chars + the `</w>`
+    * marker, the untrained-word state); they are never silently
+    * dropped from either count.
     */
   def bpeEncodeCountsFrom(docs: org.apache.spark.sql.DataFrame,
                           idCol: String, textCol: String,
@@ -270,10 +274,11 @@ object Text {
     val wlens = state.select(col("word"), size(col("syms")).as("wlen"))
     val words = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))
-    ModelJoin.sizeGated(words, wlens, Seq("word"))
+    ModelJoin.sizeGated(words, wlens, Seq("word"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("wlen")).cast("long").as("n_bpe_tokens"))
+        sum(coalesce(col("wlen"), length(col("word")) + lit(1)))
+          .cast("long").as("n_bpe_tokens"))
   }
 
   /** The shared training loop: returns the merge list and the final

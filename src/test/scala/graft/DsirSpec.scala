@@ -121,7 +121,7 @@ class DsirSpec extends SparkTestBase {
     val exp = refSums(corpus, "en", b)
     val expKeys = exp.map { case (id, (_, slr)) =>
       val u = (h60(id.toString) + 1L).toDouble / 1152921504606846976.0
-      id -> round6(slr - math.log(-math.log(u)))
+      id -> round6(slr - math.log(math.max(-math.log(u), 1e-300)))
     }
     val expOrder = expKeys.toSeq.sortBy { case (id, k) => (-k, id) }
     val got = Dsir.gumbelResample(docsDF, "doc_id", "text",

@@ -321,6 +321,23 @@ class TextSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("BPE encode: exhausted training keeps state; OOV falls to chars") {
+    val docs = Seq((1L, "ab ab"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    // training collapses every word well before 8 merges — the encode
+    // must read the CARRIED final state, not an emptied one (the
+    // DuckDB mirror carries it through the not-exists arm)
+    val got = Text.bpeEncodeCounts(docs, "doc_id", "text", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 3L, 3L)))
+    // encoding FRESH text against the trained state: OOV words count
+    // as character-level segmentation (chars + </w>), never dropped
+    val (_, st) = Text.bpeTrain(docs, "text", 8)
+    val fresh = Seq((9L, "ab zzz")).toDF("doc_id", "text")
+    val enc = Text.bpeEncodeCountsFrom(fresh, "doc_id", "text", st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq === Seq((9L, 2L, 5L))) // ab→1 sym; zzz→3 chars+</w>
+  }
+
   test("BPE exhaustion: a corpus collapses before nMerges and stops") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // "ab" → a,b,</w>: merges (a,b)→ab, (ab,</w>)→ab</w>, then no
