@@ -2199,6 +2199,14 @@ object SparkEntry {
       graft.functions.Text.bpeEncodeCountsFrom(t(s, d, "documents"),
         "doc_id", "text", s.read.parquet(bpeFixture(s, d)._2))),
 
+    // Tokenizer fertility per language: character-symbol count vs
+    // merged-token count off the same persisted tokenizer — the
+    // standard "how well does the vocabulary cover each language"
+    // eval; one scan, ≤n_langs output rows.
+    "docs_bpe_compression" -> ((s, d) =>
+      graft.functions.Text.bpeCompressionByLang(t(s, d, "documents"),
+        "text", "lang", s.read.parquet(bpeFixture(s, d)._2))),
+
     // DSIR importance weights (Xie et al. 2023): per-doc mean hashed-
     // unigram log-likelihood ratio of a target distribution (lang=en
     // as the target proxy) vs the raw corpus. One tokenize pass folded
@@ -3516,6 +3524,20 @@ object SparkEntry {
 
     // BPE segmentation counts — see [[bpeTokenCountsOracleSql]].
     "docs_bpe_token_counts" -> bpeTokenCountsOracleSql(8),
+
+    // Per-language tokenizer fertility off the same replayed chain.
+    "docs_bpe_compression" -> (bpeChainCtes(8) + s"""
+      |SELECT d.lang, COUNT(*)::BIGINT AS n_words,
+      | SUM(length(w.word) + 1)::BIGINT AS n_char_syms,
+      | SUM(COALESCE(len(st.syms), length(w.word) + 1))::BIGINT
+      |  AS n_bpe_tokens,
+      | ROUND(SUM(length(w.word) + 1)::DOUBLE
+      |  / SUM(COALESCE(len(st.syms), length(w.word) + 1))::DOUBLE, 6)
+      |  AS compression
+      |FROM (SELECT doc_id, unnest(tk) AS word FROM toks) w
+      |JOIN documents d USING (doc_id)
+      |LEFT JOIN bpst8 st USING (word)
+      |GROUP BY d.lang""".stripMargin),
 
     // DSIR weights — see [[dsirCtes]] for the shared model chain.
     "docs_dsir_weights" -> (dsirCtes(64) + s"""

@@ -281,6 +281,33 @@ object Text {
           .cast("long").as("n_bpe_tokens"))
   }
 
+  /** Per-language BPE compression — the tokenizer-fertility eval: how
+    * many character-level symbols (chars + `</w>`, the untrained
+    * state) the learned merges collapse into each token, per
+    * language. Languages whose words the vocabulary covers poorly
+    * show compression → 1 (every symbol survives); well-covered ones
+    * approach chars-per-word. Same one-scan shape as
+    * [[bpeEncodeCountsFrom]], grouped by language; OOV falls to the
+    * character-level count on both sides of the ratio.
+    */
+  def bpeCompressionByLang(docs: org.apache.spark.sql.DataFrame,
+                           textCol: String, langCol: String,
+                           state: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wlens = state.select(col("word"), size(col("syms")).as("wlen"))
+    val words = docs.select(col(langCol).as("lang"),
+      explode(tokens(col(textCol))).as("word"))
+    ModelJoin.sizeGated(words, wlens, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(length(col("word")) + lit(1)).cast("long").as("n_char_syms"),
+        sum(coalesce(col("wlen"), length(col("word")) + lit(1)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("compression", Hashing.portableRound(
+        col("n_char_syms").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6))
+  }
+
   /** The shared training loop: returns the merge list and the final
     * (word, n, syms) vocabulary state. Package-visible so callers can
     * persist the trained state once (the tokenizer is a write-once

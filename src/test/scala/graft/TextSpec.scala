@@ -338,6 +338,21 @@ class TextSpec extends SparkTestBase {
     assert(enc.toSeq === Seq((9L, 2L, 5L))) // ab→1 sym; zzz→3 chars+</w>
   }
 
+  test("BPE compression per language: covered langs compress, OOV = 1.0") {
+    val train = Seq((1L, "ab ab"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val (_, st) = Text.bpeTrain(train, "text", 8)
+    // en/fr words fully collapse (1 symbol each); de is all-OOV so
+    // char-level symbols survive untouched → compression exactly 1.0
+    val eval = Seq((1L, "ab ab", "en"), (2L, "ab cd cd", "fr"),
+      (3L, "zz x", "de")).toDF("doc_id", "text", "lang")
+    val got = Text.bpeCompressionByLang(eval, "text", "lang", st)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("en") === ((2L, 6L, 2L, 3.0)))
+    assert(got("fr") === ((3L, 9L, 3L, 3.0)))
+    assert(got("de") === ((2L, 5L, 5L, 1.0)))
+  }
+
   test("BPE exhaustion: a corpus collapses before nMerges and stops") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // "ab" → a,b,</w>: merges (a,b)→ab, (ab,</w>)→ab</w>, then no
