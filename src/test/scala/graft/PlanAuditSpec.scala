@@ -274,6 +274,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"a Sort appeared beside the bounded-heap operators:\n$p")
   }
 
+  test("docs_bpe_token_counts: one corpus scan under either model regime") {
+    import graft.functions.ModelJoin
+    // encode = one tokenize scan of documents joined against the
+    // persisted tokenizer state; exactly 2 FileScans (corpus + the
+    // state parquet), model broadcast under the default threshold
+    val pBcast = plan("docs_bpe_token_counts")
+    assert(pBcast.contains("BroadcastHashJoin"),
+      s"vocabulary state not broadcast:\n$pBcast")
+    assert(count(pBcast, "FileScan") === 2,
+      s"expected corpus + state scans only:\n$pBcast")
+    // threshold 0 — the 100 TB-vocabulary regime: shuffle_hash on the
+    // exploded word key, never sort-merge, still one corpus scan
+    spark.conf.set(ModelJoin.broadcastMaxRowsKey, "0")
+    try {
+      val pShuf = plan("docs_bpe_token_counts")
+      assert(pShuf.contains("ShuffledHashJoin") &&
+        !pShuf.contains("SortMergeJoin"),
+        s"threshold 0 did not force shuffle_hash:\n$pShuf")
+      assert(count(pShuf, "FileScan") === 2,
+        s"corpus re-scanned in the shuffle regime:\n$pShuf")
+    } finally spark.conf.unset(ModelJoin.broadcastMaxRowsKey)
+  }
+
   test("docs_dsir_weights: one corpus scan, local-relation model broadcast") {
     val p = plan("docs_dsir_weights")
     // the staged histogram is the ONLY corpus derivation (built once,
