@@ -222,11 +222,14 @@ object ScaleProof {
         : (graft.operators.ParquetUpsertSink, Long, Long) =
       restoreCache.getOrElseUpdate(n, {
         val dir = s"$work/restore_$n"
-        // retainVersions sized so every ping-pong restore below keeps
-        // v0/v1 reconstructible for all reps of both parallelism legs
+        // retainVersions sized FROM THE REP COUNT so every ping-pong
+        // restore below keeps v0/v1 reconstructible: each roundtrip
+        // commits 2 versions and BOTH parallelism legs run `reps`
+        // roundtrips, so a fixed 64 overflowed the window (GC'ing
+        // v0/v1 mid-bench) whenever SPARK_GRAFT_SCALE_REPS >= ~16
         val sink = new graft.operators.ParquetUpsertSink(dir,
           Seq("doc_id"), partitionCol = Some("pt"),
-          retainVersions = 64, retainHistory = true)
+          retainVersions = 4 * reps + 16, retainHistory = true)
         // keep the text column: the leg measures BYTE movement, and a
         // narrow 3-column table would make every copy a page-cache
         // blink whatever the parallelism

@@ -807,32 +807,51 @@ object SparkEntry {
     * engines (the SQ8 rule).
     */
   /** The PQ codebook/encode/LUT chain (no WITH, no terms): shared by
-    * the flat-PQ mirror and the IVF-PQ composition below.
+    * the flat-PQ mirror, the trained-codebook variant, and the IVF-PQ
+    * composition below. Generated for (m, nCodes, iters): `cent0` is
+    * the raw seed subvectors, each Lloyd round `t` assigns against
+    * `cent{t-1}` (max-struct over the 6-dp-ROUNDED cosine, code-id
+    * tiebreak) and re-averages ROUND(AVG, 6) — the carried-state
+    * rounding that keeps every iteration bit-identical to Spark's —
+    * and `cent`/`codes` are the final codebook and encode.
     */
-  private val pqChainCtes: String =
-    """z AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |ss AS (SELECT unnest(range(8)) AS s),
-      |sub AS (SELECT z.vec_id, ss.s, z.v[ss.s*8+1 : ss.s*8+8] AS sv FROM z, ss),
-      |seedv AS (SELECT vec_id, v FROM z ORDER BY vec_id LIMIT 16),
-      |seedc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-      | FROM seedv),
-      |sseed AS (SELECT ss.s, sc.code, sc.v[ss.s*8+1 : ss.s*8+8] AS ssv
-      | FROM seedc sc, ss),
-      |a1 AS (SELECT c.vec_id, c.s,
-      |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, sd.ssv), 6), c := sd.code))).c AS code
-      | FROM sub c JOIN sseed sd ON sd.s = c.s GROUP BY c.vec_id, c.s),
-      |centd AS (SELECT a.s, a.code, generate_subscripts(c.sv, 1) AS dim,
-      |  unnest(c.sv) AS x
-      | FROM a1 a JOIN sub c ON c.vec_id = a.vec_id AND c.s = a.s),
-      |centav AS (SELECT s, code, dim, ROUND(AVG(x), 6) AS cval
-      | FROM centd GROUP BY s, code, dim),
-      |cent AS (SELECT s, code, list(cval ORDER BY dim) AS centroid
-      | FROM centav GROUP BY s, code),
-      |codes AS (SELECT c.vec_id, c.s,
-      |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, ct.centroid), 6), c := ct.code))).c AS code
-      | FROM sub c JOIN cent ct ON ct.s = c.s GROUP BY c.vec_id, c.s),
-      |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM z)"""
-      .stripMargin
+  private def pqChainCtes(m: Int, nCodes: Int, iters: Int): String = {
+    val sub = 64 / m
+    val sb = new StringBuilder
+    sb.append(
+      s"""z AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ss AS (SELECT unnest(range($m)) AS s),
+         |sub AS (SELECT z.vec_id, ss.s, z.v[ss.s*$sub+1 : ss.s*$sub+$sub] AS sv FROM z, ss),
+         |seedv AS (SELECT vec_id, v FROM z ORDER BY vec_id LIMIT $nCodes),
+         |seedc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         | FROM seedv),
+         |cent0 AS (SELECT ss.s, sc.code,
+         |  sc.v[ss.s*$sub+1 : ss.s*$sub+$sub] AS centroid
+         | FROM seedc sc, ss)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$t AS (SELECT c.vec_id, c.s,
+           |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, ct.centroid), 6), c := ct.code))).c AS code
+           | FROM sub c JOIN cent${t - 1} ct ON ct.s = c.s GROUP BY c.vec_id, c.s),
+           |centd$t AS (SELECT a.s, a.code, generate_subscripts(c.sv, 1) AS dim,
+           |  unnest(c.sv) AS x
+           | FROM a$t a JOIN sub c ON c.vec_id = a.vec_id AND c.s = a.s),
+           |centav$t AS (SELECT s, code, dim, ROUND(AVG(x), 6) AS cval
+           | FROM centd$t GROUP BY s, code, dim),
+           |cent$t AS (SELECT s, code, list(cval ORDER BY dim) AS centroid
+           | FROM centav$t GROUP BY s, code)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |cent AS (SELECT * FROM cent$iters),
+         |codes AS (SELECT c.vec_id, c.s,
+         |  (max(struct_pack(s := ROUND(list_cosine_similarity(c.sv, ct.centroid), 6), c := ct.code))).c AS code
+         | FROM sub c JOIN cent ct ON ct.s = c.s GROUP BY c.vec_id, c.s),
+         |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM z)"""
+        .stripMargin)
+    sb.toString
+  }
 
   /** The ADC terms → rerank → exact-re-rank tail; `termsExtra` lets
     * the IVF-PQ mirror gate the terms to each query's probed cells.
@@ -867,7 +886,14 @@ object SparkEntry {
       | FROM scored) WHERE rank <= 5""".stripMargin
 
   private val pqTopkOracleSql: String =
-    "WITH " + pqChainCtes + pqTailSql("")
+    "WITH " + pqChainCtes(8, 16, 1) + pqTailSql("")
+
+  /** The trained-codebook PQ mirror: production-shaped parameters —
+    * 256 codes per subspace, 2 Lloyd rounds — through the identical
+    * generated chain (`iters` extra assignment/re-average CTE rounds).
+    */
+  private val pqTrainedOracleSql: String =
+    "WITH " + pqChainCtes(8, 256, 2) + pqTailSql("")
 
   /** IVF-PQ mirror: the [[ivfAssignCte]] coarse quantizer + the
     * [[ivfOracleSql]] centroid/probe CTEs (renamed ccent* to avoid
@@ -880,7 +906,7 @@ object SparkEntry {
   private val ivfPqTopkOracleSql: String =
     s"""WITH $ivfAssignCte,
       |${ivfCentProbeCtes("c")},
-      |""".stripMargin + pqChainCtes + pqTailSql("""
+      |""".stripMargin + pqChainCtes(8, 16, 1) + pqTailSql("""
       | JOIN assigned av ON av.cid = cd.vec_id
       | JOIN probes p ON p.query_id = q.vec_id AND p.cell = av.cell
       |  AND p.prk <= 4""".stripMargin)
@@ -2524,6 +2550,18 @@ object SparkEntry {
         m = 8, nCodes = 16, rerank = 40)
     }),
 
+    // PQ at production-shaped codebook parameters: 256 codes per
+    // subspace trained over TWO Lloyd rounds (FAISS-standard shape vs
+    // the 16-code one-step demo above). Same integer-exact ADC, same
+    // generated oracle chain with the extra assignment/re-average
+    // round replayed — the determinism contract survives iteration
+    // because the carried centroid state rounds to 6 dp each round.
+    "embed_topk_pq_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        m = 8, nCodes = 256, rerank = 40, iters = 2)
+    }),
+
     // IVF-PQ — the classical FAISS composition: the IVF coarse
     // quantizer restricts each query's ADC scan to its 4 probed
     // cells, PQ's integer ADC ranks within them, exact re-rank of
@@ -3882,6 +3920,8 @@ object SparkEntry {
 
     // PQ ADC mirror — see [[pqTopkOracleSql]].
     "embed_topk_pq" -> pqTopkOracleSql,
+
+    "embed_topk_pq_trained" -> pqTrainedOracleSql,
 
     "embed_topk_ivfpq" -> ivfPqTopkOracleSql,
 

@@ -663,12 +663,17 @@ object Similarity {
     * is touched until the exact re-rank of the short list.
     *
     * Determinism discipline (the proven house rules, composed):
-    *  - codebook = first-nCodes-by-id seeds + ONE spherical Lloyd
-    *    step per subspace, assignment by 6-dp-ROUNDED cosine with
-    *    larger-code tiebreak (the [[assignToSeeds]] max-struct rule,
-    *    running on the native [[graft.plans.ArgmaxCosineExpr]] where
-    *    its contract holds), per-dim unrounded AVG centroids with
-    *    every downstream comparison rounded (the ivfQuantize rule);
+    *  - codebook = first-nCodes-by-id seeds + `iters` spherical Lloyd
+    *    steps per subspace (default 1; production codebooks train
+    *    multiple rounds at nCodes=256 — the [[kmeans]] discipline),
+    *    assignment by 6-dp-ROUNDED cosine with larger-code tiebreak
+    *    (the [[assignToSeeds]] max-struct rule, running on the native
+    *    [[graft.plans.ArgmaxCosineExpr]] where its contract holds),
+    *    per-dim AVG centroids ROUNDED to 6 dp — the CARRIED-state
+    *    rounding that keeps every later iteration bit-identical
+    *    across engines (an unrounded AVG differs in the last ulp with
+    *    summation order, and a second assignment against it would
+    *    compound the divergence);
     *  - the ADC ranking — the recall-critical step — is INTEGER
     *    arithmetic (the SQ8 rule): LUT entries are
     *    floor(dot·10⁶ + 0.5) as BIGINT, computed driver-side by the
@@ -686,15 +691,20 @@ object Similarity {
     * m element_at lookups per query — queries and codebooks re-enter
     * as plan literals, nothing joins, nothing shuffles until the
     * rerank·|queries|-row candidate heap); the exact re-rank
-    * broadcasts the short list into a pruned corpus scan. `queries`
-    * and `m·nCodes` must fit the 4096-literal gate — chunk larger
-    * query batches.
+    * broadcasts the short list into a pruned corpus scan. `m·nCodes`
+    * must fit the 4096-literal gate; query batches of ANY size are
+    * AUTO-CHUNKED into ≤4096-query literal groups (one fused,
+    * join-free scan per chunk, heaps unioned — per query the result
+    * is bit-identical to running its chunk alone, because the
+    * codebook depends only on the corpus). `graft.pq.chunkSize`
+    * shrinks the chunk width below 4096 when plan-literal size
+    * matters more than scan count.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame =
-    pqAdc(corpus, queries, k, m, nCodes, rerank, idCol, vecCol, None)
+             vecCol: String = "embedding", iters: Int = 1): DataFrame =
+    pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol, None)
 
   /** IVF-PQ (the classical FAISS IVFPQ pairing): the [[ivfTopK]]
     * coarse quantizer restricts each query's ADC scan to its
@@ -712,47 +722,57 @@ object Similarity {
     * the fused encode+ADC scan (a per-query `when` on the scan-side
     * coarse cell — short-circuits the m lookups for unprobed pairs);
     * nothing joins, nothing shuffles until the rerank-row heap.
-    * Probe lists collect `queries × nProbe` (cell, query) pairs —
-    * bounded by the same 4096-literal query gate as the LUTs.
+    * Probe lists are computed and collected PER CHUNK inside the
+    * shared ADC core (≤ chunk × nProbe rows each) — an oversized
+    * query batch never triggers an unbounded probe collect; it just
+    * gets more chunks.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", iters: Int = 1): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, nCells] (got $nProbe of $nCells)")
     val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
-    // the ivfProbe probe rule verbatim; collected (queries × nProbe
-    // rows, bounded by the query-literal gate)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val probeRows = q.crossJoin(broadcast(centroids))
-      .withColumn("csim",
-        Hashing.portableRound(cosine(col("qv"), col("centroid")), 6))
-      .withColumn("prk", row_number().over(probeW))
-      .filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("cell")).collect()
-    val probed: Map[Any, Seq[Any]] = probeRows.groupBy(_.get(0))
-      .map { case (qid, rows) => qid -> rows.map(_.get(1)).toSeq }
-    pqAdc(corpus, queries, k, m, nCodes, rerank, idCol, vecCol,
-      Some((assigned, probed)))
+    pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol,
+      Some((assigned, centroids, nProbe)))
   }
 
-  /** Shared PQ core: codebook build + fused encode/ADC scan + exact
-    * re-rank, optionally gated per query to the coarse cells in
-    * `coarse` (the IVF-PQ composition).
+  /** Shared PQ core: codebook build (`iters` Lloyd steps) + fused
+    * encode/ADC scan + exact re-rank, optionally gated per query to
+    * the `nProbe` nearest coarse cells of `coarse` (the IVF-PQ
+    * composition). Query batches auto-chunk into ≤`graft.pq.chunkSize`
+    * (default 4096) literal groups: one join-free fused scan per
+    * chunk, candidate heaps unioned — per query bit-identical to a
+    * manual chunked run, because the codebook (and the coarse
+    * quantizer) depend only on the corpus.
     */
   private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
-                    m: Int, nCodes: Int, rerank: Int,
+                    m: Int, nCodes: Int, rerank: Int, iters: Int,
                     idCol: String, vecCol: String,
-                    coarse: Option[(DataFrame, Map[Any, Seq[Any]])])
+                    coarse: Option[(DataFrame, DataFrame, Int)])
       : DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(m * nCodes <= 4096,
       s"m*nCodes (${m * nCodes}) exceeds the literal gate — shrink the codebook")
+    val spark = corpus.sparkSession
+    // default 256, not the 4096 literal ceiling: each query adds a
+    // struct (LUT lookups + gate) to the fused scan's explode, and
+    // wide chunks outgrow the JVM's 64 KB generated-method limit
+    // (measured: 4096 fails to compile, ~1k thrashes janino) — the
+    // chunk width keeps every chunk INSIDE whole-stage codegen
+    // rather than falling back interpreted; a huge batch pays more
+    // (cheap, fused) corpus scans instead
+    val chunkSize = {
+      val cs = spark.conf.getOption("graft.pq.chunkSize")
+        .map(_.toInt).getOrElse(256)
+      require(cs >= 1 && cs <= 4096,
+        s"graft.pq.chunkSize must be in [1, 4096] (got $cs)")
+      cs
+    }
     val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(dimRow.nonEmpty, "pqTopK: empty corpus")
     val dims = dimRow(0).getInt(0)
@@ -767,7 +787,7 @@ object Similarity {
     // gated: the scan reads the coarse-assigned relation so the cell
     // rides the same projection the encode uses — no join
     val c = coarse match {
-      case Some((assigned, _)) => assigned.select(col("cid"),
+      case Some((assigned, _, _)) => assigned.select(col("cid"),
         col("cv").cast("array<double>").as("v"), col("cell"))
       case None => corpus.select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("v"))
@@ -796,91 +816,121 @@ object Similarity {
         }
     }
 
-    // ---- codebook: first-nCodes seeds, one per-subspace Lloyd step ----
+    // ---- codebook: first-nCodes seeds, `iters` Lloyd steps ----
     val seedVecs = corpus.orderBy(col(idCol)).limit(nCodes)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq)
     require(seedVecs.nonEmpty, "pqTopK: no seed vectors")
-    val seedCents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] =
+    // carried centroid state per subspace, collected each iteration
+    // (≤ m·nCodes rows — literal-gate bounded by construction)
+    var cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] =
       (0 until m).map(s => seedVecs.zipWithIndex.map { case (v, i) =>
         (i, v.slice(s * sub, (s + 1) * sub)) }.toArray)
-    val assignedCols = (0 until m).map(s => struct(lit(s).as("s"),
-      assignExpr(s, seedCents(s)).as("code"),
-      slice(col("v"), s * sub + 1, sub).as("sv")))
-    val centDf = c.select(explode(array(assignedCols: _*)).as("a"))
-      .select(col("a.s").as("s"), col("a.code").as("code"),
-        posexplode(col("a.sv")).as(Seq("dim", "x")))
-      // 6-dp-ROUNDED carried state (the kmeans discipline): the
-      // codebook feeds BOTH the encode argmax and the ADC lookup
-      // tables, so rounding here collapses both engines onto
-      // bit-identical centroids instead of re-exposing the AVG's
-      // last-ulp summation noise at every downstream floor/round
-      .groupBy(col("s"), col("code"), col("dim"))
-      .agg(Hashing.portableRound(avg(col("x")), 6).as("cval"))
-      .groupBy(col("s"), col("code"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("cval")))),
-        st => st.getField("cval")).as("centroid"))
-    val cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] = {
+    for (_ <- 1 to iters) {
+      val assignedCols = (0 until m).map(s => struct(lit(s).as("s"),
+        assignExpr(s, cents(s)).as("code"),
+        slice(col("v"), s * sub + 1, sub).as("sv")))
+      val centDf = c.select(explode(array(assignedCols: _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.code").as("code"),
+          posexplode(col("a.sv")).as(Seq("dim", "x")))
+        // 6-dp-ROUNDED carried state (the kmeans discipline): the
+        // codebook feeds the NEXT assignment, the encode argmax, and
+        // the ADC lookup tables, so rounding here collapses both
+        // engines onto bit-identical centroids instead of compounding
+        // the AVG's last-ulp summation noise across iterations
+        .groupBy(col("s"), col("code"), col("dim"))
+        .agg(Hashing.portableRound(avg(col("x")), 6).as("cval"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cval")))),
+          st => st.getField("cval")).as("centroid"))
       val all = centDf.collect().map(r =>
         (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
-      (0 until m).map(s =>
+      cents = (0 until m).map(s =>
         all.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toArray)
     }
 
-    // ---- queries: collected once; LUT of integer dot terms ----
-    val qRows = queries
-      .select(col(idCol), col(vecCol).cast("array<double>")).collect()
+    // ---- queries: collected once, AUTO-CHUNKED into literal groups.
+    // The whole batch lands on the driver (inherent to the
+    // literal-LUT design — a query batch is caller-sized, never
+    // corpus-sized); each chunk gets its own fused join-free scan and
+    // the candidate heaps union. A query's candidates come only from
+    // its own chunk, so the union is bit-identical to running each
+    // chunk alone.
+    val qSel = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+    val qRows = qSel.collect()
     require(qRows.nonEmpty, "pqTopK: empty query batch")
-    require(qRows.length <= 4096,
-      s"pqTopK: ${qRows.length} queries exceed the literal gate — chunk the batch")
-    val qIds = qRows.map(_.get(0))
-    val qVecs = qRows.map(_.getSeq[Double](1).toIndexedSeq)
-    val qNorms = qVecs.map(v => math.sqrt(dotSeq(v, v)))
-    // lut(j)(s) indexed by code id (dropped codes never occur in
-    // pq_codes — their slots are inert zeros)
-    val lut: Array[Array[Array[Long]]] = Array.tabulate(qRows.length) { j =>
-      Array.tabulate(m) { s =>
-        val qsv = qVecs(j).slice(s * sub, (s + 1) * sub)
-        val row = Array.fill(nCodes)(0L)
-        cents(s).foreach { case (code, cv) =>
-          row(code) = math.floor(dotSeq(qsv, cv) * 1e6 + 0.5).toLong }
-        row
-      }
-    }
-
-    // ---- one fused scan: encode + ADC against every query ----
     val codesArr = array((0 until m).map(s => assignExpr(s, cents(s))): _*)
-    val perQuery = qIds.indices.map { j =>
-      val adc = (0 until m).map { s =>
-        element_at(typedlit(lut(j)(s).toSeq),
-          element_at(col("pq_codes"), s + 1) + 1)
-      }.reduce(_ + _)
-      val ascore = Hashing.portableRound(
-        try_divide(adc.cast("double") / lit(1e6),
-          lit(qNorms(j)) * col("pq_norm")), 6)
-      // IVF-PQ gate: ADC only when the vector's coarse cell is one of
-      // query j's probed cells (a when() on the scan-side cell, so
-      // unprobed pairs short-circuit past the m lookups and fall to
-      // the existing null-ascore filter)
-      val gated = coarse match {
-        case Some((_, probed)) =>
-          when(col("cell").isin(probed.getOrElse(qIds(j), Nil): _*), ascore)
-        case None => ascore
-      }
-      struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
-    }
     val projCols = Seq(col("cid").as("neighbor_id"),
       codesArr.as("pq_codes"), norm(col("v")).as("pq_norm")) ++
       (if (coarse.isDefined) Seq(col("cell")) else Nil)
-    val approx = c
-      .select(projCols: _*)
-      .select(col("neighbor_id"),
-        explode(array(perQuery.toIndexedSeq: _*)).as("p"))
-      .select(col("p.query_id").as("query_id"), col("neighbor_id"),
-        col("p.ascore").as("ascore"))
-      .filter(col("neighbor_id") =!= col("query_id") &&
-        col("ascore").isNotNull)
+
+    def chunkApprox(chunk: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val qIds = chunk.map(_.get(0))
+      val qVecs = chunk.map(_.getSeq[Double](1).toIndexedSeq)
+      val qNorms = qVecs.map(v => math.sqrt(dotSeq(v, v)))
+      // lut(j)(s) indexed by code id (dropped codes never occur in
+      // pq_codes — their slots are inert zeros)
+      val lut: Array[Array[Array[Long]]] = Array.tabulate(chunk.length) { j =>
+        Array.tabulate(m) { s =>
+          val qsv = qVecs(j).slice(s * sub, (s + 1) * sub)
+          val row = Array.fill(nCodes)(0L)
+          cents(s).foreach { case (code, cv) =>
+            row(code) = math.floor(dotSeq(qsv, cv) * 1e6 + 0.5).toLong }
+          row
+        }
+      }
+      // IVF-PQ probe rule (the ivfProbe spelling), PER CHUNK: the
+      // chunk re-enters as a local relation, so the collect is
+      // bounded by chunk × nProbe rows whatever the batch size
+      val probed: Map[Any, Seq[Any]] = coarse match {
+        case Some((_, centroids, nProbe)) =>
+          val chunkQ = spark.createDataFrame(
+            java.util.Arrays.asList(chunk: _*), qSel.schema)
+          val probeW = Window.partitionBy(col("query_id"))
+            .orderBy(col("csim").desc, col("cell"))
+          chunkQ.crossJoin(broadcast(centroids))
+            .withColumn("csim",
+              Hashing.portableRound(cosine(col("qv"), col("centroid")), 6))
+            .withColumn("prk", row_number().over(probeW))
+            .filter(col("prk") <= nProbe)
+            .select(col("query_id"), col("cell")).collect()
+            .groupBy(_.get(0))
+            .map { case (qid, rows) => qid -> rows.map(_.get(1)).toSeq }
+        case None => Map.empty
+      }
+      // ---- one fused scan: encode + ADC against the chunk ----
+      val perQuery = qIds.indices.map { j =>
+        val adc = (0 until m).map { s =>
+          element_at(typedlit(lut(j)(s).toSeq),
+            element_at(col("pq_codes"), s + 1) + 1)
+        }.reduce(_ + _)
+        val ascore = Hashing.portableRound(
+          try_divide(adc.cast("double") / lit(1e6),
+            lit(qNorms(j)) * col("pq_norm")), 6)
+        // IVF-PQ gate: ADC only when the vector's coarse cell is one
+        // of query j's probed cells (a when() on the scan-side cell,
+        // so unprobed pairs short-circuit past the m lookups and fall
+        // to the existing null-ascore filter)
+        val gated = coarse match {
+          case Some(_) =>
+            when(col("cell").isin(probed.getOrElse(qIds(j), Nil): _*), ascore)
+          case None => ascore
+        }
+        struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
+      }
+      c.select(projCols: _*)
+        .select(col("neighbor_id"),
+          explode(array(perQuery.toIndexedSeq: _*)).as("p"))
+        .select(col("p.query_id").as("query_id"), col("neighbor_id"),
+          col("p.ascore").as("ascore"))
+        .filter(col("neighbor_id") =!= col("query_id") &&
+          col("ascore").isNotNull)
+    }
+    val approx = qRows.grouped(chunkSize).map(chunkApprox)
+      .reduce(_ unionAll _)
     val cand = graft.plans.TopKPerKey(approx, Seq("query_id"),
       Seq(graft.plans.TopKPerKey.desc("ascore"),
         graft.plans.TopKPerKey.asc("neighbor_id")), rerank)

@@ -2085,6 +2085,23 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * back exactly as if no copy had run (a straggler task that is
     * still copying can only write MORE staged bytes, which the
     * rollback also sweeps).
+    *
+    * Within the staging dir each task attempt is COMMITTER-STYLE
+    * isolated: the copy writes a task-attempt-unique temp name and
+    * renames it onto the final staged path only when its own bytes
+    * are complete. The per-attempt stage dir isolates restore
+    * ATTEMPTS from each other, but not two task attempts of the SAME
+    * restore (speculation, or a zombie re-run after a fetch failure
+    * while the original still writes): two attempts copying the same
+    * staged path through non-atomic FileUtil.copy could let the job
+    * succeed while a zombie is still truncating that path, and the
+    * driver's publish rename would land a torn file in the live
+    * tree. With the temp+rename protocol the published file is
+    * always a COMPLETED attempt's output — a loser's rename onto an
+    * existing path either fails (HDFS semantics; its temp is swept)
+    * or atomically replaces complete bytes with the same complete
+    * bytes (POSIX semantics); a zombie's late temp re-creation only
+    * adds staged bytes the stage-dir delete sweeps.
     */
   private def restoreCopyBack(spark: SparkSession, stage: Path,
                               copySlices: Int,
@@ -2101,15 +2118,28 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
       spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
         val c = new org.apache.hadoop.conf.Configuration(false)
         props.foreach { case (k, v) => c.set(k, v) }
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => tc.taskAttemptId().toString)
+          .getOrElse(java.util.UUID.randomUUID().toString.take(8))
         it.foreach { case (src, dst) =>
           val sp = new Path(src)
           val dp = new Path(dst)
           val dfs = dp.getFileSystem(c)
           dfs.mkdirs(dp.getParent)
+          val tmp = new Path(dp.getParent,
+            s".${dp.getName}.attempt-$attempt")
           if (!org.apache.hadoop.fs.FileUtil.copy(
-              sp.getFileSystem(c), sp, dfs, dp, false, true, c))
+              sp.getFileSystem(c), sp, dfs, tmp, false, true, c))
             throw new java.io.IOException(
-              s"restore copy failed: $src -> $dst")
+              s"restore copy failed: $src -> $tmp")
+          if (!dfs.rename(tmp, dp)) {
+            // a sibling attempt already published this staged path —
+            // drop our redundant temp; fail only if NOBODY published
+            scala.util.Try(dfs.delete(tmp, false))
+            if (!dfs.exists(dp))
+              throw new java.io.IOException(
+                s"restore stage publish failed: $tmp -> $dst")
+          }
         }
       }
     } catch {

@@ -658,6 +658,76 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PQ auto-chunks >4096-query batches, bit-identical to manual chunking") {
+    import spark.implicits._
+    // small synthetic corpus so the >4096-literal chunk stays cheap:
+    // 30 vectors, 8 dims, m=2 subspaces, 4-code books
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(8)(d => math.sin(seed * 31 + d * 7 + 1))
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // 4100 queries — past the old hard 4096-query gate that made big
+    // batches a caller problem; ids disjoint from the corpus
+    val qAll = (0L until 4100L).map(i => (1000L + i, vec(i % 97)))
+    val full = Similarity.pqTopK(corpus, qAll.toDF("vec_id", "embedding"),
+      3, m = 2, nCodes = 4, rerank = 6).collect().toSet
+    assert(full.map(_.getLong(0)).size === 4100 &&
+      full.size === 4100 * 3, "expected 3 neighbors for each of 4100 queries")
+    // the manual chunked path: caller-sized slices unioned by the
+    // caller (a width that does NOT align with the auto-chunk width,
+    // so the equality is not vacuous)
+    val manual = qAll.grouped(1500).map(chunk =>
+      Similarity.pqTopK(corpus, chunk.toDF("vec_id", "embedding"),
+        3, m = 2, nCodes = 4, rerank = 6).collect().toSet)
+      .reduce(_ ++ _)
+    assert(full === manual,
+      "auto-chunked batch diverged from the manual chunked union")
+  }
+
+  test("IVF-PQ chunked run is bit-identical and stays join-free per chunk") {
+    val q = emb.filter(col("vec_id") < 20)
+    val whole = Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4,
+      m = 8, nCodes = 16, rerank = 40).collect().toSet
+    spark.conf.set("graft.pq.chunkSize", "8")
+    try {
+      val chunkedDf = Similarity.ivfPqTopK(emb, q, 5, nCells = 16,
+        nProbe = 4, m = 8, nCodes = 16, rerank = 40)
+      // joins must NOT scale with chunk count: the only joins in the
+      // whole multi-chunk plan are still the exact re-rank's two
+      // broadcasts — each chunk's encode+ADC scan is join-free.
+      // (plan string taken BEFORE execution: a collected AQE plan's
+      // toString prints final + initial sections, double-counting)
+      val p = chunkedDf.queryExecution.executedPlan.toString
+      val chunked = chunkedDf.collect().toSet
+      assert(chunked === whole,
+        "chunkSize=8 run diverged from the single-chunk run")
+      val joins = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(joins === 2, s"expected 2 re-rank joins, got $joins:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"a shuffle join crept into a chunk's ADC path:\n$p")
+    } finally spark.conf.unset("graft.pq.chunkSize")
+  }
+
+  test("trained codebooks (256 codes, 2 Lloyd rounds) keep recall >= demo config") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val demo = recallOf(Similarity.pqTopK(emb, queries, 5, m = 8,
+      nCodes = 16, rerank = 40))
+    val trained = recallOf(Similarity.pqTopK(emb, queries, 5, m = 8,
+      nCodes = 256, rerank = 40, iters = 2))
+    info(f"PQ recall@5: demo(16 codes, 1 iter)=$demo%.3f " +
+      f"trained(256 codes, 2 iters)=$trained%.3f")
+    assert(trained >= demo,
+      f"production codebook lost recall: $trained%.3f < $demo%.3f")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, 5, iters = 0)
+    }
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
