@@ -31,6 +31,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reclaim scratch dirs a crashed previous JVM orphaned (see Stage)
+    Stage.sweep(spark)
 
     // Warm-up: touch every table (parquet footers, file listing) —
     // through the schema-drift read layer, so an exotic physical

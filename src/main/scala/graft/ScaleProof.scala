@@ -398,6 +398,18 @@ object ScaleProof {
         "docs_bpe_train" -> (() =>
           graft.functions.Text.bpeMerges(docs, "doc_id", "text", 4)
             .count()),
+        // DEEP train — the incremental trainer's claim under proof:
+        // past the one corpus scan, every round's cost follows the
+        // AFFECTED words (delta pair maintenance + a vocabulary-state
+        // filter scan), so 2048 rounds at n and 10n should cost ~the
+        // same (the ~800-word vocabulary saturates long before 50k
+        // docs). The old full-recount trainer paid a whole-vocabulary
+        // windowed re-aggregation per round AND was capped at 256.
+        // Returns the learned merge count (the corpus exhausts merges
+        // data-dependently; the count rides the rows field).
+        "docs_bpe_train_deep" -> (() =>
+          graft.functions.Text.bpeTrainIncremental(
+            docs, "text", 2048)._1.size.toLong),
         // DSIR: one tokenize pass folded to per-doc bucket histograms
         // (map-side combinable — the shuffle carries ≤ docs×B rows,
         // never raw tokens), a ≤B-row collected model, broadcast

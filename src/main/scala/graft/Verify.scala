@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reclaim scratch dirs a crashed previous JVM orphaned (see Stage)
+    Stage.sweep(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated query filter for focused local oracle
     // checks (e.g. SPARK_GRAFT_VERIFY_ONLY=docs_unigram_logprob_capped);

@@ -703,8 +703,29 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
              idCol: String = "vec_id",
-             vecCol: String = "embedding", iters: Int = 1): DataFrame =
-    pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol, None)
+             vecCol: String = "embedding", iters: Int = 1,
+             codebook: Option[PqCodebook] = None): DataFrame =
+    pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol,
+      None, codebook)
+
+  /** A trained per-subspace codebook — the write-once PQ artifact
+    * (the tokenizer-state / IvfIndex pattern): train ONCE per corpus
+    * via [[pqTrainCodebook]], then every query batch encodes and
+    * ranks against it without re-running the Lloyd steps. The
+    * parameters ride along so a mismatched reuse fails loudly.
+    */
+  final case class PqCodebook(m: Int, nCodes: Int, iters: Int, dims: Int,
+      cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]])
+
+  /** Train the PQ codebook alone (first-nCodes seeds + `iters`
+    * 6-dp-rounded Lloyd steps per subspace — exactly the steps
+    * [[pqTopK]] runs inline when no codebook is passed, so reuse is
+    * bit-identical to retraining by construction).
+    */
+  def pqTrainCodebook(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
+                      iters: Int = 1, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): PqCodebook =
+    pqCodebookOf(corpus, m, nCodes, iters, idCol, vecCol)
 
   /** IVF-PQ (the classical FAISS IVFPQ pairing): the [[ivfTopK]]
     * coarse quantizer restricts each query's ADC scan to its
@@ -731,12 +752,116 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding", iters: Int = 1): DataFrame = {
+                vecCol: String = "embedding", iters: Int = 1,
+                codebook: Option[PqCodebook] = None,
+                quantized: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, nCells] (got $nProbe of $nCells)")
-    val (assigned, centroids) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    // `quantized` = a memoized [[ivfQuantizeCached]] pair — the coarse
+    // quantizer is corpus-only, so reuse is bit-identical to requantizing
+    val (assigned, centroids) = quantized.getOrElse(
+      ivfQuantize(corpus, nCells, idCol, vecCol))
     pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol,
-      Some((assigned, centroids, nProbe)))
+      Some((assigned, centroids, nProbe)), codebook)
+  }
+
+  /** The IVF coarse quantizer materialized for reuse across query
+    * batches (assignments + centroids localCheckpointed) — pass to
+    * [[ivfPqTopK]]'s `quantized` so repeated probes skip the
+    * assignment scan.
+    */
+  def ivfQuantizeCached(corpus: DataFrame, nCells: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val (a, c) = ivfQuantize(corpus, nCells, idCol, vecCol)
+    (a.localCheckpoint(true), c.localCheckpoint(true))
+  }
+
+  /** Left-to-right dot fold — the exact summation order DuckDB's
+    * list_dot_product uses, so LUT terms floor identically.
+    */
+  private def pqDot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Nearest-codebook-entry argmax for subspace `s` over a `v` vector
+    * column — native codegen expression when its contract holds, the
+    * portable HOF max-struct spelling otherwise (identical semantics
+    * incl. tiebreak).
+    */
+  private def pqAssignExpr(sub: Int, s: Int,
+      cents: Array[(Int, IndexedSeq[Double])]): Column = {
+    val svCol = slice(col("v"), s * sub + 1, sub)
+    val rows = cents.map { case (code, vec) =>
+      org.apache.spark.sql.Row(code, vec) }
+    graft.plans.ArgmaxCosineExpr.forSeeds(svCol, rows, IntegerType,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .map(_.getField("cell"))
+      .getOrElse {
+        val entries = cents.map { case (code, vec) =>
+          struct(lit(code).as("cell"),
+            typedlit(vec.toSeq).as("seed")) }
+        array_max(transform(array(entries.toIndexedSeq: _*), st =>
+          struct(
+            Hashing.portableRound(cosine(svCol, st.getField("seed")), 6)
+              .as("sim"),
+            st.getField("cell").as("cell")))).getField("cell")
+      }
+  }
+
+  /** Codebook build: first-nCodes-by-id seeds, `iters` Lloyd steps per
+    * subspace, 6-dp-ROUNDED carried centroid state (the kmeans
+    * discipline) — the codebook feeds the next assignment, the encode
+    * argmax, and the ADC lookup tables, so rounding collapses both
+    * engines onto bit-identical centroids instead of compounding the
+    * AVG's last-ulp summation noise across iterations. Each iteration
+    * is one corpus scan; centroids collect ≤ m·nCodes rows
+    * (literal-gate bounded by construction).
+    */
+  private def pqCodebookOf(corpus: DataFrame, m: Int, nCodes: Int,
+      iters: Int, idCol: String, vecCol: String): PqCodebook = {
+    require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(m * nCodes <= 4096,
+      s"m*nCodes (${m * nCodes}) exceeds the literal gate — shrink the codebook")
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTopK: empty corpus")
+    val dims = dimRow(0).getInt(0)
+    require(dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seedVecs = corpus.orderBy(col(idCol)).limit(nCodes)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    require(seedVecs.nonEmpty, "pqTopK: no seed vectors")
+    var cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] =
+      (0 until m).map(s => seedVecs.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * sub, (s + 1) * sub)) }.toArray)
+    for (_ <- 1 to iters) {
+      val assignedCols = (0 until m).map(s => struct(lit(s).as("s"),
+        pqAssignExpr(sub, s, cents(s)).as("code"),
+        slice(col("v"), s * sub + 1, sub).as("sv")))
+      val centDf = c.select(explode(array(assignedCols: _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.code").as("code"),
+          posexplode(col("a.sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("code"), col("dim"))
+        .agg(Hashing.portableRound(avg(col("x")), 6).as("cval"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cval")))),
+          st => st.getField("cval")).as("centroid"))
+      val all = centDf.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+      cents = (0 until m).map(s =>
+        all.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toArray)
+    }
+    PqCodebook(m, nCodes, iters, dims, cents)
   }
 
   /** Shared PQ core: codebook build (`iters` Lloyd steps) + fused
@@ -751,13 +876,18 @@ object Similarity {
   private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
                     m: Int, nCodes: Int, rerank: Int, iters: Int,
                     idCol: String, vecCol: String,
-                    coarse: Option[(DataFrame, DataFrame, Int)])
+                    coarse: Option[(DataFrame, DataFrame, Int)],
+                    precomputed: Option[PqCodebook] = None)
       : DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(m * nCodes <= 4096,
       s"m*nCodes (${m * nCodes}) exceeds the literal gate — shrink the codebook")
+    precomputed.foreach(cb => require(
+      cb.m == m && cb.nCodes == nCodes && cb.iters == iters,
+      s"codebook was trained for (m=${cb.m}, nCodes=${cb.nCodes}, " +
+        s"iters=${cb.iters}), not (m=$m, nCodes=$nCodes, iters=$iters)"))
     val spark = corpus.sparkSession
     // default 256, not the 4096 literal ceiling: each query adds a
     // struct (LUT lookups + gate) to the fused scan's explode, and
@@ -773,17 +903,15 @@ object Similarity {
         s"graft.pq.chunkSize must be in [1, 4096] (got $cs)")
       cs
     }
-    val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(dimRow.nonEmpty, "pqTopK: empty corpus")
-    val dims = dimRow(0).getInt(0)
-    require(dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    // codebook: the write-once artifact — train inline when no
+    // precomputed one was passed (bit-identical either way; the
+    // builder is the same function)
+    val cb = precomputed.getOrElse(
+      pqCodebookOf(corpus, m, nCodes, iters, idCol, vecCol))
+    val dims = cb.dims
     val sub = dims / m
+    val cents = cb.cents
 
-    def dotSeq(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     // gated: the scan reads the coarse-assigned relation so the cell
     // rides the same projection the encode uses — no join
     val c = coarse match {
@@ -792,63 +920,8 @@ object Similarity {
       case None => corpus.select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("v"))
     }
-
-    // nearest-codebook-entry argmax for subspace s — native codegen
-    // expression when its contract holds, the portable HOF max-struct
-    // spelling otherwise (identical semantics incl. tiebreak)
-    def assignExpr(s: Int, cents: Array[(Int, IndexedSeq[Double])]): Column = {
-      val svCol = slice(col("v"), s * sub + 1, sub)
-      val rows = cents.map { case (code, vec) =>
-        org.apache.spark.sql.Row(code, vec) }
-      graft.plans.ArgmaxCosineExpr.forSeeds(svCol, rows, IntegerType,
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))
-        .map(_.getField("cell"))
-        .getOrElse {
-          val entries = cents.map { case (code, vec) =>
-            struct(lit(code).as("cell"),
-              typedlit(vec.toSeq).as("seed")) }
-          array_max(transform(array(entries.toIndexedSeq: _*), st =>
-            struct(
-              Hashing.portableRound(cosine(svCol, st.getField("seed")), 6)
-                .as("sim"),
-              st.getField("cell").as("cell")))).getField("cell")
-        }
-    }
-
-    // ---- codebook: first-nCodes seeds, `iters` Lloyd steps ----
-    val seedVecs = corpus.orderBy(col(idCol)).limit(nCodes)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq)
-    require(seedVecs.nonEmpty, "pqTopK: no seed vectors")
-    // carried centroid state per subspace, collected each iteration
-    // (≤ m·nCodes rows — literal-gate bounded by construction)
-    var cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]] =
-      (0 until m).map(s => seedVecs.zipWithIndex.map { case (v, i) =>
-        (i, v.slice(s * sub, (s + 1) * sub)) }.toArray)
-    for (_ <- 1 to iters) {
-      val assignedCols = (0 until m).map(s => struct(lit(s).as("s"),
-        assignExpr(s, cents(s)).as("code"),
-        slice(col("v"), s * sub + 1, sub).as("sv")))
-      val centDf = c.select(explode(array(assignedCols: _*)).as("a"))
-        .select(col("a.s").as("s"), col("a.code").as("code"),
-          posexplode(col("a.sv")).as(Seq("dim", "x")))
-        // 6-dp-ROUNDED carried state (the kmeans discipline): the
-        // codebook feeds the NEXT assignment, the encode argmax, and
-        // the ADC lookup tables, so rounding here collapses both
-        // engines onto bit-identical centroids instead of compounding
-        // the AVG's last-ulp summation noise across iterations
-        .groupBy(col("s"), col("code"), col("dim"))
-        .agg(Hashing.portableRound(avg(col("x")), 6).as("cval"))
-        .groupBy(col("s"), col("code"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cval")))),
-          st => st.getField("cval")).as("centroid"))
-      val all = centDf.collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
-      cents = (0 until m).map(s =>
-        all.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toArray)
-    }
+    def assignExpr(s: Int, sc: Array[(Int, IndexedSeq[Double])]): Column =
+      pqAssignExpr(sub, s, sc)
 
     // ---- queries: collected once, AUTO-CHUNKED into literal groups.
     // The whole batch lands on the driver (inherent to the
@@ -870,7 +943,7 @@ object Similarity {
     def chunkApprox(chunk: Array[org.apache.spark.sql.Row]): DataFrame = {
       val qIds = chunk.map(_.get(0))
       val qVecs = chunk.map(_.getSeq[Double](1).toIndexedSeq)
-      val qNorms = qVecs.map(v => math.sqrt(dotSeq(v, v)))
+      val qNorms = qVecs.map(v => math.sqrt(pqDot(v, v)))
       // lut(j)(s) indexed by code id (dropped codes never occur in
       // pq_codes — their slots are inert zeros)
       val lut: Array[Array[Array[Long]]] = Array.tabulate(chunk.length) { j =>
@@ -878,7 +951,7 @@ object Similarity {
           val qsv = qVecs(j).slice(s * sub, (s + 1) * sub)
           val row = Array.fill(nCodes)(0L)
           cents(s).foreach { case (code, cv) =>
-            row(code) = math.floor(dotSeq(qsv, cv) * 1e6 + 0.5).toLong }
+            row(code) = math.floor(pqDot(qsv, cv) * 1e6 + 0.5).toLong }
           row
         }
       }

@@ -318,6 +318,240 @@ object Text {
                               textCol: String, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)],
          org.apache.spark.sql.DataFrame) = {
+    val (merges, st, _) = bpeTrainIncremental(docs, textCol, nMerges)
+    (merges, st)
+  }
+
+  /** Adjacent symbol pairs WITH multiplicity, encoded `a + '\n' + b`.
+    * Unambiguous: symbols come from whitespace-split tokens (plus
+    * `</w>` and their concatenations), so they never contain a
+    * newline — splitting at the FIRST '\n' recovers (a, b) exactly.
+    */
+  private def adjPairKeys(syms: Column): Column =
+    when(size(syms) >= 2,
+      zip_with(slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (x, y) => concat(x, lit("\n"), y)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Greedy left-to-right application of merge (a, b) to a symbol
+    * array, as ONE row-local fold — no explode, no window, no join:
+    * walk the positions, and when the current symbol is `a`, the next
+    * is `b`, and the previous position did not just merge, emit the
+    * merged symbol and consume the next ("aaaa" under (a,a) →
+    * [aa, aa]: positions 0 and 2 apply — exactly the island algebra
+    * the full trainer spells as windows, TextSpec pins the parity).
+    * `get()` (not element_at) reads past the end as NULL under ANSI,
+    * and `null === b` is falsy, so the last position always passes
+    * through.
+    */
+  private def bpeApplyMerge(syms: Column, a: String, b: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("out"), lit(false).as("skip"))
+    aggregate(
+      sequence(lit(1), size(syms)),
+      zero,
+      (acc, i) => {
+        val out = acc.getField("out")
+        val cur = get(syms, i - 1)
+        val nxt = get(syms, i)
+        when(acc.getField("skip"),
+          struct(out.as("out"), lit(false).as("skip")))
+          .when(cur === a && nxt === b,
+            struct(concat(out, array(lit(a + b))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(out, array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** UTF-8 byte order — the string order BOTH engines rank by (Spark's
+    * UTF8String and DuckDB compare binary UTF-8 = code-point order;
+    * Java's String.compareTo compares UTF-16 units, which disagrees
+    * for supplementary-plane symbols), so the driver-side argmax
+    * tiebreak must use it.
+    */
+  private def u8Less(x: String, y: String): Boolean = {
+    val xa = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < xa.length && i < ya.length) {
+      val d = (xa(i) & 0xff) - (ya(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    xa.length < ya.length
+  }
+
+  /** INCREMENTAL BPE training — the production-shaped trainer (the
+    * fast-BPE trick, distributed): between rounds only the words
+    * CONTAINING the just-merged pair change, so the adjacent-pair
+    * counts are maintained as a DELTA (retract the affected words'
+    * old pairs, add their rewritten ones) instead of re-aggregating
+    * the whole vocabulary state every round. Per round:
+    *
+    *  - the argmax runs on the driver-held pair-count map — the
+    *    classical trainer's in-memory state, bounded by distinct
+    *    PAIR TYPES (≤ |distinct symbols|², vocabulary-scale, never
+    *    corpus-scale) — under the exact (count DESC, a, b) total
+    *    order of the full re-count ([[u8Less]] keeps the tiebreak in
+    *    both engines' string order);
+    *  - ONE distributed job aggregates the pair-count delta from the
+    *    affected words' old vs rewritten symbol arrays —
+    *    [[bpeApplyMerge]] is a row-local FOLD (no explode, no window,
+    *    no join: the full trainer's per-round windowed re-aggregation
+    *    is exactly what made it vocabulary-priced);
+    *  - the vocabulary state advances as ONE projection over the
+    *    previous round's (lazy) localCheckpoint leaf — affected rows
+    *    rewrite in place, everything else passes through — so plan
+    *    depth stays 1 and partition count constant whatever the merge
+    *    budget; every [[bpeDurableEvery]] rounds the state is written
+    *    to durable scratch parquet and re-read, so a long train
+    *    neither grows an unbounded block chain nor loses more than
+    *    one durable window to an executor loss (recovery = rerun from
+    *    the last durable checkpoint; the driver-held map is
+    *    loss-proof).
+    *
+    * So per-round cost is one row-local pass with a pair-type-sized
+    * aggregation — not the whole-vocabulary windowed re-aggregation
+    * the full trainer pays — which is what lifts the practical merge
+    * budget from ~256 to real tokenizer vocabularies
+    * (nMerges ≤ 65536). Returns (merges, final state, final pair-count
+    * map — exposed for the spec's recount pin).
+    *
+    * Character splitting is code-point aware on BOTH sides: Spark 4's
+    * `split(word, "")` advances by code point (never splits a
+    * surrogate pair — TextSpec pins an emoji corpus), matching the
+    * DuckDB mirror's `word[i:i]` character slicing.
+    */
+  private[graft] def bpeTrainIncremental(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)],
+         org.apache.spark.sql.DataFrame,
+         scala.collection.Map[(String, String), Long]) = {
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"nMerges must be in [1, 65536] (got $nMerges)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+
+    // ---- ONE corpus scan → word-frequency table → char-level state.
+    // `pairs` is the DISTINCT adjacent-pair index per word, the column
+    // the per-round affected-word filter reads (a cheap array_contains
+    // scan instead of re-deriving adjacency every round).
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var st = wc.select(col("word"), col("n"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .withColumn("pairs", array_distinct(adjPairKeys(col("syms"))))
+      .localCheckpoint(true)
+
+    // ---- driver-held pair counts (pair TYPES, vocabulary-scale)
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def splitKey(k: String): (String, String) = {
+      val i = k.indexOf('\n')
+      (k.substring(0, i), k.substring(i + 1))
+    }
+    st.select(explode(adjPairKeys(col("syms"))).as("p"), col("n"))
+      .groupBy(col("p")).agg(sum(col("n")).as("cnt")).collect()
+      .foreach(r => pc(splitKey(r.getString(0))) = r.getLong(1))
+
+    def better(x: ((String, String), Long), y: ((String, String), Long))
+        : Boolean =
+      if (x._2 != y._2) x._2 > y._2
+      else if (x._1._1 != y._1._1) u8Less(x._1._1, y._1._1)
+      else u8Less(x._1._2, y._1._2)
+
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    var sinceDurable = 0
+    var prevDurable: Option[String] = None
+    for (i <- 1 to nMerges if !exhausted) {
+      val best = pc.iterator.filter(_._2 > 0)
+        .reduceOption((x, y) => if (better(x, y)) x else y)
+      if (best.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = best.get
+        merges += ((i.toLong, a, b, a + b, cnt))
+        val key = a + "\n" + b
+        // the delta, from the PREVIOUS state in one aggregation over
+        // the affected words: old pairs retract (−n), rewritten pairs
+        // add (+n). [[bpeApplyMerge]] is a row-local fold — no
+        // explode-window-join rewrite, so the round has no shuffle
+        // beyond this tiny pair aggregation, and (join estimation
+        // multiplies plan size statistics; projections don't) the
+        // checkpointed state's origin stats stay flat instead of
+        // compounding into BigInts with exponentially many digits
+        // that hang plan analysis.
+        val hit = array_contains(col("pairs"), key)
+        val delta = st.filter(hit)
+          .select(col("n"), adjPairKeys(col("syms")).as("olds"),
+            adjPairKeys(bpeApplyMerge(col("syms"), a, b)).as("news"))
+          .select(explode(concat(
+            transform(col("news"), pk => struct(pk.as("p"), col("n").as("d"))),
+            transform(col("olds"), pk => struct(pk.as("p"), (-col("n")).as("d")))))
+            .as("e"))
+          .groupBy(col("e.p")).agg(sum(col("e.d")).as("d")).collect()
+        delta.foreach { r =>
+          val k = splitKey(r.getString(0))
+          val nv = pc.getOrElse(k, 0L) + r.getLong(1)
+          if (nv == 0L) pc.remove(k) else pc(k) = nv
+        }
+        // after a merge no (a,b) adjacency survives anywhere — the
+        // delta must have retracted the pair to exactly zero
+        assert(!pc.contains((a, b)),
+          s"pair ($a,$b) survived its own merge round — delta algebra broken")
+        // state advance = ONE projection over the previous leaf (plan
+        // depth 1, partition count constant): affected rows rewrite,
+        // everything else passes through untouched. The lazy
+        // localCheckpoint materializes when the NEXT round's delta
+        // job (or the caller) first reads it — one distributed job
+        // per round total.
+        val newSyms = when(hit, bpeApplyMerge(col("syms"), a, b))
+          .otherwise(col("syms"))
+        st = st.select(col("word"), col("n"), newSyms.as("syms"),
+            when(hit, array_distinct(adjPairKeys(newSyms)))
+              .otherwise(col("pairs")).as("pairs"))
+          .localCheckpoint(false)
+        sinceDurable += 1
+        if (sinceDurable >= bpeDurableEvery) {
+          // durable window boundary: persist the full state to scratch
+          // parquet and re-read — frees every accumulated block, and an
+          // executor loss now costs at most one window's rounds
+          val dir = graft.Stage.scratchDir(spark, "bpe-train-ckpt")
+          st.write.mode("overwrite").parquet(dir)
+          st = spark.read.parquet(dir)
+          prevDurable.foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+          prevDurable = Some(dir)
+          sinceDurable = 0
+        }
+      }
+    }
+    (merges.toSeq, st.select(col("word"), col("n"), col("syms")), pc)
+  }
+
+  /** Durable-checkpoint the state every N rounds (executor-loss
+    * recovery window + block-chain bound for long trains).
+    */
+  private[graft] val bpeDurableEvery = 64
+
+  /** The original full-recount trainer — every round re-aggregates
+    * pair counts over the WHOLE vocabulary state (posexplode + window
+    * + collect_list over every word). Kept as the independent
+    * reference implementation the incremental trainer's parity spec
+    * compares against (the cosineHof pattern); its per-round cost is
+    * why it is capped at 256 merges and no production caller uses it.
+    */
+  private[graft] def bpeTrainFull(docs: org.apache.spark.sql.DataFrame,
+                                  textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)],
+         org.apache.spark.sql.DataFrame) = {
     require(nMerges >= 1 && nMerges <= 256,
       s"nMerges must be in [1, 256] (got $nMerges)")
     import org.apache.spark.sql.expressions.Window

@@ -361,4 +361,91 @@ class TextSpec extends SparkTestBase {
     assert(got.length === 2)
     assert(got.map(_.getString(3)).toSet === Set("ab", "ab</w>"))
   }
+
+  // ---------- incremental trainer vs full re-count ----------
+
+  /** merges + final state from a trainer, in comparable shape. */
+  private def trainBoth(texts: Seq[String], k: Int)
+      : ((Seq[(Long, String, String, String, Long)], Map[String, Seq[String]]),
+         (Seq[(Long, String, String, String, Long)], Map[String, Seq[String]]),
+         scala.collection.Map[(String, String), Long]) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def stateMap(st: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+      st.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val (mi, sti, pc) = Text.bpeTrainIncremental(docs, "text", k)
+    val (mf, stf) = Text.bpeTrainFull(docs, "text", k)
+    ((mi, stateMap(sti)), (mf, stateMap(stf)), pc)
+  }
+
+  /** recount adjacent pairs (with multiplicity, weighted by n) from a
+    * trained state — the independent check of the maintained map.
+    */
+  private def recount(texts: Seq[String], st: Map[String, Seq[String]])
+      : Map[(String, String), Long] = {
+    val wc = wordCounts(texts)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    st.foreach { case (w, syms) =>
+      syms.sliding(2).filter(_.size == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + wc(w) }
+    }
+    counts.toMap
+  }
+
+  test("incremental trainer ≡ full re-count trainer (merges, state, pair table)") {
+    val corpora = Seq(
+      Seq("low low low lower lowest", "new newer newest low wider"),
+      Seq("aaaa aaa aaaa aab abab"),        // overlap islands
+      Seq("ab ab", "ab cd cd"),             // early exhaustion
+      Seq("xy yx xy yx"))                   // exact ties everywhere
+    corpora.foreach { texts =>
+      val ((mi, sti), (mf, stf), pc) = trainBoth(texts, 10)
+      assert(mi === mf, s"merge sequences diverged on $texts")
+      assert(sti === stf, s"final states diverged on $texts")
+      // the maintained pair-count map must equal a from-scratch
+      // recount of the final state — the delta algebra's invariant
+      assert(pc.toMap === recount(texts, sti),
+        s"maintained pair table drifted from recount on $texts")
+    }
+  }
+
+  test("BPE splits by code point on both trainers (supplementary plane)") {
+    // a surrogate-blind split would see 4 UTF-16 units in "x😀" and
+    // count pairs against half-characters; both engines (Spark 4's
+    // split(w, '') and DuckDB's w[i:i]) advance by code point
+    val ((mi, sti), (mf, stf), _) = trainBoth(Seq("x😀 x😀 x😀y"), 2)
+    assert(mi === mf && sti === stf)
+    assert(mi.head._2 === "x" && mi.head._3 === "😀" &&
+      mi.head._4 === "x😀" && mi.head._5 === 3L,
+      s"first merge should be (x, 😀) ×3, got ${mi.head}")
+    // the untouched tail of "x😀y": y survives as ONE symbol
+    assert(sti("x😀y").contains("y"))
+  }
+
+  test("merge budget past the old 256 cap: 300 rounds, table stays exact") {
+    // 140 distinct 6-char words (base-24 digits of i, so genuinely
+    // distinct) → ≥335 merge capacity; 300 rounds cross the
+    // durable-checkpoint (64) window several times, so this also
+    // proves the chain-management plumbing
+    val letters = "abcdefghijklmnopqrstuvwx"
+    def word(i: Int): String = {
+      val ds = new StringBuilder
+      var x = i
+      (0 until 4).foreach { _ => ds += letters(x % 24); x /= 24 }
+      ds.toString + letters((i * 5 + 3) % 24).toString * 2
+    }
+    val words = (0 until 140).map(word)
+    val texts = Seq(words.mkString(" "))
+    val docs = Seq((1L, texts.head)).toDF("doc_id", "text")
+    val (mi, sti, pc) = Text.bpeTrainIncremental(docs, "text", 300)
+    assert(mi.size === 300, s"expected 300 merges, got ${mi.size}")
+    assert(mi === refBpe(wordCounts(texts), 300),
+      "merge sequence diverged from the independent reference at depth 300")
+    val stMap = sti.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(pc.toMap === recount(texts, stMap),
+      "maintained pair table drifted from recount after 300 rounds")
+    intercept[IllegalArgumentException] {
+      Text.bpeTrainIncremental(docs, "text", 65537)
+    }
+  }
 }
