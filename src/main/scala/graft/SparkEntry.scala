@@ -176,6 +176,34 @@ object SparkEntry {
       (exact, exact.count())
     }
 
+  /** Content-keyed persisted PQ codes table — [[pqModelFixture]]'s
+    * other half (the encode): (cid, pq_codes, pq_norm[, cell]) written
+    * once per (testdata content, parameters, code version), then every
+    * query batch's ADC scans m small codes per vector instead of
+    * re-encoding the float corpus. `withCell` adds the coarse cell for
+    * the IVF-PQ composition's scan-side gate.
+    */
+  private def pqCodesFixture(s: SparkSession, d: String, m: Int,
+                             nCodes: Int, iters: Int, withCell: Boolean)
+      : DataFrame =
+    memoFixture(s"pq_codes_${m}_${nCodes}_${iters}_$withCell", d) {
+      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val contentKey = java.lang.Long.toHexString(
+        fs.listStatus(src).foldLeft(17L)((h, st) =>
+          h * 31 + st.getLen * 31 + st.getModificationTime))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-pq-codes-v1-" +
+        s"${m}_${nCodes}_${iters}_$withCell-$contentKey"
+      val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      if (!ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok)) {
+        val cb = pqModelFixture(s, d, m, nCodes, iters)
+        graft.functions.Similarity.pqEncode(t(s, d, "embeddings"), cb,
+            assigned = if (withCell) Some(ivfQuantFixture(s, d)._1) else None)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    }
+
   /** Content-keyed persisted SQ8 codes table (the codesPath write-once
     * configuration sq8TopK documents) — the probe scans 1-byte codes,
     * the quantize-and-write is paid once per (testdata content, code
@@ -2596,7 +2624,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), 5,
         m = 8, nCodes = 16, rerank = 40,
-        codebook = Some(pqModelFixture(s, d, 8, 16, 1)))
+        codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
+        codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = false)))
     }),
 
     // PQ at production-shaped codebook parameters: 256 codes per
@@ -2609,7 +2638,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), 5,
         m = 8, nCodes = 256, rerank = 40, iters = 2,
-        codebook = Some(pqModelFixture(s, d, 8, 256, 2)))
+        codebook = Some(pqModelFixture(s, d, 8, 256, 2)),
+        codes = Some(pqCodesFixture(s, d, 8, 256, 2, withCell = false)))
     }),
 
     // IVF-PQ — the classical FAISS composition: the IVF coarse
@@ -2622,7 +2652,8 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), 5,
         nCells = 16, nProbe = 4, m = 8, nCodes = 16, rerank = 40,
         codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
-        quantized = Some(ivfQuantFixture(s, d)))
+        quantized = Some(ivfQuantFixture(s, d)),
+        codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = true)))
     }),
 
     // Embedding-cosine near-dup pairs: SRP candidate generation +
@@ -2706,10 +2737,12 @@ object SparkEntry {
           Similarity.ivfPqTopK(emb, qs, 5, nCells = 16, nProbe = 4,
             m = 8, nCodes = 16, rerank = 40,
             codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
-            quantized = Some(ivfQuantFixture(s, d)))))
+            quantized = Some(ivfQuantFixture(s, d)),
+            codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = true)))))
         .unionAll(leg("pq",
           Similarity.pqTopK(emb, qs, 5, m = 8, nCodes = 16, rerank = 40,
-            codebook = Some(pqModelFixture(s, d, 8, 16, 1)))))
+            codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
+            codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = false)))))
         .unionAll(leg("sq8", Similarity.sq8TopK(emb, qs, 5, rerank = 20,
           codesPath = Some(sq8CodesFixture(s, d)))))
     }),

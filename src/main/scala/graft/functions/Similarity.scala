@@ -704,9 +704,36 @@ object Similarity {
              m: Int = 8, nCodes: Int = 16, rerank: Int = 40,
              idCol: String = "vec_id",
              vecCol: String = "embedding", iters: Int = 1,
-             codebook: Option[PqCodebook] = None): DataFrame =
+             codebook: Option[PqCodebook] = None,
+             codes: Option[DataFrame] = None): DataFrame =
     pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol,
-      None, codebook)
+      None, codebook, codes)
+
+  /** Encode the corpus against a trained codebook — the OTHER half of
+    * the write-once PQ artifact: (cid, pq_codes, pq_norm), plus the
+    * coarse `cell` when `assigned` (an [[ivfQuantizeCached]] pair's
+    * assignment frame) is passed for the IVF-PQ composition. Persist
+    * the result (the sq8 codesPath pattern) and every later query
+    * batch's ADC scans m small codes per vector instead of
+    * re-encoding the float corpus — this is where PQ's bandwidth
+    * saving actually lands at scale.
+    */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               assigned: Option[DataFrame] = None): DataFrame = {
+    val sub = cb.dims / cb.m
+    val c = assigned match {
+      case Some(a) => a.select(col("cid"),
+        col("cv").cast("array<double>").as("v"), col("cell"))
+      case None => corpus.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+    }
+    val codesArr =
+      array((0 until cb.m).map(s => pqAssignExpr(sub, s, cb.cents(s))): _*)
+    c.select(Seq(col("cid"), codesArr.as("pq_codes"),
+      norm(col("v")).as("pq_norm")) ++
+      (if (assigned.isDefined) Seq(col("cell")) else Nil): _*)
+  }
 
   /** A trained per-subspace codebook — the write-once PQ artifact
     * (the tokenizer-state / IvfIndex pattern): train ONCE per corpus
@@ -754,7 +781,8 @@ object Similarity {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding", iters: Int = 1,
                 codebook: Option[PqCodebook] = None,
-                quantized: Option[(DataFrame, DataFrame)] = None)
+                quantized: Option[(DataFrame, DataFrame)] = None,
+                codes: Option[DataFrame] = None)
       : DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, nCells] (got $nProbe of $nCells)")
@@ -763,7 +791,7 @@ object Similarity {
     val (assigned, centroids) = quantized.getOrElse(
       ivfQuantize(corpus, nCells, idCol, vecCol))
     pqAdc(corpus, queries, k, m, nCodes, rerank, iters, idCol, vecCol,
-      Some((assigned, centroids, nProbe)), codebook)
+      Some((assigned, centroids, nProbe)), codebook, codes)
   }
 
   /** The IVF coarse quantizer materialized for reuse across query
@@ -877,7 +905,8 @@ object Similarity {
                     m: Int, nCodes: Int, rerank: Int, iters: Int,
                     idCol: String, vecCol: String,
                     coarse: Option[(DataFrame, DataFrame, Int)],
-                    precomputed: Option[PqCodebook] = None)
+                    precomputed: Option[PqCodebook] = None,
+                    codes: Option[DataFrame] = None)
       : DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(m >= 1 && nCodes >= 2, s"need m >= 1, nCodes >= 2 (got $m, $nCodes)")
@@ -935,10 +964,26 @@ object Similarity {
         col(vecCol).cast("array<double>").as("qv"))
     val qRows = qSel.collect()
     require(qRows.nonEmpty, "pqTopK: empty query batch")
-    val codesArr = array((0 until m).map(s => assignExpr(s, cents(s))): _*)
-    val projCols = Seq(col("cid").as("neighbor_id"),
-      codesArr.as("pq_codes"), norm(col("v")).as("pq_norm")) ++
-      (if (coarse.isDefined) Seq(col("cell")) else Nil)
+    // the encoded relation: a persisted [[pqEncode]] table when the
+    // caller has one (the ADC then scans m small codes per vector —
+    // the PQ bandwidth story), else the fused encode projection over
+    // the corpus scan. Same values either way (same codebook, same
+    // assignment expressions), so downstream ranking is bit-identical.
+    val enc = codes match {
+      case Some(cdf) =>
+        require(coarse.isEmpty || cdf.columns.contains("cell"),
+          "ivfPqTopK needs cell in the persisted codes table — encode " +
+            "with pqEncode(assigned = Some(...))")
+        cdf.select(Seq(col("cid").as("neighbor_id"), col("pq_codes"),
+          col("pq_norm")) ++
+          (if (coarse.isDefined) Seq(col("cell")) else Nil): _*)
+      case None =>
+        val codesArr =
+          array((0 until m).map(s => assignExpr(s, cents(s))): _*)
+        c.select(Seq(col("cid").as("neighbor_id"),
+          codesArr.as("pq_codes"), norm(col("v")).as("pq_norm")) ++
+          (if (coarse.isDefined) Seq(col("cell")) else Nil): _*)
+    }
 
     def chunkApprox(chunk: Array[org.apache.spark.sql.Row]): DataFrame = {
       val qIds = chunk.map(_.get(0))
@@ -994,7 +1039,7 @@ object Similarity {
         }
         struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
       }
-      c.select(projCols: _*)
+      enc
         .select(col("neighbor_id"),
           explode(array(perQuery.toIndexedSeq: _*)).as("p"))
         .select(col("p.query_id").as("query_id"), col("neighbor_id"),

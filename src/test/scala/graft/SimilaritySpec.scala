@@ -728,6 +728,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("persisted artifacts (codebook, quantizer, codes) reproduce inline runs") {
+    val q = emb.filter(col("vec_id") < 8)
+    // flat PQ: trained-once codebook + encoded-once codes ≡ inline
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val codes = Similarity.pqEncode(emb, cb).localCheckpoint(true)
+    val inline = Similarity.pqTopK(emb, q, 5).collect().toSet
+    val reused = Similarity.pqTopK(emb, q, 5, codebook = Some(cb),
+      codes = Some(codes)).collect().toSet
+    assert(reused === inline, "codes-backed PQ diverged from inline")
+    // IVF-PQ: cached quantizer + cell-carrying codes ≡ inline
+    val quant = Similarity.ivfQuantizeCached(emb, nCells = 16)
+    val cellCodes = Similarity.pqEncode(emb, cb,
+      assigned = Some(quant._1)).localCheckpoint(true)
+    val inlineIvf = Similarity.ivfPqTopK(emb, q, 5, nCells = 16,
+      nProbe = 4).collect().toSet
+    val reusedIvf = Similarity.ivfPqTopK(emb, q, 5, nCells = 16,
+      nProbe = 4, codebook = Some(cb), quantized = Some(quant),
+      codes = Some(cellCodes)).collect().toSet
+    assert(reusedIvf === inlineIvf, "codes-backed IVF-PQ diverged from inline")
+    // mismatched codebook parameters fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, 5, m = 8, nCodes = 32, codebook = Some(cb))
+    }
+    // cell-less codes refuse the IVF-PQ composition
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, q, 5, codebook = Some(cb),
+        quantized = Some(quant), codes = Some(codes)).collect()
+    }
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
