@@ -281,6 +281,24 @@ object ScaleProof {
         sink
       })
 
+    // write-once IVF-PQ artifacts per corpus size (codebook, cached
+    // coarse quantizer, cell-partitioned encoded codes) — built on
+    // first use inside the timed thunk (rep 1 carries the build, the
+    // convention every durable-artifact leg follows)
+    val pqIdxCache = scala.collection.mutable.Map.empty[Long,
+      (Similarity.PqCodebook, (DataFrame, DataFrame), DataFrame)]
+    def pqIdxSetup(n: Long, emb: DataFrame)
+        : (Similarity.PqCodebook, (DataFrame, DataFrame), DataFrame) =
+      pqIdxCache.getOrElseUpdate(n, {
+        val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
+        val quant = Similarity.ivfQuantizeCached(emb,
+          math.max(16, math.sqrt(n.toDouble).round.toInt))
+        val path = s"$work/pqcodes_$n"
+        Similarity.pqEncode(emb, cb, assigned = Some(quant._1))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        (cb, quant, spark.read.parquet(path))
+      })
+
     def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
       val queries = emb.filter(col("vec_id") < 64)
       Seq(
@@ -579,6 +597,18 @@ object ScaleProof {
         "embed_topk_ivfpq" -> (() =>
           Similarity.ivfPqTopK(emb, queries, 5, nCells = cellsFor(n),
             nProbe = 4, m = 8, nCodes = 16, rerank = 40).count()),
+        // the STEADY-STATE IVF-PQ: trained codebook + cached coarse
+        // quantizer + cell-PARTITIONED persisted codes — rep 1 pays
+        // the builds, later reps probe with the coarse filter
+        // partition-pruning the codes scan to the probed cells
+        // (~nProbe·|queries|/nCells of the table at worst)
+        "embed_topk_ivfpq_indexed" -> (() => {
+          val (cb, quant, codes) = pqIdxSetup(n, emb)
+          Similarity.ivfPqTopK(emb, queries, 5, nCells = cellsFor(n),
+            nProbe = 4, m = 8, nCodes = 16, rerank = 40,
+            codebook = Some(cb), quantized = Some(quant),
+            codes = Some(codes)).count()
+        }),
         "embed_topk_ivf_indexed" -> (() => {
           val idx = new IvfIndex(s"$work/ivf_$n", nCells = cellsFor(n))
           idx.build(emb)

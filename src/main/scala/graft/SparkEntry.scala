@@ -197,9 +197,15 @@ object SparkEntry {
       val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       if (!ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok)) {
         val cb = pqModelFixture(s, d, m, nCodes, iters)
-        graft.functions.Similarity.pqEncode(t(s, d, "embeddings"), cb,
-            assigned = if (withCell) Some(ivfQuantFixture(s, d)._1) else None)
-          .write.mode("overwrite").parquet(path)
+        val encoded = graft.functions.Similarity.pqEncode(
+          t(s, d, "embeddings"), cb,
+          assigned = if (withCell) Some(ivfQuantFixture(s, d)._1) else None)
+        // cell-PARTITIONED layout: the IVF-PQ probe's coarse filter
+        // then prunes whole cell directories (PartitionFilters), so a
+        // probe reads ~nProbe/nCells of the codes — the IvfIndex
+        // segment story applied to the PQ artifact
+        val w = encoded.write.mode("overwrite")
+        (if (withCell) w.partitionBy("cell") else w).parquet(path)
       }
       s.read.parquet(path)
     }

@@ -1039,7 +1039,20 @@ object Similarity {
         }
         struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
       }
-      enc
+      // coarse SCAN filter: rows in cells NO chunk query probes can
+      // only ever produce null ascores — filtering them before the
+      // explode lets a cell-PARTITIONED persisted codes table prune
+      // whole partitions (PartitionFilters — the ~nProbe/nCells I/O
+      // story), and spares the inline path their encode argmaxes.
+      // The per-query when() above still decides each (query, row)
+      // pair, so results are untouched.
+      val chunkEnc = coarse match {
+        case Some(_) =>
+          val allProbed = probed.values.flatten.toSeq.distinct
+          enc.filter(col("cell").isin(allProbed: _*))
+        case None => enc
+      }
+      chunkEnc
         .select(col("neighbor_id"),
           explode(array(perQuery.toIndexedSeq: _*)).as("p"))
         .select(col("p.query_id").as("query_id"), col("neighbor_id"),

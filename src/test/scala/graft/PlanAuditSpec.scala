@@ -272,6 +272,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected partial heaps for ADC rerank + final top-k:\n$p")
     assert(!p.matches("(?s).*\\bSort \\[.*"),
       s"a Sort appeared beside the bounded-heap operators:\n$p")
+    // the persisted codes table is cell-partitioned and the probe's
+    // coarse filter reaches it as a PARTITION filter — the ADC scan
+    // physically reads ~nProbe/nCells of the codes, not a full scan
+    // with a null-gate
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"probed-cell filter did not partition-prune the codes scan:\n$p")
   }
 
   test("docs_bpe_token_counts: one corpus scan under either model regime") {
