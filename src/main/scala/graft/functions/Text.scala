@@ -427,14 +427,19 @@ object Text {
     * DuckDB mirror's `word[i:i]` character slicing.
     */
   private[graft] def bpeTrainIncremental(
-      docs: org.apache.spark.sql.DataFrame, textCol: String, nMerges: Int)
+      docs: org.apache.spark.sql.DataFrame, textCol: String, nMerges: Int,
+      durableEvery: Int = bpeDurableEvery,
+      checkpointDir: Option[String] = None)
       : (Seq[(Long, String, String, String, Long)],
          org.apache.spark.sql.DataFrame,
          scala.collection.Map[(String, String), Long]) = {
     require(nMerges >= 1 && nMerges <= 65536,
       s"nMerges must be in [1, 65536] (got $nMerges)")
+    require(durableEvery >= 1,
+      s"durableEvery must be >= 1 (got $durableEvery)")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    val ckpt = checkpointDir.map(new BpeCheckpoint(spark, _))
 
     // ---- ONE corpus scan → word-frequency table → char-level state.
     // `pairs` is the DISTINCT adjacent-pair index per word, the column
@@ -442,12 +447,33 @@ object Text {
     // scan instead of re-deriving adjacency every round).
     val wc = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var st = wc.select(col("word"), col("n"),
-        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
-      .withColumn("pairs", array_distinct(adjPairKeys(col("syms"))))
-      .localCheckpoint(true)
+    // corpus fingerprint (distinct words, total occurrences): resuming
+    // against DIFFERENT docs would silently train a chimera — the
+    // guard costs one corpus scan, the rounds it saves cost thousands
+    val corpusFp: (Long, Long) = {
+      val r = wc.agg(count(lit(1)), sum(col("n"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // resume: the newest COMPLETE checkpoint (state + merges behind an
+    // ok marker) restarts the train at its recorded round — the
+    // recovery path after a crash or executor loss mid-train
+    val resumed = ckpt.flatMap(_.loadLatest(corpusFp))
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Long, String, String, String, Long)]()
+    resumed.foreach { case (k, _, ms) =>
+      require(k <= nMerges,
+        s"checkpoint holds $k merges, ahead of the requested $nMerges — " +
+          "request at least as many merges as the checkpoint")
+      merges ++= ms
+    }
+    var st = resumed.map(_._2).getOrElse(
+      wc.select(col("word"), col("n"),
+          concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+        .withColumn("pairs", array_distinct(adjPairKeys(col("syms"))))
+        .localCheckpoint(true))
 
-    // ---- driver-held pair counts (pair TYPES, vocabulary-scale)
+    // ---- driver-held pair counts (pair TYPES, vocabulary-scale) —
+    // rebuilt from the (possibly resumed) state, never persisted
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     def splitKey(k: String): (String, String) = {
       val i = k.indexOf('\n')
@@ -463,12 +489,10 @@ object Text {
       else if (x._1._1 != y._1._1) u8Less(x._1._1, y._1._1)
       else u8Less(x._1._2, y._1._2)
 
-    val merges =
-      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var exhausted = false
     var sinceDurable = 0
     var prevDurable: Option[String] = None
-    for (i <- 1 to nMerges if !exhausted) {
+    for (i <- merges.size + 1 to nMerges if !exhausted) {
       val best = pc.iterator.filter(_._2 > 0)
         .reduceOption((x, y) => if (better(x, y)) x else y)
       if (best.isEmpty) exhausted = true
@@ -516,24 +540,98 @@ object Text {
               .otherwise(col("pairs")).as("pairs"))
           .localCheckpoint(false)
         sinceDurable += 1
-        if (sinceDurable >= bpeDurableEvery) {
-          // durable window boundary: persist the full state to scratch
-          // parquet and re-read — frees every accumulated block, and an
-          // executor loss now costs at most one window's rounds
-          val dir = graft.Stage.scratchDir(spark, "bpe-train-ckpt")
-          st.write.mode("overwrite").parquet(dir)
-          st = spark.read.parquet(dir)
-          prevDurable.foreach { d =>
-            val p = new org.apache.hadoop.fs.Path(d)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, true)
+        if (sinceDurable >= durableEvery) {
+          // durable window boundary: persist the full state and the
+          // merges-so-far, re-read the state — frees every accumulated
+          // block, and a crash/executor loss now costs at most one
+          // window's rounds (resume via checkpointDir)
+          st = ckpt match {
+            case Some(c) => c.write(merges.size, st, merges.toSeq, corpusFp)
+            case None =>
+              // no resume requested: plain scratch round-trip (block
+              // bound only), previous window reclaimed immediately
+              val dir = graft.Stage.scratchDir(spark, "bpe-train-ckpt")
+              st.write.mode("overwrite").parquet(dir)
+              prevDurable.foreach { d =>
+                val p = new org.apache.hadoop.fs.Path(d)
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(p, true)
+              }
+              prevDurable = Some(dir)
+              spark.read.parquet(dir)
           }
-          prevDurable = Some(dir)
           sinceDurable = 0
         }
       }
     }
+    // completion checkpoint: an interrupted CALLER (not just an
+    // interrupted train) can extend from the finished state later
+    if (sinceDurable > 0 || merges.isEmpty)
+      ckpt.foreach(c => c.write(merges.size, st, merges.toSeq, corpusFp))
     (merges.toSeq, st.select(col("word"), col("n"), col("syms")), pc)
+  }
+
+  /** Versioned durable checkpoints for [[bpeTrainIncremental]]:
+    * `state-<k>` (the full vocabulary state incl. the pairs index) +
+    * `merges-<k>` (the merge list so far) + `fp-<k>` (the corpus
+    * fingerprint), made visible by an `ok-<k>` marker CREATED LAST —
+    * a crash mid-write leaves no marker and the resume falls back to
+    * the previous complete window. Older windows are reclaimed after
+    * each successful write; the pair-count map is never persisted
+    * (rebuilt from the state in one vocabulary-sized aggregation).
+    */
+  private[graft] final class BpeCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, dir: String) {
+    import org.apache.hadoop.fs.Path
+    private val root = new Path(dir)
+    private val fs =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Newest complete checkpoint: (merge count, state, merges). */
+    def loadLatest(expectFp: (Long, Long))
+        : Option[(Int, org.apache.spark.sql.DataFrame,
+                  Seq[(Long, String, String, String, Long)])] = {
+      if (!fs.exists(root)) return None
+      val ks = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("ok-")).map(_.drop(3).toInt)
+      if (ks.isEmpty) return None
+      val k = ks.max
+      val fpRow = spark.read.parquet(s"$dir/fp-$k").head()
+      require((fpRow.getLong(0), fpRow.getLong(1)) == expectFp,
+        s"checkpoint at $dir was trained on a different corpus " +
+          s"(fingerprint ${(fpRow.getLong(0), fpRow.getLong(1))} vs " +
+          s"$expectFp) — refusing to resume")
+      val ms = spark.read.parquet(s"$dir/merges-$k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      require(ms.size == k,
+        s"checkpoint ok-$k holds ${ms.size} merges — torn checkpoint")
+      Some((k, spark.read.parquet(s"$dir/state-$k"), ms))
+    }
+
+    /** Write window `k`; returns the re-read state. */
+    def write(k: Int, st: org.apache.spark.sql.DataFrame,
+              ms: Seq[(Long, String, String, String, Long)],
+              fp: (Long, Long)): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      st.write.mode("overwrite").parquet(s"$dir/state-$k")
+      ms.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges-$k")
+      Seq(fp).toDF("n_words", "n_occurrences")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/fp-$k")
+      fs.create(new Path(root, s"ok-$k"), true).close()
+      // reclaim every OLDER complete window (k stays; a concurrent
+      // reader of an old window is not a supported mode — the trainer
+      // is a single-writer artifact builder)
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("ok-") && n.drop(3).toInt < k)
+        .map(_.drop(3).toInt).foreach { old =>
+          fs.delete(new Path(root, s"ok-$old"), false)
+          Seq(s"state-$old", s"merges-$old", s"fp-$old").foreach(p =>
+            fs.delete(new Path(root, p), true))
+        }
+      spark.read.parquet(s"$dir/state-$k")
+    }
   }
 
   /** Durable-checkpoint the state every N rounds (executor-loss

@@ -422,6 +422,48 @@ class TextSpec extends SparkTestBase {
     assert(sti("x😀y").contains("y"))
   }
 
+  test("checkpointed train resumes exactly where it stopped") {
+    val texts = Seq("low low low lower lowest", "new newer newest low wider",
+      "aaaa aaa aab abab widest newest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bpe-ckpt")
+    // the uninterrupted reference
+    val (full, fullSt, _) = Text.bpeTrainIncremental(docs, "text", 24)
+    // phase 1: train 12 rounds with a 4-round durable window
+    val (half, _, _) = Text.bpeTrainIncremental(docs, "text", 12,
+      durableEvery = 4, checkpointDir = Some(dir))
+    assert(half === full.take(12))
+    // "crash" = a fresh call against the same dir: resumes at 12 and
+    // trains only the remaining rounds
+    val (resumed, resumedSt, pc) = Text.bpeTrainIncremental(docs, "text", 24,
+      durableEvery = 4, checkpointDir = Some(dir))
+    assert(resumed === full,
+      "resumed train diverged from the uninterrupted reference")
+    def stMap(st: org.apache.spark.sql.DataFrame) =
+      st.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(stMap(resumedSt) === stMap(fullSt))
+    assert(pc.toMap === recount(texts, stMap(resumedSt)),
+      "pair table rebuilt from the resumed state drifted from recount")
+    // a torn window (state dir without its ok marker) is invisible
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "state-99"))
+    val (again, _, _) = Text.bpeTrainIncremental(docs, "text", 24,
+      durableEvery = 4, checkpointDir = Some(dir))
+    assert(again === full, "a torn checkpoint window corrupted the resume")
+    // resuming against a DIFFERENT corpus refuses loudly
+    val other = Seq((1L, "zz zz qq")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Text.bpeTrainIncremental(other, "text", 24, checkpointDir = Some(dir))
+    }
+    assert(e.getMessage.contains("different corpus"))
+    // a checkpoint AHEAD of the request refuses loudly
+    intercept[IllegalArgumentException] {
+      Text.bpeTrainIncremental(docs, "text", 8, checkpointDir = Some(dir))
+    }
+  }
+
   test("merge budget past the old 256 cap: 300 rounds, table stays exact") {
     // 140 distinct 6-char words (base-24 digits of i, so genuinely
     // distinct) → ≥335 merge capacity; 300 rounds cross the
