@@ -551,4 +551,40 @@ object EngineProperties extends Properties("graft") {
         viaScan == viaRead
       }
     }
+
+  // random short words over a 3-letter alphabet: maximal pair ties,
+  // overlap runs ("aaa"), repeats — the regimes where the incremental
+  // trainer's delta algebra and the driver argmax order could diverge
+  // from the full per-round re-count
+  private val genBpeCorpus: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 3)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.choose(1, 5).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      .map(_.take(8).mkString(" ")))
+  } yield docs
+
+  property("incremental BPE ≡ full re-count trainer on random corpora") =
+    Prop.forAll(genBpeCorpus, Gen.choose(1, 6)) { (texts, k) =>
+      val s = spark; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (mi, sti, pc) =
+        graft.functions.Text.bpeTrainIncremental(docs, "text", k)
+      val (mf, stf) = graft.functions.Text.bpeTrainFull(docs, "text", k)
+      def m(st: org.apache.spark.sql.DataFrame) =
+        st.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+      val stMap = m(sti)
+      // pair-table recount from the final state — the delta invariant
+      val wc = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val rec = scala.collection.mutable.Map[(String, String), Long]()
+      stMap.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          rec((p(0), p(1))) = rec.getOrElse((p(0), p(1)), 0L) + wc(w) }
+      }
+      (mi == mf) :| s"merges diverged: $mi vs $mf" &&
+        (stMap == m(stf)) :| "final states diverged" &&
+        (pc.toMap == rec.toMap) :| "maintained pair table != recount"
+    }
 }
