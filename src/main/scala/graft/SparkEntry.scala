@@ -2119,6 +2119,35 @@ object SparkEntry {
     // gate (per-source streams there carry ~1.3-1.5k tokens — under
     // 2048, which would make every oracle row a vacuous single-chunk
     // doc); TextSpec pins the non-vacuity.
+    // Sequence packing by the TRAINED TOKENIZER's token budget — what
+    // a batch assembler actually packs by (whitespace counts
+    // under-budget long words and miss the </w> markers entirely):
+    // one tokenize scan through the size-gated model join against the
+    // persisted BPE state (OOV falls to character-level, the encode
+    // contract), per-doc BPE token counts, then the same
+    // domain-sharded running-sum window as docs_pack_sequences. The
+    // oracle replays the full 8-round training chain and packs from
+    // the replayed vocabulary — segmentation AND packing are checked
+    // against the trained artifact, not a re-implementation.
+    "docs_pack_bpe_budget" -> ((s, d) => {
+      val st = s.read.parquet(bpeFixture(s, d)._2)
+      val wlens = st.select(col("word"), size(col("syms")).as("wlen"))
+      val words = t(s, d, "documents").select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val counts = graft.functions.ModelJoin
+        .sizeGated(words, wlens, Seq("word"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(coalesce(col("wlen"), length(col("word")) + lit(1)))
+          .cast("long").as("n_bpe_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("start_offset",
+          coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+        .withColumn("seq_idx",
+          floor(col("start_offset") / lit(1024)).cast("long"))
+    }),
+
     "docs_pack_chunks" -> ((s, d) => {
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -3565,6 +3594,27 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, start_offset,
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_idx
          |FROM o""".stripMargin,
+
+    // BPE-budget packing: the training-chain replay + per-doc counts
+    // (the docs_bpe_token_counts tail, source carried) + the
+    // domain-sharded running-sum pack.
+    "docs_pack_bpe_budget" ->
+      (bpeChainCtes(8) + s""",
+        |bc AS (SELECT w.doc_id, w.source,
+        |  SUM(COALESCE(len(st.syms), length(w.word) + 1))::BIGINT
+        |   AS n_bpe_tokens
+        | FROM (SELECT t.doc_id, d.source, unnest(t.tk) AS word
+        |   FROM toks t JOIN documents d ON d.doc_id = t.doc_id) w
+        | LEFT JOIN bpst8 st USING (word)
+        | GROUP BY w.doc_id, w.source),
+        |po AS (SELECT doc_id, source, n_bpe_tokens,
+        |  COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0)::BIGINT AS start_offset
+        | FROM bc)
+        |SELECT doc_id, source, n_bpe_tokens, start_offset,
+        | CAST(floor(start_offset / 1024.0) AS BIGINT) AS seq_idx
+        |FROM po""".stripMargin),
 
     "docs_pack_chunks" ->
       s"""WITH m AS (SELECT doc_id, source,
