@@ -113,6 +113,39 @@ object SparkEntry {
         .getContentSummary(p).getLength
     }.getOrElse(0L)
 
+  /** Content key of a source table's parquet dir — what decides
+    * whether a persisted fixture artifact is still valid: FNV-1a over
+    * each file's (name, length, mtime) in NAME-SORTED order. Sorting
+    * makes the key independent of listStatus enumeration order (not
+    * guaranteed across filesystems), and the mixer separates the
+    * fields into distinct bit positions (the previous `h*31 + len*31 +
+    * mtime` fold conflated them).
+    */
+  private def contentKey(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var h = -3750763034362895579L // FNV-1a offset basis
+    def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
+    fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+      st.getPath.getName.foreach(c => mix(c.toLong))
+      mix(st.getLen); mix(st.getModificationTime)
+    }
+    h
+  }
+
+  /** Content-keyed artifact dir UNDER THE SWEPT STAGE ROOT — stale
+    * keys (regenerated testdata, version bumps) stop accumulating
+    * unboundedly in tmpdir: [[Stage.sweep]] reclaims any generation
+    * whose newest activity passes the TTL. The name ends in a dash +
+    * 8 hex chars so it matches the sweep's scratch pattern (all 64 key
+    * bits stay in the name, split across two hex segments), and every
+    * REUSE refreshes liveness via [[Stage.heartbeat]] at the call
+    * sites.
+    */
+  private def keyedArtifactDir(s: SparkSession, prefix: String,
+                               key: Long): String =
+    f"${Stage.root(s)}/$prefix%s-${key >>> 32}%08x-${key & 0xffffffffL}%08x"
+
   /** The persisted ANN index over `d`'s embeddings, built at most once
     * per (process, sf) — [[memoFixture]]: the index is read-only once
     * built, so repeat bench/verify calls measure the PROBE (the
@@ -125,15 +158,11 @@ object SparkEntry {
   private def ivfIndexFixture(s: SparkSession, d: String,
                               emb: DataFrame): IvfIndex =
     memoFixture("ivf_index", d) {
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val contentKey = java.lang.Long.toHexString(
-        fs.listStatus(src).foldLeft(17L)((h, st) =>
-          h * 31 + st.getLen * 31 + st.getModificationTime))
-      val idx = new IvfIndex(
-        s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-v3-$contentKey",
-        nCells = 16)
-      if (!idx.exists(s)) idx.build(emb)
+      val path = keyedArtifactDir(s, "ivf-idx-v4",
+        contentKey(s, s"$d/embeddings.parquet"))
+      val idx = new IvfIndex(path, nCells = 16)
+      if (idx.exists(s)) Stage.heartbeat(s, path)
+      else idx.build(emb)
       idx
     }
 
@@ -187,15 +216,13 @@ object SparkEntry {
                              nCodes: Int, iters: Int, withCell: Boolean)
       : DataFrame =
     memoFixture(s"pq_codes_${m}_${nCodes}_${iters}_$withCell", d) {
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val contentKey = java.lang.Long.toHexString(
-        fs.listStatus(src).foldLeft(17L)((h, st) =>
-          h * 31 + st.getLen * 31 + st.getModificationTime))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-pq-codes-v1-" +
-        s"${m}_${nCodes}_${iters}_$withCell-$contentKey"
+      val path = keyedArtifactDir(s,
+        s"pq-codes-v2-${m}_${nCodes}_${iters}_$withCell",
+        contentKey(s, s"$d/embeddings.parquet"))
       val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok)) {
+      if (ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok))
+        Stage.heartbeat(s, path)
+      else {
         val cb = pqModelFixture(s, d, m, nCodes, iters)
         val encoded = graft.functions.Similarity.pqEncode(
           t(s, d, "embeddings"), cb,
@@ -217,12 +244,12 @@ object SparkEntry {
     */
   private def sq8CodesFixture(s: SparkSession, d: String): String =
     memoFixture("sq8_codes", d) {
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val contentKey = java.lang.Long.toHexString(
-        fs.listStatus(src).foldLeft(17L)((h, st) =>
-          h * 31 + st.getLen * 31 + st.getModificationTime))
-      s"${sys.props("java.io.tmpdir")}/graft-sq8-codes-v1-$contentKey"
+      val path = keyedArtifactDir(s, "sq8-codes-v2",
+        contentKey(s, s"$d/embeddings.parquet"))
+      val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      if (ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok))
+        Stage.heartbeat(s, path)
+      path
     }
 
   /** The curation-v2 survivor set, lazy (callers checkpoint it):

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The ONE spelling of the durable scratch-space lifecycle shared by
   * every write-once artifact and staging projection ([[SparkEntry]]'s
@@ -13,13 +13,21 @@ import org.apache.hadoop.fs.Path
   * `FileSystem.deleteOnExit` only runs on clean shutdown — a crashed
   * JVM leaves its scratch dirs behind forever. [[sweep]] is the
   * age-horizoned reclaim for those orphans (the `vacuum()` idea
-  * applied to scratch space): delete root entries whose modification
-  * time is older than `graft.stage.ttlMs` (default 24 h). The horizon
-  * is the safety argument — every LIVE scratch dir belongs to an
-  * in-flight invocation younger than the TTL (scratch is
-  * per-invocation by construction, never a long-lived store), so a
-  * startup-time sweep can only reclaim dirs whose owning process is
-  * long gone. Verify and Bench call it on startup.
+  * applied to scratch space): delete root entries whose NEWEST
+  * activity is older than `graft.stage.ttlMs` (default 24 h).
+  *
+  * Liveness is explicit, not assumed: a run that outlives the TTL
+  * (a big-SF bench, a many-thousand-round BPE train) keeps its dirs
+  * alive because every durable-window write refreshes mtimes inside
+  * them, and long READ-mostly phases call [[heartbeat]] to touch a
+  * marker file. The sweep keys on the newest mtime found UNDER an
+  * entry (entry itself, children, grandchildren — the depths scratch
+  * layouts actually use), so activity anywhere in the dir counts.
+  * Only entries matching the scratch NAMING pattern
+  * (`<tag>-<8 hex chars>`, [[scratchDir]]'s spelling) are candidates:
+  * a misconfigured `graft.stage.dir` pointing at a shared directory
+  * can never delete unrelated files. Verify and Bench call [[sweep]]
+  * on startup.
   */
 object Stage {
 
@@ -39,10 +47,54 @@ object Stage {
     dir
   }
 
-  /** Reclaim crash-orphaned scratch dirs older than the TTL horizon
-    * (`graft.stage.ttlMs`, default 24 h); returns how many were
-    * deleted. Entries younger than the horizon — possibly owned by a
-    * live concurrent process sharing the root — always survive.
+  /** The scratch naming pattern [[scratchDir]] (and every content-keyed
+    * fixture that opts into the swept lifecycle) uses: anything else
+    * under the root is foreign and never touched by [[sweep]].
+    */
+  private val scratchName = ".+-[0-9a-f]{8}".r
+
+  /** Refresh a scratch dir's liveness: touch (create or overwrite) a
+    * `_heartbeat` marker inside it, so [[sweep]]'s newest-mtime probe
+    * sees recent activity. Call at durable-window boundaries of
+    * long-running writers and on cross-process REUSE of a persisted
+    * fixture — a reused artifact is live again even though its data
+    * files are old.
+    */
+  def heartbeat(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, "_heartbeat")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    scala.util.Try(fs.create(p, true).close())
+  }
+
+  /** Newest modification time at or under `st`, probing to
+    * `depth` levels (0 = the entry itself). Short-circuits as soon as
+    * something younger than `horizon` is found — the deep listing only
+    * happens for entries that already look stale at the shallower
+    * level.
+    */
+  private def newestMtime(fs: FileSystem,
+                          st: org.apache.hadoop.fs.FileStatus,
+                          depth: Int, horizon: Long): Long = {
+    var newest = st.getModificationTime
+    if (newest > horizon || depth == 0 || !st.isDirectory) return newest
+    val children = scala.util.Try(fs.listStatus(st.getPath))
+      .getOrElse(Array.empty)
+    var i = 0
+    while (i < children.length && newest <= horizon) {
+      newest = math.max(newest,
+        newestMtime(fs, children(i), depth - 1, horizon))
+      i += 1
+    }
+    newest
+  }
+
+  /** Reclaim crash-orphaned scratch dirs whose newest activity —
+    * anywhere under the entry, down to grandchild depth — is older
+    * than the TTL horizon (`graft.stage.ttlMs`, default 24 h); returns
+    * how many were deleted. Entries with ANY recent mtime (a live
+    * concurrent process writing, or a [[heartbeat]] touch) always
+    * survive, as does anything not matching the scratch naming
+    * pattern.
     */
   def sweep(s: SparkSession, ttlMs: Option[Long] = None): Int = {
     val ttl = ttlMs
@@ -51,9 +103,10 @@ object Stage {
     val rootP = new Path(root(s))
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return 0
-    val now = System.currentTimeMillis()
+    val horizon = System.currentTimeMillis() - ttl
     val stale = fs.listStatus(rootP)
-      .filter(st => now - st.getModificationTime > ttl)
+      .filter(st => scratchName.pattern.matcher(st.getPath.getName).matches)
+      .filter(st => newestMtime(fs, st, depth = 2, horizon) <= horizon)
     stale.foreach(st => fs.delete(st.getPath, true))
     stale.length
   }

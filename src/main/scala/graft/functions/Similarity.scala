@@ -730,8 +730,12 @@ object Similarity {
     }
     val codesArr =
       array((0 until cb.m).map(s => pqAssignExpr(sub, s, cb.cents(s))): _*)
+    // pq_fp: the producing codebook's fingerprint rides with the codes
+    // (a constant column — zero-cost in parquet's RLE), so the ADC can
+    // refuse codes from another codebook instead of silently mis-ranking
     c.select(Seq(col("cid"), codesArr.as("pq_codes"),
-      norm(col("v")).as("pq_norm")) ++
+      norm(col("v")).as("pq_norm"),
+      lit(cb.fingerprint).as("pq_fp")) ++
       (if (assigned.isDefined) Seq(col("cell")) else Nil): _*)
   }
 
@@ -742,7 +746,29 @@ object Similarity {
     * parameters ride along so a mismatched reuse fails loudly.
     */
   final case class PqCodebook(m: Int, nCodes: Int, iters: Int, dims: Int,
-      cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]])
+      cents: IndexedSeq[Array[(Int, IndexedSeq[Double])]]) {
+
+    /** Content fingerprint over parameters AND every trained centroid
+      * value (FNV-1a over the exact double bits — centroids are
+      * 6-dp-rounded carried state, so equal training runs fingerprint
+      * equally). [[pqEncode]] stamps it into the codes it emits and
+      * the ADC refuses a codes/codebook mismatch — the BpeCheckpoint
+      * corpus-fingerprint refusal applied to the PQ artifact pair:
+      * codes encoded under a DIFFERENT codebook (retrained, other
+      * corpus, stale persisted table) would otherwise silently
+      * produce wrong top-k.
+      */
+    lazy val fingerprint: Long = {
+      var h = -3750763034362895579L // FNV-1a offset basis
+      def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
+      mix(m); mix(nCodes); mix(iters); mix(dims)
+      cents.foreach(_.foreach { case (code, vec) =>
+        mix(code)
+        vec.foreach(x => mix(java.lang.Double.doubleToLongBits(x)))
+      })
+      h
+    }
+  }
 
   /** Train the PQ codebook alone (first-nCodes seeds + `iters`
     * 6-dp-rounded Lloyd steps per subspace — exactly the steps
@@ -974,6 +1000,20 @@ object Similarity {
         require(coarse.isEmpty || cdf.columns.contains("cell"),
           "ivfPqTopK needs cell in the persisted codes table — encode " +
             "with pqEncode(assigned = Some(...))")
+        // fingerprint refusal (the BpeCheckpoint corpusFp discipline):
+        // the codes must have been produced by THIS codebook. The
+        // column is a stamped constant, so one row decides; append-grown
+        // tables stay uniform because append requires the frozen
+        // codebook. One limit-1 job per batch — noise next to the scan.
+        require(cdf.columns.contains("pq_fp"),
+          "persisted codes table carries no pq_fp fingerprint — " +
+            "re-encode with pqEncode against the codebook in use")
+        val fp = cdf.select(col("pq_fp")).limit(1).collect()
+        require(fp.nonEmpty && fp(0).getLong(0) == cb.fingerprint,
+          s"codes table was encoded under codebook fingerprint " +
+            s"${fp.headOption.map(_.getLong(0)).getOrElse("<empty>")}, " +
+            s"not this codebook's ${cb.fingerprint} — stale or " +
+            "mismatched artifact; re-encode")
         cdf.select(Seq(col("cid").as("neighbor_id"), col("pq_codes"),
           col("pq_norm")) ++
           (if (coarse.isDefined) Seq(col("cell")) else Nil): _*)

@@ -592,8 +592,12 @@ object Text {
         : Option[(Int, org.apache.spark.sql.DataFrame,
                   Seq[(Long, String, String, String, Long)])] = {
       if (!fs.exists(root)) return None
+      // strict ok-<digits> match: stray root entries (editor temps,
+      // partial markers) must be ignored, not crash the whole train
+      // with a NumberFormatException before it can even start
+      val okName = "ok-(\\d+)".r
       val ks = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("ok-")).map(_.drop(3).toInt)
+        .collect { case okName(k) => k.toInt }
       if (ks.isEmpty) return None
       val k = ks.max
       val fpRow = spark.read.parquet(s"$dir/fp-$k").head()
@@ -623,9 +627,10 @@ object Text {
       // reclaim every OLDER complete window (k stays; a concurrent
       // reader of an old window is not a supported mode — the trainer
       // is a single-writer artifact builder)
+      val okName = "ok-(\\d+)".r
       fs.listStatus(root).map(_.getPath.getName)
-        .filter(n => n.startsWith("ok-") && n.drop(3).toInt < k)
-        .map(_.drop(3).toInt).foreach { old =>
+        .collect { case okName(old) if old.toInt < k => old.toInt }
+        .foreach { old =>
           fs.delete(new Path(root, s"ok-$old"), false)
           Seq(s"state-$old", s"merges-$old", s"fp-$old").foreach(p =>
             fs.delete(new Path(root, p), true))
