@@ -284,19 +284,25 @@ object ScaleProof {
     // write-once IVF-PQ artifacts per corpus size (codebook, cached
     // coarse quantizer, cell-partitioned encoded codes) — built on
     // first use inside the timed thunk (rep 1 carries the build, the
-    // convention every durable-artifact leg follows)
+    // convention every durable-artifact leg follows). The codes table
+    // comes from a PqCodesStore fed by build(low half) + append(high
+    // half): the steady-state probe under measurement reads an
+    // APPENDED two-segment generation — the 100 TB maintenance shape
+    // (corpus growth = encode only the delta against the frozen
+    // codebook) is what the exponent is measured on.
     val pqIdxCache = scala.collection.mutable.Map.empty[Long,
       (Similarity.PqCodebook, (DataFrame, DataFrame), DataFrame)]
     def pqIdxSetup(n: Long, emb: DataFrame)
         : (Similarity.PqCodebook, (DataFrame, DataFrame), DataFrame) =
       pqIdxCache.getOrElseUpdate(n, {
         val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
-        val quant = Similarity.ivfQuantizeCached(emb,
-          math.max(16, math.sqrt(n.toDouble).round.toInt))
-        val path = s"$work/pqcodes_$n"
-        Similarity.pqEncode(emb, cb, assigned = Some(quant._1))
-          .write.mode("overwrite").partitionBy("cell").parquet(path)
-        (cb, quant, spark.read.parquet(path))
+        val nc = math.max(16, math.sqrt(n.toDouble).round.toInt)
+        val quant = Similarity.ivfQuantizeCached(emb, nc)
+        val store = new graft.functions.PqCodesStore(
+          s"$work/pqstore_$n", m = 8, nCodes = 16, nCells = Some(nc))
+        store.build(emb.filter(col("vec_id") < n / 2), Some(cb))
+        store.append(emb.filter(col("vec_id") >= n / 2))
+        (cb, quant, store.codes(spark))
       })
 
     def ops(n: Long, docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
@@ -464,6 +470,30 @@ object ScaleProof {
               .agg(avg(col("n_chars")).as("avg_chars")).count()
           finally
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        }),
+        // Shard-composed sequence packing: the running sum partitions
+        // by (source, shard) with shard COUNT scaling with the corpus
+        // (~2k docs/shard), so per-partition window size stays
+        // constant as n grows — the pack family's structural fix
+        // under proof (a per-source spine serializes each source into
+        // one task at corpus-fraction sizes). Expect ~linear
+        // (tokenize-scan-bound), with no single-partition cliff at 10×.
+        "docs_pack_sharded" -> (() => {
+          val nSh = math.max(4L, n / 2000L)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"), col("shard"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)
+          docs.select(col("doc_id"), col("source"),
+              pmod(Hashing.hash60(col("doc_id").cast("string")), lit(nSh))
+                .cast("int").as("shard"),
+              size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+            .withColumn("start_offset",
+              coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+            .withColumn("seq_idx",
+              floor(col("start_offset") / lit(512)).cast("long"))
+            .count()
         }),
         // corpus topic clustering: per iteration one broadcast
         // assignment join (k-row build side) + one posexplode

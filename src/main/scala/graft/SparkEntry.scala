@@ -212,44 +212,62 @@ object SparkEntry {
     * re-encoding the float corpus. `withCell` adds the coarse cell for
     * the IVF-PQ composition's scan-side gate.
     */
+  /** Deterministic low/high id split of the embeddings corpus — the
+    * build-then-append feed for the codes-store fixtures: the
+    * persisted table every PQ/SQ8 oracle row reads is PRODUCED BY the
+    * incremental path (build on the low half, append the high half),
+    * so "append ≡ full re-encode" parity is re-proven by the hash
+    * gate every round, not just by a spec once. The low half contains
+    * the globally-lowest ids, so frozen quantizer seeds (first-N-by-
+    * id) drawn from the build slice equal the full corpus's.
+    */
+  private def embSplit(emb: DataFrame): (DataFrame, DataFrame) = {
+    val r = emb.agg(min(col("vec_id")).cast("long"),
+      max(col("vec_id")).cast("long")).head()
+    val thr = (r.getLong(0) + r.getLong(1)) / 2
+    (emb.filter(col("vec_id") <= thr), emb.filter(col("vec_id") > thr))
+  }
+
   private def pqCodesFixture(s: SparkSession, d: String, m: Int,
                              nCodes: Int, iters: Int, withCell: Boolean)
       : DataFrame =
     memoFixture(s"pq_codes_${m}_${nCodes}_${iters}_$withCell", d) {
       val path = keyedArtifactDir(s,
-        s"pq-codes-v2-${m}_${nCodes}_${iters}_$withCell",
+        s"pq-codes-v3-${m}_${nCodes}_${iters}_$withCell",
         contentKey(s, s"$d/embeddings.parquet"))
-      val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok))
-        Stage.heartbeat(s, path)
+      // cell-PARTITIONED generations: the IVF-PQ probe's coarse filter
+      // prunes whole cell directories of every segment
+      // (PartitionFilters), so a probe reads ~nProbe/nCells of the
+      // codes — the IvfIndex segment story applied to the PQ artifact
+      val store = new graft.functions.PqCodesStore(path, m, nCodes,
+        iters, nCells = if (withCell) Some(16) else None)
+      if (store.exists(s)) Stage.heartbeat(s, path)
       else {
-        val cb = pqModelFixture(s, d, m, nCodes, iters)
-        val encoded = graft.functions.Similarity.pqEncode(
-          t(s, d, "embeddings"), cb,
-          assigned = if (withCell) Some(ivfQuantFixture(s, d)._1) else None)
-        // cell-PARTITIONED layout: the IVF-PQ probe's coarse filter
-        // then prunes whole cell directories (PartitionFilters), so a
-        // probe reads ~nProbe/nCells of the codes — the IvfIndex
-        // segment story applied to the PQ artifact
-        val w = encoded.write.mode("overwrite")
-        (if (withCell) w.partitionBy("cell") else w).parquet(path)
+        val (lo, hi) = embSplit(t(s, d, "embeddings"))
+        store.build(lo, codebook = Some(pqModelFixture(s, d, m, nCodes, iters)))
+        store.append(hi)
       }
-      s.read.parquet(path)
+      store.codes(s)
     }
 
-  /** Content-keyed persisted SQ8 codes table (the codesPath write-once
-    * configuration sq8TopK documents) — the probe scans 1-byte codes,
-    * the quantize-and-write is paid once per (testdata content, code
-    * version).
+  /** Content-keyed persisted SQ8 codes table — an [[graft.functions.
+    * Sq8CodesStore]] generation fed by the same build-then-append
+    * split: the probe scans 1-byte codes, the quantize-and-write is
+    * paid once per (testdata content, code version), and corpus growth
+    * appends a segment instead of re-encoding.
     */
-  private def sq8CodesFixture(s: SparkSession, d: String): String =
+  private def sq8CodesFixture(s: SparkSession, d: String): DataFrame =
     memoFixture("sq8_codes", d) {
-      val path = keyedArtifactDir(s, "sq8-codes-v2",
+      val path = keyedArtifactDir(s, "sq8-codes-v3",
         contentKey(s, s"$d/embeddings.parquet"))
-      val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (ok.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ok))
-        Stage.heartbeat(s, path)
-      path
+      val store = new graft.functions.Sq8CodesStore(path)
+      if (store.exists(s)) Stage.heartbeat(s, path)
+      else {
+        val (lo, hi) = embSplit(t(s, d, "embeddings"))
+        store.build(lo)
+        store.append(hi)
+      }
+      store.codes(s)
     }
 
   /** The curation-v2 survivor set, lazy (callers checkpoint it):
@@ -2175,6 +2193,35 @@ object SparkEntry {
           floor(col("start_offset") / lit(1024)).cast("long"))
     }),
 
+    // Shard-composed sequence packing — the scale fix for the pack
+    // family's one structural caveat: a per-source running sum makes
+    // ONE window partition per source, so a corpus-fraction-sized
+    // source would serialize into a single (spilling but sequential)
+    // task at 100 TB. Composing the spine with docs_shard_assign's
+    // hash sharding bounds every window partition: the running sum
+    // partitions by (source, shard), shard = hash-mod of doc_id
+    // (deterministic, data-independent), and shard COUNT is the knob
+    // that holds per-partition size constant as the corpus grows —
+    // each (source, shard) stream packs its own independent sequence
+    // space, exactly how a batch assembler consumes shards (per-shard
+    // output files, per-shard budgets). TextSpec pins exact tiling
+    // within every composed spine; the per-source variants above stay
+    // for single-stream parity.
+    "docs_pack_sharded" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docsWithTokens(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"),
+          pmod(Hashing.hash60(col("doc_id").cast("string")), lit(4L))
+            .cast("int").as("shard"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_idx",
+          floor(col("start_offset") / lit(512)).cast("long"))
+    }),
+
     "docs_pack_chunks" -> ((s, d) => {
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2673,7 +2720,7 @@ object SparkEntry {
     "embed_topk_sq8" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), 5,
-        rerank = 20, codesPath = Some(sq8CodesFixture(s, d)))
+        rerank = 20, codes = Some(sq8CodesFixture(s, d)))
     }),
 
     // Product-quantization ADC: the fourth ANN path — m=8 per-subspace
@@ -2806,7 +2853,7 @@ object SparkEntry {
             codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
             codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = false)))))
         .unionAll(leg("sq8", Similarity.sq8TopK(emb, qs, 5, rerank = 20,
-          codesPath = Some(sq8CodesFixture(s, d)))))
+          codes = Some(sq8CodesFixture(s, d)))))
     }),
 
     // Per-label centroid + distance of each vector to its own
@@ -3642,6 +3689,19 @@ object SparkEntry {
         |SELECT doc_id, source, n_bpe_tokens, start_offset,
         | CAST(floor(start_offset / 1024.0) AS BIGINT) AS seq_idx
         |FROM po""".stripMargin),
+
+    "docs_pack_sharded" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard,
+         |  len(${toksSql("text")})::BIGINT AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, shard, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   0)::BIGINT AS start_offset
+         | FROM m)
+         |SELECT doc_id, source, shard, n_tokens, start_offset,
+         | CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_idx
+         |FROM o""".stripMargin,
 
     "docs_pack_chunks" ->
       s"""WITH m AS (SELECT doc_id, source,

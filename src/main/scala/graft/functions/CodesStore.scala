@@ -1,0 +1,511 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-manifest commit log — the storage protocol shared by
+  * every persisted ANN artifact store ([[IvfIndex]], [[PqCodesStore]],
+  * [[Sq8CodesStore]]), extracted so each store carries only its own
+  * manifest SHAPE, not a re-implementation of the commit discipline:
+  *
+  *  - `_commits/<version>`: the manifest naming this generation's
+  *    uniquely-named, IMMUTABLE data directories. Claimed by
+  *    tmp-write + rename-without-overwrite CAS
+  *    ([[graft.operators.AtomicClaim]]): exactly one concurrent
+  *    mutator wins each version, and a reader never observes a torn
+  *    manifest (unparseable debris of a dead writer is healed exactly
+  *    as the upsert sink's commit log does).
+  *  - mutations write fresh directories BESIDE the live ones and flip
+  *    the manifest last — lock-free for concurrent readers; a reader
+  *    that resolved version N keeps reading N's immutable directories
+  *    while N+1 commits.
+  *  - [[gcAfter]] drops generations beyond `retainVersions` at commit
+  *    time; [[vacuum]] reclaims ORPHANS (a mutator that died between
+  *    writing its directories and claiming a version) behind an age
+  *    horizon, never touching anything a present commit references.
+  */
+private[functions] final class GenerationLog[M](
+    path: String,
+    parseM: String => Option[M],
+    serializeM: M => String,
+    dirsOf: M => Seq[String],
+    retainVersions: Int) {
+
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 (got $retainVersions): the previous " +
+      "generation must survive for in-flight readers")
+
+  def hfs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def sub(d: String) = new org.apache.hadoop.fs.Path(s"$path/$d")
+  def subPath(d: String): String = s"$path/$d"
+  private def commitsDir = sub("_commits")
+  def uid: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** All parseable commits, ascending by version. Torn commit files
+    * (a writer died between create and write on a store without
+    * atomic rename) are skipped, not fatal.
+    */
+  def commits(spark: SparkSession): Seq[(Long, M)] = {
+    val f = hfs(spark)
+    if (!f.exists(commitsDir)) Seq.empty
+    else f.listStatus(commitsDir).toSeq
+      .flatMap { s =>
+        scala.util.Try {
+          val v = s.getPath.getName.toLong
+          val in = f.open(s.getPath)
+          val content = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+          v -> parseM(content).get
+        }.toOption
+      }
+      .sortBy(_._1)
+  }
+
+  def resolve(spark: SparkSession): Option[M] =
+    commits(spark).lastOption.map(_._2)
+
+  /** Claim `version` with manifest `m` — true iff THIS writer won. */
+  def tryCommit(spark: SparkSession, version: Long, m: M): Boolean = {
+    val f = hfs(spark)
+    val dst = new org.apache.hadoop.fs.Path(commitsDir, version.toString)
+    graft.operators.AtomicClaim.claim(
+      f, spark.sparkContext.hadoopConfiguration, dst,
+      serializeM(m).getBytes("UTF-8"),
+      () => scala.util.Try {
+        val in = f.open(dst)
+        val content = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+        parseM(content).isDefined
+      }.getOrElse(false))
+  }
+
+  /** Retention GC after a successful commit: drop commit files beyond
+    * the newest `retainVersions` and every data directory they
+    * referenced that no retained manifest still references.
+    */
+  def gcAfter(spark: SparkSession, all: Seq[(Long, M)]): Unit = {
+    val f = hfs(spark)
+    val keep = all.takeRight(retainVersions).flatMap(m => dirsOf(m._2)).toSet
+    all.dropRight(retainVersions).foreach { case (v, m) =>
+      dirsOf(m).filterNot(keep).foreach(d => f.delete(sub(d), true))
+      f.delete(new org.apache.hadoop.fs.Path(commitsDir, v.toString), false)
+    }
+  }
+
+  def deleteDirs(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach(d => hfs(spark).delete(sub(d), true))
+
+  /** Reclaim orphan data directories (prefix-matched, unreferenced by
+    * ANY present commit, older than the horizon). Returns the
+    * reclaimed directory names.
+    */
+  def vacuum(spark: SparkSession, prefixes: Seq[String],
+             olderThanMs: Long): Seq[String] = {
+    val f = hfs(spark)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val referenced = commits(spark).flatMap(c => dirsOf(c._2)).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val orphans = f.listStatus(root).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && prefixes.exists(n.startsWith) &&
+        !referenced.contains(n) && s.getModificationTime < horizon
+    }
+    orphans.foreach(s => f.delete(s.getPath, true))
+    orphans.map(_.getPath.getName)
+  }
+}
+
+/** Persisted PQ codes table with INCREMENTAL APPEND — the
+  * delta-maintenance shape [[IvfIndex]] already has, applied to the
+  * other write-once ANN artifact: at 100 TB, corpus growth must mean
+  * "encode only the new vectors against the FROZEN codebook (and
+  * frozen coarse quantizer) and commit a new segment", never a full
+  * re-encode of the codes table.
+  *
+  * A generation holds:
+  *  - `codebook-*`: the trained [[Similarity.PqCodebook]] (m·nCodes
+  *    rows of (subspace, code, centroid) plus the parameters) — frozen
+  *    at [[build]]; [[append]] encodes against exactly this artifact,
+  *    so an appended table is bit-identical to a full re-encode of the
+  *    grown corpus under the same codebook (the encode is a
+  *    deterministic per-row argmax — FAISS's add-after-train
+  *    discipline);
+  *  - `seeds-*` (only when `nCells` is set — the IVF-PQ composition):
+  *    the frozen coarse-quantizer seeds; appended vectors land in
+  *    exactly the cell a full re-assignment over the same seeds would
+  *    pick ([[Similarity.assignToSeeds]], the IvfIndex.append rule);
+  *  - `seg-*`: (cid, pq_codes, pq_norm, pq_fp[, cell]) parquet —
+  *    PARTITIONED BY cell when coarse, so the IVF-PQ probe's cell
+  *    filter prunes whole directories of every segment
+  *    (PartitionFilters — a probe reads ~nProbe/nCells of the table).
+  *
+  * Mutations are lock-free for concurrent probes and idempotent under
+  * replay (the batch anti-joins the ids already present in its target
+  * cells — a replayed or twin append converges to a no-op), via the
+  * shared [[GenerationLog]] commit protocol. The codes carry the
+  * codebook's content fingerprint, which [[Similarity.pqTopK]]'s ADC
+  * refuses on mismatch — a stale or foreign codes table fails loudly.
+  */
+class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
+                   nCells: Option[Int] = None,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   retainVersions: Int = 2) {
+  import Similarity.PqCodebook
+  import PqCodesStore.Manifest
+
+  private val log = new GenerationLog[Manifest](path,
+    Manifest.parse, _.serialize, _.dirs, retainVersions)
+
+  /** Test seam (the IvfIndex convention): invoked after an attempt's
+    * data directories are fully written, immediately before the commit
+    * claim. No-op in production.
+    */
+  protected def beforeCommit(version: Long): Unit = ()
+
+  def exists(spark: SparkSession): Boolean = log.resolve(spark).nonEmpty
+
+  // ---------------------------------------------------------------
+  // Codebook (de)serialization — m·nCodes rows, driver-bounded by the
+  // same 4096 literal gate the ADC enforces
+  // ---------------------------------------------------------------
+
+  private def writeCodebook(spark: SparkSession, dir: String,
+                            cb: PqCodebook): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m
+      (code, vec) <- cb.cents(s)
+    } yield (cb.m, cb.nCodes, cb.iters, cb.dims, s, code, vec.toSeq)
+    rows.toDF("m", "n_codes", "iters", "dims", "s", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(log.subPath(dir))
+  }
+
+  private def readCodebook(spark: SparkSession, dir: String): PqCodebook = {
+    val rows = spark.read.parquet(log.subPath(dir)).collect()
+    require(rows.nonEmpty, s"empty codebook artifact at $path/$dir")
+    val h = rows(0)
+    val (cm, cn, ci, cd) =
+      (h.getInt(0), h.getInt(1), h.getInt(2), h.getInt(3))
+    require(cm == m && cn == nCodes && ci == iters,
+      s"store at $path holds a codebook trained for (m=$cm, " +
+        s"nCodes=$cn, iters=$ci), not (m=$m, nCodes=$nCodes, iters=$iters)")
+    val cents = (0 until cm).map { s =>
+      rows.filter(_.getInt(4) == s)
+        .map(r => (r.getInt(5), r.getSeq[Double](6).toIndexedSeq))
+        .sortBy(_._1).toArray
+    }
+    PqCodebook(cm, cn, ci, cd, cents)
+  }
+
+  /** The frozen codebook of the current generation. */
+  def codebook(spark: SparkSession): PqCodebook = {
+    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no codes store at $path — call build()"))
+    readCodebook(spark, man.codebook)
+  }
+
+  /** Encode `vectors` against codebook + (optionally) frozen seeds. */
+  private def encode(spark: SparkSession, man: Manifest,
+                     cb: PqCodebook, vectors: DataFrame): DataFrame =
+    man.seeds match {
+      case Some(sd) =>
+        val seeds = broadcast(spark.read.parquet(log.subPath(sd)))
+        val assigned = Similarity.assignToSeeds(
+          vectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
+        Similarity.pqEncode(vectors, cb, idCol, vecCol, Some(assigned))
+      case None => Similarity.pqEncode(vectors, cb, idCol, vecCol)
+    }
+
+  private def writeSegment(encoded: DataFrame, segDir: String): Unit = {
+    // repartition by cell before the partitioned write: ~one file per
+    // cell, not (write tasks × cells) fragments (the IvfIndex rule)
+    val w =
+      if (nCells.isDefined)
+        encoded.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell")
+      else encoded.write.mode("overwrite")
+    w.parquet(log.subPath(segDir))
+  }
+
+  /** (Re)build the store: train (or accept) the codebook, persist it
+    * and — for the IVF-PQ shape — the coarse seeds, encode the corpus
+    * into the first segment, commit a FULL-REPLACEMENT generation.
+    * Pass `codebook` when it must be trained on a different slice than
+    * the build corpus (e.g. train on the full corpus, build on the
+    * part already ingested, [[append]] the rest).
+    */
+  def build(corpus: DataFrame, codebook: Option[PqCodebook] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cb = codebook.getOrElse(Similarity.pqTrainCodebook(
+      corpus, m, nCodes, iters, idCol, vecCol))
+    require(cb.m == m && cb.nCodes == nCodes && cb.iters == iters,
+      s"codebook was trained for (m=${cb.m}, nCodes=${cb.nCodes}, " +
+        s"iters=${cb.iters}), not this store's (m=$m, nCodes=$nCodes, " +
+        s"iters=$iters)")
+    val u = log.uid
+    val cbDir = s"codebook-$u"
+    writeCodebook(spark, cbDir, cb)
+    val seedsDir = nCells.map { nc =>
+      val sd = s"seeds-$u"
+      Similarity.ivfSeeds(corpus, nc, idCol, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(log.subPath(sd))
+      sd
+    }
+    val segDir = s"seg-$u"
+    val man0 = Manifest(cbDir, seedsDir, Nil)
+    writeSegment(encode(spark, man0, cb, corpus), segDir)
+    val man = man0.copy(segments = Seq(segDir))
+    var retries = 5
+    while (retries > 0) {
+      val cs = log.commits(spark)
+      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+      beforeCommit(v)
+      if (log.tryCommit(spark, v, man)) {
+        log.gcAfter(spark, cs :+ (v -> man))
+        return
+      }
+      retries -= 1
+    }
+    log.deleteDirs(spark, man.dirs)
+    throw new java.util.ConcurrentModificationException(
+      s"gave up claiming a version of $path after repeated conflicts")
+  }
+
+  /** Incrementally encode NEW corpus vectors against the frozen
+    * codebook (+ frozen coarse seeds) into a fresh segment — one scan
+    * of the batch, a partition-pruned id probe of its target cells,
+    * and a manifest flip. Bit-identical to a full re-encode of the
+    * grown corpus under the same codebook; idempotent under replay
+    * (already-present ids anti-join away, so a replayed batch — or
+    * losing the commit race to a twin writer — converges to a no-op).
+    */
+  def append(newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    var retries = 5
+    while (true) {
+      val cs = log.commits(spark)
+      require(cs.nonEmpty, s"no codes store at $path to append to — " +
+        "call build()")
+      val (ver, man) = cs.last
+      val cb = readCodebook(spark, man.codebook)
+      val fresh = {
+        val enc = encode(spark, man, cb, newVectors)
+        // idempotence probe: ids already present in the batch's TARGET
+        // cells (partition-pruned, id-only scan when coarse; id-column
+        // scan otherwise — column pruning keeps it narrow)
+        val existing = nCells match {
+          case Some(_) =>
+            val targetCells: Seq[Any] = enc.select(col("cell")).distinct()
+              .collect().map(_.get(0)).toSeq // ≤ nCells rows
+            codesOf(spark, man)
+              .filter(col("cell").isInCollection(targetCells))
+              .select(col("cid"))
+          case None => codesOf(spark, man).select(col("cid"))
+        }
+        enc.join(existing, Seq("cid"), "left_anti").persist()
+      }
+      try {
+        if (fresh.count() == 0) return
+        val segDir = s"seg-${log.uid}"
+        writeSegment(fresh, segDir)
+        val m2 = man.copy(segments = man.segments :+ segDir)
+        beforeCommit(ver + 1)
+        if (log.tryCommit(spark, ver + 1, m2)) {
+          log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
+          return
+        }
+        // lost the race (winner may even be a rebuild with a NEW
+        // codebook): drop the orphan segment, re-derive from the
+        // winner's state
+        log.deleteDirs(spark, Seq(segDir))
+      } finally fresh.unpersist()
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
+    man.segments.map(d => spark.read.parquet(log.subPath(d)))
+      .reduce(_.unionByName(_))
+
+  /** The current generation's codes relation — what
+    * [[Similarity.pqTopK]]/[[Similarity.ivfPqTopK]] take as `codes`.
+    * Resolved once per call (snapshot isolation against concurrent
+    * appends); segment scans stay partition-pruned under a cell
+    * filter, union or not.
+    */
+  def codes(spark: SparkSession): DataFrame = {
+    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no codes store at $path — call build()"))
+    codesOf(spark, man)
+  }
+
+  /** Reclaim crashed-writer orphan directories (unreferenced by any
+    * present commit, older than the horizon).
+    */
+  def vacuum(spark: SparkSession,
+             olderThanMs: Long = 3600000L): Seq[String] =
+    log.vacuum(spark, Seq("seg-", "codebook-", "seeds-"), olderThanMs)
+}
+
+object PqCodesStore {
+  /** One committed generation: the frozen codebook, the frozen coarse
+    * seeds (IVF-PQ shape only), and the ordered segment list.
+    */
+  private[functions] case class Manifest(codebook: String,
+                                         seeds: Option[String],
+                                         segments: Seq[String]) {
+    def dirs: Seq[String] = Seq(codebook) ++ seeds ++ segments
+    def serialize: String = {
+      val b = new StringBuilder
+      b.append(s"codebook $codebook\n")
+      seeds.foreach(sd => b.append(s"seeds $sd\n"))
+      segments.foreach(sg => b.append(s"segment $sg\n"))
+      b.result()
+    }
+  }
+
+  private[functions] object Manifest {
+    def parse(content: String): Option[Manifest] = scala.util.Try {
+      var cb: String = null
+      var sd: Option[String] = None
+      val segs = Seq.newBuilder[String]
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val parts = line.trim.split("\\s+")
+        parts(0) match {
+          case "codebook" => cb = parts(1)
+          case "seeds" => sd = Some(parts(1))
+          case "segment" => segs += parts(1)
+          case other => throw new IllegalArgumentException(
+            s"unknown manifest keyword: $other")
+        }
+      }
+      val m = Manifest(cb, sd, segs.result())
+      require(cb != null && m.segments.nonEmpty)
+      m
+    }.toOption
+  }
+}
+
+/** Persisted SQ8 codes table with incremental append — the same
+  * generation discipline as [[PqCodesStore]] for the scalar-quantized
+  * artifact. SQ8 has NO trained state (scale derives from each vector
+  * itself), so a generation is just the segment list and append parity
+  * with re-encode is structural; what the store adds over the plain
+  * `codesPath` write-once file is exactly the delta shape: corpus
+  * growth encodes only the new vectors (one batch scan + an id-column
+  * anti-join probe) instead of re-quantizing the corpus, lock-free for
+  * concurrent probes, idempotent under replay.
+  */
+class Sq8CodesStore(path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    retainVersions: Int = 2) {
+  import Sq8CodesStore.Manifest
+
+  private val log = new GenerationLog[Manifest](path,
+    Manifest.parse, _.serialize, _.dirs, retainVersions)
+
+  protected def beforeCommit(version: Long): Unit = ()
+
+  def exists(spark: SparkSession): Boolean = log.resolve(spark).nonEmpty
+
+  def build(corpus: DataFrame): Unit = {
+    val spark = corpus.sparkSession
+    val segDir = s"seg-${log.uid}"
+    Similarity.sq8Quantize(corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(log.subPath(segDir))
+    val man = Manifest(Seq(segDir))
+    var retries = 5
+    while (retries > 0) {
+      val cs = log.commits(spark)
+      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+      beforeCommit(v)
+      if (log.tryCommit(spark, v, man)) {
+        log.gcAfter(spark, cs :+ (v -> man))
+        return
+      }
+      retries -= 1
+    }
+    log.deleteDirs(spark, man.dirs)
+    throw new java.util.ConcurrentModificationException(
+      s"gave up claiming a version of $path after repeated conflicts")
+  }
+
+  def append(newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    var retries = 5
+    while (true) {
+      val cs = log.commits(spark)
+      require(cs.nonEmpty, s"no codes store at $path to append to — " +
+        "call build()")
+      val (ver, man) = cs.last
+      val fresh = Similarity.sq8Quantize(newVectors, idCol, vecCol)
+        .join(codesOf(spark, man).select(col(idCol)), Seq(idCol),
+          "left_anti")
+        .persist()
+      try {
+        if (fresh.count() == 0) return
+        val segDir = s"seg-${log.uid}"
+        fresh.write.mode("overwrite").parquet(log.subPath(segDir))
+        val m2 = man.copy(segments = man.segments :+ segDir)
+        beforeCommit(ver + 1)
+        if (log.tryCommit(spark, ver + 1, m2)) {
+          log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
+          return
+        }
+        log.deleteDirs(spark, Seq(segDir))
+      } finally fresh.unpersist()
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
+    man.segments.map(d => spark.read.parquet(log.subPath(d)))
+      .reduce(_.unionByName(_))
+
+  /** The current generation's (idCol, sq_codes, sq_scale, sq_norm)
+    * relation — what [[Similarity.sq8TopK]] takes as `codes`.
+    */
+  def codes(spark: SparkSession): DataFrame = {
+    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no codes store at $path — call build()"))
+    codesOf(spark, man)
+  }
+
+  def vacuum(spark: SparkSession,
+             olderThanMs: Long = 3600000L): Seq[String] =
+    log.vacuum(spark, Seq("seg-"), olderThanMs)
+}
+
+object Sq8CodesStore {
+  private[functions] case class Manifest(segments: Seq[String]) {
+    def dirs: Seq[String] = segments
+    def serialize: String =
+      segments.map(sg => s"segment $sg\n").mkString
+  }
+
+  private[functions] object Manifest {
+    def parse(content: String): Option[Manifest] = scala.util.Try {
+      val segs = Seq.newBuilder[String]
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val parts = line.trim.split("\\s+")
+        parts(0) match {
+          case "segment" => segs += parts(1)
+          case other => throw new IllegalArgumentException(
+            s"unknown manifest keyword: $other")
+        }
+      }
+      val m = Manifest(segs.result())
+      require(m.segments.nonEmpty)
+      m
+    }.toOption
+  }
+}

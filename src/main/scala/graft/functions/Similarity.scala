@@ -585,16 +585,19 @@ object Similarity {
               rerank: Int,
               idCol: String = "vec_id",
               vecCol: String = "embedding",
-              codesPath: Option[String] = None): DataFrame = {
+              codesPath: Option[String] = None,
+              codes: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    // codesPath = the write-once durable-artifact configuration (the
-    // jaccard indexPath / IvfIndex / LangModel.modelPath pattern):
-    // quantize ONCE, persist, and every later query batch scans the
-    // 1-byte codes table instead of re-deriving it from the float
-    // corpus — this is where the 4× bandwidth saving actually lands.
-    // Validity = parquet's own _SUCCESS commit marker; a torn build
-    // has no marker and is rebuilt with overwrite.
-    val quantized = codesPath match {
+    // codes/codesPath = the write-once durable-artifact configuration
+    // (the jaccard indexPath / IvfIndex / LangModel.modelPath
+    // pattern): quantize ONCE, persist, and every later query batch
+    // scans the 1-byte codes table instead of re-deriving it from the
+    // float corpus — this is where the 4× bandwidth saving actually
+    // lands. `codes` takes an [[Sq8CodesStore]] relation (the
+    // incrementally-appendable form); `codesPath` keeps the simple
+    // single-file shape, validity = parquet's own _SUCCESS commit
+    // marker (a torn build has no marker and is rebuilt).
+    val quantized = codes.getOrElse(codesPath match {
       case Some(p) =>
         val spark = corpus.sparkSession
         val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
@@ -604,7 +607,7 @@ object Similarity {
             .write.mode("overwrite").parquet(p)
         spark.read.parquet(p)
       case None => sq8Quantize(corpus, idCol, vecCol)
-    }
+    })
     val c = quantized
       .select(col(idCol).as("neighbor_id"), col("sq_codes").as("cc"),
         col("sq_scale").as("cs"), col("sq_norm").as("cn"))
@@ -1172,81 +1175,27 @@ class IvfIndex(path: String, nCells: Int,
     s"retainVersions must be >= 2 (got $retainVersions): the previous " +
       "generation must survive for in-flight readers")
 
-  private def hfs(spark: SparkSession) = new org.apache.hadoop.fs.Path(path)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def p(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
-  private def commitsDir = p("_commits")
-  private def uid: String = java.util.UUID.randomUUID().toString.take(8)
+  // The shared versioned-manifest commit protocol ([[GenerationLog]]):
+  // CAS version claims via AtomicClaim (exclusive publish +
+  // torn-destination healing, the upsert sink's commit-log rules),
+  // torn-commit-tolerant listing, commit-time retention GC, and
+  // orphan vacuum — one spelling across IvfIndex and the codes stores.
+  private val log = new GenerationLog[Manifest](path,
+    Manifest.parse, _.serialize, _.dirs, retainVersions)
 
-  // ---------------------------------------------------------------
-  // Manifest log
-  // ---------------------------------------------------------------
-
-  /** All parseable commits, ascending by version. Torn commit files
-    * (a writer died between create and write on a store without
-    * atomic rename) are skipped, not fatal.
-    */
-  private def commits(spark: SparkSession): Seq[(Long, Manifest)] = {
-    val f = hfs(spark)
-    if (!f.exists(commitsDir)) Seq.empty
-    else f.listStatus(commitsDir).toSeq
-      .flatMap { s =>
-        scala.util.Try {
-          val v = s.getPath.getName.toLong
-          val in = f.open(s.getPath)
-          val content = try new String(in.readAllBytes(), "UTF-8")
-          finally in.close()
-          v -> Manifest.parse(content).get
-        }.toOption
-      }
-      .sortBy(_._1)
-  }
-
+  private def hfs(spark: SparkSession) = log.hfs(spark)
+  private def p(sub: String) = log.sub(sub)
+  private def uid: String = log.uid
+  private def commits(spark: SparkSession): Seq[(Long, Manifest)] =
+    log.commits(spark)
   private def resolve(spark: SparkSession): Option[Manifest] =
-    commits(spark).lastOption.map(_._2)
-
-  /** CAS version claim: write to a unique dot-temp, rename WITHOUT
-    * overwrite. Unparseable destination debris (a corpse of a writer
-    * that died mid-write) is healed exactly as the upsert sink does —
-    * see ParquetUpsertSink.tryCommit for the full rationale.
-    */
-  /** Claim `version` with manifest `m` — true iff THIS writer won.
-    * Exclusive publish + torn-destination healing shared with the
-    * upsert sink's commit log ([[graft.operators.AtomicClaim]]: a
-    * plain rename claim is not exclusive on local filesystems, where
-    * two claimants could both "win" and one manifest silently
-    * clobbered the other).
-    */
+    log.resolve(spark)
   private def tryCommit(spark: SparkSession, version: Long,
-                        m: Manifest): Boolean = {
-    val f = hfs(spark)
-    val dst = new org.apache.hadoop.fs.Path(commitsDir, version.toString)
-    graft.operators.AtomicClaim.claim(
-      f, spark.sparkContext.hadoopConfiguration, dst,
-      m.serialize.getBytes("UTF-8"),
-      () => scala.util.Try {
-        val in = f.open(dst)
-        val content = try new String(in.readAllBytes(), "UTF-8")
-        finally in.close()
-        Manifest.parse(content).isDefined
-      }.getOrElse(false))
-  }
-
-  /** Retention GC after a successful commit: drop commit files beyond
-    * the newest `retainVersions` and every data directory they
-    * referenced that no retained manifest still references. Uncommitted
-    * directories (a concurrent writer's in-flight attempt) are
-    * referenced by no manifest and are never touched.
-    */
+                        m: Manifest): Boolean =
+    log.tryCommit(spark, version, m)
   private def gcAfter(spark: SparkSession,
-                      all: Seq[(Long, Manifest)]): Unit = {
-    val f = hfs(spark)
-    val keep = all.takeRight(retainVersions).flatMap(_._2.dirs).toSet
-    all.dropRight(retainVersions).foreach { case (v, m) =>
-      m.dirs.filterNot(keep).foreach(d => f.delete(p(d), true))
-      f.delete(new org.apache.hadoop.fs.Path(commitsDir, v.toString), false)
-    }
-  }
+                      all: Seq[(Long, Manifest)]): Unit =
+    log.gcAfter(spark, all)
 
   /** Test seam: invoked after an attempt's data directories are fully
     * written, immediately before the commit claim — the window where a
@@ -1639,21 +1588,9 @@ class IvfIndex(path: String, nCells: Int,
     * Returns the reclaimed directory names.
     */
   def vacuum(spark: SparkSession,
-             olderThanMs: Long = 3600000L): Seq[String] = {
-    val f = hfs(spark)
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!f.exists(root)) return Seq.empty
-    val referenced = commits(spark).flatMap(_._2.dirs).toSet
-    val horizon = System.currentTimeMillis() - olderThanMs
-    val prefixes = Seq("seg-", "centroids-", "seeds-", "tomb-")
-    val orphans = f.listStatus(root).toSeq.filter { s =>
-      val n = s.getPath.getName
-      s.isDirectory && prefixes.exists(n.startsWith) &&
-        !referenced.contains(n) && s.getModificationTime < horizon
-    }
-    orphans.foreach(s => f.delete(s.getPath, true))
-    orphans.map(_.getPath.getName)
-  }
+             olderThanMs: Long = 3600000L): Seq[String] =
+    log.vacuum(spark, Seq("seg-", "centroids-", "seeds-", "tomb-"),
+      olderThanMs)
 }
 
 object IvfIndex {

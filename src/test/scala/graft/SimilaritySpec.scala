@@ -758,6 +758,170 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PqCodesStore: build+append is bit-identical to a full re-encode " +
+    "(flat and IVF-PQ shapes), and probes reproduce inline runs") {
+    val q = emb.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val lo = emb.filter(col("vec_id") < 250)
+    val hi = emb.filter(col("vec_id") >= 250)
+    // flat shape: codes rows across the two segments == one-shot encode
+    val flat = new graft.functions.PqCodesStore(tmpDir("pqstore-flat"),
+      m = 8, nCodes = 16)
+    flat.build(lo, codebook = Some(cb))
+    flat.append(hi)
+    val appended = flat.codes(spark).collect().toSet
+    val oneShot = Similarity.pqEncode(emb, cb).collect().toSet
+    assert(appended === oneShot,
+      "appended codes diverge from a full re-encode under the same codebook")
+    assert(Similarity.pqTopK(emb, q, 5, codebook = Some(cb),
+        codes = Some(flat.codes(spark))).collect().toSet ===
+      Similarity.pqTopK(emb, q, 5).collect().toSet,
+      "store-backed PQ probe diverged from inline")
+    // IVF-PQ shape: frozen seeds put appended vectors in rebuild cells
+    val ivf = new graft.functions.PqCodesStore(tmpDir("pqstore-ivf"),
+      m = 8, nCodes = 16, nCells = Some(16))
+    ivf.build(lo, codebook = Some(cb))
+    ivf.append(hi)
+    val quant = Similarity.ivfQuantizeCached(emb, nCells = 16)
+    val cellOneShot = Similarity.pqEncode(emb, cb,
+      assigned = Some(quant._1)).collect().toSet
+    // partition-column read-back may narrow cell's type — compare on
+    // a normalized long cell
+    def norm(rows: Set[org.apache.spark.sql.Row]): Set[(Any, Seq[Int], Double, Long, Long)] =
+      rows.map(r => (r.get(0), r.getSeq[Int](1), r.getDouble(2),
+        r.getLong(3), r.get(4).asInstanceOf[Number].longValue))
+    assert(norm(ivf.codes(spark)
+        .select("cid", "pq_codes", "pq_norm", "pq_fp", "cell")
+        .collect().toSet) === norm(cellOneShot),
+      "appended cell codes diverge from a full re-encode")
+    assert(Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4,
+        codebook = Some(cb), quantized = Some(quant),
+        codes = Some(ivf.codes(spark))).collect().toSet ===
+      Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4)
+        .collect().toSet,
+      "store-backed IVF-PQ probe diverged from inline")
+    // replay idempotence: a retried append adds nothing and commits
+    // no new generation
+    val before = flat.codes(spark).count()
+    flat.append(hi)
+    assert(flat.codes(spark).count() === before,
+      "replayed append duplicated rows")
+  }
+
+  test("PqCodesStore: concurrent appenders land exactly once; probes " +
+    "stay live through appends") {
+    val dir = tmpDir("pqstore-conc")
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val store = new graft.functions.PqCodesStore(dir, m = 8, nCodes = 16,
+      nCells = Some(16), retainVersions = 8)
+    store.build(emb.filter(col("vec_id") < 100), Some(cb))
+    val q = emb.filter(col("vec_id") < 4)
+    val quant = Similarity.ivfQuantizeCached(emb, nCells = 16)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // re-resolve each probe: every read sees SOME committed
+          // generation, never a torn one
+          val n = Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4,
+            codebook = Some(cb), quantized = Some(quant),
+            codes = Some(store.codes(spark))).count()
+          assert(n > 0)
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val writers = 3
+      val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(writers))
+      try {
+        val fs = (0 until writers).map { w =>
+          Future {
+            store.append(emb.filter(col("vec_id") >= 100 + w * 50 &&
+              col("vec_id") < 100 + (w + 1) * 50))
+          }(pool)
+        }
+        fs.foreach(Await.result(_, Duration("180s")))
+      } finally pool.shutdown()
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(readerErr.get() === null,
+      s"concurrent probe errored: ${readerErr.get()}")
+    assert(reads.get() > 0, "reader thread never completed a probe")
+    val fin = store.codes(spark)
+    assert(fin.count() === 250L &&
+      fin.select("cid").distinct().count() === 250L,
+      "concurrent appends lost or duplicated a batch")
+  }
+
+  test("PQ fingerprint refusal: foreign or unstamped codes fail loudly") {
+    val q = emb.filter(col("vec_id") < 8)
+    val cbA = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
+    // same parameters, different training corpus → different centroids
+    val cbB = Similarity.pqTrainCodebook(
+      emb.filter(col("vec_id") >= 100), m = 8, nCodes = 16)
+    assert(cbA.fingerprint !== cbB.fingerprint,
+      "distinct codebooks share a fingerprint")
+    val codesA = Similarity.pqEncode(emb, cbA).localCheckpoint(true)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, 5, codebook = Some(cbB),
+        codes = Some(codesA))
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, 5, codebook = Some(cbA),
+        codes = Some(codesA.drop("pq_fp")))
+    }
+    // the matching pair still works
+    assert(Similarity.pqTopK(emb, q, 5, codebook = Some(cbA),
+      codes = Some(codesA)).count() > 0)
+  }
+
+  test("Sq8CodesStore: build+append matches one-shot quantize; probe parity") {
+    val q = emb.filter(col("vec_id") < 8)
+    val store = new graft.functions.Sq8CodesStore(tmpDir("sq8store"))
+    store.build(emb.filter(col("vec_id") < 250))
+    store.append(emb.filter(col("vec_id") >= 250))
+    assert(store.codes(spark).collect().toSet ===
+      Similarity.sq8Quantize(emb).collect().toSet,
+      "appended SQ8 codes diverge from a one-shot quantize")
+    assert(Similarity.sq8TopK(emb, q, 5, rerank = 20,
+        codes = Some(store.codes(spark))).collect().toSet ===
+      Similarity.sq8TopK(emb, q, 5, rerank = 20).collect().toSet,
+      "store-backed SQ8 probe diverged from inline")
+    val before = store.codes(spark).count()
+    store.append(emb.filter(col("vec_id") >= 250)) // replay
+    assert(store.codes(spark).count() === before)
+    intercept[IllegalArgumentException] {
+      new graft.functions.Sq8CodesStore(tmpDir("sq8none")).append(emb)
+    }
+  }
+
+  test("PqCodesStore vacuum reclaims orphans, never committed dirs") {
+    val dir = tmpDir("pqstore-vac")
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
+    val store = new graft.functions.PqCodesStore(dir, m = 8, nCodes = 16)
+    store.build(emb, Some(cb))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // plant a crashed writer's orphan segment
+    val orphan = new org.apache.hadoop.fs.Path(dir, "seg-orphan01")
+    fs.mkdirs(orphan)
+    assert(store.vacuum(spark, olderThanMs = 0L) === Seq("seg-orphan01"))
+    assert(!fs.exists(orphan))
+    // committed dirs survive any horizon
+    assert(store.vacuum(spark, olderThanMs = 0L) === Seq.empty)
+    assert(store.codes(spark).count() === emb.count())
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
