@@ -434,6 +434,41 @@ object ScaleProof {
         "docs_bpe_train_deep" -> (() =>
           graft.functions.Text.bpeTrainIncremental(
             docs, "text", 2048)._1.size.toLong),
+        // REAL-VOCABULARY deep train: the standard corpus's ~800-word
+        // vocabulary exhausts its pair types near Σ|word| ≈ 3k merges,
+        // so production merge budgets (16k-100k) need an open-scale
+        // vocabulary — this leg trains SPARK_GRAFT_BPE_MERGES (default
+        // 16384) merges over a 2n-word-vocabulary corpus with durable
+        // checkpoints (resumable; reps after the first resume from the
+        // finished state). The JSON line carries the two numbers the
+        // claim is about: s/round at real vocabulary scale, and the
+        // driver's RSS with the vocabulary-scale pair map resident.
+        "docs_bpe_train_wide" -> (() => {
+          val budget = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+            .map(_.toInt).getOrElse(16384)
+          val dDir = s"$work/docs_wide_$n"
+          val ckDir = s"$work/bpeckpt_wide_$n"
+          if (!new java.io.File(dDir).exists())
+            CorpusGenerator.documents(spark, n,
+                vocab = math.max(800L, 2 * n))
+              .write.mode("overwrite").parquet(dDir)
+          val wdocs = spark.read.parquet(dDir)
+          val t0 = System.nanoTime()
+          val (ms, _, pc) = graft.functions.Text.bpeTrainIncremental(
+            wdocs, "text", budget, checkpointDir = Some(ckDir))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rssMb = scala.util.Try {
+            val src = scala.io.Source.fromFile("/proc/self/status")
+            try src.getLines().find(_.startsWith("VmRSS"))
+              .get.trim.split("\\s+")(1).toLong / 1024
+            finally src.close()
+          }.getOrElse(-1L)
+          println(s"""{"bpe_wide":{"n":$n,"merges":${ms.size},""" +
+            s""""pair_types":${pc.size},"sec":${f"$secs%.1f"},""" +
+            s""""s_per_round":${f"${secs / math.max(1, ms.size)}%.4f"},""" +
+            s""""driver_rss_mb":$rssMb}}""")
+          ms.size.toLong
+        }),
         // DSIR: one tokenize pass folded to per-doc bucket histograms
         // (map-side combinable — the shuffle carries ≤ docs×B rows,
         // never raw tokens), a ≤B-row collected model, broadcast

@@ -773,23 +773,29 @@ object SparkEntry {
   }
 
   /** DuckDB mirror of [[Similarity.srpBucket]] for table `tb`
-    * (planes=4, dims=64): explicit left-to-right projection sum from
-    * the same [[Similarity.srpSign]] constants — bit-identical sign
-    * bits.
+    * (`planes` sign bits, dims=64): explicit left-to-right projection
+    * sum from the same [[Similarity.srpSign]] constants —
+    * bit-identical sign bits.
     */
-  private def srpBucketSql(tb: Int): String =
-    (0 until 4).map { p =>
+  private def srpBucketSql(tb: Int, planes: Int = 4): String =
+    (0 until planes).map { p =>
       val proj = (0 until 64).map(dd =>
         s"embedding[${dd + 1}]::DOUBLE * ${Similarity.srpSign(tb, p, dd)}")
         .mkString(" + ")
       s"(CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
-  /** All 8 SRP hash tables over embeddings as one relation. */
-  private val srpBucketsCte =
-    "buckets AS (" + (0 until 8).map(tb =>
-      s"SELECT vec_id, $tb AS tbl, ${srpBucketSql(tb)} AS bucket FROM embeddings")
+  /** `tables` SRP hash tables over embeddings as one relation. */
+  private def srpBucketsCteOf(planes: Int, tables: Int): String =
+    "buckets AS (" + (0 until tables).map(tb =>
+      s"SELECT vec_id, $tb AS tbl, ${srpBucketSql(tb, planes)} AS bucket " +
+        "FROM embeddings")
       .mkString(" UNION ALL ") + ")"
+
+  /** The near-dup family's standard parameterization (planes=4,
+    * tables=8).
+    */
+  private val srpBucketsCte = srpBucketsCteOf(4, 8)
 
   /** Shared DuckDB mirror for BOTH IVF physical paths (per-call and
     * persisted index): 16 seed cells (first vectors by id), one
@@ -2782,6 +2788,29 @@ object SparkEntry {
         aCol = "vec_a", bCol = "vec_b")
         .select(col("node").as("vec_id"), col("component").as("cluster_id"))),
 
+    // Streaming semantic admission, batch-equivalent: the embeddings
+    // corpus arrives as two fixed batches (low/high id halves) through
+    // embedNearDupFilterBatch over a fresh scratch store — the rows
+    // are the ADMITTED vectors per batch (the embed_semdedup signal at
+    // ingest: a vector sharing an SRP bucket with anything admitted
+    // before it is rejected). 12 planes = 4096-way buckets, so at the
+    // oracle SF collisions mean real near-identity (the planted exact
+    // copies drop; the corpus survives), not load-factor accidents.
+    // Deterministic (fixed hyperplanes, fixed split) so the whole
+    // sequential admission mirrors in SQL; each invocation rebuilds a
+    // fresh store, so reruns reproduce the same rows.
+    "docs_embed_admission" -> ((s, d) => {
+      val (b1, b2) = embSplit(t(s, d, "embeddings"))
+      val store = scratchDir(s, "embadm") // fresh per invocation
+      val a1 = Similarity.embedNearDupFilterBatch(b1, store,
+        planes = 12, dims = 64, tables = 8)
+        .select(col("vec_id"), lit(1L).as("batch"))
+      val a2 = Similarity.embedNearDupFilterBatch(b2, store,
+        planes = 12, dims = 64, tables = 8)
+        .select(col("vec_id"), lit(2L).as("batch"))
+      a1.unionAll(a2)
+    }),
+
     // SemDeDup: coarse-quantizer cells + within-cell cosine pruning —
     // semantic (embedding-space) deduplication that lexical sketches
     // cannot see. Threshold 0.4 suits the synthetic corpus (max
@@ -4111,6 +4140,39 @@ object SparkEntry {
          |JOIN embeddings a ON a.vec_id = vec_a
          |JOIN embeddings b ON b.vec_id = vec_b
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+    // Sequential two-batch admission mirror: batch 1 drops ids that
+    // share a (tbl, bucket) with a SMALLER id in batch 1; the "store"
+    // after batch 1 is exactly the admitted ids' keys; batch 2 drops
+    // on a store collision OR a smaller-id collision within batch 2 —
+    // the same rules Dedup.admitByKeys applies, unrolled over the
+    // fixed split.
+    "docs_embed_admission" ->
+      s"""WITH ${srpBucketsCteOf(12, 8)},
+         |mid AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS m
+         |  FROM embeddings),
+         |k1 AS (SELECT b.* FROM buckets b, mid WHERE b.vec_id <= mid.m),
+         |k2 AS (SELECT b.* FROM buckets b, mid WHERE b.vec_id > mid.m),
+         |d1 AS (SELECT DISTINCT l.vec_id FROM k1 l JOIN k1 r
+         |  ON r.tbl = l.tbl AND r.bucket = l.bucket
+         |    AND r.vec_id < l.vec_id),
+         |adm1 AS (SELECT e.vec_id FROM embeddings e, mid
+         |  WHERE e.vec_id <= mid.m
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM d1)),
+         |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (vec_id)),
+         |d2 AS (SELECT DISTINCT l.vec_id FROM k2 l
+         |  WHERE EXISTS (SELECT 1 FROM sk1 s
+         |    WHERE s.tbl = l.tbl AND s.bucket = l.bucket
+         |      AND s.vec_id <> l.vec_id)
+         |   OR EXISTS (SELECT 1 FROM k2 r
+         |    WHERE r.tbl = l.tbl AND r.bucket = l.bucket
+         |      AND r.vec_id < l.vec_id)),
+         |adm2 AS (SELECT e.vec_id FROM embeddings e, mid
+         |  WHERE e.vec_id > mid.m
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM d2))
+         |SELECT vec_id, CAST(1 AS BIGINT) AS batch FROM adm1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
 
     "embed_neardup_clusters" ->
       s"""WITH RECURSIVE $srpBucketsCte,

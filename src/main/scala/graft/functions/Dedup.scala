@@ -530,17 +530,43 @@ object Dedup {
   def nearDupFilterBatch(batch: DataFrame, storePath: String,
                          idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                         maxBucketSize: Long = Long.MaxValue): DataFrame = {
+                         maxBucketSize: Long = Long.MaxValue): DataFrame =
+    admitByKeys(batch,
+      dropOversizedBuckets(
+        lshBands(minhashSignatures(
+          docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
+        Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
+      storePath, idCol)
+
+  /** The shared admission core of the streaming near-dup filters
+    * ([[nearDupFilterBatch]]'s minhash bands,
+    * [[Similarity.embedNearDupFilterBatch]]'s SRP buckets): given the
+    * batch's candidate keys — `(doc_id, key columns...)`, collision =
+    * equality on every key column — drop docs whose keys collide with
+    * the persisted store of ADMITTED docs (excluding their own id —
+    * the replay-idempotence rule) or with a smaller id inside the
+    * batch, then append the survivors' keys to the store and return
+    * the surviving batch rows.
+    *
+    * Exactly-once under micro-batch REPLAY (crash between the store
+    * append and the caller's sink write): the store join excludes a
+    * doc's own keys, so a replayed batch — whose survivors' keys are
+    * already stored — reproduces the identical survivor set, and
+    * duplicate store rows only repeat join matches that were already
+    * matches. Store appends are monotone; no compaction is required
+    * for correctness.
+    */
+  private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
+                                     storePath: String,
+                                     idCol: String): DataFrame = {
     val spark = batch.sparkSession
-    // banded keys feed three consumers (store join, self-join, append)
-    // — materialize once; a micro-batch is bounded, so executor-memory
+    // keys feed three consumers (store join, self-join, append) —
+    // materialize once; a micro-batch is bounded, so executor-memory
     // checkpointing is the right tool here (unlike the corpus-sized
     // jaccard index)
-    val keys = dropOversizedBuckets(
-      lshBands(minhashSignatures(
-        docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
-      Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch")
-      .localCheckpoint(true)
+    val keys = keys0.localCheckpoint(true)
+    val keyCols = keys.columns.filter(_ != "doc_id").toSeq
+    require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
 
     val fsPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -550,17 +576,16 @@ object Dedup {
     val vsStore =
       if (hasStore) {
         val store = spark.read.parquet(storePath).select(
-          col("doc_id").as("s_id"), col("band").as("s_band"),
-          col("band_key").as("s_key"))
+          col("doc_id").as("s_id") +:
+            keyCols.map(c => col(c).as(s"s_$c")): _*)
         keys.join(store,
-            col("band") === col("s_band") && col("band_key") === col("s_key")
+            keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
               && col("doc_id") =!= col("s_id"), // replay self-exclusion
             "left_semi")
           .select(col("doc_id"))
       } else keys.select(col("doc_id")).limit(0)
     val withinBatch = keys.as("l").join(keys.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_key") === col("r.band_key") &&
+        keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
         col("r.doc_id") < col("l.doc_id"), "left_semi")
       .select(col("doc_id"))
     val dropIds = vsStore.union(withinBatch).distinct()

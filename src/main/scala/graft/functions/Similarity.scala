@@ -446,6 +446,42 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** One micro-batch of the streaming EMBEDDING near-dup filter — the
+    * SRP band-key analog of [[Dedup.nearDupFilterBatch]], giving the
+    * ingest path the SEMANTIC admission signal ([[semDedup]] /
+    * [[embeddingNearDupPairs]]'s candidate rule, online): admit only
+    * vectors that share no SRP bucket, in any of the `tables` hash
+    * tables, with anything admitted before them. The persisted store
+    * is the (tbl, bucket, doc_id) relation of ADMITTED vectors —
+    * `tables` short strings per vector, payload never stored — which a
+    * micro-batch can equi-join; at 100 TB this is the only shape that
+    * avoids re-running batch semantic dedup over the full corpus on
+    * every arrival.
+    *
+    * Semantics, replay-idempotence, and the degenerate-cluster guard
+    * are exactly [[Dedup.admitByKeys]]'s (shared core): candidate-
+    * level dropping (tune planes/tables for the miss/false-drop
+    * trade — more planes = finer buckets = fewer false drops; more
+    * tables = higher true-near-dup catch rate), store join excludes
+    * the vector's own keys so a replayed batch reproduces its survivor
+    * set bit-for-bit. Wire into a stream with
+    * `writeStream.foreachBatch((b, _) => embedNearDupFilterBatch(b, …)
+    * .write.mode("append")…)`.
+    */
+  def embedNearDupFilterBatch(batch: DataFrame, storePath: String,
+                              planes: Int, dims: Int, tables: Int = 8,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxBucketSize: Long = Long.MaxValue)
+      : DataFrame =
+    Dedup.admitByKeys(batch,
+      Dedup.dropOversizedBuckets(
+        batch.select(col(idCol).as("doc_id"),
+          posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+            .as(Seq("tbl", "b"))),
+        Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
+      storePath, idCol)
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
     * then inside each cluster mark as duplicates the vectors that sit

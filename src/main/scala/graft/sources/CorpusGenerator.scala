@@ -30,16 +30,21 @@ object CorpusGenerator {
     (pmod(xxhash64(lit(seed), lit(salt), col("id")), lit(1000000L))
       .cast("double") / 1000000.0)
 
-  /** Token `i` of doc `base`: one of ~800 vocabulary words chosen by
-    * hash — enough distinct shingles that LSH buckets stay
-    * discriminating, like real prose.
+  /** Token `i` of doc `base`: one of `vocab` vocabulary words chosen
+    * by hash — enough distinct shingles that LSH buckets stay
+    * discriminating, like real prose. The default ~800 matches the
+    * testdata tables; deep-BPE scale runs raise it (a BPE train can
+    * only learn ~Σ|word| merges before pair types exhaust, so real
+    * 16k+ merge budgets need an open-scale vocabulary).
     */
-  private def word(seed: Long, base: Column, i: Column): Column =
-    format_string("w%d", pmod(xxhash64(lit(seed), lit(100), base, i), lit(800L)))
+  private def word(seed: Long, base: Column, i: Column,
+                   vocab: Long): Column =
+    format_string("w%d",
+      pmod(xxhash64(lit(seed), lit(100), base, i), lit(vocab)))
 
   /** `documents(doc_id, text, lang, source, n_chars)` of `n` rows. */
   def documents(spark: SparkSession, n: Long, seed: Long = 42L,
-                numPartitions: Int = 32): DataFrame = {
+                numPartitions: Int = 32, vocab: Long = 800L): DataFrame = {
     val base = spark.range(0, n, 1, numPartitions).toDF()
     val dupRoll = u(seed, 1)
     // duplicates copy a doc from the previous 1000 ids (cluster-local,
@@ -53,7 +58,7 @@ object CorpusGenerator {
     // per token (quadratic), and HOFs run interpreted
     val baseText = array_join(
       transform(sequence(lit(0), nTokensOf(seed, src) - 1),
-        i => word(seed, src, i)), " ")
+        i => word(seed, src, i, vocab)), " ")
     val text = when(dupRoll < 0.02 && col("id") >= 1000L, baseText) // exact dup
       .when(dupRoll < 0.05 && col("id") >= 1000L,                   // near dup
         concat(baseText, lit(" extra"), format_string("%d", col("id"))))

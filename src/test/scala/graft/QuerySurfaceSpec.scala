@@ -147,6 +147,35 @@ class QuerySurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("shard-composed packing: exact tiling within every (source, shard) " +
+    "spine, shards partition each source") {
+    // the scale-shaped pack: running sums partition by (source, shard)
+    // so no window partition is ever corpus-fraction-sized. Within a
+    // spine the tiling contract is the same as per-source packing:
+    // offsets are the running sum in doc_id order, seq_idx =
+    // offset / 512; across spines the offsets are independent (each
+    // shard packs its own sequence space).
+    val rows = SparkEntry.queries("docs_pack_sharded")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(0),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val spines = rows.groupBy(t => (t._1, t._2))
+    assert(spines.size > rows.map(_._1).distinct.size,
+      "sharding never split a source — the composed spine is vacuous")
+    spines.foreach { case ((src, sh), docs) =>
+      var running = 0L
+      docs.sortBy(_._3).foreach { case (_, _, id, n, off, seq) =>
+        assert(off === running, s"($src,$sh) doc $id: offset $off != $running")
+        assert(seq === off / 512, s"($src,$sh) doc $id: seq_idx mismatch")
+        running += n
+      }
+    }
+    // the shard key is the docs_shard_assign spelling: hash-mod,
+    // deterministic, uniform enough that every shard is populated
+    assert(rows.map(_._2).distinct.sorted === Seq(0, 1, 2, 3))
+  }
+
   test("funnel matches an independent per-user sequential recompute") {
     // go through the schema-adaptive reader so this recompute keeps
     // working whatever physical ts encoding the testdata carries

@@ -922,6 +922,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(store.codes(spark).count() === emb.count())
   }
 
+  test("streaming embedding admission: SRP store filter drops semantic " +
+    "near-dups across batches, replay-idempotent") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val store = tmpDir("embadmspec")
+    val b1 = emb.filter(col("vec_id") < 250)
+    // batch 2 = the high half PLUS a planted exact copy of vector 0
+    // under a fresh id — the semantic duplicate the lexical filters
+    // cannot see arriving later in the stream
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("label")).head()
+    val planted = spark.createDataFrame(
+      java.util.Arrays.asList(Row(90001L, v0.get(0), v0.get(1))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", emb.schema("embedding").dataType),
+        StructField("label", emb.schema("label").dataType))))
+    val b2 = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted)
+    val s1 = Similarity.embedNearDupFilterBatch(b1, store,
+      planes = 12, dims = 64, tables = 8)
+    assert(s1.filter(col("vec_id") === 0).count() === 1L,
+      "vector 0 should be admitted in batch 1")
+    val s2 = Similarity.embedNearDupFilterBatch(b2, store,
+      planes = 12, dims = 64, tables = 8)
+    assert(s2.filter(col("vec_id") === 90001L).count() === 0L,
+      "the planted copy of an admitted vector must be rejected")
+    assert(s2.count() > 0, "batch 2 over-dropped: nothing admitted")
+    // replay (crash between store append and sink write): identical
+    // survivor set — the store join excludes a doc's own keys
+    val s2r = Similarity.embedNearDupFilterBatch(b2, store,
+      planes = 12, dims = 64, tables = 8)
+    assert(s2r.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "replayed batch diverged from the original survivor set")
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
