@@ -1139,11 +1139,41 @@ object Similarity {
         .filter(col("neighbor_id") =!= col("query_id") &&
           col("ascore").isNotNull)
     }
-    val approx = qRows.grouped(chunkSize).map(chunkApprox)
-      .reduce(_ unionAll _)
-    val cand = graft.plans.TopKPerKey(approx, Seq("query_id"),
-      Seq(graft.plans.TopKPerKey.desc("ascore"),
-        graft.plans.TopKPerKey.asc("neighbor_id")), rerank)
+    // Chunk-union plan hygiene: a huge batch is correct through one
+    // union chain but accumulates one plan node per chunk — a 1M-query
+    // batch would be ~4k unions in a single plan (analysis/codegen
+    // cost, stack depth). Past `graft.pq.stageEveryChunks` chunks
+    // (default 256) the per-chunk heaps STAGE through scratch parquet:
+    // each group of chunks reduces to its rerank-per-query heap (a
+    // query's candidates all come from its own chunk, so the group
+    // reduction is lossless under the total (ascore desc, id asc)
+    // order) and writes ≤ rerank × group-queries rows; the read-back
+    // is ONE parquet scan whatever the group count — plan depth is
+    // bounded by the group size, results bit-identical.
+    val stageEvery = {
+      val se = spark.conf.getOption("graft.pq.stageEveryChunks")
+        .map(_.toInt).getOrElse(256)
+      require(se >= 1, s"graft.pq.stageEveryChunks must be >= 1 (got $se)")
+      se
+    }
+    val chunks = qRows.grouped(chunkSize).toSeq
+    def heapsOf(df: DataFrame): DataFrame =
+      graft.plans.TopKPerKey(df, Seq("query_id"),
+        Seq(graft.plans.TopKPerKey.desc("ascore"),
+          graft.plans.TopKPerKey.asc("neighbor_id")), rerank)
+    val approx =
+      if (chunks.length <= stageEvery)
+        chunks.map(chunkApprox).reduce(_ unionAll _)
+      else {
+        val dir = graft.Stage.scratchDir(spark, "pq-chunk-heaps")
+        chunks.grouped(stageEvery).zipWithIndex.foreach { case (grp, gi) =>
+          heapsOf(grp.map(chunkApprox).reduce(_ unionAll _))
+            .select(col("query_id"), col("neighbor_id"), col("ascore"))
+            .write.mode("overwrite").parquet(s"$dir/group-$gi")
+        }
+        spark.read.parquet(s"$dir/group-*")
+      }
+    val cand = heapsOf(approx)
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the short list (the sq8TopK tail): candidates
     // broadcast into the corpus scan, never the reverse

@@ -922,6 +922,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(store.codes(spark).count() === emb.count())
   }
 
+  test("huge ANN batches stage per-chunk heaps through scratch parquet: " +
+    "bounded plan depth, bit-identical results") {
+    val q64 = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    try {
+      spark.conf.set("graft.pq.chunkSize", "4") // 64 queries → 16 chunks
+      val unstaged = Similarity.pqTopK(emb, q64, 5).collect().toSet
+      spark.conf.set("graft.pq.stageEveryChunks", "4") // → 4 staged groups
+      val staged = Similarity.pqTopK(emb, q64, 5).collect().toSet
+      assert(staged === unstaged,
+        "staged chunk heaps diverged from the union-chain path")
+      // a larger synthetic batch (8 shifted copies of 128 queries =
+      // 1024 queries, 32 chunks of 32, 8 groups): plan depth stays at
+      // the group size however many chunks the batch needs, and the
+      // IVF-PQ composition stages identically
+      val q1024 = (0 until 8).map(i =>
+        emb.filter(col("vec_id") < 128)
+          .select((col("vec_id") + lit(10000L * (i + 1))).as("vec_id"),
+            col("embedding"))).reduce(_ unionAll _)
+      spark.conf.set("graft.pq.chunkSize", "32")
+      spark.conf.set("graft.pq.stageEveryChunks", "8")
+      val big = Similarity.ivfPqTopK(emb, q1024, 3, nCells = 16,
+        nProbe = 4).collect()
+      assert(big.map(_.getLong(0)).distinct.length === 1024,
+        "staged IVF-PQ lost queries")
+      // every shifted copy of a query must rank identically (same
+      // vector, ids outside the corpus): staging is content-blind
+      val byQuery = big.groupBy(_.getLong(0) % 10000L)
+        .view.mapValues(_.map(r =>
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet).toMap
+      assert(byQuery.size === 128 && byQuery.values.forall(_.size === 3),
+        "shifted query copies diverged under staging (8 copies of each " +
+          "query must produce the identical 3-row heap)")
+    } finally {
+      spark.conf.unset("graft.pq.chunkSize")
+      spark.conf.unset("graft.pq.stageEveryChunks")
+    }
+  }
+
   test("streaming embedding admission: SRP store filter drops semantic " +
     "near-dups across batches, replay-idempotent") {
     import org.apache.spark.sql.Row
