@@ -345,6 +345,38 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     codesOf(spark, man)
   }
 
+  /** Squash the segment list into ONE fresh segment (the
+    * OPTIMIZE-style maintenance to run when an append history has
+    * grown long: per-cell file counts, footer fetches, and the probe
+    * union's width all follow the segment count). One read of the
+    * live rows, one partitioned write, a manifest flip — same codes,
+    * codebook and seeds untouched, lock-free for concurrent probes;
+    * a single-segment store is a no-op.
+    */
+  def consolidate(spark: SparkSession): Unit = {
+    var retries = 5
+    while (true) {
+      val cs = log.commits(spark)
+      require(cs.nonEmpty, s"no codes store at $path to consolidate — " +
+        "call build()")
+      val (ver, man) = cs.last
+      if (man.segments.size <= 1) return
+      val segDir = s"seg-${log.uid}"
+      writeSegment(codesOf(spark, man), segDir)
+      val m2 = man.copy(segments = Seq(segDir))
+      beforeCommit(ver + 1)
+      if (log.tryCommit(spark, ver + 1, m2)) {
+        log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
+        return
+      }
+      log.deleteDirs(spark, Seq(segDir))
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
+  }
+
   /** Reclaim crashed-writer orphan directories (unreferenced by any
     * present commit, older than the horizon).
     */
@@ -478,6 +510,35 @@ class Sq8CodesStore(path: String,
     val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
       s"no codes store at $path — call build()"))
     codesOf(spark, man)
+  }
+
+  /** Squash the segment list into one fresh segment — see
+    * [[PqCodesStore.consolidate]]; same protocol, no-op at one
+    * segment.
+    */
+  def consolidate(spark: SparkSession): Unit = {
+    var retries = 5
+    while (true) {
+      val cs = log.commits(spark)
+      require(cs.nonEmpty, s"no codes store at $path to consolidate — " +
+        "call build()")
+      val (ver, man) = cs.last
+      if (man.segments.size <= 1) return
+      val segDir = s"seg-${log.uid}"
+      codesOf(spark, man).write.mode("overwrite")
+        .parquet(log.subPath(segDir))
+      val m2 = man.copy(segments = Seq(segDir))
+      beforeCommit(ver + 1)
+      if (log.tryCommit(spark, ver + 1, m2)) {
+        log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
+        return
+      }
+      log.deleteDirs(spark, Seq(segDir))
+      retries -= 1
+      if (retries <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+    }
   }
 
   def vacuum(spark: SparkSession,

@@ -806,6 +806,19 @@ class SimilaritySpec extends SparkTestBase {
     flat.append(hi)
     assert(flat.codes(spark).count() === before,
       "replayed append duplicated rows")
+    // consolidate squashes the append history into one segment with
+    // identical codes (and the cell layout preserved on the IVF shape)
+    ivf.consolidate(spark)
+    assert(norm(ivf.codes(spark)
+        .select("cid", "pq_codes", "pq_norm", "pq_fp", "cell")
+        .collect().toSet) === norm(cellOneShot),
+      "consolidation changed the codes")
+    assert(Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4,
+        codebook = Some(cb), quantized = Some(quant),
+        codes = Some(ivf.codes(spark))).collect().toSet ===
+      Similarity.ivfPqTopK(emb, q, 5, nCells = 16, nProbe = 4)
+        .collect().toSet,
+      "post-consolidation probe diverged")
   }
 
   test("PqCodesStore: concurrent appenders land exactly once; probes " +
@@ -900,6 +913,10 @@ class SimilaritySpec extends SparkTestBase {
     val before = store.codes(spark).count()
     store.append(emb.filter(col("vec_id") >= 250)) // replay
     assert(store.codes(spark).count() === before)
+    store.consolidate(spark)
+    assert(store.codes(spark).collect().toSet ===
+      Similarity.sq8Quantize(emb).collect().toSet,
+      "SQ8 consolidation changed the codes")
     intercept[IllegalArgumentException] {
       new graft.functions.Sq8CodesStore(tmpDir("sq8none")).append(emb)
     }
