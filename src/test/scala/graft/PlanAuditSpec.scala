@@ -211,6 +211,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"a global sort crept into chunking:\n$p")
   }
 
+  test("docs_pack_sharded: shard key scan-side, one exchange on the " +
+    "composed spine, no global sort") {
+    val p = plan("docs_pack_sharded")
+    // the scale-shaped pack: ONE hash exchange on (source, shard) —
+    // the shard key is a pure projection off the scan, and composing
+    // it into the window spine must not add a second shuffle or any
+    // range partitioning (a global sort is exactly what the shard
+    // spine exists to avoid)
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"sharded packing should shuffle exactly once:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort crept into sharded packing:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(source[^)]*, shard.*"),
+      s"the window exchange is not on the composed (source, shard) spine:\n$p")
+  }
+
   test("docs_sample_weighted: key scan-side, one exchange into the heaps") {
     val p = plan("docs_sample_weighted")
     assert(p.contains("TopKPerKey"),
