@@ -587,4 +587,67 @@ object EngineProperties extends Properties("graft") {
         (stMap == m(stf)) :| "final states diverged" &&
         (pc.toMap == rec.toMap) :| "maintained pair table != recount"
     }
+
+  // tiny-vocabulary corpora (2-6 tokens over {a,b,c}) so LSH bucket
+  // collisions actually occur, split into 2-3 arrival batches
+  private val genAdmCorpus: Gen[(Seq[(Long, String)], Int)] = for {
+    n <- Gen.choose(3, 10)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(2, 6)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" "))
+    nBatches <- Gen.choose(2, 3)
+  } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, nBatches)
+
+  property("streaming admission ≡ sequential driver reference on random " +
+    "corpora and batch splits") =
+    Prop.forAll(genAdmCorpus) { case (docs, nBatches) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      // per-doc band keys from the ENGINE's own key pipeline
+      // (signatures are per-doc, so computing them over the whole
+      // corpus at once equals per-batch computation)
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      // sequential driver reference: store of admitted keys; a doc
+      // drops on a store collision or a smaller-id collision in its
+      // own batch; survivors' keys join the store after the batch
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[Long]]()
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.foreach { b =>
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k =>
+            store.get(k).exists(_.exists(_ != id)))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += id)
+        }
+      }
+      // engine side over a fresh store, same batch order
+      val dir = java.nio.file.Files.createTempDirectory("admprop")
+        .toString + "/store"
+      val got = batches.flatMap { b =>
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"admission diverged: engine $got vs reference $expected"
+    }
 }
