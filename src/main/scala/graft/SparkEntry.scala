@@ -124,13 +124,11 @@ object SparkEntry {
   private def contentKey(s: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var h = -3750763034362895579L // FNV-1a offset basis
-    def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
-    fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-      st.getPath.getName.foreach(c => mix(c.toLong))
-      mix(st.getLen); mix(st.getModificationTime)
-    }
-    h
+    Hashing.fnv1a(
+      fs.listStatus(p).sortBy(_.getPath.getName).iterator.flatMap { st =>
+        st.getPath.getName.iterator.map(_.toLong) ++
+          Iterator(st.getLen, st.getModificationTime)
+      })
   }
 
   /** Content-keyed artifact dir UNDER THE SWEPT STAGE ROOT — stale
@@ -156,15 +154,21 @@ object SparkEntry {
     * saves the per-call content-key listing and existence probe.
     */
   private def ivfIndexFixture(s: SparkSession, d: String,
-                              emb: DataFrame): IvfIndex =
-    memoFixture("ivf_index", d) {
-      val path = keyedArtifactDir(s, "ivf-idx-v4",
+                              emb: DataFrame): IvfIndex = {
+    val (idx, path) = memoFixture("ivf_index", d) {
+      val p = keyedArtifactDir(s, "ivf-idx-v4",
         contentKey(s, s"$d/embeddings.parquet"))
-      val idx = new IvfIndex(path, nCells = 16)
-      if (idx.exists(s)) Stage.heartbeat(s, path)
-      else idx.build(emb)
-      idx
+      val idx = new IvfIndex(p, nCells = 16)
+      if (!idx.exists(s)) idx.build(emb)
+      (idx, p)
     }
+    // liveness refresh on EVERY access, not just first resolution: a
+    // read-only process outliving the sweep TTL writes nothing into
+    // the artifact dir, so without this a concurrently STARTING
+    // process's Stage.sweep could reclaim it mid-probe
+    Stage.heartbeat(s, path)
+    idx
+  }
 
   /** Trained PQ codebook over `d`'s embeddings, one build per
     * (process, sf, parameters) — the write-once tokenizer/IvfIndex
@@ -230,25 +234,27 @@ object SparkEntry {
 
   private def pqCodesFixture(s: SparkSession, d: String, m: Int,
                              nCodes: Int, iters: Int, withCell: Boolean)
-      : DataFrame =
-    memoFixture(s"pq_codes_${m}_${nCodes}_${iters}_$withCell", d) {
-      val path = keyedArtifactDir(s,
+      : DataFrame = {
+    val (df, path) = memoFixture(s"pq_codes_${m}_${nCodes}_${iters}_$withCell", d) {
+      val p = keyedArtifactDir(s,
         s"pq-codes-v3-${m}_${nCodes}_${iters}_$withCell",
         contentKey(s, s"$d/embeddings.parquet"))
       // cell-PARTITIONED generations: the IVF-PQ probe's coarse filter
       // prunes whole cell directories of every segment
       // (PartitionFilters), so a probe reads ~nProbe/nCells of the
       // codes — the IvfIndex segment story applied to the PQ artifact
-      val store = new graft.functions.PqCodesStore(path, m, nCodes,
+      val store = new graft.functions.PqCodesStore(p, m, nCodes,
         iters, nCells = if (withCell) Some(16) else None)
-      if (store.exists(s)) Stage.heartbeat(s, path)
-      else {
+      if (!store.exists(s)) {
         val (lo, hi) = embSplit(t(s, d, "embeddings"))
         store.build(lo, codebook = Some(pqModelFixture(s, d, m, nCodes, iters)))
         store.append(hi)
       }
-      store.codes(s)
+      (store.codes(s), p)
     }
+    Stage.heartbeat(s, path) // per-access liveness (see ivfIndexFixture)
+    df
+  }
 
   /** Content-keyed persisted SQ8 codes table — an [[graft.functions.
     * Sq8CodesStore]] generation fed by the same build-then-append
@@ -256,19 +262,21 @@ object SparkEntry {
     * paid once per (testdata content, code version), and corpus growth
     * appends a segment instead of re-encoding.
     */
-  private def sq8CodesFixture(s: SparkSession, d: String): DataFrame =
-    memoFixture("sq8_codes", d) {
-      val path = keyedArtifactDir(s, "sq8-codes-v3",
+  private def sq8CodesFixture(s: SparkSession, d: String): DataFrame = {
+    val (df, path) = memoFixture("sq8_codes", d) {
+      val p = keyedArtifactDir(s, "sq8-codes-v3",
         contentKey(s, s"$d/embeddings.parquet"))
-      val store = new graft.functions.Sq8CodesStore(path)
-      if (store.exists(s)) Stage.heartbeat(s, path)
-      else {
+      val store = new graft.functions.Sq8CodesStore(p)
+      if (!store.exists(s)) {
         val (lo, hi) = embSplit(t(s, d, "embeddings"))
         store.build(lo)
         store.append(hi)
       }
-      store.codes(s)
+      (store.codes(s), p)
     }
+    Stage.heartbeat(s, path) // per-access liveness (see ivfIndexFixture)
+    df
+  }
 
   /** The curation-v2 survivor set, lazy (callers checkpoint it):
     * scan-side quality gates ∧ Gopher repetition ∧ corpus-LM floor ∧

@@ -97,6 +97,47 @@ private[functions] final class GenerationLog[M](
   def deleteDirs(spark: SparkSession, dirs: Seq[String]): Unit =
     dirs.foreach(d => hfs(spark).delete(sub(d), true))
 
+  /** The ONE spelling of the claim-retry protocol (previously
+    * re-implemented per mutation): `attempt` sees (next version,
+    * current manifest) and returns `Some((manifest, freshly written
+    * dirs))` to claim, or `None` to no-op (idempotent replay, nothing
+    * to do). On a lost race: `cleanupPerRace = true` deletes the
+    * attempt's dirs before re-deriving against the winner's state
+    * (mutations whose output depends on the current manifest);
+    * `false` keeps them across retries (full-replacement builds whose
+    * output depends on nothing) and reclaims them only on final
+    * exhaustion. `beforeCommit` is the stores' test seam.
+    */
+  def commitWithRetry(spark: SparkSession, errIfEmpty: Option[String],
+                      beforeCommit: Long => Unit,
+                      cleanupPerRace: Boolean)(
+      attempt: (Long, Option[M]) => Option[(M, Seq[String])]): Unit = {
+    var retries = 5
+    var lastDirs: Seq[String] = Nil
+    while (true) {
+      val cs = commits(spark)
+      errIfEmpty.foreach(msg => require(cs.nonEmpty, msg))
+      val ver = cs.lastOption.map(_._1).getOrElse(-1L) + 1
+      attempt(ver, cs.lastOption.map(_._2)) match {
+        case None => return
+        case Some((m2, dirs)) =>
+          lastDirs = dirs
+          beforeCommit(ver)
+          if (tryCommit(spark, ver, m2)) {
+            gcAfter(spark, cs :+ (ver -> m2))
+            return
+          }
+          if (cleanupPerRace) deleteDirs(spark, dirs)
+      }
+      retries -= 1
+      if (retries <= 0) {
+        if (!cleanupPerRace) deleteDirs(spark, lastDirs)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up claiming a version of $path after repeated conflicts")
+      }
+    }
+  }
+
   /** Reclaim orphan data directories (prefix-matched, unreferenced by
     * ANY present commit, older than the horizon). Returns the
     * reclaimed directory names.
@@ -200,12 +241,29 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     PqCodebook(cm, cn, ci, cd, cents)
   }
 
-  /** The frozen codebook of the current generation. */
-  def codebook(spark: SparkSession): PqCodebook = {
-    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
-      s"no codes store at $path — call build()"))
-    readCodebook(spark, man.codebook)
+  /** The persisted generation's shape (coarse or flat) must match the
+    * nCells this store handle was opened with — a flat handle on a
+    * cell-partitioned generation would commit an UNpartitioned segment
+    * into it (silently unprunable), a coarse handle on a flat one
+    * would probe for a cell column that isn't there. Loud, like the
+    * codebook-parameter refusal.
+    */
+  private def checkShape(man: Manifest): Manifest = {
+    require(man.seeds.isDefined == nCells.isDefined,
+      s"store at $path is ${if (man.seeds.isDefined) "cell-partitioned "
+        else "flat "}but this handle was opened with nCells=$nCells — " +
+        "shape mismatch")
+    man
   }
+
+  private def resolved(spark: SparkSession): Manifest =
+    checkShape(log.resolve(spark).getOrElse(
+      throw new IllegalArgumentException(
+        s"no codes store at $path — call build()")))
+
+  /** The frozen codebook of the current generation. */
+  def codebook(spark: SparkSession): PqCodebook =
+    readCodebook(spark, resolved(spark).codebook)
 
   /** Encode `vectors` against codebook + (optionally) frozen seeds. */
   private def encode(spark: SparkSession, man: Manifest,
@@ -258,20 +316,10 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     val man0 = Manifest(cbDir, seedsDir, Nil)
     writeSegment(encode(spark, man0, cb, corpus), segDir)
     val man = man0.copy(segments = Seq(segDir))
-    var retries = 5
-    while (retries > 0) {
-      val cs = log.commits(spark)
-      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
-      beforeCommit(v)
-      if (log.tryCommit(spark, v, man)) {
-        log.gcAfter(spark, cs :+ (v -> man))
-        return
-      }
-      retries -= 1
-    }
-    log.deleteDirs(spark, man.dirs)
-    throw new java.util.ConcurrentModificationException(
-      s"gave up claiming a version of $path after repeated conflicts")
+    // full replacement: the manifest depends on nothing but this
+    // build's own dirs, so lost races just claim the next number
+    log.commitWithRetry(spark, None, beforeCommit, cleanupPerRace = false)(
+      (_, _) => Some((man, man.dirs)))
   }
 
   /** Incrementally encode NEW corpus vectors against the frozen
@@ -284,15 +332,18 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     */
   def append(newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
-    var retries = 5
-    while (true) {
-      val cs = log.commits(spark)
-      require(cs.nonEmpty, s"no codes store at $path to append to — " +
-        "call build()")
-      val (ver, man) = cs.last
+    // on a lost race the winner may even have been a rebuild with a
+    // NEW codebook — everything re-derives from the winner's manifest
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to append to — call build()"),
+      beforeCommit, cleanupPerRace = true) { (ver, manOpt) =>
+      val man = checkShape(manOpt.get)
       val cb = readCodebook(spark, man.codebook)
-      val fresh = {
-        val enc = encode(spark, man, cb, newVectors)
+      // persist the encode: the target-cell probe and the anti-join
+      // both read it — without this the batch would pay the
+      // m-subspace argmax encode twice per attempt
+      val enc = encode(spark, man, cb, newVectors).persist()
+      try {
         // idempotence probe: ids already present in the batch's TARGET
         // cells (partition-pruned, id-only scan when coarse; id-column
         // scan otherwise — column pruning keeps it narrow)
@@ -305,27 +356,16 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
               .select(col("cid"))
           case None => codesOf(spark, man).select(col("cid"))
         }
-        enc.join(existing, Seq("cid"), "left_anti").persist()
-      }
-      try {
-        if (fresh.count() == 0) return
-        val segDir = s"seg-${log.uid}"
-        writeSegment(fresh, segDir)
-        val m2 = man.copy(segments = man.segments :+ segDir)
-        beforeCommit(ver + 1)
-        if (log.tryCommit(spark, ver + 1, m2)) {
-          log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
-          return
-        }
-        // lost the race (winner may even be a rebuild with a NEW
-        // codebook): drop the orphan segment, re-derive from the
-        // winner's state
-        log.deleteDirs(spark, Seq(segDir))
-      } finally fresh.unpersist()
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
+        val fresh = enc.join(existing, Seq("cid"), "left_anti").persist()
+        try {
+          if (fresh.count() == 0) None
+          else {
+            val segDir = s"seg-${log.uid}"
+            writeSegment(fresh, segDir)
+            Some((man.copy(segments = man.segments :+ segDir), Seq(segDir)))
+          }
+        } finally fresh.unpersist()
+      } finally enc.unpersist()
     }
   }
 
@@ -339,11 +379,8 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     * appends); segment scans stay partition-pruned under a cell
     * filter, union or not.
     */
-  def codes(spark: SparkSession): DataFrame = {
-    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
-      s"no codes store at $path — call build()"))
-    codesOf(spark, man)
-  }
+  def codes(spark: SparkSession): DataFrame =
+    codesOf(spark, resolved(spark))
 
   /** Squash the segment list into ONE fresh segment (the
     * OPTIMIZE-style maintenance to run when an append history has
@@ -353,29 +390,18 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     * codebook and seeds untouched, lock-free for concurrent probes;
     * a single-segment store is a no-op.
     */
-  def consolidate(spark: SparkSession): Unit = {
-    var retries = 5
-    while (true) {
-      val cs = log.commits(spark)
-      require(cs.nonEmpty, s"no codes store at $path to consolidate — " +
-        "call build()")
-      val (ver, man) = cs.last
-      if (man.segments.size <= 1) return
-      val segDir = s"seg-${log.uid}"
-      writeSegment(codesOf(spark, man), segDir)
-      val m2 = man.copy(segments = Seq(segDir))
-      beforeCommit(ver + 1)
-      if (log.tryCommit(spark, ver + 1, m2)) {
-        log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
-        return
+  def consolidate(spark: SparkSession): Unit =
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to consolidate — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = checkShape(manOpt.get)
+      if (man.segments.size <= 1) None
+      else {
+        val segDir = s"seg-${log.uid}"
+        writeSegment(codesOf(spark, man), segDir)
+        Some((man.copy(segments = Seq(segDir)), Seq(segDir)))
       }
-      log.deleteDirs(spark, Seq(segDir))
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
-  }
 
   /** Reclaim crashed-writer orphan directories (unreferenced by any
     * present commit, older than the horizon).
@@ -452,50 +478,28 @@ class Sq8CodesStore(path: String,
     Similarity.sq8Quantize(corpus, idCol, vecCol)
       .write.mode("overwrite").parquet(log.subPath(segDir))
     val man = Manifest(Seq(segDir))
-    var retries = 5
-    while (retries > 0) {
-      val cs = log.commits(spark)
-      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
-      beforeCommit(v)
-      if (log.tryCommit(spark, v, man)) {
-        log.gcAfter(spark, cs :+ (v -> man))
-        return
-      }
-      retries -= 1
-    }
-    log.deleteDirs(spark, man.dirs)
-    throw new java.util.ConcurrentModificationException(
-      s"gave up claiming a version of $path after repeated conflicts")
+    log.commitWithRetry(spark, None, beforeCommit, cleanupPerRace = false)(
+      (_, _) => Some((man, man.dirs)))
   }
 
   def append(newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
-    var retries = 5
-    while (true) {
-      val cs = log.commits(spark)
-      require(cs.nonEmpty, s"no codes store at $path to append to — " +
-        "call build()")
-      val (ver, man) = cs.last
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to append to — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = manOpt.get
       val fresh = Similarity.sq8Quantize(newVectors, idCol, vecCol)
         .join(codesOf(spark, man).select(col(idCol)), Seq(idCol),
           "left_anti")
         .persist()
       try {
-        if (fresh.count() == 0) return
-        val segDir = s"seg-${log.uid}"
-        fresh.write.mode("overwrite").parquet(log.subPath(segDir))
-        val m2 = man.copy(segments = man.segments :+ segDir)
-        beforeCommit(ver + 1)
-        if (log.tryCommit(spark, ver + 1, m2)) {
-          log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
-          return
+        if (fresh.count() == 0) None
+        else {
+          val segDir = s"seg-${log.uid}"
+          fresh.write.mode("overwrite").parquet(log.subPath(segDir))
+          Some((man.copy(segments = man.segments :+ segDir), Seq(segDir)))
         }
-        log.deleteDirs(spark, Seq(segDir))
       } finally fresh.unpersist()
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
   }
 
@@ -516,30 +520,19 @@ class Sq8CodesStore(path: String,
     * [[PqCodesStore.consolidate]]; same protocol, no-op at one
     * segment.
     */
-  def consolidate(spark: SparkSession): Unit = {
-    var retries = 5
-    while (true) {
-      val cs = log.commits(spark)
-      require(cs.nonEmpty, s"no codes store at $path to consolidate — " +
-        "call build()")
-      val (ver, man) = cs.last
-      if (man.segments.size <= 1) return
-      val segDir = s"seg-${log.uid}"
-      codesOf(spark, man).write.mode("overwrite")
-        .parquet(log.subPath(segDir))
-      val m2 = man.copy(segments = Seq(segDir))
-      beforeCommit(ver + 1)
-      if (log.tryCommit(spark, ver + 1, m2)) {
-        log.gcAfter(spark, cs :+ ((ver + 1) -> m2))
-        return
+  def consolidate(spark: SparkSession): Unit =
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to consolidate — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = manOpt.get
+      if (man.segments.size <= 1) None
+      else {
+        val segDir = s"seg-${log.uid}"
+        codesOf(spark, man).write.mode("overwrite")
+          .parquet(log.subPath(segDir))
+        Some((man.copy(segments = Seq(segDir)), Seq(segDir)))
       }
-      log.deleteDirs(spark, Seq(segDir))
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
-  }
 
   def vacuum(spark: SparkSession,
              olderThanMs: Long = 3600000L): Seq[String] =

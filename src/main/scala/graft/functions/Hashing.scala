@@ -25,6 +25,17 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side FNV-1a fold over a stream of longs — the
+    * engine-INTERNAL content-key mixer (artifact fingerprints, fixture
+    * cache keys). Never oracle-visible: anything an engine must
+    * reproduce stays md5-derived ([[hash60]]).
+    */
+  def fnv1a(values: IterableOnce[Long]): Long = {
+    var h = -3750763034362895579L // FNV-1a offset basis
+    values.iterator.foreach { v => h ^= v; h *= 1099511628211L }
+    h
+  }
+
   /** Salted variant for minhash permutation families:
     * h_i(x) = hash60(i || ':' || x).
     */

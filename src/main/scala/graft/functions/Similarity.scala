@@ -797,16 +797,12 @@ object Similarity {
       * corpus, stale persisted table) would otherwise silently
       * produce wrong top-k.
       */
-    lazy val fingerprint: Long = {
-      var h = -3750763034362895579L // FNV-1a offset basis
-      def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
-      mix(m); mix(nCodes); mix(iters); mix(dims)
-      cents.foreach(_.foreach { case (code, vec) =>
-        mix(code)
-        vec.foreach(x => mix(java.lang.Double.doubleToLongBits(x)))
-      })
-      h
-    }
+    lazy val fingerprint: Long = Hashing.fnv1a(
+      Iterator(m.toLong, nCodes.toLong, iters.toLong, dims.toLong) ++
+        cents.iterator.flatMap(_.iterator.flatMap { case (code, vec) =>
+          Iterator(code.toLong) ++
+            vec.iterator.map(java.lang.Double.doubleToLongBits)
+        }))
   }
 
   /** Train the PQ codebook alone (first-nCodes seeds + `iters`

@@ -592,10 +592,11 @@ object Text {
         : Option[(Int, org.apache.spark.sql.DataFrame,
                   Seq[(Long, String, String, String, Long)])] = {
       if (!fs.exists(root)) return None
-      // strict ok-<digits> match: stray root entries (editor temps,
+      // strict ok-<digits> match (length-bounded so an over-Int digit
+      // string is skipped too): stray root entries (editor temps,
       // partial markers) must be ignored, not crash the whole train
       // with a NumberFormatException before it can even start
-      val okName = "ok-(\\d+)".r
+      val okName = "ok-(\\d{1,9})".r
       val ks = fs.listStatus(root).map(_.getPath.getName)
         .collect { case okName(k) => k.toInt }
       if (ks.isEmpty) return None
@@ -627,7 +628,7 @@ object Text {
       // reclaim every OLDER complete window (k stays; a concurrent
       // reader of an old window is not a supported mode — the trainer
       // is a single-writer artifact builder)
-      val okName = "ok-(\\d+)".r
+      val okName = "ok-(\\d{1,9})".r
       fs.listStatus(root).map(_.getPath.getName)
         .collect { case okName(old) if old.toInt < k => old.toInt }
         .foreach { old =>
