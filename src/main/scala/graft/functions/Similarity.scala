@@ -1245,19 +1245,9 @@ class IvfIndex(path: String, nCells: Int,
   private val log = new GenerationLog[Manifest](path,
     Manifest.parse, _.serialize, _.dirs, retainVersions)
 
-  private def hfs(spark: SparkSession) = log.hfs(spark)
-  private def p(sub: String) = log.sub(sub)
   private def uid: String = log.uid
-  private def commits(spark: SparkSession): Seq[(Long, Manifest)] =
-    log.commits(spark)
   private def resolve(spark: SparkSession): Option[Manifest] =
     log.resolve(spark)
-  private def tryCommit(spark: SparkSession, version: Long,
-                        m: Manifest): Boolean =
-    log.tryCommit(spark, version, m)
-  private def gcAfter(spark: SparkSession,
-                      all: Seq[(Long, Manifest)]): Unit =
-    log.gcAfter(spark, all)
 
   /** Test seam: invoked after an attempt's data directories are fully
     * written, immediately before the commit claim — the window where a
@@ -1439,25 +1429,12 @@ class IvfIndex(path: String, nCells: Int,
     // carries NO tombstones — a previous generation's pending removals
     // must not silently filter legitimately-rebuilt ids — and no prior
     // segments. Losing the version race just claims the next number
-    // (the manifest depends on nothing but this build's own dirs).
+    // (the manifest depends on nothing but this build's own dirs);
+    // the shared retry protocol reclaims the orphan dirs only on
+    // final exhaustion.
     val m = Manifest(cenDir, seedDir, None, Seq(Segment(segDir, Nil)))
-    var retries = 5
-    while (retries > 0) {
-      val cs = commits(spark)
-      val v = cs.lastOption.map(_._1).getOrElse(-1L) + 1
-      beforeCommit(v)
-      if (tryCommit(spark, v, m)) {
-        gcAfter(spark, cs :+ (v -> m))
-        return
-      }
-      retries -= 1
-    }
-    // No manifest ever referenced this build's dirs, so the GC will
-    // never see them — reclaim the orphans before reporting failure
-    // (append/compact already do this on their lost-race paths).
-    Seq(segDir, cenDir, seedDir).foreach(d => hfs(spark).delete(p(d), true))
-    throw new java.util.ConcurrentModificationException(
-      s"gave up claiming a version of $path after repeated conflicts")
+    log.commitWithRetry(spark, None, beforeCommit, cleanupPerRace = false)(
+      (_, _) => Some((m, m.dirs)))
   }
 
   /** Incrementally add vectors to an existing index without a
@@ -1480,11 +1457,14 @@ class IvfIndex(path: String, nCells: Int,
     */
   def append(newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
-    var retries = 5
-    while (true) {
-      val cs = commits(spark)
-      require(cs.nonEmpty, s"no index at $path to append to — call build()")
-      val (ver, m) = cs.last
+    // on a lost race our segment is an unreferenced orphan (and the
+    // winner may even have been a rebuild with NEW seeds) — the retry
+    // protocol drops it and everything re-derives against the
+    // winner's state
+    log.commitWithRetry(spark,
+      Some(s"no index at $path to append to — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, mOpt) =>
+      val m = mOpt.get
       val seeds = broadcast(spark.read.parquet(s"$path/${m.seeds}"))
       val assigned = assignToSeeds(
         newVectors.select(col(idCol).as("cid"), col(vecCol).as("cv")), seeds)
@@ -1505,26 +1485,16 @@ class IvfIndex(path: String, nCells: Int,
       val existing = assignedDf(spark, m, Some(targetCells)).select(col("cid"))
       val fresh = assigned.join(existing, Seq("cid"), "left_anti").persist()
       try {
-        if (fresh.count() == 0) return
-        val segDir = s"seg-$uid"
-        fresh.repartition(col("cell")) // one file per touched cell
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/$segDir")
-        val m2 = m.copy(segments = m.segments :+ Segment(segDir, Nil))
-        beforeCommit(ver + 1)
-        if (tryCommit(spark, ver + 1, m2)) {
-          gcAfter(spark, cs :+ ((ver + 1) -> m2))
-          return
+        if (fresh.count() == 0) None
+        else {
+          val segDir = s"seg-$uid"
+          fresh.repartition(col("cell")) // one file per touched cell
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$path/$segDir")
+          Some((m.copy(segments = m.segments :+ Segment(segDir, Nil)),
+            Seq(segDir)))
         }
-        // lost the race: our segment is an unreferenced orphan (and the
-        // winner may even have been a rebuild with NEW seeds) — drop it
-        // and re-derive everything against the winner's state
-        hfs(spark).delete(p(segDir), true)
       } finally fresh.unpersist()
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
   }
 
@@ -1536,30 +1506,22 @@ class IvfIndex(path: String, nCells: Int,
     */
   def remove(ids: DataFrame): Unit = {
     val spark = ids.sparkSession
-    var retries = 5
-    while (true) {
-      val cs = commits(spark)
-      require(cs.nonEmpty, s"no index at $path to remove from — call build()")
-      val (ver, m) = cs.last
+    log.commitWithRetry(spark,
+      Some(s"no index at $path to remove from — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, mOpt) =>
+      val m = mOpt.get
       val fresh = ids.select(col(idCol).as("cid")).distinct().persist()
       try {
-        if (fresh.count() == 0) return
-        val merged = tombDf(spark, m)
-          .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
-        val tombDir = s"tomb-$uid"
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$path/$tombDir")
-        val m2 = m.copy(tombstones = Some(tombDir))
-        beforeCommit(ver + 1)
-        if (tryCommit(spark, ver + 1, m2)) {
-          gcAfter(spark, cs :+ ((ver + 1) -> m2))
-          return
+        if (fresh.count() == 0) None
+        else {
+          val merged = tombDf(spark, m)
+            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+          val tombDir = s"tomb-$uid"
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/$tombDir")
+          Some((m.copy(tombstones = Some(tombDir)), Seq(tombDir)))
         }
-        hfs(spark).delete(p(tombDir), true)
       } finally fresh.unpersist()
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
   }
 
@@ -1574,60 +1536,48 @@ class IvfIndex(path: String, nCells: Int,
     * segment — the OPTIMIZE-style squash to run when the segment list
     * or exclusion sets have grown long) or a rebuild.
     */
-  def compact(spark: SparkSession, consolidate: Boolean = false): Unit = {
-    var retries = 5
-    while (true) {
-      val cs = commits(spark)
-      require(cs.nonEmpty, s"no index at $path to compact — call build()")
-      val (ver, m) = cs.last
+  def compact(spark: SparkSession, consolidate: Boolean = false): Unit =
+    log.commitWithRetry(spark,
+      Some(s"no index at $path to compact — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, mOpt) =>
+      val m = mOpt.get
       val t0 = tombDf(spark, m)
-      val fragmented = m.segments.size > 1 || m.segments.exists(_.excluded.nonEmpty)
-      if (t0.isEmpty && !(consolidate && fragmented)) return
-      val (m2, newDirs): (Manifest, Seq[String]) =
-        if (consolidate) {
-          val all = assignedDf(spark, m, None)
-          val live = t0.map(t => all.join(broadcast(t.distinct()),
-            Seq("cid"), "left_anti")).getOrElse(all)
+      val fragmented =
+        m.segments.size > 1 || m.segments.exists(_.excluded.nonEmpty)
+      if (t0.isEmpty && !(consolidate && fragmented)) None
+      else if (consolidate) {
+        val all = assignedDf(spark, m, None)
+        val live = t0.map(t => all.join(broadcast(t.distinct()),
+          Seq("cid"), "left_anti")).getOrElse(all)
+        val segDir = s"seg-$uid"
+        live.repartition(col("cell")) // one file per cell (see build)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/$segDir")
+        Some((m.copy(tombstones = None,
+          segments = Seq(Segment(segDir, Nil))), Seq(segDir)))
+      } else {
+        val t = broadcast(t0.get.distinct())
+        val touched: Seq[Any] = assignedDf(spark, m, None)
+          .join(t, Seq("cid"), "left_semi")
+          .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+        if (touched.isEmpty)
+          Some((m.copy(tombstones = None), Seq.empty))
+        else {
+          val cleaned = assignedDf(spark, m, Some(touched))
+            .join(t, Seq("cid"), "left_anti")
           val segDir = s"seg-$uid"
-          live.repartition(col("cell")) // one file per cell (see build)
+          cleaned.repartition(col("cell")) // one file per touched cell
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$path/$segDir")
-          (m.copy(tombstones = None, segments = Seq(Segment(segDir, Nil))),
-            Seq(segDir))
-        } else {
-          val t = broadcast(t0.get.distinct())
-          val touched: Seq[Any] = assignedDf(spark, m, None)
-            .join(t, Seq("cid"), "left_semi")
-            .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
-          if (touched.isEmpty)
-            (m.copy(tombstones = None), Seq.empty)
-          else {
-            val cleaned = assignedDf(spark, m, Some(touched))
-              .join(t, Seq("cid"), "left_anti")
-            val segDir = s"seg-$uid"
-            cleaned.repartition(col("cell")) // one file per touched cell
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(s"$path/$segDir")
-            val exc = touched.map(_.toString)
-            (m.copy(tombstones = None,
-              segments = m.segments.map(s =>
-                s.copy(excluded = (s.excluded ++ exc).distinct))
-                :+ Segment(segDir, Nil)),
-              Seq(segDir))
-          }
+          val exc = touched.map(_.toString)
+          Some((m.copy(tombstones = None,
+            segments = m.segments.map(s =>
+              s.copy(excluded = (s.excluded ++ exc).distinct))
+              :+ Segment(segDir, Nil)),
+            Seq(segDir)))
         }
-      beforeCommit(ver + 1)
-      if (tryCommit(spark, ver + 1, m2)) {
-        gcAfter(spark, cs :+ ((ver + 1) -> m2))
-        return
       }
-      newDirs.foreach(d => hfs(spark).delete(p(d), true))
-      retries -= 1
-      if (retries <= 0)
-        throw new java.util.ConcurrentModificationException(
-          s"gave up claiming a version of $path after repeated conflicts")
     }
-  }
 
   /** Reclaim ORPHAN data directories — the Delta VACUUM analog and
     * the one leak the commit-time retention GC cannot see: a mutator
