@@ -219,6 +219,40 @@ class DedupSpec extends SparkTestBase {
     assert(admitted === Set(0L, 1L, 3L), s"admitted $admitted")
   }
 
+  test("streaming EMBEDDING admission wired through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("eadstream-store")
+    val out = tmpDir("eadstream-out") + "/admitted"
+    // deterministic 8-dim vectors; vec 2 is an exact copy of vec 0
+    // arriving two batches later — the semantic duplicate the lexical
+    // filter can't see
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("eadstream-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.functions.Similarity.embedNearDupFilterBatch(batch, store,
+            planes = 12, dims = 8, tables = 8)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    input.addData((0L, vec(1)), (1L, vec(2)))
+    q.processAllAvailable()
+    input.addData((2L, vec(1)), (3L, vec(3)))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(0L) && !admitted.contains(2L),
+      s"exact-copy vector must be rejected across batches: $admitted")
+    assert(admitted.contains(1L) || admitted.contains(3L),
+      s"distinct vectors over-dropped: $admitted")
+  }
+
   test("streaming near-dup filter drops near (not just exact) duplicates") {
     import spark.implicits._
     val store = tmpDir("ndstore2")
