@@ -369,9 +369,36 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     }
   }
 
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
-    man.segments.map(d => spark.read.parquet(log.subPath(d)))
-      .reduce(_.unionByName(_))
+  /** Per-GENERATION segment-relation cache (the IvfIndex probe-cache
+    * discipline): manifest resolution stays per-call — that IS the
+    * snapshot isolation against concurrent appends — but a committed
+    * generation's segment dirs are immutable, so an unchanged
+    * generation's parquet relations (partition discovery + schema
+    * inference, the per-probe driver cost) are safely reused. Keyed
+    * by the owning session AND the manifest's exact serialization: a
+    * different session rebuilds (DataFrames are session-bound), and
+    * any append/consolidate commit changes the key on its next probe.
+    */
+  @volatile private var segCache
+      : Option[(SparkSession, String, Map[String, DataFrame])] = None
+
+  private def segRelations(spark: SparkSession, man: Manifest)
+      : Map[String, DataFrame] = {
+    val key = man.serialize
+    segCache match {
+      case Some((s, k, rels)) if (s eq spark) && k == key => rels
+      case _ =>
+        val rels = man.segments
+          .map(d => d -> spark.read.parquet(log.subPath(d))).toMap
+        segCache = Some((spark, key, rels))
+        rels
+    }
+  }
+
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame = {
+    val rels = segRelations(spark, man)
+    man.segments.map(rels).reduce(_.unionByName(_))
+  }
 
   /** The current generation's codes relation — what
     * [[Similarity.pqTopK]]/[[Similarity.ivfPqTopK]] take as `codes`.
@@ -503,9 +530,29 @@ class Sq8CodesStore(path: String,
     }
   }
 
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
-    man.segments.map(d => spark.read.parquet(log.subPath(d)))
-      .reduce(_.unionByName(_))
+  /** Per-generation segment-relation cache — see
+    * [[PqCodesStore.segRelations]] (same discipline).
+    */
+  @volatile private var segCache
+      : Option[(SparkSession, String, Map[String, DataFrame])] = None
+
+  private def segRelations(spark: SparkSession, man: Manifest)
+      : Map[String, DataFrame] = {
+    val key = man.serialize
+    segCache match {
+      case Some((s, k, rels)) if (s eq spark) && k == key => rels
+      case _ =>
+        val rels = man.segments
+          .map(d => d -> spark.read.parquet(log.subPath(d))).toMap
+        segCache = Some((spark, key, rels))
+        rels
+    }
+  }
+
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame = {
+    val rels = segRelations(spark, man)
+    man.segments.map(rels).reduce(_.unionByName(_))
+  }
 
   /** The current generation's (idCol, sq_codes, sq_scale, sq_norm)
     * relation — what [[Similarity.sq8TopK]] takes as `codes`.

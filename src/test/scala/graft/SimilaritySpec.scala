@@ -875,6 +875,32 @@ class SimilaritySpec extends SparkTestBase {
       "concurrent appends lost or duplicated a batch")
   }
 
+  test("codes-store generation cache is session- and generation-scoped: " +
+    "cross-session reads work, post-append reads see the new segment") {
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
+    val store = new graft.functions.PqCodesStore(tmpDir("pqstore-cache"),
+      m = 8, nCodes = 16)
+    store.build(emb.filter(col("vec_id") < 200), Some(cb))
+    val r1 = store.codes(spark).select("cid").collect()
+      .map(_.getLong(0)).toSet
+    // second read of the unchanged generation reuses the cached
+    // relations — identical rows
+    assert(store.codes(spark).select("cid").collect()
+      .map(_.getLong(0)).toSet === r1)
+    // a DIFFERENT session must not be handed frames bound to the
+    // first (DataFrames are session-scoped); the cache rebuilds
+    val s2 = spark.newSession()
+    assert(store.codes(s2).select("cid").collect()
+      .map(_.getLong(0)).toSet === r1, "cross-session read diverged")
+    // an append commit changes the manifest key: the next read must
+    // serve the appended generation, not the cached one
+    store.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 250))
+    val r2 = store.codes(spark).select("cid").collect()
+      .map(_.getLong(0)).toSet
+    assert(r2.size === 250 && r2.contains(230L),
+      s"post-append read served a stale cached generation (${r2.size} rows)")
+  }
+
   test("PQ fingerprint refusal: foreign or unstamped codes fail loudly") {
     val q = emb.filter(col("vec_id") < 8)
     val cbA = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
