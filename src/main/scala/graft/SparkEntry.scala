@@ -2207,6 +2207,35 @@ object SparkEntry {
           floor(col("start_offset") / lit(1024)).cast("long"))
     }),
 
+    // The TRAINED-tokenizer budget pack on the composed (source,
+    // shard) spine — docs_pack_bpe_budget's counts under
+    // docs_pack_sharded's scale shape, so the pack a batch assembler
+    // actually runs (real BPE token budgets) also has bounded window
+    // partitions. The oracle replays the full training chain AND the
+    // sharded pack.
+    "docs_pack_bpe_sharded" -> ((s, d) => {
+      val st = s.read.parquet(bpeFixture(s, d)._2)
+      val wlens = st.select(col("word"), size(col("syms")).as("wlen"))
+      val words = t(s, d, "documents").select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("word"))
+      val counts = graft.functions.ModelJoin
+        .sizeGated(words, wlens, Seq("word"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(coalesce(col("wlen"), length(col("word")) + lit(1)))
+          .cast("long").as("n_bpe_tokens"))
+        .withColumn("shard",
+          pmod(Hashing.hash60(col("doc_id").cast("string")), lit(4L))
+            .cast("int"))
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("start_offset",
+          coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+        .withColumn("seq_idx",
+          floor(col("start_offset") / lit(1024)).cast("long"))
+    }),
+
     // Shard-composed sequence packing — the scale fix for the pack
     // family's one structural caveat: a per-source running sum makes
     // ONE window partition per source, so a corpus-fraction-sized
@@ -3724,6 +3753,29 @@ object SparkEntry {
         |   0)::BIGINT AS start_offset
         | FROM bc)
         |SELECT doc_id, source, n_bpe_tokens, start_offset,
+        | CAST(floor(start_offset / 1024.0) AS BIGINT) AS seq_idx
+        |FROM po""".stripMargin),
+
+    // The budget counts are docs_pack_bpe_budget's (full replayed
+    // training chain); the window spine is docs_pack_sharded's.
+    "docs_pack_bpe_sharded" ->
+      (bpeChainCtes(8) + s""",
+        |bc AS (SELECT w.doc_id, w.source,
+        |  SUM(COALESCE(len(st.syms), length(w.word) + 1))::BIGINT
+        |   AS n_bpe_tokens
+        | FROM (SELECT t.doc_id, d.source, unnest(t.tk) AS word
+        |   FROM toks t JOIN documents d ON d.doc_id = t.doc_id) w
+        | LEFT JOIN bpst8 st USING (word)
+        | GROUP BY w.doc_id, w.source),
+        |bs AS (SELECT doc_id, source, n_bpe_tokens,
+        |  CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard
+        | FROM bc),
+        |po AS (SELECT doc_id, source, shard, n_bpe_tokens,
+        |  COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0)::BIGINT AS start_offset
+        | FROM bs)
+        |SELECT doc_id, source, shard, n_bpe_tokens, start_offset,
         | CAST(floor(start_offset / 1024.0) AS BIGINT) AS seq_idx
         |FROM po""".stripMargin),
 
