@@ -448,7 +448,15 @@ object ScaleProof {
             .map(_.toInt).getOrElse(16384)
           val dDir = s"$work/docs_wide_$n"
           val ckDir = s"$work/bpeckpt_wide_$n"
-          if (!new java.io.File(dDir).exists())
+          // existence probe through the Hadoop FS API (the same API
+          // the write below uses) — java.io.File is always false on a
+          // non-local work root (hdfs://, s3a://), which would silently
+          // regenerate + rewrite the corpus every rep and skew the
+          // timed leg
+          val dPath = new org.apache.hadoop.fs.Path(dDir)
+          val dFs = dPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!dFs.exists(dPath))
             CorpusGenerator.documents(spark, n,
                 vocab = math.max(800L, 2 * n))
               .write.mode("overwrite").parquet(dDir)
@@ -463,9 +471,15 @@ object ScaleProof {
               .get.trim.split("\\s+")(1).toLong / 1024
             finally src.close()
           }.getOrElse(-1L)
+          // Locale.ROOT-pinned number formatting: the default-locale f
+          // interpolator emits "3,1" under comma-decimal locales —
+          // invalid JSON
+          def num(fmt: String, v: Double): String =
+            String.format(java.util.Locale.ROOT, fmt, Double.box(v))
           println(s"""{"bpe_wide":{"n":$n,"merges":${ms.size},""" +
-            s""""pair_types":${pc.size},"sec":${f"$secs%.1f"},""" +
-            s""""s_per_round":${f"${secs / math.max(1, ms.size)}%.4f"},""" +
+            s""""pair_types":${pc.size},"sec":${num("%.1f", secs)},""" +
+            s""""s_per_round":${num("%.4f",
+              secs / math.max(1, ms.size))},""" +
             s""""driver_rss_mb":$rssMb}}""")
           ms.size.toLong
         }),
@@ -692,6 +706,9 @@ object ScaleProof {
     }
 
     val results = scala.collection.mutable.Map.empty[(String, Long), Double]
+    // Locale.ROOT-pinned (comma-decimal locales would emit invalid JSON)
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     for (n <- Seq(small, big)) {
       // shuffle partitions scale with the corpus, exactly as a real
       // cluster sizes them: the jaccard shuffle_hash join builds one
@@ -736,15 +753,15 @@ object ScaleProof {
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec
-        val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
-        println(s"""{"op":"$name","n":$n,"sec":${f"$sec%.3f"},""" +
+        val repsJson = times.map(num3).mkString("[", ",", "]")
+        println(s"""{"op":"$name","n":$n,"sec":${num3(sec)},""" +
           s""""reps":$repsJson,"rows":$rows}""")
       }
     }
     val summary = results.keys.map(_._1).toSeq.distinct.sorted.map { name =>
       val e = math.log(results((name, big)) / results((name, small))) /
         math.log(factor.toDouble)
-      s""""$name":${f"$e%.3f"}"""
+      s""""$name":${num3(e)}"""
     }.mkString(",")
     println(s"""{"metric":"scaling_exponent","factor":$factor,$summary}""")
     spark.stop()

@@ -107,7 +107,17 @@ object Stage {
     val stale = fs.listStatus(rootP)
       .filter(st => scratchName.pattern.matcher(st.getPath.getName).matches)
       .filter(st => newestMtime(fs, st, depth = 2, horizon) <= horizon)
-    stale.foreach(st => fs.delete(st.getPath, true))
-    stale.length
+    // TOCTOU guard: a heartbeat (or fixture access) can land between
+    // the scan above and the delete below — re-probe each candidate's
+    // newest mtime from a FRESH status immediately before deleting, so
+    // liveness that arrived mid-sweep wins. (The scan is the expensive
+    // pass; the re-probe only runs on already-stale entries.)
+    stale.count { st =>
+      val fresh = scala.util.Try(fs.getFileStatus(st.getPath)).toOption
+      val stillStale = fresh.exists(f =>
+        newestMtime(fs, f, depth = 2, horizon) <= horizon)
+      if (stillStale) fs.delete(st.getPath, true)
+      stillStale
+    }
   }
 }

@@ -138,6 +138,43 @@ private[functions] final class GenerationLog[M](
     }
   }
 
+  /** Per-GENERATION parquet-relation cache — the ONE spelling of the
+    * probe-cache discipline all three artifact stores share (it was
+    * previously copied per store): manifest resolution stays per-call
+    * (that IS the snapshot isolation against concurrent mutators), but
+    * a committed generation's data directories are immutable, so an
+    * unchanged generation's relations (partition discovery + schema
+    * inference — the per-probe driver cost) are safely reused. Keyed
+    * by the owning SparkSession AND the manifest's exact
+    * serialization: a different session rebuilds (DataFrames are
+    * session-bound), and any mutation commit changes the key on its
+    * next read.
+    */
+  @volatile private var relCache
+      : Option[(SparkSession, String, Map[String, DataFrame])] = None
+
+  def cachedRelations(spark: SparkSession, m: M, dirs: Seq[String])
+      : Map[String, DataFrame] = {
+    val key = serializeM(m)
+    relCache match {
+      case Some((s, k, rels)) if (s eq spark) && k == key => rels
+      case _ =>
+        val rels = dirs.map(d => d -> spark.read.parquet(subPath(d))).toMap
+        relCache = Some((spark, key, rels))
+        rels
+    }
+  }
+
+  /** The union of a manifest's segment relations, through the cache —
+    * the generic segment-store read under [[PqCodesStore]] and
+    * [[Sq8CodesStore]] (IvfIndex adds per-segment exclusion filters,
+    * so it composes [[cachedRelations]] directly).
+    */
+  def unionOf(spark: SparkSession, m: M, dirs: Seq[String]): DataFrame = {
+    val rels = cachedRelations(spark, m, dirs)
+    dirs.map(rels).reduce(_.unionByName(_))
+  }
+
   /** Reclaim orphan data directories (prefix-matched, unreferenced by
     * ANY present commit, older than the horizon). Returns the
     * reclaimed directory names.
@@ -193,7 +230,8 @@ private[functions] final class GenerationLog[M](
 class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
                    nCells: Option[Int] = None,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   retainVersions: Int = 2) {
+                   retainVersions: Int = 2,
+                   autoConsolidateSegments: Int = 0) {
   import Similarity.PqCodebook
   import PqCodesStore.Manifest
 
@@ -265,6 +303,13 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
   def codebook(spark: SparkSession): PqCodebook =
     readCodebook(spark, resolved(spark).codebook)
 
+  /** Segment count of the current generation — the observability knob
+    * maintenance schedules on (consolidate when it grows long; with
+    * `autoConsolidateSegments` set it stays ≤ the budget by itself).
+    */
+  def segmentCount(spark: SparkSession): Int =
+    resolved(spark).segments.size
+
   /** Encode `vectors` against codebook + (optionally) frozen seeds. */
   private def encode(spark: SparkSession, man: Manifest,
                      cb: PqCodebook, vectors: DataFrame): DataFrame =
@@ -330,6 +375,17 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     * (already-present ids anti-join away, so a replayed batch — or
     * losing the commit race to a twin writer — converges to a no-op).
     */
+  /** @param autoConsolidateSegments (constructor) > 0 enables
+    * hands-free maintenance riding the append's OWN commit (the
+    * upsert sink's AutoCompact shape): when an append would grow the
+    * segment list past the budget, the attempt writes ONE merged
+    * segment (current live rows — tombstones folded out — plus the
+    * fresh batch) instead of appending a new one, and the manifest
+    * flips to a single-segment, tombstone-free generation. Same
+    * `codes()` rows either way; a per-micro-batch ingest can no
+    * longer accumulate unbounded segments/footers between manual
+    * `consolidate()` calls.
+    */
   def append(newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
     // on a lost race the winner may even have been a rebuild with a
@@ -344,6 +400,19 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
       // m-subspace argmax encode twice per attempt
       val enc = encode(spark, man, cb, newVectors).persist()
       try {
+        // Re-adding a tombstoned id is an UPDATE, not an append: the
+        // dead code row is still physically present, so clearing its
+        // tombstone would resurrect it beside the new row as a
+        // duplicate — and the idempotence anti-join below would
+        // silently drop the re-add instead. Require consolidate()
+        // first (it physically clears the dead rows), the IvfIndex
+        // append rule.
+        tombDf(spark, man).foreach { t =>
+          val clash = enc.join(broadcast(t), Seq("cid"), "left_semi")
+            .limit(1).count()
+          require(clash == 0L, s"append includes tombstoned id(s) — " +
+            s"run consolidate() on $path first")
+        }
         // idempotence probe: ids already present in the batch's TARGET
         // cells (partition-pruned, id-only scan when coarse; id-column
         // scan otherwise — column pruning keeps it narrow)
@@ -361,72 +430,109 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
           if (fresh.count() == 0) None
           else {
             val segDir = s"seg-${log.uid}"
-            writeSegment(fresh, segDir)
-            Some((man.copy(segments = man.segments :+ segDir), Seq(segDir)))
+            if (autoConsolidateSegments > 0 &&
+                man.segments.size + 1 > autoConsolidateSegments) {
+              writeSegment(liveOf(spark, man).unionByName(fresh), segDir)
+              Some((man.copy(segments = Seq(segDir), tombstones = None),
+                Seq(segDir)))
+            } else {
+              writeSegment(fresh, segDir)
+              Some((man.copy(segments = man.segments :+ segDir),
+                Seq(segDir)))
+            }
           }
         } finally fresh.unpersist()
       } finally enc.unpersist()
     }
   }
 
-  /** Per-GENERATION segment-relation cache (the IvfIndex probe-cache
-    * discipline): manifest resolution stays per-call — that IS the
-    * snapshot isolation against concurrent appends — but a committed
-    * generation's segment dirs are immutable, so an unchanged
-    * generation's parquet relations (partition discovery + schema
-    * inference, the per-probe driver cost) are safely reused. Keyed
-    * by the owning session AND the manifest's exact serialization: a
-    * different session rebuilds (DataFrames are session-bound), and
-    * any append/consolidate commit changes the key on its next probe.
+  /** Logically delete vectors from the codes table — deletion must
+    * reach every derived artifact at 100 TB (takedown, retraining
+    * exclusion, decontamination), and before this the PQ codes meant
+    * a full rebuild. O(|ids|): commit a manifest whose tombstone set
+    * is the union of the current one and `ids` (keyed by `idCol`); no
+    * data file is touched. [[codes]] anti-joins the (broadcast)
+    * tombstones until [[consolidate]] physically drops the dead rows.
+    * Readers concurrent with the flip keep their resolved generation.
     */
-  @volatile private var segCache
-      : Option[(SparkSession, String, Map[String, DataFrame])] = None
-
-  private def segRelations(spark: SparkSession, man: Manifest)
-      : Map[String, DataFrame] = {
-    val key = man.serialize
-    segCache match {
-      case Some((s, k, rels)) if (s eq spark) && k == key => rels
-      case _ =>
-        val rels = man.segments
-          .map(d => d -> spark.read.parquet(log.subPath(d))).toMap
-        segCache = Some((spark, key, rels))
-        rels
+  def remove(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to remove from — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = checkShape(manOpt.get)
+      val fresh = ids.select(col(idCol).as("cid")).distinct().persist()
+      try {
+        if (fresh.count() == 0) None
+        else {
+          val merged = tombDf(spark, man)
+            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+          val tombDir = s"tomb-${log.uid}"
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(log.subPath(tombDir))
+          Some((man.copy(tombstones = Some(tombDir)), Seq(tombDir)))
+        }
+      } finally fresh.unpersist()
     }
   }
 
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame = {
-    val rels = segRelations(spark, man)
-    man.segments.map(rels).reduce(_.unionByName(_))
+  /** Pending logical removals of the current generation, if any. */
+  def tombstoneIds(spark: SparkSession): Option[DataFrame] =
+    log.resolve(spark).flatMap(m => tombDf(spark, m))
+
+  private def tombDf(spark: SparkSession,
+                     man: Manifest): Option[DataFrame] =
+    man.tombstones.map(d => spark.read.parquet(log.subPath(d)))
+
+  /** Physical segment union with pending tombstones folded out —
+    * what [[codes]] serves and what consolidation rewrites.
+    * Tombstones stay small between consolidations by contract, so the
+    * anti-join broadcasts.
+    */
+  private def liveOf(spark: SparkSession, man: Manifest): DataFrame = {
+    val all = codesOf(spark, man)
+    tombDf(spark, man)
+      .map(t => all.join(broadcast(t), Seq("cid"), "left_anti"))
+      .getOrElse(all)
   }
+
+  // segment relations ride the shared per-generation cache
+  // ([[GenerationLog.cachedRelations]] — one spelling across all
+  // three artifact stores)
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
+    log.unionOf(spark, man, man.segments)
 
   /** The current generation's codes relation — what
     * [[Similarity.pqTopK]]/[[Similarity.ivfPqTopK]] take as `codes`.
     * Resolved once per call (snapshot isolation against concurrent
-    * appends); segment scans stay partition-pruned under a cell
+    * appends); pending removals are folded out with a broadcast
+    * anti-join; segment scans stay partition-pruned under a cell
     * filter, union or not.
     */
   def codes(spark: SparkSession): DataFrame =
-    codesOf(spark, resolved(spark))
+    liveOf(spark, resolved(spark))
 
-  /** Squash the segment list into ONE fresh segment (the
-    * OPTIMIZE-style maintenance to run when an append history has
-    * grown long: per-cell file counts, footer fetches, and the probe
-    * union's width all follow the segment count). One read of the
-    * live rows, one partitioned write, a manifest flip — same codes,
-    * codebook and seeds untouched, lock-free for concurrent probes;
-    * a single-segment store is a no-op.
+  /** Squash the segment list into ONE fresh segment and physically
+    * drop tombstoned rows (the OPTIMIZE-style maintenance to run when
+    * an append history has grown long: per-cell file counts, footer
+    * fetches, and the probe union's width all follow the segment
+    * count; tombstone anti-join cost follows the tombstone set). One
+    * read of the live rows, one partitioned write, a manifest flip —
+    * same `codes()` rows, codebook and seeds untouched, lock-free for
+    * concurrent probes; a single-segment tombstone-free store is a
+    * no-op.
     */
   def consolidate(spark: SparkSession): Unit =
     log.commitWithRetry(spark,
       Some(s"no codes store at $path to consolidate — call build()"),
       beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
       val man = checkShape(manOpt.get)
-      if (man.segments.size <= 1) None
+      if (man.segments.size <= 1 && man.tombstones.isEmpty) None
       else {
         val segDir = s"seg-${log.uid}"
-        writeSegment(codesOf(spark, man), segDir)
-        Some((man.copy(segments = Seq(segDir)), Seq(segDir)))
+        writeSegment(liveOf(spark, man), segDir)
+        Some((man.copy(segments = Seq(segDir), tombstones = None),
+          Seq(segDir)))
       }
     }
 
@@ -435,21 +541,25 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     */
   def vacuum(spark: SparkSession,
              olderThanMs: Long = 3600000L): Seq[String] =
-    log.vacuum(spark, Seq("seg-", "codebook-", "seeds-"), olderThanMs)
+    log.vacuum(spark, Seq("seg-", "codebook-", "seeds-", "tomb-"),
+      olderThanMs)
 }
 
 object PqCodesStore {
   /** One committed generation: the frozen codebook, the frozen coarse
-    * seeds (IVF-PQ shape only), and the ordered segment list.
+    * seeds (IVF-PQ shape only), the ordered segment list, and the
+    * pending logical removals (cleared by consolidate).
     */
   private[functions] case class Manifest(codebook: String,
                                          seeds: Option[String],
-                                         segments: Seq[String]) {
-    def dirs: Seq[String] = Seq(codebook) ++ seeds ++ segments
+                                         segments: Seq[String],
+                                         tombstones: Option[String] = None) {
+    def dirs: Seq[String] = Seq(codebook) ++ seeds ++ tombstones ++ segments
     def serialize: String = {
       val b = new StringBuilder
       b.append(s"codebook $codebook\n")
       seeds.foreach(sd => b.append(s"seeds $sd\n"))
+      tombstones.foreach(t => b.append(s"tombstones $t\n"))
       segments.foreach(sg => b.append(s"segment $sg\n"))
       b.result()
     }
@@ -459,18 +569,20 @@ object PqCodesStore {
     def parse(content: String): Option[Manifest] = scala.util.Try {
       var cb: String = null
       var sd: Option[String] = None
+      var tomb: Option[String] = None
       val segs = Seq.newBuilder[String]
       content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
         val parts = line.trim.split("\\s+")
         parts(0) match {
           case "codebook" => cb = parts(1)
           case "seeds" => sd = Some(parts(1))
+          case "tombstones" => tomb = Some(parts(1))
           case "segment" => segs += parts(1)
           case other => throw new IllegalArgumentException(
             s"unknown manifest keyword: $other")
         }
       }
-      val m = Manifest(cb, sd, segs.result())
+      val m = Manifest(cb, sd, segs.result(), tomb)
       require(cb != null && m.segments.nonEmpty)
       m
     }.toOption
@@ -489,7 +601,8 @@ object PqCodesStore {
   */
 class Sq8CodesStore(path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    retainVersions: Int = 2) {
+                    retainVersions: Int = 2,
+                    autoConsolidateSegments: Int = 0) {
   import Sq8CodesStore.Manifest
 
   private val log = new GenerationLog[Manifest](path,
@@ -498,6 +611,16 @@ class Sq8CodesStore(path: String,
   protected def beforeCommit(version: Long): Unit = ()
 
   def exists(spark: SparkSession): Boolean = log.resolve(spark).nonEmpty
+
+  private def resolved(spark: SparkSession): Manifest =
+    log.resolve(spark).getOrElse(throw new IllegalArgumentException(
+      s"no codes store at $path — call build()"))
+
+  /** Segment count of the current generation — see
+    * [[PqCodesStore.segmentCount]].
+    */
+  def segmentCount(spark: SparkSession): Int =
+    resolved(spark).segments.size
 
   def build(corpus: DataFrame): Unit = {
     val spark = corpus.sparkSession
@@ -509,13 +632,24 @@ class Sq8CodesStore(path: String,
       (_, _) => Some((man, man.dirs)))
   }
 
+  /** See [[PqCodesStore.append]] — same protocol, including the
+    * tombstone-refusal rule and the budget-triggered auto-consolidate
+    * riding the append's own commit.
+    */
   def append(newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
     log.commitWithRetry(spark,
       Some(s"no codes store at $path to append to — call build()"),
       beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
       val man = manOpt.get
-      val fresh = Similarity.sq8Quantize(newVectors, idCol, vecCol)
+      val enc = Similarity.sq8Quantize(newVectors, idCol, vecCol)
+      tombDf(spark, man).foreach { t =>
+        val clash = enc.join(broadcast(t), Seq(idCol), "left_semi")
+          .limit(1).count()
+        require(clash == 0L, s"append includes tombstoned id(s) — " +
+          s"run consolidate() on $path first")
+      }
+      val fresh = enc
         .join(codesOf(spark, man).select(col(idCol)), Seq(idCol),
           "left_anti")
         .persist()
@@ -523,88 +657,118 @@ class Sq8CodesStore(path: String,
         if (fresh.count() == 0) None
         else {
           val segDir = s"seg-${log.uid}"
-          fresh.write.mode("overwrite").parquet(log.subPath(segDir))
-          Some((man.copy(segments = man.segments :+ segDir), Seq(segDir)))
+          if (autoConsolidateSegments > 0 &&
+              man.segments.size + 1 > autoConsolidateSegments) {
+            liveOf(spark, man).unionByName(fresh)
+              .write.mode("overwrite").parquet(log.subPath(segDir))
+            Some((man.copy(segments = Seq(segDir), tombstones = None),
+              Seq(segDir)))
+          } else {
+            fresh.write.mode("overwrite").parquet(log.subPath(segDir))
+            Some((man.copy(segments = man.segments :+ segDir),
+              Seq(segDir)))
+          }
         }
       } finally fresh.unpersist()
     }
   }
 
-  /** Per-generation segment-relation cache — see
-    * [[PqCodesStore.segRelations]] (same discipline).
+  /** Logical deletion — see [[PqCodesStore.remove]]; tombstones keyed
+    * by `idCol`, folded out at [[codes]], physically dropped at
+    * [[consolidate]].
     */
-  @volatile private var segCache
-      : Option[(SparkSession, String, Map[String, DataFrame])] = None
-
-  private def segRelations(spark: SparkSession, man: Manifest)
-      : Map[String, DataFrame] = {
-    val key = man.serialize
-    segCache match {
-      case Some((s, k, rels)) if (s eq spark) && k == key => rels
-      case _ =>
-        val rels = man.segments
-          .map(d => d -> spark.read.parquet(log.subPath(d))).toMap
-        segCache = Some((spark, key, rels))
-        rels
+  def remove(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $path to remove from — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = manOpt.get
+      val fresh = ids.select(col(idCol)).distinct().persist()
+      try {
+        if (fresh.count() == 0) None
+        else {
+          val merged = tombDf(spark, man)
+            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+          val tombDir = s"tomb-${log.uid}"
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(log.subPath(tombDir))
+          Some((man.copy(tombstones = Some(tombDir)), Seq(tombDir)))
+        }
+      } finally fresh.unpersist()
     }
   }
 
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame = {
-    val rels = segRelations(spark, man)
-    man.segments.map(rels).reduce(_.unionByName(_))
+  /** Pending logical removals of the current generation, if any. */
+  def tombstoneIds(spark: SparkSession): Option[DataFrame] =
+    log.resolve(spark).flatMap(m => tombDf(spark, m))
+
+  private def tombDf(spark: SparkSession,
+                     man: Manifest): Option[DataFrame] =
+    man.tombstones.map(d => spark.read.parquet(log.subPath(d)))
+
+  private def liveOf(spark: SparkSession, man: Manifest): DataFrame = {
+    val all = codesOf(spark, man)
+    tombDf(spark, man)
+      .map(t => all.join(broadcast(t), Seq(idCol), "left_anti"))
+      .getOrElse(all)
   }
+
+  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
+    log.unionOf(spark, man, man.segments)
 
   /** The current generation's (idCol, sq_codes, sq_scale, sq_norm)
-    * relation — what [[Similarity.sq8TopK]] takes as `codes`.
+    * relation — what [[Similarity.sq8TopK]] takes as `codes`; pending
+    * removals folded out.
     */
-  def codes(spark: SparkSession): DataFrame = {
-    val man = log.resolve(spark).getOrElse(throw new IllegalArgumentException(
-      s"no codes store at $path — call build()"))
-    codesOf(spark, man)
-  }
+  def codes(spark: SparkSession): DataFrame = liveOf(spark, resolved(spark))
 
-  /** Squash the segment list into one fresh segment — see
-    * [[PqCodesStore.consolidate]]; same protocol, no-op at one
-    * segment.
+  /** Squash the segment list into one fresh segment and physically
+    * drop tombstoned rows — see [[PqCodesStore.consolidate]]; same
+    * protocol, no-op at one tombstone-free segment.
     */
   def consolidate(spark: SparkSession): Unit =
     log.commitWithRetry(spark,
       Some(s"no codes store at $path to consolidate — call build()"),
       beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
       val man = manOpt.get
-      if (man.segments.size <= 1) None
+      if (man.segments.size <= 1 && man.tombstones.isEmpty) None
       else {
         val segDir = s"seg-${log.uid}"
-        codesOf(spark, man).write.mode("overwrite")
+        liveOf(spark, man).write.mode("overwrite")
           .parquet(log.subPath(segDir))
-        Some((man.copy(segments = Seq(segDir)), Seq(segDir)))
+        Some((man.copy(segments = Seq(segDir), tombstones = None),
+          Seq(segDir)))
       }
     }
 
   def vacuum(spark: SparkSession,
              olderThanMs: Long = 3600000L): Seq[String] =
-    log.vacuum(spark, Seq("seg-"), olderThanMs)
+    log.vacuum(spark, Seq("seg-", "tomb-"), olderThanMs)
 }
 
 object Sq8CodesStore {
-  private[functions] case class Manifest(segments: Seq[String]) {
-    def dirs: Seq[String] = segments
+  private[functions] case class Manifest(segments: Seq[String],
+                                         tombstones: Option[String] = None) {
+    def dirs: Seq[String] = tombstones.toSeq ++ segments
     def serialize: String =
-      segments.map(sg => s"segment $sg\n").mkString
+      tombstones.map(t => s"tombstones $t\n").mkString +
+        segments.map(sg => s"segment $sg\n").mkString
   }
 
   private[functions] object Manifest {
     def parse(content: String): Option[Manifest] = scala.util.Try {
+      var tomb: Option[String] = None
       val segs = Seq.newBuilder[String]
       content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
         val parts = line.trim.split("\\s+")
         parts(0) match {
+          case "tombstones" => tomb = Some(parts(1))
           case "segment" => segs += parts(1)
           case other => throw new IllegalArgumentException(
             s"unknown manifest keyword: $other")
         }
       }
-      val m = Manifest(segs.result())
+      val m = Manifest(segs.result(), tomb)
       require(m.segments.nonEmpty)
       m
     }.toOption

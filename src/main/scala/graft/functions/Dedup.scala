@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication: exact (content-hash), MinHash
@@ -516,8 +516,15 @@ object Dedup {
     * batch — whose survivors' keys are already stored — reproduces the
     * identical survivor set, and duplicate store rows only repeat
     * join matches that were already matches. Store appends are
-    * monotone; no compaction is required for correctness (periodic
-    * parquet compaction keeps file counts sane at scale).
+    * monotone.
+    *
+    * The store is hash-partitioned on the key columns and
+    * self-compacting — each batch joins only its own buckets'
+    * partition-pruned slice and over-fragmented buckets are rewritten
+    * in the writer's own turn (see [[admitByKeys]]'s scale notes;
+    * `nBuckets` is the layout contract — it must stay constant for a
+    * store's lifetime — and `autoCompactFiles` the per-bucket
+    * fragmentation budget).
     *
     * Candidate-level semantics, like [[lshCandidatePairs]]: dropping
     * is probabilistic on true near-dups (tune k/bands), with the same
@@ -530,13 +537,15 @@ object Dedup {
   def nearDupFilterBatch(batch: DataFrame, storePath: String,
                          idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                         maxBucketSize: Long = Long.MaxValue): DataFrame =
+                         maxBucketSize: Long = Long.MaxValue,
+                         nBuckets: Int = 64,
+                         autoCompactFiles: Int = 32): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
           docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
-      storePath, idCol)
+      storePath, idCol, nBuckets, autoCompactFiles)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -553,31 +562,56 @@ object Dedup {
     * doc's own keys, so a replayed batch — whose survivors' keys are
     * already stored — reproduces the identical survivor set, and
     * duplicate store rows only repeat join matches that were already
-    * matches. Store appends are monotone; no compaction is required
-    * for correctness.
+    * matches. Store appends are monotone.
+    *
+    * Scale shape (the 100 TB ingest story): the store is laid out
+    * HASH-PARTITIONED on the key columns (`adm_kb = hash(keys) mod
+    * nBuckets`, a directory per bucket), so each micro-batch's store
+    * join reads only the buckets the batch's own keys land in
+    * (PartitionFilters — at steady state a small batch touches a
+    * fraction of a corpus-scale store instead of scanning all of it),
+    * and every append is pre-partitioned to ONE file per touched
+    * bucket. Per-bucket file counts still grow one-per-batch forever,
+    * so the writer carries its own hands-free maintenance (the upsert
+    * sink's AutoCompact discipline): after the append, any touched
+    * bucket holding more than `autoCompactFiles` files is rewritten
+    * to a single deduplicated file. The rewrite publishes the new
+    * file BEFORE deleting the old ones — a crash between the two
+    * leaves duplicate key rows, which the admission semantics already
+    * tolerate (duplicates only repeat matches), so compaction
+    * preserves replay idempotence at every crash point.
     */
   private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
-                                     storePath: String,
-                                     idCol: String): DataFrame = {
+                                     storePath: String, idCol: String,
+                                     nBuckets: Int = 64,
+                                     autoCompactFiles: Int = 32)
+      : DataFrame = {
     val spark = batch.sparkSession
-    // keys feed three consumers (store join, self-join, append) —
-    // materialize once; a micro-batch is bounded, so executor-memory
-    // checkpointing is the right tool here (unlike the corpus-sized
-    // jaccard index)
-    val keys = keys0.localCheckpoint(true)
-    val keyCols = keys.columns.filter(_ != "doc_id").toSeq
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
+    // keys feed four consumers (bucket probe, store join, self-join,
+    // append) — materialize once; a micro-batch is bounded, so
+    // executor-memory checkpointing is the right tool here (unlike
+    // the corpus-sized jaccard index). The bucket id is engine-
+    // internal (never compared across engines), so xxhash64 is fine;
+    // int-typed so partition-value inference round-trips it exactly.
+    val keys = keys0.withColumn("adm_kb",
+        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
 
     val fsPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a pre-created empty directory is not a store yet
     val hasStore = fs.exists(fsPath) &&
-      fs.listStatus(fsPath).exists(_.getPath.getName.endsWith(".parquet"))
+      fs.listStatus(fsPath).exists(_.getPath.getName.startsWith("adm_kb="))
+    // the buckets this batch can possibly collide in — ≤ nBuckets
+    // values, never data-sized
+    val touched: Seq[Int] = keys.select(col("adm_kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val vsStore =
-      if (hasStore) {
-        val store = spark.read.parquet(storePath).select(
-          col("doc_id").as("s_id") +:
-            keyCols.map(c => col(c).as(s"s_$c")): _*)
+      if (hasStore && touched.nonEmpty) {
+        val store = admissionStoreSlice(spark, storePath, keyCols, touched)
         keys.join(store,
             keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
               && col("doc_id") =!= col("s_id"), // replay self-exclusion
@@ -595,8 +629,65 @@ object Dedup {
       .localCheckpoint(true) // materialize before mutating the store
     keys.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .write.mode("append").parquet(storePath)
+      .repartition(col("adm_kb")) // one file per touched bucket
+      .write.mode("append").partitionBy("adm_kb").parquet(storePath)
+    compactAdmissionBuckets(spark, storePath, touched, autoCompactFiles)
     survivors
+  }
+
+  /** The partition-PRUNED slice of an admission store a micro-batch
+    * joins against: only the `touched` buckets' directories are read
+    * (same-key rows share a bucket by construction, so pruning can
+    * never lose a collision). Factored out so the plan property —
+    * PartitionFilters on `adm_kb`, not a full-store scan — is pinned
+    * by a spec on the exact production relation.
+    */
+  private[graft] def admissionStoreSlice(spark: SparkSession,
+      storePath: String, keyCols: Seq[String],
+      touched: Seq[Int]): DataFrame =
+    spark.read.parquet(storePath)
+      .filter(col("adm_kb").isInCollection(touched))
+      .select(col("doc_id").as("s_id") +:
+        keyCols.map(c => col(c).as(s"s_$c")): _*)
+
+  /** Rewrite any of `buckets` holding more than `maxFiles` parquet
+    * files into one deduplicated file each — the admission store's
+    * AutoCompact, riding the single writer's own batch. Publication
+    * order is crash-safe for the admission semantics: the consolidated
+    * file lands (atomic rename from a dot-prefixed staging dir Spark
+    * readers ignore) BEFORE the superseded files are deleted, so every
+    * crash point leaves at worst duplicate key rows, never missing
+    * ones. Returns the buckets rewritten.
+    */
+  private[graft] def compactAdmissionBuckets(spark: SparkSession,
+      storePath: String, buckets: Seq[Int], maxFiles: Int): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.filter { b =>
+      val dir = new org.apache.hadoop.fs.Path(root, s"adm_kb=$b")
+      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      old.length > maxFiles && {
+        // read exactly the superseded files (not the dir): keys that
+        // land between the listing and the rewrite stay out of both
+        // the read and the delete set, so they survive untouched
+        val staging = new org.apache.hadoop.fs.Path(root,
+          s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+        spark.read.parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+          .distinct().coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val staged = fs.listStatus(staging)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        staged.foreach { s =>
+          fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(dir,
+              s"compacted-${s.getPath.getName}"))
+        }
+        old.foreach(s => fs.delete(s.getPath, false))
+        fs.delete(staging, true)
+        true
+      }
+    }
   }
 
   // ------------------- duplicate-cluster formation -------------------

@@ -472,7 +472,9 @@ object Similarity {
                               planes: Int, dims: Int, tables: Int = 8,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
-                              maxBucketSize: Long = Long.MaxValue)
+                              maxBucketSize: Long = Long.MaxValue,
+                              nBuckets: Int = 64,
+                              autoCompactFiles: Int = 32)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -480,7 +482,7 @@ object Similarity {
           posexplode(srpBuckets(col(vecCol), planes, dims, tables))
             .as(Seq("tbl", "b"))),
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
-      storePath, idCol)
+      storePath, idCol, nBuckets, autoCompactFiles)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
@@ -1036,19 +1038,26 @@ object Similarity {
           "ivfPqTopK needs cell in the persisted codes table — encode " +
             "with pqEncode(assigned = Some(...))")
         // fingerprint refusal (the BpeCheckpoint corpusFp discipline):
-        // the codes must have been produced by THIS codebook. The
-        // column is a stamped constant, so one row decides; append-grown
-        // tables stay uniform because append requires the frozen
-        // codebook. One limit-1 job per batch — noise next to the scan.
+        // the codes must ALL have been produced by THIS codebook.
+        // Distinct over the stamped-constant column (RLE — the scan is
+        // cheap and column-pruned), capped at 2: one row can't vouch
+        // for a table of mixed provenance (a caller unioning two
+        // persisted tables would pass a sampled check while half the
+        // rows rank under a foreign codebook's codes).
         require(cdf.columns.contains("pq_fp"),
           "persisted codes table carries no pq_fp fingerprint — " +
             "re-encode with pqEncode against the codebook in use")
-        val fp = cdf.select(col("pq_fp")).limit(1).collect()
-        require(fp.nonEmpty && fp(0).getLong(0) == cb.fingerprint,
+        val fp = cdf.select(col("pq_fp")).distinct().limit(2).collect()
+        require(fp.length == 1,
+          if (fp.isEmpty) "persisted codes table is empty"
+          else "codes table carries MULTIPLE codebook fingerprints (" +
+            fp.map(_.getLong(0)).mkString(", ") + ") — mixed " +
+            "provenance (e.g. a union of differently-encoded tables); " +
+            "re-encode under one codebook")
+        require(fp(0).getLong(0) == cb.fingerprint,
           s"codes table was encoded under codebook fingerprint " +
-            s"${fp.headOption.map(_.getLong(0)).getOrElse("<empty>")}, " +
-            s"not this codebook's ${cb.fingerprint} — stale or " +
-            "mismatched artifact; re-encode")
+            s"${fp(0).getLong(0)}, not this codebook's " +
+            s"${cb.fingerprint} — stale or mismatched artifact; re-encode")
         cdf.select(Seq(col("cid").as("neighbor_id"), col("pq_codes"),
           col("pq_norm")) ++
           (if (coarse.isDefined) Seq(col("cell")) else Nil): _*)
@@ -1279,26 +1288,25 @@ class IvfIndex(path: String, nCells: Int,
     * session-bound), and any append/compact/delete commit changes the
     * manifest key on its next probe.
     */
-  @volatile private var probeCache
-      : Option[(SparkSession, String, DataFrame, Map[String, DataFrame])] =
-    None
+  @volatile private var centroidCache
+      : Option[(SparkSession, String, DataFrame)] = None
 
   private def generation(spark: SparkSession, m: Manifest)
       : (DataFrame, Map[String, DataFrame]) = {
     val key = m.serialize
-    probeCache match {
-      case Some((s, k, c, segs)) if (s eq spark) && k == key => (c, segs)
+    val c = centroidCache match {
+      case Some((s, k, df)) if (s eq spark) && k == key => df
       case _ =>
         val raw = spark.read.parquet(s"$path/${m.centroids}")
         val rows = raw.collect()
-        val c = spark.createDataFrame(
+        val df = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), raw.schema)
-        val segs = m.segments
-          .map(sg => sg.dir -> spark.read.parquet(s"$path/${sg.dir}"))
-          .toMap
-        probeCache = Some((spark, key, c, segs))
-        (c, segs)
+        centroidCache = Some((spark, key, df))
+        df
     }
+    // segment relations ride the shared per-generation cache — the
+    // same layer under the PQ/SQ8 codes stores
+    (c, log.cachedRelations(spark, m, m.segments.map(_.dir)))
   }
 
   /** Pending logical removals of the current generation, if any. */

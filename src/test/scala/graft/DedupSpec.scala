@@ -253,6 +253,87 @@ class DedupSpec extends SparkTestBase {
       s"distinct vectors over-dropped: $admitted")
   }
 
+  test("admission store: the per-batch store join is partition-pruned " +
+    "to the batch's own buckets") {
+    import spark.implicits._
+    val store = tmpDir("ndstore-prune")
+    // seed several batches so multiple bucket directories exist
+    for (i <- 0 until 4)
+      Dedup.nearDupFilterBatch(
+        Seq((i.toLong, s"unique document number $i with forty words " +
+          s"about topic-$i and trailing filler tokens for shingles"))
+          .toDF("doc_id", "text"), store, "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val allBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).sorted
+    assert(allBuckets.length >= 2,
+      s"seed batches landed in ${allBuckets.length} bucket(s) — the " +
+        "pruning assertion below needs at least two")
+    // the EXACT production relation a batch joins, sliced to a strict
+    // subset of the existing buckets: the scan must carry a static
+    // PartitionFilters on adm_kb (a full-store scan here is the 100 TB
+    // regression this pin exists for)
+    val slice = Dedup.admissionStoreSlice(spark, store,
+      Seq("band", "band_key"), Seq(allBuckets.head))
+    val p = slice.queryExecution.executedPlan.toString
+    // a 1-value IN plans as equality, multi-value as IN/INSET — any of
+    // these is a static partition filter on the bucket column
+    assert(p.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*adm_kb#\\d+ (=|IN|INSET).*"),
+      s"store slice is not partition-pruned:\n$p")
+    // and the pruned slice really reads only that bucket's rows
+    val sliceIds = slice.select("s_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val bucketIds = spark.read
+      .parquet(s"$store/adm_kb=${allBuckets.head}")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sliceIds === bucketIds,
+      "pruned slice rows diverge from the bucket directory's contents")
+  }
+
+  test("admission store auto-compacts over-fragmented buckets; " +
+    "admission decisions identical across compaction (replay-safe)") {
+    import spark.implicits._
+    val store = tmpDir("ndstore-autocompact")
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank under a pale morning sky"
+    def admit(batch: Seq[(Long, String)]): Set[Long] =
+      Dedup.nearDupFilterBatch(batch.toDF("doc_id", "text"), store,
+          "doc_id", "text", autoCompactFiles = 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admit(Seq((0L, base))) === Set(0L))
+    // several single-doc batches of DISTINCT content: every admitted
+    // batch appends a file; with the 1-file budget, any bucket a
+    // second batch touches compacts in that writer's own turn
+    val lastBatch = Seq((9L, base.replace("fox", "wolf"))) // near-dup of 0
+    for (i <- 1L to 5L)
+      admit(Seq((i, s"completely different subject matter $i " +
+        s"covering topic-$i with enough words to shingle cleanly")))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val perBucket = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(st => fs.listStatus(st.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+    // budget may be exceeded by exactly the one fresh append a bucket
+    // untouched since compaction carries; never unbounded growth
+    assert(perBucket.forall(_ <= 2),
+      s"bucket file counts after auto-compaction: ${perBucket.toSeq}")
+    assert(perBucket.exists(_ == 1),
+      "no bucket was ever rewritten — the compaction path never ran")
+    // the compacted store still carries every admitted doc's keys: a
+    // near-dup of the FIRST admitted doc is still rejected
+    assert(admit(lastBatch) === Set.empty[Long],
+      "compaction lost admitted keys — near-dup re-admitted")
+    // replay idempotence across compaction: re-running an old batch
+    // reproduces its survivor set bit-for-bit
+    assert(admit(Seq((3L, "completely different subject matter 3 " +
+      "covering topic-3 with enough words to shingle cleanly"))) ===
+      Set(3L), "replay after compaction changed the survivor set")
+  }
+
   test("streaming near-dup filter drops near (not just exact) duplicates") {
     import spark.implicits._
     val store = tmpDir("ndstore2")

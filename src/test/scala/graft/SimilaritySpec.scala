@@ -948,6 +948,114 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("codes-store remove ≡ rebuild-without-ids (flat and coarse); " +
+    "tombstoned re-append refused until consolidate; then re-admitted") {
+    val q = emb.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val dead = emb.filter(col("vec_id") % 7 === 3)
+    val kept = emb.filter(col("vec_id") % 7 =!= 3)
+    for (cells <- Seq(None, Some(16))) {
+      val store = new graft.functions.PqCodesStore(
+        tmpDir(s"pqstore-rm-${cells.isDefined}"), m = 8, nCodes = 16,
+        nCells = cells)
+      store.build(emb.filter(col("vec_id") < 250), Some(cb))
+      store.append(emb.filter(col("vec_id") >= 250))
+      store.remove(dead.select("vec_id"))
+      // the reference: a store built over the kept rows only, under
+      // the SAME codebook (and, when coarse, the same frozen seeds is
+      // NOT required for this parity — codes carry their own cell, and
+      // the removed rows simply never existed)
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getAs[Any]("cid"), r.getSeq[Int](r.fieldIndex("pq_codes")),
+          r.getDouble(r.fieldIndex("pq_norm")))
+      val live = store.codes(spark).collect().map(keyOf).toSet
+      val rebuilt = Similarity.pqEncode(kept, cb).collect().map(keyOf).toSet
+      assert(live === rebuilt,
+        s"remove(cells=$cells) diverged from rebuild-without-ids")
+      // probe parity against an inline run over the kept corpus
+      if (cells.isEmpty)
+        assert(Similarity.pqTopK(kept, q, 5, codebook = Some(cb),
+            codes = Some(store.codes(spark))).collect().toSet ===
+          Similarity.pqTopK(kept, q, 5, codebook = Some(cb))
+            .collect().toSet,
+          "tombstone-filtered probe diverged from inline over kept rows")
+      // a removed id may not be silently re-appended: the dead row is
+      // still physically present, so the update-shaped re-add must be
+      // refused until consolidate clears it
+      val ex = intercept[IllegalArgumentException] {
+        store.append(dead.limit(3))
+      }
+      assert(ex.getMessage.contains("consolidate"))
+      store.consolidate(spark)
+      assert(store.segmentCount(spark) === 1)
+      assert(store.codes(spark).collect().map(keyOf).toSet === rebuilt,
+        "consolidate changed the live codes")
+      // post-consolidate, the same ids re-admit as a plain append
+      store.append(dead)
+      assert(store.codes(spark).select("cid").collect()
+        .map(_.getLong(0)).toSet ===
+        emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+        "re-append after consolidate did not restore the removed ids")
+    }
+    // SQ8: same discipline
+    val s8 = new graft.functions.Sq8CodesStore(tmpDir("sq8store-rm"))
+    s8.build(emb.filter(col("vec_id") < 250))
+    s8.append(emb.filter(col("vec_id") >= 250))
+    s8.remove(dead.select("vec_id"))
+    assert(s8.codes(spark).collect().toSet ===
+      Similarity.sq8Quantize(kept).collect().toSet,
+      "SQ8 remove diverged from rebuild-without-ids")
+    intercept[IllegalArgumentException] { s8.append(dead.limit(2)) }
+    s8.consolidate(spark)
+    assert(s8.codes(spark).collect().toSet ===
+      Similarity.sq8Quantize(kept).collect().toSet)
+    s8.append(dead)
+    assert(s8.codes(spark).count() === emb.count())
+    // empty removals are a no-op commit (idempotent replay shape)
+    s8.remove(emb.filter(col("vec_id") < 0).select("vec_id"))
+    assert(s8.codes(spark).count() === emb.count())
+  }
+
+  test("codes-store auto-consolidate rides the append commit: a " +
+    "threshold-crossing append leaves ONE segment, identical codes") {
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val store = new graft.functions.PqCodesStore(
+      tmpDir("pqstore-autocons"), m = 8, nCodes = 16, nCells = Some(16),
+      autoConsolidateSegments = 3)
+    store.build(emb.filter(col("vec_id") < 100), Some(cb))
+    store.append(emb.filter(col("vec_id") >= 100 && col("vec_id") < 200))
+    store.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300))
+    assert(store.segmentCount(spark) === 3, "pre-threshold appends " +
+      "must accumulate segments up to the budget")
+    // tombstones fold out in the same auto-consolidating commit
+    store.remove(emb.filter(col("vec_id") === 5L).select("vec_id"))
+    store.append(emb.filter(col("vec_id") >= 300))
+    assert(store.segmentCount(spark) === 1,
+      "threshold-crossing append did not auto-consolidate")
+    assert(store.tombstoneIds(spark).isEmpty,
+      "auto-consolidate left the folded tombstones in the manifest")
+    val quant = Similarity.ivfQuantizeCached(emb, nCells = 16)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Any]("cid"), r.getSeq[Int](r.fieldIndex("pq_codes")),
+        r.getDouble(r.fieldIndex("pq_norm")))
+    assert(store.codes(spark).collect().map(keyOf).toSet ===
+      Similarity.pqEncode(emb.filter(col("vec_id") =!= 5L), cb,
+        assigned = Some(quant._1.filter(col("cid") =!= 5L)))
+        .collect().map(keyOf).toSet,
+      "auto-consolidated codes diverged from the expected live set")
+    // SQ8 analog
+    val s8 = new graft.functions.Sq8CodesStore(
+      tmpDir("sq8store-autocons"), autoConsolidateSegments = 2)
+    s8.build(emb.filter(col("vec_id") < 200))
+    s8.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300))
+    assert(s8.segmentCount(spark) === 2)
+    s8.append(emb.filter(col("vec_id") >= 300))
+    assert(s8.segmentCount(spark) === 1,
+      "SQ8 threshold-crossing append did not auto-consolidate")
+    assert(s8.codes(spark).collect().toSet ===
+      Similarity.sq8Quantize(emb).collect().toSet)
+  }
+
   test("PqCodesStore vacuum reclaims orphans, never committed dirs") {
     val dir = tmpDir("pqstore-vac")
     val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
