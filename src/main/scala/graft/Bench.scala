@@ -21,9 +21,23 @@ import org.apache.spark.sql.SparkSession
   *    under-report.
   */
 object Bench {
+  /** Host-load snapshot ("1m 5m 15m running/threads" from
+    * /proc/loadavg): stamped into the history line at run start and
+    * end, so a degraded-window reading is diagnosable FROM THE
+    * ARTIFACT (concurrent JVMs inflated rounds 14-15 readings by
+    * 1.1-1.2×; before this the drift had to be re-adjudicated with
+    * isolation reps).
+    */
+  private def loadavg: String = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try src.getLines().next().split("\\s+").take(4).mkString(" ")
+    finally src.close()
+  }.getOrElse("n/a")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,7 +103,8 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val stamped = line.dropRight(1) +
-      s""","ts_ms":${System.currentTimeMillis()},"cpus":"$cpus"}""" + "\n"
+      s""","ts_ms":${System.currentTimeMillis()},"cpus":"$cpus"""" +
+      s""","load_start":"$loadStart","load_end":"$loadavg"}""" + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
       stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,

@@ -278,6 +278,64 @@ object SparkEntry {
     df
   }
 
+  /** The removed-vector ids of the DELETION fixture chains (and of
+    * their oracle mirrors' neighbor exclusion): deterministic, ~1/7 of
+    * the corpus — large enough that tombstoning them MUST reshuffle
+    * several queries' top-5.
+    */
+  private def removedIds(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+
+  /** PQ codes table through a build+append+REMOVE generation chain —
+    * the deletion-fixture analog of [[pqCodesFixture]]: the store the
+    * `embed_topk_pq_removed` oracle row probes carries live
+    * tombstones (NOT consolidated away), so the hash gate re-proves
+    * every round that the anti-join deletion path ranks exactly as a
+    * corpus that never held the removed vectors. A crashed
+    * build-append-remove chain (store committed, tombstones not yet)
+    * re-runs the whole deterministic chain.
+    */
+  private def pqCodesRemovedFixture(s: SparkSession, d: String)
+      : DataFrame = {
+    val (df, path) = memoFixture("pq_codes_removed", d) {
+      val p = keyedArtifactDir(s, "pq-codes-rm-v1",
+        contentKey(s, s"$d/embeddings.parquet"))
+      val store = new graft.functions.PqCodesStore(p, 8, 16, 1)
+      if (!store.exists(s) || store.tombstoneIds(s).isEmpty) {
+        val emb = t(s, d, "embeddings")
+        val (lo, hi) = embSplit(emb)
+        store.build(lo, codebook = Some(pqModelFixture(s, d, 8, 16, 1)))
+        store.append(hi)
+        store.remove(removedIds(emb))
+      }
+      (store.codes(s), p)
+    }
+    Stage.heartbeat(s, path)
+    df
+  }
+
+  /** SQ8 deletion fixture — same chain as [[pqCodesRemovedFixture]]
+    * for the scalar-quantized artifact.
+    */
+  private def sq8CodesRemovedFixture(s: SparkSession, d: String)
+      : DataFrame = {
+    val (df, path) = memoFixture("sq8_codes_removed", d) {
+      val p = keyedArtifactDir(s, "sq8-codes-rm-v1",
+        contentKey(s, s"$d/embeddings.parquet"))
+      val store = new graft.functions.Sq8CodesStore(p)
+      if (!store.exists(s) || store.tombstoneIds(s).isEmpty) {
+        val emb = t(s, d, "embeddings")
+        val (lo, hi) = embSplit(emb)
+        store.build(lo)
+        store.append(hi)
+        store.remove(removedIds(emb))
+      }
+      (store.codes(s), p)
+    }
+    Stage.heartbeat(s, path)
+    df
+  }
+
   /** The curation-v2 survivor set, lazy (callers checkpoint it):
     * scan-side quality gates ∧ Gopher repetition ∧ corpus-LM floor ∧
     * dup-span drop, composed by doc_id semi-joins. `toksDf` is the
@@ -907,8 +965,11 @@ object SparkEntry {
     * fixed multiply order for the scale/norm factors, 6-dp rounding
     * before both rankings.
     */
-  private val sq8TopkOracleSql: String =
-    """WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+  /** `neighborWhere` lets the deletion mirror exclude tombstoned ids
+    * from the neighbor side (see `embed_topk_sq8_removed`).
+    */
+  private def sq8TopkOracleSqlWhere(neighborWhere: String): String =
+    s"""WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
       | FROM embeddings),
       |zc AS (SELECT vec_id, v,
@@ -920,7 +981,7 @@ object SparkEntry {
       |  ROUND(list_dot_product(q.c, c.c) * q.s * c.s / (q.n * c.n), 6)
       |    AS ascore
       | FROM codes q JOIN codes c
-      |   ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |   ON q.vec_id < 8 AND c.vec_id <> q.vec_id$neighborWhere),
       |cand AS (SELECT query_id, neighbor_id FROM (
       |  SELECT query_id, neighbor_id,
       |   row_number() OVER (PARTITION BY query_id
@@ -936,6 +997,8 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id
       |   ORDER BY score DESC, neighbor_id) AS rank
       | FROM scored) WHERE rank <= 5""".stripMargin
+
+  private val sq8TopkOracleSql: String = sq8TopkOracleSqlWhere("")
 
   /** Product-quantization ADC mirror of [[Similarity.pqTopK]] (m=8,
     * nCodes=16, rerank=40): per-subspace seed assignment and encode
@@ -995,15 +1058,18 @@ object SparkEntry {
   }
 
   /** The ADC terms → rerank → exact-re-rank tail; `termsExtra` lets
-    * the IVF-PQ mirror gate the terms to each query's probed cells.
+    * the IVF-PQ mirror gate the terms to each query's probed cells,
+    * `neighborWhere` the deletion mirror exclude tombstoned ids from
+    * the neighbor side.
     */
-  private def pqTailSql(termsExtra: String): String =
+  private def pqTailSql(termsExtra: String,
+                        neighborWhere: String = ""): String =
     s""",
       |terms AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
       |  CAST(FLOOR(list_dot_product(q.sv, ct.centroid) * 1000000.0 + 0.5) AS BIGINT) AS t
       | FROM codes cd JOIN cent ct ON ct.s = cd.s AND ct.code = cd.code
       | JOIN sub q ON q.s = cd.s$termsExtra
-      | WHERE q.vec_id < 8 AND cd.vec_id <> q.vec_id),
+      | WHERE q.vec_id < 8 AND cd.vec_id <> q.vec_id$neighborWhere),
       |adc AS (SELECT query_id, neighbor_id, SUM(t)::BIGINT AS adci
       | FROM terms GROUP BY query_id, neighbor_id),
       |approx AS (SELECT query_id, neighbor_id,
@@ -2780,6 +2846,26 @@ object SparkEntry {
         codes = Some(pqCodesFixture(s, d, 8, 16, 1, withCell = false)))
     }),
 
+    // Deletion reaching the derived ANN artifacts (the 100 TB
+    // takedown/decontamination path): both codes tables serve a
+    // build+append+REMOVE generation chain — ~1/7 of the corpus
+    // tombstoned, folded out by the store's anti-join at codes() —
+    // and the rankings must equal a corpus that never held the
+    // removed vectors (the DuckDB mirror excludes them from the
+    // neighbor side; queries and candidate budgets are unchanged).
+    "embed_topk_pq_removed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        m = 8, nCodes = 16, rerank = 40,
+        codebook = Some(pqModelFixture(s, d, 8, 16, 1)),
+        codes = Some(pqCodesRemovedFixture(s, d)))
+    }),
+    "embed_topk_sq8_removed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), 5,
+        rerank = 20, codes = Some(sq8CodesRemovedFixture(s, d)))
+    }),
+
     // PQ at production-shaped codebook parameters: 256 codes per
     // subspace trained over TWO Lloyd rounds (FAISS-standard shape vs
     // the 16-code one-step demo above). Same integer-exact ADC, same
@@ -4277,6 +4363,14 @@ object SparkEntry {
 
     // PQ ADC mirror — see [[pqTopkOracleSql]].
     "embed_topk_pq" -> pqTopkOracleSql,
+    // Deletion mirrors: the identical ADC chains with the tombstoned
+    // ids (vec_id % 7 == 3, [[removedIds]]) excluded from the
+    // neighbor side — what a rebuild over the kept corpus would rank.
+    "embed_topk_pq_removed" ->
+      ("WITH " + pqChainCtes(8, 16, 1) +
+        pqTailSql("", " AND cd.vec_id % 7 <> 3")),
+    "embed_topk_sq8_removed" ->
+      sq8TopkOracleSqlWhere(" AND c.vec_id % 7 <> 3"),
 
     "embed_topk_pq_trained" -> pqTrainedOracleSql,
 
