@@ -1056,6 +1056,133 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.sq8Quantize(emb).collect().toSet)
   }
 
+  test("streaming ANN maintenance end-to-end: foreachBatch admission " +
+    "feeds live PqCodesStore appends under a concurrent prober; " +
+    "converges to the batch-built store over the admitted set; " +
+    "replayed batches are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val admStore = tmpDir("annstream-adm")
+    val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16, iters = 1)
+    val pqStore = new graft.functions.PqCodesStore(
+      tmpDir("annstream-pq"), m = 8, nCodes = 16,
+      retainVersions = 8, autoConsolidateSegments = 2)
+    // train-ahead discipline: codebook frozen over the full corpus,
+    // store built on the slice already ingested; the stream delivers
+    // the rest in micro-batches
+    pqStore.build(emb.filter(col("vec_id") < 64), Some(cb))
+    val rows = emb.filter(col("vec_id") >= 64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
+    // plant exact copies of already-admitted vectors under fresh ids:
+    // the semantic admission filter must reject them, so they never
+    // reach the codes store
+    val dupRows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (10000L + r.getLong(0), r.getSeq[Float](1)))
+
+    def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
+      pqStore.append(Similarity.embedNearDupFilterBatch(batch, admStore,
+        planes = 12, dims = 64, tables = 8))
+    // seed the admission store with the build slice's keys so the
+    // stream can't re-admit copies of pre-stream vectors
+    Similarity.embedNearDupFilterBatch(
+      emb.filter(col("vec_id") < 64).select("vec_id", "embedding"),
+      admStore, planes = 12, dims = 64, tables = 8)
+
+    val q8 = emb.filter(col("vec_id") < 8)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // every probe resolves SOME committed generation — never a
+          // torn one — while appends and auto-consolidations land
+          val n = Similarity.pqTopK(emb, q8, 5, codebook = Some(cb),
+            codes = Some(pqStore.codes(spark))).count()
+          assert(n > 0)
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("annstream-ckpt"))
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ingest(b))
+      .start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        input.addData(c.toSeq ++ (if (i == 1) dupRows.toSeq else Nil))
+        stream.processAllAvailable()
+      }
+    } finally {
+      stream.stop()
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(readerErr.get() === null,
+      s"concurrent probe errored: ${readerErr.get()}")
+    assert(reads.get() > 0, "reader thread never completed a probe")
+
+    // the planted exact copies were rejected at admission — deletion
+    // of redundancy happened BEFORE the expensive encode+commit
+    val storedIds = pqStore.codes(spark).select("cid").collect()
+      .map(_.getLong(0)).toSet
+    assert(!storedIds.exists(_ >= 10000L),
+      "semantic near-dups leaked into the codes store")
+    // the build slice is fully present and the stream grew the store;
+    // NOT all stream ids land — the synthetic corpus carries planted
+    // near-identical vectors, and rejecting those is the admission
+    // filter doing its job (the convergence check below proves the
+    // store holds exactly the admitted set, whatever it is)
+    assert((0L until 64L).forall(storedIds),
+      "build-slice vectors missing from the codes store")
+    assert(storedIds.size > 64 &&
+      rows.map(_._1).count(storedIds) > rows.length / 2,
+      s"stream admissions implausibly low: ${storedIds.size - 64} of " +
+        s"${rows.length}")
+    // maintenance rode the appends: the segment list stayed at the
+    // auto-consolidate budget through 4 stream batches
+    assert(pqStore.segmentCount(spark) <= 2,
+      s"auto-consolidate never ran (${pqStore.segmentCount(spark)} segments)")
+
+    // convergence: the streamed store ≡ a one-shot batch build over
+    // exactly the admitted corpus, codes and probe results alike
+    val admitted = emb.join(
+      pqStore.codes(spark).select(col("cid").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val ref = new graft.functions.PqCodesStore(
+      tmpDir("annstream-ref"), m = 8, nCodes = 16)
+    ref.build(admitted, Some(cb))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Int](r.fieldIndex("pq_codes")),
+        r.getDouble(r.fieldIndex("pq_norm")))
+    assert(pqStore.codes(spark).collect().map(keyOf).toSet ===
+      ref.codes(spark).collect().map(keyOf).toSet,
+      "streamed store codes diverge from the batch-built reference")
+    assert(Similarity.pqTopK(emb, q8, 5, codebook = Some(cb),
+        codes = Some(pqStore.codes(spark))).collect().toSet ===
+      Similarity.pqTopK(emb, q8, 5, codebook = Some(cb),
+        codes = Some(ref.codes(spark))).collect().toSet,
+      "streamed-store probe diverged from the batch-built reference")
+
+    // replay safety (crash between the foreachBatch commit and the
+    // checkpoint advance): re-running a delivered batch converges to
+    // a no-op — admission reproduces its survivors, append anti-joins
+    // them away
+    val before = pqStore.codes(spark).collect().map(keyOf).toSet
+    ingest(chunks(1).toSeq.toDF("vec_id", "embedding"))
+    assert(pqStore.codes(spark).collect().map(keyOf).toSet === before,
+      "replayed micro-batch mutated the codes store")
+  }
+
   test("PqCodesStore vacuum reclaims orphans, never committed dirs") {
     val dir = tmpDir("pqstore-vac")
     val cb = Similarity.pqTrainCodebook(emb, m = 8, nCodes = 16)
