@@ -79,6 +79,27 @@ object ScaleProof {
     def planesFor(n: Long): Int = // hold ~100 vectors/bucket
       math.max(4, (math.log(n / 100.0) / math.log(2)).round.toInt)
     def cellsFor(n: Long): Int = math.max(16, math.sqrt(n).round.toInt)
+    // admission-store layout: ~100 docs/bucket, so a fixed batch's
+    // touched-bucket read stays batch-proportional as the store grows
+    // (the nBuckets-scales-with-corpus discipline, like cellsFor)
+    def admitBucketsFor(n: Long): Int = math.max(16, (n / 100).toInt)
+
+    // seeded admitted-keys store per corpus size (setup, untimed):
+    // the whole corpus admitted in 4 sequential micro-batches
+    val admitSeeded = scala.collection.mutable.Set.empty[Long]
+    def admitSetup(n: Long, docs: DataFrame): String = {
+      val store = s"$work/admsteady_$n"
+      if (!admitSeeded(n)) {
+        for (b <- 0 until 4)
+          Dedup.nearDupFilterBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16)
+        admitSeeded += n
+      }
+      store
+    }
+    val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
 
     // (view0 checkpointed, feed checkpointed, sink) per corpus size —
     // built once on first use so the timed IVM reps never pay setup.
@@ -365,6 +386,24 @@ object ScaleProof {
               batch, store, "doc_id", "text").count()
           }
           survivors
+        }),
+        // STEADY-STATE admission: a FIXED 8-doc batch against the
+        // n-doc seeded store — the per-arrival cost a 100 TB ingest
+        // pays forever. The store is bucketed at ~100 docs/bucket
+        // (layout scales with corpus), so the batch's ~32 band keys
+        // touch a bounded bucket set and the store join reads a
+        // batch-proportional slice whatever the store size: expect a
+        // near-flat exponent (the pre-partitioned layout re-scanned
+        // the FULL store per batch — exponent ≈ 1 by construction)
+        "admit_steady" -> (() => {
+          val store = admitSetup(n, docs)
+          val r = admitRep.incrementAndGet()
+          val batch = CorpusGenerator
+            .documents(spark, 8, seed = 7000 + r)
+            .select((col("doc_id") + lit(10000000L + r * 1000L))
+              .as("doc_id"), col("text"))
+          Dedup.nearDupFilterBatch(batch, store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16).count()
         }),
         // suffix-array-style substring dedup signal: positional-index
         // parquet materialization (the durable path, like jaccard's
@@ -750,6 +789,8 @@ object ScaleProof {
         partFeedSetup(n, docs)
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
+      if (selected.exists(_._1 == "admit_steady"))
+        admitSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

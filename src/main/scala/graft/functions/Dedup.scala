@@ -600,24 +600,20 @@ object Dedup {
         pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
       .localCheckpoint(true)
 
-    val fsPath = new org.apache.hadoop.fs.Path(storePath)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a pre-created empty directory is not a store yet
-    val hasStore = fs.exists(fsPath) &&
-      fs.listStatus(fsPath).exists(_.getPath.getName.startsWith("adm_kb="))
     // the buckets this batch can possibly collide in — ≤ nBuckets
     // values, never data-sized
     val touched: Seq[Int] = keys.select(col("adm_kb")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val vsStore =
-      if (hasStore && touched.nonEmpty) {
-        val store = admissionStoreSlice(spark, storePath, keyCols, touched)
-        keys.join(store,
-            keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
-              && col("doc_id") =!= col("s_id"), // replay self-exclusion
-            "left_semi")
-          .select(col("doc_id"))
-      } else keys.select(col("doc_id")).limit(0)
+      admissionStoreSlice(spark, storePath, keyCols, touched) match {
+        case Some(store) =>
+          keys.join(store,
+              keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
+                && col("doc_id") =!= col("s_id"), // replay self-exclusion
+              "left_semi")
+            .select(col("doc_id"))
+        case None => keys.select(col("doc_id")).limit(0)
+      }
     val withinBatch = keys.as("l").join(keys.as("r"),
         keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
         col("r.doc_id") < col("l.doc_id"), "left_semi")
@@ -636,19 +632,37 @@ object Dedup {
   }
 
   /** The partition-PRUNED slice of an admission store a micro-batch
-    * joins against: only the `touched` buckets' directories are read
-    * (same-key rows share a bucket by construction, so pruning can
-    * never lose a collision). Factored out so the plan property —
-    * PartitionFilters on `adm_kb`, not a full-store scan — is pinned
-    * by a spec on the exact production relation.
+    * joins against: ONLY the `touched` buckets' directories are
+    * listed and read — discovery cost is O(batch buckets), not
+    * O(store buckets); a plain partition-filtered read of the root
+    * would still list every `adm_kb=` directory per micro-batch,
+    * which dominated at corpus-scale stores (same-key rows share a
+    * bucket by construction, so the slice can never lose a
+    * collision). Returns None when no touched bucket exists yet (a
+    * fresh store — nothing to collide with). Factored out so the
+    * plan property — a scan over just the touched directories, still
+    * carrying the adm_kb partition filter — is pinned by a spec on
+    * the exact production relation.
     */
   private[graft] def admissionStoreSlice(spark: SparkSession,
       storePath: String, keyCols: Seq[String],
-      touched: Seq[Int]): DataFrame =
-    spark.read.parquet(storePath)
+      touched: Seq[Int]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (touched.isEmpty || !fs.exists(root)) return None
+    val dirs = touched.map(b => new org.apache.hadoop.fs.Path(root,
+        s"adm_kb=$b"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) return None
+    // basePath keeps adm_kb a partition column of the slice; the
+    // redundant IN filter costs nothing and keeps the pruning
+    // property visible in (and pinned on) the physical plan
+    Some(spark.read.option("basePath", storePath)
+      .parquet(dirs: _*)
       .filter(col("adm_kb").isInCollection(touched))
       .select(col("doc_id").as("s_id") +:
-        keyCols.map(c => col(c).as(s"s_$c")): _*)
+        keyCols.map(c => col(c).as(s"s_$c")): _*))
+  }
 
   /** Rewrite any of `buckets` holding more than `maxFiles` parquet
     * files into one deduplicated file each — the admission store's

@@ -272,17 +272,27 @@ class DedupSpec extends SparkTestBase {
       s"seed batches landed in ${allBuckets.length} bucket(s) — the " +
         "pruning assertion below needs at least two")
     // the EXACT production relation a batch joins, sliced to a strict
-    // subset of the existing buckets: the scan must carry a static
-    // PartitionFilters on adm_kb (a full-store scan here is the 100 TB
-    // regression this pin exists for)
+    // subset of the existing buckets: the scan must list ONLY the
+    // touched directory (a full-store listing/scan here is the 100 TB
+    // regression this pin exists for) and still carry the adm_kb
+    // partition filter
     val slice = Dedup.admissionStoreSlice(spark, store,
-      Seq("band", "band_key"), Seq(allBuckets.head))
+      Seq("band", "band_key"), Seq(allBuckets.head)).get
     val p = slice.queryExecution.executedPlan.toString
     // a 1-value IN plans as equality, multi-value as IN/INSET — any of
     // these is a static partition filter on the bucket column
     assert(p.matches(
       "(?s).*PartitionFilters: \\[[^\\]]*adm_kb#\\d+ (=|IN|INSET).*"),
       s"store slice is not partition-pruned:\n$p")
+    assert(p.contains(s"adm_kb=${allBuckets.head}") &&
+      !allBuckets.tail.exists(b => p.contains(s"adm_kb=$b")),
+      s"slice listed untouched bucket directories:\n$p")
+    // untouched buckets (and a fresh store) yield no relation at all
+    val absentBucket = (0 until 64).find(b => !allBuckets.contains(b)).get
+    assert(Dedup.admissionStoreSlice(spark, store,
+      Seq("band", "band_key"), Seq(absentBucket)).isEmpty)
+    assert(Dedup.admissionStoreSlice(spark, tmpDir("ndstore-absent"),
+      Seq("band", "band_key"), Seq(0)).isEmpty)
     // and the pruned slice really reads only that bucket's rows
     val sliceIds = slice.select("s_id").distinct().collect()
       .map(_.getLong(0)).toSet
