@@ -2934,6 +2934,30 @@ object SparkEntry {
       a1.unionAll(a2)
     }),
 
+    // Streaming LEXICAL admission, batch-equivalent — the minhash
+    // analog of docs_embed_admission (previously spec-only): the
+    // documents corpus arrives as two fixed batches (low/high id
+    // halves) through nearDupFilterBatch over a fresh scratch store;
+    // rows are the ADMITTED docs per batch. Deterministic (md5
+    // minhash family, fixed split), so the sequential admission —
+    // within-batch smaller-id rule, then the store join with
+    // self-exclusion — mirrors in SQL over the shared bands CTE. Runs
+    // the hash-partitioned, self-compacting store layout every round.
+    "docs_minhash_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r = docs.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val thr = (r.getLong(0) + r.getLong(1)) / 2
+      val store = scratchDir(s, "mhadm") // fresh per invocation
+      val a1 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("batch"))
+      val a2 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > thr), store, "doc_id", "text")
+        .select(col("doc_id"), lit(2L).as("batch"))
+      a1.unionAll(a2)
+    }),
+
     // SemDeDup: coarse-quantizer cells + within-cell cosine pruning —
     // semantic (embedding-space) deduplication that lexical sketches
     // cannot see. Threshold 0.4 suits the synthetic corpus (max
@@ -4319,6 +4343,37 @@ object SparkEntry {
          |SELECT vec_id, CAST(1 AS BIGINT) AS batch FROM adm1
          |UNION ALL
          |SELECT vec_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
+
+    // The minhash admission mirror: identical sequential-admission
+    // shape over the shared minhash bands CTE — collision = equality
+    // on (band, band_key); docs too short to shingle emit no keys and
+    // always survive (absent from bands → never dropped).
+    "docs_minhash_admission" ->
+      s"""WITH $bandsCte,
+         |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
+         |  FROM documents),
+         |k1 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id <= mid.m),
+         |k2 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id > mid.m),
+         |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
+         |  ON r.band = l.band AND r.band_key = l.band_key
+         |    AND r.doc_id < l.doc_id),
+         |adm1 AS (SELECT doc.doc_id FROM documents doc, mid
+         |  WHERE doc.doc_id <= mid.m
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
+         |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
+         |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
+         |  WHERE EXISTS (SELECT 1 FROM sk1 s
+         |    WHERE s.band = l.band AND s.band_key = l.band_key
+         |      AND s.doc_id <> l.doc_id)
+         |   OR EXISTS (SELECT 1 FROM k2 r
+         |    WHERE r.band = l.band AND r.band_key = l.band_key
+         |      AND r.doc_id < l.doc_id)),
+         |adm2 AS (SELECT doc.doc_id FROM documents doc, mid
+         |  WHERE doc.doc_id > mid.m
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2))
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
 
     "embed_neardup_clusters" ->
       s"""WITH RECURSIVE $srpBucketsCte,
