@@ -2958,6 +2958,35 @@ object SparkEntry {
       a1.unionAll(a2)
     }),
 
+    // The admission-store DELETION path, batch-equivalent: admit the
+    // low id half, take down every low-half doc with doc_id % 5 == 2
+    // (content-keyed removal — only the touched buckets are
+    // rewritten; removing a never-admitted doc is a no-op since its
+    // keys were never stored), then admit the high half against the
+    // pruned store. Batch-2 admissions therefore see a store that
+    // FORGOT the removed docs — a high-half near-dup whose only
+    // collision was with a removed doc is admitted here but rejected
+    // in docs_minhash_admission (non-vacuity checked at registration
+    // time of this row). Re-proves every round that takedown reaches
+    // the admission stores, not just the ANN artifacts.
+    "docs_minhash_admission_removed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r = docs.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val thr = (r.getLong(0) + r.getLong(1)) / 2
+      val store = scratchDir(s, "mhadmrm") // fresh per invocation
+      val a1 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("batch"))
+      Dedup.nearDupRemove(
+        docs.filter(col("doc_id") <= thr && col("doc_id") % 5 === 2),
+        store, "doc_id", "text")
+      val a2 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > thr), store, "doc_id", "text")
+        .select(col("doc_id"), lit(2L).as("batch"))
+      a1.unionAll(a2)
+    }),
+
     // SemDeDup: coarse-quantizer cells + within-cell cosine pruning —
     // semantic (embedding-space) deduplication that lexical sketches
     // cannot see. Threshold 0.4 suits the synthetic corpus (max
@@ -4363,6 +4392,39 @@ object SparkEntry {
          |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
          |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
          |  WHERE EXISTS (SELECT 1 FROM sk1 s
+         |    WHERE s.band = l.band AND s.band_key = l.band_key
+         |      AND s.doc_id <> l.doc_id)
+         |   OR EXISTS (SELECT 1 FROM k2 r
+         |    WHERE r.band = l.band AND r.band_key = l.band_key
+         |      AND r.doc_id < l.doc_id)),
+         |adm2 AS (SELECT doc.doc_id FROM documents doc, mid
+         |  WHERE doc.doc_id > mid.m
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2))
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
+
+    // The deletion-path mirror: identical to docs_minhash_admission
+    // except the store batch 2 joins against has FORGOTTEN the
+    // removed docs' keys (sk1r = admitted batch-1 keys minus the
+    // doc_id % 5 == 2 takedowns) — exactly what nearDupRemove's
+    // physical bucket rewrite leaves behind.
+    "docs_minhash_admission_removed" ->
+      s"""WITH $bandsCte,
+         |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
+         |  FROM documents),
+         |k1 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id <= mid.m),
+         |k2 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id > mid.m),
+         |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
+         |  ON r.band = l.band AND r.band_key = l.band_key
+         |    AND r.doc_id < l.doc_id),
+         |adm1 AS (SELECT doc.doc_id FROM documents doc, mid
+         |  WHERE doc.doc_id <= mid.m
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
+         |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
+         |sk1r AS (SELECT * FROM sk1 WHERE doc_id % 5 <> 2),
+         |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
+         |  WHERE EXISTS (SELECT 1 FROM sk1r s
          |    WHERE s.band = l.band AND s.band_key = l.band_key
          |      AND s.doc_id <> l.doc_id)
          |   OR EXISTS (SELECT 1 FROM k2 r

@@ -518,13 +518,14 @@ object Dedup {
     * join matches that were already matches. Store appends are
     * monotone.
     *
-    * The store is hash-partitioned on the key columns and
-    * self-compacting — each batch joins only its own buckets'
-    * partition-pruned slice and over-fragmented buckets are rewritten
-    * in the writer's own turn (see [[admitByKeys]]'s scale notes;
+    * The store is an LSM-style two-level layout — a bounded plain
+    * `tail/` absorbing the per-batch appends, folded into
+    * hash-partitioned bucket directories in the writer's own turn —
+    * so each batch joins only its buckets' partition-pruned slice
+    * plus the bounded tail (see [[admitByKeys]]'s scale notes;
     * `nBuckets` is the layout contract — it must stay constant for a
-    * store's lifetime — and `autoCompactFiles` the per-bucket
-    * fragmentation budget).
+    * store's lifetime — `autoCompactFiles` the per-bucket
+    * fragmentation budget, and `tailFoldFiles` the tail's).
     *
     * Candidate-level semantics, like [[lshCandidatePairs]]: dropping
     * is probabilistic on true near-dups (tune k/bands), with the same
@@ -539,13 +540,14 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                          maxBucketSize: Long = Long.MaxValue,
                          nBuckets: Int = 64,
-                         autoCompactFiles: Int = 32): DataFrame =
+                         autoCompactFiles: Int = 32,
+                         tailFoldFiles: Int = 16): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
           docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
-      storePath, idCol, nBuckets, autoCompactFiles)
+      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -564,27 +566,41 @@ object Dedup {
     * duplicate store rows only repeat join matches that were already
     * matches. Store appends are monotone.
     *
-    * Scale shape (the 100 TB ingest story): the store is laid out
-    * HASH-PARTITIONED on the key columns (`adm_kb = hash(keys) mod
-    * nBuckets`, a directory per bucket), so each micro-batch's store
-    * join reads only the buckets the batch's own keys land in
-    * (PartitionFilters — at steady state a small batch touches a
-    * fraction of a corpus-scale store instead of scanning all of it),
-    * and every append is pre-partitioned to ONE file per touched
-    * bucket. Per-bucket file counts still grow one-per-batch forever,
-    * so the writer carries its own hands-free maintenance (the upsert
-    * sink's AutoCompact discipline): after the append, any touched
-    * bucket holding more than `autoCompactFiles` files is rewritten
-    * to a single deduplicated file. The rewrite publishes the new
-    * file BEFORE deleting the old ones — a crash between the two
-    * leaves duplicate key rows, which the admission semantics already
-    * tolerate (duplicates only repeat matches), so compaction
-    * preserves replay idempotence at every crash point.
+    * Scale shape (the 100 TB ingest story) — an LSM-style two-level
+    * layout:
+    *
+    *   - L1: the bulk of the store, HASH-PARTITIONED on the key
+    *     columns (`adm_kb = hash(keys) mod nBuckets`, a directory per
+    *     bucket), so the store join reads only the buckets the
+    *     batch's own keys land in (PartitionFilters — at steady state
+    *     a small batch touches a fraction of a corpus-scale store);
+    *   - L0: a bounded `tail/` of plain parquet appends. Each batch
+    *     appends ONE file there (no partitioned write on the hot
+    *     path — a micro-batch's keys can spray across every bucket,
+    *     and paying a directory-per-bucket commit per batch is the
+    *     write amplification this level exists to absorb) and joins
+    *     the whole tail alongside the pruned L1 slice; the tail is
+    *     budget-bounded, so that read is O(budget), never
+    *     corpus-scale.
+    *
+    * Maintenance rides the writer's own turn, hands-free (the upsert
+    * sink's AutoCompact discipline): when the tail exceeds
+    * `tailFoldFiles` files (or a fixed byte budget, so one giant
+    * bulk-load batch can't linger), it is FOLDED — one partitioned
+    * write moves its rows into their L1 buckets, amortizing the
+    * directory fan-out over many batches — and any folded bucket
+    * holding more than `autoCompactFiles` files is rewritten to a
+    * single deduplicated file. Every rewrite publishes new files
+    * BEFORE deleting superseded ones — any crash point leaves at
+    * worst duplicate key rows, which the admission semantics already
+    * tolerate (duplicates only repeat matches), so maintenance
+    * preserves replay idempotence by construction.
     */
   private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
                                      storePath: String, idCol: String,
                                      nBuckets: Int = 64,
-                                     autoCompactFiles: Int = 32)
+                                     autoCompactFiles: Int = 32,
+                                     tailFoldFiles: Int = 16)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -602,10 +618,15 @@ object Dedup {
 
     // the buckets this batch can possibly collide in — ≤ nBuckets
     // values, never data-sized
-    val touched: Seq[Int] = keys.select(col("adm_kb")).distinct()
+    val touched: Seq[Int] =
+      keys.select(col("adm_kb")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    val storeRel =
+      (admissionStoreSlice(spark, storePath, keyCols, touched).toSeq ++
+        admissionTailSlice(spark, storePath, keyCols).toSeq)
+        .reduceOption(_ unionByName _)
     val vsStore =
-      admissionStoreSlice(spark, storePath, keyCols, touched) match {
+      storeRel match {
         case Some(store) =>
           keys.join(store,
               keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
@@ -623,12 +644,73 @@ object Dedup {
 
     val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(true) // materialize before mutating the store
+    // L0 append: one plain file per batch (repartition, not coalesce —
+    // coalesce(1) would collapse the join itself to one task)
     keys.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .repartition(col("adm_kb")) // one file per touched bucket
-      .write.mode("append").partitionBy("adm_kb").parquet(storePath)
-    compactAdmissionBuckets(spark, storePath, touched, autoCompactFiles)
+      .repartition(1)
+      .write.mode("append").parquet(admissionTailPath(storePath))
+    foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles)
     survivors
+  }
+
+  private def admissionTailPath(storePath: String): String =
+    new org.apache.hadoop.fs.Path(storePath, "tail").toString
+
+  /** One hard byte budget on the L0 tail, independent of the file
+    * budget: a single bulk-load batch writes one file but can be
+    * corpus-fraction-sized, and the next batch would pay that full
+    * read — the byte trigger folds it into L1 immediately.
+    */
+  private[graft] val admissionTailMaxBytes: Long = 8L << 20
+
+  /** The L0 slice every micro-batch joins in addition to the pruned
+    * L1 bucket slice: all current tail files, read explicitly (never
+    * via the store root). Bounded by the fold budgets, so this read
+    * is O(budget) regardless of store size.
+    */
+  private[graft] def admissionTailSlice(spark: SparkSession,
+      storePath: String, keyCols: Seq[String]): Option[DataFrame] = {
+    val tail = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    val fs = tail.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.util.Try(fs.listStatus(tail)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .select(col("doc_id").as("s_id") +:
+        keyCols.map(c => col(c).as(s"s_$c")): _*))
+  }
+
+  /** Fold the L0 tail into the L1 buckets when it exceeds the file or
+    * byte budget: ONE partitioned write moves every tail row into its
+    * `adm_kb=` bucket directory (amortizing the directory fan-out a
+    * per-batch partitioned write would pay every time), then the
+    * folded buckets over the `autoCompactFiles` budget are compacted.
+    * Publication order is crash-safe: the bucketed copy commits before
+    * the tail files are deleted — a crash between the two duplicates
+    * keys (tolerated; the next fold re-folds them and compaction
+    * dedups), never loses them. Returns whether a fold ran.
+    */
+  private[graft] def foldAdmissionTail(spark: SparkSession,
+      storePath: String, autoCompactFiles: Int,
+      tailFoldFiles: Int): Boolean = {
+    val tail = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    val fs = tail.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.util.Try(fs.listStatus(tail)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return false
+    if (files.length <= tailFoldFiles &&
+        files.map(_.getLen).sum <= admissionTailMaxBytes) return false
+    val df = spark.read
+      .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .localCheckpoint(true) // tail is budget-bounded
+    val folded = df.select("adm_kb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    df.repartition(col("adm_kb"))
+      .write.mode("append").partitionBy("adm_kb").parquet(storePath)
+    files.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
+    compactAdmissionBuckets(spark, storePath, folded, autoCompactFiles)
+    true
   }
 
   /** The partition-PRUNED slice of an admission store a micro-batch
@@ -702,6 +784,132 @@ object Dedup {
         true
       }
     }
+  }
+
+  /** Remove documents from a minhash admission store — the takedown /
+    * decontamination path: after a document is deleted from the
+    * corpus, its banded keys must stop suppressing future arrivals of
+    * similar content (a re-crawl of a paraphrase is legitimate new
+    * data once the original is gone). Deletion thereby reaches the
+    * LAST derived artifact family ([[Similarity.IvfIndex.remove]] and
+    * the codes stores' `remove` cover the ANN artifacts; this covers
+    * the admission stores).
+    *
+    * `docs` must carry the removed documents' TEXT, and the key
+    * parameters must match the store's (same contract as `nBuckets`,
+    * which fixes the layout for the store's lifetime): the keys are
+    * re-derived to locate the touched buckets, so only O(removal
+    * batch) bucket directories are read and rewritten — never the
+    * corpus-scale store. When the text is no longer available, use
+    * [[removeAdmittedIds]] (full sweep). Returns rows removed.
+    */
+  def nearDupRemove(docs: DataFrame, storePath: String,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                    nBuckets: Int = 64): Long =
+    removeByKeys(
+      lshBands(minhashSignatures(
+        docShingleHashes(docs, idCol, textCol, shingleN), k), k, bands),
+      storePath, nBuckets)
+
+  /** The shared removal core (minhash bands / SRP buckets — the same
+    * two callers as [[admitByKeys]]): drop every store row whose
+    * doc_id belongs to `keys0`, reading and rewriting ONLY the bucket
+    * directories the re-derived keys hash into (a doc's keys land in
+    * exactly these buckets by construction, so pruning is lossless).
+    *
+    * Same single-writer discipline as the appends. Crash-safe the
+    * same way the compactor is — the filtered file is renamed in
+    * BEFORE the superseded files are deleted, so a crash leaves at
+    * worst the removed keys still present (removal incomplete;
+    * re-running completes it — the operation is idempotent) plus
+    * duplicated kept keys (which admission semantics tolerate); kept
+    * keys are never lost, preserving the store's monotone contract.
+    *
+    * Removal is PHYSICAL and immediate (no tombstones — unlike the
+    * codes stores there is no frozen-artifact segment to anti-join
+    * against), so re-admitting the same id later simply works; a
+    * replayed upstream batch that still contains a removed document
+    * will re-admit it, which is an upstream-retention concern, not a
+    * store invariant.
+    */
+  private[functions] def removeByKeys(keys0: DataFrame, storePath: String,
+                                      nBuckets: Int): Long = {
+    val spark = keys0.sparkSession
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
+    require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
+    val keys = keys0.withColumn("adm_kb",
+        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
+      .select(col("doc_id"), col("adm_kb")).distinct()
+      .localCheckpoint(true) // takedown-batch-bounded
+    val touched = keys.select("adm_kb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val ids = keys.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    removeIdsInBuckets(spark, storePath, ids, touched)
+  }
+
+  /** Full-sweep removal by id — for takedowns where the document
+    * content is gone (so the touched buckets can't be re-derived):
+    * every existing bucket directory is read and the ones holding a
+    * target id rewritten. O(store) read cost — acceptable for the
+    * rare takedown path; prefer [[nearDupRemove]] /
+    * [[Similarity.embedNearDupRemove]] while the content is at hand.
+    * `ids` is takedown-sized (driver-held); chunk very large lists.
+    */
+  def removeAdmittedIds(spark: SparkSession, storePath: String,
+                        ids: Set[Long]): Long = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val all = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
+    removeIdsInBuckets(spark, storePath, ids, all)
+  }
+
+  /** Rewrite each of `buckets` (plus the L0 tail, which is not
+    * bucket-addressable but budget-bounded) dropping rows whose
+    * doc_id ∈ `ids`; directories with no hit are left physically
+    * untouched (their files' identity is part of the pruning spec).
+    * Publication order per directory: staged filtered file renamed
+    * in, then superseded files deleted — see [[removeByKeys]] for the
+    * crash analysis.
+    */
+  private def removeIdsInBuckets(spark: SparkSession, storePath: String,
+      ids: Set[Long], buckets: Seq[Int]): Long = {
+    if (ids.isEmpty) return 0L
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    def rewriteDropping(dir: org.apache.hadoop.fs.Path): Long = {
+      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (old.isEmpty) return 0L
+      val paths = old.map(_.getPath.toString).toIndexedSeq
+      val cur = spark.read.parquet(paths: _*)
+      val hit = cur.filter(col("doc_id").isInCollection(ids)).count()
+      if (hit == 0L) return 0L
+      val staging = new org.apache.hadoop.fs.Path(root,
+        s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
+      cur.filter(!col("doc_id").isInCollection(ids))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+            s"removed-${s.getPath.getName}"))
+        }
+      old.foreach(s => fs.delete(s.getPath, false))
+      fs.delete(staging, true)
+      hit
+    }
+    buckets.map(b => rewriteDropping(
+        new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"))).sum +
+      rewriteDropping(
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)))
   }
 
   // ------------------- duplicate-cluster formation -------------------

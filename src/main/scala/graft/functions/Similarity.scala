@@ -474,7 +474,8 @@ object Similarity {
                               vecCol: String = "embedding",
                               maxBucketSize: Long = Long.MaxValue,
                               nBuckets: Int = 64,
-                              autoCompactFiles: Int = 32)
+                              autoCompactFiles: Int = 32,
+                              tailFoldFiles: Int = 16)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -482,7 +483,28 @@ object Similarity {
           posexplode(srpBuckets(col(vecCol), planes, dims, tables))
             .as(Seq("tbl", "b"))),
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
-      storePath, idCol, nBuckets, autoCompactFiles)
+      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles)
+
+  /** Remove vectors from an SRP admission store — the semantic-side
+    * takedown path, mirroring [[Dedup.nearDupRemove]] (shared core
+    * [[Dedup.removeByKeys]]): the removed vectors' SRP buckets are
+    * re-derived (parameters must match the store's — the layout
+    * contract), so only the O(removal batch) touched bucket
+    * directories are read and rewritten. Physical, idempotent,
+    * kept-keys-never-lost (see the core's crash analysis). When the
+    * vectors are no longer available, [[Dedup.removeAdmittedIds]] is
+    * the full-sweep fallback. Returns rows removed.
+    */
+  def embedNearDupRemove(vectors: DataFrame, storePath: String,
+                         planes: Int, dims: Int, tables: Int = 8,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nBuckets: Int = 64): Long =
+    Dedup.removeByKeys(
+      vectors.select(col(idCol).as("doc_id"),
+        posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+          .as(Seq("tbl", "b"))),
+      storePath, nBuckets)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the coarse quantizer,

@@ -191,6 +191,68 @@ class DedupSpec extends SparkTestBase {
     assert(s2r === s2, s"replay changed survivors: $s2r vs $s2")
   }
 
+  test("admission-store removal: takedown forgets a doc's keys, prunes " +
+    "to touched buckets, and is idempotent") {
+    import spark.implicits._
+    val store = tmpDir("ndrmstore")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    // tailFoldFiles=0: keys land in their L1 buckets immediately, so
+    // the untouched-bucket assertions below exercise the pruned path
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", tailFoldFiles = 0).collect()
+
+    // without removal the near-dup of doc 0 is rejected vs the store
+    val probe = Seq((2L, textA)).toDF("doc_id", "text")
+    val ctl = tmpDir("ndrmstore-ctl")
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      ctl, "doc_id", "text", tailFoldFiles = 0).collect()
+    assert(Dedup.nearDupFilterBatch(probe, ctl, "doc_id", "text")
+      .count() === 0L, "control: dup should be rejected pre-removal")
+
+    // snapshot untouched-bucket files: removal of doc 0 must rewrite
+    // only the buckets doc 0's keys hash into
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = fs.listStatus(root)
+      .filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.isFile)
+      .map(s => s.getPath.toString -> s.getModificationTime).toMap
+    val before = files()
+    val doc0Buckets = Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.docShingleHashes(Seq((0L, textA)).toDF("doc_id", "text"),
+          "doc_id", "text", 3), 16), 16, 4)
+      .withColumn("adm_kb",
+        pmod(xxhash64(col("band"), col("band_key")), lit(64)).cast("int"))
+      .select("adm_kb").distinct().collect().map(_.getInt(0)).toSet
+
+    val removed = Dedup.nearDupRemove(
+      Seq((0L, textA)).toDF("doc_id", "text"), store, "doc_id", "text")
+    assert(removed > 0L, "takedown removed no rows")
+    val after = files()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      doc0Buckets.exists(b => p.contains(s"adm_kb=$b/")) }
+    untouchedBefore.foreach { case (p, m) =>
+      assert(after.get(p).contains(m),
+        s"untouched bucket file rewritten or deleted: $p") }
+
+    // idempotent: a second takedown of the same doc is a no-op
+    assert(Dedup.nearDupRemove(
+      Seq((0L, textA)).toDF("doc_id", "text"), store, "doc_id", "text")
+      === 0L)
+
+    // the store has forgotten doc 0: its near-dup is now admitted,
+    // while doc 1's keys survived the rewrite (its dup still rejected)
+    val s2 = Dedup.nearDupFilterBatch(probe, store, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(2L), s"takedown did not free admission: $s2")
+    assert(Dedup.nearDupFilterBatch(
+      Seq((3L, textB)).toDF("doc_id", "text"), store, "doc_id", "text")
+      .count() === 0L, "removal lost an unrelated doc's keys")
+  }
+
   test("streaming near-dup filter wired through foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -258,11 +320,13 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     val store = tmpDir("ndstore-prune")
     // seed several batches so multiple bucket directories exist
+    // (tailFoldFiles=0 folds the L0 tail into the buckets every turn)
     for (i <- 0 until 4)
       Dedup.nearDupFilterBatch(
         Seq((i.toLong, s"unique document number $i with forty words " +
           s"about topic-$i and trailing filler tokens for shingles"))
-          .toDF("doc_id", "text"), store, "doc_id", "text")
+          .toDF("doc_id", "text"), store, "doc_id", "text",
+        tailFoldFiles = 0)
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val allBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(store))
@@ -311,7 +375,7 @@ class DedupSpec extends SparkTestBase {
       "river bank under a pale morning sky"
     def admit(batch: Seq[(Long, String)]): Set[Long] =
       Dedup.nearDupFilterBatch(batch.toDF("doc_id", "text"), store,
-          "doc_id", "text", autoCompactFiles = 1)
+          "doc_id", "text", autoCompactFiles = 1, tailFoldFiles = 0)
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admit(Seq((0L, base))) === Set(0L))
     // several single-doc batches of DISTINCT content: every admitted

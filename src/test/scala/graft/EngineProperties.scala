@@ -650,4 +650,71 @@ object EngineProperties extends Properties("graft") {
       (got == expected.toSet) :|
         s"admission diverged: engine $got vs reference $expected"
     }
+
+  // the admission law with TAKEDOWNS interleaved: after each batch a
+  // random subset of that batch's ids is removed from the store
+  // (content-keyed), and later batches must behave as if the removed
+  // docs' keys were never admitted — engine ≡ a sequential reference
+  // that forgets them
+  private val genAdmRemCorpus
+      : Gen[(Seq[(Long, String)], Int, Set[Long])] = for {
+    (docs, nBatches) <- genAdmCorpus
+    rm <- Gen.someOf(docs.map(_._1))
+  } yield (docs, nBatches, rm.toSet)
+
+  property("admission with interleaved takedowns ≡ sequential reference " +
+    "that forgets removed docs") =
+    Prop.forAll(genAdmRemCorpus) { case (docs, nBatches, rmIds) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[Long]]()
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.foreach { b =>
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k =>
+            store.get(k).exists(_.exists(_ != id)))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += id)
+        }
+        // takedown: this batch's removed ids vanish from the store
+        // (admission history `expected` keeps them — they WERE
+        // admitted; removal only stops future suppression)
+        val rmB = b.map(_._1).filter(rmIds).toSet
+        store.values.foreach(_ --= rmB)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admrmprop")
+        .toString + "/store"
+      val got = batches.flatMap { b =>
+        val surv = graft.functions.Dedup.nearDupFilterBatch(
+            b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+          .select("doc_id").collect().map(_.getLong(0))
+        val rmB = b.filter { case (id, _) => rmIds(id) }
+        if (rmB.nonEmpty)
+          graft.functions.Dedup.nearDupRemove(rmB.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+        surv
+      }.toSet
+      (got == expected.toSet) :|
+        s"takedown admission diverged: engine $got vs reference $expected"
+    }
 }

@@ -1276,6 +1276,59 @@ class SimilaritySpec extends SparkTestBase {
       "replayed batch diverged from the original survivor set")
   }
 
+  test("SRP admission-store removal: takedown frees future admission; " +
+    "content-keyed and full-sweep paths agree") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("label")).head()
+    def copyOf(id: Long) = spark.createDataFrame(
+      java.util.Arrays.asList(Row(id, v0.get(0), v0.get(1))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", emb.schema("embedding").dataType),
+        StructField("label", emb.schema("label").dataType))))
+    val b1 = emb.filter(col("vec_id") < 250)
+
+    // content-keyed removal: prunes to the touched buckets
+    val store = tmpDir("embadmrm")
+    Similarity.embedNearDupFilterBatch(b1, store,
+      planes = 12, dims = 64, tables = 8).collect()
+    assert(Similarity.embedNearDupFilterBatch(copyOf(90001L), store,
+      planes = 12, dims = 64, tables = 8).count() === 0L,
+      "pre-removal: the copy of admitted vector 0 must be rejected")
+    val removed = Similarity.embedNearDupRemove(
+      emb.filter(col("vec_id") === 0), store, planes = 12, dims = 64,
+      tables = 8)
+    assert(removed > 0L, "takedown removed no rows")
+    assert(Similarity.embedNearDupFilterBatch(copyOf(90002L), store,
+      planes = 12, dims = 64, tables = 8).count() === 1L,
+      "post-removal: the copy must be admitted (store forgot vector 0)")
+    // unrelated vectors' keys survived the bucket rewrites
+    val v7 = emb.filter(col("vec_id") === 7)
+      .select(col("embedding"), col("label")).head()
+    val copy7 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(90003L, v7.get(0), v7.get(1))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", emb.schema("embedding").dataType),
+        StructField("label", emb.schema("label").dataType))))
+    assert(Similarity.embedNearDupFilterBatch(copy7, store,
+      planes = 12, dims = 64, tables = 8).count() === 0L,
+      "removal lost an unrelated vector's keys")
+
+    // full-sweep removal by id reaches the same admission state
+    val store2 = tmpDir("embadmrm2")
+    Similarity.embedNearDupFilterBatch(b1, store2,
+      planes = 12, dims = 64, tables = 8).collect()
+    assert(graft.functions.Dedup.removeAdmittedIds(spark, store2,
+      Set(0L)) === removed, "full sweep removed a different row count")
+    assert(Similarity.embedNearDupFilterBatch(copyOf(90002L), store2,
+      planes = 12, dims = 64, tables = 8).count() === 1L,
+      "full-sweep removal did not free admission")
+    // sweep on a missing store is a safe no-op
+    assert(graft.functions.Dedup.removeAdmittedIds(spark,
+      tmpDir("embadmrm3") + "/absent", Set(1L)) === 0L)
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
