@@ -2987,6 +2987,38 @@ object SparkEntry {
       a1.unionAll(a2)
     }),
 
+    // WINDOWED admission (retention-bounded dedup — "suppress against
+    // the last N days" at an endless ingest): three fixed id-third
+    // batches with deterministic admission stamps 1000/2000/3000;
+    // batch 3 runs with suppressSince=1500, so batch-1 keys no longer
+    // suppress it while batch-2 keys still do. Mirrors in SQL as the
+    // same sequential admission with batch 3's store side restricted
+    // to batch-2 survivors. Re-proves the query-time window path
+    // (adm_ts filter on both store levels) through the hash gate
+    // every round.
+    "docs_minhash_admission_windowed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r = docs.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val t1 = lo + (hi - lo) / 3
+      val t2 = lo + 2 * (hi - lo) / 3
+      val store = scratchDir(s, "mhadmw") // fresh per invocation
+      val a1 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") <= t1), store, "doc_id", "text",
+        admittedAt = 1000L)
+        .select(col("doc_id"), lit(1L).as("batch"))
+      val a2 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), store,
+        "doc_id", "text", admittedAt = 2000L)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val a3 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > t2), store, "doc_id", "text",
+        admittedAt = 3000L, suppressSince = 1500L)
+        .select(col("doc_id"), lit(3L).as("batch"))
+      a1.unionAll(a2).unionAll(a3)
+    }),
+
     // SemDeDup: coarse-quantizer cells + within-cell cosine pruning —
     // semantic (embedding-space) deduplication that lexical sketches
     // cannot see. Threshold 0.4 suits the synthetic corpus (max
@@ -4436,6 +4468,55 @@ object SparkEntry {
          |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
          |UNION ALL
          |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
+
+    // The windowed-admission mirror: three sequential id-third
+    // batches; batch 3's store side sees ONLY batch-2 survivors
+    // (batch-1 keys are outside the suppressSince window), while
+    // batch 2 still sees batch 1 — exactly the adm_ts cutoff the
+    // engine applies at query time.
+    "docs_minhash_admission_windowed" ->
+      s"""WITH $bandsCte,
+         |rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+         |  FROM documents),
+         |th AS (SELECT lo + (hi - lo) // 3 AS t1,
+         |  lo + (2 * (hi - lo)) // 3 AS t2 FROM rng),
+         |k1 AS (SELECT b.* FROM bands b, th WHERE b.doc_id <= th.t1),
+         |k2 AS (SELECT b.* FROM bands b, th
+         |  WHERE b.doc_id > th.t1 AND b.doc_id <= th.t2),
+         |k3 AS (SELECT b.* FROM bands b, th WHERE b.doc_id > th.t2),
+         |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
+         |  ON r.band = l.band AND r.band_key = l.band_key
+         |    AND r.doc_id < l.doc_id),
+         |adm1 AS (SELECT doc.doc_id FROM documents doc, th
+         |  WHERE doc.doc_id <= th.t1
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
+         |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
+         |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
+         |  WHERE EXISTS (SELECT 1 FROM sk1 s
+         |    WHERE s.band = l.band AND s.band_key = l.band_key
+         |      AND s.doc_id <> l.doc_id)
+         |   OR EXISTS (SELECT 1 FROM k2 r
+         |    WHERE r.band = l.band AND r.band_key = l.band_key
+         |      AND r.doc_id < l.doc_id)),
+         |adm2 AS (SELECT doc.doc_id FROM documents doc, th
+         |  WHERE doc.doc_id > th.t1 AND doc.doc_id <= th.t2
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2)),
+         |sk2 AS (SELECT k.* FROM k2 k JOIN adm2 a USING (doc_id)),
+         |d3 AS (SELECT DISTINCT l.doc_id FROM k3 l
+         |  WHERE EXISTS (SELECT 1 FROM sk2 s
+         |    WHERE s.band = l.band AND s.band_key = l.band_key
+         |      AND s.doc_id <> l.doc_id)
+         |   OR EXISTS (SELECT 1 FROM k3 r
+         |    WHERE r.band = l.band AND r.band_key = l.band_key
+         |      AND r.doc_id < l.doc_id)),
+         |adm3 AS (SELECT doc.doc_id FROM documents doc, th
+         |  WHERE doc.doc_id > th.t2
+         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d3))
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2
+         |UNION ALL
+         |SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM adm3""".stripMargin,
 
     "embed_neardup_clusters" ->
       s"""WITH RECURSIVE $srpBucketsCte,

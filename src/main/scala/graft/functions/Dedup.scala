@@ -541,13 +541,16 @@ object Dedup {
                          maxBucketSize: Long = Long.MaxValue,
                          nBuckets: Int = 64,
                          autoCompactFiles: Int = 32,
-                         tailFoldFiles: Int = 16): DataFrame =
+                         tailFoldFiles: Int = 16,
+                         admittedAt: Long = System.currentTimeMillis(),
+                         suppressSince: Long = 0L): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
           docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
-      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles)
+      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
+      admittedAt, suppressSince)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -595,12 +598,28 @@ object Dedup {
     * worst duplicate key rows, which the admission semantics already
     * tolerate (duplicates only repeat matches), so maintenance
     * preserves replay idempotence by construction.
+    *
+    * Retention (windowed dedup — "suppress against the last N days",
+    * the bounded-state regime an endless ingest needs): every
+    * appended key row carries `adm_ts = admittedAt` (caller-supplied
+    * batch time, so decisions are deterministic and replayable);
+    * `suppressSince` makes the store join ignore keys admitted before
+    * the cutoff (window semantics at query time, no rewrite), and
+    * [[expireAdmitted]] physically drops them (state stays
+    * window-bounded). Replay idempotence holds as long as a batch is
+    * replayed within the retention window of the keys that suppressed
+    * it — replays are seconds-to-minutes late in practice, windows
+    * are days. Rows from stores written before this column existed
+    * read as adm_ts = 0: they predate any window, so a positive
+    * `suppressSince`/expiry cutoff treats them as expired.
     */
   private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
                                      storePath: String, idCol: String,
                                      nBuckets: Int = 64,
                                      autoCompactFiles: Int = 32,
-                                     tailFoldFiles: Int = 16)
+                                     tailFoldFiles: Int = 16,
+                                     admittedAt: Long = System.currentTimeMillis(),
+                                     suppressSince: Long = 0L)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -622,8 +641,9 @@ object Dedup {
       keys.select(col("adm_kb")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val storeRel =
-      (admissionStoreSlice(spark, storePath, keyCols, touched).toSeq ++
-        admissionTailSlice(spark, storePath, keyCols).toSeq)
+      (admissionStoreSlice(spark, storePath, keyCols, touched,
+          suppressSince).toSeq ++
+        admissionTailSlice(spark, storePath, keyCols, suppressSince).toSeq)
         .reduceOption(_ unionByName _)
     val vsStore =
       storeRel match {
@@ -648,6 +668,7 @@ object Dedup {
     // coalesce(1) would collapse the join itself to one task)
     keys.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
+      .withColumn("adm_ts", lit(admittedAt))
       .repartition(1)
       .write.mode("append").parquet(admissionTailPath(storePath))
     foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles)
@@ -670,16 +691,28 @@ object Dedup {
     * is O(budget) regardless of store size.
     */
   private[graft] def admissionTailSlice(spark: SparkSession,
-      storePath: String, keyCols: Seq[String]): Option[DataFrame] = {
+      storePath: String, keyCols: Seq[String],
+      suppressSince: Long = 0L): Option[DataFrame] = {
     val tail = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
     val fs = tail.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.util.Try(fs.listStatus(tail)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) None
-    else Some(spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+    else Some(inWindow(
+        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
+        suppressSince)
       .select(col("doc_id").as("s_id") +:
         keyCols.map(c => col(c).as(s"s_$c")): _*))
   }
+
+  /** Keep only key rows admitted at or after `suppressSince` — the
+    * query-time half of windowed dedup. Rows from pre-retention files
+    * (no `adm_ts` column, or null) count as adm_ts = 0.
+    */
+  private def inWindow(df: DataFrame, suppressSince: Long): DataFrame =
+    if (suppressSince <= 0L) df
+    else if (!df.columns.contains("adm_ts")) df.limit(0)
+    else df.filter(coalesce(col("adm_ts"), lit(0L)) >= lit(suppressSince))
 
   /** Fold the L0 tail into the L1 buckets when it exceeds the file or
     * byte budget: ONE partitioned write moves every tail row into its
@@ -728,7 +761,7 @@ object Dedup {
     */
   private[graft] def admissionStoreSlice(spark: SparkSession,
       storePath: String, keyCols: Seq[String],
-      touched: Seq[Int]): Option[DataFrame] = {
+      touched: Seq[Int], suppressSince: Long = 0L): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (touched.isEmpty || !fs.exists(root)) return None
@@ -739,9 +772,9 @@ object Dedup {
     // basePath keeps adm_kb a partition column of the slice; the
     // redundant IN filter costs nothing and keeps the pruning
     // property visible in (and pinned on) the physical plan
-    Some(spark.read.option("basePath", storePath)
+    Some(inWindow(spark.read.option("basePath", storePath)
       .parquet(dirs: _*)
-      .filter(col("adm_kb").isInCollection(touched))
+      .filter(col("adm_kb").isInCollection(touched)), suppressSince)
       .select(col("doc_id").as("s_id") +:
         keyCols.map(c => col(c).as(s"s_$c")): _*))
   }
@@ -769,8 +802,18 @@ object Dedup {
         // the read and the delete set, so they survive untouched
         val staging = new org.apache.hadoop.fs.Path(root,
           s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
-        spark.read.parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
-          .distinct().coalesce(1)
+        val cur = spark.read
+          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+        // collapse duplicate keys (replayed appends) keeping the
+        // NEWEST admission stamp — max is the suppression-conservative
+        // choice for windowed dedup; plain distinct would keep one row
+        // per (key, ts) and let replays grow the store
+        val dedup =
+          if (!cur.columns.contains("adm_ts")) cur.distinct()
+          else cur.groupBy(cur.columns.filterNot(_ == "adm_ts")
+              .map(col).toIndexedSeq: _*)
+            .agg(max(coalesce(col("adm_ts"), lit(0L))).as("adm_ts"))
+        dedup.coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
         val staged = fs.listStatus(staging)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -883,33 +926,71 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    def rewriteDropping(dir: org.apache.hadoop.fs.Path): Long = {
-      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (old.isEmpty) return 0L
-      val paths = old.map(_.getPath.toString).toIndexedSeq
-      val cur = spark.read.parquet(paths: _*)
-      val hit = cur.filter(col("doc_id").isInCollection(ids)).count()
-      if (hit == 0L) return 0L
-      val staging = new org.apache.hadoop.fs.Path(root,
-        s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
-      cur.filter(!col("doc_id").isInCollection(ids))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      fs.listStatus(staging)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
-            s"removed-${s.getPath.getName}"))
-        }
-      old.foreach(s => fs.delete(s.getPath, false))
-      fs.delete(staging, true)
-      hit
-    }
-    buckets.map(b => rewriteDropping(
-        new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"))).sum +
-      rewriteDropping(
-        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)))
+    val pred = (_: DataFrame) => col("doc_id").isInCollection(ids)
+    buckets.map(b => rewriteDirDropping(spark, root,
+        new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"), pred)).sum +
+      rewriteDirDropping(spark, root,
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+  }
+
+  /** Physically drop admitted keys older than `cutoffMs` from every
+    * bucket directory and the tail — the maintenance half of windowed
+    * dedup (see [[admitByKeys]]'s retention notes; `suppressSince`
+    * already hides them at query time): state stays bounded by the
+    * window however long the ingest runs. A full-store pass, like the
+    * codes stores' `consolidate()` — run it on the retention cadence,
+    * not per batch. Same per-directory crash discipline as removal;
+    * idempotent. Returns rows expired.
+    */
+  def expireAdmitted(spark: SparkSession, storePath: String,
+                     cutoffMs: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || cutoffMs <= 0L) return 0L
+    val pred = (df: DataFrame) =>
+      if (df.columns.contains("adm_ts"))
+        coalesce(col("adm_ts"), lit(0L)) < lit(cutoffMs)
+      else lit(true) // pre-retention rows predate any window
+    val all = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath).toSeq
+    all.map(dir => rewriteDirDropping(spark, root, dir, pred)).sum +
+      rewriteDirDropping(spark, root,
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+  }
+
+  /** Rewrite one store directory dropping the rows `dropPredOf`
+    * selects; no-hit directories are left physically untouched.
+    * Publication order: staged filtered file renamed in, then
+    * superseded files deleted — see [[removeByKeys]] for the crash
+    * analysis. Returns rows dropped.
+    */
+  private def rewriteDirDropping(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
+      dropPredOf: DataFrame => Column): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (old.isEmpty) return 0L
+    val paths = old.map(_.getPath.toString).toIndexedSeq
+    val cur = spark.read.parquet(paths: _*)
+    val pred = dropPredOf(cur)
+    val hit = cur.filter(pred).count()
+    if (hit == 0L) return 0L
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
+    cur.filter(!pred)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+          s"removed-${s.getPath.getName}"))
+      }
+    old.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(staging, true)
+    hit
   }
 
   // ------------------- duplicate-cluster formation -------------------

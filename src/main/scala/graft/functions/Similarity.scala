@@ -475,7 +475,9 @@ object Similarity {
                               maxBucketSize: Long = Long.MaxValue,
                               nBuckets: Int = 64,
                               autoCompactFiles: Int = 32,
-                              tailFoldFiles: Int = 16)
+                              tailFoldFiles: Int = 16,
+                              admittedAt: Long = System.currentTimeMillis(),
+                              suppressSince: Long = 0L)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -483,7 +485,8 @@ object Similarity {
           posexplode(srpBuckets(col(vecCol), planes, dims, tables))
             .as(Seq("tbl", "b"))),
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
-      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles)
+      storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
+      admittedAt, suppressSince)
 
   /** Remove vectors from an SRP admission store — the semantic-side
     * takedown path, mirroring [[Dedup.nearDupRemove]] (shared core

@@ -408,6 +408,54 @@ class DedupSpec extends SparkTestBase {
       Set(3L), "replay after compaction changed the survivor set")
   }
 
+  test("windowed admission: out-of-window keys stop suppressing at " +
+    "query time, expire physically, and replays don't grow the store") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    def admit(store: String, batch: Seq[(Long, String)], ts: Long,
+              since: Long = 0L): Set[Long] =
+      Dedup.nearDupFilterBatch(batch.toDF("doc_id", "text"), store,
+          "doc_id", "text", admittedAt = ts, suppressSince = since)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // query-time window: doc 0 admitted before the cutoff, doc 1 after
+    val w = tmpDir("ndwin")
+    admit(w, Seq((0L, textA)), ts = 1000L)
+    admit(w, Seq((1L, textB)), ts = 2000L)
+    assert(admit(w, Seq((2L, textA), (3L, textB)), ts = 3000L,
+      since = 1500L) === Set(2L),
+      "window must hide doc 0's keys and keep doc 1's")
+
+    // physical expiry: the same store shape, expired instead of hidden
+    val x = tmpDir("ndexp")
+    admit(x, Seq((0L, textA)), ts = 1000L)
+    admit(x, Seq((1L, textB)), ts = 2000L)
+    val expired = Dedup.expireAdmitted(spark, x, 1500L)
+    assert(expired > 0L, "expiry removed no rows")
+    assert(Dedup.expireAdmitted(spark, x, 1500L) === 0L,
+      "expiry is not idempotent")
+    assert(admit(x, Seq((4L, textA), (5L, textB)), ts = 3000L)
+      === Set(4L), "expired keys still suppress (or fresh ones lost)")
+
+    // replayed appends collapse at compaction: one row per key, max ts
+    val c = tmpDir("ndcollapse")
+    admit(c, Seq((6L, textA)), ts = 1000L)
+    Dedup.nearDupFilterBatch(Seq((6L, textA)).toDF("doc_id", "text"), c,
+      "doc_id", "text", admittedAt = 1500L, autoCompactFiles = 0,
+      tailFoldFiles = 0) // replay, then fold+compact in the same turn
+    val fs = new org.apache.hadoop.fs.Path(c).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(new org.apache.hadoop.fs.Path(c))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(d => spark.read.parquet(d.getPath.toString))
+      .reduce(_ unionByName _)
+    assert(rows.count() === rows.select("band", "band_key", "doc_id")
+      .distinct().count(), "replayed keys not collapsed at compaction")
+    assert(rows.filter(col("adm_ts") =!= 1500L).count() === 0L,
+      "compaction must keep the newest admission stamp")
+  }
+
   test("streaming near-dup filter drops near (not just exact) duplicates") {
     import spark.implicits._
     val store = tmpDir("ndstore2")
