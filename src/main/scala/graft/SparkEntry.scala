@@ -2689,6 +2689,20 @@ object SparkEntry {
         Dedup.docShingleHashes(t(s, d, "documents"), "doc_id", "text", 3),
         0.5, maxShingleDf = 32)),
 
+    // Cross-corpus (bipartite) similarity join: exact shingle-jaccard
+    // pairs BETWEEN two corpora — here the even- and odd-id halves of
+    // documents standing in for two crawl snapshots — never within
+    // one. The fuzzy-contamination / snapshot-alignment operator; the
+    // hot-shingle cap uses the combined document frequency.
+    "docs_crossdup_pairs" -> ((s, d) => {
+      val sh = Dedup.docShingleHashes(t(s, d, "documents"),
+        "doc_id", "text", 3)
+      Dedup.crossDupPairs(
+        sh.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 2 === 1),
+        0.5, maxShingleDf = 32)
+    }),
+
     // Suffix-array-style exact substring dedup, Spark-shaped: maximal
     // token spans covered by verbatim 8-gram windows shared across
     // ≥2 distinct documents (count-then-semi-join — no pair fan-out,
@@ -4267,6 +4281,27 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    // Bipartite mirror of the jaccard join: same shingle CTE and hot
+    // cut (combined df — even ∪ odd = the whole table), sides split
+    // by id parity, no within-side pairs.
+    "docs_crossdup_pairs" ->
+      s"""WITH $shinglesCte,
+         |shc AS (SELECT doc_id, sh FROM shd WHERE sh NOT IN
+         | (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) > 32)),
+         |le AS (SELECT * FROM shc WHERE doc_id % 2 = 0),
+         |ri AS (SELECT * FROM shc WHERE doc_id % 2 = 1),
+         |lsz AS (SELECT doc_id, COUNT(*) AS n FROM le GROUP BY doc_id),
+         |rsz AS (SELECT doc_id, COUNT(*) AS n FROM ri GROUP BY doc_id),
+         |inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |  COUNT(*) AS inter
+         | FROM le l JOIN ri r ON l.sh = r.sh GROUP BY 1, 2)
+         |SELECT left_id, right_id, inter,
+         | ROUND(inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
+         |FROM inter
+         |JOIN lsz sa ON sa.doc_id = left_id
+         |JOIN rsz sb ON sb.doc_id = right_id
+         |WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH $dupSpansCte

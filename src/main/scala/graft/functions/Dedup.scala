@@ -343,6 +343,73 @@ object Dedup {
         Hashing.portableRound(col("jaccard_raw"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs — the BIPARTITE variant of
+    * [[jaccardPairs]]: exact shingle-jaccard between every
+    * (left, right) pair sharing a shingle, never within a side. This
+    * is the similarity JOIN a training pipeline needs between two
+    * corpora (align two crawl snapshots, fuzzy train-vs-benchmark
+    * contamination where exact n-gram matching
+    * ([[Text]]-decontaminate) misses light paraphrase).
+    *
+    * Same scale shape as the self-join: hot shingles are capped by
+    * document frequency computed across BOTH sides (a boilerplate
+    * shingle floods a bipartite join exactly as it floods a
+    * self-join), the join key is massively duplicated so shuffle_hash
+    * beats sort-merge, and sizes join after the pair aggregation so
+    * the pair shuffle carries only (id, id) rows. Inputs are
+    * pre-shingled relations ([[docShingleHashes]]) so a durable
+    * shingle index can be reused across calls.
+    *
+    * Returns (left_id, right_id, inter, jaccard) for raw-ratio ≥
+    * `threshold` (output rounded to 6 dp for oracle portability).
+    */
+  def crossDupPairs(leftShingles: DataFrame, rightShingles: DataFrame,
+                    threshold: Double,
+                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // each side feeds the cap detection, its size aggregate, and the
+    // join — materialize once (micro-index-sized relative to payloads)
+    val l0 = leftShingles.localCheckpoint(true)
+    val r0 = rightShingles.localCheckpoint(true)
+    val (l, r) =
+      if (maxShingleDf == Long.MaxValue) (l0, r0)
+      else {
+        // combined-df hot cut, same INSET-vs-broadcast ladder as
+        // jaccardPairs (see its scaladoc for the sizing rationale)
+        val detected = l0.select(col("sh")).unionAll(r0.select(col("sh")))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("sh"))
+        val hot = detected.limit(maxInsetHotKeys + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (hot.isEmpty) (l0, r0)
+        else if (hot.length <= maxInsetHotKeys)
+          (l0.filter(!col("sh").isInCollection(hot)),
+            r0.filter(!col("sh").isInCollection(hot)))
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"crossDupPairs: > $maxInsetHotKeys shingles over df=" +
+              s"$maxShingleDf; excluding via broadcast anti-join")
+          (l0.join(broadcast(detected), Seq("sh"), "left_anti"),
+            r0.join(broadcast(detected), Seq("sh"), "left_anti"))
+        }
+      }
+    val lsz = l.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val rsz = r.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val inter = l.as("l").join(r.hint("shuffle_hash").as("r"),
+        col("l.sh") === col("r.sh"))
+      .groupBy(col("l.doc_id").as("left_id"),
+        col("r.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(lsz.withColumnRenamed("doc_id", "left_id"), "left_id")
+      .join(rsz.withColumnRenamed("doc_id", "right_id"), "right_id")
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("left_id"), col("right_id"), col("inter"),
+        Hashing.portableRound(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
   /** 60-bit SimHash fingerprints. Per document: every token votes ±1
     * on each of 60 bit positions according to its hash; positive sums
     * set the bit. One groupBy — a single shuffle of (doc_id,

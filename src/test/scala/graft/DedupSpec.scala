@@ -471,6 +471,37 @@ class DedupSpec extends SparkTestBase {
     assert(s === Set.empty[Long], s"near-dup admitted: $s")
   }
 
+  test("crossDupPairs: bipartite jaccard pairs cross sides only, exact " +
+    "scores, combined-df hot cut") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val left = Seq(
+      (0L, base),
+      (2L, base), // within-left exact dup of 0 — must NOT pair
+      (4L, "completely different content about spark engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (1L, base.replace("lima", "mike")), // cross-side near-dup of 0 and 2
+      (3L, "unrelated parquet pruning commentary with columnar readers today"))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.docShingleHashes(left, "doc_id", "text", 3)
+    val rsh = Dedup.docShingleHashes(right, "doc_id", "text", 3)
+    val out = Dedup.crossDupPairs(lsh, rsh, 0.5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 1L)), s"pairs $pairs")
+    // 12 tokens → 10 3-shingles; the changed trailing token touches
+    // exactly one window: inter 9, union 11, jaccard 9/11 → 0.818182
+    out.foreach { r =>
+      assert(r.getAs[Double]("jaccard") === 0.818182,
+        s"jaccard ${r.getAs[Double]("jaccard")}")
+      assert(r.getAs[Long]("inter") === 9L)
+    }
+    // combined-df cut: with budget 1 the shared base shingles (df 3
+    // across both sides) are boilerplate — no surviving cross matches
+    assert(Dedup.crossDupPairs(lsh, rsh, 0.0, maxShingleDf = 1)
+      .count() === 0L, "hot cut must use the combined document frequency")
+  }
+
   test("simhash: identical docs share fingerprints, near-dups are close") {
     val fps = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

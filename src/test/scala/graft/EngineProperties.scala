@@ -717,4 +717,33 @@ object EngineProperties extends Properties("graft") {
       (got == expected.toSet) :|
         s"takedown admission diverged: engine $got vs reference $expected"
     }
+
+  property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
+    "corpora") =
+    Prop.forAll(genAdmCorpus) { case (docs, _) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val sh = graft.functions.Dedup.docShingleHashes(
+        allDF, "doc_id", "text", 2)
+      val shRows = sh.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val setsOf: Map[Long, Set[Long]] =
+        shRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val evens = docs.map(_._1).filter(_ % 2 == 0)
+      val odds = docs.map(_._1).filter(_ % 2 == 1)
+      val expected = (for {
+        a <- evens; b <- odds
+        inter = setsOf(a).intersect(setsOf(b)).size
+        if inter > 0
+        union = setsOf(a).size + setsOf(b).size - inter
+        if inter.toDouble / union.toDouble >= 0.3
+      } yield (a, b)).toSet
+      val got = graft.functions.Dedup.crossDupPairs(
+          sh.filter(col("doc_id") % 2 === 0),
+          sh.filter(col("doc_id") % 2 === 1), 0.3)
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got == expected) :|
+        s"bipartite jaccard diverged: engine $got vs reference $expected"
+    }
 }
