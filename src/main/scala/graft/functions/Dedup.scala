@@ -610,14 +610,15 @@ object Dedup {
                          autoCompactFiles: Int = 32,
                          tailFoldFiles: Int = 16,
                          admittedAt: Long = System.currentTimeMillis(),
-                         suppressSince: Long = 0L): DataFrame =
+                         suppressSince: Long = 0L,
+                         expireBefore: Long = 0L): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
           docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
-      admittedAt, suppressSince)
+      admittedAt, suppressSince, expireBefore)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -686,7 +687,8 @@ object Dedup {
                                      autoCompactFiles: Int = 32,
                                      tailFoldFiles: Int = 16,
                                      admittedAt: Long = System.currentTimeMillis(),
-                                     suppressSince: Long = 0L)
+                                     suppressSince: Long = 0L,
+                                     expireBefore: Long = 0L)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -738,7 +740,8 @@ object Dedup {
       .withColumn("adm_ts", lit(admittedAt))
       .repartition(1)
       .write.mode("append").parquet(admissionTailPath(storePath))
-    foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles)
+    foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles,
+      expireBefore)
     survivors
   }
 
@@ -793,7 +796,7 @@ object Dedup {
     */
   private[graft] def foldAdmissionTail(spark: SparkSession,
       storePath: String, autoCompactFiles: Int,
-      tailFoldFiles: Int): Boolean = {
+      tailFoldFiles: Int, expireBefore: Long = 0L): Boolean = {
     val tail = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
     val fs = tail.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.util.Try(fs.listStatus(tail)).getOrElse(Array.empty)
@@ -801,15 +804,18 @@ object Dedup {
     if (files.isEmpty) return false
     if (files.length <= tailFoldFiles &&
         files.map(_.getLen).sum <= admissionTailMaxBytes) return false
-    val df = spark.read
-      .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+    // expired rows are shed in the fold itself — they never reach L1
+    val df = inWindow(spark.read
+        .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
+        expireBefore)
       .localCheckpoint(true) // tail is budget-bounded
     val folded = df.select("adm_kb").distinct()
       .collect().map(_.getInt(0)).toSeq
     df.repartition(col("adm_kb"))
       .write.mode("append").partitionBy("adm_kb").parquet(storePath)
     files.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
-    compactAdmissionBuckets(spark, storePath, folded, autoCompactFiles)
+    compactAdmissionBuckets(spark, storePath, folded, autoCompactFiles,
+      expireBefore)
     true
   }
 
@@ -854,9 +860,18 @@ object Dedup {
     * readers ignore) BEFORE the superseded files are deleted, so every
     * crash point leaves at worst duplicate key rows, never missing
     * ones. Returns the buckets rewritten.
+    *
+    * `expireBefore` > 0 folds retention into the rewrite for free:
+    * rows stamped before it are dropped while the bucket is being
+    * rewritten anyway, so any bucket that keeps growing keeps
+    * crossing the file budget and keeps shedding expired rows —
+    * growing state stays window-bounded with no extra maintenance
+    * pass (cold buckets hold only non-growing stale rows, reclaimed
+    * by the manual [[expireAdmitted]] cadence).
     */
   private[graft] def compactAdmissionBuckets(spark: SparkSession,
-      storePath: String, buckets: Seq[Int], maxFiles: Int): Seq[Int] = {
+      storePath: String, buckets: Seq[Int], maxFiles: Int,
+      expireBefore: Long = 0L): Seq[Int] = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     buckets.filter { b =>
@@ -875,9 +890,12 @@ object Dedup {
         // NEWEST admission stamp — max is the suppression-conservative
         // choice for windowed dedup; plain distinct would keep one row
         // per (key, ts) and let replays grow the store
+        val live =
+          if (expireBefore <= 0L) cur
+          else inWindow(cur, expireBefore)
         val dedup =
-          if (!cur.columns.contains("adm_ts")) cur.distinct()
-          else cur.groupBy(cur.columns.filterNot(_ == "adm_ts")
+          if (!live.columns.contains("adm_ts")) live.distinct()
+          else live.groupBy(live.columns.filterNot(_ == "adm_ts")
               .map(col).toIndexedSeq: _*)
             .agg(max(coalesce(col("adm_ts"), lit(0L))).as("adm_ts"))
         dedup.coalesce(1)

@@ -477,7 +477,8 @@ object Similarity {
                               autoCompactFiles: Int = 32,
                               tailFoldFiles: Int = 16,
                               admittedAt: Long = System.currentTimeMillis(),
-                              suppressSince: Long = 0L)
+                              suppressSince: Long = 0L,
+                              expireBefore: Long = 0L)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -486,7 +487,7 @@ object Similarity {
             .as(Seq("tbl", "b"))),
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
-      admittedAt, suppressSince)
+      admittedAt, suppressSince, expireBefore)
 
   /** Remove vectors from an SRP admission store — the semantic-side
     * takedown path, mirroring [[Dedup.nearDupRemove]] (shared core

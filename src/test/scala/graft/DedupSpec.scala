@@ -438,6 +438,18 @@ class DedupSpec extends SparkTestBase {
     assert(admit(x, Seq((4L, textA), (5L, textB)), ts = 3000L)
       === Set(4L), "expired keys still suppress (or fresh ones lost)")
 
+    // compact-time auto-expiry: expireBefore rides the writer's own
+    // fold/compaction — out-of-window rows are shed physically with
+    // no separate maintenance pass
+    val e = tmpDir("ndautoexp")
+    admit(e, Seq((0L, textA)), ts = 1000L)
+    Dedup.nearDupFilterBatch(Seq((7L, textB)).toDF("doc_id", "text"), e,
+      "doc_id", "text", admittedAt = 2000L, tailFoldFiles = 0,
+      autoCompactFiles = 0, expireBefore = 1500L)
+    assert(admit(e, Seq((8L, textA), (9L, textB)), ts = 3000L)
+      === Set(8L),
+      "fold/compact-time expiry must shed doc 0's keys and keep doc 7's")
+
     // replayed appends collapse at compaction: one row per key, max ts
     val c = tmpDir("ndcollapse")
     admit(c, Seq((6L, textA)), ts = 1000L)
