@@ -769,7 +769,8 @@ object Dedup {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) None
     else Some(inWindow(
-        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
         suppressSince)
       .select(col("doc_id").as("s_id") +:
         keyCols.map(c => col(c).as(s"s_$c")): _*))
@@ -804,8 +805,20 @@ object Dedup {
     if (files.isEmpty) return false
     if (files.length <= tailFoldFiles &&
         files.map(_.getLen).sum <= admissionTailMaxBytes) return false
+    // reclaim staging dirs a crashed fold/compact/remove attempt
+    // orphaned (dot-prefixed — invisible to readers). Stale = an hour
+    // old: live attempts are seconds old and the store is
+    // single-writer, so nothing that old can be in flight.
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val stale = System.currentTimeMillis() - 60L * 60 * 1000
+    scala.util.Try(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".compact-") ||
+          s.getPath.getName.startsWith(".remove-")) &&
+        s.getModificationTime < stale)
+      .foreach(s => fs.delete(s.getPath, true))
     // expired rows are shed in the fold itself — they never reach L1
-    val df = inWindow(spark.read
+    val df = inWindow(spark.read.option("mergeSchema", "true")
         .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
         expireBefore)
       .localCheckpoint(true) // tail is budget-bounded
@@ -846,6 +859,7 @@ object Dedup {
     // redundant IN filter costs nothing and keeps the pruning
     // property visible in (and pinned on) the physical plan
     Some(inWindow(spark.read.option("basePath", storePath)
+      .option("mergeSchema", "true")
       .parquet(dirs: _*)
       .filter(col("adm_kb").isInCollection(touched)), suppressSince)
       .select(col("doc_id").as("s_id") +:
@@ -884,7 +898,7 @@ object Dedup {
         // the read and the delete set, so they survive untouched
         val staging = new org.apache.hadoop.fs.Path(root,
           s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
-        val cur = spark.read
+        val cur = spark.read.option("mergeSchema", "true")
           .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
         // collapse duplicate keys (replayed appends) keeping the
         // NEWEST admission stamp — max is the suppression-conservative
@@ -1058,7 +1072,7 @@ object Dedup {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (old.isEmpty) return 0L
     val paths = old.map(_.getPath.toString).toIndexedSeq
-    val cur = spark.read.parquet(paths: _*)
+    val cur = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val pred = dropPredOf(cur)
     val hit = cur.filter(pred).count()
     if (hit == 0L) return 0L

@@ -80,6 +80,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"hot-shingle cap regressed to a per-consumer anti-join:\n$p")
   }
 
+  test("docs_crossdup_pairs: bipartite join keeps the self-join's plan " +
+    "discipline") {
+    val p = plan("docs_crossdup_pairs")
+    assert(p.contains("ShuffledHashJoin"),
+      s"bipartite candidate join lost the shuffle_hash hint:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join on a massively-duplicated key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bipartite join degenerated to a product:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"hot-shingle cap regressed to a per-consumer anti-join:\n$p")
+  }
+
   test("embed_topk_ivf_indexed: assigned scan is partition-pruned") {
     val p = plan("embed_topk_ivf_indexed")
     assert(p.matches("(?s).*PartitionFilters: \\[cell#\\d+ IN.*"),
