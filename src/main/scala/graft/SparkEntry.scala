@@ -2915,6 +2915,17 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.4,
         planes = 4, dims = 64, tables = 8)),
 
+    // Cross-corpus SEMANTIC near-dup join: the bipartite variant over
+    // the even/odd-id halves standing in for two vector corpora —
+    // the embedding-space twin of docs_crossdup_pairs.
+    "embed_crossdup_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.crossEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        0.4, planes = 4, dims = 64, tables = 8)
+    }),
+
     // The cluster operator composes across dedup families: the same
     // star-contraction components over embedding-cosine (semantic)
     // near-dup pairs, not just shingle-jaccard ones.
@@ -4405,6 +4416,22 @@ object SparkEntry {
          |FROM cand
          |JOIN embeddings a ON a.vec_id = vec_a
          |JOIN embeddings b ON b.vec_id = vec_b
+         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+    // Bipartite mirror of the semantic near-dup join: candidates are
+    // bucket collisions BETWEEN the id-parity halves, no within-side
+    // pairs and no id-order predicate.
+    "embed_crossdup_pairs" ->
+      s"""WITH $srpBucketsCte,
+         |cand AS (SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+         | FROM buckets l JOIN buckets r
+         |  ON l.tbl = r.tbl AND l.bucket = r.bucket
+         | WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1)
+         |SELECT left_id, right_id,
+         | ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+         |FROM cand
+         |JOIN embeddings a ON a.vec_id = left_id
+         |JOIN embeddings b ON b.vec_id = right_id
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
 
     // Sequential two-batch admission mirror: batch 1 drops ids that

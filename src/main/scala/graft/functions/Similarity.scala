@@ -446,6 +446,45 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Cross-corpus SEMANTIC near-duplicate pairs — the bipartite
+    * variant of [[embeddingNearDupPairs]] and the embedding-space
+    * twin of [[Dedup.crossDupPairs]]: candidate pairs are vectors
+    * from DIFFERENT corpora sharing an SRP bucket in any table,
+    * verified by exact cosine — paraphrase-level overlap between two
+    * crawl snapshots, or semantic train-vs-benchmark contamination
+    * no lexical sketch can see. Same discipline as the self-join:
+    * DISTINCT-first (a pair colliding in several tables is scored
+    * once), vectors never ride the candidate shuffle, the degenerate
+    * identical-vector guard applies per side. Returns
+    * (left_id, right_id, score).
+    */
+  def crossEmbeddingNearDupPairs(left: DataFrame, right: DataFrame,
+                                 threshold: Double,
+                                 planes: Int, dims: Int, tables: Int = 8,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 maxBucketSize: Long = Long.MaxValue)
+      : DataFrame = {
+    def buckets(df: DataFrame, side: String) = Dedup.dropOversizedBuckets(
+      df.select(col(idCol).as("id"),
+        posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+          .as(Seq("tbl", "b"))),
+      Seq("tbl", "b"), maxBucketSize, s"crossEmbeddingNearDupPairs/$side")
+    val pairs = buckets(left, "left").as("l")
+      .join(buckets(right, "right").as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.b") === col("r.b"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
+      .distinct()
+    pairs
+      .join(left.select(col(idCol).as("left_id"), col(vecCol).as("va")),
+        "left_id")
+      .join(right.select(col(idCol).as("right_id"), col(vecCol).as("vb")),
+        "right_id")
+      .select(col("left_id"), col("right_id"),
+        Hashing.portableRound(cosine(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** One micro-batch of the streaming EMBEDDING near-dup filter — the
     * SRP band-key analog of [[Dedup.nearDupFilterBatch]], giving the
     * ingest path the SEMANTIC admission signal ([[semDedup]] /

@@ -1329,6 +1329,28 @@ class SimilaritySpec extends SparkTestBase {
       tmpDir("embadmrm3") + "/absent", Set(1L)) === 0L)
   }
 
+  test("crossEmbeddingNearDupPairs ≡ the cross-parity subset of the " +
+    "self-join family, scores identical") {
+    val cross = Similarity.crossEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        0.4, planes = 4, dims = 64, tables = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(cross.nonEmpty, "no cross-corpus pairs at the spec corpus")
+    cross.foreach { case ((a, b), _) =>
+      assert(a % 2 == 0 && b % 2 == 1, s"within-side pair leaked: ($a,$b)") }
+    // the bipartite join must find EXACTLY the self-join's mixed-parity
+    // pairs (bucket membership is side-independent), same scores
+    val full = Similarity.embeddingNearDupPairs(emb, 0.4,
+        planes = 4, dims = 64, tables = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((a, b), _) => a % 2 != b % 2 }
+      .map { case ((a, b), s) =>
+        (if (a % 2 == 0) (a, b) else (b, a), s) }.toMap
+    assert(cross.toMap === full,
+      "bipartite pairs diverge from the self-join's cross-parity subset")
+  }
+
   test("PQ is deterministic across invocations and rejects bad configs") {
     val q = emb.filter(col("vec_id") < 8)
     val a = Similarity.pqTopK(emb, q, 5).collect().toSet
