@@ -80,6 +80,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"hot-shingle cap regressed to a per-consumer anti-join:\n$p")
   }
 
+  test("embed_crossdup_pairs: bipartite candidate join is an equi-join, " +
+    "vectors gathered only for unique pairs") {
+    val p = plan("embed_crossdup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bipartite bucket join degenerated to a product:\n$p")
+    // distinct-first: the pair dedup must sit below the vector gathers
+    assert(p.contains("HashAggregate") || p.contains("Deduplicate"),
+      s"candidate pairs not deduplicated before the gathers:\n$p")
+  }
+
   test("docs_crossdup_pairs: bipartite join keeps the self-join's plan " +
     "discipline") {
     val p = plan("docs_crossdup_pairs")
