@@ -1303,7 +1303,8 @@ object Similarity {
   */
 class IvfIndex(path: String, nCells: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               retainVersions: Int = 2) {
+               retainVersions: Int = 2,
+               autoConsolidateSegments: Int = 0) {
   import Similarity.{ivfQuantize, ivfProbe, ivfSeeds, assignToSeeds}
   import IvfIndex.{Manifest, Segment}
 
@@ -1377,6 +1378,12 @@ class IvfIndex(path: String, nCells: Int,
   /** Pending logical removals of the current generation, if any. */
   def tombstoneIds(spark: SparkSession): Option[DataFrame] =
     resolve(spark).flatMap(m => tombDf(spark, m))
+
+  /** Segment count of the current generation — observability for the
+    * maintenance budget, mirroring the codes stores' accessor.
+    */
+  def segmentCount(spark: SparkSession): Int =
+    resolve(spark).map(_.segments.size).getOrElse(0)
 
   private def tombDf(spark: SparkSession, m: Manifest): Option[DataFrame] =
     m.tombstones.map(d => spark.read.parquet(s"$path/$d"))
@@ -1561,11 +1568,31 @@ class IvfIndex(path: String, nCells: Int,
         if (fresh.count() == 0) None
         else {
           val segDir = s"seg-$uid"
-          fresh.repartition(col("cell")) // one file per touched cell
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$path/$segDir")
-          Some((m.copy(segments = m.segments :+ Segment(segDir, Nil)),
-            Seq(segDir)))
+          if (autoConsolidateSegments > 0 &&
+              m.segments.size + 1 > autoConsolidateSegments) {
+            // budget crossed: this append's OWN commit writes ONE
+            // merged segment (live rows, tombstones folded out, plus
+            // the fresh batch) — the codes stores' auto-consolidate
+            // discipline, so per-micro-batch ingest can't accumulate
+            // unbounded segments/exclusion lists between manual
+            // compactions. Same rows served either way.
+            val all = assignedDf(spark, m, None)
+            val live = tombDf(spark, m).map(t => all.join(
+                broadcast(t.distinct()), Seq("cid"), "left_anti"))
+              .getOrElse(all)
+            live.unionByName(fresh)
+              .repartition(col("cell")) // one file per cell (see build)
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$path/$segDir")
+            Some((m.copy(tombstones = None,
+              segments = Seq(Segment(segDir, Nil))), Seq(segDir)))
+          } else {
+            fresh.repartition(col("cell")) // one file per touched cell
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$path/$segDir")
+            Some((m.copy(segments = m.segments :+ Segment(segDir, Nil)),
+              Seq(segDir)))
+          }
         }
       } finally fresh.unpersist()
     }

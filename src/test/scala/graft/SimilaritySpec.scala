@@ -1056,6 +1056,34 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.sq8Quantize(emb).collect().toSet)
   }
 
+  test("IVF auto-consolidate rides the append commit: threshold-crossing " +
+    "append leaves ONE segment, tombstones folded, probes identical") {
+    val dir = tmpDir("ivfautocons")
+    val idx = new graft.functions.IvfIndex(dir, nCells = 16,
+      autoConsolidateSegments = 2)
+    idx.build(emb.filter(col("vec_id") < 200))
+    idx.append(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300))
+    assert(idx.segmentCount(spark) === 2,
+      "pre-threshold append must accumulate segments up to the budget")
+    // a pending tombstone folds out in the same auto-consolidating turn
+    idx.remove(emb.filter(col("vec_id") === 7L).select("vec_id"))
+    idx.append(emb.filter(col("vec_id") >= 300))
+    assert(idx.segmentCount(spark) === 1,
+      "threshold-crossing append did not auto-consolidate")
+    assert(idx.tombstoneIds(spark).isEmpty,
+      "auto-consolidate left the folded tombstones in the manifest")
+    // identical probes vs a never-consolidating index over the same
+    // live corpus (vector 7 removed)
+    val ref = new graft.functions.IvfIndex(tmpDir("ivfautocons-ref"),
+      nCells = 16)
+    ref.build(emb.filter(col("vec_id") =!= 7L))
+    val q = emb.filter(col("vec_id") < 8)
+    val a = idx.topK(spark, q, 5, nProbe = 16)
+    val b = ref.topK(spark, q, 5, nProbe = 16)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0,
+      "auto-consolidated index diverged from the rebuild")
+  }
+
   test("streaming ANN maintenance end-to-end: foreachBatch admission " +
     "feeds live PqCodesStore appends under a concurrent prober; " +
     "converges to the batch-built store over the admitted set; " +
