@@ -1011,6 +1011,69 @@ object Dedup {
     removeIdsInBuckets(spark, storePath, ids, all)
   }
 
+  /** Full-sweep removal by a DISTRIBUTED id relation — the shape a
+    * large decontamination list needs (millions of ids fit neither an
+    * INSET literal nor the driver): every bucket directory and the
+    * tail are rewritten through an anti-join against `ids` (its first
+    * column, cast to long). Same crash discipline and idempotence as
+    * the Set overload; directories with no hit stay physically
+    * untouched. Returns rows removed.
+    */
+  def removeAdmittedIds(spark: SparkSession, storePath: String,
+                        ids: DataFrame): Long = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    // one distinct projection feeding a semi- and an anti-join per
+    // touched directory — materialize once
+    val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
+      .distinct().localCheckpoint(true)
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath).toSeq :+
+      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    dirs.map { dir =>
+      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (old.isEmpty) 0L
+      else {
+        val cur = spark.read.option("mergeSchema", "true")
+          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+        val hit = cur.join(rm, cur("doc_id") === col("rm_id"), "left_semi")
+          .count()
+        if (hit == 0L) 0L
+        else {
+          publishRewrite(spark, root, dir,
+            cur.join(rm, cur("doc_id") === col("rm_id"), "left_anti"), old)
+          hit
+        }
+      }
+    }.sum
+  }
+
+  /** Stage `keep` as one parquet file, rename it into `dir`, then
+    * delete the superseded `old` files — the shared publish-before-
+    * delete rewrite every store-directory mutation uses (see
+    * [[removeByKeys]] for the crash analysis).
+    */
+  private def publishRewrite(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
+      keep: DataFrame,
+      old: Array[org.apache.hadoop.fs.FileStatus]): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
+    keep.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+          s"removed-${s.getPath.getName}"))
+      }
+    old.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(staging, true)
+  }
+
   /** Rewrite each of `buckets` (plus the L0 tail, which is not
     * bucket-addressable but budget-bounded) dropping rows whose
     * doc_id ∈ `ids`; directories with no hit are left physically
@@ -1076,19 +1139,7 @@ object Dedup {
     val pred = dropPredOf(cur)
     val hit = cur.filter(pred).count()
     if (hit == 0L) return 0L
-    val staging = new org.apache.hadoop.fs.Path(root,
-      s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
-    cur.filter(!pred)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
-          s"removed-${s.getPath.getName}"))
-      }
-    old.foreach(s => fs.delete(s.getPath, false))
-    fs.delete(staging, true)
+    publishRewrite(spark, root, dir, cur.filter(!pred), old)
     hit
   }
 

@@ -1355,6 +1355,18 @@ class SimilaritySpec extends SparkTestBase {
     // sweep on a missing store is a safe no-op
     assert(graft.functions.Dedup.removeAdmittedIds(spark,
       tmpDir("embadmrm3") + "/absent", Set(1L)) === 0L)
+
+    // the distributed-id-relation overload (large decontamination
+    // lists) removes the same rows as the Set overload
+    val store3 = tmpDir("embadmrm4")
+    Similarity.embedNearDupFilterBatch(b1, store3,
+      planes = 12, dims = 64, tables = 8).collect()
+    assert(graft.functions.Dedup.removeAdmittedIds(spark, store3,
+      emb.filter(col("vec_id") === 0).select("vec_id")) === removed,
+      "DataFrame-overload sweep removed a different row count")
+    assert(Similarity.embedNearDupFilterBatch(copyOf(90002L), store3,
+      planes = 12, dims = 64, tables = 8).count() === 1L,
+      "DataFrame-overload removal did not free admission")
   }
 
   test("crossEmbeddingNearDupPairs ≡ the cross-parity subset of the " +
