@@ -718,6 +718,65 @@ object EngineProperties extends Properties("graft") {
         s"takedown admission diverged: engine $got vs reference $expected"
     }
 
+  // the admission law under WINDOWED retention: every batch carries a
+  // deterministic stamp and a random suppressSince cutoff — stored
+  // keys admitted before the cutoff must not suppress, exactly like a
+  // sequential reference that filters its store by stamp
+  private val genAdmWinCorpus
+      : Gen[(Seq[(Long, String)], Int, Seq[Long])] = for {
+    (docs, nBatches) <- genAdmCorpus
+    sinces <- Gen.listOfN(nBatches,
+      Gen.oneOf(0L, 500L, 1500L, 2500L))
+  } yield (docs, nBatches, sinces)
+
+  property("windowed admission ≡ sequential reference filtering its " +
+    "store by stamp") =
+    Prop.forAll(genAdmWinCorpus) { case (docs, nBatches, sinces) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[(Long, Long)]]() // (id, adm_ts)
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val ts = 1000L * (i + 1)
+        val since = sinces(i)
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k => store.get(k).exists(_.exists {
+            case (oid, ots) => oid != id && ots >= since }))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += ((id, ts)))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admwinprop")
+        .toString + "/store"
+      val got = batches.zipWithIndex.flatMap { case (b, i) =>
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            admittedAt = 1000L * (i + 1), suppressSince = sinces(i))
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"windowed admission diverged: engine $got vs reference $expected"
+    }
+
   property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
     "corpora") =
     Prop.forAll(genAdmCorpus) { case (docs, _) =>
