@@ -609,7 +609,7 @@ object Dedup {
                          nBuckets: Int = 64,
                          autoCompactFiles: Int = 32,
                          tailFoldFiles: Int = 16,
-                         admittedAt: Long = System.currentTimeMillis(),
+                         admittedAt: Long = -1L,
                          suppressSince: Long = 0L,
                          expireBefore: Long = 0L): DataFrame =
     admitByKeys(batch,
@@ -678,20 +678,37 @@ object Dedup {
     * replayed within the retention window of the keys that suppressed
     * it — replays are seconds-to-minutes late in practice, windows
     * are days. Rows from stores written before this column existed
-    * read as adm_ts = 0: they predate any window, so a positive
-    * `suppressSince`/expiry cutoff treats them as expired.
+    * read as adm_ts = null and FAIL CLOSED: an unknown-age key is
+    * treated as in-window (still suppressing, never auto-expired) —
+    * run [[stampAdmitted]] once to give legacy rows a concrete stamp
+    * before window semantics should apply to them. Windowed admission
+    * requires an explicit `admittedAt` (the wall-clock default is
+    * refused when a window is set: a replayed batch re-stamped at
+    * replay time would extend suppression windows, breaking the
+    * determinism this stamp exists for).
     */
   private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
                                      storePath: String, idCol: String,
                                      nBuckets: Int = 64,
                                      autoCompactFiles: Int = 32,
                                      tailFoldFiles: Int = 16,
-                                     admittedAt: Long = System.currentTimeMillis(),
+                                     admittedAt: Long = -1L,
                                      suppressSince: Long = 0L,
                                      expireBefore: Long = 0L)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    // admittedAt = -1 (the default) means "now" — fine for unwindowed
+    // stores, but WINDOWED admission keyed off wall clock breaks the
+    // replay contract: compaction keeps max(adm_ts), so a replayed
+    // batch re-stamped at replay time silently extends suppression
+    // windows. Windowing therefore requires the caller's batch time.
+    require(admittedAt >= 0L || (suppressSince <= 0L && expireBefore <= 0L),
+      "windowed admission (suppressSince/expireBefore > 0) requires an " +
+        "explicit admittedAt: the wall-clock default would re-stamp " +
+        "replayed batches and extend suppression windows")
+    val admittedTs =
+      if (admittedAt >= 0L) admittedAt else System.currentTimeMillis()
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
     // keys feed four consumers (bucket probe, store join, self-join,
@@ -737,7 +754,7 @@ object Dedup {
     // coalesce(1) would collapse the join itself to one task)
     keys.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .withColumn("adm_ts", lit(admittedAt))
+      .withColumn("adm_ts", lit(admittedTs))
       .repartition(1)
       .write.mode("append").parquet(admissionTailPath(storePath))
     foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles,
@@ -778,12 +795,19 @@ object Dedup {
 
   /** Keep only key rows admitted at or after `suppressSince` — the
     * query-time half of windowed dedup. Rows from pre-retention files
-    * (no `adm_ts` column, or null) count as adm_ts = 0.
+    * (no `adm_ts` column, or null) FAIL CLOSED: an unknown-age key is
+    * treated as in-window, so turning windowing on against a store
+    * written before the retention column existed keeps every
+    * previously admitted key suppressing (the conservative default —
+    * the alternative silently re-admits duplicates of the whole
+    * legacy corpus). Run [[stampAdmitted]] once to give legacy rows a
+    * concrete stamp if they should eventually expire.
     */
   private def inWindow(df: DataFrame, suppressSince: Long): DataFrame =
     if (suppressSince <= 0L) df
-    else if (!df.columns.contains("adm_ts")) df.limit(0)
-    else df.filter(coalesce(col("adm_ts"), lit(0L)) >= lit(suppressSince))
+    else if (!df.columns.contains("adm_ts")) df
+    else df.filter(
+      coalesce(col("adm_ts"), lit(Long.MaxValue)) >= lit(suppressSince))
 
   /** Fold the L0 tail into the L1 buckets when it exceeds the file or
     * byte budget: ONE partitioned write moves every tail row into its
@@ -806,11 +830,14 @@ object Dedup {
     if (files.length <= tailFoldFiles &&
         files.map(_.getLen).sum <= admissionTailMaxBytes) return false
     // reclaim staging dirs a crashed fold/compact/remove attempt
-    // orphaned (dot-prefixed — invisible to readers). Stale = an hour
-    // old: live attempts are seconds old and the store is
-    // single-writer, so nothing that old can be in flight.
+    // orphaned (dot-prefixed — invisible to readers). Stale = a DAY
+    // old: live attempts are seconds old, so even a maintenance op
+    // running beside the writer (see the concurrency contract on
+    // [[expireAdmitted]]) or a pathologically stalled publish (GC
+    // pause, slow object-store rename) has a 24 h margin before its
+    // staging could be swept from under it.
     val root = new org.apache.hadoop.fs.Path(storePath)
-    val stale = System.currentTimeMillis() - 60L * 60 * 1000
+    val stale = System.currentTimeMillis() - 24L * 60 * 60 * 1000
     scala.util.Try(fs.listStatus(root)).getOrElse(Array.empty)
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(".compact-") ||
@@ -903,7 +930,10 @@ object Dedup {
         // collapse duplicate keys (replayed appends) keeping the
         // NEWEST admission stamp — max is the suppression-conservative
         // choice for windowed dedup; plain distinct would keep one row
-        // per (key, ts) and let replays grow the store
+        // per (key, ts) and let replays grow the store. max ignores
+        // nulls, so a legacy (unstamped) row merged with a stamped
+        // re-admission takes the concrete stamp, and an all-legacy
+        // group stays null (= in-window forever, the fail-closed rule)
         val live =
           if (expireBefore <= 0L) cur
           else inWindow(cur, expireBefore)
@@ -911,7 +941,7 @@ object Dedup {
           if (!live.columns.contains("adm_ts")) live.distinct()
           else live.groupBy(live.columns.filterNot(_ == "adm_ts")
               .map(col).toIndexedSeq: _*)
-            .agg(max(coalesce(col("adm_ts"), lit(0L))).as("adm_ts"))
+            .agg(max(col("adm_ts")).as("adm_ts"))
         dedup.coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
         val staged = fs.listStatus(staging)
@@ -981,9 +1011,15 @@ object Dedup {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
+    // doc_id is cast to long AFTER the bucket hash (which covers only
+    // the key columns): admission preserves the caller's id type, so
+    // a store built with an int id column must still take takedowns —
+    // the long removal set compares against the stored column under
+    // Spark's numeric coercion (matching removeAdmittedIds' cast)
     val keys = keys0.withColumn("adm_kb",
         pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
-      .select(col("doc_id"), col("adm_kb")).distinct()
+      .select(col("doc_id").cast("long").as("doc_id"), col("adm_kb"))
+      .distinct()
       .localCheckpoint(true) // takedown-batch-bounded
     val touched = keys.select("adm_kb").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1111,14 +1147,64 @@ object Dedup {
     if (!fs.exists(root) || cutoffMs <= 0L) return 0L
     val pred = (df: DataFrame) =>
       if (df.columns.contains("adm_ts"))
-        coalesce(col("adm_ts"), lit(0L)) < lit(cutoffMs)
-      else lit(true) // pre-retention rows predate any window
+        // null stamps fail closed (kept), mirroring [[inWindow]]: an
+        // unknown-age key is never silently expired — [[stampAdmitted]]
+        // is the explicit migration that makes legacy rows expirable
+        coalesce(col("adm_ts"), lit(Long.MaxValue)) < lit(cutoffMs)
+      else lit(false) // whole directory pre-retention: keep it all
     val all = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map(_.getPath).toSeq
     all.map(dir => rewriteDirDropping(spark, root, dir, pred)).sum +
       rewriteDirDropping(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+  }
+
+  /** One-time migration for admission stores written before the
+    * retention column existed: stamp every key row whose `adm_ts` is
+    * absent or null with `tsMs`, after which window semantics
+    * (`suppressSince` hiding, [[expireAdmitted]] expiry) apply to them
+    * like any other row. Unknown-age rows otherwise FAIL CLOSED
+    * (suppress forever, never expire) by design — this is the explicit
+    * opt-in that makes legacy state expirable. Per-directory
+    * publish-before-delete (see [[removeByKeys]] for the crash
+    * analysis; a crash can leave a key row duplicated in stamped and
+    * unstamped form, which suppression tolerates and compaction merges
+    * to the concrete stamp); idempotent — a second run finds nothing
+    * unstamped. Returns rows stamped.
+    */
+  def stampAdmitted(spark: SparkSession, storePath: String,
+                    tsMs: Long): Long = {
+    require(tsMs >= 0L, s"stampAdmitted needs a concrete epoch-ms stamp: $tsMs")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath).toSeq :+
+      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    dirs.map { dir =>
+      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (old.isEmpty) 0L
+      else {
+        val cur = spark.read.option("mergeSchema", "true")
+          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+        val hasCol = cur.columns.contains("adm_ts")
+        val missing =
+          if (!hasCol) cur.count()
+          else cur.filter(col("adm_ts").isNull).count()
+        if (missing == 0L) 0L
+        else {
+          val stamped =
+            if (!hasCol) cur.withColumn("adm_ts", lit(tsMs))
+            else cur.withColumn("adm_ts",
+              coalesce(col("adm_ts"), lit(tsMs)))
+          publishRewrite(spark, root, dir, stamped, old)
+          missing
+        }
+      }
+    }.sum
   }
 
   /** Rewrite one store directory dropping the rows `dropPredOf`

@@ -515,7 +515,7 @@ object Similarity {
                               nBuckets: Int = 64,
                               autoCompactFiles: Int = 32,
                               tailFoldFiles: Int = 16,
-                              admittedAt: Long = System.currentTimeMillis(),
+                              admittedAt: Long = -1L,
                               suppressSince: Long = 0L,
                               expireBefore: Long = 0L)
       : DataFrame =

@@ -468,6 +468,66 @@ class DedupSpec extends SparkTestBase {
       "compaction must keep the newest admission stamp")
   }
 
+  test("legacy unstamped admission rows fail closed under windowing; " +
+    "stampAdmitted is the explicit migration that makes them expirable") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val store = tmpDir("ndlegacy")
+    // hand-write a PRE-RETENTION store layout: the doc's band keys in
+    // their L1 buckets with NO adm_ts column (what a store written
+    // before the retention column existed looks like)
+    Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.docShingleHashes(Seq((0L, textA)).toDF("doc_id", "text"),
+          "doc_id", "text", 3), 16), 16, 4)
+      .withColumn("adm_kb",
+        pmod(xxhash64(col("band"), col("band_key")), lit(64)).cast("int"))
+      .repartition(1).write.partitionBy("adm_kb").mode("append")
+      .parquet(store)
+    def probe(id: Long, since: Long): Set[Long] =
+      Dedup.nearDupFilterBatch(Seq((id, textA)).toDF("doc_id", "text"),
+          store, "doc_id", "text", admittedAt = 5000L,
+          suppressSince = since)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fail closed: a window that would exclude any finite stamp must
+    // still treat the unknown-age keys as suppressing
+    assert(probe(1L, since = 4000L) === Set.empty[Long],
+      "legacy rows stopped suppressing under a window (fail-open)")
+    // fail closed on expiry too: unknown-age rows are never auto-shed
+    assert(Dedup.expireAdmitted(spark, store, 4000L) === 0L,
+      "expiry deleted unknown-age legacy rows")
+    // the explicit migration: stamp once, idempotent
+    val stamped = Dedup.stampAdmitted(spark, store, 1000L)
+    assert(stamped > 0L, "migration stamped no rows")
+    assert(Dedup.stampAdmitted(spark, store, 1000L) === 0L,
+      "stampAdmitted is not idempotent")
+    // stamped rows now carry window semantics: hidden by the window...
+    assert(probe(2L, since = 1500L) === Set(2L),
+      "stamped legacy rows not governed by the window")
+    // ...and physically expirable (doc 2's fresh keys stay)
+    assert(Dedup.expireAdmitted(spark, store, 1500L) > 0L)
+    assert(probe(3L, since = 0L).isEmpty,
+      "doc 2's in-window keys were lost by expiry") // dup of 2 rejected
+  }
+
+  test("windowed admission refuses the wall-clock admittedAt default") {
+    import spark.implicits._
+    val store = tmpDir("ndwinrefuse")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupFilterBatch(
+        Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        store, "doc_id", "text", suppressSince = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupFilterBatch(
+        Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        store, "doc_id", "text", expireBefore = 1L)
+    }
+    // unwindowed wall-clock default still works
+    assert(Dedup.nearDupFilterBatch(
+      Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      store, "doc_id", "text").count() === 1L)
+  }
+
   test("streaming near-dup filter drops near (not just exact) duplicates") {
     import spark.implicits._
     val store = tmpDir("ndstore2")
