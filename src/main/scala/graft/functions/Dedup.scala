@@ -709,6 +709,7 @@ object Dedup {
         "replayed batches and extend suppression windows")
     val admittedTs =
       if (admittedAt >= 0L) admittedAt else System.currentTimeMillis()
+    requireNoPendingRebucket(spark, storePath)
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
     // keys feed four consumers (bucket probe, store join, self-join,
@@ -841,7 +842,8 @@ object Dedup {
     scala.util.Try(fs.listStatus(root)).getOrElse(Array.empty)
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(".compact-") ||
-          s.getPath.getName.startsWith(".remove-")) &&
+          s.getPath.getName.startsWith(".remove-") ||
+          s.getPath.getName.startsWith(".rebucket-")) &&
         s.getModificationTime < stale)
       .foreach(s => fs.delete(s.getPath, true))
     // expired rows are shed in the fold itself — they never reach L1
@@ -958,6 +960,133 @@ object Dedup {
     }
   }
 
+  /** Name of the root marker a [[rebucketAdmitted]] migration holds
+    * while in flight. While it exists every admission/removal/expiry
+    * entry point REFUSES to run: a crashed migration leaves rows split
+    * across two bucket moduli, where a pruned probe under either
+    * modulus can miss collisions — failing loudly beats silently
+    * under-suppressing. Re-running [[rebucketAdmitted]] completes the
+    * migration and clears the marker.
+    */
+  private[graft] val rebucketMarkerName = "_rebucket_pending"
+
+  private def rebucketMarker(storePath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(storePath, rebucketMarkerName)
+
+  private def requireNoPendingRebucket(spark: SparkSession,
+                                       storePath: String): Unit = {
+    val marker = rebucketMarker(storePath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"admission store at $storePath has an incomplete rebucket " +
+        "migration — re-run rebucketAdmitted to complete it before " +
+        "admitting, removing, or expiring")
+  }
+
+  /** Crash-safe re-bucketing migration for the admission stores — the
+    * endless-ingest growth path: `nBuckets` fixes the L1 layout at
+    * store creation, and the per-batch pruning win (the measured-flat
+    * scale shape) requires nBuckets ≫ distinct batch keys. An ingest
+    * that outgrows its layout degrades back toward whole-store joins;
+    * this op migrates the store to `newN` buckets in place, after
+    * which every caller passes `nBuckets = newN` (same
+    * layout-for-lifetime contract as before, one generation later).
+    *
+    * Shape: every bucket directory's rows (and the L0 tail's, whose
+    * stored `adm_kb` values are stale under the new modulus) are
+    * re-keyed by re-hashing the KEY COLUMNS — the same
+    * `pmod(xxhash64(keys), n)` admission itself computes, so same-key
+    * rows land in the same new bucket by construction and no collision
+    * can be lost. Each directory is rewritten independently: its rows
+    * are staged as a partitioned write (dot-prefixed — invisible to
+    * readers), renamed into their target bucket directories with this
+    * migration's `rb<newN>-` file prefix, and only then are the
+    * superseded files deleted (the compactor's publish-before-delete
+    * discipline). Single-writer, like all store maintenance.
+    *
+    * Crash safety: the `_rebucket_pending` marker is written BEFORE
+    * any file moves and cleared after the last, and every store entry
+    * point refuses to run while it exists — a half-migrated layout can
+    * never silently under-suppress. Re-running after a crash resumes
+    * exactly where it left off (the `rb<newN>-` prefix marks files
+    * already under the target modulus; everything else is reprocessed
+    * — at worst re-copied, leaving duplicate key rows the admission
+    * semantics already tolerate). Admission decisions are
+    * bit-identical across the migration: the store's key multiset is
+    * preserved (modulo benign duplicates) and suppression joins are
+    * equality-on-keys, never bucket-id-dependent.
+    *
+    * Returns the number of key rows moved.
+    */
+  def rebucketAdmitted(spark: SparkSession, storePath: String,
+                       newN: Int): Long = {
+    require(newN > 0, s"newN must be positive: $newN")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val marker = rebucketMarker(storePath)
+    // (re)write the marker first — a re-run may target a different
+    // modulus than the crashed attempt; the file prefix below keys on
+    // the CURRENT target, so earlier half-moved files just reprocess
+    fs.delete(marker, false)
+    val out = fs.create(marker, true)
+    try out.write(newN.toString.getBytes("UTF-8")) finally out.close()
+    val prefix = s"rb$newN-"
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath).toSeq :+
+      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    var moved = 0L
+    dirs.foreach { dir =>
+      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith(prefix))
+      if (old.nonEmpty) {
+        val cur = spark.read.option("mergeSchema", "true")
+          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+        // key columns by elimination, in schema (= admission) order —
+        // xxhash64 is order-sensitive, so this must match admitByKeys'
+        // keys0 column order, which wrote these files
+        val keyCols = cur.columns
+          .filterNot(c => c == "doc_id" || c == "adm_ts" || c == "adm_kb")
+          .toSeq
+        require(keyCols.nonEmpty,
+          s"rebucketAdmitted: no key columns in $dir")
+        val rekeyed = cur.drop("adm_kb").withColumn("adm_kb",
+          pmod(xxhash64(keyCols.map(col): _*), lit(newN)).cast("int"))
+        moved += rekeyed.count()
+        val staging = new org.apache.hadoop.fs.Path(root,
+          s".rebucket-${java.util.UUID.randomUUID().toString.take(8)}")
+        rekeyed.repartition(col("adm_kb"))
+          .write.mode("overwrite").partitionBy("adm_kb")
+          .parquet(staging.toString)
+        fs.listStatus(staging)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+          .foreach { bdir =>
+            val target = new org.apache.hadoop.fs.Path(root,
+              bdir.getPath.getName)
+            fs.mkdirs(target)
+            fs.listStatus(bdir.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target,
+                  s"$prefix${f.getPath.getName}"))
+              }
+          }
+        old.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
+        fs.delete(staging, true)
+      }
+      // a source dir left empty (all rows moved elsewhere) is dropped
+      // so future probes don't list a hollow directory
+      if (dir.getName.startsWith("adm_kb=") &&
+          scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+            .forall(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
+        fs.delete(dir, true)
+    }
+    fs.delete(marker, false)
+    moved
+  }
+
   /** Remove documents from a minhash admission store — the takedown /
     * decontamination path: after a document is deleted from the
     * corpus, its banded keys must stop suppressing future arrivals of
@@ -969,7 +1098,8 @@ object Dedup {
     *
     * `docs` must carry the removed documents' TEXT, and the key
     * parameters must match the store's (same contract as `nBuckets`,
-    * which fixes the layout for the store's lifetime): the keys are
+    * which fixes the layout until a [[rebucketAdmitted]] migration
+    * moves it to a new modulus): the keys are
     * re-derived to locate the touched buckets, so only O(removal
     * batch) bucket directories are read and rewritten — never the
     * corpus-scale store. When the text is no longer available, use
@@ -1009,6 +1139,7 @@ object Dedup {
                                       nBuckets: Int): Long = {
     val spark = keys0.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    requireNoPendingRebucket(spark, storePath)
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
     // doc_id is cast to long AFTER the bucket hash (which covers only
@@ -1041,6 +1172,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    requireNoPendingRebucket(spark, storePath)
     val all = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
@@ -1060,6 +1192,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    requireNoPendingRebucket(spark, storePath)
     // one distinct projection feeding a semi- and an anti-join per
     // touched directory — materialize once
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
@@ -1145,6 +1278,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root) || cutoffMs <= 0L) return 0L
+    requireNoPendingRebucket(spark, storePath)
     val pred = (df: DataFrame) =>
       if (df.columns.contains("adm_ts"))
         // null stamps fail closed (kept), mirroring [[inWindow]]: an
@@ -1179,6 +1313,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    requireNoPendingRebucket(spark, storePath)
     val dirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map(_.getPath).toSeq :+

@@ -468,6 +468,91 @@ class DedupSpec extends SparkTestBase {
       "compaction must keep the newest admission stamp")
   }
 
+  test("rebucketAdmitted migrates the layout in place: decisions " +
+    "identical, pruned scan green on the new modulus, pending-marker " +
+    "refusal, resumable across successive migrations") {
+    import spark.implicits._
+    val store = tmpDir("ndrebucket")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    val textC = "streaming watermarks bound state for late arriving event data"
+    // seed the 8-bucket layout: two docs folded into L1, one left in
+    // the L0 tail (its stored adm_kb is stale under any new modulus —
+    // the migration must rewrite it too)
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 8, tailFoldFiles = 0)
+    Dedup.nearDupFilterBatch(Seq((2L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 8)
+    val moved = Dedup.rebucketAdmitted(spark, store, 32)
+    assert(moved > 0L, "migration moved no rows")
+    // idempotent completion: everything already under the new modulus
+    assert(Dedup.rebucketAdmitted(spark, store, 32) === 0L,
+      "re-run of a completed migration moved rows")
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store,
+      Dedup.rebucketMarkerName)), "marker survived a completed migration")
+    // the tail was folded into the new layout (no stale-modulus rows)
+    assert(scala.util.Try(fs.listStatus(
+        new org.apache.hadoop.fs.Path(store, "tail")))
+      .getOrElse(Array.empty)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) === 0,
+      "stale tail files survived the migration")
+    // decisions identical at the new modulus: every admitted doc's
+    // near-dups still rejected, fresh content still admitted
+    val s1 = Dedup.nearDupFilterBatch(
+      Seq((10L, textA), (11L, textB), (12L, textC),
+        (13L, "deterministic replay semantics for micro batch sinks"))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(13L), s"post-migration decisions diverged: $s1")
+    // pruned-scan pin on the NEW layout: the per-batch store join
+    // still lists only the touched bucket directory
+    val allBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).sorted
+    assert(allBuckets.length >= 2, "need two buckets for the pruning pin")
+    val slice = Dedup.admissionStoreSlice(spark, store,
+      Seq("band", "band_key"), Seq(allBuckets.head)).get
+    val p = slice.queryExecution.executedPlan.toString
+    assert(p.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*adm_kb#\\d+ (=|IN|INSET).*"),
+      s"post-migration slice is not partition-pruned:\n$p")
+    assert(p.contains(s"adm_kb=${allBuckets.head}") &&
+      !allBuckets.tail.exists(b => p.contains(s"adm_kb=$b")),
+      s"post-migration slice listed untouched buckets:\n$p")
+    // a pending marker (crashed migration) makes every entry point
+    // refuse loudly instead of probing a half-migrated layout
+    val marker = new org.apache.hadoop.fs.Path(store,
+      Dedup.rebucketMarkerName)
+    val out = fs.create(marker, true)
+    out.write("64".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupFilterBatch(Seq((20L, textA)).toDF("doc_id", "text"),
+        store, "doc_id", "text", nBuckets = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.expireAdmitted(spark, store, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupRemove(Seq((0L, textA)).toDF("doc_id", "text"),
+        store, "doc_id", "text", nBuckets = 32)
+    }
+    // re-running the migration (here: on to a SMALLER modulus, which
+    // also reprocesses the previous migration's files) completes,
+    // clears the marker, and preserves every decision
+    assert(Dedup.rebucketAdmitted(spark, store, 4) > 0L)
+    assert(!fs.exists(marker), "marker survived the completing re-run")
+    val s2 = Dedup.nearDupFilterBatch(
+      Seq((21L, textA), (22L, "entirely novel subject matter here with " +
+        "enough words to shingle cleanly")).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(22L), s"post-second-migration decisions diverged: $s2")
+  }
+
   test("legacy unstamped admission rows fail closed under windowing; " +
     "stampAdmitted is the explicit migration that makes them expirable") {
     import spark.implicits._

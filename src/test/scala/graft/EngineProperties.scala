@@ -777,6 +777,66 @@ object EngineProperties extends Properties("graft") {
         s"windowed admission diverged: engine $got vs reference $expected"
     }
 
+  // the admission law with a LAYOUT MIGRATION interleaved: the store
+  // is rebucketed to a random new modulus at a random batch boundary
+  // (callers switch nBuckets with it) — admission decisions must stay
+  // bit-identical to the bucket-oblivious sequential reference
+  private val genAdmRebCorpus
+      : Gen[(Seq[(Long, String)], Int, Int, Int)] = for {
+    (docs, nBatches) <- genAdmCorpus
+    at <- Gen.choose(0, nBatches - 1)
+    newN <- Gen.oneOf(2, 16, 128)
+  } yield (docs, nBatches, at, newN)
+
+  property("admission with an interleaved rebucket migration ≡ " +
+    "sequential reference") =
+    Prop.forAll(genAdmRebCorpus) { case (docs, nBatches, at, newN) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[Long]]()
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.foreach { b =>
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k =>
+            store.get(k).exists(_.exists(_ != id)))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += id)
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admrebprop")
+        .toString + "/store"
+      val got = batches.zipWithIndex.flatMap { case (b, i) =>
+        if (i == at)
+          graft.functions.Dedup.rebucketAdmitted(spark, dir, newN)
+        val n = if (i >= at) newN else 4
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            nBuckets = n)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"rebucketed admission diverged: engine $got vs reference $expected"
+    }
+
   property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
     "corpora") =
     Prop.forAll(genAdmCorpus) { case (docs, _) =>
