@@ -686,6 +686,26 @@ object Dedup {
     * refused when a window is set: a replayed batch re-stamped at
     * replay time would extend suppression windows, breaking the
     * determinism this stamp exists for).
+    *
+    * Concurrency contract (one ADMISSION writer; maintenance may run
+    * beside it): admissions are strictly single-writer — two
+    * concurrent `admitByKeys` calls can violate exactly-once. The
+    * standalone maintenance ops ([[nearDupRemove]] /
+    * [[removeAdmittedIds]] / [[expireAdmitted]] / [[stampAdmitted]])
+    * MAY run concurrently with the live writer (the natural shape of
+    * a retention cron beside an endless ingest): every directory
+    * mutation on either side publishes its surviving rows BEFORE
+    * deleting the files it read, so any interleaving preserves the
+    * store's data invariants — kept keys are never lost (at worst
+    * duplicated, which admission semantics tolerate) and a removal
+    * raced by a concurrent fold/compact is at worst INCOMPLETE
+    * (re-running it completes; all removals are idempotent). What IS
+    * possible under contention is a transient per-turn failure — one
+    * side reading files the other just superseded — which the caller
+    * retries like any task failure; no state is damaged.
+    * [[rebucketAdmitted]] is the exception: it is exclusive (nothing
+    * else may run during a migration, and its pending marker enforces
+    * that loudly).
     */
   private[functions] def admitByKeys(batch: DataFrame, keys0: DataFrame,
                                      storePath: String, idCol: String,

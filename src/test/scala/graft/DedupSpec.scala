@@ -468,6 +468,111 @@ class DedupSpec extends SparkTestBase {
       "compaction must keep the newest admission stamp")
   }
 
+  test("maintenance (remove/expire) beside a live admission writer: " +
+    "kept keys never lost, removals eventually complete, transient " +
+    "turn failures only") {
+    import spark.implicits._
+    val store = tmpDir("ndconc")
+    val nDocs = 24
+    // rich, pairwise-distinct content so no two docs share a band key
+    // (deterministic md5 family — collisions would need a full-band
+    // minhash match across unrelated vocabularies)
+    def text(i: Int): String =
+      s"subject$i alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i " +
+        s"golf$i hotel$i india$i juliet$i kilo$i lima$i"
+    val removeIds = (0 until nDocs by 3).map(_.toLong).toSet
+    def retrying[A](what: String, attempts: Int)(f: => A): A = {
+      var left = attempts
+      while (true) {
+        try return f
+        catch { case t: Throwable =>
+          left -= 1
+          if (left <= 0) throw new AssertionError(
+            s"$what kept failing under contention", t)
+        }
+      }
+      sys.error("unreachable")
+    }
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val maintFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintTurns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    // maintenance thread: content-keyed takedowns of already-admitted
+    // docs plus no-op expiry sweeps, racing the writer's per-turn
+    // fold/compact. Transient failures are the contract's allowed
+    // outcome — counted, not fatal; data invariants are asserted below.
+    val maint = new Thread(() => {
+      try {
+        val rnd = new scala.util.Random(7)
+        while (!writerDone.get()) {
+          val seen = admitted.toArray(Array.empty[java.lang.Long])
+            .map(_.longValue).filter(removeIds)
+          if (seen.nonEmpty) {
+            val r = seen(rnd.nextInt(seen.length))
+            maintTurns.incrementAndGet()
+            try {
+              Dedup.nearDupRemove(Seq((r, text(r.toInt)))
+                  .toDF("doc_id", "text"), store, "doc_id", "text",
+                shingleN = 2, k = 4, bands = 2)
+              Dedup.expireAdmitted(spark, store, 1L) // below all stamps
+            } catch { case _: Throwable => maintFailures.incrementAndGet() }
+          } else Thread.sleep(20)
+        }
+      } catch { case t: Throwable => maintErr.set(t) }
+    })
+    maint.start()
+    try {
+      // the writer: single-doc batches with fold + compact riding
+      // every turn (tailFoldFiles=0, autoCompactFiles=1 — maximum
+      // directory-rewrite pressure against the maintenance thread)
+      for (i <- 0 until nDocs) {
+        val s = retrying(s"admission batch $i", 5) {
+          Dedup.nearDupFilterBatch(
+            Seq((i.toLong, text(i))).toDF("doc_id", "text"),
+            store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            tailFoldFiles = 0, autoCompactFiles = 1)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+        assert(s === Set(i.toLong), s"distinct doc $i not admitted: $s")
+        s.foreach(admitted.add(_))
+      }
+    } finally {
+      writerDone.set(true)
+      maint.join(120000)
+    }
+    assert(maintErr.get() === null, s"maintenance thread crashed " +
+      s"outside a turn: ${maintErr.get()}")
+    assert(maintTurns.get() > 0, "maintenance thread never ran a turn")
+    // removal eventually completes: quiesced re-runs drain to zero
+    removeIds.foreach { r =>
+      var guard = 10
+      while (retrying(s"takedown drain $r", 5) {
+          Dedup.nearDupRemove(Seq((r, text(r.toInt)))
+              .toDF("doc_id", "text"), store, "doc_id", "text",
+            shingleN = 2, k = 4, bands = 2)
+        } > 0L) {
+        guard -= 1
+        assert(guard > 0, s"takedown of $r never drained")
+      }
+    }
+    // kept keys never lost: every admitted, non-removed doc's exact
+    // dup is still rejected after all that interleaving
+    val kept = (0 until nDocs).map(_.toLong).filterNot(removeIds)
+    val keptProbe = Dedup.nearDupFilterBatch(
+      kept.map(i => (1000L + i, text(i.toInt))).toDF("doc_id", "text"),
+      store, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+    assert(keptProbe.count() === 0L,
+      "a kept doc's keys were lost under maintenance concurrency")
+    // removed docs' content is re-admittable (the takedown semantics)
+    val freedProbe = Dedup.nearDupFilterBatch(
+      removeIds.toSeq.sorted.map(i => (2000L + i, text(i.toInt)))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+    assert(freedProbe.count() === removeIds.size.toLong,
+      "a removed doc's keys still suppress after the takedown drained")
+  }
+
   test("rebucketAdmitted migrates the layout in place: decisions " +
     "identical, pruned scan green on the new modulus, pending-marker " +
     "refusal, resumable across successive migrations") {
