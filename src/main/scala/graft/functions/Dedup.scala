@@ -362,14 +362,30 @@ object Dedup {
     *
     * Returns (left_id, right_id, inter, jaccard) for raw-ratio ≥
     * `threshold` (output rounded to 6 dp for oracle portability).
+    *
+    * Each side feeds three consumers (cap detection, its size
+    * aggregate, the join), so both shingle relations are materialized
+    * once. The default is `localCheckpoint` — executor-memory blocks,
+    * lost on executor failure, which at corpus-token scale means
+    * recomputing the whole shingle scan mid-run. `indexPath` is the
+    * durable alternative ([[jaccardPairs]]' switch, bipartite shape):
+    * both relations are written to parquet under it (`left/`,
+    * `right/` — REBUILT each call, mode overwrite) and read back —
+    * the configuration a multi-hour 100 TB alignment run wants.
+    * Identical results either way (DedupSpec parity test).
     */
   def crossDupPairs(leftShingles: DataFrame, rightShingles: DataFrame,
                     threshold: Double,
-                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // each side feeds the cap detection, its size aggregate, and the
-    // join — materialize once (micro-index-sized relative to payloads)
-    val l0 = leftShingles.localCheckpoint(true)
-    val r0 = rightShingles.localCheckpoint(true)
+                    maxShingleDf: Long = Long.MaxValue,
+                    indexPath: Option[String] = None): DataFrame = {
+    def durable(df: DataFrame, side: String): DataFrame = indexPath match {
+      case Some(path) =>
+        df.write.mode("overwrite").parquet(s"$path/$side")
+        df.sparkSession.read.parquet(s"$path/$side")
+      case None => df.localCheckpoint(true)
+    }
+    val l0 = durable(leftShingles, "left")
+    val r0 = durable(rightShingles, "right")
     val (l, r) =
       if (maxShingleDf == Long.MaxValue) (l0, r0)
       else {

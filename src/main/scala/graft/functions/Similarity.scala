@@ -457,19 +457,36 @@ object Similarity {
     * once), vectors never ride the candidate shuffle, the degenerate
     * identical-vector guard applies per side. Returns
     * (left_id, right_id, score).
+    *
+    * `indexPath` persists the two SRP bucket relations durably
+    * (parquet under `left/` and `right/`, rebuilt each call) instead
+    * of deriving them inline — [[Dedup.crossDupPairs]]' switch for the
+    * semantic join: on a multi-hour run an executor loss otherwise
+    * recomputes the projection scan (and, with the guard active, its
+    * executor-memory checkpoint). Identical results either way
+    * (SimilaritySpec parity test).
     */
   def crossEmbeddingNearDupPairs(left: DataFrame, right: DataFrame,
                                  threshold: Double,
                                  planes: Int, dims: Int, tables: Int = 8,
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding",
-                                 maxBucketSize: Long = Long.MaxValue)
+                                 maxBucketSize: Long = Long.MaxValue,
+                                 indexPath: Option[String] = None)
       : DataFrame = {
-    def buckets(df: DataFrame, side: String) = Dedup.dropOversizedBuckets(
-      df.select(col(idCol).as("id"),
-        posexplode(srpBuckets(col(vecCol), planes, dims, tables))
-          .as(Seq("tbl", "b"))),
-      Seq("tbl", "b"), maxBucketSize, s"crossEmbeddingNearDupPairs/$side")
+    def buckets(df: DataFrame, side: String) = {
+      val b = Dedup.dropOversizedBuckets(
+        df.select(col(idCol).as("id"),
+          posexplode(srpBuckets(col(vecCol), planes, dims, tables))
+            .as(Seq("tbl", "b"))),
+        Seq("tbl", "b"), maxBucketSize, s"crossEmbeddingNearDupPairs/$side")
+      indexPath match {
+        case Some(path) =>
+          b.write.mode("overwrite").parquet(s"$path/$side")
+          df.sparkSession.read.parquet(s"$path/$side")
+        case None => b
+      }
+    }
     val pairs = buckets(left, "left").as("l")
       .join(buckets(right, "right").as("r"),
         col("l.tbl") === col("r.tbl") && col("l.b") === col("r.b"))

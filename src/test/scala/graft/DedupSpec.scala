@@ -760,6 +760,19 @@ class DedupSpec extends SparkTestBase {
     }
     // combined-df cut: with budget 1 the shared base shingles (df 3
     // across both sides) are boilerplate — no surviving cross matches
+    // durable bipartite index ≡ localCheckpoint path, capped and not
+    val durable = Dedup.crossDupPairs(lsh, rsh, 0.5,
+      indexPath = Some(tmpDir("crossdup-index")))
+    val ckpt = Dedup.crossDupPairs(lsh, rsh, 0.5)
+    assert(durable.except(ckpt).count() === 0 &&
+      ckpt.except(durable).count() === 0,
+      "durable cross-corpus index diverged from the checkpoint path")
+    val durableCap = Dedup.crossDupPairs(lsh, rsh, 0.0, maxShingleDf = 1,
+      indexPath = Some(tmpDir("crossdup-index-cap")))
+    val ckptCap = Dedup.crossDupPairs(lsh, rsh, 0.0, maxShingleDf = 1)
+    assert(durableCap.except(ckptCap).count() === 0 &&
+      ckptCap.except(durableCap).count() === 0,
+      "durable capped cross-corpus index diverged")
     assert(Dedup.crossDupPairs(lsh, rsh, 0.0, maxShingleDf = 1)
       .count() === 0L, "hot cut must use the combined document frequency")
   }

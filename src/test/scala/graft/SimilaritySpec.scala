@@ -1389,6 +1389,15 @@ class SimilaritySpec extends SparkTestBase {
         (if (a % 2 == 0) (a, b) else (b, a), s) }.toMap
     assert(cross.toMap === full,
       "bipartite pairs diverge from the self-join's cross-parity subset")
+    // durable SRP bucket index ≡ the inline path
+    val durable = Similarity.crossEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        0.4, planes = 4, dims = 64, tables = 8,
+        indexPath = Some(tmpDir("crossemb-index")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(durable.toMap === cross.toMap,
+      "durable SRP bucket index diverged from the inline path")
   }
 
   test("PQ is deterministic across invocations and rejects bad configs") {
