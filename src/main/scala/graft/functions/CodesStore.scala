@@ -196,6 +196,224 @@ private[functions] final class GenerationLog[M](
   }
 }
 
+/** The manifest-level protocol shared by the SEGMENT stores
+  * ([[PqCodesStore]], [[Sq8CodesStore]]) — one spelling of the
+  * append / logical-remove / consolidate / auto-consolidate
+  * discipline over a [[GenerationLog]] whose manifest carries an
+  * ordered segment list plus an optional tombstone directory
+  * (IvfIndex keeps its own shape: per-segment exclusion filters make
+  * its read path structurally different). A store contributes only
+  * what genuinely differs:
+  *
+  *  - its manifest accessors ([[segmentsOf]]/[[tombstonesOf]]/
+  *    [[withLive]]) and any shape check ([[checkedManifest]]);
+  *  - how a batch is ENCODED ([[encodeBatch]]) and which existing ids
+  *    the idempotence anti-join probes ([[existingIds]] — the IVF-PQ
+  *    shape prunes to the batch's target cells);
+  *  - how a segment is WRITTEN ([[writeSegmentDir]] — cell-partitioned
+  *    when coarse);
+  *  - the key column tombstones anti-join on ([[keyCol]]).
+  *
+  * The protocol invariants live here once: mutations ride
+  * `commitWithRetry` (lock-free for concurrent readers, idempotent
+  * under replay and lost races), a re-append of a tombstoned key is
+  * refused until [[consolidate]] physically clears the dead rows, and
+  * an append that would grow the segment list past
+  * `autoConsolidateBudget` writes ONE merged tombstone-free segment
+  * inside its own commit instead.
+  */
+private[functions] trait SegmentStoreProtocol[M] {
+  protected def log: GenerationLog[M]
+  protected def storePath: String
+  /** Column the tombstone set is keyed by (as stored in segments). */
+  protected def keyCol: String
+  protected def autoConsolidateBudget: Int
+  protected def segmentsOf(m: M): Seq[String]
+  protected def tombstonesOf(m: M): Option[String]
+  /** Manifest with `segments`/`tombstones` replaced (all other state
+    * — codebook, seeds — carried unchanged).
+    */
+  protected def withLive(m: M, segments: Seq[String],
+                         tombstones: Option[String]): M
+  /** Hook for shape validation on every resolved manifest (the PQ
+    * store's coarse-vs-flat check); identity by default.
+    */
+  protected def checkedManifest(m: M): M = m
+  /** Encode a raw batch into segment-row shape (keyed by [[keyCol]]). */
+  protected def encodeBatch(spark: SparkSession, m: M,
+                            batch: DataFrame): DataFrame
+  /** The ids the idempotence anti-join probes for an encoded batch. */
+  protected def existingIds(spark: SparkSession, m: M,
+                            enc: DataFrame): DataFrame
+  /** Write one segment directory from encoded/live rows. */
+  protected def writeSegmentDir(m: M, rows: DataFrame, dir: String): Unit
+  /** Test seam: invoked after an attempt's data directories are fully
+    * written, immediately before the commit claim. No-op in production.
+    */
+  protected def beforeCommit(version: Long): Unit = ()
+
+  final def exists(spark: SparkSession): Boolean =
+    log.resolve(spark).nonEmpty
+
+  protected final def resolved(spark: SparkSession): M =
+    checkedManifest(log.resolve(spark).getOrElse(
+      throw new IllegalArgumentException(
+        s"no codes store at $storePath — call build()")))
+
+  /** Segment count of the current generation — the observability knob
+    * maintenance schedules on (consolidate when it grows long; with
+    * the auto-consolidate budget set it stays ≤ the budget by itself).
+    */
+  final def segmentCount(spark: SparkSession): Int =
+    segmentsOf(resolved(spark)).size
+
+  /** Pending logical removals of the current generation, if any. */
+  final def tombstoneIds(spark: SparkSession): Option[DataFrame] =
+    log.resolve(spark).flatMap(m => tombDf(spark, m))
+
+  protected final def tombDf(spark: SparkSession, man: M): Option[DataFrame] =
+    tombstonesOf(man).map(d => spark.read.parquet(log.subPath(d)))
+
+  // segment relations ride the shared per-generation cache
+  // ([[GenerationLog.cachedRelations]] — one spelling across all
+  // three artifact stores)
+  protected final def codesOf(spark: SparkSession, man: M): DataFrame =
+    log.unionOf(spark, man, segmentsOf(man))
+
+  /** Physical segment union with pending tombstones folded out —
+    * what [[codes]] serves and what consolidation rewrites.
+    * Tombstones stay small between consolidations by contract, so the
+    * anti-join broadcasts.
+    */
+  protected final def liveOf(spark: SparkSession, man: M): DataFrame = {
+    val all = codesOf(spark, man)
+    tombDf(spark, man)
+      .map(t => all.join(broadcast(t), Seq(keyCol), "left_anti"))
+      .getOrElse(all)
+  }
+
+  /** The current generation's live codes relation. Resolved once per
+    * call (snapshot isolation against concurrent mutators); pending
+    * removals folded out with a broadcast anti-join.
+    */
+  final def codes(spark: SparkSession): DataFrame =
+    liveOf(spark, resolved(spark))
+
+  /** Incrementally encode NEW vectors into a fresh segment — one scan
+    * of the batch, an id probe of [[existingIds]], and a manifest
+    * flip. Bit-identical to a full re-encode of the grown corpus
+    * under the same frozen artifacts; idempotent under replay
+    * (already-present ids anti-join away, so a replayed batch — or
+    * losing the commit race to a twin writer — converges to a no-op).
+    * With the auto-consolidate budget set, an append that would
+    * overflow it commits ONE merged tombstone-free segment instead
+    * (the upsert sink's AutoCompact shape riding the append's own
+    * commit) — same `codes()` rows either way.
+    */
+  final def append(newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    // on a lost race the winner may even have been a rebuild with new
+    // frozen artifacts — everything re-derives from its manifest
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $storePath to append to — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = checkedManifest(manOpt.get)
+      // persist the encode: the existing-id probe and the anti-join
+      // both read it — without this the batch would pay the encode
+      // twice per attempt
+      val enc = encodeBatch(spark, man, newVectors).persist()
+      try {
+        // Re-adding a tombstoned id is an UPDATE, not an append: the
+        // dead code row is still physically present, so clearing its
+        // tombstone would resurrect it beside the new row as a
+        // duplicate — and the idempotence anti-join below would
+        // silently drop the re-add instead. Require consolidate()
+        // first (it physically clears the dead rows), the IvfIndex
+        // append rule.
+        tombDf(spark, man).foreach { t =>
+          val clash = enc.join(broadcast(t), Seq(keyCol), "left_semi")
+            .limit(1).count()
+          require(clash == 0L, s"append includes tombstoned id(s) — " +
+            s"run consolidate() on $storePath first")
+        }
+        val fresh = enc.join(existingIds(spark, man, enc), Seq(keyCol),
+          "left_anti").persist()
+        try {
+          if (fresh.count() == 0) None
+          else {
+            val segDir = s"seg-${log.uid}"
+            if (autoConsolidateBudget > 0 &&
+                segmentsOf(man).size + 1 > autoConsolidateBudget) {
+              writeSegmentDir(man, liveOf(spark, man).unionByName(fresh),
+                segDir)
+              Some((withLive(man, Seq(segDir), None), Seq(segDir)))
+            } else {
+              writeSegmentDir(man, fresh, segDir)
+              Some((withLive(man, segmentsOf(man) :+ segDir,
+                tombstonesOf(man)), Seq(segDir)))
+            }
+          }
+        } finally fresh.unpersist()
+      } finally enc.unpersist()
+    }
+  }
+
+  /** Logically delete vectors — deletion must reach every derived
+    * artifact at 100 TB (takedown, retraining exclusion,
+    * decontamination). O(|ids|): commit a manifest whose tombstone
+    * set is the union of the current one and `ids` (their first
+    * column, keyed by [[keyCol]]); no data file is touched. [[codes]]
+    * anti-joins the (broadcast) tombstones until [[consolidate]]
+    * physically drops the dead rows. Readers concurrent with the flip
+    * keep their resolved generation.
+    */
+  final def remove(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $storePath to remove from — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = checkedManifest(manOpt.get)
+      val fresh = ids.select(col(ids.columns.head).as(keyCol))
+        .distinct().persist()
+      try {
+        if (fresh.count() == 0) None
+        else {
+          val merged = tombDf(spark, man)
+            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+          val tombDir = s"tomb-${log.uid}"
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(log.subPath(tombDir))
+          Some((withLive(man, segmentsOf(man), Some(tombDir)),
+            Seq(tombDir)))
+        }
+      } finally fresh.unpersist()
+    }
+  }
+
+  /** Squash the segment list into ONE fresh segment and physically
+    * drop tombstoned rows (the OPTIMIZE-style maintenance to run when
+    * an append history has grown long: per-cell file counts, footer
+    * fetches, and the probe union's width all follow the segment
+    * count; tombstone anti-join cost follows the tombstone set). One
+    * read of the live rows, one write, a manifest flip — same
+    * `codes()` rows, frozen artifacts untouched, lock-free for
+    * concurrent probes; a single-segment tombstone-free store is a
+    * no-op.
+    */
+  final def consolidate(spark: SparkSession): Unit =
+    log.commitWithRetry(spark,
+      Some(s"no codes store at $storePath to consolidate — call build()"),
+      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
+      val man = checkedManifest(manOpt.get)
+      if (segmentsOf(man).size <= 1 && tombstonesOf(man).isEmpty) None
+      else {
+        val segDir = s"seg-${log.uid}"
+        writeSegmentDir(man, liveOf(spark, man), segDir)
+        Some((withLive(man, Seq(segDir), None), Seq(segDir)))
+      }
+    }
+}
+
 /** Persisted PQ codes table with INCREMENTAL APPEND — the
   * delta-maintenance shape [[IvfIndex]] already has, applied to the
   * other write-once ANN artifact: at 100 TB, corpus growth must mean
@@ -231,20 +449,21 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
                    nCells: Option[Int] = None,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    retainVersions: Int = 2,
-                   autoConsolidateSegments: Int = 0) {
+                   autoConsolidateSegments: Int = 0)
+    extends SegmentStoreProtocol[PqCodesStore.Manifest] {
   import Similarity.PqCodebook
   import PqCodesStore.Manifest
 
-  private val log = new GenerationLog[Manifest](path,
+  protected val log = new GenerationLog[Manifest](path,
     Manifest.parse, _.serialize, _.dirs, retainVersions)
-
-  /** Test seam (the IvfIndex convention): invoked after an attempt's
-    * data directories are fully written, immediately before the commit
-    * claim. No-op in production.
-    */
-  protected def beforeCommit(version: Long): Unit = ()
-
-  def exists(spark: SparkSession): Boolean = log.resolve(spark).nonEmpty
+  protected def storePath: String = path
+  protected def keyCol: String = "cid"
+  protected def autoConsolidateBudget: Int = autoConsolidateSegments
+  protected def segmentsOf(man: Manifest): Seq[String] = man.segments
+  protected def tombstonesOf(man: Manifest): Option[String] = man.tombstones
+  protected def withLive(man: Manifest, segments: Seq[String],
+                         tombstones: Option[String]): Manifest =
+    man.copy(segments = segments, tombstones = tombstones)
 
   // ---------------------------------------------------------------
   // Codebook (de)serialization — m·nCodes rows, driver-bounded by the
@@ -286,7 +505,7 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     * would probe for a cell column that isn't there. Loud, like the
     * codebook-parameter refusal.
     */
-  private def checkShape(man: Manifest): Manifest = {
+  override protected def checkedManifest(man: Manifest): Manifest = {
     require(man.seeds.isDefined == nCells.isDefined,
       s"store at $path is ${if (man.seeds.isDefined) "cell-partitioned "
         else "flat "}but this handle was opened with nCells=$nCells — " +
@@ -294,25 +513,14 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     man
   }
 
-  private def resolved(spark: SparkSession): Manifest =
-    checkShape(log.resolve(spark).getOrElse(
-      throw new IllegalArgumentException(
-        s"no codes store at $path — call build()")))
-
   /** The frozen codebook of the current generation. */
   def codebook(spark: SparkSession): PqCodebook =
     readCodebook(spark, resolved(spark).codebook)
 
-  /** Segment count of the current generation — the observability knob
-    * maintenance schedules on (consolidate when it grows long; with
-    * `autoConsolidateSegments` set it stays ≤ the budget by itself).
-    */
-  def segmentCount(spark: SparkSession): Int =
-    resolved(spark).segments.size
-
-  /** Encode `vectors` against codebook + (optionally) frozen seeds. */
-  private def encode(spark: SparkSession, man: Manifest,
-                     cb: PqCodebook, vectors: DataFrame): DataFrame =
+  /** Encode against the frozen codebook + (optionally) frozen seeds. */
+  protected def encodeBatch(spark: SparkSession, man: Manifest,
+                            vectors: DataFrame): DataFrame = {
+    val cb = readCodebook(spark, man.codebook)
     man.seeds match {
       case Some(sd) =>
         val seeds = broadcast(spark.read.parquet(log.subPath(sd)))
@@ -321,8 +529,26 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
         Similarity.pqEncode(vectors, cb, idCol, vecCol, Some(assigned))
       case None => Similarity.pqEncode(vectors, cb, idCol, vecCol)
     }
+  }
 
-  private def writeSegment(encoded: DataFrame, segDir: String): Unit = {
+  /** Idempotence probe: ids already present in the batch's TARGET
+    * cells (partition-pruned, id-only scan when coarse; id-column
+    * scan otherwise — column pruning keeps it narrow).
+    */
+  protected def existingIds(spark: SparkSession, man: Manifest,
+                            enc: DataFrame): DataFrame =
+    nCells match {
+      case Some(_) =>
+        val targetCells: Seq[Any] = enc.select(col("cell")).distinct()
+          .collect().map(_.get(0)).toSeq // ≤ nCells rows
+        codesOf(spark, man)
+          .filter(col("cell").isInCollection(targetCells))
+          .select(col("cid"))
+      case None => codesOf(spark, man).select(col("cid"))
+    }
+
+  protected def writeSegmentDir(man: Manifest, encoded: DataFrame,
+                                segDir: String): Unit = {
     // repartition by cell before the partitioned write: ~one file per
     // cell, not (write tasks × cells) fragments (the IvfIndex rule)
     val w =
@@ -359,7 +585,7 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     }
     val segDir = s"seg-$u"
     val man0 = Manifest(cbDir, seedsDir, Nil)
-    writeSegment(encode(spark, man0, cb, corpus), segDir)
+    writeSegmentDir(man0, encodeBatch(spark, man0, corpus), segDir)
     val man = man0.copy(segments = Seq(segDir))
     // full replacement: the manifest depends on nothing but this
     // build's own dirs, so lost races just claim the next number
@@ -367,174 +593,9 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
       (_, _) => Some((man, man.dirs)))
   }
 
-  /** Incrementally encode NEW corpus vectors against the frozen
-    * codebook (+ frozen coarse seeds) into a fresh segment — one scan
-    * of the batch, a partition-pruned id probe of its target cells,
-    * and a manifest flip. Bit-identical to a full re-encode of the
-    * grown corpus under the same codebook; idempotent under replay
-    * (already-present ids anti-join away, so a replayed batch — or
-    * losing the commit race to a twin writer — converges to a no-op).
-    */
-  /** @param autoConsolidateSegments (constructor) > 0 enables
-    * hands-free maintenance riding the append's OWN commit (the
-    * upsert sink's AutoCompact shape): when an append would grow the
-    * segment list past the budget, the attempt writes ONE merged
-    * segment (current live rows — tombstones folded out — plus the
-    * fresh batch) instead of appending a new one, and the manifest
-    * flips to a single-segment, tombstone-free generation. Same
-    * `codes()` rows either way; a per-micro-batch ingest can no
-    * longer accumulate unbounded segments/footers between manual
-    * `consolidate()` calls.
-    */
-  def append(newVectors: DataFrame): Unit = {
-    val spark = newVectors.sparkSession
-    // on a lost race the winner may even have been a rebuild with a
-    // NEW codebook — everything re-derives from the winner's manifest
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to append to — call build()"),
-      beforeCommit, cleanupPerRace = true) { (ver, manOpt) =>
-      val man = checkShape(manOpt.get)
-      val cb = readCodebook(spark, man.codebook)
-      // persist the encode: the target-cell probe and the anti-join
-      // both read it — without this the batch would pay the
-      // m-subspace argmax encode twice per attempt
-      val enc = encode(spark, man, cb, newVectors).persist()
-      try {
-        // Re-adding a tombstoned id is an UPDATE, not an append: the
-        // dead code row is still physically present, so clearing its
-        // tombstone would resurrect it beside the new row as a
-        // duplicate — and the idempotence anti-join below would
-        // silently drop the re-add instead. Require consolidate()
-        // first (it physically clears the dead rows), the IvfIndex
-        // append rule.
-        tombDf(spark, man).foreach { t =>
-          val clash = enc.join(broadcast(t), Seq("cid"), "left_semi")
-            .limit(1).count()
-          require(clash == 0L, s"append includes tombstoned id(s) — " +
-            s"run consolidate() on $path first")
-        }
-        // idempotence probe: ids already present in the batch's TARGET
-        // cells (partition-pruned, id-only scan when coarse; id-column
-        // scan otherwise — column pruning keeps it narrow)
-        val existing = nCells match {
-          case Some(_) =>
-            val targetCells: Seq[Any] = enc.select(col("cell")).distinct()
-              .collect().map(_.get(0)).toSeq // ≤ nCells rows
-            codesOf(spark, man)
-              .filter(col("cell").isInCollection(targetCells))
-              .select(col("cid"))
-          case None => codesOf(spark, man).select(col("cid"))
-        }
-        val fresh = enc.join(existing, Seq("cid"), "left_anti").persist()
-        try {
-          if (fresh.count() == 0) None
-          else {
-            val segDir = s"seg-${log.uid}"
-            if (autoConsolidateSegments > 0 &&
-                man.segments.size + 1 > autoConsolidateSegments) {
-              writeSegment(liveOf(spark, man).unionByName(fresh), segDir)
-              Some((man.copy(segments = Seq(segDir), tombstones = None),
-                Seq(segDir)))
-            } else {
-              writeSegment(fresh, segDir)
-              Some((man.copy(segments = man.segments :+ segDir),
-                Seq(segDir)))
-            }
-          }
-        } finally fresh.unpersist()
-      } finally enc.unpersist()
-    }
-  }
-
-  /** Logically delete vectors from the codes table — deletion must
-    * reach every derived artifact at 100 TB (takedown, retraining
-    * exclusion, decontamination), and before this the PQ codes meant
-    * a full rebuild. O(|ids|): commit a manifest whose tombstone set
-    * is the union of the current one and `ids` (keyed by `idCol`); no
-    * data file is touched. [[codes]] anti-joins the (broadcast)
-    * tombstones until [[consolidate]] physically drops the dead rows.
-    * Readers concurrent with the flip keep their resolved generation.
-    */
-  def remove(ids: DataFrame): Unit = {
-    val spark = ids.sparkSession
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to remove from — call build()"),
-      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
-      val man = checkShape(manOpt.get)
-      val fresh = ids.select(col(idCol).as("cid")).distinct().persist()
-      try {
-        if (fresh.count() == 0) None
-        else {
-          val merged = tombDf(spark, man)
-            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
-          val tombDir = s"tomb-${log.uid}"
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(log.subPath(tombDir))
-          Some((man.copy(tombstones = Some(tombDir)), Seq(tombDir)))
-        }
-      } finally fresh.unpersist()
-    }
-  }
-
-  /** Pending logical removals of the current generation, if any. */
-  def tombstoneIds(spark: SparkSession): Option[DataFrame] =
-    log.resolve(spark).flatMap(m => tombDf(spark, m))
-
-  private def tombDf(spark: SparkSession,
-                     man: Manifest): Option[DataFrame] =
-    man.tombstones.map(d => spark.read.parquet(log.subPath(d)))
-
-  /** Physical segment union with pending tombstones folded out —
-    * what [[codes]] serves and what consolidation rewrites.
-    * Tombstones stay small between consolidations by contract, so the
-    * anti-join broadcasts.
-    */
-  private def liveOf(spark: SparkSession, man: Manifest): DataFrame = {
-    val all = codesOf(spark, man)
-    tombDf(spark, man)
-      .map(t => all.join(broadcast(t), Seq("cid"), "left_anti"))
-      .getOrElse(all)
-  }
-
-  // segment relations ride the shared per-generation cache
-  // ([[GenerationLog.cachedRelations]] — one spelling across all
-  // three artifact stores)
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
-    log.unionOf(spark, man, man.segments)
-
-  /** The current generation's codes relation — what
-    * [[Similarity.pqTopK]]/[[Similarity.ivfPqTopK]] take as `codes`.
-    * Resolved once per call (snapshot isolation against concurrent
-    * appends); pending removals are folded out with a broadcast
-    * anti-join; segment scans stay partition-pruned under a cell
-    * filter, union or not.
-    */
-  def codes(spark: SparkSession): DataFrame =
-    liveOf(spark, resolved(spark))
-
-  /** Squash the segment list into ONE fresh segment and physically
-    * drop tombstoned rows (the OPTIMIZE-style maintenance to run when
-    * an append history has grown long: per-cell file counts, footer
-    * fetches, and the probe union's width all follow the segment
-    * count; tombstone anti-join cost follows the tombstone set). One
-    * read of the live rows, one partitioned write, a manifest flip —
-    * same `codes()` rows, codebook and seeds untouched, lock-free for
-    * concurrent probes; a single-segment tombstone-free store is a
-    * no-op.
-    */
-  def consolidate(spark: SparkSession): Unit =
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to consolidate — call build()"),
-      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
-      val man = checkShape(manOpt.get)
-      if (man.segments.size <= 1 && man.tombstones.isEmpty) None
-      else {
-        val segDir = s"seg-${log.uid}"
-        writeSegment(liveOf(spark, man), segDir)
-        Some((man.copy(segments = Seq(segDir), tombstones = None),
-          Seq(segDir)))
-      }
-    }
+  // append / remove / consolidate / codes / tombstoneIds /
+  // segmentCount ride [[SegmentStoreProtocol]] — the one spelling of
+  // the manifest-level discipline (Sq8CodesStore shares it)
 
   /** Reclaim crashed-writer orphan directories (unreferenced by any
     * present commit, older than the horizon).
@@ -602,25 +663,35 @@ object PqCodesStore {
 class Sq8CodesStore(path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     retainVersions: Int = 2,
-                    autoConsolidateSegments: Int = 0) {
+                    autoConsolidateSegments: Int = 0)
+    extends SegmentStoreProtocol[Sq8CodesStore.Manifest] {
   import Sq8CodesStore.Manifest
 
-  private val log = new GenerationLog[Manifest](path,
+  protected val log = new GenerationLog[Manifest](path,
     Manifest.parse, _.serialize, _.dirs, retainVersions)
+  protected def storePath: String = path
+  protected def keyCol: String = idCol
+  protected def autoConsolidateBudget: Int = autoConsolidateSegments
+  protected def segmentsOf(man: Manifest): Seq[String] = man.segments
+  protected def tombstonesOf(man: Manifest): Option[String] = man.tombstones
+  protected def withLive(man: Manifest, segments: Seq[String],
+                         tombstones: Option[String]): Manifest =
+    man.copy(segments = segments, tombstones = tombstones)
 
-  protected def beforeCommit(version: Long): Unit = ()
-
-  def exists(spark: SparkSession): Boolean = log.resolve(spark).nonEmpty
-
-  private def resolved(spark: SparkSession): Manifest =
-    log.resolve(spark).getOrElse(throw new IllegalArgumentException(
-      s"no codes store at $path — call build()"))
-
-  /** Segment count of the current generation — see
-    * [[PqCodesStore.segmentCount]].
+  /** SQ8 has no trained state — the encode derives scale from each
+    * vector itself, so the manifest contributes nothing to it.
     */
-  def segmentCount(spark: SparkSession): Int =
-    resolved(spark).segments.size
+  protected def encodeBatch(spark: SparkSession, man: Manifest,
+                            batch: DataFrame): DataFrame =
+    Similarity.sq8Quantize(batch, idCol, vecCol)
+
+  protected def existingIds(spark: SparkSession, man: Manifest,
+                            enc: DataFrame): DataFrame =
+    codesOf(spark, man).select(col(idCol))
+
+  protected def writeSegmentDir(man: Manifest, rows: DataFrame,
+                                dir: String): Unit =
+    rows.write.mode("overwrite").parquet(log.subPath(dir))
 
   def build(corpus: DataFrame): Unit = {
     val spark = corpus.sparkSession
@@ -632,114 +703,9 @@ class Sq8CodesStore(path: String,
       (_, _) => Some((man, man.dirs)))
   }
 
-  /** See [[PqCodesStore.append]] — same protocol, including the
-    * tombstone-refusal rule and the budget-triggered auto-consolidate
-    * riding the append's own commit.
-    */
-  def append(newVectors: DataFrame): Unit = {
-    val spark = newVectors.sparkSession
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to append to — call build()"),
-      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
-      val man = manOpt.get
-      val enc = Similarity.sq8Quantize(newVectors, idCol, vecCol)
-      tombDf(spark, man).foreach { t =>
-        val clash = enc.join(broadcast(t), Seq(idCol), "left_semi")
-          .limit(1).count()
-        require(clash == 0L, s"append includes tombstoned id(s) — " +
-          s"run consolidate() on $path first")
-      }
-      val fresh = enc
-        .join(codesOf(spark, man).select(col(idCol)), Seq(idCol),
-          "left_anti")
-        .persist()
-      try {
-        if (fresh.count() == 0) None
-        else {
-          val segDir = s"seg-${log.uid}"
-          if (autoConsolidateSegments > 0 &&
-              man.segments.size + 1 > autoConsolidateSegments) {
-            liveOf(spark, man).unionByName(fresh)
-              .write.mode("overwrite").parquet(log.subPath(segDir))
-            Some((man.copy(segments = Seq(segDir), tombstones = None),
-              Seq(segDir)))
-          } else {
-            fresh.write.mode("overwrite").parquet(log.subPath(segDir))
-            Some((man.copy(segments = man.segments :+ segDir),
-              Seq(segDir)))
-          }
-        }
-      } finally fresh.unpersist()
-    }
-  }
-
-  /** Logical deletion — see [[PqCodesStore.remove]]; tombstones keyed
-    * by `idCol`, folded out at [[codes]], physically dropped at
-    * [[consolidate]].
-    */
-  def remove(ids: DataFrame): Unit = {
-    val spark = ids.sparkSession
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to remove from — call build()"),
-      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
-      val man = manOpt.get
-      val fresh = ids.select(col(idCol)).distinct().persist()
-      try {
-        if (fresh.count() == 0) None
-        else {
-          val merged = tombDf(spark, man)
-            .map(_.unionByName(fresh).distinct()).getOrElse(fresh)
-          val tombDir = s"tomb-${log.uid}"
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(log.subPath(tombDir))
-          Some((man.copy(tombstones = Some(tombDir)), Seq(tombDir)))
-        }
-      } finally fresh.unpersist()
-    }
-  }
-
-  /** Pending logical removals of the current generation, if any. */
-  def tombstoneIds(spark: SparkSession): Option[DataFrame] =
-    log.resolve(spark).flatMap(m => tombDf(spark, m))
-
-  private def tombDf(spark: SparkSession,
-                     man: Manifest): Option[DataFrame] =
-    man.tombstones.map(d => spark.read.parquet(log.subPath(d)))
-
-  private def liveOf(spark: SparkSession, man: Manifest): DataFrame = {
-    val all = codesOf(spark, man)
-    tombDf(spark, man)
-      .map(t => all.join(broadcast(t), Seq(idCol), "left_anti"))
-      .getOrElse(all)
-  }
-
-  private def codesOf(spark: SparkSession, man: Manifest): DataFrame =
-    log.unionOf(spark, man, man.segments)
-
-  /** The current generation's (idCol, sq_codes, sq_scale, sq_norm)
-    * relation — what [[Similarity.sq8TopK]] takes as `codes`; pending
-    * removals folded out.
-    */
-  def codes(spark: SparkSession): DataFrame = liveOf(spark, resolved(spark))
-
-  /** Squash the segment list into one fresh segment and physically
-    * drop tombstoned rows — see [[PqCodesStore.consolidate]]; same
-    * protocol, no-op at one tombstone-free segment.
-    */
-  def consolidate(spark: SparkSession): Unit =
-    log.commitWithRetry(spark,
-      Some(s"no codes store at $path to consolidate — call build()"),
-      beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
-      val man = manOpt.get
-      if (man.segments.size <= 1 && man.tombstones.isEmpty) None
-      else {
-        val segDir = s"seg-${log.uid}"
-        liveOf(spark, man).write.mode("overwrite")
-          .parquet(log.subPath(segDir))
-        Some((man.copy(segments = Seq(segDir), tombstones = None),
-          Seq(segDir)))
-      }
-    }
+  // append / remove / consolidate / codes (the (idCol, sq_codes,
+  // sq_scale, sq_norm) relation [[Similarity.sq8TopK]] takes) /
+  // tombstoneIds / segmentCount ride [[SegmentStoreProtocol]]
 
   def vacuum(spark: SparkSession,
              olderThanMs: Long = 3600000L): Seq[String] =
