@@ -1086,8 +1086,9 @@ class SimilaritySpec extends SparkTestBase {
 
   test("streaming ANN maintenance end-to-end: foreachBatch admission " +
     "feeds live PqCodesStore appends under a concurrent prober; " +
-    "converges to the batch-built store over the admitted set; " +
-    "replayed batches are no-ops") {
+    "mid-stream takedown stops serving the id and re-admits a " +
+    "re-crawl; converges to the batch-built store over the admitted " +
+    "set; replayed batches are no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1144,10 +1145,41 @@ class SimilaritySpec extends SparkTestBase {
       .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
         ingest(b))
       .start()
+    var takedownId = -1L
     try {
       chunks.zipWithIndex.foreach { case (c, i) =>
         input.addData(c.toSeq ++ (if (i == 1) dupRows.toSeq else Nil))
         stream.processAllAvailable()
+        if (i == 0) {
+          // pick the takedown target from the FIRST stream chunk (so
+          // the chunk-1 replay below can't legitimately re-admit it)
+          takedownId = pqStore.codes(spark)
+            .filter(col("cid") >= 64).agg(min(col("cid")))
+            .head().getLong(0)
+        }
+        if (i == 2) {
+          // MID-STREAM TAKEDOWN, the full deletion lifecycle while
+          // ingest and the prober keep running: forget the admission
+          // keys (a re-crawl of similar content becomes legitimate new
+          // data), tombstone the codes row, physically drop it
+          assert(Similarity.embedNearDupRemove(
+            emb.filter(col("vec_id") === takedownId), admStore,
+            planes = 12, dims = 64, tables = 8) > 0L,
+            "takedown removed no admission keys")
+          pqStore.remove(emb.filter(col("vec_id") === takedownId)
+            .select("vec_id"))
+          pqStore.consolidate(spark)
+          assert(!pqStore.codes(spark).filter(col("cid") === takedownId)
+            .head(1).nonEmpty, "takedown target still served")
+          // the RE-CRAWL, delivered right behind the takedown (before
+          // any later arrival can legitimately occupy the freed
+          // buckets): the removed document's exact vector under a
+          // fresh id — admission must accept it and the append land it
+          input.addData(emb.filter(col("vec_id") === takedownId)
+            .select(col("vec_id") + 20000L, col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+          stream.processAllAvailable()
+        }
       }
     } finally {
       stream.stop()
@@ -1162,8 +1194,15 @@ class SimilaritySpec extends SparkTestBase {
     // of redundancy happened BEFORE the expensive encode+commit
     val storedIds = pqStore.codes(spark).select("cid").collect()
       .map(_.getLong(0)).toSet
-    assert(!storedIds.exists(_ >= 10000L),
+    assert(!storedIds.exists(id => id >= 10000L && id < 20000L),
       "semantic near-dups leaked into the codes store")
+    // deletion lifecycle closed: the taken-down id is gone for good
+    // and its re-crawl (same content, fresh id) was re-admitted,
+    // encoded, and is served
+    assert(!storedIds.contains(takedownId),
+      "taken-down id re-appeared in the codes store")
+    assert(storedIds.contains(20000L + takedownId),
+      "re-crawl of taken-down content was not re-admitted")
     // the build slice is fully present and the stream grew the store;
     // NOT all stream ids land — the synthetic corpus carries planted
     // near-identical vectors, and rejecting those is the admission
@@ -1181,8 +1220,12 @@ class SimilaritySpec extends SparkTestBase {
       s"auto-consolidate never ran (${pqStore.segmentCount(spark)} segments)")
 
     // convergence: the streamed store ≡ a one-shot batch build over
-    // exactly the admitted corpus, codes and probe results alike
-    val admitted = emb.join(
+    // exactly the admitted corpus (including the re-crawl row, which
+    // lives outside emb), codes and probe results alike
+    val corpusPlus = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") === takedownId)
+        .select((col("vec_id") + 20000L).as("vec_id"), col("embedding")))
+    val admitted = corpusPlus.join(
       pqStore.codes(spark).select(col("cid").as("vec_id")),
       Seq("vec_id"), "left_semi")
     val ref = new graft.functions.PqCodesStore(
