@@ -2983,6 +2983,30 @@ object SparkEntry {
       a1.unionAll(a2)
     }),
 
+    // The admission-store LAYOUT-MIGRATION path: identical decisions
+    // to docs_minhash_admission with a crash-safe rebucketAdmitted
+    // migration (default 64 buckets → 128) between the two batches —
+    // the modulus is engine-internal, so the oracle is the SAME
+    // sequential-admission SQL. Runs the migration (re-key, staged
+    // partitioned publish, pending-marker lifecycle) through the hash
+    // gate every round; batch 2 probes the MIGRATED layout.
+    "docs_minhash_admission_rebucket" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r = docs.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val thr = (r.getLong(0) + r.getLong(1)) / 2
+      val store = scratchDir(s, "mhadmrb") // fresh per invocation
+      val a1 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("batch"))
+      Dedup.rebucketAdmitted(s, store, 128)
+      val a2 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > thr), store, "doc_id", "text",
+        nBuckets = 128)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      a1.unionAll(a2)
+    }),
+
     // The admission-store DELETION path, batch-equivalent: admit the
     // low id half, take down every low-half doc with doc_id % 5 == 2
     // (content-keyed removal — only the touched buckets are
@@ -3192,6 +3216,39 @@ object SparkEntry {
   // ----------------------------------------------------------------
   // DuckDB oracles
   // ----------------------------------------------------------------
+
+  /** The sequential two-batch minhash admission reference — shared by
+    * `docs_minhash_admission` and `docs_minhash_admission_rebucket`:
+    * the L1 bucket layout (and therefore a [[Dedup.rebucketAdmitted]]
+    * migration between the batches) is engine-internal and must be
+    * decision-invisible, so both rows pin the SAME SQL.
+    */
+  private lazy val minhashAdmissionOracleSql: String =
+    s"""WITH $bandsCte,
+       |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
+       |  FROM documents),
+       |k1 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id <= mid.m),
+       |k2 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id > mid.m),
+       |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
+       |  ON r.band = l.band AND r.band_key = l.band_key
+       |    AND r.doc_id < l.doc_id),
+       |adm1 AS (SELECT doc.doc_id FROM documents doc, mid
+       |  WHERE doc.doc_id <= mid.m
+       |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
+       |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
+       |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
+       |  WHERE EXISTS (SELECT 1 FROM sk1 s
+       |    WHERE s.band = l.band AND s.band_key = l.band_key
+       |      AND s.doc_id <> l.doc_id)
+       |   OR EXISTS (SELECT 1 FROM k2 r
+       |    WHERE r.band = l.band AND r.band_key = l.band_key
+       |      AND r.doc_id < l.doc_id)),
+       |adm2 AS (SELECT doc.doc_id FROM documents doc, mid
+       |  WHERE doc.doc_id > mid.m
+       |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2))
+       |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_bronze_cast" ->
@@ -4471,32 +4528,14 @@ object SparkEntry {
     // shape over the shared minhash bands CTE — collision = equality
     // on (band, band_key); docs too short to shingle emit no keys and
     // always survive (absent from bands → never dropped).
-    "docs_minhash_admission" ->
-      s"""WITH $bandsCte,
-         |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
-         |  FROM documents),
-         |k1 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id <= mid.m),
-         |k2 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id > mid.m),
-         |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
-         |  ON r.band = l.band AND r.band_key = l.band_key
-         |    AND r.doc_id < l.doc_id),
-         |adm1 AS (SELECT doc.doc_id FROM documents doc, mid
-         |  WHERE doc.doc_id <= mid.m
-         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
-         |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
-         |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
-         |  WHERE EXISTS (SELECT 1 FROM sk1 s
-         |    WHERE s.band = l.band AND s.band_key = l.band_key
-         |      AND s.doc_id <> l.doc_id)
-         |   OR EXISTS (SELECT 1 FROM k2 r
-         |    WHERE r.band = l.band AND r.band_key = l.band_key
-         |      AND r.doc_id < l.doc_id)),
-         |adm2 AS (SELECT doc.doc_id FROM documents doc, mid
-         |  WHERE doc.doc_id > mid.m
-         |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2))
-         |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
-         |UNION ALL
-         |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin,
+    "docs_minhash_admission" -> minhashAdmissionOracleSql,
+
+    // The LAYOUT-MIGRATION mirror: identical reference — the bucket
+    // modulus is engine-internal, so a rebucketAdmitted migration
+    // between the batches must be decision-invisible; any migration
+    // bug that loses a key, or re-buckets it away from its future
+    // collisions, hash-fails this row against the SAME SQL.
+    "docs_minhash_admission_rebucket" -> minhashAdmissionOracleSql,
 
     // The deletion-path mirror: identical to docs_minhash_admission
     // except the store batch 2 joins against has FORGOTTEN the
