@@ -100,6 +100,7 @@ object ScaleProof {
       store
     }
     val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
+    val admitMaintRep = new java.util.concurrent.atomic.AtomicLong(0)
 
     // (view0 checkpointed, feed checkpointed, sink) per corpus size —
     // built once on first use so the timed IVM reps never pay setup.
@@ -404,6 +405,32 @@ object ScaleProof {
               .as("doc_id"), col("text"))
           Dedup.nearDupFilterBatch(batch, store, "doc_id", "text",
             nBuckets = admitBucketsFor(n), autoCompactFiles = 16).count()
+        }),
+        // steady-state MAINTENANCE against the same n-doc store: one
+        // WINDOWED fixed-8-doc admission (suppressSince active on
+        // every stored row — the endless-ingest retention regime)
+        // followed by a content-keyed TAKEDOWN of that same batch.
+        // Admission reads the pruned slice under the window filter;
+        // the takedown re-derives the batch's keys and rewrites only
+        // its touched bucket directories — both O(batch), so expect a
+        // near-flat exponent like admit_steady's (a full-sweep
+        // removal here would be exponent ≈ 1 by construction). The
+        // removal also returns the store to its pre-rep key set, so
+        // reps don't grow state.
+        "admit_maint" -> (() => {
+          val store = admitSetup(n, docs)
+          val r = admitMaintRep.incrementAndGet()
+          val batch = CorpusGenerator
+            .documents(spark, 8, seed = 9000 + r)
+            .select((col("doc_id") + lit(20000000L + r * 1000L))
+              .as("doc_id"), col("text"))
+          val now = System.currentTimeMillis()
+          Dedup.nearDupFilterBatch(batch, store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16,
+            admittedAt = now,
+            suppressSince = now - 24L * 3600 * 1000).count()
+          Dedup.nearDupRemove(batch, store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n))
         }),
         // suffix-array-style substring dedup signal: positional-index
         // parquet materialization (the durable path, like jaccard's
@@ -789,7 +816,8 @@ object ScaleProof {
         partFeedSetup(n, docs)
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
-      if (selected.exists(_._1 == "admit_steady"))
+      if (selected.exists(s => s._1 == "admit_steady" ||
+          s._1 == "admit_maint"))
         admitSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)

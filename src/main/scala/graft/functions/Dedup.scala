@@ -1279,13 +1279,26 @@ object Dedup {
     fs.delete(staging, true)
   }
 
-  /** Rewrite each of `buckets` (plus the L0 tail, which is not
-    * bucket-addressable but budget-bounded) dropping rows whose
-    * doc_id ∈ `ids`; directories with no hit are left physically
-    * untouched (their files' identity is part of the pruning spec).
-    * Publication order per directory: staged filtered file renamed
-    * in, then superseded files deleted — see [[removeByKeys]] for the
-    * crash analysis.
+  /** Rewrite the `buckets` holding target rows (plus the L0 tail,
+    * which is not bucket-addressable but budget-bounded) dropping
+    * rows whose doc_id ∈ `ids`; directories with no hit are left
+    * physically untouched (their files' identity is part of the
+    * pruning spec).
+    *
+    * All touched bucket directories ride a CONSTANT number of Spark
+    * jobs — one hit-detection pass over the touched slice, one
+    * partitioned staging write over the hit buckets — rather than a
+    * read+count+rewrite job triple per directory: a takedown whose
+    * keys spray across dozens of buckets is otherwise dominated by
+    * driver-sequential job scheduling, which is exactly the overhead
+    * that grows with store size (more buckets per batch at a bigger
+    * modulus) while the data per bucket stays constant.
+    *
+    * Publication order per directory is unchanged (staged file
+    * renamed in, then exactly the files the pass read are deleted —
+    * see [[removeByKeys]] for the crash analysis); a bucket whose
+    * rows are ALL removed ends empty and its directory is dropped so
+    * probe-slice reads never face a schema-less directory.
     */
   private def removeIdsInBuckets(spark: SparkSession, storePath: String,
       ids: Set[Long], buckets: Seq[Int]): Long = {
@@ -1293,11 +1306,68 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    val pred = (_: DataFrame) => col("doc_id").isInCollection(ids)
-    buckets.map(b => rewriteDirDropping(spark, root,
-        new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"), pred)).sum +
-      rewriteDirDropping(spark, root,
-        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+    val pred = col("doc_id").isInCollection(ids)
+    // snapshot the touched buckets' current files ONCE: the staging
+    // write reads exactly these and the delete removes exactly these,
+    // so rows landing concurrently stay out of both (the concurrency
+    // contract's publish-before-delete discipline)
+    val byDir: Seq[(org.apache.hadoop.fs.Path,
+        Array[org.apache.hadoop.fs.FileStatus])] =
+      buckets.distinct.map { b =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"adm_kb=$b")
+        dir -> scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }.filter(_._2.nonEmpty)
+    val bucketHits =
+      if (byDir.isEmpty) 0L
+      else {
+        val cur = spark.read.option("basePath", storePath)
+          .option("mergeSchema", "true")
+          .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
+        // one job: per-bucket hit counts (≤ touched buckets rows)
+        val hits = cur.filter(pred).groupBy(col("adm_kb"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (hits.isEmpty) 0L
+        else {
+          val hitDirs = byDir.filter { case (dir, _) =>
+            hits.contains(dir.getName.stripPrefix("adm_kb=").toInt) }
+          val staging = new org.apache.hadoop.fs.Path(root,
+            s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
+          // one job: surviving rows of every hit bucket, re-partitioned
+          // into their directories in a single staged write (the
+          // adm_kb filter partition-prunes the same snapshot relation
+          // down to exactly the hit buckets' files)
+          cur.filter(col("adm_kb").isInCollection(hits.keySet.toSeq)
+              && !pred)
+            .repartition(col("adm_kb"))
+            .write.mode("overwrite").partitionBy("adm_kb")
+            .parquet(staging.toString)
+          hitDirs.foreach { case (dir, old) =>
+            val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
+            val stagedFiles = scala.util.Try(fs.listStatus(staged))
+              .getOrElse(Array.empty)
+              .filter(s => s.isFile &&
+                s.getPath.getName.endsWith(".parquet"))
+            stagedFiles.foreach { s =>
+              fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+                s"removed-${s.getPath.getName}"))
+            }
+            old.foreach(s => fs.delete(s.getPath, false))
+            // a fully-removed bucket ends file-less: drop the dir so a
+            // future probe slice never reads a schema-less directory
+            // (non-recursive — refuses if a concurrent writer landed
+            // rows meanwhile)
+            if (stagedFiles.isEmpty)
+              scala.util.Try(fs.delete(dir, false))
+          }
+          fs.delete(staging, true)
+          hits.values.sum
+        }
+      }
+    bucketHits + rewriteDirDropping(spark, root,
+      new org.apache.hadoop.fs.Path(admissionTailPath(storePath)),
+      (_: DataFrame) => pred)
   }
 
   /** Physically drop admitted keys older than `cutoffMs` from every
