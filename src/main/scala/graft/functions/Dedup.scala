@@ -1229,31 +1229,34 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     requireNoPendingRebucket(spark, storePath)
-    // one distinct projection feeding a semi- and an anti-join per
-    // touched directory — materialize once
+    // one distinct projection feeding the detection semi-join and the
+    // surviving-rows anti-join — materialize once
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-      .map(_.getPath).toSeq :+
-      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
-    dirs.map { dir =>
-      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (old.isEmpty) 0L
-      else {
-        val cur = spark.read.option("mergeSchema", "true")
-          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
-        val hit = cur.join(rm, cur("doc_id") === col("rm_id"), "left_semi")
-          .count()
-        if (hit == 0L) 0L
-        else {
-          publishRewrite(spark, root, dir,
-            cur.join(rm, cur("doc_id") === col("rm_id"), "left_anti"), old)
-          hit
-        }
-      }
-    }.sum
+    rewriteBucketsJoining(spark, storePath, rm) +
+      rewriteDirJoining(spark, root,
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm)
+  }
+
+  /** Join-shaped single-directory rewrite (the L0 tail under a
+    * distributed removal relation): same publish-before-delete
+    * discipline as [[rewriteDirDropping]].
+    */
+  private def rewriteDirJoining(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
+      rm: DataFrame): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (old.isEmpty) return 0L
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+    val hit = cur.join(rm, cur("doc_id") === col("rm_id"), "left_semi")
+      .count()
+    if (hit == 0L) return 0L
+    publishRewrite(spark, root, dir,
+      cur.join(rm, cur("doc_id") === col("rm_id"), "left_anti"), old)
+    hit
   }
 
   /** Stage `keep` as one parquet file, rename it into `dir`, then
@@ -1303,71 +1306,113 @@ object Dedup {
   private def removeIdsInBuckets(spark: SparkSession, storePath: String,
       ids: Set[Long], buckets: Seq[Int]): Long = {
     if (ids.isEmpty) return 0L
+    val pred = (df: DataFrame) => col("doc_id").isInCollection(ids)
+    rewriteBucketsDropping(spark, storePath, Some(buckets), pred) +
+      rewriteDirDropping(spark,
+        new org.apache.hadoop.fs.Path(storePath),
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+  }
+
+  /** The batched bucket-directory rewrite under every full-sweep or
+    * multi-bucket store mutation (takedown, expiry): drop the rows
+    * `dropPredOf` selects from the given buckets (None = every
+    * existing bucket directory) in a CONSTANT number of Spark jobs —
+    * one hit-detection pass (per-bucket hit counts), one partitioned
+    * staging write of the hit buckets' surviving rows — rather than a
+    * read+count+rewrite job triple per directory, which made
+    * maintenance turns scale with driver-sequential job scheduling
+    * rather than data (ScaleProof admit_maint: exponent 0.26 → 0.08).
+    *
+    * Crash discipline per directory is unchanged (staged file renamed
+    * in, then exactly the files this pass read are deleted — see
+    * [[removeByKeys]]); no-hit directories stay physically untouched
+    * (the pruning spec's pin); a fully-emptied bucket's directory is
+    * dropped (non-recursively — refused if a concurrent writer landed
+    * rows meanwhile) so probe slices never read a schema-less
+    * directory. The L0 tail is NOT covered here (its adm_kb is a data
+    * column, not a partition) — callers pair this with
+    * [[rewriteDirDropping]] on the tail. Returns rows dropped.
+    */
+  private def rewriteBucketsDropping(spark: SparkSession,
+      storePath: String, buckets: Option[Seq[Int]],
+      dropPredOf: DataFrame => Column): Long =
+    rewriteBuckets(spark, storePath, buckets,
+      d => d.filter(dropPredOf(d)), d => d.filter(!dropPredOf(d)))
+
+  /** [[rewriteBucketsDropping]]'s join-shaped twin for removal sets
+    * too large for an IN literal: drop every row whose doc_id appears
+    * in `rm` (single column `rm_id`, long) from every bucket
+    * directory — one semi-join detection pass, one anti-join staged
+    * write, same crash discipline and empty-dir handling.
+    */
+  private def rewriteBucketsJoining(spark: SparkSession,
+      storePath: String, rm: DataFrame): Long =
+    rewriteBuckets(spark, storePath, None,
+      d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
+      d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
+
+  /** The shared core of the two shapes above: `hitsOf` selects the
+    * rows to drop, `keepOf` the complement.
+    */
+  private def rewriteBuckets(spark: SparkSession,
+      storePath: String, buckets: Option[Seq[Int]],
+      hitsOf: DataFrame => DataFrame,
+      keepOf: DataFrame => DataFrame): Long = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    val pred = col("doc_id").isInCollection(ids)
-    // snapshot the touched buckets' current files ONCE: the staging
+    val targets: Seq[org.apache.hadoop.fs.Path] = buckets match {
+      case Some(bs) => bs.distinct.map(b =>
+        new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"))
+      case None => fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("adm_kb="))
+        .map(_.getPath).toSeq
+    }
+    // snapshot the targeted buckets' current files ONCE: the staging
     // write reads exactly these and the delete removes exactly these,
     // so rows landing concurrently stay out of both (the concurrency
     // contract's publish-before-delete discipline)
-    val byDir: Seq[(org.apache.hadoop.fs.Path,
-        Array[org.apache.hadoop.fs.FileStatus])] =
-      buckets.distinct.map { b =>
-        val dir = new org.apache.hadoop.fs.Path(root, s"adm_kb=$b")
-        dir -> scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      }.filter(_._2.nonEmpty)
-    val bucketHits =
-      if (byDir.isEmpty) 0L
-      else {
-        val cur = spark.read.option("basePath", storePath)
-          .option("mergeSchema", "true")
-          .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
-        // one job: per-bucket hit counts (≤ touched buckets rows)
-        val hits = cur.filter(pred).groupBy(col("adm_kb"))
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        if (hits.isEmpty) 0L
-        else {
-          val hitDirs = byDir.filter { case (dir, _) =>
-            hits.contains(dir.getName.stripPrefix("adm_kb=").toInt) }
-          val staging = new org.apache.hadoop.fs.Path(root,
-            s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
-          // one job: surviving rows of every hit bucket, re-partitioned
-          // into their directories in a single staged write (the
-          // adm_kb filter partition-prunes the same snapshot relation
-          // down to exactly the hit buckets' files)
-          cur.filter(col("adm_kb").isInCollection(hits.keySet.toSeq)
-              && !pred)
-            .repartition(col("adm_kb"))
-            .write.mode("overwrite").partitionBy("adm_kb")
-            .parquet(staging.toString)
-          hitDirs.foreach { case (dir, old) =>
-            val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
-            val stagedFiles = scala.util.Try(fs.listStatus(staged))
-              .getOrElse(Array.empty)
-              .filter(s => s.isFile &&
-                s.getPath.getName.endsWith(".parquet"))
-            stagedFiles.foreach { s =>
-              fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
-                s"removed-${s.getPath.getName}"))
-            }
-            old.foreach(s => fs.delete(s.getPath, false))
-            // a fully-removed bucket ends file-less: drop the dir so a
-            // future probe slice never reads a schema-less directory
-            // (non-recursive — refuses if a concurrent writer landed
-            // rows meanwhile)
-            if (stagedFiles.isEmpty)
-              scala.util.Try(fs.delete(dir, false))
-          }
-          fs.delete(staging, true)
-          hits.values.sum
-        }
+    val byDir = targets.map { dir =>
+      dir -> scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }.filter(_._2.nonEmpty)
+    if (byDir.isEmpty) return 0L
+    val cur = spark.read.option("basePath", storePath)
+      .option("mergeSchema", "true")
+      .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
+    // one job: per-bucket hit counts (≤ targeted buckets rows)
+    val hits = hitsOf(cur).groupBy(col("adm_kb"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return 0L
+    val hitDirs = byDir.filter { case (dir, _) =>
+      hits.contains(dir.getName.stripPrefix("adm_kb=").toInt) }
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
+    // one job: surviving rows of every hit bucket, re-partitioned into
+    // their directories in a single staged write (the adm_kb filter
+    // partition-prunes the same snapshot relation down to exactly the
+    // hit buckets' files)
+    keepOf(cur.filter(col("adm_kb").isInCollection(hits.keySet.toSeq)))
+      .repartition(col("adm_kb"))
+      .write.mode("overwrite").partitionBy("adm_kb")
+      .parquet(staging.toString)
+    hitDirs.foreach { case (dir, old) =>
+      val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
+      val stagedFiles = scala.util.Try(fs.listStatus(staged))
+        .getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      stagedFiles.foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+          s"removed-${s.getPath.getName}"))
       }
-    bucketHits + rewriteDirDropping(spark, root,
-      new org.apache.hadoop.fs.Path(admissionTailPath(storePath)),
-      (_: DataFrame) => pred)
+      old.foreach(s => fs.delete(s.getPath, false))
+      if (stagedFiles.isEmpty)
+        scala.util.Try(fs.delete(dir, false))
+    }
+    fs.delete(staging, true)
+    hits.values.sum
   }
 
   /** Physically drop admitted keys older than `cutoffMs` from every
@@ -1392,10 +1437,10 @@ object Dedup {
         // is the explicit migration that makes legacy rows expirable
         coalesce(col("adm_ts"), lit(Long.MaxValue)) < lit(cutoffMs)
       else lit(false) // whole directory pre-retention: keep it all
-    val all = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-      .map(_.getPath).toSeq
-    all.map(dir => rewriteDirDropping(spark, root, dir, pred)).sum +
+    // every bucket directory in ONE detection pass + ONE staged write
+    // (the retention cron runs this over thousands of buckets — a
+    // per-directory job loop would scale with the modulus)
+    rewriteBucketsDropping(spark, storePath, None, pred) +
       rewriteDirDropping(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
   }
