@@ -1019,6 +1019,57 @@ object Dedup {
         "admitting, removing, or expiring")
   }
 
+  /** Operational snapshot of an admission store's layout — the signal
+    * a maintenance schedule watches to decide WHEN a
+    * [[rebucketAdmitted]] migration is due (the pruning win requires
+    * nBuckets ≫ distinct batch keys: when bytes-per-bucket has grown
+    * far past the layout's design point, every batch is touching a
+    * corpus-fraction slice again), how fragmented buckets are
+    * (`autoCompactFiles` tuning), and how much L0 tail is riding
+    * between folds. Driver-side listing only — O(buckets) namenode
+    * calls, no Spark job; byte sizes are the row-count proxy that
+    * costs nothing.
+    */
+  final case class AdmissionStoreStats(buckets: Int,
+                                       bucketFiles: Long,
+                                       bucketBytes: Long,
+                                       maxBucketFiles: Int,
+                                       tailFiles: Int,
+                                       tailBytes: Long,
+                                       rebucketPending: Boolean) {
+    def avgBucketBytes: Long =
+      if (buckets == 0) 0L else bucketBytes / buckets
+  }
+
+  def admissionStoreStats(spark: SparkSession,
+                          storePath: String): AdmissionStoreStats = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
+        rebucketPending = false)
+    val perBucket = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map { d =>
+        val fsz = scala.util.Try(fs.listStatus(d.getPath))
+          .getOrElse(Array.empty)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        (fsz.length, fsz.map(_.getLen).sum)
+      }
+    val tail = scala.util.Try(fs.listStatus(
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath))))
+      .getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    AdmissionStoreStats(
+      buckets = perBucket.length,
+      bucketFiles = perBucket.map(_._1.toLong).sum,
+      bucketBytes = perBucket.map(_._2).sum,
+      maxBucketFiles = if (perBucket.isEmpty) 0 else perBucket.map(_._1).max,
+      tailFiles = tail.length,
+      tailBytes = tail.map(_.getLen).sum,
+      rebucketPending = fs.exists(rebucketMarker(storePath)))
+  }
+
   /** Crash-safe re-bucketing migration for the admission stores — the
     * endless-ingest growth path: `nBuckets` fixes the L1 layout at
     * store creation, and the per-batch pruning win (the measured-flat

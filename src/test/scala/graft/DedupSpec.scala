@@ -658,6 +658,46 @@ class DedupSpec extends SparkTestBase {
     assert(s2 === Set(22L), s"post-second-migration decisions diverged: $s2")
   }
 
+  test("admissionStoreStats reflects layout, fragmentation, tail, and " +
+    "pending-migration state") {
+    import spark.implicits._
+    val store = tmpDir("ndstats")
+    val absent = Dedup.admissionStoreStats(spark, tmpDir("ndstats-absent"))
+    assert(absent === Dedup.AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
+      rebucketPending = false))
+    // one folded batch (L1 buckets), one tail-resident batch
+    Dedup.nearDupFilterBatch(
+      Seq((0L, "the quick brown fox jumps over the lazy dog near a bank"))
+        .toDF("doc_id", "text"), store, "doc_id", "text",
+      nBuckets = 8, tailFoldFiles = 0)
+    Dedup.nearDupFilterBatch(
+      Seq((1L, "columnar engines vectorize parquet scans for analytics"))
+        .toDF("doc_id", "text"), store, "doc_id", "text", nBuckets = 8)
+    val s1 = Dedup.admissionStoreStats(spark, store)
+    assert(s1.buckets > 0 && s1.bucketFiles > 0 && s1.bucketBytes > 0 &&
+      s1.maxBucketFiles > 0, s"empty L1 stats: $s1")
+    assert(s1.tailFiles === 1 && s1.tailBytes > 0,
+      s"tail-resident batch not counted: $s1")
+    assert(!s1.rebucketPending)
+    assert(s1.avgBucketBytes > 0 &&
+      s1.avgBucketBytes <= s1.bucketBytes)
+    // the pending marker surfaces in the stats (the rebucket-due /
+    // migration-crashed signal a maintenance schedule watches)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(store,
+      Dedup.rebucketMarkerName)
+    val out = fs.create(marker, true)
+    out.write("16".getBytes("UTF-8")); out.close()
+    assert(Dedup.admissionStoreStats(spark, store).rebucketPending)
+    fs.delete(marker, false)
+    // a completed migration reports the new layout
+    Dedup.rebucketAdmitted(spark, store, 32)
+    val s2 = Dedup.admissionStoreStats(spark, store)
+    assert(s2.tailFiles === 0, "migration must fold the tail")
+    assert(!s2.rebucketPending && s2.buckets >= s1.buckets)
+  }
+
   test("legacy unstamped admission rows fail closed under windowing; " +
     "stampAdmitted is the explicit migration that makes them expirable") {
     import spark.implicits._
