@@ -1119,18 +1119,30 @@ object Dedup {
     val out = fs.create(marker, true)
     try out.write(newN.toString.getBytes("UTF-8")) finally out.close()
     val prefix = s"rb$newN-"
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-      .map(_.getPath).toSeq :+
-      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
-    var moved = 0L
-    dirs.foreach { dir =>
-      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+    // snapshot every directory's to-migrate files once (the prefix
+    // marks files already under the target modulus — the resume rule)
+    def pendingIn(dir: org.apache.hadoop.fs.Path) =
+      scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
           !s.getPath.getName.startsWith(prefix))
-      if (old.nonEmpty) {
+    val bucketDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath).toSeq
+    val tailDir = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
+    var moved = 0L
+    // TWO batched passes (all bucket dirs; the tail, whose stored
+    // adm_kb is a DATA column that would collide with the partition
+    // column of a combined read) — each is one scan + one partitioned
+    // staged write, not a job triple per directory: a corpus-scale
+    // store has thousands of bucket dirs and the migration must scale
+    // with its data, not with driver-sequential job scheduling.
+    val passes = Seq(
+      bucketDirs.map(d => d -> pendingIn(d)).filter(_._2.nonEmpty),
+      Seq(tailDir -> pendingIn(tailDir)).filter(_._2.nonEmpty))
+    passes.foreach { byDir =>
+      if (byDir.nonEmpty) {
         val cur = spark.read.option("mergeSchema", "true")
-          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+          .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
         // key columns by elimination, in schema (= admission) order —
         // xxhash64 is order-sensitive, so this must match admitByKeys'
         // keys0 column order, which wrote these files
@@ -1138,7 +1150,7 @@ object Dedup {
           .filterNot(c => c == "doc_id" || c == "adm_ts" || c == "adm_kb")
           .toSeq
         require(keyCols.nonEmpty,
-          s"rebucketAdmitted: no key columns in $dir")
+          s"rebucketAdmitted: no key columns under $storePath")
         val rekeyed = cur.drop("adm_kb").withColumn("adm_kb",
           pmod(xxhash64(keyCols.map(col): _*), lit(newN)).cast("int"))
         moved += rekeyed.count()
@@ -1147,6 +1159,10 @@ object Dedup {
         rekeyed.repartition(col("adm_kb"))
           .write.mode("overwrite").partitionBy("adm_kb")
           .parquet(staging.toString)
+        // publish-then-delete, globally: every staged file renames in
+        // under the prefix, then every superseded file is deleted — a
+        // crash between the two leaves duplicate key rows (tolerated),
+        // and the re-run's prefix rule skips what already landed
         fs.listStatus(staging)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
           .foreach { bdir =>
@@ -1160,14 +1176,17 @@ object Dedup {
                   s"$prefix${f.getPath.getName}"))
               }
           }
-        old.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
+        byDir.foreach { case (_, old) =>
+          old.foreach(s => fs.delete(s.getPath, false))
+        }
         fs.delete(staging, true)
       }
-      // a source dir left empty (all rows moved elsewhere) is dropped
-      // so future probes don't list a hollow directory
-      if (dir.getName.startsWith("adm_kb=") &&
-          scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-            .forall(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
+    }
+    // source dirs left empty (all rows moved elsewhere) are dropped so
+    // future probes don't list hollow directories
+    bucketDirs.foreach { dir =>
+      if (scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+          .forall(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
         fs.delete(dir, true)
     }
     fs.delete(marker, false)
