@@ -1153,12 +1153,19 @@ object Dedup {
           s"rebucketAdmitted: no key columns under $storePath")
         val rekeyed = cur.drop("adm_kb").withColumn("adm_kb",
           pmod(xxhash64(keyCols.map(col): _*), lit(newN)).cast("int"))
-        moved += rekeyed.count()
         val staging = new org.apache.hadoop.fs.Path(root,
           s".rebucket-${java.util.UUID.randomUUID().toString.take(8)}")
-        rekeyed.repartition(col("adm_kb"))
+        // moved-row count observed ON the staging write itself — a
+        // separate count() action would re-scan the whole store once
+        // more per pass, pure overhead on a migration that already
+        // reads every row exactly once
+        val obs = new org.apache.spark.sql.Observation(
+          s"rebucket-${staging.getName}")
+        rekeyed.observe(obs, count(lit(1)).as("n"))
+          .repartition(col("adm_kb"))
           .write.mode("overwrite").partitionBy("adm_kb")
           .parquet(staging.toString)
+        moved += obs.get("n").asInstanceOf[Long]
         // publish-then-delete, globally: every staged file renames in
         // under the prefix, then every superseded file is deleted — a
         // crash between the two leaves duplicate key rows (tolerated),
