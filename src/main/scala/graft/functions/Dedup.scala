@@ -1321,20 +1321,10 @@ object Dedup {
     */
   private def rewriteDirJoining(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
-      rm: DataFrame): Long = {
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (old.isEmpty) return 0L
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
-    val hit = cur.join(rm, cur("doc_id") === col("rm_id"), "left_semi")
-      .count()
-    if (hit == 0L) return 0L
-    publishRewrite(spark, root, dir,
-      cur.join(rm, cur("doc_id") === col("rm_id"), "left_anti"), old)
-    hit
-  }
+      rm: DataFrame): Long =
+    rewriteDirTransforming(spark, root, dir,
+      d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
+      d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
 
   /** Stage `keep` as one parquet file, rename it into `dir`, then
     * delete the superseded `old` files — the shared publish-before-
@@ -1542,32 +1532,20 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     requireNoPendingRebucket(spark, storePath)
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-      .map(_.getPath).toSeq :+
-      new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
-    dirs.map { dir =>
-      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (old.isEmpty) 0L
-      else {
-        val cur = spark.read.option("mergeSchema", "true")
-          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
-        val hasCol = cur.columns.contains("adm_ts")
-        val missing =
-          if (!hasCol) cur.count()
-          else cur.filter(col("adm_ts").isNull).count()
-        if (missing == 0L) 0L
-        else {
-          val stamped =
-            if (!hasCol) cur.withColumn("adm_ts", lit(tsMs))
-            else cur.withColumn("adm_ts",
-              coalesce(col("adm_ts"), lit(tsMs)))
-          publishRewrite(spark, root, dir, stamped, old)
-          missing
-        }
-      }
-    }.sum
+    // hit = a row with no concrete stamp; the rewrite keeps EVERY row,
+    // stamping the unstamped — the transform shape of the shared
+    // batched core (one detection pass + one staged write over all
+    // hit buckets, not a job pair per directory)
+    val hitsOf = (d: DataFrame) =>
+      if (!d.columns.contains("adm_ts")) d
+      else d.filter(col("adm_ts").isNull)
+    val keepOf = (d: DataFrame) =>
+      if (!d.columns.contains("adm_ts")) d.withColumn("adm_ts", lit(tsMs))
+      else d.withColumn("adm_ts", coalesce(col("adm_ts"), lit(tsMs)))
+    rewriteBuckets(spark, storePath, None, hitsOf, keepOf) +
+      rewriteDirTransforming(spark, root,
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)),
+        hitsOf, keepOf)
   }
 
   /** Rewrite one store directory dropping the rows `dropPredOf`
@@ -1578,17 +1556,31 @@ object Dedup {
     */
   private def rewriteDirDropping(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
-      dropPredOf: DataFrame => Column): Long = {
+      dropPredOf: DataFrame => Column): Long =
+    rewriteDirTransforming(spark, root, dir,
+      d => d.filter(dropPredOf(d)), d => d.filter(!dropPredOf(d)))
+
+  /** The single-directory core under every tail/dir mutation:
+    * `hitsOf` selects the rows whose presence makes a rewrite
+    * necessary, `keepOf` produces the directory's new content (the
+    * complement for removals; ALL rows transformed for stamping).
+    * No-hit directories stay physically untouched; publication order
+    * is staged-rename-then-delete — see [[removeByKeys]] for the
+    * crash analysis. Returns the hit count.
+    */
+  private def rewriteDirTransforming(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
+      hitsOf: DataFrame => DataFrame,
+      keepOf: DataFrame => DataFrame): Long = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (old.isEmpty) return 0L
     val paths = old.map(_.getPath.toString).toIndexedSeq
     val cur = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    val pred = dropPredOf(cur)
-    val hit = cur.filter(pred).count()
+    val hit = hitsOf(cur).count()
     if (hit == 0L) return 0L
-    publishRewrite(spark, root, dir, cur.filter(!pred), old)
+    publishRewrite(spark, root, dir, keepOf(cur), old)
     hit
   }
 

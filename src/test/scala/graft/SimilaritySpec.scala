@@ -1347,6 +1347,34 @@ class SimilaritySpec extends SparkTestBase {
       "replayed batch diverged from the original survivor set")
   }
 
+  test("SRP admission store survives a rebucket migration: semantic " +
+    "decisions identical at the new modulus") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val store = tmpDir("embadmreb")
+    Similarity.embedNearDupFilterBatch(emb.filter(col("vec_id") < 250),
+      store, planes = 12, dims = 64, tables = 8, nBuckets = 16,
+      tailFoldFiles = 0)
+    assert(graft.functions.Dedup.rebucketAdmitted(spark, store, 64) > 0L)
+    // the planted exact copy of an admitted vector must still be
+    // rejected through the migrated layout; the high half admits
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("label")).head()
+    val planted = spark.createDataFrame(
+      java.util.Arrays.asList(Row(90002L, v0.get(0), v0.get(1))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", emb.schema("embedding").dataType),
+        StructField("label", emb.schema("label").dataType))))
+    val s2 = Similarity.embedNearDupFilterBatch(
+      emb.filter(col("vec_id") >= 250)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(planted),
+      store, planes = 12, dims = 64, tables = 8, nBuckets = 64)
+    assert(s2.filter(col("vec_id") === 90002L).count() === 0L,
+      "planted copy admitted after the migration — keys lost")
+    assert(s2.count() > 0, "post-migration batch over-dropped")
+  }
+
   test("SRP admission-store removal: takedown frees future admission; " +
     "content-keyed and full-sweep paths agree") {
     import org.apache.spark.sql.Row
