@@ -305,6 +305,12 @@ private[functions] trait SegmentStoreProtocol[M] {
     * under the same frozen artifacts; idempotent under replay
     * (already-present ids anti-join away, so a replayed batch — or
     * losing the commit race to a twin writer — converges to a no-op).
+    * Scale note: the idempotence probe is partition-pruned to the
+    * batch's target cells on the CELL-PARTITIONED (IVF-PQ) shape —
+    * the at-scale configuration; the flat shapes (flat PQ, SQ8) scan
+    * the store's id column per append (narrow, but O(store)), which
+    * is fine for the dimension-table-sized corpora flat stores are
+    * for and is exactly why the coarse shape exists.
     * With the auto-consolidate budget set, an append that would
     * overflow it commits ONE merged tombstone-free segment instead
     * (the upsert sink's AutoCompact shape riding the append's own
