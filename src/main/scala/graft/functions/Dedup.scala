@@ -746,6 +746,9 @@ object Dedup {
     val admittedTs =
       if (admittedAt >= 0L) admittedAt else System.currentTimeMillis()
     requireNoPendingRebucket(spark, storePath)
+    requireLayout(new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      storePath, nBuckets, stampIfAbsent = true) // single writer
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
     // keys feed four consumers (bucket probe, store join, self-join,
@@ -1009,6 +1012,58 @@ object Dedup {
   private def rebucketMarker(storePath: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(storePath, rebucketMarkerName)
 
+  /** Name of the root file recording the store's bucket modulus. The
+    * `nBuckets` parameter was a silent fail-open foot-gun: a caller
+    * passing a modulus other than the store's probes the WRONG bucket
+    * directories — same-key rows live elsewhere, the pruned join
+    * misses the collision, and duplicates are admitted with no error
+    * anywhere. The store now declares its layout: the first admission
+    * writes this file, [[rebucketAdmitted]] updates it, and every
+    * bucket-addressed entry point refuses a mismatched caller loudly.
+    * (Stores created before this file existed get it stamped on their
+    * next admission — single-writer, so the write is safe.)
+    */
+  private[graft] val layoutMarkerName = "_nbuckets"
+
+  private def layoutMarker(storePath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(storePath, layoutMarkerName)
+
+  /** The store's declared bucket modulus, if stamped. */
+  private[graft] def declaredBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Option[Int] = {
+    val marker = layoutMarker(storePath)
+    if (!fs.exists(marker)) None
+    else scala.util.Try {
+      val in = fs.open(marker)
+      val content = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+      content.toInt
+    }.toOption
+  }
+
+  /** Refuse a caller whose nBuckets disagrees with the store's
+    * declared layout (the silent-under-suppression guard); stamp the
+    * declaration on stores that predate it.
+    */
+  private def requireLayout(fs: org.apache.hadoop.fs.FileSystem,
+                            storePath: String, nBuckets: Int,
+                            stampIfAbsent: Boolean): Unit =
+    declaredBuckets(fs, storePath) match {
+      case Some(stored) =>
+        require(stored == nBuckets,
+          s"admission store at $storePath is laid out over $stored " +
+            s"buckets but the caller passed nBuckets=$nBuckets — probing " +
+            s"the wrong directories silently under-suppresses; pass " +
+            s"nBuckets=$stored (or migrate with rebucketAdmitted)")
+      case None =>
+        if (stampIfAbsent) {
+          val out = fs.create(layoutMarker(storePath), true)
+          try out.write(nBuckets.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
+    }
+
   private def requireNoPendingRebucket(spark: SparkSession,
                                        storePath: String): Unit = {
     val marker = rebucketMarker(storePath)
@@ -1036,7 +1091,8 @@ object Dedup {
                                        maxBucketFiles: Int,
                                        tailFiles: Int,
                                        tailBytes: Long,
-                                       rebucketPending: Boolean) {
+                                       rebucketPending: Boolean,
+                                       declaredBuckets: Option[Int]) {
     def avgBucketBytes: Long =
       if (buckets == 0) 0L else bucketBytes / buckets
   }
@@ -1047,7 +1103,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
-        rebucketPending = false)
+        rebucketPending = false, declaredBuckets = None)
     val perBucket = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map { d =>
@@ -1067,7 +1123,8 @@ object Dedup {
       maxBucketFiles = if (perBucket.isEmpty) 0 else perBucket.map(_._1).max,
       tailFiles = tail.length,
       tailBytes = tail.map(_.getLen).sum,
-      rebucketPending = fs.exists(rebucketMarker(storePath)))
+      rebucketPending = fs.exists(rebucketMarker(storePath)),
+      declaredBuckets = declaredBuckets(fs, storePath))
   }
 
   /** Crash-safe re-bucketing migration for the admission stores — the
@@ -1196,6 +1253,12 @@ object Dedup {
           .forall(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
         fs.delete(dir, true)
     }
+    // declare the migrated layout BEFORE clearing the pending marker:
+    // a crash between the two re-runs the (idempotent) migration, and
+    // once the marker is gone every entry point holds the caller to
+    // the new modulus
+    val lm = fs.create(layoutMarker(storePath), true)
+    try lm.write(newN.toString.getBytes("UTF-8")) finally lm.close()
     fs.delete(marker, false)
     moved
   }
@@ -1253,6 +1316,13 @@ object Dedup {
     val spark = keys0.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     requireNoPendingRebucket(spark, storePath)
+    // a takedown against a mismatched layout would rewrite the wrong
+    // directories and report removal complete while the keys survive —
+    // refuse like admission does (no stamping: removal is not the
+    // writer and must not create layout state)
+    requireLayout(new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      storePath, nBuckets, stampIfAbsent = false)
     val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
     require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
     // doc_id is cast to long AFTER the bucket hash (which covers only

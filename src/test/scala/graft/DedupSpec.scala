@@ -664,7 +664,7 @@ class DedupSpec extends SparkTestBase {
     val store = tmpDir("ndstats")
     val absent = Dedup.admissionStoreStats(spark, tmpDir("ndstats-absent"))
     assert(absent === Dedup.AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
-      rebucketPending = false))
+      rebucketPending = false, declaredBuckets = None))
     // one folded batch (L1 buckets), one tail-resident batch
     Dedup.nearDupFilterBatch(
       Seq((0L, "the quick brown fox jumps over the lazy dog near a bank"))
@@ -676,6 +676,8 @@ class DedupSpec extends SparkTestBase {
     val s1 = Dedup.admissionStoreStats(spark, store)
     assert(s1.buckets > 0 && s1.bucketFiles > 0 && s1.bucketBytes > 0 &&
       s1.maxBucketFiles > 0, s"empty L1 stats: $s1")
+    assert(s1.declaredBuckets === Some(8),
+      "first admission must declare the store's modulus")
     assert(s1.tailFiles === 1 && s1.tailBytes > 0,
       s"tail-resident batch not counted: $s1")
     assert(!s1.rebucketPending)
@@ -696,6 +698,25 @@ class DedupSpec extends SparkTestBase {
     val s2 = Dedup.admissionStoreStats(spark, store)
     assert(s2.tailFiles === 0, "migration must fold the tail")
     assert(!s2.rebucketPending && s2.buckets >= s1.buckets)
+    assert(s2.declaredBuckets === Some(32),
+      "migration must update the declared modulus")
+    // the silent-under-suppression guard: a caller probing with a
+    // stale modulus is refused loudly (admission AND takedown)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupFilterBatch(
+        Seq((9L, "any text at all for the refusal probe here"))
+          .toDF("doc_id", "text"), store, "doc_id", "text", nBuckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupRemove(
+        Seq((9L, "any text at all for the refusal probe here"))
+          .toDF("doc_id", "text"), store, "doc_id", "text", nBuckets = 8)
+    }
+    // the declared modulus still admits
+    assert(Dedup.nearDupFilterBatch(
+      Seq((9L, "a genuinely novel subject matter probe with plenty of " +
+        "distinct words to shingle")).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 32).count() === 1L)
   }
 
   test("legacy unstamped admission rows fail closed under windowing; " +
