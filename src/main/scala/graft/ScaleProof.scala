@@ -432,6 +432,21 @@ object ScaleProof {
           Dedup.nearDupRemove(batch, store, "doc_id", "text",
             nBuckets = admitBucketsFor(n))
         }),
+        // the MIGRATION's own cost curve — the honest O(store)
+        // baseline the O(batch) admit legs contrast against: each rep
+        // re-buckets the whole seeded store to twice its modulus and
+        // back (two full migrations, ending at the original layout so
+        // the other admit legs see it unchanged). The batched
+        // implementation is a constant FOUR jobs however many bucket
+        // directories exist; expect exponent ≈ 1 (data-linear — every
+        // key row moves twice), NOT super-linear (a per-directory job
+        // loop would add an O(modulus) scheduling term on top).
+        "admit_rebucket" -> (() => {
+          val store = admitSetup(n, docs)
+          val nb = admitBucketsFor(n)
+          Dedup.rebucketAdmitted(spark, store, nb * 2) +
+            Dedup.rebucketAdmitted(spark, store, nb)
+        }),
         // suffix-array-style substring dedup signal: positional-index
         // parquet materialization (the durable path, like jaccard's
         // inverted index), distinct-doc counting, and the per-doc
@@ -816,8 +831,7 @@ object ScaleProof {
         partFeedSetup(n, docs)
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
-      if (selected.exists(s => s._1 == "admit_steady" ||
-          s._1 == "admit_maint"))
+      if (selected.exists(_._1.startsWith("admit_")))
         admitSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
