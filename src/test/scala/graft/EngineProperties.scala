@@ -837,6 +837,72 @@ object EngineProperties extends Properties("graft") {
         s"rebucketed admission diverged: engine $got vs reference $expected"
     }
 
+  // the WINDOWED law with a rebucket interleaved — the composition
+  // that would expose a migration dropping or re-stamping adm_ts
+  // (windowed suppression would silently change after the move): the
+  // reference is bucket-oblivious AND migration-oblivious, so stamps
+  // must ride the migration bit-intact
+  private val genAdmWinRebCorpus
+      : Gen[(Seq[(Long, String)], Int, Seq[Long], Int, Int)] = for {
+    (docs, nBatches, sinces) <- genAdmWinCorpus
+    at <- Gen.choose(0, nBatches - 1)
+    newN <- Gen.oneOf(2, 16, 128)
+  } yield (docs, nBatches, sinces, at, newN)
+
+  property("windowed admission with an interleaved rebucket ≡ " +
+    "sequential stamped reference (stamps survive the migration)") =
+    Prop.forAll(genAdmWinRebCorpus) {
+      case (docs, nBatches, sinces, at, newN) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[(Long, Long)]]() // (id, adm_ts)
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val ts = 1000L * (i + 1)
+        val since = sinces(i)
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k => store.get(k).exists(_.exists {
+            case (oid, ots) => oid != id && ots >= since }))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += ((id, ts)))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admwrbprop")
+        .toString + "/store"
+      val got = batches.zipWithIndex.flatMap { case (b, i) =>
+        if (i == at)
+          graft.functions.Dedup.rebucketAdmitted(spark, dir, newN)
+        val n = if (i >= at) newN else 4
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            nBuckets = n,
+            admittedAt = 1000L * (i + 1), suppressSince = sinces(i))
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"windowed+rebucket admission diverged: engine $got vs " +
+          s"reference $expected"
+    }
+
   property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
     "corpora") =
     Prop.forAll(genAdmCorpus) { case (docs, _) =>
