@@ -956,47 +956,62 @@ object Dedup {
       expireBefore: Long = 0L): Seq[Int] = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.filter { b =>
+    // snapshot exactly the over-budget buckets' current files: keys
+    // that land between the listing and the rewrite stay out of both
+    // the read and the delete set, so they survive untouched
+    val byDir = buckets.distinct.map { b =>
       val dir = new org.apache.hadoop.fs.Path(root, s"adm_kb=$b")
-      val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+      (b, dir, scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    }.filter(_._3.length > maxFiles)
+    if (byDir.isEmpty) return Nil
+    // ALL over-budget buckets ride ONE read + ONE partitioned staged
+    // write (a bulk-load fold can push hundreds of buckets over
+    // budget at once — a per-bucket job loop is the driver-scheduling
+    // scale bug the takedown/expiry paths already shed); repartition
+    // on adm_kb lands each bucket's rows in one task = one file
+    val cur = spark.read.option("basePath", storePath)
+      .option("mergeSchema", "true")
+      .parquet(byDir.flatMap(_._3.map(_.getPath.toString)): _*)
+    // collapse duplicate keys (replayed appends) keeping the
+    // NEWEST admission stamp — max is the suppression-conservative
+    // choice for windowed dedup; plain distinct would keep one row
+    // per (key, ts) and let replays grow the store. max ignores
+    // nulls, so a legacy (unstamped) row merged with a stamped
+    // re-admission takes the concrete stamp, and an all-legacy
+    // group stays null (= in-window forever, the fail-closed rule).
+    // Same-key rows share a bucket by construction, so the global
+    // group-by (adm_kb among the keys) equals per-bucket dedup.
+    val live =
+      if (expireBefore <= 0L) cur
+      else inWindow(cur, expireBefore)
+    val dedup =
+      if (!live.columns.contains("adm_ts")) live.distinct()
+      else live.groupBy(live.columns.filterNot(_ == "adm_ts")
+          .map(col).toIndexedSeq: _*)
+        .agg(max(col("adm_ts")).as("adm_ts"))
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    dedup.repartition(col("adm_kb"))
+      .write.mode("overwrite").partitionBy("adm_kb")
+      .parquet(staging.toString)
+    byDir.foreach { case (_, dir, old) =>
+      val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
+      val stagedFiles = scala.util.Try(fs.listStatus(staged))
+        .getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      old.length > maxFiles && {
-        // read exactly the superseded files (not the dir): keys that
-        // land between the listing and the rewrite stay out of both
-        // the read and the delete set, so they survive untouched
-        val staging = new org.apache.hadoop.fs.Path(root,
-          s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
-        val cur = spark.read.option("mergeSchema", "true")
-          .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
-        // collapse duplicate keys (replayed appends) keeping the
-        // NEWEST admission stamp — max is the suppression-conservative
-        // choice for windowed dedup; plain distinct would keep one row
-        // per (key, ts) and let replays grow the store. max ignores
-        // nulls, so a legacy (unstamped) row merged with a stamped
-        // re-admission takes the concrete stamp, and an all-legacy
-        // group stays null (= in-window forever, the fail-closed rule)
-        val live =
-          if (expireBefore <= 0L) cur
-          else inWindow(cur, expireBefore)
-        val dedup =
-          if (!live.columns.contains("adm_ts")) live.distinct()
-          else live.groupBy(live.columns.filterNot(_ == "adm_ts")
-              .map(col).toIndexedSeq: _*)
-            .agg(max(col("adm_ts")).as("adm_ts"))
-        dedup.coalesce(1)
-          .write.mode("overwrite").parquet(staging.toString)
-        val staged = fs.listStatus(staging)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        staged.foreach { s =>
-          fs.rename(s.getPath,
-            new org.apache.hadoop.fs.Path(dir,
-              s"compacted-${s.getPath.getName}"))
-        }
-        old.foreach(s => fs.delete(s.getPath, false))
-        fs.delete(staging, true)
-        true
+      stagedFiles.foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+          s"compacted-${s.getPath.getName}"))
       }
+      old.foreach(s => fs.delete(s.getPath, false))
+      // a bucket whose rows ALL expired at compact time ends file-less:
+      // drop the dir so probe slices never read a schema-less directory
+      if (stagedFiles.isEmpty)
+        scala.util.Try(fs.delete(dir, false))
     }
+    fs.delete(staging, true)
+    byDir.map(_._1)
   }
 
   /** Name of the root marker a [[rebucketAdmitted]] migration holds
