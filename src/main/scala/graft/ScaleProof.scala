@@ -101,6 +101,7 @@ object ScaleProof {
     }
     val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitMaintRep = new java.util.concurrent.atomic.AtomicLong(0)
+    val admitSplitRep = new java.util.concurrent.atomic.AtomicLong(0)
 
     // (view0 checkpointed, feed checkpointed, sink) per corpus size —
     // built once on first use so the timed IVM reps never pay setup.
@@ -446,6 +447,25 @@ object ScaleProof {
           val nb = admitBucketsFor(n)
           Dedup.rebucketAdmitted(spark, store, nb * 2) +
             Dedup.rebucketAdmitted(spark, store, nb)
+        }),
+        // the INCREMENTAL growth step — the online alternative whose
+        // whole point is contrast with admit_rebucket's O(store): one
+        // extendible-hashing bucket split per rep (a fresh base bucket
+        // each rep, so reps never re-split an already-thinned child).
+        // The layout holds ~100 docs/bucket at EVERY n
+        // (admitBucketsFor scales the modulus with the corpus), so
+        // the split reads and republishes one near-constant bucket's
+        // data however big the store — expect a near-flat exponent
+        // where the full migration is data-linear. This is the growth
+        // cost an ingest actually pays per maintenance turn, with no
+        // exclusivity window at all. (The policy pass that CHOOSES
+        // the bucket is a driver-side O(buckets) listing, priced
+        // separately in its Scaladoc; the split is the data mover.)
+        "admit_split" -> (() => {
+          val store = admitSetup(n, docs)
+          val r = admitSplitRep.incrementAndGet()
+          val addr = ((r * 31L) % admitBucketsFor(n)).toInt
+          Dedup.splitAdmittedBucket(spark, store, addr)
         }),
         // suffix-array-style substring dedup signal: positional-index
         // parquet materialization (the durable path, like jaccard's

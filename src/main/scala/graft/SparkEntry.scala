@@ -2985,11 +2985,16 @@ object SparkEntry {
 
     // The admission-store LAYOUT-MIGRATION path: identical decisions
     // to docs_minhash_admission with a crash-safe rebucketAdmitted
-    // migration (default 64 buckets → 128) between the two batches —
-    // the modulus is engine-internal, so the oracle is the SAME
+    // migration (16 buckets → 32) between the two batches — the
+    // modulus is engine-internal, so the oracle is the SAME
     // sequential-admission SQL. Runs the migration (re-key, staged
     // partitioned publish, pending-marker lifecycle) through the hash
-    // gate every round; batch 2 probes the MIGRATED layout.
+    // gate every round; batch 2 probes the MIGRATED layout. The
+    // moduli are deliberately SMALLER than production defaults: the
+    // decision-invariance coverage is identical at any modulus pair
+    // (the migration re-keys every row either way), while staging /
+    // rename / listing fan-out — pure proof-row overhead — scales
+    // with the directory count.
     "docs_minhash_admission_rebucket" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val r = docs.agg(min(col("doc_id")).cast("long"),
@@ -2997,14 +3002,53 @@ object SparkEntry {
       val thr = (r.getLong(0) + r.getLong(1)) / 2
       val store = scratchDir(s, "mhadmrb") // fresh per invocation
       val a1 = Dedup.nearDupFilterBatch(
-        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
+        nBuckets = 16)
         .select(col("doc_id"), lit(1L).as("batch"))
-      Dedup.rebucketAdmitted(s, store, 128)
+      Dedup.rebucketAdmitted(s, store, 32)
       val a2 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") > thr), store, "doc_id", "text",
-        nBuckets = 128)
+        nBuckets = 32)
         .select(col("doc_id"), lit(2L).as("batch"))
       a1.unionAll(a2)
+    }),
+
+    // The INCREMENTAL-growth path — the online alternative to the
+    // stop-the-world migration above: admissions run with a byte
+    // budget that auto-SPLITS over-budget buckets into power-of-two
+    // children inside the writer's own turns (extendible hashing; no
+    // pending marker, no exclusivity — cost bounded by one bucket's
+    // data per split). The split layout is engine-internal, so the
+    // oracle is again the SAME sequential-admission SQL: any split
+    // that strands a key off its probe chain, or a chain probe that
+    // misses a depth, hash-fails this row. Non-vacuity is asserted in
+    // the query itself: the store must actually have split.
+    "docs_minhash_admission_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r = docs.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val thr = (r.getLong(0) + r.getLong(1)) / 2
+      val store = scratchDir(s, "mhadmsp") // fresh per invocation
+      // tailFoldFiles = 0 folds every turn so the byte budget sees L1
+      // growth immediately; base modulus 8 keeps buckets fat enough
+      // that the 1 KiB budget genuinely over-flows at every SF (any
+      // non-empty parquet footprint exceeds it)
+      val a1 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
+        nBuckets = 8, tailFoldFiles = 0,
+        maxBucketBytes = 1024L, maxSplitsPerTurn = 2)
+        .select(col("doc_id"), lit(1L).as("batch"))
+      val a2 = Dedup.nearDupFilterBatch(
+        docs.filter(col("doc_id") > thr), store, "doc_id", "text",
+        nBuckets = 8, tailFoldFiles = 0,
+        maxBucketBytes = 1024L, maxSplitsPerTurn = 2)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val out = a1.unionAll(a2)
+      val stats = Dedup.admissionStoreStats(s, store)
+      require(stats.maxDepth > 0 && stats.splitBuckets > 0,
+        s"docs_minhash_admission_split is vacuous: no split ran " +
+          s"(maxDepth=${stats.maxDepth}, splitBuckets=${stats.splitBuckets})")
+      out
     }),
 
     // The admission-store DELETION path, batch-equivalent: admit the
@@ -4536,6 +4580,14 @@ object SparkEntry {
     // bug that loses a key, or re-buckets it away from its future
     // collisions, hash-fails this row against the SAME SQL.
     "docs_minhash_admission_rebucket" -> minhashAdmissionOracleSql,
+
+    // The INCREMENTAL-split mirror: identical reference again — the
+    // extendible-hashing split layout (per-bucket depths, chain
+    // probes) is engine-internal, so online splits inside the
+    // admission turns must be decision-invisible; a split stranding a
+    // key off its probe chain hash-fails this row against the SAME
+    // sequential-admission SQL.
+    "docs_minhash_admission_split" -> minhashAdmissionOracleSql,
 
     // The deletion-path mirror: identical to docs_minhash_admission
     // except the store batch 2 joins against has FORGOTTEN the

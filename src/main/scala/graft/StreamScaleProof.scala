@@ -110,6 +110,15 @@ object StreamScaleProof {
     val results = mutable.Map.empty[(String, Long), StageMetrics]
     // (advance min-sec, recompute min-sec) per n — the IVM consumer
     val ivm = mutable.Map.empty[Long, (Double, Double)]
+    // optional comma-separated stage filter for focused reruns
+    // (e.g. SPARK_GRAFT_SSCALE_ONLY=admission_stream — the one stage
+    // with no medallion dependency; the medallion stages are
+    // dependency-closed as a group and run whole when any is wanted)
+    val only = sys.env.get("SPARK_GRAFT_SSCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(s: String) = only.forall(_.contains(s))
+    val medallionWanted = Seq("bronze", "silver", "gold_bounded",
+      "gold_complete", "totals_tws", "ss_join", "gold_ivm").exists(want)
     def record(stage: String, n: Long, m: StageMetrics): Unit = {
       results((stage, n)) = m
       val batches = m.batchSec.map(s => f"$s%.2f").mkString("[", ",", "]")
@@ -133,6 +142,7 @@ object StreamScaleProof {
         silver = s"$root/silver", gold = s"$root/$gold",
         checkpoints = s"$root/ckpt_$gold")
       val p = paths("gold_bounded")
+      if (medallionWanted) {
       // 32 raw files at BOTH sizes: mfpt=4 → 8 batches per drain, so
       // scale grows the batch, not the batch count
       RideGenerator.writeRaw(spark, p.raw, n, files = 32)
@@ -258,10 +268,66 @@ object StreamScaleProof {
           s""""recompute_sec":${f"$rec%.3f"},"recompute_reps":${fmt(recReps)},""" +
           s""""feed_rows":${feed.count()},"view_rows":${view1.count()}}""")
       }
+      } // medallionWanted
+      if (want("admission_stream")) {
+      // ---- streaming ADMISSION + mid-stream takedown ----
+      // The batch-side ScaleProof prices admit_steady/admit_maint as
+      // raw library calls; this leg prices the SAME maintenance shape
+      // THROUGH the streaming wrapper (readStream → foreachBatch →
+      // nearDupFilterBatch + nearDupRemove per micro-batch, windowed
+      // stamps active) against a store seeded at n/20 docs — at the
+      // recorded factor-100 run that is the 500k-doc store. Batch
+      // count AND batch size are FIXED (8 × 64 docs) while the store
+      // scales with n, so the exponent isolates per-batch cost vs
+      // store size: expect ≈ admit_maint's near-flat curve, the
+      // foreachBatch harness adding only constant per-trigger
+      // overhead.
+      record("admission_stream", n, {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val nDocs = math.max(512L, n / 20)
+        val store = s"$root/admstore"
+        val seed = graft.sources.CorpusGenerator
+          .documents(spark, nDocs, seed = 41L)
+        for (b <- 0 until 4)
+          graft.functions.Dedup.nearDupFilterBatch(
+            seed.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text",
+            nBuckets = math.max(16, (nDocs / 100).toInt),
+            autoCompactFiles = 16, admittedAt = 1000L)
+        val feedDir = s"$root/admfeed"
+        graft.sources.CorpusGenerator
+          .documents(spark, 512, seed = 42L)
+          .select((col("doc_id") + lit(50000000L)).as("doc_id"),
+            col("text"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(feedDir)
+        val schema = spark.read.parquet(feedDir).schema
+        drain(() => spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feedDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val now = 2000L + id
+            graft.functions.Dedup.nearDupFilterBatch(
+              b, store, "doc_id", "text",
+              nBuckets = math.max(16, (nDocs / 100).toInt),
+              autoCompactFiles = 16, admittedAt = now,
+              suppressSince = 1L).count()
+            graft.functions.Dedup.nearDupRemove(
+              b, store, "doc_id", "text",
+              nBuckets = math.max(16, (nDocs / 100).toInt))
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt_admission")
+          .trigger(Trigger.AvailableNow)
+          .start())
+      })
+      } // admission_stream
     }
 
     val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete",
-      "totals_tws", "ss_join", "gold_ivm")
+      "totals_tws", "ss_join", "admission_stream", "gold_ivm")
+      .filter(s => results.contains((s, small)) && results.contains((s, big)))
     val exponents = stages.map { s =>
       val e = math.log(results((s, big)).batchSec.sum /
           results((s, small)).batchSec.sum) /
@@ -270,9 +336,11 @@ object StreamScaleProof {
     }.mkString(",")
     println(s"""{"metric":"scaling_exponent","factor":$factor,$exponents}""")
     def finalState(s: String, n: Long): Long = {
-      val rows = results((s, n)).stateRowsByBatch
+      val rows = results.get((s, n)).map(_.stateRowsByBatch)
+        .getOrElse(Nil)
       if (rows.isEmpty) 0L else rows.last
     }
+    if (medallionWanted)
     println(s"""{"metric":"gold_state_divergence",""" +
       s""""bounded_final_rows":{"small":${finalState("gold_bounded", small)},""" +
       s""""big":${finalState("gold_bounded", big)}},""" +
@@ -283,24 +351,27 @@ object StreamScaleProof {
     // windows), not because nothing entered the store — report both
     // sides of that ledger for the scale-safe stages.
     def removedSum(s: String, n: Long): Long =
-      results((s, n)).removedByBatch.sum
+      results.get((s, n)).map(_.removedByBatch.sum).getOrElse(0L)
     def maxState(s: String, n: Long): Long = {
-      val r = results((s, n)).stateRowsByBatch
+      val r = results.get((s, n)).map(_.stateRowsByBatch).getOrElse(Nil)
       if (r.isEmpty) 0L else r.max
     }
     val wmStages = Seq("gold_bounded", "totals_tws", "ss_join")
+      .filter(s => results.contains((s, small)))
     val wmJson = wmStages.map { s =>
       s""""$s":{"max_state_rows":{"small":${maxState(s, small)},""" +
         s""""big":${maxState(s, big)}},""" +
         s""""rows_removed":{"small":${removedSum(s, small)},""" +
         s""""big":${removedSum(s, big)}}}"""
     }.mkString(",")
-    println(s"""{"metric":"watermark_health",$wmJson}""")
+    if (wmStages.nonEmpty)
+      println(s"""{"metric":"watermark_health",$wmJson}""")
     // The IVM claim in one line: advance exponent ~0 (delta-sized
     // work), recompute exponent ~1 (table-sized) — the refresh
     // asymmetry that makes maintained views the 100 TB answer.
     def e(f: Long => Double): Double =
       math.log(f(big) / f(small)) / math.log(factor.toDouble)
+    if (ivm.contains(small) && ivm.contains(big))
     println(s"""{"metric":"ivm_refresh_asymmetry","factor":$factor,""" +
       s""""advance_exponent":${f"${e(ivm(_)._1)}%.3f"},""" +
       s""""recompute_exponent":${f"${e(ivm(_)._2)}%.3f"},""" +

@@ -379,7 +379,19 @@ private[functions] trait SegmentStoreProtocol[M] {
       Some(s"no codes store at $storePath to remove from — call build()"),
       beforeCommit, cleanupPerRace = true) { (_, manOpt) =>
       val man = checkedManifest(manOpt.get)
-      val fresh = ids.select(col(ids.columns.head).as(keyCol))
+      // resolve the tombstone key by NAME when the caller's frame has a
+      // column named keyCol — a wider or reordered relation must never
+      // silently tombstone values from whatever column happens to come
+      // first; positional head is only unambiguous for 1-column inputs
+      val idColName =
+        if (ids.columns.contains(keyCol)) keyCol
+        else {
+          require(ids.columns.length == 1,
+            s"remove(ids) got columns [${ids.columns.mkString(", ")}] — " +
+              s"pass a single-column relation or one carrying '$keyCol'")
+          ids.columns.head
+        }
+      val fresh = ids.select(col(idColName).as(keyCol))
         .distinct().persist()
       try {
         if (fresh.count() == 0) None

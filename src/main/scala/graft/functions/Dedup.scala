@@ -606,8 +606,10 @@ object Dedup {
     * hash-partitioned bucket directories in the writer's own turn —
     * so each batch joins only its buckets' partition-pruned slice
     * plus the bounded tail (see [[admitByKeys]]'s scale notes;
-    * `nBuckets` is the layout contract — it must stay constant for a
-    * store's lifetime — `autoCompactFiles` the per-bucket
+    * `nBuckets` is the BASE layout contract — constant for a store's
+    * lifetime, though over-budget buckets may split incrementally
+    * into power-of-two children, online, via `maxBucketBytes` /
+    * [[splitAdmittedBucket]] — `autoCompactFiles` is the per-bucket
     * fragmentation budget, and `tailFoldFiles` the tail's).
     *
     * Candidate-level semantics, like [[lshCandidatePairs]]: dropping
@@ -627,14 +629,17 @@ object Dedup {
                          tailFoldFiles: Int = 16,
                          admittedAt: Long = -1L,
                          suppressSince: Long = 0L,
-                         expireBefore: Long = 0L): DataFrame =
+                         expireBefore: Long = 0L,
+                         maxBucketBytes: Long = 0L,
+                         maxSplitsPerTurn: Int = 2): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
           docShingleHashes(batch, idCol, textCol, shingleN), k), k, bands),
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
-      admittedAt, suppressSince, expireBefore)
+      admittedAt, suppressSince, expireBefore, maxBucketBytes,
+      maxSplitsPerTurn)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -707,7 +712,8 @@ object Dedup {
     * beside it): admissions are strictly single-writer — two
     * concurrent `admitByKeys` calls can violate exactly-once. The
     * standalone maintenance ops ([[nearDupRemove]] /
-    * [[removeAdmittedIds]] / [[expireAdmitted]] / [[stampAdmitted]])
+    * [[removeAdmittedIds]] / [[expireAdmitted]] / [[stampAdmitted]] /
+    * [[splitAdmittedBucket]] / [[maintainAdmitted]])
     * MAY run concurrently with the live writer (the natural shape of
     * a retention cron beside an endless ingest): every directory
     * mutation on either side publishes its surviving rows BEFORE
@@ -730,7 +736,9 @@ object Dedup {
                                      tailFoldFiles: Int = 16,
                                      admittedAt: Long = -1L,
                                      suppressSince: Long = 0L,
-                                     expireBefore: Long = 0L)
+                                     expireBefore: Long = 0L,
+                                     maxBucketBytes: Long = 0L,
+                                     maxSplitsPerTurn: Int = 2)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -745,27 +753,40 @@ object Dedup {
         "replayed batches and extend suppression windows")
     val admittedTs =
       if (admittedAt >= 0L) admittedAt else System.currentTimeMillis()
-    requireNoPendingRebucket(spark, storePath)
-    requireLayout(new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      storePath, nBuckets, stampIfAbsent = true) // single writer
-    val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
+    val keyCols = admissionKeyColumns(keys0.columns.toSeq)
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
+    requireNoPendingRebucket(spark, storePath)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout check LAST among the validations: stamping `_nbuckets` is
+    // a store mutation, and a call that then fails validation must not
+    // have permanently declared a (possibly wrong) layout first
+    requireLayout(fs, storePath, nBuckets, stampIfAbsent = true) // 1 writer
+    val splits = readSplits(fs, storePath)
     // keys feed four consumers (bucket probe, store join, self-join,
     // append) — materialize once; a micro-batch is bounded, so
     // executor-memory checkpointing is the right tool here (unlike
     // the corpus-sized jaccard index). The bucket id is engine-
     // internal (never compared across engines), so xxhash64 is fine;
     // int-typed so partition-value inference round-trips it exactly.
-    val keys = keys0.withColumn("adm_kb",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
+    // adm_kb is the ROUTED live address (what the tail append carries
+    // and the fold partitions on); adm_deep is the deepest-modulus
+    // address, collected to expand each key's probe CHAIN — both equal
+    // pmod(h, nBuckets) on a never-split store.
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val keys = keys0
+      .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
+      .withColumn("adm_deep",
+        pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
       .localCheckpoint(true)
 
-    // the buckets this batch can possibly collide in — ≤ nBuckets
-    // values, never data-sized
+    // the buckets this batch can possibly collide in — every existing
+    // directory on each key's address chain; ≤ distinct batch keys ×
+    // (maxDepth + 1) values, never data-sized
     val touched: Seq[Int] =
-      keys.select(col("adm_kb")).distinct()
+      keys.select(col("adm_deep")).distinct()
       .collect().map(_.getInt(0)).toSeq
+      .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
     val storeRel =
       (admissionStoreSlice(spark, storePath, keyCols, touched,
           suppressSince).toSeq ++
@@ -794,16 +815,45 @@ object Dedup {
     // coalesce(1) would collapse the join itself to one task)
     keys.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
+      .drop("adm_deep") // probe-side only, never persisted
       .withColumn("adm_ts", lit(admittedTs))
       .repartition(1)
       .write.mode("append").parquet(admissionTailPath(storePath))
-    foldAdmissionTail(spark, storePath, autoCompactFiles, tailFoldFiles,
-      expireBefore)
+    val folded = foldAdmissionTail(spark, storePath, autoCompactFiles,
+      tailFoldFiles, expireBefore)
+    // auto-split riding the same turn (opt-in via maxBucketBytes):
+    // growth only ever lands through a fold, so checking just-folded
+    // buckets catches every over-budget bucket eventually — O(folded)
+    // driver listings, and each split is bounded by ONE bucket's data.
+    // Hysteresis is structural: a split halves a bucket in expectation,
+    // so a fresh child re-triggers only after doubling again.
+    if (maxBucketBytes > 0L && folded.nonEmpty) {
+      val oversized = folded.distinct.map { b =>
+        val dir = new org.apache.hadoop.fs.Path(storePath, s"adm_kb=$b")
+        b -> scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }.filter(_._2 > maxBucketBytes)
+        .sortBy(-_._2).take(math.max(0, maxSplitsPerTurn))
+      oversized.foreach { case (b, _) =>
+        splitAdmittedBucket(spark, storePath, b) }
+    }
     survivors
   }
 
   private def admissionTailPath(storePath: String): String =
     new org.apache.hadoop.fs.Path(storePath, "tail").toString
+
+  /** The key columns of an admission relation or stored file schema:
+    * everything except the identity (`doc_id`) and bookkeeping
+    * (`adm_ts`, `adm_kb`) columns, in SCHEMA ORDER. One definition
+    * shared by the admission path (whose keys0 column order feeds the
+    * order-sensitive `xxhash64` bucket hash and writes the files) and
+    * the layout migrations that re-derive bucket ids from those files —
+    * structurally the same list, so the two can never drift apart.
+    */
+  private[functions] def admissionKeyColumns(columns: Seq[String]): Seq[String] =
+    columns.filterNot(c => c == "doc_id" || c == "adm_ts" || c == "adm_kb")
 
   /** One hard byte budget on the L0 tail, independent of the file
     * budget: a single bulk-load batch writes one file but can be
@@ -857,18 +907,19 @@ object Dedup {
     * Publication order is crash-safe: the bucketed copy commits before
     * the tail files are deleted — a crash between the two duplicates
     * keys (tolerated; the next fold re-folds them and compaction
-    * dedups), never loses them. Returns whether a fold ran.
+    * dedups), never loses them. Returns the folded buckets (empty =
+    * no fold ran).
     */
   private[graft] def foldAdmissionTail(spark: SparkSession,
       storePath: String, autoCompactFiles: Int,
-      tailFoldFiles: Int, expireBefore: Long = 0L): Boolean = {
+      tailFoldFiles: Int, expireBefore: Long = 0L): Seq[Int] = {
     val tail = new org.apache.hadoop.fs.Path(admissionTailPath(storePath))
     val fs = tail.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.util.Try(fs.listStatus(tail)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (files.isEmpty) return false
+    if (files.isEmpty) return Nil
     if (files.length <= tailFoldFiles &&
-        files.map(_.getLen).sum <= admissionTailMaxBytes) return false
+        files.map(_.getLen).sum <= admissionTailMaxBytes) return Nil
     // reclaim staging dirs a crashed fold/compact/remove attempt
     // orphaned (dot-prefixed — invisible to readers). Stale = a DAY
     // old: live attempts are seconds old, so even a maintenance op
@@ -886,10 +937,26 @@ object Dedup {
         s.getModificationTime < stale)
       .foreach(s => fs.delete(s.getPath, true))
     // expired rows are shed in the fold itself — they never reach L1
-    val df = inWindow(spark.read.option("mergeSchema", "true")
+    val raw = inWindow(spark.read.option("mergeSchema", "true")
         .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
         expireBefore)
-      .localCheckpoint(true) // tail is budget-bounded
+    // under a SPLIT layout, re-route each tail row through the CURRENT
+    // depth map (its stored adm_kb was routed at admission time and may
+    // predate splits since) so folded rows land in their live — deepest
+    // — bucket; stale placement would still be probe-correct (shallower
+    // on the same chain), this just keeps deep buckets from re-growing.
+    // Never-split stores skip the recompute entirely.
+    val splits = readSplits(fs, storePath)
+    val routed =
+      if (splits.depthByAddr.isEmpty) raw
+      else declaredBuckets(fs, storePath) match {
+        case Some(n) =>
+          val keyCols = admissionKeyColumns(raw.columns.toSeq)
+          raw.drop("adm_kb").withColumn("adm_kb",
+            routedAddr(xxhash64(keyCols.map(col): _*), n, splits))
+        case None => raw
+      }
+    val df = routed.localCheckpoint(true) // tail is budget-bounded
     val folded = df.select("adm_kb").distinct()
       .collect().map(_.getInt(0)).toSeq
     df.repartition(col("adm_kb"))
@@ -897,7 +964,7 @@ object Dedup {
     files.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
     compactAdmissionBuckets(spark, storePath, folded, autoCompactFiles,
       expireBefore)
-    true
+    folded
   }
 
   /** The partition-PRUNED slice of an admission store a micro-batch
@@ -1001,7 +1068,7 @@ object Dedup {
         .getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       stagedFiles.foreach { s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+        renameOrThrow(fs, s.getPath, new org.apache.hadoop.fs.Path(dir,
           s"compacted-${s.getPath.getName}"))
       }
       old.foreach(s => fs.delete(s.getPath, false))
@@ -1073,6 +1140,24 @@ object Dedup {
             s"nBuckets=$stored (or migrate with rebucketAdmitted)")
       case None =>
         if (stampIfAbsent) {
+          // stamping a LEGACY store (pre-declaration, bucket dirs
+          // already on disk): sanity-check the claimed modulus against
+          // the observed layout — a single wrong-modulus admission
+          // would otherwise permanently declare the wrong layout and
+          // refuse every subsequent correct-modulus caller. Legacy
+          // stores predate bucket splitting, so every bucket id is
+          // strictly below the true modulus.
+          val observedMax = scala.util.Try(
+              fs.listStatus(new org.apache.hadoop.fs.Path(storePath)))
+            .getOrElse(Array.empty)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("adm_kb="))
+            .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+            .foldLeft(-1)(math.max)
+          require(observedMax < nBuckets,
+            s"admission store at $storePath has bucket adm_kb=$observedMax " +
+              s"on disk, impossible under the claimed nBuckets=$nBuckets — " +
+              "refusing to declare a layout narrower than the store")
           val out = fs.create(layoutMarker(storePath), true)
           try out.write(nBuckets.toString.getBytes("UTF-8"))
           finally out.close()
@@ -1087,6 +1172,276 @@ object Dedup {
       s"admission store at $storePath has an incomplete rebucket " +
         "migration — re-run rebucketAdmitted to complete it before " +
         "admitting, removing, or expiring")
+  }
+
+  // --------------- incremental bucket splitting (online growth) -------------
+  //
+  // [[rebucketAdmitted]] migrates the whole layout at once — O(store)
+  // and EXCLUSIVE, a stop-the-world ingest outage exactly when a grown
+  // store is busiest. Extendible-hashing-style splitting removes that
+  // outage: one over-budget bucket at a time is split into power-of-two
+  // children, riding the writer's own maintenance turn, with per-turn
+  // cost bounded by ONE bucket's data and no exclusivity at all.
+  //
+  // Addressing. The base layout hashes keys to `pmod(h, N)` (N =
+  // `_nbuckets`). A bucket at local depth d holds rows with
+  // `pmod(h, N·2^d) == addr`; splitting it rewrites its rows under
+  // modulus N·2^(d+1), landing them in child addresses `addr` and
+  // `addr + N·2^d` (N·2^(d+1) is a multiple of every coarser modulus,
+  // so a row's deeper address always REFINES its shallower ones). The
+  // `_splits` root file declares the layout: the global max depth plus
+  // one `addr=depth` line per split bucket (absent = depth 0).
+  //
+  // The ONE hard probe-safety invariant: every directory that contains
+  // a row for key h is named `pmod(h, N·2^d)` for some d ≤ the DECLARED
+  // max depth. Probes read, for each key, the whole address CHAIN
+  // {pmod(h, N·2^d) : 0 ≤ d ≤ maxDepth} — so they can never miss a
+  // same-key row no matter how stale the per-bucket depth map is, and
+  // admission decisions are bit-identical to the unsplit store (the
+  // suppression join is equality-on-keys; placement only affects which
+  // directories are read). A split therefore bumps the declared max
+  // depth BEFORE moving any row; everything else (the depth map, the
+  // routed placement of new rows) is a cost optimization that degrades
+  // gracefully when stale — a row placed shallower than the live map
+  // still sits on its key's chain.
+  //
+  // Every split publishes before deleting (the store-wide crash rule):
+  // any crash point leaves at worst duplicate key rows on the same
+  // chain, which admission semantics already tolerate; re-splitting is
+  // idempotent. Splits are part of the single WRITER's turn (or a
+  // maintenance run under the documented maintenance-beside-writer
+  // contract) — probes and takedowns keep running throughout.
+
+  private[graft] val splitsMarkerName = "_splits"
+
+  /** Declared split state: the global max depth (probe chain length)
+    * and the local depth of each split bucket (absent = 0).
+    */
+  private[graft] final case class AdmissionSplits(maxDepth: Int,
+                                                  depthByAddr: Map[Int, Int])
+
+  private def splitsMarker(storePath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(storePath, splitsMarkerName)
+
+  private[graft] def readSplits(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): AdmissionSplits = {
+    val marker = splitsMarker(storePath)
+    if (!fs.exists(marker)) return AdmissionSplits(0, Map.empty)
+    val in = fs.open(marker)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val maxDepth = lines.headOption
+      .filter(_.startsWith("maxdepth=")) match {
+        case Some(l) => l.stripPrefix("maxdepth=").toInt
+        case None => throw new IllegalStateException(
+          s"malformed $splitsMarkerName at $storePath: first line must " +
+            s"be maxdepth=<d>, got ${lines.headOption.getOrElse("<empty>")}")
+      }
+    val map = lines.drop(1).map { l =>
+      val Array(a, d) = l.split("=", 2)
+      a.toInt -> d.toInt
+    }.toMap
+    AdmissionSplits(maxDepth, map)
+  }
+
+  private def writeSplits(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, splits: AdmissionSplits): Unit = {
+    val body = (s"maxdepth=${splits.maxDepth}" +:
+      splits.depthByAddr.toSeq.sorted.map { case (a, d) => s"$a=$d" })
+      .mkString("\n")
+    val out = fs.create(splitsMarker(storePath), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The address chain of a deepest-modulus bucket id: its bucket id
+    * under every coarser modulus down to the base layout. Probes and
+    * content-keyed takedowns read every existing directory on the
+    * chain (see the probe-safety invariant above).
+    */
+  private def chainOf(deep: Int, nBuckets: Int, maxDepth: Int): Seq[Int] =
+    (0 to maxDepth).map(d => (deep.toLong % (nBuckets.toLong << d)).toInt)
+
+  /** Routed placement for new/folded rows: the row's address at its
+    * bucket's declared local depth — checked deepest-first so a
+    * consistent map resolves each row to its unique live bucket, and a
+    * stale map falls back to a shallower (still chain-correct)
+    * address. `h` is the key hash column.
+    */
+  private def routedAddr(h: Column, nBuckets: Int,
+      splits: AdmissionSplits): Column = {
+    val byDepth = splits.depthByAddr.groupBy(_._2).view
+      .mapValues(_.keys.toSeq).toMap
+    (1 to splits.maxDepth)
+      .foldLeft(pmod(h, lit(nBuckets.toLong)).cast("int")) {
+        case (shallower, d) => byDepth.get(d) match {
+          case Some(addrs) =>
+            val cand = pmod(h, lit(nBuckets.toLong << d)).cast("int")
+            when(cand.isInCollection(addrs), cand).otherwise(shallower)
+          case None => shallower
+        }
+      }
+  }
+
+  /** Split ONE admission bucket into its two power-of-two children —
+    * the incremental, ONLINE alternative to [[rebucketAdmitted]]: cost
+    * is bounded by this bucket's data, no pending marker, no
+    * exclusivity (admissions, probes, and takedowns keep running under
+    * the standard maintenance-beside-writer contract). Decision
+    * invariance and crash safety per the section notes above: the
+    * declared max depth is bumped BEFORE any row moves, children are
+    * published before the parent's files are deleted, and a crash at
+    * any point leaves only duplicate rows on the same probe chain.
+    * Returns the number of key rows rewritten (0 when the bucket
+    * directory is absent or empty).
+    */
+  def splitAdmittedBucket(spark: SparkSession, storePath: String,
+                          addr: Int): Long = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    requireNoPendingRebucket(spark, storePath)
+    val n = declaredBuckets(fs, storePath).getOrElse {
+      // no declaration: an EMPTY root is a no-op (nothing to split);
+      // bucket directories without a declaration mean a legacy store
+      // that must take one admission (which stamps `_nbuckets` after
+      // the sanity check) before its layout can be split
+      val hasBuckets = scala.util.Try(fs.listStatus(root))
+        .getOrElse(Array.empty)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      if (!hasBuckets) return 0L
+      throw new IllegalStateException(
+        s"splitAdmittedBucket: no declared layout at $storePath — the " +
+          "store must have taken at least one admission")
+    }
+    val splits0 = readSplits(fs, storePath)
+    val depth = splits0.depthByAddr.getOrElse(addr, 0)
+    val newDepth = depth + 1
+    require((n.toLong << newDepth) <= Int.MaxValue.toLong,
+      s"splitAdmittedBucket: depth $newDepth over base $n overflows " +
+        "the int bucket address space")
+    val dir = new org.apache.hadoop.fs.Path(root, s"adm_kb=$addr")
+    val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (old.isEmpty) return 0L
+    // probe safety FIRST: declare the deeper chain before any row can
+    // land at the deeper address — a probe that over-reads by one
+    // depth is harmless, one that under-reads misses collisions
+    if (newDepth > splits0.maxDepth)
+      writeSplits(fs, storePath, splits0.copy(maxDepth = newDepth))
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+    val keyCols = admissionKeyColumns(cur.columns.toSeq)
+    require(keyCols.nonEmpty,
+      s"splitAdmittedBucket: no key columns under $storePath")
+    val rekeyed = cur.drop("adm_kb").withColumn("adm_kb",
+      pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong << newDepth))
+        .cast("int"))
+    val obs = new org.apache.spark.sql.Observation(
+      s"split-$addr-${java.util.UUID.randomUUID().toString.take(8)}")
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".split-${java.util.UUID.randomUUID().toString.take(8)}")
+    rekeyed.observe(obs, count(lit(1)).as("n"))
+      .repartition(col("adm_kb"))
+      .write.mode("overwrite").partitionBy("adm_kb")
+      .parquet(staging.toString)
+    val moved = obs.get("n").asInstanceOf[Long]
+    val children = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      .foreach { bdir =>
+        val target = new org.apache.hadoop.fs.Path(root, bdir.getPath.getName)
+        fs.listStatus(bdir.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            renameOrThrow(fs, f.getPath, new org.apache.hadoop.fs.Path(
+              target, s"split$newDepth-${f.getPath.getName}"))
+          }
+      }
+    old.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
+    fs.delete(staging, true)
+    // a parent whose rows ALL moved to the sibling ends file-less —
+    // drop the dir so probe slices never read a schema-less directory
+    if (scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .forall(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
+      scala.util.Try(fs.delete(dir, false))
+    // record the children at their new local depth (map written LAST —
+    // a crash before this line re-splits idempotently; the map is a
+    // placement optimization, never a correctness input)
+    writeSplits(fs, storePath, AdmissionSplits(
+      math.max(splits0.maxDepth, newDepth),
+      splits0.depthByAddr - addr ++ children.map(_ -> newDepth)))
+    moved
+  }
+
+  /** Threshold policy for [[maintainAdmitted]] — the wiring between
+    * [[admissionStoreStats]]'s WHEN signals and the maintenance
+    * actions, so operating a store needs no hand-built cron logic.
+    * Every trigger is opt-in (0 = never). Hysteresis is structural,
+    * not a tunable: a split halves a bucket in expectation, so a fresh
+    * child re-triggers only after doubling past `maxBucketBytes`
+    * again, and a compacted bucket re-triggers only after
+    * `compactOverFiles` further appends.
+    */
+  final case class AdmissionMaintenancePolicy(
+      maxBucketBytes: Long = 0L,
+      maxSplitsPerRun: Int = 4,
+      compactOverFiles: Int = 0,
+      expireBefore: Long = 0L)
+
+  final case class AdmissionMaintenanceReport(expired: Long,
+                                              compacted: Seq[Int],
+                                              split: Seq[Int])
+
+  /** One policy-driven maintenance pass over an admission store —
+    * expiry, then compaction, then incremental splits, each gated by
+    * its [[AdmissionMaintenancePolicy]] threshold. The cron-shaped
+    * complement of the per-turn knobs on the admission entry points
+    * (`autoCompactFiles` / `expireBefore` / `maxBucketBytes` riding
+    * the writer): run it on a schedule, or from the writer's own
+    * process between batches. Safe beside the live writer (every
+    * constituent op follows the maintenance-beside-writer contract);
+    * per-run cost is O(store listing) driver-side plus the triggered
+    * rewrites, with splits capped at `maxSplitsPerRun` buckets' data.
+    */
+  def maintainAdmitted(spark: SparkSession, storePath: String,
+      policy: AdmissionMaintenancePolicy): AdmissionMaintenanceReport = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return AdmissionMaintenanceReport(0L, Nil, Nil)
+    requireNoPendingRebucket(spark, storePath)
+    val expired =
+      if (policy.expireBefore <= 0L) 0L
+      else expireAdmitted(spark, storePath, policy.expireBefore)
+    def bucketSizes(): Seq[(Int, Int, Long)] = // (addr, files, bytes)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+        .map { d =>
+          val fsz = scala.util.Try(fs.listStatus(d.getPath))
+            .getOrElse(Array.empty)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          (d.getPath.getName.stripPrefix("adm_kb=").toInt,
+            fsz.length, fsz.map(_.getLen).sum)
+        }.toSeq
+    val compacted =
+      if (policy.compactOverFiles <= 0) Nil
+      else {
+        val over = bucketSizes().filter(_._2 > policy.compactOverFiles)
+        compactAdmissionBuckets(spark, storePath, over.map(_._1),
+          policy.compactOverFiles, policy.expireBefore)
+      }
+    // split AFTER compaction so the byte signal reflects deduplicated
+    // data, not replay/crash duplicates a compact would have removed
+    val split =
+      if (policy.maxBucketBytes <= 0L) Nil
+      else bucketSizes().filter(_._3 > policy.maxBucketBytes)
+        .sortBy(-_._3).take(math.max(0, policy.maxSplitsPerRun))
+        .map { case (addr, _, _) =>
+          splitAdmittedBucket(spark, storePath, addr); addr
+        }
+    AdmissionMaintenanceReport(expired, compacted, split)
   }
 
   /** Operational snapshot of an admission store's layout — the signal
@@ -1107,7 +1462,9 @@ object Dedup {
                                        tailFiles: Int,
                                        tailBytes: Long,
                                        rebucketPending: Boolean,
-                                       declaredBuckets: Option[Int]) {
+                                       declaredBuckets: Option[Int],
+                                       maxDepth: Int = 0,
+                                       splitBuckets: Int = 0) {
     def avgBucketBytes: Long =
       if (buckets == 0) 0L else bucketBytes / buckets
   }
@@ -1131,6 +1488,7 @@ object Dedup {
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath))))
       .getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val splits = readSplits(fs, storePath)
     AdmissionStoreStats(
       buckets = perBucket.length,
       bucketFiles = perBucket.map(_._1.toLong).sum,
@@ -1139,7 +1497,9 @@ object Dedup {
       tailFiles = tail.length,
       tailBytes = tail.map(_.getLen).sum,
       rebucketPending = fs.exists(rebucketMarker(storePath)),
-      declaredBuckets = declaredBuckets(fs, storePath))
+      declaredBuckets = declaredBuckets(fs, storePath),
+      maxDepth = splits.maxDepth,
+      splitBuckets = splits.depthByAddr.size)
   }
 
   /** Crash-safe re-bucketing migration for the admission stores — the
@@ -1215,12 +1575,9 @@ object Dedup {
       if (byDir.nonEmpty) {
         val cur = spark.read.option("mergeSchema", "true")
           .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
-        // key columns by elimination, in schema (= admission) order —
-        // xxhash64 is order-sensitive, so this must match admitByKeys'
-        // keys0 column order, which wrote these files
-        val keyCols = cur.columns
-          .filterNot(c => c == "doc_id" || c == "adm_ts" || c == "adm_kb")
-          .toSeq
+        // the SAME derivation admission itself uses (xxhash64 is
+        // order-sensitive; admitByKeys' keys0 order wrote these files)
+        val keyCols = admissionKeyColumns(cur.columns.toSeq)
         require(keyCols.nonEmpty,
           s"rebucketAdmitted: no key columns under $storePath")
         val rekeyed = cur.drop("adm_kb").withColumn("adm_kb",
@@ -1251,8 +1608,9 @@ object Dedup {
             fs.listStatus(bdir.getPath)
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
-                fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target,
-                  s"$prefix${f.getPath.getName}"))
+                renameOrThrow(fs, f.getPath,
+                  new org.apache.hadoop.fs.Path(target,
+                    s"$prefix${f.getPath.getName}"))
               }
           }
         byDir.foreach { case (_, old) =>
@@ -1271,9 +1629,11 @@ object Dedup {
     // declare the migrated layout BEFORE clearing the pending marker:
     // a crash between the two re-runs the (idempotent) migration, and
     // once the marker is gone every entry point holds the caller to
-    // the new modulus
+    // the new modulus. A full migration re-keys everything to depth 0
+    // under newN, so any incremental-split state is reset with it.
     val lm = fs.create(layoutMarker(storePath), true)
     try lm.write(newN.toString.getBytes("UTF-8")) finally lm.close()
+    fs.delete(splitsMarker(storePath), false)
     fs.delete(marker, false)
     moved
   }
@@ -1325,7 +1685,23 @@ object Dedup {
     * replayed upstream batch that still contains a removed document
     * will re-admit it, which is an upstream-retention concern, not a
     * store invariant.
+    *
+    * DRAINS internally: a removal raced by the writer's concurrent
+    * fold/compact can leave target keys alive in the concurrently
+    * rewritten copy while this pass still reports a positive count —
+    * the one-shot GDPR-style caller would read that as "done". So
+    * every removal entry point re-runs its pass until one finds NO
+    * hits (under no contention that is exactly one extra detection
+    * scan, no staging write), and the returned total is only ever
+    * reported alongside a store that a fresh scan found clean.
     */
+  private def drainRemoval(pass: () => Long): Long = {
+    var total = 0L
+    var n = pass()
+    while (n > 0L) { total += n; n = pass() }
+    total
+  }
+
   private[functions] def removeByKeys(keys0: DataFrame, storePath: String,
                                       nBuckets: Int): Long = {
     val spark = keys0.sparkSession
@@ -1338,23 +1714,29 @@ object Dedup {
     requireLayout(new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
       storePath, nBuckets, stampIfAbsent = false)
-    val keyCols = keys0.columns.filter(_ != "doc_id").toSeq
+    val keyCols = admissionKeyColumns(keys0.columns.toSeq)
     require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
     // doc_id is cast to long AFTER the bucket hash (which covers only
     // the key columns): admission preserves the caller's id type, so
     // a store built with an int id column must still take takedowns —
     // the long removal set compares against the stored column under
-    // Spark's numeric coercion (matching removeAdmittedIds' cast)
-    val keys = keys0.withColumn("adm_kb",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
-      .select(col("doc_id").cast("long").as("doc_id"), col("adm_kb"))
+    // Spark's numeric coercion (matching removeAdmittedIds' cast).
+    // Collect the DEEPEST-modulus address and expand each key's full
+    // chain — under a split layout a target row may sit at any depth.
+    val splits = readSplits(new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), storePath)
+    val keys = keys0.withColumn("adm_deep",
+        pmod(xxhash64(keyCols.map(col): _*),
+          lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("adm_deep"))
       .distinct()
       .localCheckpoint(true) // takedown-batch-bounded
-    val touched = keys.select("adm_kb").distinct()
+    val touched = keys.select("adm_deep").distinct()
       .collect().map(_.getInt(0)).toSeq
+      .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
     val ids = keys.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    removeIdsInBuckets(spark, storePath, ids, touched)
+    drainRemoval(() => removeIdsInBuckets(spark, storePath, ids, touched))
   }
 
   /** Full-sweep removal by id — for takedowns where the document
@@ -1371,10 +1753,14 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     requireNoPendingRebucket(spark, storePath)
-    val all = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
-    removeIdsInBuckets(spark, storePath, ids, all)
+    // bucket list re-snapshotted per drain pass: a concurrent fold can
+    // create bucket directories between passes
+    drainRemoval { () =>
+      val all = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+        .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
+      removeIdsInBuckets(spark, storePath, ids, all)
+    }
   }
 
   /** Full-sweep removal by a DISTRIBUTED id relation — the shape a
@@ -1395,9 +1781,10 @@ object Dedup {
     // surviving-rows anti-join — materialize once
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
-    rewriteBucketsJoining(spark, storePath, rm) +
-      rewriteDirJoining(spark, root,
-        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm)
+    drainRemoval(() =>
+      rewriteBucketsJoining(spark, storePath, rm) +
+        rewriteDirJoining(spark, root,
+          new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm))
   }
 
   /** Join-shaped single-directory rewrite (the L0 tail under a
@@ -1410,6 +1797,27 @@ object Dedup {
     rewriteDirTransforming(spark, root, dir,
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
+
+  /** Publish one staged file into a live directory. Hadoop's rename
+    * reports failure by RETURNING FALSE (e.g. the target directory was
+    * concurrently dropped by an empty-dir cleanup running beside this
+    * writer) — unchecked, the caller would proceed to delete the
+    * superseded files while the staged replacement never landed,
+    * silently dropping rows. So: re-create the target (covers the
+    * dropped-dir race) and treat a still-failing rename as the
+    * transient per-turn failure the concurrency contract already
+    * prescribes retrying — the staged rows stay recoverable in the
+    * staging directory, and nothing superseded has been deleted yet.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst),
+      s"publish rename failed: $src -> $dst — aborting this turn " +
+        "BEFORE deleting any superseded file (re-run to retry; staged " +
+        "rows remain in the staging directory)")
+  }
 
   /** Stage `keep` as one parquet file, rename it into `dir`, then
     * delete the superseded `old` files — the shared publish-before-
@@ -1427,7 +1835,7 @@ object Dedup {
     fs.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .foreach { s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+        renameOrThrow(fs, s.getPath, new org.apache.hadoop.fs.Path(dir,
           s"removed-${s.getPath.getName}"))
       }
     old.foreach(s => fs.delete(s.getPath, false))
@@ -1556,7 +1964,7 @@ object Dedup {
         .getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       stagedFiles.foreach { s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir,
+        renameOrThrow(fs, s.getPath, new org.apache.hadoop.fs.Path(dir,
           s"removed-${s.getPath.getName}"))
       }
       old.foreach(s => fs.delete(s.getPath, false))

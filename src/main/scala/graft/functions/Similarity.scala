@@ -534,7 +534,9 @@ object Similarity {
                               tailFoldFiles: Int = 16,
                               admittedAt: Long = -1L,
                               suppressSince: Long = 0L,
-                              expireBefore: Long = 0L)
+                              expireBefore: Long = 0L,
+                              maxBucketBytes: Long = 0L,
+                              maxSplitsPerTurn: Int = 2)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -543,7 +545,8 @@ object Similarity {
             .as(Seq("tbl", "b"))),
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
-      admittedAt, suppressSince, expireBefore)
+      admittedAt, suppressSince, expireBefore, maxBucketBytes,
+      maxSplitsPerTurn)
 
   /** Remove vectors from an SRP admission store — the semantic-side
     * takedown path, mirroring [[Dedup.nearDupRemove]] (shared core

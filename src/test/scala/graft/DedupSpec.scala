@@ -658,6 +658,142 @@ class DedupSpec extends SparkTestBase {
     assert(s2 === Set(22L), s"post-second-migration decisions diverged: $s2")
   }
 
+  test("splitAdmittedBucket grows the layout online: decisions " +
+    "identical at the unchanged base modulus, chain probes reach every " +
+    "depth, takedowns and rebucket compose, map state declared") {
+    import spark.implicits._
+    val store = tmpDir("ndsplit")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    val textC = "streaming watermarks bound state for late arriving event data"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // splitting an absent store / bucket is a no-op
+    assert(Dedup.splitAdmittedBucket(spark, store, 0) === 0L)
+    // seed a TINY base layout (2 buckets) fully folded into L1
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+    assert(Dedup.splitAdmittedBucket(spark, store, 7) === 0L,
+      "splitting a bucket directory that does not exist moved rows")
+    val buckets0 = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).sorted
+    assert(buckets0.nonEmpty)
+    // split the fattest base bucket: depth 0 -> 1, children in
+    // {addr, addr + 2} under modulus 4
+    val target = buckets0.head
+    val moved1 = Dedup.splitAdmittedBucket(spark, store, target)
+    assert(moved1 > 0L, "split moved no rows")
+    val splits1 = Dedup.readSplits(fs, store)
+    assert(splits1.maxDepth === 1, s"declared max depth wrong: $splits1")
+    assert(splits1.depthByAddr.nonEmpty &&
+      splits1.depthByAddr.values.forall(_ === 1) &&
+      splits1.depthByAddr.keys.forall(a => a == target || a == target + 2),
+      s"children not declared at depth 1: $splits1")
+    val stats1 = Dedup.admissionStoreStats(spark, store)
+    assert(stats1.maxDepth === 1 && stats1.splitBuckets > 0,
+      s"stats must surface the split layout: $stats1")
+    // decisions identical — callers keep the BASE modulus (that is the
+    // whole point: growth with no caller-visible layout generation)
+    val s1 = Dedup.nearDupFilterBatch(
+      Seq((10L, textA), (11L, textB), (12L, textC),
+        (13L, "deterministic replay semantics for micro batch sinks"))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(13L), s"post-split decisions diverged: $s1")
+    // split a CHILD again (depth 1 -> 2): chains now span 3 depths
+    val child = Dedup.readSplits(fs, store).depthByAddr.keys.max
+    if (fs.exists(new org.apache.hadoop.fs.Path(store, s"adm_kb=$child"))) {
+      Dedup.splitAdmittedBucket(spark, store, child)
+      assert(Dedup.readSplits(fs, store).maxDepth === 2,
+        "second-level split must deepen the declared chain")
+    }
+    val s2 = Dedup.nearDupFilterBatch(
+      Seq((20L, textA), (21L, textB), (22L, textC),
+        (23L, "entirely novel subject matter with enough words to shingle"))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(23L), s"post-deep-split decisions diverged: $s2")
+    // content-keyed takedown reaches rows at ANY depth (chain-expanded
+    // touched set): remove doc 0, its dup becomes admittable, the
+    // others stay suppressed
+    assert(Dedup.nearDupRemove(Seq((0L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2) > 0L,
+      "takedown found nothing in the split layout")
+    val s3 = Dedup.nearDupFilterBatch(
+      Seq((30L, textA), (31L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 === Set(30L),
+      s"takedown on the split layout mis-targeted: $s3")
+    // a full rebucket migration collapses the split state: fresh
+    // generation, depth map reset, decisions preserved
+    Dedup.rebucketAdmitted(spark, store, 8)
+    val splitsAfter = Dedup.readSplits(fs, store)
+    assert(splitsAfter.maxDepth === 0 && splitsAfter.depthByAddr.isEmpty,
+      s"rebucket must reset the split declaration: $splitsAfter")
+    val s4 = Dedup.nearDupFilterBatch(
+      Seq((40L, textB), (41L, textC),
+        (42L, "yet another novel probe with plenty of distinct words here"))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s4 === Set(42L), s"post-rebucket decisions diverged: $s4")
+  }
+
+  test("maintainAdmitted wires stats to actions: threshold-triggered " +
+    "compaction, splits, and expiry with decisions unchanged") {
+    import spark.implicits._
+    val store = tmpDir("ndmaint")
+    def text(i: Int): String =
+      s"topic$i alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"
+    // grow a fragmented store: every turn folds (tailFoldFiles=0) but
+    // never compacts (budget high), so bucket file counts climb
+    (0 until 6).foreach { i =>
+      Dedup.nearDupFilterBatch(
+        Seq((i.toLong, text(i))).toDF("doc_id", "text"),
+        store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+        nBuckets = 2, tailFoldFiles = 0, autoCompactFiles = 1000,
+        admittedAt = 1000L * (i + 1))
+    }
+    val before = Dedup.admissionStoreStats(spark, store)
+    assert(before.maxBucketFiles > 1, s"store not fragmented: $before")
+    assert(before.maxDepth === 0, s"store split prematurely: $before")
+    // the no-op policy does nothing
+    assert(Dedup.maintainAdmitted(spark, store,
+        Dedup.AdmissionMaintenancePolicy())
+      === Dedup.AdmissionMaintenanceReport(0L, Nil, Nil))
+    // threshold-triggered compaction + splits in one pass
+    val report = Dedup.maintainAdmitted(spark, store,
+      Dedup.AdmissionMaintenancePolicy(maxBucketBytes = 1L,
+        maxSplitsPerRun = 2, compactOverFiles = 1))
+    assert(report.compacted.nonEmpty, s"compaction never triggered: $report")
+    assert(report.split.nonEmpty && report.split.size <= 2,
+      s"split trigger/cap wrong: $report")
+    val after = Dedup.admissionStoreStats(spark, store)
+    assert(after.maxDepth >= 1 && after.splitBuckets > 0,
+      s"policy splits not reflected in stats: $after")
+    // decisions unchanged through the whole maintenance pass
+    val dup = Dedup.nearDupFilterBatch(
+      (0 until 6).map(i => (100L + i, text(i))).toDF("doc_id", "text"),
+      store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+      nBuckets = 2, admittedAt = 99000L)
+    assert(dup.count() === 0L,
+      "a kept doc's keys were lost under policy maintenance")
+    // expiry leg: everything stamped before the cutoff is reclaimed
+    val exp = Dedup.maintainAdmitted(spark, store,
+      Dedup.AdmissionMaintenancePolicy(expireBefore = 100000L))
+    assert(exp.expired > 0L, s"expiry never triggered: $exp")
+    assert(Dedup.nearDupFilterBatch(
+        Seq((200L, text(0))).toDF("doc_id", "text"),
+        store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+        nBuckets = 2, admittedAt = 100001L).count() === 1L,
+      "expired keys still suppress")
+  }
+
   test("admissionStoreStats reflects layout, fragmentation, tail, and " +
     "pending-migration state") {
     import spark.implicits._

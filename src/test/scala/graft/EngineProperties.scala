@@ -903,6 +903,140 @@ object EngineProperties extends Properties("graft") {
           s"reference $expected"
     }
 
+  // the admission law with INCREMENTAL SPLITS interleaved INSIDE the
+  // admission turns (extendible-hashing growth — the online
+  // alternative to the exclusive rebucket): every turn folds and
+  // auto-splits over-budget buckets (maxBucketBytes=1 over a 2-bucket
+  // base forces real multi-depth chains), and a policy-driven
+  // maintainAdmitted pass runs at a random batch boundary. Decisions
+  // must stay bit-identical to the split-oblivious sequential
+  // reference — no exclusivity, no pending marker, callers keep
+  // passing the BASE modulus throughout.
+  private val genAdmSplitCorpus
+      : Gen[(Seq[(Long, String)], Int, Int)] = for {
+    (docs, nBatches) <- genAdmCorpus
+    at <- Gen.choose(0, nBatches - 1)
+  } yield (docs, nBatches, at)
+
+  property("admission with online bucket splits inside every turn ≡ " +
+    "sequential reference (growth without exclusivity)") =
+    Prop.forAll(genAdmSplitCorpus) { case (docs, nBatches, at) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[Long]]()
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.foreach { b =>
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k =>
+            store.get(k).exists(_.exists(_ != id)))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += id)
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admsplprop")
+        .toString + "/store"
+      val got = batches.zipWithIndex.flatMap { case (b, i) =>
+        if (i == at)
+          graft.functions.Dedup.maintainAdmitted(spark, dir,
+            graft.functions.Dedup.AdmissionMaintenancePolicy(
+              maxBucketBytes = 1L, maxSplitsPerRun = 4,
+              compactOverFiles = 1))
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            nBuckets = 2, tailFoldFiles = 0,
+            maxBucketBytes = 1L, maxSplitsPerTurn = 2)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"split admission diverged: engine $got vs reference $expected"
+    }
+
+  // the WINDOWED law with splits interleaved — the composition that
+  // would expose a split dropping or re-stamping adm_ts (windowed
+  // suppression would silently change after the move): the reference
+  // is split-oblivious AND stamp-aware, so stamps must ride every
+  // split (and the fold's re-routing) bit-intact
+  private val genAdmWinSplitCorpus
+      : Gen[(Seq[(Long, String)], Int, Seq[Long], Int)] = for {
+    (docs, nBatches, sinces) <- genAdmWinCorpus
+    at <- Gen.choose(0, nBatches - 1)
+  } yield (docs, nBatches, sinces, at)
+
+  property("windowed admission with online splits inside every turn ≡ " +
+    "sequential stamped reference (stamps survive the splits)") =
+    Prop.forAll(genAdmWinSplitCorpus) {
+      case (docs, nBatches, sinces, at) =>
+      val s = spark; import s.implicits._
+      val allDF = docs.toDF("doc_id", "text")
+      val keyRows = graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignatures(
+            graft.functions.Dedup.docShingleHashes(
+              allDF, "doc_id", "text", 2), 4), 4, 2)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      val keysOf: Map[Long, Set[(Int, String)]] =
+        keyRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty)
+      val batches = docs.grouped(
+        math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      val store = scala.collection.mutable.Map[(Int, String),
+        scala.collection.mutable.Set[(Long, Long)]]() // (id, adm_ts)
+      val expected = scala.collection.mutable.Set[Long]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val ts = 1000L * (i + 1)
+        val since = sinces(i)
+        val surv = b.filter { case (id, _) =>
+          val ks = keysOf(id)
+          val vsStore = ks.exists(k => store.get(k).exists(_.exists {
+            case (oid, ots) => oid != id && ots >= since }))
+          val within = b.exists { case (oid, _) =>
+            oid < id && keysOf(oid).intersect(ks).nonEmpty }
+          !vsStore && !within
+        }
+        surv.foreach { case (id, _) =>
+          expected += id
+          keysOf(id).foreach(k =>
+            store.getOrElseUpdate(k,
+              scala.collection.mutable.Set.empty) += ((id, ts)))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("admwspprop")
+        .toString + "/store"
+      val got = batches.zipWithIndex.flatMap { case (b, i) =>
+        if (i == at)
+          graft.functions.Dedup.maintainAdmitted(spark, dir,
+            graft.functions.Dedup.AdmissionMaintenancePolicy(
+              maxBucketBytes = 1L, maxSplitsPerRun = 4))
+        graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            nBuckets = 2, tailFoldFiles = 0,
+            maxBucketBytes = 1L, maxSplitsPerTurn = 2,
+            admittedAt = 1000L * (i + 1), suppressSince = sinces(i))
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      (got == expected.toSet) :|
+        s"windowed+split admission diverged: engine $got vs " +
+          s"reference $expected"
+    }
+
   property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
     "corpora") =
     Prop.forAll(genAdmCorpus) { case (docs, _) =>
