@@ -99,6 +99,24 @@ object ScaleProof {
       }
       store
     }
+    // the split leg's own store, seeded FULLY FOLDED into L1 buckets
+    // (tailFoldFiles = 0): admitSetup's store can sit entirely in the
+    // L0 tail at small n (4 appends under the fold budget), where a
+    // bucket split has nothing to move and the leg would time nothing
+    val admitSplitSeeded = scala.collection.mutable.Set.empty[Long]
+    def admitSplitSetup(n: Long, docs: DataFrame): String = {
+      val store = s"$work/admsplit_$n"
+      if (!admitSplitSeeded(n)) {
+        for (b <- 0 until 4)
+          Dedup.nearDupFilterBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16,
+            tailFoldFiles = 0)
+        admitSplitSeeded += n
+      }
+      store
+    }
     val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitMaintRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitSplitRep = new java.util.concurrent.atomic.AtomicLong(0)
@@ -462,10 +480,13 @@ object ScaleProof {
         // the bucket is a driver-side O(buckets) listing, priced
         // separately in its Scaladoc; the split is the data mover.)
         "admit_split" -> (() => {
-          val store = admitSetup(n, docs)
+          val store = admitSplitSetup(n, docs)
           val r = admitSplitRep.incrementAndGet()
           val addr = ((r * 31L) % admitBucketsFor(n)).toInt
-          Dedup.splitAdmittedBucket(spark, store, addr)
+          val moved = Dedup.splitAdmittedBucket(spark, store, addr)
+          require(moved > 0L,
+            s"admit_split is vacuous: bucket $addr at n=$n was empty")
+          moved
         }),
         // suffix-array-style substring dedup signal: positional-index
         // parquet materialization (the durable path, like jaccard's
@@ -851,8 +872,11 @@ object ScaleProof {
         partFeedSetup(n, docs)
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
-      if (selected.exists(_._1.startsWith("admit_")))
+      if (selected.exists(s => s._1.startsWith("admit_") &&
+          s._1 != "admit_split"))
         admitSetup(n, docs)
+      if (selected.exists(_._1 == "admit_split"))
+        admitSplitSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

@@ -288,12 +288,16 @@ object StreamScaleProof {
         val store = s"$root/admstore"
         val seed = graft.sources.CorpusGenerator
           .documents(spark, nDocs, seed = 41L)
+        // tailFoldFiles = 0: seed fully FOLDED into L1 buckets at BOTH
+        // scales — otherwise the small store stays tail-resident (its
+        // 4 appends never cross the fold budget) and the exponent
+        // compares a tail join against a bucket-slice join
         for (b <- 0 until 4)
           graft.functions.Dedup.nearDupFilterBatch(
             seed.filter(pmod(col("doc_id"), lit(4L)) === b),
             store, "doc_id", "text",
             nBuckets = math.max(16, (nDocs / 100).toInt),
-            autoCompactFiles = 16, admittedAt = 1000L)
+            autoCompactFiles = 16, tailFoldFiles = 0, admittedAt = 1000L)
         val feedDir = s"$root/admfeed"
         graft.sources.CorpusGenerator
           .documents(spark, 512, seed = 42L)
