@@ -717,6 +717,36 @@ class DedupSpec extends SparkTestBase {
       store, "doc_id", "text", nBuckets = 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s2 === Set(23L), s"post-deep-split decisions diverged: $s2")
+    // pruned-scan pin on the SPLIT layout: a probe's store slice reads
+    // only the existing directories on its keys' address CHAINS
+    // (chain = the key hash under every declared modulus), and never
+    // an off-chain bucket — the probe-side half of the split design
+    locally {
+      val splitsNow = Dedup.readSplits(fs, store)
+      val moduli = (0 to splitsNow.maxDepth).map(d => 2L << d) // N = 2
+      val chain = Dedup.lshBands(Dedup.minhashSignatures(
+          Dedup.docShingleHashes(
+            Seq((90L, textA)).toDF("doc_id", "text"),
+            "doc_id", "text", 3), 16), 16, 4)
+        .select(explode(array(moduli.map(m =>
+          pmod(xxhash64(col("band"), col("band_key")), lit(m))
+            .cast("int")): _*)).as("a"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val existing = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .filter(_.getPath.getName.startsWith("adm_kb="))
+        .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSet
+      val offChain = (existing -- chain)
+      val slice = Dedup.admissionStoreSlice(spark, store,
+        Seq("band", "band_key"), chain.toSeq).get
+      val plan = slice.queryExecution.executedPlan.toString
+      assert(plan.matches(
+        "(?s).*PartitionFilters: \\[[^\\]]*adm_kb#\\d+ (=|IN|INSET).*"),
+        s"split-layout slice is not partition-pruned:\n$plan")
+      offChain.foreach { b =>
+        assert(!plan.contains(s"adm_kb=$b"),
+          s"split-layout slice listed off-chain bucket $b:\n$plan")
+      }
+    }
     // content-keyed takedown reaches rows at ANY depth (chain-expanded
     // touched set): remove doc 0, its dup becomes admittable, the
     // others stay suppressed
