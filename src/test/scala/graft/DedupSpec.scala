@@ -468,9 +468,9 @@ class DedupSpec extends SparkTestBase {
       "compaction must keep the newest admission stamp")
   }
 
-  test("maintenance (remove/expire) beside a live admission writer: " +
-    "kept keys never lost, removals eventually complete, transient " +
-    "turn failures only") {
+  test("maintenance (remove/expire/split) beside a live admission " +
+    "writer: kept keys never lost, removals eventually complete, " +
+    "transient turn failures only") {
     import spark.implicits._
     val store = tmpDir("ndconc")
     val nDocs = 24
@@ -499,9 +499,13 @@ class DedupSpec extends SparkTestBase {
     val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
     // maintenance thread: content-keyed takedowns of already-admitted
-    // docs plus no-op expiry sweeps, racing the writer's per-turn
-    // fold/compact. Transient failures are the contract's allowed
-    // outcome — counted, not fatal; data invariants are asserted below.
+    // docs plus no-op expiry sweeps AND policy-driven bucket splits —
+    // the online-growth claim is that splitting needs NO exclusivity,
+    // so it must survive racing the writer's per-turn fold/compact
+    // like every other maintenance op. Transient failures are the
+    // contract's allowed outcome — counted, not fatal; data
+    // invariants are asserted below.
+    val splitsDone = new java.util.concurrent.atomic.AtomicInteger(0)
     val maint = new Thread(() => {
       try {
         val rnd = new scala.util.Random(7)
@@ -516,6 +520,9 @@ class DedupSpec extends SparkTestBase {
                   .toDF("doc_id", "text"), store, "doc_id", "text",
                 shingleN = 2, k = 4, bands = 2)
               Dedup.expireAdmitted(spark, store, 1L) // below all stamps
+              splitsDone.addAndGet(Dedup.maintainAdmitted(spark, store,
+                Dedup.AdmissionMaintenancePolicy(maxBucketBytes = 1L,
+                  maxSplitsPerRun = 1)).split.size)
             } catch { case _: Throwable => maintFailures.incrementAndGet() }
           } else Thread.sleep(20)
         }
@@ -544,6 +551,18 @@ class DedupSpec extends SparkTestBase {
     assert(maintErr.get() === null, s"maintenance thread crashed " +
       s"outside a turn: ${maintErr.get()}")
     assert(maintTurns.get() > 0, "maintenance thread never ran a turn")
+    // splits-beside-writer non-vacuity: if every racing split attempt
+    // happened to fail transiently, a quiesced policy pass must still
+    // split the post-race store — either way the layout this test's
+    // invariants run against below HAS lived through splits
+    if (splitsDone.get() == 0)
+      splitsDone.addAndGet(retrying("quiesced split pass", 5) {
+        Dedup.maintainAdmitted(spark, store,
+          Dedup.AdmissionMaintenancePolicy(maxBucketBytes = 1L,
+            maxSplitsPerRun = 2)).split.size
+      })
+    assert(splitsDone.get() > 0, "no bucket split ever ran — the " +
+      "splits-beside-writer leg of this test is vacuous")
     // removal eventually completes: quiesced re-runs drain to zero
     removeIds.foreach { r =>
       var guard = 10
