@@ -793,6 +793,82 @@ class DedupSpec extends SparkTestBase {
     assert(s4 === Set(42L), s"post-rebucket decisions diverged: $s4")
   }
 
+  test("split crash windows stay probe-correct: bumped depth with " +
+    "nothing moved, published children with surviving originals and a " +
+    "lost map update — decisions hold, stamps intact, re-split " +
+    "completes") {
+    import spark.implicits._
+    val store = tmpDir("ndsplitcrash")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    val textC = "streaming watermarks bound state for late arriving event data"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def probe(docs: Seq[(Long, String)], ts: Long): Set[Long] =
+      Dedup.nearDupFilterBatch(docs.toDF("doc_id", "text"), store,
+        "doc_id", "text", nBuckets = 2, admittedAt = ts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0,
+      admittedAt = 1000L)
+    def writeSplitsFile(body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(store,
+        Dedup.splitsMarkerName), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // crash window 1: the declared max depth was bumped but the crash
+    // hit before ANY row moved — probes read a one-deeper chain of
+    // (mostly non-existent) dirs, which must be harmless
+    writeSplitsFile("maxdepth=1")
+    assert(probe(Seq((10L, textA), (11L, "a wholly novel subject with " +
+      "plenty of words to shingle")), 2000L) === Set(11L),
+      "bumped-depth-no-move crash window changed decisions")
+    // crash window 2: a REAL split published its children, then the
+    // crash hit before the superseded parent files were deleted AND
+    // before the depth map was updated — rows live at BOTH depths on
+    // the same chain, and the map still calls the parent depth 0
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).min
+    assert(Dedup.splitAdmittedBucket(spark, store, bucket) > 0L)
+    val parent = new org.apache.hadoop.fs.Path(store, s"adm_kb=$bucket")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(bucket, bucket + 2).foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(store, s"adm_kb=$c")
+      scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          fs.mkdirs(parent)
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+            new org.apache.hadoop.fs.Path(parent,
+              s"resurrected-$c-${f.getPath.getName}"), false, conf)
+        }
+    }
+    writeSplitsFile("maxdepth=1") // the map update that never landed
+    assert(probe(Seq((20L, textA), (21L, textB), (22L, textC),
+      (23L, "deterministic replay semantics for micro batch sinks")),
+      3000L) === Set(23L),
+      "published-children-with-surviving-originals window changed decisions")
+    // re-running the split completes the move (the lost map means it
+    // re-targets depth 1 — same modulus, idempotent) and decisions
+    // still hold afterwards
+    Dedup.splitAdmittedBucket(spark, store, bucket)
+    assert(probe(Seq((30L, textA), (31L, "entirely different closing " +
+      "probe content with enough words")), 4000L) === Set(31L),
+      "post-recovery decisions diverged")
+    // the seed rows' admission stamps rode every copy and re-split
+    // bit-intact (the windowed-dedup invariant)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(_.getPath.getName.startsWith("adm_kb="))
+      .map(_.getPath.toString)
+    val stamps = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .filter(col("doc_id") <= 2L).select("adm_ts").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stamps === Set(1000L),
+      s"seed admission stamps damaged across the crash windows: $stamps")
+  }
+
   test("maintainAdmitted wires stats to actions: threshold-triggered " +
     "compaction, splits, and expiry with decisions unchanged") {
     import spark.implicits._
