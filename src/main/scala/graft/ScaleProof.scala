@@ -482,7 +482,24 @@ object ScaleProof {
         "admit_split" -> (() => {
           val store = admitSplitSetup(n, docs)
           val r = admitSplitRep.incrementAndGet()
-          val addr = ((r * 31L) % admitBucketsFor(n)).toInt
+          // pick the target from a FRESH listing of non-empty bucket
+          // directories (arithmetic over the modulus could land on a
+          // bucket an earlier split emptied into its sibling — whose
+          // directory is then gone — and abort the whole bench run on
+          // the moved>0 non-vacuity gate at small per-bucket counts)
+          val fs = new org.apache.hadoop.fs.Path(store)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val nonEmpty = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("adm_kb=") &&
+              scala.util.Try(fs.listStatus(s.getPath)).getOrElse(Array.empty)
+                .exists(f => f.isFile &&
+                  f.getPath.getName.endsWith(".parquet")))
+            .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+            .sorted
+          require(nonEmpty.nonEmpty,
+            s"admit_split has no non-empty bucket at n=$n")
+          val addr = nonEmpty(((r * 31L) % nonEmpty.length).toInt)
           val moved = Dedup.splitAdmittedBucket(spark, store, addr)
           require(moved > 0L,
             s"admit_split is vacuous: bucket $addr at n=$n was empty")

@@ -721,7 +721,15 @@ object Dedup {
     * store's data invariants — kept keys are never lost (at worst
     * duplicated, which admission semantics tolerate) and a removal
     * raced by a concurrent fold/compact is at worst INCOMPLETE
-    * (re-running it completes; all removals are idempotent). What IS
+    * (re-running it completes; all removals are idempotent). Splits
+    * are the one maintenance op that RELOCATES rows across
+    * directories, so publish-before-delete alone does not protect a
+    * reader whose probe chains were computed before a depth-raising
+    * split completed — the writer therefore re-reads the `_splits`
+    * declaration after its decision materializes and retries the
+    * decision when it changed (see the loop in this method), and
+    * content-keyed takedowns re-expand their chains inside every
+    * drain pass. What IS
     * possible under contention is a transient per-turn failure — one
     * side reading files the other just superseded — which the caller
     * retries like any task failure; no state is damaged.
@@ -762,55 +770,89 @@ object Dedup {
     // a store mutation, and a call that then fails validation must not
     // have permanently declared a (possibly wrong) layout first
     requireLayout(fs, storePath, nBuckets, stampIfAbsent = true) // 1 writer
-    val splits = readSplits(fs, storePath)
-    // keys feed four consumers (bucket probe, store join, self-join,
-    // append) — materialize once; a micro-batch is bounded, so
-    // executor-memory checkpointing is the right tool here (unlike
-    // the corpus-sized jaccard index). The bucket id is engine-
-    // internal (never compared across engines), so xxhash64 is fine;
-    // int-typed so partition-value inference round-trips it exactly.
-    // adm_kb is the ROUTED live address (what the tail append carries
-    // and the fold partitions on); adm_deep is the deepest-modulus
-    // address, collected to expand each key's probe CHAIN — both equal
-    // pmod(h, nBuckets) on a never-split store.
-    val keyHash = xxhash64(keyCols.map(col): _*)
-    val keys = keys0
-      .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
-      .withColumn("adm_deep",
-        pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
-      .localCheckpoint(true)
+    // The DECISION loop. A concurrent split is the one maintenance op
+    // that RELOCATES rows across directories, so a writer mid-turn can
+    // race it dangerously: if a split that RAISES the declared max
+    // depth completes entirely between this turn's readSplits and its
+    // slice reads, the moved keys sit in a deeper directory off this
+    // turn's probe chains and the parent's files are already gone —
+    // the publish-before-delete rule only protects readers whose
+    // chains INCLUDE the children. So the turn re-reads `_splits`
+    // AFTER its decision has fully materialized and retries when the
+    // declaration changed. This closes every dangerous interleaving:
+    // a depth-raising split declares the deeper chain BEFORE moving
+    // any row, so if its moves could have affected our reads, its
+    // depth bump precedes them and is visible to the re-read; a split
+    // at or below our declared depth only moves rows between
+    // directories already ON our chains (covered either way by
+    // publish-before-delete).
+    var keys: DataFrame = null
+    var survivors: DataFrame = null
+    var attempts = 0
+    var decided = false
+    while (!decided) {
+      val splits = readSplits(fs, storePath)
+      requireChainAddressable(storePath, nBuckets, splits)
+      // keys feed four consumers (bucket probe, store join, self-join,
+      // append) — materialize once; a micro-batch is bounded, so
+      // executor-memory checkpointing is the right tool here (unlike
+      // the corpus-sized jaccard index). The bucket id is engine-
+      // internal (never compared across engines), so xxhash64 is fine;
+      // int-typed so partition-value inference round-trips it exactly.
+      // adm_kb is the ROUTED live address (what the tail append carries
+      // and the fold partitions on); adm_deep is the deepest-modulus
+      // address, collected to expand each key's probe CHAIN — both equal
+      // pmod(h, nBuckets) on a never-split store.
+      val keyHash = xxhash64(keyCols.map(col): _*)
+      keys = keys0
+        .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
+        .withColumn("adm_deep",
+          pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
+        .localCheckpoint(true)
 
-    // the buckets this batch can possibly collide in — every existing
-    // directory on each key's address chain; ≤ distinct batch keys ×
-    // (maxDepth + 1) values, never data-sized
-    val touched: Seq[Int] =
-      keys.select(col("adm_deep")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-      .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
-    val storeRel =
-      (admissionStoreSlice(spark, storePath, keyCols, touched,
-          suppressSince).toSeq ++
-        admissionTailSlice(spark, storePath, keyCols, suppressSince).toSeq)
-        .reduceOption(_ unionByName _)
-    val vsStore =
-      storeRel match {
-        case Some(store) =>
-          keys.join(store,
-              keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
-                && col("doc_id") =!= col("s_id"), // replay self-exclusion
-              "left_semi")
-            .select(col("doc_id"))
-        case None => keys.select(col("doc_id")).limit(0)
+      // the buckets this batch can possibly collide in — every existing
+      // directory on each key's address chain; ≤ distinct batch keys ×
+      // (maxDepth + 1) values, never data-sized
+      val touched: Seq[Int] =
+        keys.select(col("adm_deep")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+        .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
+      val storeRel =
+        (admissionStoreSlice(spark, storePath, keyCols, touched,
+            suppressSince).toSeq ++
+          admissionTailSlice(spark, storePath, keyCols, suppressSince).toSeq)
+          .reduceOption(_ unionByName _)
+      val vsStore =
+        storeRel match {
+          case Some(store) =>
+            keys.join(store,
+                keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
+                  && col("doc_id") =!= col("s_id"), // replay self-exclusion
+                "left_semi")
+              .select(col("doc_id"))
+          case None => keys.select(col("doc_id")).limit(0)
+        }
+      val withinBatch = keys.as("l").join(keys.as("r"),
+          keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+          col("r.doc_id") < col("l.doc_id"), "left_semi")
+        .select(col("doc_id"))
+      val dropIds = vsStore.union(withinBatch).distinct()
+        .withColumnRenamed("doc_id", idCol)
+
+      survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+        .localCheckpoint(true) // materialize before mutating the store
+      admitDecisionFence() // test seam: no-op in production
+      val recheck = readSplits(fs, storePath)
+      if (recheck == splits) decided = true
+      else {
+        attempts += 1
+        require(attempts < 6,
+          s"admitByKeys at $storePath: the split declaration kept " +
+            "changing under this turn's reads — persistent concurrent " +
+            "splitting; retry the turn (transient, per the " +
+            "maintenance-beside-writer contract)")
       }
-    val withinBatch = keys.as("l").join(keys.as("r"),
-        keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
-        col("r.doc_id") < col("l.doc_id"), "left_semi")
-      .select(col("doc_id"))
-    val dropIds = vsStore.union(withinBatch).distinct()
-      .withColumnRenamed("doc_id", idCol)
-
-    val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
-      .localCheckpoint(true) // materialize before mutating the store
+    }
     // L0 append: one plain file per batch (repartition, not coalesce —
     // coalesce(1) would collapse the join itself to one task)
     keys.join(survivors.select(col(idCol).as("doc_id")),
@@ -840,6 +882,15 @@ object Dedup {
     }
     survivors
   }
+
+  /** Test seam for the decision re-validation above: invoked between
+    * the decision's materialization and the `_splits` re-read, so a
+    * spec can fabricate the exact dangerous interleaving (a
+    * depth-raising split completing entirely inside the window).
+    * No-op in production; suites run sequentially in the forked test
+    * JVM, so the var is race-free there.
+    */
+  @volatile private[graft] var admitDecisionFence: () => Unit = () => ()
 
   private def admissionTailPath(storePath: String): String =
     new org.apache.hadoop.fs.Path(storePath, "tail").toString
@@ -951,6 +1002,7 @@ object Dedup {
       if (splits.depthByAddr.isEmpty) raw
       else declaredBuckets(fs, storePath) match {
         case Some(n) =>
+          requireChainAddressable(storePath, n, splits)
           val keyCols = admissionKeyColumns(raw.columns.toSeq)
           raw.drop("adm_kb").withColumn("adm_kb",
             routedAddr(xxhash64(keyCols.map(col): _*), n, splits))
@@ -1241,8 +1293,33 @@ object Dedup {
       val Array(a, d) = l.split("=", 2)
       a.toInt -> d.toInt
     }.toMap
+    // bound the declaration on READ, not just on write: a corrupted or
+    // hand-edited marker with a huge maxdepth would make the callers'
+    // `nBuckets << maxDepth` moduli overflow into garbage (possibly
+    // negative) bucket addresses, silently mis-routing probe chains —
+    // fail loudly like the maxdepth= parse check instead. 30 is the
+    // hard ceiling any base modulus admits (splitAdmittedBucket's own
+    // write guard caps n·2^d at Int.MaxValue, and n ≥ 1).
+    require(maxDepth >= 0 && maxDepth <= 30,
+      s"malformed $splitsMarkerName at $storePath: maxdepth=$maxDepth " +
+        "out of range [0, 30]")
+    require(map.forall { case (a, d) => a >= 0 && d >= 0 && d <= maxDepth },
+      s"malformed $splitsMarkerName at $storePath: bucket depth entries " +
+        s"must satisfy 0 <= depth <= maxdepth ($maxDepth)")
     AdmissionSplits(maxDepth, map)
   }
+
+  /** Refuse a declared split depth whose deepest modulus overflows the
+    * int bucket address space for this store's base modulus — the
+    * read-side twin of [[splitAdmittedBucket]]'s write guard (a marker
+    * can outlive the code that wrote it, or be hand-damaged).
+    */
+  private def requireChainAddressable(storePath: String, nBuckets: Int,
+      splits: AdmissionSplits): Unit =
+    require((nBuckets.toLong << splits.maxDepth) <= Int.MaxValue.toLong,
+      s"malformed $splitsMarkerName at $storePath: maxdepth=" +
+        s"${splits.maxDepth} over base modulus $nBuckets overflows the " +
+        "int bucket address space")
 
   private def writeSplits(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String, splits: AdmissionSplits): Unit = {
@@ -1690,17 +1767,51 @@ object Dedup {
     * fold/compact can leave target keys alive in the concurrently
     * rewritten copy while this pass still reports a positive count —
     * the one-shot GDPR-style caller would read that as "done". So
-    * every removal entry point re-runs its pass until one finds NO
-    * hits (under no contention that is exactly one extra detection
-    * scan, no staging write), and the returned total is only ever
-    * reported alongside a store that a fresh scan found clean.
+    * every removal entry point re-runs its pass until one proves the
+    * store clean, and the returned total is only ever reported
+    * alongside that proof. The common no-contention case SKIPS the
+    * extra data scan: every rewrite records the exact file-name sets
+    * its touched directories must hold after its publishes (snapshot
+    * minus deletions plus staged names — every store writer uses
+    * fresh unique names, so name-set equality is as strong as
+    * re-reading contents), and a post-pass re-listing that matches
+    * them proves no concurrent rewrite could have re-materialized a
+    * target row: any fold/compact/split that read files before this
+    * pass deleted them must publish INTO a directory this pass
+    * listed. Only a mismatch — real contention — pays the extra
+    * detection scan (which keeps re-running until a pass both finds
+    * nothing and verifies, exactly the prior contract).
     */
-  private def drainRemoval(pass: () => Long): Long = {
+  private def drainRemoval(fs: org.apache.hadoop.fs.FileSystem)(
+      pass: () => (Long, Seq[(org.apache.hadoop.fs.Path, Set[String])]))
+      : Long = {
     var total = 0L
-    var n = pass()
-    while (n > 0L) { total += n; n = pass() }
+    var done = false
+    while (!done) {
+      val (n, expected) = pass()
+      drainPassFence() // test seam: no-op in production
+      total += n
+      // a 0-hit pass is scan-proven clean (the prior contract's stop
+      // condition — also the drain's termination guarantee beside a
+      // writer that never stops appending); a hit pass stops without
+      // the extra scan only on the listing proof
+      done = n == 0L || expected.forall {
+        case (dir, names) =>
+          scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName).toSet == names
+      }
+    }
     total
   }
+
+  /** Test seam for the drain: invoked between a removal pass and its
+    * uncontended-listing verification, so a spec can fabricate the
+    * exact mid-drain contention (a concurrent fold or split
+    * re-materializing rows after a pass's snapshot). No-op in
+    * production.
+    */
+  @volatile private[graft] var drainPassFence: () => Unit = () => ()
 
   private[functions] def removeByKeys(keys0: DataFrame, storePath: String,
                                       nBuckets: Int): Long = {
@@ -1721,22 +1832,34 @@ object Dedup {
     // a store built with an int id column must still take takedowns —
     // the long removal set compares against the stored column under
     // Spark's numeric coercion (matching removeAdmittedIds' cast).
-    // Collect the DEEPEST-modulus address and expand each key's full
-    // chain — under a split layout a target row may sit at any depth.
-    val splits = readSplits(new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), storePath)
-    val keys = keys0.withColumn("adm_deep",
-        pmod(xxhash64(keyCols.map(col): _*),
-          lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
-      .select(col("doc_id").cast("long").as("doc_id"), col("adm_deep"))
+    val keys = keys0.select(col("doc_id").cast("long").as("doc_id"),
+        xxhash64(keyCols.map(col): _*).as("adm_kh"))
       .distinct()
       .localCheckpoint(true) // takedown-batch-bounded
-    val touched = keys.select("adm_deep").distinct()
-      .collect().map(_.getInt(0)).toSeq
-      .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
     val ids = keys.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    drainRemoval(() => removeIdsInBuckets(spark, storePath, ids, touched))
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the split declaration and the touched-chain expansion are
+    // re-derived INSIDE every drain pass (mirroring removeAdmittedIds'
+    // per-pass bucket re-snapshot): a concurrent split — e.g. the
+    // writer's own maxBucketBytes auto-split riding an admission turn —
+    // can relocate target rows to a deeper directory mid-takedown, and
+    // a chain computed once before the drain would leave those rows
+    // off every subsequent pass while the drain reports the store
+    // clean. Each pass expands the chain against the CURRENT deepest
+    // modulus, so relocated rows are back on it.
+    drainRemoval(fs) { () =>
+      val splits = readSplits(fs, storePath)
+      requireChainAddressable(storePath, nBuckets, splits)
+      val touched = keys.select(
+          pmod(col("adm_kh"), lit(nBuckets.toLong << splits.maxDepth))
+            .cast("int").as("adm_deep"))
+        .distinct()
+        .collect().map(_.getInt(0)).toSeq
+        .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
+      removeIdsInBuckets(spark, storePath, ids, touched)
+    }
   }
 
   /** Full-sweep removal by id — for takedowns where the document
@@ -1755,7 +1878,7 @@ object Dedup {
     requireNoPendingRebucket(spark, storePath)
     // bucket list re-snapshotted per drain pass: a concurrent fold can
     // create bucket directories between passes
-    drainRemoval { () =>
+    drainRemoval(fs) { () =>
       val all = fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
         .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
@@ -1781,10 +1904,12 @@ object Dedup {
     // surviving-rows anti-join — materialize once
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
-    drainRemoval(() =>
-      rewriteBucketsJoining(spark, storePath, rm) +
-        rewriteDirJoining(spark, root,
-          new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm))
+    drainRemoval(fs) { () =>
+      val b = rewriteBucketsJoining(spark, storePath, rm)
+      val t = rewriteDirJoining(spark, root,
+        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm)
+      (b.hits + t.hits, b.expected ++ t.expected)
+    }
   }
 
   /** Join-shaped single-directory rewrite (the L0 tail under a
@@ -1793,7 +1918,7 @@ object Dedup {
     */
   private def rewriteDirJoining(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
-      rm: DataFrame): Long =
+      rm: DataFrame): RewriteOutcome =
     rewriteDirTransforming(spark, root, dir,
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
@@ -1827,19 +1952,22 @@ object Dedup {
   private def publishRewrite(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
       keep: DataFrame,
-      old: Array[org.apache.hadoop.fs.FileStatus]): Unit = {
+      old: Array[org.apache.hadoop.fs.FileStatus]): Set[String] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(root,
       s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
     keep.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    fs.listStatus(staging)
+    val published = fs.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        renameOrThrow(fs, s.getPath, new org.apache.hadoop.fs.Path(dir,
-          s"removed-${s.getPath.getName}"))
+      .map { s =>
+        val name = s"removed-${s.getPath.getName}"
+        renameOrThrow(fs, s.getPath,
+          new org.apache.hadoop.fs.Path(dir, name))
+        name
       }
     old.foreach(s => fs.delete(s.getPath, false))
     fs.delete(staging, true)
+    published.toSet
   }
 
   /** Rewrite the `buckets` holding target rows (plus the L0 tail,
@@ -1864,13 +1992,15 @@ object Dedup {
     * probe-slice reads never face a schema-less directory.
     */
   private def removeIdsInBuckets(spark: SparkSession, storePath: String,
-      ids: Set[Long], buckets: Seq[Int]): Long = {
-    if (ids.isEmpty) return 0L
+      ids: Set[Long], buckets: Seq[Int])
+      : (Long, Seq[DirExpectation]) = {
+    if (ids.isEmpty) return (0L, Nil)
     val pred = (df: DataFrame) => col("doc_id").isInCollection(ids)
-    rewriteBucketsDropping(spark, storePath, Some(buckets), pred) +
-      rewriteDirDropping(spark,
-        new org.apache.hadoop.fs.Path(storePath),
-        new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+    val b = rewriteBucketsDropping(spark, storePath, Some(buckets), pred)
+    val t = rewriteDirDropping(spark,
+      new org.apache.hadoop.fs.Path(storePath),
+      new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+    (b.hits + t.hits, b.expected ++ t.expected)
   }
 
   /** The batched bucket-directory rewrite under every full-sweep or
@@ -1895,7 +2025,7 @@ object Dedup {
     */
   private def rewriteBucketsDropping(spark: SparkSession,
       storePath: String, buckets: Option[Seq[Int]],
-      dropPredOf: DataFrame => Column): Long =
+      dropPredOf: DataFrame => Column): RewriteOutcome =
     rewriteBuckets(spark, storePath, buckets,
       d => d.filter(dropPredOf(d)), d => d.filter(!dropPredOf(d)))
 
@@ -1906,10 +2036,22 @@ object Dedup {
     * write, same crash discipline and empty-dir handling.
     */
   private def rewriteBucketsJoining(spark: SparkSession,
-      storePath: String, rm: DataFrame): Long =
+      storePath: String, rm: DataFrame): RewriteOutcome =
     rewriteBuckets(spark, storePath, None,
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
       d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
+
+  /** A directory rewrite's hit count plus, for every directory it
+    * examined, the exact parquet file-name set the directory must
+    * hold once the rewrite's publishes land (untouched snapshot /
+    * staged replacements / empty when dropped) — the drain's
+    * uncontended proof: every writer publishes under fresh unique
+    * names, so a post-pass listing equal to `expected` certifies no
+    * concurrent rewrite slipped rows past this pass's snapshot.
+    */
+  private type DirExpectation = (org.apache.hadoop.fs.Path, Set[String])
+  private final case class RewriteOutcome(hits: Long,
+                                          expected: Seq[DirExpectation])
 
   /** The shared core of the two shapes above: `hitsOf` selects the
     * rows to drop, `keepOf` the complement.
@@ -1917,10 +2059,10 @@ object Dedup {
   private def rewriteBuckets(spark: SparkSession,
       storePath: String, buckets: Option[Seq[Int]],
       hitsOf: DataFrame => DataFrame,
-      keepOf: DataFrame => DataFrame): Long = {
+      keepOf: DataFrame => DataFrame): RewriteOutcome = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0L
+    if (!fs.exists(root)) return RewriteOutcome(0L, Nil)
     val targets: Seq[org.apache.hadoop.fs.Path] = buckets match {
       case Some(bs) => bs.distinct.map(b =>
         new org.apache.hadoop.fs.Path(root, s"adm_kb=$b"))
@@ -1937,7 +2079,17 @@ object Dedup {
       dir -> scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     }.filter(_._2.nonEmpty)
-    if (byDir.isEmpty) return 0L
+    // examined-but-untouched directories expect their snapshot names
+    // (empty for target dirs that had no files) — any deviation at
+    // verification time is concurrent activity the drain must rescan
+    def snapshotExpectation(dirs: Seq[(org.apache.hadoop.fs.Path,
+        Array[org.apache.hadoop.fs.FileStatus])]): Seq[DirExpectation] =
+      dirs.map { case (dir, fsz) =>
+        dir -> fsz.map(_.getPath.getName).toSet }
+    val emptyTargets: Seq[DirExpectation] =
+      targets.filterNot(byDir.map(_._1).contains)
+        .map(_ -> Set.empty[String])
+    if (byDir.isEmpty) return RewriteOutcome(0L, emptyTargets)
     val cur = spark.read.option("basePath", storePath)
       .option("mergeSchema", "true")
       .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
@@ -1945,8 +2097,9 @@ object Dedup {
     val hits = hitsOf(cur).groupBy(col("adm_kb"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (hits.isEmpty) return 0L
-    val hitDirs = byDir.filter { case (dir, _) =>
+    if (hits.isEmpty)
+      return RewriteOutcome(0L, snapshotExpectation(byDir) ++ emptyTargets)
+    val (hitDirs, cleanDirs) = byDir.partition { case (dir, _) =>
       hits.contains(dir.getName.stripPrefix("adm_kb=").toInt) }
     val staging = new org.apache.hadoop.fs.Path(root,
       s".remove-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1958,21 +2111,25 @@ object Dedup {
       .repartition(col("adm_kb"))
       .write.mode("overwrite").partitionBy("adm_kb")
       .parquet(staging.toString)
-    hitDirs.foreach { case (dir, old) =>
+    val rewritten: Seq[DirExpectation] = hitDirs.map { case (dir, old) =>
       val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
       val stagedFiles = scala.util.Try(fs.listStatus(staged))
         .getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      stagedFiles.foreach { s =>
-        renameOrThrow(fs, s.getPath, new org.apache.hadoop.fs.Path(dir,
-          s"removed-${s.getPath.getName}"))
+      val published = stagedFiles.map { s =>
+        val name = s"removed-${s.getPath.getName}"
+        renameOrThrow(fs, s.getPath,
+          new org.apache.hadoop.fs.Path(dir, name))
+        name
       }
       old.foreach(s => fs.delete(s.getPath, false))
       if (stagedFiles.isEmpty)
         scala.util.Try(fs.delete(dir, false))
+      dir -> published.toSet
     }
     fs.delete(staging, true)
-    hits.values.sum
+    RewriteOutcome(hits.values.sum,
+      rewritten ++ snapshotExpectation(cleanDirs) ++ emptyTargets)
   }
 
   /** Physically drop admitted keys older than `cutoffMs` from every
@@ -2000,9 +2157,10 @@ object Dedup {
     // every bucket directory in ONE detection pass + ONE staged write
     // (the retention cron runs this over thousands of buckets — a
     // per-directory job loop would scale with the modulus)
-    rewriteBucketsDropping(spark, storePath, None, pred) +
+    rewriteBucketsDropping(spark, storePath, None, pred).hits +
       rewriteDirDropping(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
+        .hits
   }
 
   /** One-time migration for admission stores written before the
@@ -2035,10 +2193,10 @@ object Dedup {
     val keepOf = (d: DataFrame) =>
       if (!d.columns.contains("adm_ts")) d.withColumn("adm_ts", lit(tsMs))
       else d.withColumn("adm_ts", coalesce(col("adm_ts"), lit(tsMs)))
-    rewriteBuckets(spark, storePath, None, hitsOf, keepOf) +
+    rewriteBuckets(spark, storePath, None, hitsOf, keepOf).hits +
       rewriteDirTransforming(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)),
-        hitsOf, keepOf)
+        hitsOf, keepOf).hits
   }
 
   /** Rewrite one store directory dropping the rows `dropPredOf`
@@ -2049,7 +2207,7 @@ object Dedup {
     */
   private def rewriteDirDropping(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
-      dropPredOf: DataFrame => Column): Long =
+      dropPredOf: DataFrame => Column): RewriteOutcome =
     rewriteDirTransforming(spark, root, dir,
       d => d.filter(dropPredOf(d)), d => d.filter(!dropPredOf(d)))
 
@@ -2064,17 +2222,19 @@ object Dedup {
   private def rewriteDirTransforming(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dir: org.apache.hadoop.fs.Path,
       hitsOf: DataFrame => DataFrame,
-      keepOf: DataFrame => DataFrame): Long = {
+      keepOf: DataFrame => DataFrame): RewriteOutcome = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (old.isEmpty) return 0L
+    if (old.isEmpty) return RewriteOutcome(0L, Seq(dir -> Set.empty))
     val paths = old.map(_.getPath.toString).toIndexedSeq
     val cur = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val hit = hitsOf(cur).count()
-    if (hit == 0L) return 0L
-    publishRewrite(spark, root, dir, keepOf(cur), old)
-    hit
+    if (hit == 0L)
+      return RewriteOutcome(0L,
+        Seq(dir -> old.map(_.getPath.getName).toSet))
+    val published = publishRewrite(spark, root, dir, keepOf(cur), old)
+    RewriteOutcome(hit, Seq(dir -> published))
   }
 
   // ------------------- duplicate-cluster formation -------------------

@@ -869,6 +869,150 @@ class DedupSpec extends SparkTestBase {
       s"seed admission stamps damaged across the crash windows: $stamps")
   }
 
+  test("admission decision re-validates the split declaration: a " +
+    "depth-raising split completing inside the decision window cannot " +
+    "hide relocated keys") {
+    import spark.implicits._
+    val store = tmpDir("ndsplitrace")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    val textC = "streaming watermarks bound state for late arriving event data"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // seed a 2-bucket store fully folded into L1
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+    // the race is only dangerous when a stored key RELOCATES off the
+    // depth-0 chain (deep address != base address) — assert the seeds
+    // fabricate that, or the test would be vacuous
+    val seedKeys = Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.docShingleHashes(
+          Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+          "doc_id", "text", 3), 16), 16, 4)
+      .select(pmod(xxhash64(col("band"), col("band_key")), lit(2L))
+          .cast("int").as("base"),
+        pmod(xxhash64(col("band"), col("band_key")), lit(4L))
+          .cast("int").as("deep"))
+      .collect()
+    assert(seedKeys.exists(r => r.getInt(1) != r.getInt(0)),
+      "vacuous race: no seed key relocates under the deeper modulus")
+    var fenceCalls = 0
+    var splitMoved = 0L
+    Dedup.admitDecisionFence = () => {
+      fenceCalls += 1
+      if (fenceCalls == 1) {
+        // simulate a concurrent maintenance run completing an entire
+        // depth-raising split INSIDE the writer's decision window
+        // (after its slice reads materialized, before its re-read):
+        // split every non-empty base bucket, deleting the parents'
+        // superseded files — the relocated keys are now invisible to
+        // the stale depth-0 chains
+        val bases = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+          .filter(_.getPath.getName.startsWith("adm_kb="))
+          .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+          .filter(_ < 2).sorted
+        bases.foreach { b =>
+          splitMoved += Dedup.splitAdmittedBucket(spark, store, b)
+        }
+      }
+    }
+    try {
+      // duplicates of every seed plus one novel doc: the stale decision
+      // would re-admit any seed whose keys all relocated; the
+      // re-validated decision must suppress all three
+      val survivors = Dedup.nearDupFilterBatch(
+        Seq((10L, textA), (11L, textB), (12L, textC),
+          (13L, "deterministic replay semantics for micro batch sinks"))
+          .toDF("doc_id", "text"),
+        store, "doc_id", "text", nBuckets = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(splitMoved > 0L, "vacuous race: the fenced split moved no rows")
+      assert(fenceCalls >= 2,
+        "the decision was not retried after the declaration changed " +
+          s"(fence ran $fenceCalls time(s))")
+      assert(survivors === Set(13L),
+        s"decision raced by a completed split diverged: $survivors")
+    } finally Dedup.admitDecisionFence = () => ()
+  }
+
+  test("content-keyed takedown drain re-expands its chains per pass: " +
+    "rows a mid-drain split relocated deeper are still found, and an " +
+    "uncontended removal skips the extra detection scan") {
+    import spark.implicits._
+    val store = tmpDir("ndrmdrain")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "columnar execution engines vectorize parquet scans for analytic joins"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+    def doc0Rows(): Long = {
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .filter(_.getPath.getName.startsWith("adm_kb="))
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true").parquet(dirs.toIndexedSeq: _*)
+        .filter(col("doc_id") === 0L).count()
+    }
+    var fenceCalls = 0
+    Dedup.drainPassFence = () => {
+      fenceCalls += 1
+      if (fenceCalls == 1) {
+        // fabricate the exact mid-drain contention: a concurrent
+        // writer re-materializes doc 0's keys (a replayed admission —
+        // the store join excludes a doc's own id, so its keys append
+        // again), folds them into L1, and an auto-split relocates
+        // them to depth-1 directories OFF the drain's original
+        // depth-0 chains
+        Dedup.nearDupFilterBatch(
+          Seq((0L, textA)).toDF("doc_id", "text"),
+          store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+        val bases = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+          .filter(_.getPath.getName.startsWith("adm_kb="))
+          .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+          .filter(_ < 2).sorted
+        bases.foreach(b => Dedup.splitAdmittedBucket(spark, store, b))
+        // non-vacuity: the replanted rows must live at a depth-1-only
+        // address (index >= base modulus), i.e. off the stale chain
+        val deepDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+          .filter(_.getPath.getName.startsWith("adm_kb="))
+          .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+          .filter(_ >= 2)
+        assert(deepDirs.nonEmpty, "vacuous drain race: no depth-1 dir")
+        assert(doc0Rows() > 0L, "vacuous drain race: no replanted rows")
+      }
+    }
+    try {
+      val removed = Dedup.nearDupRemove(
+        Seq((0L, textA)).toDF("doc_id", "text"), store, "doc_id", "text",
+        nBuckets = 2)
+      assert(removed > 0L)
+      assert(fenceCalls >= 2,
+        "the contended drain stopped after one pass " +
+          s"(fence ran $fenceCalls time(s))")
+      assert(doc0Rows() === 0L,
+        "drain reported clean while relocated target rows survive")
+    } finally Dedup.drainPassFence = () => ()
+    // doc 1 untouched throughout
+    assert(Dedup.nearDupFilterBatch(
+      Seq((3L, textB)).toDF("doc_id", "text"), store, "doc_id", "text",
+      nBuckets = 2).count() === 0L, "drain lost an unrelated doc's keys")
+    // and the UNCONTENDED case: a removal with hits but no concurrent
+    // activity stops after ONE pass on the listing proof
+    var quietCalls = 0
+    Dedup.drainPassFence = () => { quietCalls += 1 }
+    try {
+      assert(Dedup.nearDupRemove(
+        Seq((1L, textB)).toDF("doc_id", "text"), store, "doc_id", "text",
+        nBuckets = 2) > 0L)
+      assert(quietCalls === 1,
+        s"uncontended removal paid ${quietCalls - 1} extra detection " +
+          "scan(s) — the listing proof should have ended the drain")
+    } finally Dedup.drainPassFence = () => ()
+  }
+
   test("maintainAdmitted wires stats to actions: threshold-triggered " +
     "compaction, splits, and expiry with decisions unchanged") {
     import spark.implicits._
