@@ -2966,8 +2966,13 @@ object SparkEntry {
     // rows are the ADMITTED docs per batch. Deterministic (md5
     // minhash family, fixed split), so the sequential admission —
     // within-batch smaller-id rule, then the store join with
-    // self-exclusion — mirrors in SQL over the shared bands CTE. Runs
-    // the hash-partitioned, self-compacting store layout every round.
+    // self-exclusion — mirrors in SQL over the shared bands CTE.
+    // The docs_minhash_admission* family runs MANIFEST publish mode
+    // (the object-store-safe commit-log layout; decisions identical by
+    // the parity spec) while docs_embed_admission keeps the listing
+    // layout, so the oracle gate crosses BOTH publish modes every
+    // round. Mode non-vacuity is asserted in the query: the store must
+    // actually carry a commit log.
     "docs_minhash_admission" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val r = docs.agg(min(col("doc_id")).cast("long"),
@@ -2975,11 +2980,16 @@ object SparkEntry {
       val thr = (r.getLong(0) + r.getLong(1)) / 2
       val store = scratchDir(s, "mhadm") // fresh per invocation
       val a1 = Dedup.nearDupFilterBatch(
-        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
+        manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       val a2 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") > thr), store, "doc_id", "text")
         .select(col("doc_id"), lit(2L).as("batch"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(store, "_commits")),
+        "docs_minhash_admission did not run in manifest publish mode")
       a1.unionAll(a2)
     }),
 
@@ -3003,7 +3013,7 @@ object SparkEntry {
       val store = scratchDir(s, "mhadmrb") // fresh per invocation
       val a1 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
-        nBuckets = 16)
+        nBuckets = 16, manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       Dedup.rebucketAdmitted(s, store, 32)
       val a2 = Dedup.nearDupFilterBatch(
@@ -3036,7 +3046,8 @@ object SparkEntry {
       val a1 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
         nBuckets = 8, tailFoldFiles = 0,
-        maxBucketBytes = 1024L, maxSplitsPerTurn = 2)
+        maxBucketBytes = 1024L, maxSplitsPerTurn = 2,
+        manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       val a2 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") > thr), store, "doc_id", "text",
@@ -3069,7 +3080,8 @@ object SparkEntry {
       val thr = (r.getLong(0) + r.getLong(1)) / 2
       val store = scratchDir(s, "mhadmrm") // fresh per invocation
       val a1 = Dedup.nearDupFilterBatch(
-        docs.filter(col("doc_id") <= thr), store, "doc_id", "text")
+        docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
+        manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       Dedup.nearDupRemove(
         docs.filter(col("doc_id") <= thr && col("doc_id") % 5 === 2),
@@ -3099,7 +3111,7 @@ object SparkEntry {
       val store = scratchDir(s, "mhadmw") // fresh per invocation
       val a1 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") <= t1), store, "doc_id", "text",
-        admittedAt = 1000L)
+        admittedAt = 1000L, manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       val a2 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), store,

@@ -631,7 +631,8 @@ object Dedup {
                          suppressSince: Long = 0L,
                          expireBefore: Long = 0L,
                          maxBucketBytes: Long = 0L,
-                         maxSplitsPerTurn: Int = 2): DataFrame =
+                         maxSplitsPerTurn: Int = 2,
+                         manifestStore: Boolean = false): DataFrame =
     admitByKeys(batch,
       dropOversizedBuckets(
         lshBands(minhashSignatures(
@@ -639,7 +640,7 @@ object Dedup {
         Seq("band", "band_key"), maxBucketSize, "nearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
       admittedAt, suppressSince, expireBefore, maxBucketBytes,
-      maxSplitsPerTurn)
+      maxSplitsPerTurn, manifestStore)
 
   /** The shared admission core of the streaming near-dup filters
     * ([[nearDupFilterBatch]]'s minhash bands,
@@ -746,7 +747,8 @@ object Dedup {
                                      suppressSince: Long = 0L,
                                      expireBefore: Long = 0L,
                                      maxBucketBytes: Long = 0L,
-                                     maxSplitsPerTurn: Int = 2)
+                                     maxSplitsPerTurn: Int = 2,
+                                     manifestStore: Boolean = false)
       : DataFrame = {
     val spark = batch.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -763,9 +765,31 @@ object Dedup {
       if (admittedAt >= 0L) admittedAt else System.currentTimeMillis()
     val keyCols = admissionKeyColumns(keys0.columns.toSeq)
     require(keyCols.nonEmpty, "admitByKeys: no key columns beside doc_id")
-    requireNoPendingRebucket(spark, storePath)
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `manifestStore` selects the publish mode at CREATION; an existing
+    // store's on-disk mode always wins (the layout is a property of the
+    // store, not of any one caller — exactly the nBuckets rule). A
+    // store "exists in the listing layout" once it carries listing
+    // state (the `_nbuckets` declaration, bucket dirs, or a tail) —
+    // an empty or absent root is creatable in either mode.
+    def hasListingState: Boolean =
+      fs.exists(layoutMarker(storePath)) ||
+        scala.util.Try(fs.listStatus(new org.apache.hadoop.fs.Path(
+            storePath))).getOrElse(Array.empty)
+          .exists(s => s.isDirectory &&
+            (s.getPath.getName.startsWith("adm_kb=") ||
+              s.getPath.getName == "tail"))
+    if (AdmissionManifestStore.isManifestStore(fs, storePath) ||
+        (manifestStore && !hasListingState))
+      return admitByKeysManifest(batch, keys0, keyCols, storePath, idCol,
+        nBuckets, autoCompactFiles, tailFoldFiles, admittedTs,
+        suppressSince, expireBefore, maxBucketBytes, maxSplitsPerTurn)
+    require(!manifestStore,
+      s"admission store at $storePath already exists in the listing " +
+        "layout — manifestStore=true cannot convert it in place " +
+        "(create a new store, or keep the listing mode)")
+    requireNoPendingRebucket(spark, storePath)
     // layout check LAST among the validations: stamping `_nbuckets` is
     // a store mutation, and a call that then fails validation must not
     // have permanently declared a (possibly wrong) layout first
@@ -822,24 +846,7 @@ object Dedup {
             suppressSince).toSeq ++
           admissionTailSlice(spark, storePath, keyCols, suppressSince).toSeq)
           .reduceOption(_ unionByName _)
-      val vsStore =
-        storeRel match {
-          case Some(store) =>
-            keys.join(store,
-                keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
-                  && col("doc_id") =!= col("s_id"), // replay self-exclusion
-                "left_semi")
-              .select(col("doc_id"))
-          case None => keys.select(col("doc_id")).limit(0)
-        }
-      val withinBatch = keys.as("l").join(keys.as("r"),
-          keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
-          col("r.doc_id") < col("l.doc_id"), "left_semi")
-        .select(col("doc_id"))
-      val dropIds = vsStore.union(withinBatch).distinct()
-        .withColumnRenamed("doc_id", idCol)
-
-      survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+      survivors = decideSurvivors(batch, keys, keyCols, idCol, storeRel)
         .localCheckpoint(true) // materialize before mutating the store
       admitDecisionFence() // test seam: no-op in production
       val recheck = readSplits(fs, storePath)
@@ -879,6 +886,82 @@ object Dedup {
         .sortBy(-_._2).take(math.max(0, maxSplitsPerTurn))
       oversized.foreach { case (b, _) =>
         splitAdmittedBucket(spark, storePath, b) }
+    }
+    survivors
+  }
+
+  /** The admission decision — shared verbatim by both publish modes
+    * (parity is a correctness property, not a convention): drop docs
+    * whose keys collide with the store (excluding their own id — the
+    * replay-idempotence rule) or with a smaller id inside the batch.
+    */
+  private def decideSurvivors(batch: DataFrame, keys: DataFrame,
+      keyCols: Seq[String], idCol: String,
+      storeRel: Option[DataFrame]): DataFrame = {
+    val vsStore =
+      storeRel match {
+        case Some(store) =>
+          keys.join(store,
+              keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
+                && col("doc_id") =!= col("s_id"), // replay self-exclusion
+              "left_semi")
+            .select(col("doc_id"))
+        case None => keys.select(col("doc_id")).limit(0)
+      }
+    val withinBatch = keys.as("l").join(keys.as("r"),
+        keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+        col("r.doc_id") < col("l.doc_id"), "left_semi")
+      .select(col("doc_id"))
+    val dropIds = vsStore.union(withinBatch).distinct()
+      .withColumnRenamed("doc_id", idCol)
+    batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[admitByKeys]] under MANIFEST publish mode (see
+    * [[AdmissionManifestStore]]): the same decision against the
+    * resolved generation's immutable files, the same per-turn
+    * maintenance cadence, with every publish a manifest commit. No
+    * decision re-validation loop: a concurrent split cannot delete
+    * the files this decision reads, and maintenance only moves rows,
+    * so any resolved generation carries the complete key set.
+    */
+  private def admitByKeysManifest(batch: DataFrame, keys0: DataFrame,
+      keyCols: Seq[String], storePath: String, idCol: String,
+      nBuckets: Int, autoCompactFiles: Int, tailFoldFiles: Int,
+      admittedTs: Long, suppressSince: Long, expireBefore: Long,
+      maxBucketBytes: Long, maxSplitsPerTurn: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val store = new AdmissionManifestStore(storePath)
+    val man = store.initIfAbsent(spark, nBuckets)
+    val splits = man.splits
+    requireChainAddressable(storePath, nBuckets, splits)
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val keys = keys0
+      .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
+      .withColumn("adm_deep",
+        pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
+      .localCheckpoint(true)
+    val touched: Seq[Int] =
+      keys.select(col("adm_deep")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+        .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
+    val storeRel = store.probeRel(spark, man, keyCols, touched,
+      suppressSince)
+    val survivors = decideSurvivors(batch, keys, keyCols, idCol, storeRel)
+      .localCheckpoint(true)
+    store.appendTail(spark,
+      keys.join(survivors.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .drop("adm_deep")
+        .withColumn("adm_ts", lit(admittedTs)),
+      nBuckets)
+    store.foldAndCompact(spark, autoCompactFiles, tailFoldFiles,
+      expireBefore)
+    if (maxBucketBytes > 0L) {
+      val oversized = store.bucketSizes(spark)
+        .filter(_._3 > maxBucketBytes)
+        .sortBy(-_._3).take(math.max(0, maxSplitsPerTurn))
+      oversized.foreach { case (b, _, _) => store.splitBucket(spark, b) }
     }
     survivors
   }
@@ -944,7 +1027,7 @@ object Dedup {
     * legacy corpus). Run [[stampAdmitted]] once to give legacy rows a
     * concrete stamp if they should eventually expire.
     */
-  private def inWindow(df: DataFrame, suppressSince: Long): DataFrame =
+  private[functions] def inWindow(df: DataFrame, suppressSince: Long): DataFrame =
     if (suppressSince <= 0L) df
     else if (!df.columns.contains("adm_ts")) df
     else df.filter(
@@ -1314,7 +1397,7 @@ object Dedup {
     * read-side twin of [[splitAdmittedBucket]]'s write guard (a marker
     * can outlive the code that wrote it, or be hand-damaged).
     */
-  private def requireChainAddressable(storePath: String, nBuckets: Int,
+  private[functions] def requireChainAddressable(storePath: String, nBuckets: Int,
       splits: AdmissionSplits): Unit =
     require((nBuckets.toLong << splits.maxDepth) <= Int.MaxValue.toLong,
       s"malformed $splitsMarkerName at $storePath: maxdepth=" +
@@ -1335,7 +1418,7 @@ object Dedup {
     * content-keyed takedowns read every existing directory on the
     * chain (see the probe-safety invariant above).
     */
-  private def chainOf(deep: Int, nBuckets: Int, maxDepth: Int): Seq[Int] =
+  private[functions] def chainOf(deep: Int, nBuckets: Int, maxDepth: Int): Seq[Int] =
     (0 to maxDepth).map(d => (deep.toLong % (nBuckets.toLong << d)).toInt)
 
   /** Routed placement for new/folded rows: the row's address at its
@@ -1344,7 +1427,7 @@ object Dedup {
     * stale map falls back to a shallower (still chain-correct)
     * address. `h` is the key hash column.
     */
-  private def routedAddr(h: Column, nBuckets: Int,
+  private[functions] def routedAddr(h: Column, nBuckets: Int,
       splits: AdmissionSplits): Column = {
     val byDepth = splits.depthByAddr.groupBy(_._2).view
       .mapValues(_.keys.toSeq).toMap
@@ -1376,6 +1459,8 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath).splitBucket(spark, addr)
     requireNoPendingRebucket(spark, storePath)
     val n = declaredBuckets(fs, storePath).getOrElse {
       // no declaration: an EMPTY root is a no-op (nothing to split);
@@ -1488,12 +1573,14 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return AdmissionMaintenanceReport(0L, Nil, Nil)
-    requireNoPendingRebucket(spark, storePath)
+    val manifest = AdmissionManifestStore.isManifestStore(fs, storePath)
+    if (!manifest) requireNoPendingRebucket(spark, storePath)
     val expired =
       if (policy.expireBefore <= 0L) 0L
       else expireAdmitted(spark, storePath, policy.expireBefore)
     def bucketSizes(): Seq[(Int, Int, Long)] = // (addr, files, bytes)
-      fs.listStatus(root)
+      if (manifest) new AdmissionManifestStore(storePath).bucketSizes(spark)
+      else fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
         .map { d =>
           val fsz = scala.util.Try(fs.listStatus(d.getPath))
@@ -1506,7 +1593,10 @@ object Dedup {
       if (policy.compactOverFiles <= 0) Nil
       else {
         val over = bucketSizes().filter(_._2 > policy.compactOverFiles)
-        compactAdmissionBuckets(spark, storePath, over.map(_._1),
+        if (manifest)
+          new AdmissionManifestStore(storePath).compactBuckets(spark,
+            over.map(_._1), policy.compactOverFiles, policy.expireBefore)
+        else compactAdmissionBuckets(spark, storePath, over.map(_._1),
           policy.compactOverFiles, policy.expireBefore)
       }
     // split AFTER compaction so the byte signal reflects deduplicated
@@ -1553,6 +1643,8 @@ object Dedup {
     if (!fs.exists(root))
       return AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
         rebucketPending = false, declaredBuckets = None)
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath).stats(spark)
     val perBucket = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map { d =>
@@ -1620,6 +1712,8 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath).rebucket(spark, newN)
     val marker = rebucketMarker(storePath)
     // (re)write the marker first — a re-run may target a different
     // modulus than the crashed attempt; the file prefix below keys on
@@ -1817,14 +1911,17 @@ object Dedup {
                                       nBuckets: Int): Long = {
     val spark = keys0.sparkSession
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    requireNoPendingRebucket(spark, storePath)
-    // a takedown against a mismatched layout would rewrite the wrong
-    // directories and report removal complete while the keys survive —
-    // refuse like admission does (no stamping: removal is not the
-    // writer and must not create layout state)
-    requireLayout(new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      storePath, nBuckets, stampIfAbsent = false)
+    val fsEarly = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = AdmissionManifestStore.isManifestStore(fsEarly, storePath)
+    if (!manifest) {
+      requireNoPendingRebucket(spark, storePath)
+      // a takedown against a mismatched layout would rewrite the wrong
+      // directories and report removal complete while the keys survive —
+      // refuse like admission does (no stamping: removal is not the
+      // writer and must not create layout state)
+      requireLayout(fsEarly, storePath, nBuckets, stampIfAbsent = false)
+    }
     val keyCols = admissionKeyColumns(keys0.columns.toSeq)
     require(keyCols.nonEmpty, "removeByKeys: no key columns beside doc_id")
     // doc_id is cast to long AFTER the bucket hash (which covers only
@@ -1838,8 +1935,29 @@ object Dedup {
       .localCheckpoint(true) // takedown-batch-bounded
     val ids = keys.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (manifest) {
+      // serializable commits replace the drain: the rewrite derives
+      // its touched chains from the exact manifest it commits over
+      // (targetsOf re-runs per CAS attempt), so no interleaving can
+      // hide a relocated row
+      val store = new AdmissionManifestStore(storePath)
+      val khs = keys.select("adm_kh").distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      def pm(h: Long, m: Long): Int = (((h % m) + m) % m).toInt
+      return store.rewriteStore(spark,
+        man => {
+          require(man.nBuckets == nBuckets,
+            s"admission store at $storePath is laid out over " +
+              s"${man.nBuckets} buckets but the caller passed " +
+              s"nBuckets=$nBuckets")
+          val m = man.nBuckets.toLong << man.maxDepth
+          khs.map(pm(_, m))
+            .flatMap(chainOf(_, man.nBuckets, man.maxDepth)).distinct
+        },
+        d => d.filter(col("doc_id").isInCollection(ids)),
+        d => d.filter(!col("doc_id").isInCollection(ids)))
+    }
+    val fs = fsEarly
     // the split declaration and the touched-chain expansion are
     // re-derived INSIDE every drain pass (mirroring removeAdmittedIds'
     // per-pass bucket re-snapshot): a concurrent split — e.g. the
@@ -1875,6 +1993,13 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    if (AdmissionManifestStore.isManifestStore(fs, storePath)) {
+      if (ids.isEmpty) return 0L
+      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+        man => man.buckets.keys.toSeq,
+        d => d.filter(col("doc_id").isInCollection(ids)),
+        d => d.filter(!col("doc_id").isInCollection(ids)))
+    }
     requireNoPendingRebucket(spark, storePath)
     // bucket list re-snapshotted per drain pass: a concurrent fold can
     // create bucket directories between passes
@@ -1899,11 +2024,16 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    requireNoPendingRebucket(spark, storePath)
     // one distinct projection feeding the detection semi-join and the
     // surviving-rows anti-join — materialize once
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+        man => man.buckets.keys.toSeq,
+        d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
+        d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
+    requireNoPendingRebucket(spark, storePath)
     drainRemoval(fs) { () =>
       val b = rewriteBucketsJoining(spark, storePath, rm)
       val t = rewriteDirJoining(spark, root,
@@ -2146,7 +2276,6 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root) || cutoffMs <= 0L) return 0L
-    requireNoPendingRebucket(spark, storePath)
     val pred = (df: DataFrame) =>
       if (df.columns.contains("adm_ts"))
         // null stamps fail closed (kept), mirroring [[inWindow]]: an
@@ -2154,6 +2283,11 @@ object Dedup {
         // is the explicit migration that makes legacy rows expirable
         coalesce(col("adm_ts"), lit(Long.MaxValue)) < lit(cutoffMs)
       else lit(false) // whole directory pre-retention: keep it all
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+        man => man.buckets.keys.toSeq,
+        d => d.filter(pred(d)), d => d.filter(!pred(d)))
+    requireNoPendingRebucket(spark, storePath)
     // every bucket directory in ONE detection pass + ONE staged write
     // (the retention cron runs this over thousands of buckets — a
     // per-directory job loop would scale with the modulus)
@@ -2182,7 +2316,6 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    requireNoPendingRebucket(spark, storePath)
     // hit = a row with no concrete stamp; the rewrite keeps EVERY row,
     // stamping the unstamped — the transform shape of the shared
     // batched core (one detection pass + one staged write over all
@@ -2193,6 +2326,10 @@ object Dedup {
     val keepOf = (d: DataFrame) =>
       if (!d.columns.contains("adm_ts")) d.withColumn("adm_ts", lit(tsMs))
       else d.withColumn("adm_ts", coalesce(col("adm_ts"), lit(tsMs)))
+    if (AdmissionManifestStore.isManifestStore(fs, storePath))
+      return new AdmissionManifestStore(storePath)
+        .transformStore(spark, hitsOf, keepOf)
+    requireNoPendingRebucket(spark, storePath)
     rewriteBuckets(spark, storePath, None, hitsOf, keepOf).hits +
       rewriteDirTransforming(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)),

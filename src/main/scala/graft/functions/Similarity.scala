@@ -536,7 +536,8 @@ object Similarity {
                               suppressSince: Long = 0L,
                               expireBefore: Long = 0L,
                               maxBucketBytes: Long = 0L,
-                              maxSplitsPerTurn: Int = 2)
+                              maxSplitsPerTurn: Int = 2,
+                              manifestStore: Boolean = false)
       : DataFrame =
     Dedup.admitByKeys(batch,
       Dedup.dropOversizedBuckets(
@@ -546,7 +547,7 @@ object Similarity {
         Seq("tbl", "b"), maxBucketSize, "embedNearDupFilterBatch"),
       storePath, idCol, nBuckets, autoCompactFiles, tailFoldFiles,
       admittedAt, suppressSince, expireBefore, maxBucketBytes,
-      maxSplitsPerTurn)
+      maxSplitsPerTurn, manifestStore)
 
   /** Remove vectors from an SRP admission store — the semantic-side
     * takedown path, mirroring [[Dedup.nearDupRemove]] (shared core
