@@ -3029,30 +3029,34 @@ object SparkEntry {
     // children inside the writer's own turns (extendible hashing; no
     // pending marker, no exclusivity — cost bounded by one bucket's
     // data per split). The split layout is engine-internal, so the
-    // oracle is again the SAME sequential-admission SQL: any split
-    // that strands a key off its probe chain, or a chain probe that
-    // misses a depth, hash-fails this row. Non-vacuity is asserted in
-    // the query itself: the store must actually have split.
+    // oracle is the sequential-admission SQL over the same slice: any
+    // split that strands a key off its probe chain, or a chain probe
+    // that misses a depth, hash-fails this row. Non-vacuity is
+    // asserted in the query itself: the store must actually have
+    // split. The corpus is a FIXED 1/7 id slice (doc_id % 7 = 3):
+    // split decision-invariance coverage is identical however many
+    // rows ride the split — the full-corpus variant priced 4.8% of
+    // the whole battery for rows the assert never needed (the
+    // standing proof-row budget in PLANS.md) — and the 1-BYTE bucket
+    // budget makes any non-empty bucket over-budget at every SF, so
+    // the thinner slice still splits every turn.
     "docs_minhash_admission_split" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = t(s, d, "documents").filter(col("doc_id") % 7 === 3)
       val r = docs.agg(min(col("doc_id")).cast("long"),
         max(col("doc_id")).cast("long")).head()
       val thr = (r.getLong(0) + r.getLong(1)) / 2
       val store = scratchDir(s, "mhadmsp") // fresh per invocation
       // tailFoldFiles = 0 folds every turn so the byte budget sees L1
-      // growth immediately; base modulus 8 keeps buckets fat enough
-      // that the 1 KiB budget genuinely over-flows at every SF (any
-      // non-empty parquet footprint exceeds it)
+      // growth immediately
       val a1 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") <= thr), store, "doc_id", "text",
-        nBuckets = 8, tailFoldFiles = 0,
-        maxBucketBytes = 1024L, maxSplitsPerTurn = 2,
+        nBuckets = 4, tailFoldFiles = 0,
+        maxBucketBytes = 1L, maxSplitsPerTurn = 2,
         manifestStore = true)
         .select(col("doc_id"), lit(1L).as("batch"))
       val a2 = Dedup.nearDupFilterBatch(
         docs.filter(col("doc_id") > thr), store, "doc_id", "text",
-        nBuckets = 8, tailFoldFiles = 0,
-        maxBucketBytes = 1024L, maxSplitsPerTurn = 2)
+        nBuckets = 4)
         .select(col("doc_id"), lit(2L).as("batch"))
       val out = a1.unionAll(a2)
       val stats = Dedup.admissionStoreStats(s, store)
@@ -3305,6 +3309,45 @@ object SparkEntry {
        |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
        |UNION ALL
        |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin
+
+  /** The sequential-admission mirror over the split proof row's fixed
+    * 1/7 id slice — structurally [[minhashAdmissionOracleSql]] with
+    * every `documents` reference rebased onto the slice CTE (the
+    * bands chain reads documents exactly once, in `toks`).
+    */
+  private lazy val minhashAdmissionSplitOracleSql: String = {
+    require(bandsCte.sliding("FROM documents".length)
+      .count(_ == "FROM documents") == 1,
+      "bands CTE chain no longer reads documents exactly once — " +
+        "re-derive the sliced admission oracle")
+    val slicedBands = bandsCte.replace("FROM documents", "FROM docs_slice")
+    s"""WITH docs_slice AS (SELECT * FROM documents WHERE doc_id % 7 = 3),
+       |$slicedBands,
+       |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
+       |  FROM docs_slice),
+       |k1 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id <= mid.m),
+       |k2 AS (SELECT b.* FROM bands b, mid WHERE b.doc_id > mid.m),
+       |d1 AS (SELECT DISTINCT l.doc_id FROM k1 l JOIN k1 r
+       |  ON r.band = l.band AND r.band_key = l.band_key
+       |    AND r.doc_id < l.doc_id),
+       |adm1 AS (SELECT doc.doc_id FROM docs_slice doc, mid
+       |  WHERE doc.doc_id <= mid.m
+       |    AND doc.doc_id NOT IN (SELECT doc_id FROM d1)),
+       |sk1 AS (SELECT k.* FROM k1 k JOIN adm1 a USING (doc_id)),
+       |d2 AS (SELECT DISTINCT l.doc_id FROM k2 l
+       |  WHERE EXISTS (SELECT 1 FROM sk1 s
+       |    WHERE s.band = l.band AND s.band_key = l.band_key
+       |      AND s.doc_id <> l.doc_id)
+       |   OR EXISTS (SELECT 1 FROM k2 r
+       |    WHERE r.band = l.band AND r.band_key = l.band_key
+       |      AND r.doc_id < l.doc_id)),
+       |adm2 AS (SELECT doc.doc_id FROM docs_slice doc, mid
+       |  WHERE doc.doc_id > mid.m
+       |    AND doc.doc_id NOT IN (SELECT doc_id FROM d2))
+       |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM adm2""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "p1_bronze_cast" ->
@@ -4593,13 +4636,13 @@ object SparkEntry {
     // collisions, hash-fails this row against the SAME SQL.
     "docs_minhash_admission_rebucket" -> minhashAdmissionOracleSql,
 
-    // The INCREMENTAL-split mirror: identical reference again — the
+    // The INCREMENTAL-split mirror: the same sequential-admission
+    // reference over the row's fixed 1/7 id slice — the
     // extendible-hashing split layout (per-bucket depths, chain
     // probes) is engine-internal, so online splits inside the
     // admission turns must be decision-invisible; a split stranding a
-    // key off its probe chain hash-fails this row against the SAME
-    // sequential-admission SQL.
-    "docs_minhash_admission_split" -> minhashAdmissionOracleSql,
+    // key off its probe chain hash-fails this row.
+    "docs_minhash_admission_split" -> minhashAdmissionSplitOracleSql,
 
     // The deletion-path mirror: identical to docs_minhash_admission
     // except the store batch 2 joins against has FORGOTTEN the

@@ -1550,11 +1550,16 @@ object Dedup {
       maxBucketBytes: Long = 0L,
       maxSplitsPerRun: Int = 4,
       compactOverFiles: Int = 0,
-      expireBefore: Long = 0L)
+      expireBefore: Long = 0L,
+      maxDepthBeforeRebase: Int = 0,
+      autoRebase: Boolean = false)
 
   final case class AdmissionMaintenanceReport(expired: Long,
                                               compacted: Seq[Int],
-                                              split: Seq[Int])
+                                              split: Seq[Int],
+                                              rebaseRecommended: Boolean =
+                                                false,
+                                              rebasedTo: Option[Int] = None)
 
   /** One policy-driven maintenance pass over an admission store —
     * expiry, then compaction, then incremental splits, each gated by
@@ -1608,7 +1613,32 @@ object Dedup {
         .map { case (addr, _, _) =>
           splitAdmittedBucket(spark, storePath, addr); addr
         }
-    AdmissionMaintenanceReport(expired, compacted, split)
+    // DEPTH GOVERNANCE: probes and takedowns read each key's address
+    // chain across ALL depths 0..maxDepth, so the per-probe existence
+    // checks grow linearly with the declared depth and nothing above
+    // ever shrinks it — a store that splits hot buckets round after
+    // round accretes chain cost forever. When the declared depth
+    // crosses the threshold, the report RECOMMENDS rebasing to the
+    // deepest modulus (nBuckets·2^maxDepth — the full migration that
+    // collapses every chain back to length 1), and `autoRebase` opts
+    // into executing it in this run. In the listing layout that
+    // migration is EXCLUSIVE (quiesce the writer first — the pending
+    // marker makes a violation loud, never silent); in manifest mode
+    // it is one atomic commit and fully online.
+    val depthNow =
+      if (policy.maxDepthBeforeRebase <= 0) 0
+      else admissionStoreStats(spark, storePath).maxDepth
+    val rebaseRecommended = policy.maxDepthBeforeRebase > 0 &&
+      depthNow >= policy.maxDepthBeforeRebase
+    val rebasedTo =
+      if (!rebaseRecommended || !policy.autoRebase) None
+      else admissionStoreStats(spark, storePath).declaredBuckets.map { n =>
+        val grown = (n.toLong << depthNow).toInt // bounded by readSplits
+        rebucketAdmitted(spark, storePath, grown)
+        grown
+      }
+    AdmissionMaintenanceReport(expired, compacted, split,
+      rebaseRecommended, rebasedTo)
   }
 
   /** Operational snapshot of an admission store's layout — the signal
@@ -1634,6 +1664,14 @@ object Dedup {
                                        splitBuckets: Int = 0) {
     def avgBucketBytes: Long =
       if (buckets == 0) 0L else bucketBytes / buckets
+
+    /** Directories probed per distinct batch key (the chain cost a
+      * probe or content-keyed takedown pays): one address per declared
+      * depth. The depth-governance signal —
+      * [[AdmissionMaintenancePolicy.maxDepthBeforeRebase]] watches
+      * [[maxDepth]] and a rebase collapses this back to 1.
+      */
+    def probeChainLength: Int = maxDepth + 1
   }
 
   def admissionStoreStats(spark: SparkSession,

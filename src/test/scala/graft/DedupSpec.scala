@@ -1063,6 +1063,69 @@ class DedupSpec extends SparkTestBase {
       "expired keys still suppress")
   }
 
+  test("depth governance: repeated splits accrete probe-chain cost " +
+    "until the policy recommends a rebase; executing it collapses " +
+    "chains to single-address reads with decisions unchanged " +
+    "(both publish modes)") {
+    import spark.implicits._
+    for (mf <- Seq(false, true)) {
+      val store = tmpDir(s"nddepth$mf")
+      def text(i: Int): String =
+        s"item$i alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i " +
+          s"golf$i hotel$i india$i"
+      // grow through turns whose 1-byte budget splits every fold —
+      // depth accretes because each turn's split children stay over
+      // budget forever
+      var i = 0
+      while (Dedup.admissionStoreStats(spark, store).maxDepth < 2 &&
+          i < 12) {
+        Dedup.nearDupFilterBatch(
+          Seq((i.toLong, text(i))).toDF("doc_id", "text"),
+          store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+          nBuckets = 2, tailFoldFiles = 0, maxBucketBytes = 1L,
+          maxSplitsPerTurn = 2, manifestStore = mf)
+        i += 1
+      }
+      val stats0 = Dedup.admissionStoreStats(spark, store)
+      assert(stats0.maxDepth >= 2,
+        s"mode=$mf: splits never accreted depth: $stats0")
+      assert(stats0.probeChainLength === stats0.maxDepth + 1)
+      // below the threshold: no recommendation
+      val quiet = Dedup.maintainAdmitted(spark, store,
+        Dedup.AdmissionMaintenancePolicy(
+          maxDepthBeforeRebase = stats0.maxDepth + 1))
+      assert(!quiet.rebaseRecommended && quiet.rebasedTo.isEmpty,
+        s"mode=$mf: premature rebase recommendation: $quiet")
+      // at the threshold: recommended but NOT executed without opt-in
+      val rec = Dedup.maintainAdmitted(spark, store,
+        Dedup.AdmissionMaintenancePolicy(
+          maxDepthBeforeRebase = stats0.maxDepth))
+      assert(rec.rebaseRecommended && rec.rebasedTo.isEmpty,
+        s"mode=$mf: recommendation wrong: $rec")
+      assert(Dedup.admissionStoreStats(spark, store).maxDepth
+        === stats0.maxDepth, s"mode=$mf: report-only run mutated layout")
+      // opt-in executes: chains collapse to single-address reads at
+      // the grown modulus
+      val auto = Dedup.maintainAdmitted(spark, store,
+        Dedup.AdmissionMaintenancePolicy(
+          maxDepthBeforeRebase = stats0.maxDepth, autoRebase = true))
+      val grown = 2 << stats0.maxDepth
+      assert(auto.rebasedTo.contains(grown),
+        s"mode=$mf: auto rebase did not run: $auto")
+      val stats1 = Dedup.admissionStoreStats(spark, store)
+      assert(stats1.maxDepth === 0 && stats1.probeChainLength === 1 &&
+        stats1.declaredBuckets.contains(grown),
+        s"mode=$mf: rebase did not collapse chains: $stats1")
+      // decisions unchanged: every admitted doc's dup still rejected
+      val probe = Dedup.nearDupFilterBatch(
+        (0 until i).map(j => (100L + j, text(j))).toDF("doc_id", "text"),
+        store, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+        nBuckets = grown)
+      assert(probe.count() === 0L,
+        s"mode=$mf: rebase changed admission decisions")
+    }
+  }
+
   test("admissionStoreStats reflects layout, fragmentation, tail, and " +
     "pending-migration state") {
     import spark.implicits._
