@@ -327,6 +327,62 @@ object StreamScaleProof {
           .start())
       })
       } // admission_stream
+      if (want("admission_stream_split")) {
+      // ---- streaming admission with ONLINE SPLITS riding the turns ----
+      // The batch-side admit_split leg prices one extendible-hashing
+      // bucket split as a raw library call; this leg prices the
+      // POLICY'S split path live in the stream: every micro-batch
+      // admission runs with a 1-byte bucket budget (any non-empty
+      // bucket is over-budget at every scale) and tailFoldFiles = 0,
+      // so each trigger folds and then splits one bucket inside the
+      // writer's own turn. Buckets hold ~100 docs at EVERY n (the
+      // modulus scales with the corpus), so the per-turn split cost is
+      // one near-constant bucket's data — expect an exponent ≈
+      // admit_split's near-flat 0.01-0.1 band, the foreachBatch
+      // harness adding only constant per-trigger overhead. Non-vacuity
+      // is asserted inside the leg: the store must have split.
+      record("admission_stream_split", n, {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val nDocs = math.max(512L, n / 20)
+        val nb = math.max(16, (nDocs / 100).toInt)
+        val store = s"$root/admsplitstore"
+        val seed = graft.sources.CorpusGenerator
+          .documents(spark, nDocs, seed = 43L)
+        for (b <- 0 until 4)
+          graft.functions.Dedup.nearDupFilterBatch(
+            seed.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text", nBuckets = nb,
+            autoCompactFiles = 16, tailFoldFiles = 0, admittedAt = 1000L)
+        val feedDir = s"$root/admsplitfeed"
+        graft.sources.CorpusGenerator
+          .documents(spark, 512, seed = 44L)
+          .select((col("doc_id") + lit(60000000L)).as("doc_id"),
+            col("text"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(feedDir)
+        val schema = spark.read.parquet(feedDir).schema
+        val metrics = drain(() => spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feedDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.functions.Dedup.nearDupFilterBatch(
+              b, store, "doc_id", "text", nBuckets = nb,
+              autoCompactFiles = 16, tailFoldFiles = 0,
+              admittedAt = 2000L + id, suppressSince = 1L,
+              maxBucketBytes = 1L, maxSplitsPerTurn = 1).count()
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt_admission_split")
+          .trigger(Trigger.AvailableNow)
+          .start())
+        val stats = graft.functions.Dedup.admissionStoreStats(spark, store)
+        require(stats.maxDepth > 0 && stats.splitBuckets > 0,
+          s"admission_stream_split is vacuous: no online split ran " +
+            s"(maxDepth=${stats.maxDepth})")
+        metrics
+      })
+      } // admission_stream_split
     }
 
     val stages = Seq("bronze", "silver", "gold_bounded", "gold_complete",
