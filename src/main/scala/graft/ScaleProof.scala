@@ -120,6 +120,8 @@ object ScaleProof {
     val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitMaintRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitSplitRep = new java.util.concurrent.atomic.AtomicLong(0)
+    val admitSplitDirs =
+      scala.collection.mutable.Map.empty[Long, Array[Int]]
 
     // (view0 checkpointed, feed checkpointed, sink) per corpus size —
     // built once on first use so the timed IVM reps never pay setup.
@@ -482,24 +484,38 @@ object ScaleProof {
         "admit_split" -> (() => {
           val store = admitSplitSetup(n, docs)
           val r = admitSplitRep.incrementAndGet()
-          // pick the target from a FRESH listing of non-empty bucket
+          // pick the target from a FRESH listing of existing bucket
           // directories (arithmetic over the modulus could land on a
           // bucket an earlier split emptied into its sibling — whose
           // directory is then gone — and abort the whole bench run on
-          // the moved>0 non-vacuity gate at small per-bucket counts)
+          // the moved>0 non-vacuity gate at small per-bucket counts).
+          // ONE root listing per (store, n) — cached across reps (a
+          // stale entry for a later-emptied dir is absorbed by the
+          // walk-forward probe); non-emptiness is probed walking
+          // forward from the rep's deterministic start (almost always
+          // the first candidate), never a per-bucket listing sweep —
+          // the selection must stay O(1)-ish or it, not the split, is
+          // what the exponent measures.
           val fs = new org.apache.hadoop.fs.Path(store)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val nonEmpty = fs.listStatus(new org.apache.hadoop.fs.Path(store))
-            .filter(s => s.isDirectory &&
-              s.getPath.getName.startsWith("adm_kb=") &&
-              scala.util.Try(fs.listStatus(s.getPath)).getOrElse(Array.empty)
+          val dirs = admitSplitDirs.getOrElseUpdate(n,
+            fs.listStatus(new org.apache.hadoop.fs.Path(store))
+              .filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith("adm_kb="))
+              .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
+              .sorted)
+          require(dirs.nonEmpty, s"admit_split has no bucket at n=$n")
+          val start = ((r * 31L) % dirs.length).toInt
+          val addr = (0 until dirs.length).iterator
+            .map(i => dirs((start + i) % dirs.length))
+            .find { a =>
+              scala.util.Try(fs.listStatus(new org.apache.hadoop.fs.Path(
+                  store, s"adm_kb=$a"))).getOrElse(Array.empty)
                 .exists(f => f.isFile &&
-                  f.getPath.getName.endsWith(".parquet")))
-            .map(_.getPath.getName.stripPrefix("adm_kb=").toInt)
-            .sorted
-          require(nonEmpty.nonEmpty,
-            s"admit_split has no non-empty bucket at n=$n")
-          val addr = nonEmpty(((r * 31L) % nonEmpty.length).toInt)
+                  f.getPath.getName.endsWith(".parquet"))
+            }
+            .getOrElse(sys.error(
+              s"admit_split has no non-empty bucket at n=$n"))
           val moved = Dedup.splitAdmittedBucket(spark, store, addr)
           require(moved > 0L,
             s"admit_split is vacuous: bucket $addr at n=$n was empty")

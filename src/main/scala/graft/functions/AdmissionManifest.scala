@@ -378,8 +378,11 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         var buckets2 = man.buckets
         if (bucketHits.nonEmpty) {
           val hitAddrs = bucketHits.keySet
-          val keep = keepOf(readBucketFiles(spark,
-            hitAddrs.toSeq.flatMap(b => man.buckets(b))).get)
+          // the adm_kb filter partition-prunes each generation group
+          // of the SAME detection relation down to the hit buckets'
+          // files — no second listing, no re-read of no-hit buckets
+          val keep = keepOf(bucketRel.get
+            .filter(col("adm_kb").isInCollection(hitAddrs.toSeq)))
           val dir = s"rw-${log.uid}"
           keep.repartition(col("adm_kb"))
             .write.mode("overwrite").partitionBy("adm_kb")

@@ -912,15 +912,20 @@ object EngineProperties extends Properties("graft") {
   // must stay bit-identical to the split-oblivious sequential
   // reference — no exclusivity, no pending marker, callers keep
   // passing the BASE modulus throughout.
+  // each run also draws the PUBLISH MODE (listing vs manifest): the
+  // decision law must hold identically under both layouts, so the two
+  // modes share one law instead of a copied pair
   private val genAdmSplitCorpus
-      : Gen[(Seq[(Long, String)], Int, Int)] = for {
+      : Gen[(Seq[(Long, String)], Int, Int, Boolean)] = for {
     (docs, nBatches) <- genAdmCorpus
     at <- Gen.choose(0, nBatches - 1)
-  } yield (docs, nBatches, at)
+    mf <- Gen.oneOf(false, true)
+  } yield (docs, nBatches, at, mf)
 
   property("admission with online bucket splits inside every turn ≡ " +
-    "sequential reference (growth without exclusivity)") =
-    Prop.forAll(genAdmSplitCorpus) { case (docs, nBatches, at) =>
+    "sequential reference (growth without exclusivity; both publish " +
+    "modes)") =
+    Prop.forAll(genAdmSplitCorpus) { case (docs, nBatches, at, mf) =>
       val s = spark; import s.implicits._
       val allDF = docs.toDF("doc_id", "text")
       val keyRows = graft.functions.Dedup.lshBands(
@@ -963,11 +968,13 @@ object EngineProperties extends Properties("graft") {
         graft.functions.Dedup.nearDupFilterBatch(b.toDF("doc_id", "text"),
             dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
             nBuckets = 2, tailFoldFiles = 0,
-            maxBucketBytes = 1L, maxSplitsPerTurn = 2)
+            maxBucketBytes = 1L, maxSplitsPerTurn = 2,
+            manifestStore = mf)
           .select("doc_id").collect().map(_.getLong(0))
       }.toSet
       (got == expected.toSet) :|
-        s"split admission diverged: engine $got vs reference $expected"
+        s"split admission (manifest=$mf) diverged: engine $got vs " +
+          s"reference $expected"
     }
 
   // the WINDOWED law with splits interleaved — the composition that
@@ -976,15 +983,17 @@ object EngineProperties extends Properties("graft") {
   // is split-oblivious AND stamp-aware, so stamps must ride every
   // split (and the fold's re-routing) bit-intact
   private val genAdmWinSplitCorpus
-      : Gen[(Seq[(Long, String)], Int, Seq[Long], Int)] = for {
+      : Gen[(Seq[(Long, String)], Int, Seq[Long], Int, Boolean)] = for {
     (docs, nBatches, sinces) <- genAdmWinCorpus
     at <- Gen.choose(0, nBatches - 1)
-  } yield (docs, nBatches, sinces, at)
+    mf <- Gen.oneOf(false, true)
+  } yield (docs, nBatches, sinces, at, mf)
 
   property("windowed admission with online splits inside every turn ≡ " +
-    "sequential stamped reference (stamps survive the splits)") =
+    "sequential stamped reference (stamps survive the splits; both " +
+    "publish modes)") =
     Prop.forAll(genAdmWinSplitCorpus) {
-      case (docs, nBatches, sinces, at) =>
+      case (docs, nBatches, sinces, at, mf) =>
       val s = spark; import s.implicits._
       val allDF = docs.toDF("doc_id", "text")
       val keyRows = graft.functions.Dedup.lshBands(
@@ -1029,12 +1038,13 @@ object EngineProperties extends Properties("graft") {
             dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
             nBuckets = 2, tailFoldFiles = 0,
             maxBucketBytes = 1L, maxSplitsPerTurn = 2,
-            admittedAt = 1000L * (i + 1), suppressSince = sinces(i))
+            admittedAt = 1000L * (i + 1), suppressSince = sinces(i),
+            manifestStore = mf)
           .select("doc_id").collect().map(_.getLong(0))
       }.toSet
       (got == expected.toSet) :|
-        s"windowed+split admission diverged: engine $got vs " +
-          s"reference $expected"
+        s"windowed+split admission (manifest=$mf) diverged: engine " +
+          s"$got vs reference $expected"
     }
 
   property("crossDupPairs ≡ driver-side bipartite jaccard on random " +
