@@ -117,8 +117,24 @@ object ScaleProof {
       }
       store
     }
+    // manifest-mode twin of admitSetup (the publish-mode A/B)
+    val admitMfSeeded = scala.collection.mutable.Set.empty[Long]
+    def admitManifestSetup(n: Long, docs: DataFrame): String = {
+      val store = s"$work/admmanifest_$n"
+      if (!admitMfSeeded(n)) {
+        for (b <- 0 until 4)
+          Dedup.nearDupFilterBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16,
+            manifestStore = true)
+        admitMfSeeded += n
+      }
+      store
+    }
     val admitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitMaintRep = new java.util.concurrent.atomic.AtomicLong(0)
+    val admitMaintMfRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitSplitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitSplitDirs =
       scala.collection.mutable.Map.empty[Long, Array[Int]]
@@ -444,6 +460,29 @@ object ScaleProof {
           val batch = CorpusGenerator
             .documents(spark, 8, seed = 9000 + r)
             .select((col("doc_id") + lit(20000000L + r * 1000L))
+              .as("doc_id"), col("text"))
+          val now = System.currentTimeMillis()
+          Dedup.nearDupFilterBatch(batch, store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16,
+            admittedAt = now,
+            suppressSince = now - 24L * 3600 * 1000).count()
+          Dedup.nearDupRemove(batch, store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n))
+        }),
+        // the SAME windowed-admit + takedown turn against a MANIFEST
+        // store — prices the commit-log publish mode's per-turn
+        // overhead (CAS commits, manifest parse/serialize, staged
+        // dirs) against admit_maint's listing layout at both scales.
+        // Manifest size grows with the store's file count, so this
+        // leg also watches that the O(1)-publish claim is not hiding
+        // an O(manifest) parse term: expect admit_maint's near-flat
+        // exponent plus a constant.
+        "admit_maint_manifest" -> (() => {
+          val store = admitManifestSetup(n, docs)
+          val r = admitMaintMfRep.incrementAndGet()
+          val batch = CorpusGenerator
+            .documents(spark, 8, seed = 9500 + r)
+            .select((col("doc_id") + lit(30000000L + r * 1000L))
               .as("doc_id"), col("text"))
           val now = System.currentTimeMillis()
           Dedup.nearDupFilterBatch(batch, store, "doc_id", "text",
@@ -906,10 +945,12 @@ object ScaleProof {
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
       if (selected.exists(s => s._1.startsWith("admit_") &&
-          s._1 != "admit_split"))
+          s._1 != "admit_split" && s._1 != "admit_maint_manifest"))
         admitSetup(n, docs)
       if (selected.exists(_._1 == "admit_split"))
         admitSplitSetup(n, docs)
+      if (selected.exists(_._1 == "admit_maint_manifest"))
+        admitManifestSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec

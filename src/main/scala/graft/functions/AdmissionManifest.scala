@@ -539,6 +539,20 @@ private[graft] object AdmissionManifestStore {
   private val stagingPrefixes =
     Seq("t-", "fold-", "cp-", "split-", "rw-", "rb-")
 
+  /** One store handle per path, reused across every entry-point
+    * dispatch: the handle's [[GenerationLog]] carries the parsed-
+    * commit cache (commit files are immutable, so a shared handle is
+    * always coherent), and a per-call `new` would re-parse the whole
+    * retained manifest history on every operation — the measured
+    * scale term in the manifest-mode maintenance turn.
+    */
+  private val instances = scala.collection.concurrent.TrieMap
+    .empty[String, AdmissionManifestStore]
+
+  def apply(storePath: String): AdmissionManifestStore =
+    instances.getOrElseUpdate(storePath,
+      new AdmissionManifestStore(storePath))
+
   /** Mode detection: a store whose root carries a `_commits` log is a
     * manifest store; everything else is the listing layout.
     */

@@ -43,34 +43,77 @@ private[functions] final class GenerationLog[M](
   private def commitsDir = sub("_commits")
   def uid: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Parsed-commit cache: a commit file is IMMUTABLE once parseable
+    * (writers claim fresh version numbers; the only overwrite is
+    * healing a TORN file, which by definition never parsed and so was
+    * never cached), so each version is parsed at most once per log
+    * handle. Without this, every resolve/commit re-parses the whole
+    * retained history — O(retained · manifest size) per call, which
+    * for the admission stores grows with the store's file count and
+    * was the measured scale term in the manifest-mode maintenance
+    * turn. Entries for GC'd versions are evicted on the next listing.
+    */
+  private val parsedCache = scala.collection.concurrent.TrieMap.empty[Long, M]
+
+  private def readParsed(f: org.apache.hadoop.fs.FileSystem,
+      v: Long, p: org.apache.hadoop.fs.Path): Option[M] =
+    parsedCache.get(v).orElse {
+      scala.util.Try {
+        val in = f.open(p)
+        val content = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+        parseM(content).get
+      }.toOption.map { m => parsedCache.put(v, m); m }
+    }
+
+  private def listCommitFiles(f: org.apache.hadoop.fs.FileSystem)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!f.exists(commitsDir)) Nil
+    else {
+      val present = f.listStatus(commitsDir).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+          .map(_ -> s.getPath))
+      val live = present.map(_._1).toSet
+      parsedCache.keys.filterNot(live).foreach(parsedCache.remove)
+      present
+    }
+
   /** All parseable commits, ascending by version. Torn commit files
     * (a writer died between create and write on a store without
     * atomic rename) are skipped, not fatal.
     */
   def commits(spark: SparkSession): Seq[(Long, M)] = {
     val f = hfs(spark)
-    if (!f.exists(commitsDir)) Seq.empty
-    else f.listStatus(commitsDir).toSeq
-      .flatMap { s =>
-        scala.util.Try {
-          val v = s.getPath.getName.toLong
-          val in = f.open(s.getPath)
-          val content = try new String(in.readAllBytes(), "UTF-8")
-          finally in.close()
-          v -> parseM(content).get
-        }.toOption
-      }
+    listCommitFiles(f)
+      .flatMap { case (v, p) => readParsed(f, v, p).map(v -> _) }
       .sortBy(_._1)
   }
 
+  /** Latest commit WITHOUT parsing the whole retained history: one
+    * listing, then manifests tried newest-first until one parses
+    * (torn debris of a dead writer is skipped exactly as [[commits]]
+    * does). The admission stores resolve several times per writer
+    * turn and their manifests grow with the bucket count, so
+    * re-parsing all retained generations per resolve is the kind of
+    * constant that quietly scales with the store.
+    */
+  def resolveLatest(spark: SparkSession): Option[(Long, M)] = {
+    val f = hfs(spark)
+    listCommitFiles(f)
+      .sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, p) => readParsed(f, v, p).map(v -> _) }
+      .nextOption()
+  }
+
   def resolve(spark: SparkSession): Option[M] =
-    commits(spark).lastOption.map(_._2)
+    resolveLatest(spark).map(_._2)
 
   /** Claim `version` with manifest `m` — true iff THIS writer won. */
   def tryCommit(spark: SparkSession, version: Long, m: M): Boolean = {
     val f = hfs(spark)
     val dst = new org.apache.hadoop.fs.Path(commitsDir, version.toString)
-    graft.operators.AtomicClaim.claim(
+    val won = graft.operators.AtomicClaim.claim(
       f, spark.sparkContext.hadoopConfiguration, dst,
       serializeM(m).getBytes("UTF-8"),
       () => scala.util.Try {
@@ -79,6 +122,8 @@ private[functions] final class GenerationLog[M](
         finally in.close()
         parseM(content).isDefined
       }.getOrElse(false))
+    if (won) parsedCache.put(version, m) // our commit is on disk verbatim
+    won
   }
 
   /** Retention GC after a successful commit: drop commit files beyond
@@ -115,16 +160,19 @@ private[functions] final class GenerationLog[M](
     var retries = 5
     var lastDirs: Seq[String] = Nil
     while (true) {
-      val cs = commits(spark)
-      errIfEmpty.foreach(msg => require(cs.nonEmpty, msg))
-      val ver = cs.lastOption.map(_._1).getOrElse(-1L) + 1
-      attempt(ver, cs.lastOption.map(_._2)) match {
+      // the loop needs only (next version, latest manifest) — one
+      // newest-first resolve per attempt; the full retained history is
+      // parsed exactly once, for the GC after a successful claim
+      val latest = resolveLatest(spark)
+      errIfEmpty.foreach(msg => require(latest.nonEmpty, msg))
+      val ver = latest.map(_._1).getOrElse(-1L) + 1
+      attempt(ver, latest.map(_._2)) match {
         case None => return
         case Some((m2, dirs)) =>
           lastDirs = dirs
           beforeCommit(ver)
           if (tryCommit(spark, ver, m2)) {
-            gcAfter(spark, cs :+ (ver -> m2))
+            gcAfter(spark, commits(spark))
             return
           }
           if (cleanupPerRace) deleteDirs(spark, dirs)

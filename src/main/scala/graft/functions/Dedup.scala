@@ -931,7 +931,7 @@ object Dedup {
       admittedTs: Long, suppressSince: Long, expireBefore: Long,
       maxBucketBytes: Long, maxSplitsPerTurn: Int): DataFrame = {
     val spark = batch.sparkSession
-    val store = new AdmissionManifestStore(storePath)
+    val store = AdmissionManifestStore(storePath)
     val man = store.initIfAbsent(spark, nBuckets)
     val splits = man.splits
     requireChainAddressable(storePath, nBuckets, splits)
@@ -1460,7 +1460,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath).splitBucket(spark, addr)
+      return AdmissionManifestStore(storePath).splitBucket(spark, addr)
     requireNoPendingRebucket(spark, storePath)
     val n = declaredBuckets(fs, storePath).getOrElse {
       // no declaration: an EMPTY root is a no-op (nothing to split);
@@ -1584,7 +1584,7 @@ object Dedup {
       if (policy.expireBefore <= 0L) 0L
       else expireAdmitted(spark, storePath, policy.expireBefore)
     def bucketSizes(): Seq[(Int, Int, Long)] = // (addr, files, bytes)
-      if (manifest) new AdmissionManifestStore(storePath).bucketSizes(spark)
+      if (manifest) AdmissionManifestStore(storePath).bucketSizes(spark)
       else fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
         .map { d =>
@@ -1599,7 +1599,7 @@ object Dedup {
       else {
         val over = bucketSizes().filter(_._2 > policy.compactOverFiles)
         if (manifest)
-          new AdmissionManifestStore(storePath).compactBuckets(spark,
+          AdmissionManifestStore(storePath).compactBuckets(spark,
             over.map(_._1), policy.compactOverFiles, policy.expireBefore)
         else compactAdmissionBuckets(spark, storePath, over.map(_._1),
           policy.compactOverFiles, policy.expireBefore)
@@ -1682,7 +1682,7 @@ object Dedup {
       return AdmissionStoreStats(0, 0L, 0L, 0, 0, 0L,
         rebucketPending = false, declaredBuckets = None)
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath).stats(spark)
+      return AdmissionManifestStore(storePath).stats(spark)
     val perBucket = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
       .map { d =>
@@ -1751,7 +1751,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath).rebucket(spark, newN)
+      return AdmissionManifestStore(storePath).rebucket(spark, newN)
     val marker = rebucketMarker(storePath)
     // (re)write the marker first — a re-run may target a different
     // modulus than the crashed attempt; the file prefix below keys on
@@ -1978,7 +1978,7 @@ object Dedup {
       // its touched chains from the exact manifest it commits over
       // (targetsOf re-runs per CAS attempt), so no interleaving can
       // hide a relocated row
-      val store = new AdmissionManifestStore(storePath)
+      val store = AdmissionManifestStore(storePath)
       val khs = keys.select("adm_kh").distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
       def pm(h: Long, m: Long): Int = (((h % m) + m) % m).toInt
@@ -2033,7 +2033,7 @@ object Dedup {
     if (!fs.exists(root)) return 0L
     if (AdmissionManifestStore.isManifestStore(fs, storePath)) {
       if (ids.isEmpty) return 0L
-      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+      return AdmissionManifestStore(storePath).rewriteStore(spark,
         man => man.buckets.keys.toSeq,
         d => d.filter(col("doc_id").isInCollection(ids)),
         d => d.filter(!col("doc_id").isInCollection(ids)))
@@ -2067,7 +2067,7 @@ object Dedup {
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+      return AdmissionManifestStore(storePath).rewriteStore(spark,
         man => man.buckets.keys.toSeq,
         d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
         d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
@@ -2322,7 +2322,7 @@ object Dedup {
         coalesce(col("adm_ts"), lit(Long.MaxValue)) < lit(cutoffMs)
       else lit(false) // whole directory pre-retention: keep it all
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath).rewriteStore(spark,
+      return AdmissionManifestStore(storePath).rewriteStore(spark,
         man => man.buckets.keys.toSeq,
         d => d.filter(pred(d)), d => d.filter(!pred(d)))
     requireNoPendingRebucket(spark, storePath)
@@ -2365,7 +2365,7 @@ object Dedup {
       if (!d.columns.contains("adm_ts")) d.withColumn("adm_ts", lit(tsMs))
       else d.withColumn("adm_ts", coalesce(col("adm_ts"), lit(tsMs)))
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return new AdmissionManifestStore(storePath)
+      return AdmissionManifestStore(storePath)
         .transformStore(spark, hitsOf, keepOf)
     requireNoPendingRebucket(spark, storePath)
     rewriteBuckets(spark, storePath, None, hitsOf, keepOf).hits +

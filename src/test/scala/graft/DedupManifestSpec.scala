@@ -284,6 +284,38 @@ class DedupManifestSpec extends SparkTestBase {
       "vacuum did not reclaim the orphan behind the horizon")
   }
 
+  test("manifest probe reads exactly the touched addresses' files " +
+    "plus the bounded tail — never an off-chain bucket's") {
+    val store = tmpDir("mfprune")
+    // several turns so multiple generations and buckets exist
+    for (i <- 0 until 4)
+      Dedup.nearDupFilterBatch(
+        Seq((i.toLong, s"subject$i alpha$i bravo$i charlie$i delta$i " +
+          s"echo$i foxtrot$i")).toDF("doc_id", "text"),
+        store, "doc_id", "text", nBuckets = 4, tailFoldFiles = 16,
+        manifestStore = true)
+    val st = new graft.functions.AdmissionManifestStore(store)
+    val man = st.resolve(spark).get
+    assert(man.buckets.nonEmpty || man.tail.nonEmpty)
+    val touched = man.buckets.keys.toSeq.sorted.take(1)
+    val rel = st.probeRel(spark, man, Seq("band", "band_key"),
+      touched, suppressSince = 0L)
+    if (rel.nonEmpty) {
+      val allowed = (touched.flatMap(b => man.buckets.getOrElse(b, Nil))
+        ++ man.tail).map(f => s"$store/$f").toSet
+      val scanned = rel.get.inputFiles
+        .map(f => new java.net.URI(f).getPath).toSet
+      assert(scanned.nonEmpty)
+      val offChain = scanned.filterNot(allowed)
+      assert(offChain.isEmpty,
+        s"manifest probe read files outside the touched lists: $offChain")
+      // and it never read the untouched buckets' files
+      val forbidden = (man.buckets -- touched).values.flatten
+        .map(f => s"$store/$f").toSet
+      assert(scanned.intersect(forbidden).isEmpty)
+    }
+  }
+
   test("embedding (SRP) admission rides the same manifest core") {
     val store = tmpDir("mfembed")
     def vecs(seed: Int): Seq[(Long, Array[Float])] =
