@@ -316,6 +316,43 @@ class DedupManifestSpec extends SparkTestBase {
     }
   }
 
+  test("a torn commit file (writer died mid-write) is skipped by " +
+    "readers and healed by the next mutation's claim") {
+    val store = tmpDir("mftorn")
+    val fs = fsOf(store)
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, manifestStore = true)
+    val commitsDir = new org.apache.hadoop.fs.Path(store, "_commits")
+    val maxV = fs.listStatus(commitsDir)
+      .map(_.getPath.getName.toLong).max
+    // fabricate the crash: a writer claimed version maxV+1 and died
+    // mid-write, leaving unparseable debris
+    val torn = new org.apache.hadoop.fs.Path(commitsDir,
+      (maxV + 1).toString)
+    val out = fs.create(torn, true)
+    out.write("nbuckets".getBytes("UTF-8")); out.close()
+    // readers skip the debris: the store still answers from maxV
+    assert(Dedup.nearDupFilterBatch(
+      Seq((10L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 0L,
+      "a torn commit blinded the reader to the live generation")
+    // the next mutation claims maxV+1, healing the debris in place
+    assert(Dedup.nearDupFilterBatch(
+      Seq((11L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 1L)
+    val healedIn = fs.open(torn)
+    val healed = try new String(healedIn.readAllBytes(), "UTF-8")
+    finally healedIn.close()
+    assert(graft.functions.AdmissionManifest.parse(healed).nonEmpty,
+      s"the torn commit was not healed: <$healed>")
+    // and the healed generation carries every admitted doc's keys
+    assert(Dedup.nearDupFilterBatch(
+      Seq((20L, textA), (21L, textB), (22L, textC))
+        .toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 0L)
+  }
+
   test("embedding (SRP) admission rides the same manifest core") {
     val store = tmpDir("mfembed")
     def vecs(seed: Int): Seq[(Long, Array[Float])] =
