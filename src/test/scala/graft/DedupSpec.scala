@@ -1063,6 +1063,52 @@ class DedupSpec extends SparkTestBase {
       "expired keys still suppress")
   }
 
+  test("a damaged _splits declaration fails loudly on read: huge or " +
+    "negative depths are refused before they can mis-route a chain") {
+    import spark.implicits._
+    val store = tmpDir("ndsplitbad")
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.nearDupFilterBatch(Seq((0L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+    def writeMarker(body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(store,
+        Dedup.splitsMarkerName), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // a maxdepth that overflows the int address space under ANY base:
+    // the read-side bound must refuse it (silent overflow mis-routes
+    // every probe chain)
+    for (bad <- Seq("maxdepth=50", "maxdepth=-1", "maxdepth=3\n1=7")) {
+      writeMarker(bad)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.nearDupFilterBatch(Seq((1L, textA)).toDF("doc_id", "text"),
+          store, "doc_id", "text", nBuckets = 2)
+      }
+      assert(e.getMessage.contains("malformed"),
+        s"<$bad> not refused as malformed: ${e.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.nearDupRemove(Seq((0L, textA)).toDF("doc_id", "text"),
+          store, "doc_id", "text", nBuckets = 2)
+      }
+      assert(e2.getMessage.contains("malformed"))
+    }
+    // a depth legal for this marker's arithmetic but overflowing the
+    // CALLER's chain modulus is caught by the use-site guard
+    writeMarker("maxdepth=30")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.nearDupFilterBatch(Seq((2L, textA)).toDF("doc_id", "text"),
+        store, "doc_id", "text", nBuckets = 2)
+    }
+    assert(e3.getMessage.contains("overflows"))
+    // restoring a sane declaration restores service
+    writeMarker("maxdepth=0")
+    assert(Dedup.nearDupFilterBatch(
+      Seq((3L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 0L)
+  }
+
   test("depth governance: repeated splits accrete probe-chain cost " +
     "until the policy recommends a rebase; executing it collapses " +
     "chains to single-address reads with decisions unchanged " +

@@ -663,8 +663,9 @@ object EngineProperties extends Properties("graft") {
   } yield (docs, nBatches, rm.toSet)
 
   property("admission with interleaved takedowns ≡ sequential reference " +
-    "that forgets removed docs") =
-    Prop.forAll(genAdmRemCorpus) { case (docs, nBatches, rmIds) =>
+    "that forgets removed docs (both publish modes)") =
+    Prop.forAll(genAdmRemCorpus, Gen.oneOf(false, true)) {
+      case ((docs, nBatches, rmIds), mf) =>
       val s = spark; import s.implicits._
       val allDF = docs.toDF("doc_id", "text")
       val keyRows = graft.functions.Dedup.lshBands(
@@ -706,7 +707,8 @@ object EngineProperties extends Properties("graft") {
       val got = batches.flatMap { b =>
         val surv = graft.functions.Dedup.nearDupFilterBatch(
             b.toDF("doc_id", "text"),
-            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2)
+            dir, "doc_id", "text", shingleN = 2, k = 4, bands = 2,
+            manifestStore = mf)
           .select("doc_id").collect().map(_.getLong(0))
         val rmB = b.filter { case (id, _) => rmIds(id) }
         if (rmB.nonEmpty)
@@ -715,7 +717,8 @@ object EngineProperties extends Properties("graft") {
         surv
       }.toSet
       (got == expected.toSet) :|
-        s"takedown admission diverged: engine $got vs reference $expected"
+        s"takedown admission (manifest=$mf) diverged: engine $got vs " +
+          s"reference $expected"
     }
 
   // the admission law under WINDOWED retention: every batch carries a
