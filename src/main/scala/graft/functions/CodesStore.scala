@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   *    writing its directories and claiming a version) behind an age
   *    horizon, never touching anything a present commit references.
   */
+/** `filesOf` receives the SparkSession because a manifest may be
+  * TWO-LEVEL (the admission stores' manifest-list shape: a small root
+  * naming per-group manifest files, which in turn name the data
+  * files): resolving the full referenced-file set then needs fs reads.
+  * Single-level stores ignore the session (`(_, m) => m.dirs`).
+  */
 private[functions] final class GenerationLog[M](
     path: String,
     parseM: String => Option[M],
     serializeM: M => String,
-    dirsOf: M => Seq[String],
+    filesOf: (SparkSession, M) => Seq[String],
     retainVersions: Int) {
 
   require(retainVersions >= 2,
@@ -52,28 +58,40 @@ private[functions] final class GenerationLog[M](
     * for the admission stores grows with the store's file count and
     * was the measured scale term in the manifest-mode maintenance
     * turn. Entries for GC'd versions are evicted on the next listing.
+    *
+    * Keyed by (version, mtime, length), NOT version alone: a store
+    * deleted and re-created at the same path (another driver, a test
+    * re-run, a scratch sweep) re-issues the SAME version numbers, and
+    * a version-keyed cache would serve the dead store's manifest until
+    * JVM restart. The commit file's identity triple makes stale
+    * entries unreachable, and a vanished `_commits` clears the cache
+    * outright — correctness never depends on handle eviction.
     */
-  private val parsedCache = scala.collection.concurrent.TrieMap.empty[Long, M]
+  private val parsedCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Long, Long), M]
+
+  private def cacheKey(v: Long, s: org.apache.hadoop.fs.FileStatus) =
+    (v, s.getModificationTime, s.getLen)
 
   private def readParsed(f: org.apache.hadoop.fs.FileSystem,
-      v: Long, p: org.apache.hadoop.fs.Path): Option[M] =
-    parsedCache.get(v).orElse {
+      v: Long, s: org.apache.hadoop.fs.FileStatus): Option[M] =
+    parsedCache.get(cacheKey(v, s)).orElse {
       scala.util.Try {
-        val in = f.open(p)
+        val in = f.open(s.getPath)
         val content = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
         parseM(content).get
-      }.toOption.map { m => parsedCache.put(v, m); m }
+      }.toOption.map { m => parsedCache.put(cacheKey(v, s), m); m }
     }
 
   private def listCommitFiles(f: org.apache.hadoop.fs.FileSystem)
-      : Seq[(Long, org.apache.hadoop.fs.Path)] =
-    if (!f.exists(commitsDir)) Nil
+      : Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+    if (!f.exists(commitsDir)) { parsedCache.clear(); Nil }
     else {
       val present = f.listStatus(commitsDir).toSeq
         .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
-          .map(_ -> s.getPath))
-      val live = present.map(_._1).toSet
+          .map(_ -> s))
+      val live = present.map { case (v, s) => cacheKey(v, s) }.toSet
       parsedCache.keys.filterNot(live).foreach(parsedCache.remove)
       present
     }
@@ -85,7 +103,7 @@ private[functions] final class GenerationLog[M](
   def commits(spark: SparkSession): Seq[(Long, M)] = {
     val f = hfs(spark)
     listCommitFiles(f)
-      .flatMap { case (v, p) => readParsed(f, v, p).map(v -> _) }
+      .flatMap { case (v, s) => readParsed(f, v, s).map(v -> _) }
       .sortBy(_._1)
   }
 
@@ -102,7 +120,7 @@ private[functions] final class GenerationLog[M](
     listCommitFiles(f)
       .sortBy(-_._1)
       .iterator
-      .flatMap { case (v, p) => readParsed(f, v, p).map(v -> _) }
+      .flatMap { case (v, s) => readParsed(f, v, s).map(v -> _) }
       .nextOption()
   }
 
@@ -122,7 +140,9 @@ private[functions] final class GenerationLog[M](
         finally in.close()
         parseM(content).isDefined
       }.getOrElse(false))
-    if (won) parsedCache.put(version, m) // our commit is on disk verbatim
+    if (won) // our commit is on disk verbatim; one status RPC keys it
+      scala.util.Try(f.getFileStatus(dst))
+        .foreach(s => parsedCache.put(cacheKey(version, s), m))
     won
   }
 
@@ -132,9 +152,13 @@ private[functions] final class GenerationLog[M](
     */
   def gcAfter(spark: SparkSession, all: Seq[(Long, M)]): Unit = {
     val f = hfs(spark)
-    val keep = all.takeRight(retainVersions).flatMap(m => dirsOf(m._2)).toSet
+    val keep = all.takeRight(retainVersions)
+      .flatMap(m => filesOf(spark, m._2)).toSet
     all.dropRight(retainVersions).foreach { case (v, m) =>
-      dirsOf(m).filterNot(keep).foreach(d => f.delete(sub(d), true))
+      // resolve the dropped version's files BEFORE deleting anything
+      // of it (two-level manifests read their group files here)
+      filesOf(spark, m).filterNot(keep)
+        .foreach(d => f.delete(sub(d), true))
       f.delete(new org.apache.hadoop.fs.Path(commitsDir, v.toString), false)
     }
   }
@@ -232,7 +256,7 @@ private[functions] final class GenerationLog[M](
     val f = hfs(spark)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) return Seq.empty
-    val referenced = commits(spark).flatMap(c => dirsOf(c._2)).toSet
+    val referenced = commits(spark).flatMap(c => filesOf(spark, c._2)).toSet
     val horizon = System.currentTimeMillis() - olderThanMs
     val orphans = f.listStatus(root).toSeq.filter { s =>
       val n = s.getPath.getName
@@ -521,7 +545,7 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
   import PqCodesStore.Manifest
 
   protected val log = new GenerationLog[Manifest](path,
-    Manifest.parse, _.serialize, _.dirs, retainVersions)
+    Manifest.parse, _.serialize, (_, m) => m.dirs, retainVersions)
   protected def storePath: String = path
   protected def keyCol: String = "cid"
   protected def autoConsolidateBudget: Int = autoConsolidateSegments
@@ -667,7 +691,7 @@ class PqCodesStore(path: String, m: Int, nCodes: Int, iters: Int = 1,
     * present commit, older than the horizon).
     */
   def vacuum(spark: SparkSession,
-             olderThanMs: Long = 3600000L): Seq[String] =
+             olderThanMs: Long = 86400000L): Seq[String] =
     log.vacuum(spark, Seq("seg-", "codebook-", "seeds-", "tomb-"),
       olderThanMs)
 }
@@ -734,7 +758,7 @@ class Sq8CodesStore(path: String,
   import Sq8CodesStore.Manifest
 
   protected val log = new GenerationLog[Manifest](path,
-    Manifest.parse, _.serialize, _.dirs, retainVersions)
+    Manifest.parse, _.serialize, (_, m) => m.dirs, retainVersions)
   protected def storePath: String = path
   protected def keyCol: String = idCol
   protected def autoConsolidateBudget: Int = autoConsolidateSegments
@@ -774,7 +798,7 @@ class Sq8CodesStore(path: String,
   // tombstoneIds / segmentCount ride [[SegmentStoreProtocol]]
 
   def vacuum(spark: SparkSession,
-             olderThanMs: Long = 3600000L): Seq[String] =
+             olderThanMs: Long = 86400000L): Seq[String] =
     log.vacuum(spark, Seq("seg-", "tomb-"), olderThanMs)
 }
 

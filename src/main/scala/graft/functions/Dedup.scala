@@ -1546,13 +1546,23 @@ object Dedup {
     * again, and a compacted bucket re-triggers only after
     * `compactOverFiles` further appends.
     */
+  /** `rebaseExclusive`: in the LISTING layout a rebase executes
+    * [[rebucketAdmitted]], which is EXCLUSIVE — it must not run beside
+    * the live writer (a crash mid-migration leaves the pending marker
+    * blocking the writer until the migration re-runs to completion).
+    * `autoRebase` in listing mode is therefore REFUSED unless the
+    * caller also sets this flag, certifying the writer is quiesced for
+    * this run. Manifest mode ignores it: its rebase is one atomic
+    * commit, fully online.
+    */
   final case class AdmissionMaintenancePolicy(
       maxBucketBytes: Long = 0L,
       maxSplitsPerRun: Int = 4,
       compactOverFiles: Int = 0,
       expireBefore: Long = 0L,
       maxDepthBeforeRebase: Int = 0,
-      autoRebase: Boolean = false)
+      autoRebase: Boolean = false,
+      rebaseExclusive: Boolean = false)
 
   final case class AdmissionMaintenanceReport(expired: Long,
                                               compacted: Seq[Int],
@@ -1625,17 +1635,25 @@ object Dedup {
     // migration is EXCLUSIVE (quiesce the writer first — the pending
     // marker makes a violation loud, never silent); in manifest mode
     // it is one atomic commit and fully online.
-    val depthNow =
-      if (policy.maxDepthBeforeRebase <= 0) 0
-      else admissionStoreStats(spark, storePath).maxDepth
+    val depthStats = // one stats listing serves decision AND target
+      if (policy.maxDepthBeforeRebase <= 0) None
+      else Some(admissionStoreStats(spark, storePath))
+    val depthNow = depthStats.map(_.maxDepth).getOrElse(0)
     val rebaseRecommended = policy.maxDepthBeforeRebase > 0 &&
       depthNow >= policy.maxDepthBeforeRebase
     val rebasedTo =
       if (!rebaseRecommended || !policy.autoRebase) None
-      else admissionStoreStats(spark, storePath).declaredBuckets.map { n =>
-        val grown = (n.toLong << depthNow).toInt // bounded by readSplits
-        rebucketAdmitted(spark, storePath, grown)
-        grown
+      else {
+        require(manifest || policy.rebaseExclusive,
+          s"autoRebase on the listing-layout store at $storePath " +
+            "executes an EXCLUSIVE rebucketAdmitted migration — quiesce " +
+            "the writer and set rebaseExclusive = true to certify it " +
+            "(manifest-mode stores rebase online, no flag needed)")
+        depthStats.flatMap(_.declaredBuckets).map { n =>
+          val grown = (n.toLong << depthNow).toInt // bounded by readSplits
+          rebucketAdmitted(spark, storePath, grown)
+          grown
+        }
       }
     AdmissionMaintenanceReport(expired, compacted, split,
       rebaseRecommended, rebasedTo)
@@ -1913,26 +1931,50 @@ object Dedup {
     * listed. Only a mismatch — real contention — pays the extra
     * detection scan (which keeps re-running until a pass both finds
     * nothing and verifies, exactly the prior contract).
+    *
+    * FULL sweeps (no key derivation to bound the touched chains) must
+    * additionally prove no bucket directory APPEARED: a concurrent
+    * fold can publish target rows into a brand-new `adm_kb=` directory
+    * the pass never listed while every examined-dir expectation still
+    * matches — so a full-sweep pass also carries the root's dir-NAME
+    * set (snapshot minus the dirs the pass itself dropped), and any
+    * deviation forces a rescan. The root check applies to 0-hit passes
+    * too (one listing — it cannot starve the drain the way per-dir
+    * tail churn would, because the dir-name set changes only on the
+    * bounded-frequency fold/split/migrate events, never on appends).
+    * Key-derived removals need no root expectation: a target key can
+    * only ever live at its chain addresses, and the pass enumerates
+    * the full chain including not-yet-existing directories.
     */
   private def drainRemoval(fs: org.apache.hadoop.fs.FileSystem)(
-      pass: () => (Long, Seq[(org.apache.hadoop.fs.Path, Set[String])]))
-      : Long = {
+      pass: () => (Long, Seq[(org.apache.hadoop.fs.Path, Set[String])],
+        Seq[(org.apache.hadoop.fs.Path, Set[String])])): Long = {
     var total = 0L
     var done = false
     while (!done) {
-      val (n, expected) = pass()
+      val (n, expected, rootExpected) = pass()
       drainPassFence() // test seam: no-op in production
       total += n
-      // a 0-hit pass is scan-proven clean (the prior contract's stop
-      // condition — also the drain's termination guarantee beside a
-      // writer that never stops appending); a hit pass stops without
-      // the extra scan only on the listing proof
-      done = n == 0L || expected.forall {
-        case (dir, names) =>
-          scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.getName).toSet == names
+      def rootOk = rootExpected.forall { case (root, names) =>
+        scala.util.Try(fs.listStatus(root)).getOrElse(Array.empty)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("adm_kb="))
+          .map(_.getPath.getName).toSet == names
       }
+      // a 0-hit pass is detection-scan-proven clean over every
+      // directory it listed (the prior contract's stop condition —
+      // also the drain's termination guarantee beside a writer that
+      // never stops appending), PLUS the full-sweep root proof above;
+      // a hit pass stops without the extra scan only on both proofs
+      done =
+        if (n == 0L) rootOk
+        else rootOk && expected.forall {
+          case (dir, names) =>
+            scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
+              .filter(s => s.isFile &&
+                s.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.getName).toSet == names
+        }
     }
     total
   }
@@ -1983,7 +2025,7 @@ object Dedup {
         .collect().map(_.getLong(0)).toIndexedSeq
       def pm(h: Long, m: Long): Int = (((h % m) + m) % m).toInt
       return store.rewriteStore(spark,
-        man => {
+        Some { man =>
           require(man.nBuckets == nBuckets,
             s"admission store at $storePath is laid out over " +
               s"${man.nBuckets} buckets but the caller passed " +
@@ -2014,7 +2056,7 @@ object Dedup {
         .distinct()
         .collect().map(_.getInt(0)).toSeq
         .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
-      removeIdsInBuckets(spark, storePath, ids, touched)
+      removeIdsInBuckets(spark, storePath, ids, Some(touched))
     }
   }
 
@@ -2033,19 +2075,16 @@ object Dedup {
     if (!fs.exists(root)) return 0L
     if (AdmissionManifestStore.isManifestStore(fs, storePath)) {
       if (ids.isEmpty) return 0L
-      return AdmissionManifestStore(storePath).rewriteStore(spark,
-        man => man.buckets.keys.toSeq,
+      return AdmissionManifestStore(storePath).rewriteStore(spark, None,
         d => d.filter(col("doc_id").isInCollection(ids)),
         d => d.filter(!col("doc_id").isInCollection(ids)))
     }
     requireNoPendingRebucket(spark, storePath)
-    // bucket list re-snapshotted per drain pass: a concurrent fold can
-    // create bucket directories between passes
+    // bucket list snapshotted INSIDE each pass (rewriteBuckets' None
+    // shape), which also records the root dir-name expectation the
+    // full-sweep drain proof requires
     drainRemoval(fs) { () =>
-      val all = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
-        .map(_.getPath.getName.stripPrefix("adm_kb=").toInt).toSeq
-      removeIdsInBuckets(spark, storePath, ids, all)
+      removeIdsInBuckets(spark, storePath, ids, None)
     }
   }
 
@@ -2067,8 +2106,7 @@ object Dedup {
     val rm = ids.select(col(ids.columns.head).cast("long").as("rm_id"))
       .distinct().localCheckpoint(true)
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return AdmissionManifestStore(storePath).rewriteStore(spark,
-        man => man.buckets.keys.toSeq,
+      return AdmissionManifestStore(storePath).rewriteStore(spark, None,
         d => d.join(rm, d("doc_id") === rm("rm_id"), "left_semi"),
         d => d.join(rm, d("doc_id") === rm("rm_id"), "left_anti"))
     requireNoPendingRebucket(spark, storePath)
@@ -2076,7 +2114,7 @@ object Dedup {
       val b = rewriteBucketsJoining(spark, storePath, rm)
       val t = rewriteDirJoining(spark, root,
         new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), rm)
-      (b.hits + t.hits, b.expected ++ t.expected)
+      (b.hits + t.hits, b.expected ++ t.expected, b.rootExpected)
     }
   }
 
@@ -2160,15 +2198,15 @@ object Dedup {
     * probe-slice reads never face a schema-less directory.
     */
   private def removeIdsInBuckets(spark: SparkSession, storePath: String,
-      ids: Set[Long], buckets: Seq[Int])
-      : (Long, Seq[DirExpectation]) = {
-    if (ids.isEmpty) return (0L, Nil)
+      ids: Set[Long], buckets: Option[Seq[Int]])
+      : (Long, Seq[DirExpectation], Seq[DirExpectation]) = {
+    if (ids.isEmpty) return (0L, Nil, Nil)
     val pred = (df: DataFrame) => col("doc_id").isInCollection(ids)
-    val b = rewriteBucketsDropping(spark, storePath, Some(buckets), pred)
+    val b = rewriteBucketsDropping(spark, storePath, buckets, pred)
     val t = rewriteDirDropping(spark,
       new org.apache.hadoop.fs.Path(storePath),
       new org.apache.hadoop.fs.Path(admissionTailPath(storePath)), pred)
-    (b.hits + t.hits, b.expected ++ t.expected)
+    (b.hits + t.hits, b.expected ++ t.expected, b.rootExpected)
   }
 
   /** The batched bucket-directory rewrite under every full-sweep or
@@ -2218,8 +2256,15 @@ object Dedup {
     * concurrent rewrite slipped rows past this pass's snapshot.
     */
   private type DirExpectation = (org.apache.hadoop.fs.Path, Set[String])
+  /** `rootExpected` (full sweeps only): the set of `adm_kb=` directory
+    * NAMES the store root must hold once the sweep's publishes land —
+    * the drain's proof that no concurrent fold published target rows
+    * into a directory the sweep never listed.
+    */
   private final case class RewriteOutcome(hits: Long,
-                                          expected: Seq[DirExpectation])
+                                          expected: Seq[DirExpectation],
+                                          rootExpected: Seq[DirExpectation] =
+                                            Nil)
 
   /** The shared core of the two shapes above: `hitsOf` selects the
     * rows to drop, `keepOf` the complement.
@@ -2239,6 +2284,12 @@ object Dedup {
           s.getPath.getName.startsWith("adm_kb="))
         .map(_.getPath).toSeq
     }
+    // full sweep: the drain's root proof — snapshot dir names now,
+    // subtract the dirs this pass drops below
+    val rootNames: Option[Set[String]] =
+      if (buckets.isEmpty) Some(targets.map(_.getName).toSet) else None
+    def rootExpectation(dropped: Set[String]): Seq[DirExpectation] =
+      rootNames.map(ns => root -> (ns -- dropped)).toSeq
     // snapshot the targeted buckets' current files ONCE: the staging
     // write reads exactly these and the delete removes exactly these,
     // so rows landing concurrently stay out of both (the concurrency
@@ -2257,7 +2308,8 @@ object Dedup {
     val emptyTargets: Seq[DirExpectation] =
       targets.filterNot(byDir.map(_._1).contains)
         .map(_ -> Set.empty[String])
-    if (byDir.isEmpty) return RewriteOutcome(0L, emptyTargets)
+    if (byDir.isEmpty)
+      return RewriteOutcome(0L, emptyTargets, rootExpectation(Set.empty))
     val cur = spark.read.option("basePath", storePath)
       .option("mergeSchema", "true")
       .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
@@ -2266,7 +2318,8 @@ object Dedup {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (hits.isEmpty)
-      return RewriteOutcome(0L, snapshotExpectation(byDir) ++ emptyTargets)
+      return RewriteOutcome(0L, snapshotExpectation(byDir) ++ emptyTargets,
+        rootExpectation(Set.empty))
     val (hitDirs, cleanDirs) = byDir.partition { case (dir, _) =>
       hits.contains(dir.getName.stripPrefix("adm_kb=").toInt) }
     val staging = new org.apache.hadoop.fs.Path(root,
@@ -2279,6 +2332,7 @@ object Dedup {
       .repartition(col("adm_kb"))
       .write.mode("overwrite").partitionBy("adm_kb")
       .parquet(staging.toString)
+    val droppedDirs = Set.newBuilder[String]
     val rewritten: Seq[DirExpectation] = hitDirs.map { case (dir, old) =>
       val staged = new org.apache.hadoop.fs.Path(staging, dir.getName)
       val stagedFiles = scala.util.Try(fs.listStatus(staged))
@@ -2291,13 +2345,17 @@ object Dedup {
         name
       }
       old.foreach(s => fs.delete(s.getPath, false))
-      if (stagedFiles.isEmpty)
-        scala.util.Try(fs.delete(dir, false))
+      if (stagedFiles.isEmpty &&
+          scala.util.Try(fs.delete(dir, false)).getOrElse(false))
+        droppedDirs += dir.getName // a refused (non-empty) delete keeps
+                                   // the dir in the root expectation —
+                                   // the mismatch forces the rescan
       dir -> published.toSet
     }
     fs.delete(staging, true)
     RewriteOutcome(hits.values.sum,
-      rewritten ++ snapshotExpectation(cleanDirs) ++ emptyTargets)
+      rewritten ++ snapshotExpectation(cleanDirs) ++ emptyTargets,
+      rootExpectation(droppedDirs.result()))
   }
 
   /** Physically drop admitted keys older than `cutoffMs` from every
@@ -2322,8 +2380,7 @@ object Dedup {
         coalesce(col("adm_ts"), lit(Long.MaxValue)) < lit(cutoffMs)
       else lit(false) // whole directory pre-retention: keep it all
     if (AdmissionManifestStore.isManifestStore(fs, storePath))
-      return AdmissionManifestStore(storePath).rewriteStore(spark,
-        man => man.buckets.keys.toSeq,
+      return AdmissionManifestStore(storePath).rewriteStore(spark, None,
         d => d.filter(pred(d)), d => d.filter(!pred(d)))
     requireNoPendingRebucket(spark, storePath)
     // every bucket directory in ONE detection pass + ONE staged write

@@ -1339,7 +1339,7 @@ class IvfIndex(path: String, nCells: Int,
   // torn-commit-tolerant listing, commit-time retention GC, and
   // orphan vacuum — one spelling across IvfIndex and the codes stores.
   private val log = new GenerationLog[Manifest](path,
-    Manifest.parse, _.serialize, _.dirs, retainVersions)
+    Manifest.parse, _.serialize, (_, m) => m.dirs, retainVersions)
 
   private def uid: String = log.uid
   private def resolve(spark: SparkSession): Option[Manifest] =
@@ -1713,7 +1713,11 @@ class IvfIndex(path: String, nCells: Int,
     *  - an IN-FLIGHT writer's directories look exactly like orphans
     *    until its commit lands → only directories older than
     *    `olderThanMs` (mtime) are candidates, the age-horizon trade
-    *    every vacuum makes (default 1 h ≫ any write);
+    *    every vacuum makes (default 24 h: a writer stalled past the
+    *    horizon — GC pause, slow object store — can still WIN its
+    *    claim afterwards and commit a manifest referencing swept
+    *    directories, so the margin must exceed plausible stalls, not
+    *    just typical write times);
     *  - a reader on an OLD retained generation must keep working →
     *    directories referenced by ANY present commit are never
     *    touched, whatever their age.
@@ -1721,7 +1725,7 @@ class IvfIndex(path: String, nCells: Int,
     * Returns the reclaimed directory names.
     */
   def vacuum(spark: SparkSession,
-             olderThanMs: Long = 3600000L): Seq[String] =
+             olderThanMs: Long = 86400000L): Seq[String] =
     log.vacuum(spark, Seq("seg-", "centroids-", "seeds-", "tomb-"),
       olderThanMs)
 }

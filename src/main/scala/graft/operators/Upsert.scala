@@ -1860,7 +1860,7 @@ class ParquetUpsertSink(path: String, keys: Seq[String],
     * layout (data lives in place; there are no snapshot dirs).
     */
   def vacuum(spark: SparkSession,
-             olderThanMs: Long = 3600000L): Seq[String] = {
+             olderThanMs: Long = 86400000L): Seq[String] = {
     if (partitionCol.nonEmpty) return Seq.empty
     val f = fs(spark)
     val root = new Path(path)

@@ -67,6 +67,41 @@ class DedupManifestSpec extends SparkTestBase {
     }
   }
 
+  test("a store deleted and re-created at the same path is never " +
+    "served from a stale handle's parsed-commit cache, and the " +
+    "handle cache itself is LRU-bounded") {
+    import graft.functions.AdmissionManifestStore
+    val store = tmpDir("mfstale")
+    val fs = fsOf(store)
+    // store A: 4-bucket layout, resolved through the shared handle
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 4, manifestStore = true)
+    assert(Dedup.admissionStoreStats(spark, store)
+      .declaredBuckets.contains(4))
+    // another process deletes the store and re-creates it at the SAME
+    // path with a different layout — recreated version numbers collide
+    // with the dead store's; the (version, mtime, length)-keyed cache
+    // must not serve A's manifest
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Dedup.nearDupFilterBatch(
+      Seq((10L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, manifestStore = true)
+    val stats = Dedup.admissionStoreStats(spark, store)
+    assert(stats.declaredBuckets.contains(2),
+      s"stale cache served the dead store's manifest: $stats")
+    // and the dead store's keys are gone: its admitted doc re-admits
+    assert(Dedup.nearDupFilterBatch(
+      Seq((1L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 1L,
+      "dead store's admissions still suppress after delete+recreate")
+    // handle cache bounded: many short-lived store paths must not
+    // accrete one retained handle each
+    (0 until 200).foreach(i => AdmissionManifestStore(s"$store-h$i"))
+    assert(AdmissionManifestStore.cachedHandleCount <= 64,
+      s"handle cache unbounded: ${AdmissionManifestStore.cachedHandleCount}")
+  }
+
   test("parity: an identical admit/fold/split/remove/expire sequence " +
     "produces identical decisions in both publish modes") {
     def run(manifest: Boolean): Seq[Set[Long]] = {
@@ -252,6 +287,21 @@ class DedupManifestSpec extends SparkTestBase {
       store, "doc_id", "text", nBuckets = 2)
     assert(probe.count() === 0L,
       "a lost CAS race dropped an admitted doc's keys")
+    // two-level commit: the loser's staged GROUP manifests were
+    // cleaned with its data staging — no gm- file at the root is
+    // unreferenced by the present commits (empty superseded staging
+    // DIRS are benign debris vacuum reclaims; a leaked gm file would
+    // mean the lost-race cleanup missed the manifest level)
+    val st = new graft.functions.AdmissionManifestStore(store)
+    val gmOrphans = st.vacuum(spark, olderThanMs = -1L)
+      .filter(_.startsWith("gm-"))
+    assert(gmOrphans.isEmpty,
+      s"lost CAS race leaked group manifests: $gmOrphans")
+    // and the store still answers correctly after the sweep
+    assert(Dedup.nearDupFilterBatch(
+      Seq((30L, textA)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2).count() === 0L,
+      "vacuum after the race broke the store")
   }
 
   test("retention GC reclaims superseded generations' files; vacuum " +
@@ -296,13 +346,15 @@ class DedupManifestSpec extends SparkTestBase {
         manifestStore = true)
     val st = new graft.functions.AdmissionManifestStore(store)
     val man = st.resolve(spark).get
-    assert(man.buckets.nonEmpty || man.tail.nonEmpty)
-    val touched = man.buckets.keys.toSeq.sorted.take(1)
+    val buckets = st.allBuckets(spark, man)
+    assert(buckets.nonEmpty || man.tail.nonEmpty)
+    val touched = buckets.keys.toSeq.sorted.take(1)
     val rel = st.probeRel(spark, man, Seq("band", "band_key"),
       touched, suppressSince = 0L)
     if (rel.nonEmpty) {
-      val allowed = (touched.flatMap(b => man.buckets.getOrElse(b, Nil))
-        ++ man.tail).map(f => s"$store/$f").toSet
+      val allowed = (touched.flatMap(b =>
+          buckets.getOrElse(b, Nil).map(_.path))
+        ++ man.tail.map(_.path)).map(f => s"$store/$f").toSet
       val scanned = rel.get.inputFiles
         .map(f => new java.net.URI(f).getPath).toSet
       assert(scanned.nonEmpty)
@@ -310,10 +362,60 @@ class DedupManifestSpec extends SparkTestBase {
       assert(offChain.isEmpty,
         s"manifest probe read files outside the touched lists: $offChain")
       // and it never read the untouched buckets' files
-      val forbidden = (man.buckets -- touched).values.flatten
-        .map(f => s"$store/$f").toSet
+      val forbidden = (buckets -- touched).values.flatten
+        .map(f => s"$store/${f.path}").toSet
       assert(scanned.intersect(forbidden).isEmpty)
     }
+  }
+
+  test("manifest-list: a mutation's commit payload is O(touched) — " +
+    "the root carries no file lists, untouched groups' manifests " +
+    "carry forward by reference, and stats read manifest-recorded " +
+    "sizes with zero per-file status calls") {
+    val store = tmpDir("mflist")
+    val fs = fsOf(store)
+    // two docs into DIFFERENT buckets (nBuckets=4 spreads bands), fold
+    // immediately so the bucket lists exist
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 4, tailFoldFiles = 0,
+      manifestStore = true)
+    val st = new graft.functions.AdmissionManifestStore(store)
+    val man1 = st.resolve(spark).get
+    val buckets1 = st.allBuckets(spark, man1)
+    assert(buckets1.size >= 2, s"fixture too narrow: ${buckets1.keys}")
+    // the ROOT never serializes bucket file lists — its size is
+    // O(split buckets + tail + groups), not O(store files)
+    assert(!man1.serialize.contains("bucket "),
+      "root manifest still carries bucket file lines")
+    assert(man1.groups.nonEmpty)
+    // mutate ONE bucket (compact it to a budget of 0 files forces a
+    // rewrite of that address only)
+    val target = buckets1.keys.min
+    st.compactBuckets(spark, Seq(target), 0, 0L)
+    val man2 = st.resolve(spark).get
+    val touchedGid = man1.gid(target)
+    assert(man2.groups(touchedGid) !== man1.groups(touchedGid),
+      "touched group's manifest was not rewritten")
+    (man1.groups.keySet intersect man2.groups.keySet - touchedGid)
+      .foreach { g =>
+        assert(man2.groups(g) === man1.groups(g),
+          s"untouched group $g was rewritten: " +
+            s"${man1.groups(g)} -> ${man2.groups(g)}")
+      }
+    // sizes are manifest-carried: delete a live data file BEHIND the
+    // store's back and stats must still report the recorded bytes
+    // (the r19 shape issued one getFileStatus per file and would
+    // read 0 for the vanished file)
+    val statsBefore = Dedup.admissionStoreStats(spark, store)
+    assert(statsBefore.bucketBytes > 0L)
+    val someFile = st.allBuckets(spark, man2).values.flatten.head
+    assert(fs.delete(new org.apache.hadoop.fs.Path(store, someFile.path),
+      false), s"fixture: could not delete ${someFile.path}")
+    val statsAfter = Dedup.admissionStoreStats(spark, store)
+    assert(statsAfter.bucketBytes === statsBefore.bucketBytes,
+      "stats re-asked the filesystem for file sizes instead of " +
+        "reading the manifest-recorded bytes")
   }
 
   test("a torn commit file (writer died mid-write) is skipped by " +

@@ -1013,6 +1013,81 @@ class DedupSpec extends SparkTestBase {
     } finally Dedup.drainPassFence = () => ()
   }
 
+  test("full-sweep takedown drain: a concurrent fold publishing " +
+    "target rows into a brand-new bucket directory the pass never " +
+    "listed forces a rescan (the root dir-set proof), and an " +
+    "uncontended full sweep still stops after one pass") {
+    import spark.implicits._
+    val store = tmpDir("ndrootdrain")
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val textA = "the quick brown fox jumps over the lazy dog near the bank"
+    val textB = "columnar engines vectorize parquet scans for analytic joins"
+    Dedup.nearDupFilterBatch(
+      Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"),
+      store, "doc_id", "text", nBuckets = 2, tailFoldFiles = 0)
+    def bucketDirs(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("adm_kb="))
+        .map(_.getPath).toIndexedSeq
+    def doc0Rows(): Long = {
+      val dirs = bucketDirs().map(_.toString)
+      if (dirs.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .filter(col("doc_id") === 0L).count()
+    }
+    // the fold's replanted copy: doc 0's stored key rows, pinned
+    // independently of the source files the sweep will delete
+    val saved = spark.read.option("basePath", store)
+      .option("mergeSchema", "true")
+      .parquet(bucketDirs().map(_.toString): _*)
+      .filter(col("doc_id") === 0L).drop("adm_kb")
+      .localCheckpoint(true)
+    assert(saved.count() > 0L, "vacuous: no stored rows for doc 0")
+    val freshAddr = (0 to 1000).find { a =>
+      !bucketDirs().exists(_.getName == s"adm_kb=$a") }.get
+    var fenceCalls = 0
+    Dedup.drainPassFence = () => {
+      fenceCalls += 1
+      if (fenceCalls == 1) {
+        // fabricate the exact ADVICE race: between the sweep's pass
+        // and its verification, a concurrent fold publishes target
+        // rows into a brand-new adm_kb= directory the pass never
+        // listed, while every directory the pass examined keeps the
+        // exact file set the pass expects
+        val staging = new org.apache.hadoop.fs.Path(root, ".fold-sim")
+        saved.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val target = new org.apache.hadoop.fs.Path(root,
+          s"adm_kb=$freshAddr")
+        fs.mkdirs(target)
+        fs.listStatus(staging)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(target,
+              s"foldsim-${s.getPath.getName}")))
+        fs.delete(staging, true)
+        assert(doc0Rows() > 0L, "vacuous drain race: plant failed")
+      }
+    }
+    try {
+      val removed = Dedup.removeAdmittedIds(spark, store, Set(0L))
+      assert(removed > 0L)
+      assert(fenceCalls >= 2,
+        "the full sweep stopped despite a fold-created directory it " +
+          s"never listed (fence ran $fenceCalls time(s))")
+      assert(doc0Rows() === 0L,
+        "sweep reported done while target rows survive in the " +
+          "fold-created directory")
+    } finally Dedup.drainPassFence = () => ()
+    // uncontended full sweep: one pass, root + dir proofs both clean
+    var quietCalls = 0
+    Dedup.drainPassFence = () => { quietCalls += 1 }
+    try {
+      assert(Dedup.removeAdmittedIds(spark, store, Set(1L)) > 0L)
+      assert(quietCalls === 1,
+        s"uncontended full sweep paid ${quietCalls - 1} extra pass(es)")
+    } finally Dedup.drainPassFence = () => ()
+  }
+
   test("maintainAdmitted wires stats to actions: threshold-triggered " +
     "compaction, splits, and expiry with decisions unchanged") {
     import spark.implicits._
@@ -1150,11 +1225,25 @@ class DedupSpec extends SparkTestBase {
         s"mode=$mf: recommendation wrong: $rec")
       assert(Dedup.admissionStoreStats(spark, store).maxDepth
         === stats0.maxDepth, s"mode=$mf: report-only run mutated layout")
+      // listing-mode autoRebase without the exclusivity certification
+      // is refused (rebucketAdmitted must not run beside the writer);
+      // manifest mode rebases online without the flag
+      if (!mf) {
+        val eExcl = intercept[IllegalArgumentException] {
+          Dedup.maintainAdmitted(spark, store,
+            Dedup.AdmissionMaintenancePolicy(
+              maxDepthBeforeRebase = stats0.maxDepth, autoRebase = true))
+        }
+        assert(eExcl.getMessage.contains("rebaseExclusive"))
+        assert(Dedup.admissionStoreStats(spark, store).maxDepth
+          === stats0.maxDepth, "refused rebase mutated layout")
+      }
       // opt-in executes: chains collapse to single-address reads at
       // the grown modulus
       val auto = Dedup.maintainAdmitted(spark, store,
         Dedup.AdmissionMaintenancePolicy(
-          maxDepthBeforeRebase = stats0.maxDepth, autoRebase = true))
+          maxDepthBeforeRebase = stats0.maxDepth, autoRebase = true,
+          rebaseExclusive = !mf))
       val grown = 2 << stats0.maxDepth
       assert(auto.rebasedTo.contains(grown),
         s"mode=$mf: auto rebase did not run: $auto")
