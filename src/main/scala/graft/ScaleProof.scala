@@ -138,6 +138,25 @@ object ScaleProof {
     val admitSplitRep = new java.util.concurrent.atomic.AtomicLong(0)
     val admitSplitDirs =
       scala.collection.mutable.Map.empty[Long, Array[Int]]
+    // removal-ONLY manifest leg: deterministic 8-doc batches, admitted
+    // UNTIMED at setup so each timed rep pays exactly one takedown
+    def admitRemovalBatch(r: Int): DataFrame = CorpusGenerator
+      .documents(spark, 8, seed = 9900 + r)
+      .select((col("doc_id") + lit(40000000L + r * 1000L)).as("doc_id"),
+        col("text"))
+    val admitRemoveSeeded = scala.collection.mutable.Set.empty[Long]
+    def admitRemoveSetup(n: Long, docs: DataFrame): String = {
+      val store = admitManifestSetup(n, docs)
+      if (!admitRemoveSeeded(n)) {
+        for (r <- 0 to reps + 1)
+          Dedup.nearDupFilterBatch(admitRemovalBatch(r), store,
+            "doc_id", "text", nBuckets = admitBucketsFor(n),
+            autoCompactFiles = 16).count()
+        admitRemoveSeeded += n
+      }
+      store
+    }
+    val admitRemoveRep = scala.collection.mutable.Map.empty[Long, Int]
 
     // (view0 checkpointed, feed checkpointed, sink) per corpus size —
     // built once on first use so the timed IVM reps never pay setup.
@@ -491,6 +510,25 @@ object ScaleProof {
             suppressSince = now - 24L * 3600 * 1000).count()
           Dedup.nearDupRemove(batch, store, "doc_id", "text",
             nBuckets = admitBucketsFor(n))
+        }),
+        // the TAKEDOWN alone against the manifest store — the removal
+        // cost curve the combined admit_maint_manifest turn folds into
+        // its admission: batches were admitted at setup (untimed), so
+        // each rep is exactly one content-keyed takedown — re-derive
+        // the batch's keys, read its touched chains through their
+        // group manifests, one serializable commit (no drain). Both
+        // the detection read and the group rewrites are O(batch
+        // chains), so expect a near-flat exponent like admit_maint's;
+        // this is the GDPR-latency number an operator actually quotes.
+        "admit_remove_manifest" -> (() => {
+          val store = admitRemoveSetup(n, docs)
+          val r = admitRemoveRep.updateWith(n)(
+            c => Some(c.getOrElse(-1) + 1)).get
+          val removed = Dedup.nearDupRemove(admitRemovalBatch(r), store,
+            "doc_id", "text", nBuckets = admitBucketsFor(n))
+          require(removed > 0L,
+            s"admit_remove_manifest is vacuous at n=$n rep $r")
+          removed
         }),
         // the MIGRATION's own cost curve — the honest O(store)
         // baseline the O(batch) admit legs contrast against: each rep
@@ -945,12 +983,15 @@ object ScaleProof {
       if (selected.exists(_._1.startsWith("restore_copyback")))
         restoreSetup(n, docs)
       if (selected.exists(s => s._1.startsWith("admit_") &&
-          s._1 != "admit_split" && s._1 != "admit_maint_manifest"))
+          s._1 != "admit_split" && s._1 != "admit_maint_manifest" &&
+          s._1 != "admit_remove_manifest"))
         admitSetup(n, docs)
       if (selected.exists(_._1 == "admit_split"))
         admitSplitSetup(n, docs)
       if (selected.exists(_._1 == "admit_maint_manifest"))
         admitManifestSetup(n, docs)
+      if (selected.exists(_._1 == "admit_remove_manifest"))
+        admitRemoveSetup(n, docs)
       for ((name, f) <- selected) {
         val (sec, times, rows) = timeReps(f)
         results((name, n)) = sec
