@@ -2967,12 +2967,16 @@ object SparkEntry {
     // minhash family, fixed split), so the sequential admission —
     // within-batch smaller-id rule, then the store join with
     // self-exclusion — mirrors in SQL over the shared bands CTE.
-    // The docs_minhash_admission* family runs MANIFEST publish mode
-    // (the object-store-safe commit-log layout; decisions identical by
-    // the parity spec) while docs_embed_admission keeps the listing
-    // layout, so the oracle gate crosses BOTH publish modes every
-    // round. Mode non-vacuity is asserted in the query: the store must
-    // actually carry a commit log.
+    // DELIBERATE publish-mode assignment (not incidental): the
+    // docs_minhash_admission* family runs MANIFEST publish mode (the
+    // object-store-safe commit-log layout an S3-backed deployment
+    // would pick; decisions identical by the parity spec) while
+    // docs_embed_admission keeps the LISTING layout (the
+    // HDFS-semantics default) — so the oracle gate crosses BOTH
+    // publish modes every round. The decision rule itself lives on
+    // nearDupFilterBatch's scaladoc (`manifestStore`). Mode
+    // non-vacuity is asserted in the query: the store must actually
+    // carry a commit log.
     "docs_minhash_admission" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val r = docs.agg(min(col("doc_id")).cast("long"),

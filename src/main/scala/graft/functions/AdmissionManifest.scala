@@ -146,8 +146,12 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
   /** Load one group manifest. `tolerateMissing` is for GC/vacuum
     * reference resolution ONLY (a dropped generation's group file may
     * have been reclaimed by an earlier GC pass that already handled
-    * its data files — see [[GenerationLog.gcAfter]]); reads on the
-    * live path fail loudly.
+    * its data files — see [[GenerationLog.gcAfter]]), and tolerates
+    * exactly ABSENCE: a group file that exists but fails to read or
+    * parse is loud even there — treating a transient IO failure as
+    * "empty group" would under-fill the GC keep-set and let it delete
+    * a live generation's data files. Reads on the live path fail
+    * loudly unconditionally.
     */
   private def loadGroup(spark: SparkSession, name: String,
       tolerateMissing: Boolean): AdmissionGroup =
@@ -161,7 +165,9 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
       } match {
         case scala.util.Success(g) => cacheGroup(name, g); g
         case scala.util.Failure(e) =>
-          if (tolerateMissing) AdmissionGroup(Map.empty)
+          if (tolerateMissing &&
+              scala.util.Try(!fs.exists(log.sub(name))).getOrElse(false))
+            AdmissionGroup(Map.empty)
           else throw new IllegalStateException(
             s"unreadable admission group manifest $storePath/$name", e)
       }
@@ -241,6 +247,28 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
 
   // ----------------------------- reads -----------------------------
 
+  /** Stage a relation carrying `adm_kb` into per-address files under
+    * `dir` while KEEPING `adm_kb` as a data column: the partition
+    * directory (`adm_kb_p=`) exists only so [[stagedByAddr]] can
+    * assign staged files to addresses from the listing, never so a
+    * reader can re-infer the address. In manifest mode the MANIFEST
+    * is the address map, so reads must not depend on directory
+    * structure — keeping the column in the data lets every read be
+    * ONE plain parquet read of the manifest's file lists (no
+    * basePath partition discovery, no per-generation reader). The
+    * per-generation-reader shape this replaces was the store's real
+    * residual scale term: live generation-dir count grows with churn,
+    * and each reader creation paid its own driver-side schema job per
+    * probe/detection read (measured: the admit_maint A/B's manifest
+    * gap at the 500k store survived the manifest-list split because
+    * of it).
+    */
+  private def stageByAddr(df: DataFrame, dir: String): Unit =
+    df.withColumn("adm_kb_p", col("adm_kb"))
+      .repartition(col("adm_kb_p"))
+      .write.mode("overwrite").partitionBy("adm_kb_p")
+      .parquet(log.subPath(dir))
+
   private def listStaged(spark: SparkSession, dir: String): Seq[AdmFile] = {
     val fs = hfs(spark)
     val p = log.sub(dir)
@@ -248,7 +276,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
     else fs.listStatus(p).toSeq.flatMap { s =>
       if (s.isFile && s.getPath.getName.endsWith(".parquet"))
         Seq(AdmFile(s"$dir/${s.getPath.getName}", s.getLen))
-      else if (s.isDirectory && s.getPath.getName.startsWith("adm_kb="))
+      else if (s.isDirectory && s.getPath.getName.startsWith("adm_kb_p="))
         fs.listStatus(s.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => AdmFile(
@@ -265,31 +293,18 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
   private def stagedByAddr(spark: SparkSession,
       dir: String): Map[Int, Seq[AdmFile]] =
     listStaged(spark, dir)
-      .filter(_.path.split("/")(1).startsWith("adm_kb="))
-      .groupBy(_.path.split("/")(1).stripPrefix("adm_kb=").toInt)
+      .filter(_.path.split("/")(1).startsWith("adm_kb_p="))
+      .groupBy(_.path.split("/")(1).stripPrefix("adm_kb_p=").toInt)
 
-  /** Read a set of manifest bucket files as ONE relation carrying
-    * `adm_kb`. Files are grouped by their generation directory (the
-    * first path segment) and each group is read with its own
-    * `basePath`, so `adm_kb` arrives as that group's inferred
-    * partition column; groups union by name (schema drift across
-    * generations tolerated, absent columns null = the fail-closed
-    * legacy rule). Live generation-group count is bounded by the
-    * fold/compact cadence exactly as live file counts are in the
-    * listing layout.
+  /** ONE plain parquet read of a manifest file list — `adm_kb` is a
+    * data column (see [[stageByAddr]]), so no basePath, no partition
+    * inference, one reader however many generations the files span.
+    * mergeSchema keeps cross-generation schema drift tolerated
+    * (absent columns null — the fail-closed legacy rule) at the cost
+    * of one footer-merge job per read, same as the listing layout's
+    * slice read.
     */
-  private def readBucketFiles(spark: SparkSession,
-      files: Seq[String]): Option[DataFrame] = {
-    if (files.isEmpty) return None
-    val groups = files.groupBy(_.split("/")(0))
-    Some(groups.map { case (gen, fsOfGen) =>
-      spark.read.option("basePath", log.subPath(gen))
-        .option("mergeSchema", "true")
-        .parquet(fsOfGen.map(log.subPath): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)))
-  }
-
-  private def readTailFiles(spark: SparkSession,
+  private def readFiles(spark: SparkSession,
       files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
@@ -307,10 +322,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
       suppressSince: Long): Option[DataFrame] = {
     val bucketFiles = bucketsFor(spark, man, touched)
       .values.flatten.map(_.path).toSeq
-    val rels = readBucketFiles(spark, bucketFiles).map(_.drop("adm_kb"))
-      .toSeq ++
-      readTailFiles(spark, man.tail.map(_.path)).map(_.drop("adm_kb")).toSeq
-    rels.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    readFiles(spark, bucketFiles ++ man.tail.map(_.path))
       .map(df => Dedup.inWindow(df, suppressSince)
         .select(col("doc_id").as("s_id") +:
           keyCols.map(c => col(c).as(s"s_$c")): _*))
@@ -361,7 +373,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
             bytes <= Dedup.admissionTailMaxBytes) None
         else {
           val raw = Dedup.inWindow(
-            readTailFiles(spark, man.tail.map(_.path)).get, expireBefore)
+            readFiles(spark, man.tail.map(_.path)).get, expireBefore)
           // re-route through the CURRENT depth map (stored adm_kb was
           // routed at admission time and may predate splits since) —
           // same rule as the listing fold
@@ -375,9 +387,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
                   man.nBuckets, splits))
             }
           val dir = s"fold-${log.uid}"
-          routed.repartition(col("adm_kb"))
-            .write.mode("overwrite").partitionBy("adm_kb")
-            .parquet(log.subPath(dir))
+          stageByAddr(routed, dir)
           val byAddr = stagedByAddr(spark, dir)
           folded = byAddr.keys.toSeq
           val cur = bucketsFor(spark, man, folded)
@@ -411,7 +421,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
       val over = candidates.filter(_._2.length > maxFiles)
       if (over.isEmpty) None
       else {
-        val cur = readBucketFiles(spark,
+        val cur = readFiles(spark,
           over.values.flatten.map(_.path).toSeq).get
         val live =
           if (expireBefore <= 0L) cur else Dedup.inWindow(cur, expireBefore)
@@ -424,9 +434,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
               .map(col).toIndexedSeq: _*)
             .agg(max(col("adm_ts")).as("adm_ts"))
         val dir = s"cp-${log.uid}"
-        dedup.repartition(col("adm_kb"))
-          .write.mode("overwrite").partitionBy("adm_kb")
-          .parquet(log.subPath(dir))
+        stageByAddr(dedup, dir)
         val byAddr = stagedByAddr(spark, dir)
         compacted = over.keys.toSeq
         // a bucket whose rows ALL expired ends file-less: drop its key
@@ -459,7 +467,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         require((man.nBuckets.toLong << newDepth) <= Int.MaxValue.toLong,
           s"splitAdmittedBucket: depth $newDepth over base " +
             s"${man.nBuckets} overflows the int bucket address space")
-        val cur = readBucketFiles(spark, files.map(_.path)).get
+        val cur = readFiles(spark, files.map(_.path)).get
         val keyCols = admissionKeyColumns(cur.columns.toSeq)
         require(keyCols.nonEmpty,
           s"splitAdmittedBucket: no key columns under $storePath")
@@ -469,10 +477,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         val obs = new org.apache.spark.sql.Observation(
           s"msplit-$addr-${log.uid}")
         val dir = s"split-${log.uid}"
-        rekeyed.observe(obs, count(lit(1)).as("n"))
-          .repartition(col("adm_kb"))
-          .write.mode("overwrite").partitionBy("adm_kb")
-          .parquet(log.subPath(dir))
+        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir)
         moved = obs.get("n").asInstanceOf[Long]
         val byAddr = stagedByAddr(spark, dir)
         val updates = Map(addr -> Seq.empty[AdmFile]) ++ byAddr
@@ -511,9 +516,9 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         case None => allBuckets(spark, man)
         case Some(f) => bucketsFor(spark, man, f(man).distinct)
       }).filter(_._2.nonEmpty)
-      val bucketRel = readBucketFiles(spark,
+      val bucketRel = readFiles(spark,
         targetLists.values.flatten.map(_.path).toSeq)
-      val tailRel = readTailFiles(spark, man.tail.map(_.path))
+      val tailRel = readFiles(spark, man.tail.map(_.path))
       // one detection job over both levels: per-bucket hit counts
       // (tail rows count under their stored adm_kb — only presence
       // matters for which lists to swap, and tail rows are always
@@ -531,15 +536,15 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         var groups2 = man.groups
         if (bucketHits.nonEmpty) {
           val hitAddrs = bucketHits.keySet
-          // the adm_kb filter partition-prunes each generation group
-          // of the SAME detection relation down to the hit buckets'
-          // files — no second listing, no re-read of no-hit buckets
-          val keep = keepOf(bucketRel.get
-            .filter(col("adm_kb").isInCollection(hitAddrs.toSeq)))
+          // the MANIFEST's per-address file lists prune the keep-read
+          // to exactly the hit buckets' files — stronger than parquet
+          // partition pruning (file-level, no directory layout
+          // involved), and no-hit buckets stay unread and untouched
+          val hitFiles = hitAddrs.toSeq
+            .flatMap(a => targetLists.getOrElse(a, Nil)).map(_.path)
+          val keep = keepOf(readFiles(spark, hitFiles).get)
           val dir = s"rw-${log.uid}"
-          keep.repartition(col("adm_kb"))
-            .write.mode("overwrite").partitionBy("adm_kb")
-            .parquet(log.subPath(dir))
+          stageByAddr(keep, dir)
           val byAddr = stagedByAddr(spark, dir)
           staged ++= byAddr.values.flatten.map(_.path)
           val updates = hitAddrs.map(a =>
@@ -591,14 +596,12 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         Some((AdmissionManifest(newN, defaultGroupCount, 0, Map.empty,
           Nil, Map.empty), Nil))
       else {
-        // tail rows carry adm_kb as a DATA column — drop it everywhere
-        // and re-key (same derivation as admission itself)
-        val bucketRel = readBucketFiles(spark,
-          allLists.values.flatten.map(_.path).toSeq).map(_.drop("adm_kb"))
-        val tailRel =
-          readTailFiles(spark, man.tail.map(_.path)).map(_.drop("adm_kb"))
-        val cur = (bucketRel.toSeq ++ tailRel.toSeq)
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        // every stored row carries adm_kb as a data column — drop it
+        // and re-key under the new modulus (same derivation as
+        // admission itself); one read covers buckets AND tail
+        val cur = readFiles(spark,
+          allLists.values.flatten.map(_.path).toSeq ++
+            man.tail.map(_.path)).get.drop("adm_kb")
         val keyCols = admissionKeyColumns(cur.columns.toSeq)
         require(keyCols.nonEmpty,
           s"rebucketAdmitted: no key columns under $storePath")
@@ -606,10 +609,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
           pmod(xxhash64(keyCols.map(col): _*), lit(newN)).cast("int"))
         val obs = new org.apache.spark.sql.Observation(s"mrb-${log.uid}")
         val dir = s"rb-${log.uid}"
-        rekeyed.observe(obs, count(lit(1)).as("n"))
-          .repartition(col("adm_kb"))
-          .write.mode("overwrite").partitionBy("adm_kb")
-          .parquet(log.subPath(dir))
+        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir)
         moved = obs.get("n").asInstanceOf[Long]
         val byAddr = stagedByAddr(spark, dir)
         val fresh = AdmissionManifest(newN, defaultGroupCount, 0,
@@ -776,9 +776,11 @@ private[graft] final case class AdmFile(path: String, size: Long)
   * depth map — O(split buckets), collapsed by a rebase), the bounded
   * tail's file list, and one reference per non-empty address group to
   * the immutable group-manifest file carrying that slice's
-  * `bucket addr -> [files]` lists. Bucket data paths are always
-  * shaped `<generation-dir>/adm_kb=<addr>/<file>` so group reads can
-  * infer the partition column; tail files `<t-dir>/<file>`.
+  * `bucket addr -> [files]` lists. Bucket data paths are shaped
+  * `<generation-dir>/adm_kb_p=<addr>/<file>` (the staging layout the
+  * writer assigns addresses from); tail files `<t-dir>/<file>`.
+  * Every data file carries `adm_kb` as a DATA column — readers never
+  * depend on the directory shape (see the store's `stageByAddr`).
   */
 private[graft] final case class AdmissionManifest(
     nBuckets: Int,

@@ -619,6 +619,20 @@ object Dedup {
     * survive. Wire it into a stream with
     * `writeStream.foreachBatch((b, _) => nearDupFilterBatch(b, …)
     * .write.mode("append")…)`.
+    *
+    * `manifestStore` — the PUBLISH-MODE decision, made once at store
+    * creation (detected from disk ever after; no in-place
+    * conversion). The rule: default `false` (the listing layout —
+    * rename-as-commit, no commit log to maintain) on HDFS-semantics
+    * filesystems, where atomic rename and consistent listing hold;
+    * `true` (the [[AdmissionManifestStore]] commit log — O(touched)
+    * manifest-list commits, serializable mutations, snapshot
+    * isolation) on object stores, where rename is a copy and listing
+    * is eventually consistent, or when takedown latency must not
+    * depend on drain rescans beside a hot writer. The per-turn price
+    * of manifest mode is its CAS commits and group-manifest writes —
+    * measured ≈ at parity with listing at small stores and a small
+    * constant at corpus-scale ones (ScaleProof admit_maint A/B).
     */
   def nearDupFilterBatch(batch: DataFrame, storePath: String,
                          idCol: String, textCol: String,
