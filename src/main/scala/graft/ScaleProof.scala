@@ -144,14 +144,25 @@ object ScaleProof {
       .documents(spark, 8, seed = 9900 + r)
       .select((col("doc_id") + lit(40000000L + r * 1000L)).as("doc_id"),
         col("text"))
+    // own store, seeded FULLY FOLDED (tailFoldFiles = 0, the
+    // admitSplitSetup rule): admitManifestSetup's store sits entirely
+    // in the L0 tail at small n, so a takedown there rewrites one tail
+    // file while the big store's takedown walks the bucket path — the
+    // exponent would compare shapes, not scales
     val admitRemoveSeeded = scala.collection.mutable.Set.empty[Long]
     def admitRemoveSetup(n: Long, docs: DataFrame): String = {
-      val store = admitManifestSetup(n, docs)
+      val store = s"$work/admremove_$n"
       if (!admitRemoveSeeded(n)) {
+        for (b <- 0 until 4)
+          Dedup.nearDupFilterBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+            store, "doc_id", "text",
+            nBuckets = admitBucketsFor(n), autoCompactFiles = 16,
+            tailFoldFiles = 0, manifestStore = true)
         for (r <- 0 to reps + 1)
           Dedup.nearDupFilterBatch(admitRemovalBatch(r), store,
             "doc_id", "text", nBuckets = admitBucketsFor(n),
-            autoCompactFiles = 16).count()
+            autoCompactFiles = 16, tailFoldFiles = 0).count()
         admitRemoveSeeded += n
       }
       store
