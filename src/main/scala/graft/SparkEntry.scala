@@ -388,7 +388,12 @@ object SparkEntry {
         avg(log(col("wn").cast("double") / lit(tn))), 6).as("alp"))
       .filter(col("alp") >= -3.41)
       .select(col("doc_id"))
-    val spanOk = Dedup.dupSpanFraction(docs, "doc_id", "text", 8)
+    // the span leg reads the SAME tokenized staging as the other
+    // legs: dupSpanFraction(docs, ...) would re-read and re-tokenize
+    // the corpus (two more full scans at 100 TB — the single-tokenize
+    // contract this plan pins extends to all four legs now)
+    val spanOk = Dedup.dupSpanFractionFromTokens(
+        toksDf.select(col("doc_id"), col("toks").as("tk")), 8)
       .filter(col("dup_fraction") <= 0.3)
       .select(col("doc_id"))
     scanPass
@@ -2736,7 +2741,11 @@ object SparkEntry {
       val drop = Dedup.connectedComponents(neardupPairs(s, d))
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
-      t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
+      // drop is PAIR-LIST-bounded (capped candidate generation), but it
+      // flows out of the CC plan with no size stats — unhinted, the
+      // anti-join sort-merges and shuffles the whole corpus (r20 plan
+      // audit: 2 Exchange + 2 Sort → 0)
+      t(s, d, "documents").join(broadcast(drop), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
@@ -3182,7 +3191,10 @@ object SparkEntry {
       val (exact, total) = recallExactFixture(s, d)
       def leg(method: String, approx: DataFrame): DataFrame =
         approx.select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          // exact is |queries|·k rows (40 here) behind a checkpoint
+          // with no stats — unhinted each leg sort-merged (r20 plan
+          // audit: 10 SMJ + 20 Exchange across the five legs → 0)
+          .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
           .select(lit(method).as("method"), col("hits"),
             lit(total).as("total"),

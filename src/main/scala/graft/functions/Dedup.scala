@@ -490,6 +490,31 @@ object Dedup {
         posexplode(graft.plans.ShingleHashesExpr.shingle_hashes(
           col("tk"), w)).as(Seq("pos", "sh")))
 
+  /** The (doc_id, tk) token projection the span operators scan —
+    * exposed so a caller that already tokenized the corpus (e.g. the
+    * curation pipeline's single-tokenize staging) can feed it to
+    * [[dupSpanFractionFromTokens]] instead of paying another full
+    * tokenize scan.
+    */
+  private[graft] def tokensProjection(docs: DataFrame, idCol: String,
+                                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
+
+  /** Positional scan carrying the token COUNT beside the shingle
+    * hashes: (doc_id, n_toks, pos, sh), with ONE stub row (null
+    * pos/sh via posexplode_outer) for documents shorter than one
+    * shingle. One tokenize pass thus also yields every document's
+    * token count — [[dupSpanFraction]]'s denominator, which
+    * previously cost a SECOND full corpus scan; recovering it from
+    * the materialized positional relation is a map-side-partial
+    * aggregate of (doc_id, int) pairs, corpus-scan-free.
+    */
+  private def positionalShingleScan(toks: DataFrame, w: Int): DataFrame =
+    toks.select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_toks"),
+        posexplode_outer(graft.plans.ShingleHashesExpr.shingle_hashes(
+          col("tk"), w)).as(Seq("pos", "sh")))
+
   /** Cross-document duplicated substring spans — the Spark-shaped
     * re-expression of suffix-array exact substring dedup ("any
     * ≥w-token sequence appearing verbatim in two documents"): maximal
@@ -515,22 +540,36 @@ object Dedup {
     *      intervals and fuse into one maximal span.
     */
   def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                       w: Int, indexPath: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // The positional relation feeds two consumers (the distinct-doc
-    // count and the position join); materialize it once instead of
-    // running the tokenize→shingle→md5 scan twice. localCheckpoint is
-    // the single-job default; `indexPath` writes the positional index
-    // to parquet instead (same durability trade-off as
-    // [[jaccardPairs]]'s inverted index — the 100 TB configuration).
-    val raw = positionalShingleHashes(docs, idCol, textCol, w)
-    val ps = indexPath match {
+                       w: Int, indexPath: Option[String] = None): DataFrame =
+    spansFromPositional(
+      materializePositional(
+        positionalShingleScan(tokensProjection(docs, idCol, textCol), w),
+        indexPath), w)
+
+  /** Materialize the positional relation ONCE — it feeds two consumers
+    * (the distinct-doc count and the position join). localCheckpoint
+    * is the single-job default; `indexPath` writes the positional
+    * index to parquet instead (same durability trade-off as
+    * [[jaccardPairs]]'s inverted index — the 100 TB configuration).
+    */
+  private def materializePositional(raw: DataFrame,
+                                    indexPath: Option[String]): DataFrame =
+    indexPath match {
       case Some(path) =>
         raw.write.mode("overwrite").parquet(path)
         raw.sparkSession.read.parquet(path)
       case None => raw.localCheckpoint(true)
     }
-    val dupSh = ps.select(col("sh"), col("doc_id")).distinct()
+
+  /** The span pipeline over a materialized positional relation. Stub
+    * rows (null sh — short docs, kept so the relation carries every
+    * doc's token count) never form spans: a null hash equals nothing
+    * in the join.
+    */
+  private def spansFromPositional(ps: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupSh = ps.select(col("sh"), col("doc_id"))
+      .filter(col("sh").isNotNull).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2).select(col("sh"))
     val dupPos = ps.join(dupSh, "sh").select(col("doc_id"), col("pos"))
@@ -556,12 +595,24 @@ object Dedup {
     * IEEE double, so any engine reproduces it bit-for-bit.
     */
   def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
-                      w: Int, indexPath: Option[String] = None): DataFrame = {
-    val spans = crossDocDupSpans(docs, idCol, textCol, w, indexPath)
+                      w: Int, indexPath: Option[String] = None): DataFrame =
+    dupSpanFractionFromTokens(tokensProjection(docs, idCol, textCol), w,
+      indexPath)
+
+  /** [[dupSpanFraction]] over a pre-tokenized (doc_id, tk) projection
+    * — the shape the curation pipeline's single-tokenize staging
+    * feeds. ONE corpus pass total: the positional scan carries
+    * n_toks per row (stub rows keep short docs present), so the
+    * denominator aggregates off the materialized positional relation
+    * — map-side-partial (doc_id, long) pairs — where it previously
+    * re-read and re-tokenized the whole corpus.
+    */
+  private[graft] def dupSpanFractionFromTokens(toks: DataFrame, w: Int,
+      indexPath: Option[String] = None): DataFrame = {
+    val ps = materializePositional(positionalShingleScan(toks, w), indexPath)
+    val spans = spansFromPositional(ps, w)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
-    docs
-      .select(col(idCol).as("doc_id"),
-        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+    ps.groupBy(col("doc_id")).agg(max(col("n_toks")).as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
@@ -926,7 +977,9 @@ object Dedup {
         keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
         col("r.doc_id") < col("l.doc_id"), "left_semi")
       .select(col("doc_id"))
-    val dropIds = vsStore.union(withinBatch).distinct()
+    // no distinct(): anti-join semantics ignore duplicate drop ids, and
+    // the dedup added one exchange + aggregate per batch for nothing
+    val dropIds = vsStore.union(withinBatch)
       .withColumnRenamed("doc_id", idCol)
     batch.join(dropIds, Seq(idCol), "left_anti")
   }

@@ -246,8 +246,12 @@ object IncrementalAgg {
     val k = damagedKeys.alias("_ia_k")
     val semiCond = keys.map(c => col(s"_ia_b.$c") <=> col(s"_ia_k.$c"))
       .foldLeft(lit(true))(_ && _)
+    // broadcast the damaged-key set: it is DELTA-bounded (only feed
+    // retractions damage keys — the O(delta) contract this operator
+    // already assumes), while the unhinted semi-join sort-merged and
+    // shuffled the full base snapshot to repair a handful of keys
     val repaired = minMaxView(
-      b.join(k, semiCond, "left_semi"), keys, cols)
+      b.join(broadcast(k), semiCond, "left_semi"), keys, cols)
     healthy.unionByName(repaired)
   }
 
