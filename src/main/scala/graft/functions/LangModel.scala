@@ -47,6 +47,27 @@ object LangModel {
       .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
       .withColumn("ctx", substring_index(col("bg"), " ", 1))
 
+  /** Per-TOKEN stream carrying each token's following bigram:
+    * (doc_id, word, bg) with bg NULL on a document's last token — one
+    * row per corpus token. ONE scan now serves all four model
+    * consumers: bigrams = the bg-non-null rows (ctx ≡ word by
+    * construction), and the vocabulary = COUNT(DISTINCT word) — which
+    * previously cost a SECOND full corpus tokenize pass because the
+    * bigram-only stream misses each document's last token. Same
+    * materialized width as the old (doc_id, bg, ctx) stream (the ctx
+    * column IS the word), so the single-scan shape is free.
+    */
+  private def tokenBigramStream(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("word"),
+        // guard before element_at: ANSI mode errors past the array end
+        when(col("pos") + 1 < size(col("toks")),
+          concat(col("word"), lit(" "),
+            element_at(col("toks"), col("pos") + lit(2)))).as("bg"))
+
   def modelExists(docs: DataFrame, path: String): Boolean = {
     val spark = docs.sparkSession
     // the marker is vocab/_SUCCESS, not the vocab/ directory: the
@@ -76,17 +97,18 @@ object LangModel {
     // (ScaleProof measured AGGREGATE_OUT_OF_MEMORY at exactly this
     // size), and a durable build already owns a durable location.
     val stage = s"$path/_bg_stage"
-    bigramStream(docs, idCol, textCol)
+    tokenBigramStream(docs, idCol, textCol)
       .write.mode("overwrite").parquet(stage)
-    val bigrams = spark.read.parquet(stage)
+    val stream = spark.read.parquet(stage)
+    val bigrams = stream.filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg"), col("word").as("ctx"))
     bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
       .write.mode("overwrite").parquet(s"$path/c2")
     bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
       .write.mode("overwrite").parquet(s"$path/c1")
-    // V needs the full token vocabulary (contexts miss each doc's
-    // last token), so one more tokenize pass computes it
-    docs.select(explode(Text.tokens(col(textCol))).as("word"))
-      .agg(countDistinct(col("word")).cast("double").as("vocab"))
+    // V = the full token vocabulary — the per-token stage carries every
+    // token (bg NULL on each doc's last), so no extra tokenize pass
+    stream.agg(countDistinct(col("word")).cast("double").as("vocab"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
     fs.delete(new Path(stage), true)
   }
@@ -155,20 +177,25 @@ object LangModel {
          spark.read.parquet(s"$path/c1"),
          spark.read.parquet(s"$path/vocab"))
       case None =>
-        // the bigram stream feeds three consumers (both model builds +
-        // scoring): materialize it once instead of re-tokenizing the
-        // corpus per use — measured 1.8×. The model aggregates are
-        // ALSO materialized: the size gate below counts them, and an
+        // the token stream feeds FOUR consumers (both model builds,
+        // scoring, and the vocabulary): materialize it once instead of
+        // re-tokenizing the corpus per use — measured 1.8× for the
+        // bigram consumers alone, and the per-token shape also folds
+        // in the vocabulary count, which used to be its own full
+        // corpus tokenize pass. The model aggregates are ALSO
+        // materialized: the size gate below counts them, and an
         // unmaterialized aggregate would run twice (once for the
         // count, again when the join executes)
-        val bigrams = bigramStream(docs, idCol, textCol).localCheckpoint(true)
+        val stream = tokenBigramStream(docs, idCol, textCol)
+          .localCheckpoint(true)
+        val bigrams = stream.filter(col("bg").isNotNull)
+          .select(col("doc_id"), col("bg"), col("word").as("ctx"))
         (bigrams,
          bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
            .localCheckpoint(true),
          bigrams.groupBy(col("ctx")).agg(count(lit(1)).as("cn"))
            .localCheckpoint(true),
-         docs.select(explode(Text.tokens(col(textCol))).as("word"))
-           .agg(countDistinct(col("word")).cast("double").as("vocab")))
+         stream.agg(countDistinct(col("word")).cast("double").as("vocab")))
     }
     // Both model tables grow with the corpus (bigram TYPES
     // near-linearly — the acute case), so the joins are size-gated:

@@ -172,14 +172,48 @@ object Tables {
     }
   }
 
+  /** Inferred-schema memo — the catalog's job, done locally: every
+    * `spark.read.parquet(path)` re-infers the table schema, which on
+    * multi-file tables runs a footer-merge JOB (~50 ms) per read —
+    * paid by every query invocation for immutable input files
+    * (production avoids exactly this with a metastore/table format;
+    * guide §6). Keyed by the files' (name, length, mtime) fingerprint
+    * — any rewrite re-infers — AND the nanosAsLong conf state, since
+    * inference under the flipped conf yields a different schema
+    * (LongType vs analysis error) for TIMESTAMP(NANOS) columns. Only
+    * METADATA is cached; every read still scans the parquet data.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private val schemaCacheMax = 256
+
+  private def schemaKey(spark: SparkSession, path: String,
+                        nanosOn: Boolean): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = scala.util.Try(fs.listStatus(p)).getOrElse(Array.empty)
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    s"$path|nanos=$nanosOn|${parts.mkString(",")}"
+  }
+
   /** Plain parquet read, retried once under `nanosAsLong` iff the
     * first attempt failed on a TIMESTAMP(NANOS) column. Returns
     * whether nanos-as-long semantics are in effect for this read.
     */
   private def readRaw(spark: SparkSession, path: String): (DataFrame, Boolean) = {
     val alreadyOn = spark.conf.getOption(nanosAsLongKey).contains("true")
+    val key = schemaKey(spark, path, alreadyOn)
+    val cached = schemaCache.get(key)
+    if (cached != null)
+      return (spark.read.schema(cached).parquet(path), alreadyOn)
+    def remember(df: DataFrame, nanosOn: Boolean): DataFrame = {
+      if (schemaCache.size >= schemaCacheMax) schemaCache.clear()
+      schemaCache.put(schemaKey(spark, path, nanosOn), df.schema)
+      df
+    }
     try {
-      (spark.read.parquet(path), alreadyOn)
+      (remember(spark.read.parquet(path), alreadyOn), alreadyOn)
     } catch {
       // Matched on the NANOS analysis message across the cause chain,
       // not on exception class: Spark surfaces the illegal-parquet-type
@@ -189,7 +223,7 @@ object Tables {
         // Documented session precondition on nanos data (see scaladoc):
         // the conf must remain set — execution-time scans re-read it.
         spark.conf.set(nanosAsLongKey, "true")
-        (spark.read.parquet(path), true)
+        (remember(spark.read.parquet(path), true), true)
     }
   }
 

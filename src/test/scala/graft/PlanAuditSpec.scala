@@ -125,24 +125,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"extra full-row exchange beside the per-doc window:\n$p")
   }
 
-  test("docs_curation_v2: one tokenize pass feeds scan-gate, repetition, LM legs") {
+  test("docs_curation_v2: one tokenize pass feeds ALL four legs") {
     import org.apache.spark.sql.functions.col
     // The survivor frame is audited pre-checkpoint (the query entry
     // checkpoints it, which hides the leg shapes): the scan-gate,
-    // repetition, and LM legs must all read the materialized token
-    // projection (ExistingRDD scans), leaving exactly ONE live
-    // documents file scan — the dup-span token-count leg, the only
-    // consumer that genuinely needs its own pass.
+    // repetition, LM, AND dup-span legs must all read the
+    // materialized token projection (ExistingRDD scans) — ZERO live
+    // documents file scans, ZERO live tokenize calls. (r20: the
+    // dup-span leg used to pay its own read+tokenize pass twice over;
+    // the positional scan now carries the token count and feeds off
+    // the staged projection like every other leg.)
     val docs = graft.sources.Tables.read(spark, sf, "documents")
     val toksDf = docs.withColumn("toks",
       graft.functions.Text.tokens(col("text"))).localCheckpoint(true)
     val p = SparkEntry.curationV2Survivors(docs, toksDf)
       .queryExecution.executedPlan.toString
-    assert(count(p, "FileScan parquet") === 1,
-      s"expected exactly one live documents scan (dup-span leg):\n$p")
-    assert(count(p, "tokens(text") === 1,
-      s"expected exactly one live tokenize (dup-span leg):\n$p")
-    assert(count(p, "Scan ExistingRDD") >= 3,
+    assert(count(p, "FileScan parquet") === 0,
+      s"a leg re-reads the documents table instead of the staging:\n$p")
+    assert(count(p, "tokens(text") === 0,
+      s"a leg re-tokenizes instead of reading the staged tokens:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 4,
       s"legs stopped reading the materialized token projection:\n$p")
   }
 
