@@ -893,19 +893,17 @@ object Dedup {
       // address, collected to expand each key's probe CHAIN — both equal
       // pmod(h, nBuckets) on a never-split store.
       val keyHash = xxhash64(keyCols.map(col): _*)
-      keys = keys0
+      val (k2, deepSet) = checkpointKeysWithDeepSet(keys0
         .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
         .withColumn("adm_deep",
-          pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
-        .localCheckpoint(true)
+          pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int")))
+      keys = k2
 
       // the buckets this batch can possibly collide in — every existing
       // directory on each key's address chain; ≤ distinct batch keys ×
       // (maxDepth + 1) values, never data-sized
       val touched: Seq[Int] =
-        keys.select(col("adm_deep")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-        .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
+        deepSet.flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
       val storeRel =
         (admissionStoreSlice(spark, storePath, keyCols, touched,
             suppressSince).toSeq ++
@@ -953,6 +951,28 @@ object Dedup {
         splitAdmittedBucket(spark, storePath, b) }
     }
     survivors
+  }
+
+  /** Materialize a batch's key relation and collect its distinct
+    * deepest-modulus addresses IN THE SAME JOB (an Observation riding
+    * the checkpoint action): the probe-chain expansion needs the
+    * distinct `adm_deep` set, which used to be a second collect job —
+    * planning + scheduling per batch for a value the materializing
+    * pass already saw. The set is ≤ distinct batch keys, the same
+    * bound the collect had.
+    */
+  private def checkpointKeysWithDeepSet(withAddrs: DataFrame)
+      : (DataFrame, Seq[Int]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val keys = withAddrs
+      .observe(obs, collect_set(col("adm_deep")).as("deep"))
+      .localCheckpoint(true)
+    val deep = obs.get("deep") match {
+      case s: scala.collection.Seq[_] => s.toSeq.map(_.asInstanceOf[Int])
+      case other => throw new IllegalStateException(
+        s"unexpected observation payload: $other")
+    }
+    (keys, deep)
   }
 
   /** The admission decision — shared verbatim by both publish modes
@@ -1003,15 +1023,12 @@ object Dedup {
     val splits = man.splits
     requireChainAddressable(storePath, nBuckets, splits)
     val keyHash = xxhash64(keyCols.map(col): _*)
-    val keys = keys0
+    val (keys, deepSet) = checkpointKeysWithDeepSet(keys0
       .withColumn("adm_kb", routedAddr(keyHash, nBuckets, splits))
       .withColumn("adm_deep",
-        pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int"))
-      .localCheckpoint(true)
+        pmod(keyHash, lit(nBuckets.toLong << splits.maxDepth)).cast("int")))
     val touched: Seq[Int] =
-      keys.select(col("adm_deep")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-        .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
+      deepSet.flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
     val storeRel = store.probeRel(spark, man, keyCols, touched,
       suppressSince)
     val survivors = decideSurvivors(batch, keys, keyCols, idCol, storeRel)
@@ -2076,21 +2093,24 @@ object Dedup {
     // a store built with an int id column must still take takedowns —
     // the long removal set compares against the stored column under
     // Spark's numeric coercion (matching removeAdmittedIds' cast).
-    val keys = keys0.select(col("doc_id").cast("long").as("doc_id"),
+    // ONE collect of the takedown-batch-bounded (id, key-hash) pairs:
+    // every downstream consumer (the removal INSET, the touched-chain
+    // expansion — re-derived per drain pass / CAS attempt against the
+    // CURRENT depth map, but from the same immutable hash set) is
+    // driver-side, so the former checkpoint + three collect jobs were
+    // three plans and three scheduler round-trips for one value.
+    val pairs = keys0.select(col("doc_id").cast("long").as("doc_id"),
         xxhash64(keyCols.map(col): _*).as("adm_kh"))
-      .distinct()
-      .localCheckpoint(true) // takedown-batch-bounded
-    val ids = keys.select("doc_id").distinct()
-      .collect().map(_.getLong(0)).toSet
+      .distinct().collect()
+    val ids = pairs.map(_.getLong(0)).toSet
+    val khs = pairs.map(_.getLong(1)).distinct.toIndexedSeq
+    def pm(h: Long, m: Long): Int = (((h % m) + m) % m).toInt
     if (manifest) {
       // serializable commits replace the drain: the rewrite derives
       // its touched chains from the exact manifest it commits over
       // (targetsOf re-runs per CAS attempt), so no interleaving can
       // hide a relocated row
       val store = AdmissionManifestStore(storePath)
-      val khs = keys.select("adm_kh").distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      def pm(h: Long, m: Long): Int = (((h % m) + m) % m).toInt
       return store.rewriteStore(spark,
         Some { man =>
           require(man.nBuckets == nBuckets,
@@ -2117,11 +2137,8 @@ object Dedup {
     drainRemoval(fs) { () =>
       val splits = readSplits(fs, storePath)
       requireChainAddressable(storePath, nBuckets, splits)
-      val touched = keys.select(
-          pmod(col("adm_kh"), lit(nBuckets.toLong << splits.maxDepth))
-            .cast("int").as("adm_deep"))
-        .distinct()
-        .collect().map(_.getInt(0)).toSeq
+      val m = nBuckets.toLong << splits.maxDepth
+      val touched = khs.map(pm(_, m))
         .flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
       removeIdsInBuckets(spark, storePath, ids, Some(touched))
     }
