@@ -1050,6 +1050,12 @@ object Similarity {
     * manual chunked run, because the codebook (and the coarse
     * quantizer) depend only on the corpus.
     */
+  /** PASSED provenance audits of persisted PQ codes tables, keyed by
+    * (plan identity, codebook fingerprint) — see the audit site in
+    * [[pqAdc]]. Bounded; cleared wholesale at the cap.
+    */
+  private val fpAuditPassed = scala.collection.mutable.Set.empty[String]
+
   private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
                     m: Int, nCodes: Int, rerank: Int, iters: Int,
                     idCol: String, vecCol: String,
@@ -1133,17 +1139,33 @@ object Similarity {
         require(cdf.columns.contains("pq_fp"),
           "persisted codes table carries no pq_fp fingerprint — " +
             "re-encode with pqEncode against the codebook in use")
-        val fp = cdf.select(col("pq_fp")).distinct().limit(2).collect()
-        require(fp.length == 1,
-          if (fp.isEmpty) "persisted codes table is empty"
-          else "codes table carries MULTIPLE codebook fingerprints (" +
-            fp.map(_.getLong(0)).mkString(", ") + ") — mixed " +
-            "provenance (e.g. a union of differently-encoded tables); " +
-            "re-encode under one codebook")
-        require(fp(0).getLong(0) == cb.fingerprint,
-          s"codes table was encoded under codebook fingerprint " +
-            s"${fp(0).getLong(0)}, not this codebook's " +
-            s"${cb.fingerprint} — stale or mismatched artifact; re-encode")
+        // the provenance audit is a full (column-pruned) scan of the
+        // codes table; for a write-once artifact it cannot change
+        // within a session, so a PASSED audit is memoized per
+        // (plan identity, expected fingerprint) — the ModelJoin
+        // count-cache discipline. Plans with no file-backed identity,
+        // and FAILED audits, are never cached.
+        val auditKey = graft.functions.ModelJoin.memoKey(cdf)
+          .map(k => s"$k#${cb.fingerprint}")
+        if (!auditKey.exists(fpAuditPassed.contains)) {
+          val fp = cdf.select(col("pq_fp")).distinct().limit(2).collect()
+          require(fp.length == 1,
+            if (fp.isEmpty) "persisted codes table is empty"
+            else "codes table carries MULTIPLE codebook fingerprints (" +
+              fp.map(_.getLong(0)).mkString(", ") + ") — mixed " +
+              "provenance (e.g. a union of differently-encoded tables); " +
+              "re-encode under one codebook")
+          require(fp(0).getLong(0) == cb.fingerprint,
+            s"codes table was encoded under codebook fingerprint " +
+              s"${fp(0).getLong(0)}, not this codebook's " +
+              s"${cb.fingerprint} — stale or mismatched artifact; re-encode")
+          auditKey.foreach { k =>
+            fpAuditPassed.synchronized {
+              if (fpAuditPassed.size >= 256) fpAuditPassed.clear()
+              fpAuditPassed += k
+            }
+          }
+        }
         cdf.select(Seq(col("cid").as("neighbor_id"), col("pq_codes"),
           col("pq_norm")) ++
           (if (coarse.isDefined) Seq(col("cell")) else Nil): _*)

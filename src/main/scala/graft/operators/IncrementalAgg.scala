@@ -183,6 +183,11 @@ object IncrementalAgg {
     requireMaintainable(feed, cols, "min/max")
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    // materialized ONCE: the delta feeds both the merge join and the
+    // damaged-key detection below — unmaterialized, the whole feed
+    // pipeline (version reconstruction, fingerprint anti-join, preimage
+    // join) executes twice per refresh. The delta is aggregate-sized
+    // (one row per touched key), so the checkpoint is delta-bounded.
     val delta = feed
       .withColumn("_w", w)
       .groupBy(keys.map(col): _*)
@@ -196,7 +201,13 @@ object IncrementalAgg {
             .as(s"out_min_$c"),
           max(when(col("_w") === -1L, col(c).cast("double")))
             .as(s"out_max_$c"))): _*)
-    val joined = fullOuterNullSafe(prev, delta, keys)
+      .localCheckpoint(true)
+    // prev is referenced twice as well (the merge and the damage
+    // detection) — without this the stored-view subtree (version
+    // reconstruction + base aggregate) executes twice per refresh;
+    // the checkpoint is view-sized
+    val prev0 = prev.localCheckpoint(true)
+    val joined = fullOuterNullSafe(prev0, delta, keys)
     val newCount =
       (coalesce(col(countCol), lit(0L)) +
         coalesce(col(s"d_$countCol"), lit(0L))).as(countCol)
@@ -225,7 +236,7 @@ object IncrementalAgg {
     // healthy branch). A damaged key whose rows all left contributes
     // no base rows below and so, correctly, no repaired row.
     val dd = delta.alias("_ia_d")
-    val pp = prev.alias("_ia_p")
+    val pp = prev0.alias("_ia_p")
     val dkCond = keys.map(c => col(s"_ia_d.$c") <=> col(s"_ia_p.$c"))
       .foldLeft(lit(true))(_ && _)
     val damagedFromDelta = cols.map(c =>
