@@ -377,9 +377,9 @@ object SparkEntry {
       .select(col("doc_id"))
     val words = toksDf
       .select(col("doc_id"), explode(col("toks")).as("word"))
-    val freq = words.groupBy(col("word"))
-      .agg(count(lit(1)).as("wn")).localCheckpoint(true)
-    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+    val (freq, tnOpt) = graft.functions.ModelJoin.checkpointWithSum(
+      words.groupBy(col("word")).agg(count(lit(1)).as("wn")), "wn")
+    val tn = tnOpt.get.toDouble
     // freq grows with the corpus vocabulary — size-gated join
     // (broadcast small, shuffle_hash on the exploded word key large)
     val lmOk = graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
@@ -2465,10 +2465,9 @@ object SparkEntry {
       // full tokenize-and-explode scan of the corpus (the two
       // remaining corpus scans — model build + scoring — are the
       // standard two-pass shape of corpus-LM filters)
-      val freq = words.groupBy(col("word"))
-        .agg(count(lit(1)).as("wn"))
-        .localCheckpoint(true)
-      val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+      val (freq, tnOpt) = graft.functions.ModelJoin.checkpointWithSum(
+        words.groupBy(col("word")).agg(count(lit(1)).as("wn")), "wn")
+      val tn = tnOpt.get.toDouble
       graft.functions.ModelJoin.sizeGated(words, freq, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_tokens"),

@@ -140,13 +140,12 @@ object LangModel {
     // materialized once: the scalar totals below read the tiny table
     // instead of re-scanning the corpus (same shape as the uncapped
     // query), and the size gate needs a countable model
-    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
-      .localCheckpoint(true)
-    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
-    val vocab = freq.orderBy(col("wn").desc, col("word").asc)
-      .limit(vocabCap).localCheckpoint(true)
-    val inVocabN = Option(vocab.agg(sum(col("wn"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (freq, tnOpt) = ModelJoin.checkpointWithSum(
+      words.groupBy(col("word")).agg(count(lit(1)).as("wn")), "wn")
+    val tn = tnOpt.get.toDouble
+    val (vocab, inVocabOpt) = ModelJoin.checkpointWithSum(
+      freq.orderBy(col("wn").desc, col("word").asc).limit(vocabCap), "wn")
+    val inVocabN = inVocabOpt.getOrElse(0L)
     val oovN = tn - inVocabN
     // oovN = 0 ⇒ no OOV rows exist, so the log(0) literal arm is never
     // evaluated (left join finds every word)
@@ -251,9 +250,9 @@ object LangModel {
     val words = docs.select(col(idCol).as("doc_id"),
       col(langCol).as("lang"),
       explode(Text.tokens(col(textCol))).as("word"))
-    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
-      .localCheckpoint(true)
-    val tn = freq.agg(sum(col("wn"))).first().getLong(0).toDouble
+    val (freq, tnOpt) = ModelJoin.checkpointWithSum(
+      words.groupBy(col("word")).agg(count(lit(1)).as("wn")), "wn")
+    val tn = tnOpt.get.toDouble
     val scored = stage(ModelJoin.sizeGated(words, freq, Seq("word"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),

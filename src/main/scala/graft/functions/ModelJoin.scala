@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, sum}
 
 /** Size-gated model-table join — the scale guard for every
   * "score the corpus against a corpus-derived model" operator
@@ -125,4 +125,25 @@ object ModelJoin {
     } else {
       stream.join(model.hint("shuffle_hash"), keys, joinType)
     }
+
+  /** Materialize a model table and read `SUM(sumCol)` off the SAME job
+    * via an Observation — the freq-checkpoint + total-`first()` shape
+    * every corpus-LM consumer repeats, at one job instead of two
+    * (the second was a full plan + scheduler round-trip to re-read a
+    * scalar the materializing pass had already seen). Returns None for
+    * an empty (or all-NULL) model, like `SUM` itself.
+    */
+  def checkpointWithSum(model: DataFrame, sumCol: String)
+      : (DataFrame, Option[Long]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = model.observe(obs, sum(col(sumCol)).as("_mj_total"))
+      .localCheckpoint(true)
+    val total = obs.get("_mj_total") match {
+      case null => None
+      case l: java.lang.Long => Some(l.longValue())
+      case other => throw new IllegalStateException(
+        s"unexpected observation payload: $other")
+    }
+    (out, total)
+  }
 }
