@@ -263,9 +263,16 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
     * gap at the 500k store survived the manifest-list split because
     * of it).
     */
-  private def stageByAddr(df: DataFrame, dir: String): Unit =
+  /** `inputBytes`: the staged relation's source size, read off the
+    * manifest's recorded file sizes — drives the shuffle fan-out
+    * ([[Dedup.stagePartitions]]); a turn-sized fold must not pay a
+    * machine-parallelism task wave, a corpus-sized rebucket keeps it.
+    */
+  private def stageByAddr(df: DataFrame, dir: String,
+      inputBytes: Long): Unit =
     df.withColumn("adm_kb_p", col("adm_kb"))
-      .repartition(col("adm_kb_p"))
+      .repartition(Dedup.stagePartitions(df.sparkSession, inputBytes),
+        col("adm_kb_p"))
       .write.mode("overwrite").partitionBy("adm_kb_p")
       .parquet(log.subPath(dir))
 
@@ -299,16 +306,28 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
   /** ONE plain parquet read of a manifest file list — `adm_kb` is a
     * data column (see [[stageByAddr]]), so no basePath, no partition
     * inference, one reader however many generations the files span.
-    * mergeSchema keeps cross-generation schema drift tolerated
-    * (absent columns null — the fail-closed legacy rule) at the cost
-    * of one footer-merge job per read, same as the listing layout's
-    * slice read.
+    * Cross-generation schema drift stays tolerated (absent columns
+    * null — the fail-closed legacy rule), but the schema now resolves
+    * DRIVER-SIDE from the memoized footers ([[AdmissionSchema]] —
+    * manifest data files are write-once, and the manifest already
+    * carries their byte sizes) instead of paying mergeSchema's
+    * footer-merge Spark job on every probe/fold/compact read;
+    * mergeSchema remains the bit-identical fallback.
     */
   private def readFiles(spark: SparkSession,
-      files: Seq[String]): Option[DataFrame] =
+      files: Seq[AdmFile]): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(files.map(log.subPath): _*))
+    else {
+      val paths = files.map(f => log.subPath(f.path))
+      AdmissionSchema.of(spark.sparkContext.hadoopConfiguration,
+          files.map(f => (new org.apache.hadoop.fs.Path(
+            log.subPath(f.path)), f.size))) match {
+        case Some(schema) =>
+          Some(spark.read.schema(schema).parquet(paths: _*))
+        case None =>
+          Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+      }
+    }
 
   /** The probe relation a micro-batch joins: exactly the `touched`
     * addresses' manifest file lists (read through only their groups'
@@ -321,8 +340,8 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
       keyCols: Seq[String], touched: Seq[Int],
       suppressSince: Long): Option[DataFrame] = {
     val bucketFiles = bucketsFor(spark, man, touched)
-      .values.flatten.map(_.path).toSeq
-    readFiles(spark, bucketFiles ++ man.tail.map(_.path))
+      .values.flatten.toSeq
+    readFiles(spark, bucketFiles ++ man.tail)
       .map(df => Dedup.inWindow(df, suppressSince)
         .select(col("doc_id").as("s_id") +:
           keyCols.map(c => col(c).as(s"s_$c")): _*))
@@ -373,7 +392,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
             bytes <= Dedup.admissionTailMaxBytes) None
         else {
           val raw = Dedup.inWindow(
-            readFiles(spark, man.tail.map(_.path)).get, expireBefore)
+            readFiles(spark, man.tail).get, expireBefore)
           // re-route through the CURRENT depth map (stored adm_kb was
           // routed at admission time and may predate splits since) —
           // same rule as the listing fold
@@ -387,7 +406,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
                   man.nBuckets, splits))
             }
           val dir = s"fold-${log.uid}"
-          stageByAddr(routed, dir)
+          stageByAddr(routed, dir, bytes)
           val byAddr = stagedByAddr(spark, dir)
           folded = byAddr.keys.toSeq
           val cur = bucketsFor(spark, man, folded)
@@ -421,8 +440,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
       val over = candidates.filter(_._2.length > maxFiles)
       if (over.isEmpty) None
       else {
-        val cur = readFiles(spark,
-          over.values.flatten.map(_.path).toSeq).get
+        val cur = readFiles(spark, over.values.flatten.toSeq).get
         val live =
           if (expireBefore <= 0L) cur else Dedup.inWindow(cur, expireBefore)
         // collapse replayed appends keeping the NEWEST stamp (max
@@ -434,7 +452,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
               .map(col).toIndexedSeq: _*)
             .agg(max(col("adm_ts")).as("adm_ts"))
         val dir = s"cp-${log.uid}"
-        stageByAddr(dedup, dir)
+        stageByAddr(dedup, dir, over.values.flatten.map(_.size).sum)
         val byAddr = stagedByAddr(spark, dir)
         compacted = over.keys.toSeq
         // a bucket whose rows ALL expired ends file-less: drop its key
@@ -467,7 +485,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         require((man.nBuckets.toLong << newDepth) <= Int.MaxValue.toLong,
           s"splitAdmittedBucket: depth $newDepth over base " +
             s"${man.nBuckets} overflows the int bucket address space")
-        val cur = readFiles(spark, files.map(_.path)).get
+        val cur = readFiles(spark, files).get
         val keyCols = admissionKeyColumns(cur.columns.toSeq)
         require(keyCols.nonEmpty,
           s"splitAdmittedBucket: no key columns under $storePath")
@@ -477,7 +495,8 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         val obs = new org.apache.spark.sql.Observation(
           s"msplit-$addr-${log.uid}")
         val dir = s"split-${log.uid}"
-        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir)
+        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir,
+          files.map(_.size).sum)
         moved = obs.get("n").asInstanceOf[Long]
         val byAddr = stagedByAddr(spark, dir)
         val updates = Map(addr -> Seq.empty[AdmFile]) ++ byAddr
@@ -516,9 +535,8 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         case None => allBuckets(spark, man)
         case Some(f) => bucketsFor(spark, man, f(man).distinct)
       }).filter(_._2.nonEmpty)
-      val bucketRel = readFiles(spark,
-        targetLists.values.flatten.map(_.path).toSeq)
-      val tailRel = readFiles(spark, man.tail.map(_.path))
+      val bucketRel = readFiles(spark, targetLists.values.flatten.toSeq)
+      val tailRel = readFiles(spark, man.tail)
       // one detection job over both levels: per-bucket hit counts
       // (tail rows count under their stored adm_kb — only presence
       // matters for which lists to swap, and tail rows are always
@@ -541,10 +559,10 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
           // partition pruning (file-level, no directory layout
           // involved), and no-hit buckets stay unread and untouched
           val hitFiles = hitAddrs.toSeq
-            .flatMap(a => targetLists.getOrElse(a, Nil)).map(_.path)
+            .flatMap(a => targetLists.getOrElse(a, Nil))
           val keep = keepOf(readFiles(spark, hitFiles).get)
           val dir = s"rw-${log.uid}"
-          stageByAddr(keep, dir)
+          stageByAddr(keep, dir, hitFiles.map(_.size).sum)
           val byAddr = stagedByAddr(spark, dir)
           staged ++= byAddr.values.flatten.map(_.path)
           val updates = hitAddrs.map(a =>
@@ -600,8 +618,7 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
         // and re-key under the new modulus (same derivation as
         // admission itself); one read covers buckets AND tail
         val cur = readFiles(spark,
-          allLists.values.flatten.map(_.path).toSeq ++
-            man.tail.map(_.path)).get.drop("adm_kb")
+          allLists.values.flatten.toSeq ++ man.tail).get.drop("adm_kb")
         val keyCols = admissionKeyColumns(cur.columns.toSeq)
         require(keyCols.nonEmpty,
           s"rebucketAdmitted: no key columns under $storePath")
@@ -609,7 +626,9 @@ private[graft] final class AdmissionManifestStore(storePath: String) {
           pmod(xxhash64(keyCols.map(col): _*), lit(newN)).cast("int"))
         val obs = new org.apache.spark.sql.Observation(s"mrb-${log.uid}")
         val dir = s"rb-${log.uid}"
-        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir)
+        stageByAddr(rekeyed.observe(obs, count(lit(1)).as("n")), dir,
+          allLists.values.flatten.map(_.size).sum +
+            man.tail.map(_.size).sum)
         moved = obs.get("n").asInstanceOf[Long]
         val byAddr = stagedByAddr(spark, dir)
         val fresh = AdmissionManifest(newN, defaultGroupCount, 0,

@@ -876,7 +876,7 @@ object Dedup {
     // directories already ON our chains (covered either way by
     // publish-before-delete).
     var keys: DataFrame = null
-    var survivors: DataFrame = null
+    var dropIds: DataFrame = null
     var attempts = 0
     var decided = false
     while (!decided) {
@@ -909,7 +909,15 @@ object Dedup {
             suppressSince).toSeq ++
           admissionTailSlice(spark, storePath, keyCols, suppressSince).toSeq)
           .reduceOption(_ unionByName _)
-      survivors = decideSurvivors(batch, keys, keyCols, idCol, storeRel)
+      // Materialize the DECISION, not the surviving batch rows: the
+      // drop-id relation is all every downstream consumer needs (the
+      // tail append anti-joins it; the returned survivors anti-join it
+      // against the caller's own batch), it is bounded by the batch's
+      // id count, and checkpointing it is what pins the decision
+      // before the store mutates. The former spelling checkpointed the
+      // full surviving rows — corpus-row-width (including text) in
+      // executor storage for a decision that is a set of ids.
+      dropIds = decideDropIds(keys, keyCols, storeRel)
         .localCheckpoint(true) // materialize before mutating the store
       admitDecisionFence() // test seam: no-op in production
       val recheck = readSplits(fs, storePath)
@@ -924,9 +932,11 @@ object Dedup {
       }
     }
     // L0 append: one plain file per batch (repartition, not coalesce —
-    // coalesce(1) would collapse the join itself to one task)
-    keys.join(survivors.select(col(idCol).as("doc_id")),
-        Seq("doc_id"), "left_semi")
+    // coalesce(1) would collapse the join itself to one task). The
+    // drop list is batch-bounded (the same bound the keys checkpoint
+    // already assumes), so the anti-join broadcasts it and the keys
+    // never shuffle.
+    keys.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
       .drop("adm_deep") // probe-side only, never persisted
       .withColumn("adm_ts", lit(admittedTs))
       .repartition(1)
@@ -950,8 +960,23 @@ object Dedup {
       oversized.foreach { case (b, _) =>
         splitAdmittedBucket(spark, storePath, b) }
     }
-    survivors
+    // The returned survivors derive from the caller's batch and the
+    // CHECKPOINTED drop list alone — they never read the store, so the
+    // mutations above cannot disturb them and no full-row
+    // materialization is needed (the caller's sink pays one batch scan
+    // filtered through a broadcast anti-join).
+    survivorsOf(batch, idCol, dropIds)
   }
+
+  /** The surviving batch rows of a checkpointed admission decision:
+    * the batch anti-joined against the (batch-bounded, broadcast)
+    * drop-id list. Identical rows to the former checkpoint-the-
+    * survivors spelling — the drop set is exactly the complement.
+    */
+  private def survivorsOf(batch: DataFrame, idCol: String,
+                          dropIds: DataFrame): DataFrame =
+    batch.join(broadcast(dropIds.withColumnRenamed("doc_id", idCol)),
+      Seq(idCol), "left_anti")
 
   /** Materialize a batch's key relation and collect its distinct
     * deepest-modulus addresses IN THE SAME JOB (an Observation riding
@@ -976,32 +1001,39 @@ object Dedup {
   }
 
   /** The admission decision — shared verbatim by both publish modes
-    * (parity is a correctness property, not a convention): drop docs
-    * whose keys collide with the store (excluding their own id — the
-    * replay-idempotence rule) or with a smaller id inside the batch.
+    * (parity is a correctness property, not a convention): the ids of
+    * docs whose keys collide with the store (excluding their own id —
+    * the replay-idempotence rule) or with a smaller id inside the
+    * batch. Consumers anti-join this list, so duplicate ids are
+    * harmless and no distinct() is paid.
+    *
+    * Join shapes pick the bounded build side deliberately (§3.1): the
+    * pruned store slice is the UNBOUNDED side at corpus scale, so the
+    * store join streams it against a BROADCAST of the batch-bounded
+    * keys (an inner join projecting the key-side id — duplicates only
+    * repeat drops the anti-join ignores; the former keys-side
+    * left_semi forced the store slice through a sort-merge exchange
+    * every batch). The within-batch self-join broadcasts its build
+    * side under the same batch-boundedness the keys checkpoint
+    * already assumes.
     */
-  private def decideSurvivors(batch: DataFrame, keys: DataFrame,
-      keyCols: Seq[String], idCol: String,
+  private def decideDropIds(keys: DataFrame, keyCols: Seq[String],
       storeRel: Option[DataFrame]): DataFrame = {
     val vsStore =
       storeRel match {
         case Some(store) =>
-          keys.join(store,
+          store.join(broadcast(keys),
               keyCols.map(c => col(c) === col(s"s_$c")).reduce(_ && _)
                 && col("doc_id") =!= col("s_id"), // replay self-exclusion
-              "left_semi")
+              "inner")
             .select(col("doc_id"))
         case None => keys.select(col("doc_id")).limit(0)
       }
-    val withinBatch = keys.as("l").join(keys.as("r"),
+    val withinBatch = keys.as("l").join(broadcast(keys.as("r")),
         keyCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
         col("r.doc_id") < col("l.doc_id"), "left_semi")
       .select(col("doc_id"))
-    // no distinct(): anti-join semantics ignore duplicate drop ids, and
-    // the dedup added one exchange + aggregate per batch for nothing
-    val dropIds = vsStore.union(withinBatch)
-      .withColumnRenamed("doc_id", idCol)
-    batch.join(dropIds, Seq(idCol), "left_anti")
+    vsStore.union(withinBatch)
   }
 
   /** [[admitByKeys]] under MANIFEST publish mode (see
@@ -1031,11 +1063,12 @@ object Dedup {
       deepSet.flatMap(chainOf(_, nBuckets, splits.maxDepth)).distinct
     val storeRel = store.probeRel(spark, man, keyCols, touched,
       suppressSince)
-    val survivors = decideSurvivors(batch, keys, keyCols, idCol, storeRel)
+    // checkpoint the DECISION (batch-bounded ids), not the surviving
+    // rows — see the listing-mode twin for the rationale
+    val dropIds = decideDropIds(keys, keyCols, storeRel)
       .localCheckpoint(true)
     store.appendTail(spark,
-      keys.join(survivors.select(col(idCol).as("doc_id")),
-          Seq("doc_id"), "left_semi")
+      keys.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
         .drop("adm_deep")
         .withColumn("adm_ts", lit(admittedTs)),
       nBuckets)
@@ -1047,7 +1080,7 @@ object Dedup {
         .sortBy(-_._3).take(math.max(0, maxSplitsPerTurn))
       oversized.foreach { case (b, _, _) => store.splitBucket(spark, b) }
     }
-    survivors
+    survivorsOf(batch, idCol, dropIds)
   }
 
   /** Test seam for the decision re-validation above: invoked between
@@ -1080,6 +1113,60 @@ object Dedup {
     */
   private[graft] val admissionTailMaxBytes: Long = 8L << 20
 
+  /** Shuffle-partition count for a staged store rewrite, derived from
+    * the KNOWN input byte size (manifest-carried sizes or the
+    * directory listing that selected the files) instead of the
+    * session-wide default: a keyed `repartition(col)` always fans out
+    * to `spark.sql.shuffle.partitions`, and AQE's coalescing leaves
+    * user repartitions at machine parallelism under the default
+    * parallelismFirst policy — so every fold/compact/split of a
+    * turn-sized (KB-scale) slice paid a full task wave. One task per
+    * ~`graft.admission.stageTargetBytes` (default 32 MB, a healthy
+    * post-compression partition), clamped to the session's configured
+    * parallelism — large inputs keep exactly the previous fan-out, so
+    * this is scale-adaptive, not a local-mode constant.
+    */
+  private[functions] def stagePartitions(spark: SparkSession,
+      bytes: Long): Int = {
+    val target = spark.conf.getOption("graft.admission.stageTargetBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val max = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+    math.max(1L, math.min(max.toLong,
+      (bytes + target - 1) / math.max(1L, target))).toInt
+  }
+
+  /** Admission-store parquet read with the per-read mergeSchema
+    * footer-merge JOB elided whenever every footer's Spark schema is
+    * driver-resolvable ([[AdmissionSchema]] — store files are
+    * immutable and Spark-written, so the memoized driver-side merge is
+    * mergeSchema's result without its planning+scheduling round-trip
+    * per probe/fold/compact); bit-identical mergeSchema fallback
+    * otherwise. `basePath` reads derive the `adm_kb` partition column
+    * from the directory layout — appended to the resolved schema
+    * exactly where mergeSchema puts it (the end; listing-layout bucket
+    * files never carry it as data).
+    */
+  private def readAdmissionFiles(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      basePath: Option[String] = None): DataFrame = {
+    val paths = files.map(_.getPath.toString)
+    val reader0 = basePath.fold(spark.read)(bp =>
+      spark.read.option("basePath", bp))
+    AdmissionSchema.of(spark.sparkContext.hadoopConfiguration,
+        files.map(s => (s.getPath, s.getLen))) match {
+      case Some(schema) =>
+        val full =
+          if (basePath.isDefined && !schema.fieldNames.contains("adm_kb"))
+            schema.add("adm_kb", org.apache.spark.sql.types.IntegerType)
+          else schema
+        reader0.schema(full).parquet(paths: _*)
+      case None =>
+        reader0.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
   /** The L0 slice every micro-batch joins in addition to the pruned
     * L1 bucket slice: all current tail files, read explicitly (never
     * via the store root). Bounded by the fold budgets, so this read
@@ -1094,8 +1181,7 @@ object Dedup {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) None
     else Some(inWindow(
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
+        readAdmissionFiles(spark, files.toIndexedSeq),
         suppressSince)
       .select(col("doc_id").as("s_id") +:
         keyCols.map(c => col(c).as(s"s_$c")): _*))
@@ -1155,8 +1241,7 @@ object Dedup {
         s.getModificationTime < stale)
       .foreach(s => fs.delete(s.getPath, true))
     // expired rows are shed in the fold itself — they never reach L1
-    val raw = inWindow(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.getPath.toString).toIndexedSeq: _*),
+    val raw = inWindow(readAdmissionFiles(spark, files.toIndexedSeq),
         expireBefore)
     // under a SPLIT layout, re-route each tail row through the CURRENT
     // depth map (its stored adm_kb was routed at admission time and may
@@ -1178,7 +1263,8 @@ object Dedup {
     val df = routed.localCheckpoint(true) // tail is budget-bounded
     val folded = df.select("adm_kb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    df.repartition(col("adm_kb"))
+    df.repartition(stagePartitions(spark, files.map(_.getLen).sum),
+        col("adm_kb"))
       .write.mode("append").partitionBy("adm_kb").parquet(storePath)
     files.foreach(s => fs.delete(s.getPath, false)) // publish-then-delete
     compactAdmissionBuckets(spark, storePath, folded, autoCompactFiles,
@@ -1205,16 +1291,20 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (touched.isEmpty || !fs.exists(root)) return None
-    val dirs = touched.map(b => new org.apache.hadoop.fs.Path(root,
+    // enumerate the touched directories' files here (one listStatus
+    // per touched dir — the same listing Spark's file index would do)
+    // so the read can resolve its schema driver-side; file paths stay
+    // under their adm_kb= directories, preserving the partition column
+    val files = touched.map(b => new org.apache.hadoop.fs.Path(root,
         s"adm_kb=$b"))
-      .filter(fs.exists).map(_.toString)
-    if (dirs.isEmpty) return None
+      .flatMap(d => scala.util.Try(fs.listStatus(d))
+        .getOrElse(Array.empty).toSeq)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
     // basePath keeps adm_kb a partition column of the slice; the
     // redundant IN filter costs nothing and keeps the pruning
     // property visible in (and pinned on) the physical plan
-    Some(inWindow(spark.read.option("basePath", storePath)
-      .option("mergeSchema", "true")
-      .parquet(dirs: _*)
+    Some(inWindow(readAdmissionFiles(spark, files, Some(storePath))
       .filter(col("adm_kb").isInCollection(touched)), suppressSince)
       .select(col("doc_id").as("s_id") +:
         keyCols.map(c => col(c).as(s"s_$c")): _*))
@@ -1256,9 +1346,8 @@ object Dedup {
     // budget at once — a per-bucket job loop is the driver-scheduling
     // scale bug the takedown/expiry paths already shed); repartition
     // on adm_kb lands each bucket's rows in one task = one file
-    val cur = spark.read.option("basePath", storePath)
-      .option("mergeSchema", "true")
-      .parquet(byDir.flatMap(_._3.map(_.getPath.toString)): _*)
+    val cur = readAdmissionFiles(spark, byDir.flatMap(_._3),
+      Some(storePath))
     // collapse duplicate keys (replayed appends) keeping the
     // NEWEST admission stamp — max is the suppression-conservative
     // choice for windowed dedup; plain distinct would keep one row
@@ -1278,7 +1367,9 @@ object Dedup {
         .agg(max(col("adm_ts")).as("adm_ts"))
     val staging = new org.apache.hadoop.fs.Path(root,
       s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
-    dedup.repartition(col("adm_kb"))
+    dedup.repartition(
+        stagePartitions(spark, byDir.flatMap(_._3).map(_.getLen).sum),
+        col("adm_kb"))
       .write.mode("overwrite").partitionBy("adm_kb")
       .parquet(staging.toString)
     byDir.foreach { case (_, dir, old) =>
@@ -1574,8 +1665,7 @@ object Dedup {
     // depth is harmless, one that under-reads misses collisions
     if (newDepth > splits0.maxDepth)
       writeSplits(fs, storePath, splits0.copy(maxDepth = newDepth))
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+    val cur = readAdmissionFiles(spark, old.toIndexedSeq)
     val keyCols = admissionKeyColumns(cur.columns.toSeq)
     require(keyCols.nonEmpty,
       s"splitAdmittedBucket: no key columns under $storePath")
@@ -1587,7 +1677,8 @@ object Dedup {
     val staging = new org.apache.hadoop.fs.Path(root,
       s".split-${java.util.UUID.randomUUID().toString.take(8)}")
     rekeyed.observe(obs, count(lit(1)).as("n"))
-      .repartition(col("adm_kb"))
+      .repartition(stagePartitions(spark, old.map(_.getLen).sum),
+        col("adm_kb"))
       .write.mode("overwrite").partitionBy("adm_kb")
       .parquet(staging.toString)
     val moved = obs.get("n").asInstanceOf[Long]
@@ -1884,8 +1975,8 @@ object Dedup {
       Seq(tailDir -> pendingIn(tailDir)).filter(_._2.nonEmpty))
     passes.foreach { byDir =>
       if (byDir.nonEmpty) {
-        val cur = spark.read.option("mergeSchema", "true")
-          .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
+        val cur = readAdmissionFiles(spark,
+          byDir.flatMap(_._2.toIndexedSeq))
         // the SAME derivation admission itself uses (xxhash64 is
         // order-sensitive; admitByKeys' keys0 order wrote these files)
         val keyCols = admissionKeyColumns(cur.columns.toSeq)
@@ -1902,7 +1993,9 @@ object Dedup {
         val obs = new org.apache.spark.sql.Observation(
           s"rebucket-${staging.getName}")
         rekeyed.observe(obs, count(lit(1)).as("n"))
-          .repartition(col("adm_kb"))
+          .repartition(stagePartitions(spark,
+              byDir.flatMap(_._2).map(_.getLen).sum),
+            col("adm_kb"))
           .write.mode("overwrite").partitionBy("adm_kb")
           .parquet(staging.toString)
         moved += obs.get("n").asInstanceOf[Long]
@@ -2394,9 +2487,8 @@ object Dedup {
         .map(_ -> Set.empty[String])
     if (byDir.isEmpty)
       return RewriteOutcome(0L, emptyTargets, rootExpectation(Set.empty))
-    val cur = spark.read.option("basePath", storePath)
-      .option("mergeSchema", "true")
-      .parquet(byDir.flatMap(_._2.map(_.getPath.toString)): _*)
+    val cur = readAdmissionFiles(spark, byDir.flatMap(_._2.toIndexedSeq),
+      Some(storePath))
     // one job: per-bucket hit counts (≤ targeted buckets rows)
     val hits = hitsOf(cur).groupBy(col("adm_kb"))
       .agg(count(lit(1)).as("n")).collect()
@@ -2413,7 +2505,9 @@ object Dedup {
     // partition-prunes the same snapshot relation down to exactly the
     // hit buckets' files)
     keepOf(cur.filter(col("adm_kb").isInCollection(hits.keySet.toSeq)))
-      .repartition(col("adm_kb"))
+      .repartition(stagePartitions(spark,
+          hitDirs.flatMap(_._2).map(_.getLen).sum),
+        col("adm_kb"))
       .write.mode("overwrite").partitionBy("adm_kb")
       .parquet(staging.toString)
     val droppedDirs = Set.newBuilder[String]
@@ -2543,8 +2637,7 @@ object Dedup {
     val old = scala.util.Try(fs.listStatus(dir)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (old.isEmpty) return RewriteOutcome(0L, Seq(dir -> Set.empty))
-    val paths = old.map(_.getPath.toString).toIndexedSeq
-    val cur = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val cur = readAdmissionFiles(spark, old.toIndexedSeq)
     val hit = hitsOf(cur).count()
     if (hit == 0L)
       return RewriteOutcome(0L,
@@ -2646,6 +2739,7 @@ object Dedup {
     val p = materialize(
       pairs.select(col(aCol).as("a"), col(bCol).as("b"))
         .filter(col("a").isNotNull && col("b").isNotNull), "pairs")
+    val pairCount = p.count()
     // every input node, remembered before self-loops are dropped
     val nodesDf = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node")))
@@ -2668,7 +2762,7 @@ object Dedup {
     // ONE pass and derives nodes, edges and components driver-side:
     // two jobs total instead of two counts + two collects. Duplicate
     // and self pairs are handled naturally by union-find.
-    if (longKeys && p.count() <= driverThreshold) {
+    if (longKeys && pairCount <= driverThreshold) {
       // driver union-find (union-by-min + path compression): the root
       // of every set is its minimum element, matching the distributed
       // fixpoint's min-label contract exactly

@@ -203,13 +203,26 @@ object Tables {
     */
   private def readRaw(spark: SparkSession, path: String): (DataFrame, Boolean) = {
     val alreadyOn = spark.conf.getOption(nanosAsLongKey).contains("true")
+    // the fingerprint is computed ONCE, before the read, and reused by
+    // remember(): the former post-read recompute both paid a second
+    // listStatus and could pin a schema under a fingerprint taken
+    // AFTER a racing rewrite — i.e. remember a stale schema for the
+    // rewritten file set. Keying on the pre-read listing means a race
+    // at worst caches the schema the read itself saw, under the
+    // fingerprint of the files it read. (The layout assumption stands:
+    // source tables are flat parquet dirs — the fingerprint covers the
+    // direct children, which for these tables IS the file set.)
     val key = schemaKey(spark, path, alreadyOn)
     val cached = schemaCache.get(key)
     if (cached != null)
       return (spark.read.schema(cached).parquet(path), alreadyOn)
     def remember(df: DataFrame, nanosOn: Boolean): DataFrame = {
       if (schemaCache.size >= schemaCacheMax) schemaCache.clear()
-      schemaCache.put(schemaKey(spark, path, nanosOn), df.schema)
+      // same listing as the pre-read key; only the conf flag can
+      // differ (the nanos retry flips it)
+      val k = if (nanosOn == alreadyOn) key
+        else schemaKey(spark, path, nanosOn)
+      schemaCache.put(k, df.schema)
       df
     }
     try {
