@@ -1051,10 +1051,40 @@ object Similarity {
     * quantizer) depend only on the corpus.
     */
   /** PASSED provenance audits of persisted PQ codes tables, keyed by
-    * (plan identity, codebook fingerprint) — see the audit site in
-    * [[pqAdc]]. Bounded; cleared wholesale at the cap.
+    * (plan identity, FILE-SET fingerprint, codebook fingerprint) — see
+    * the audit site in [[pqAdc]]. A concurrent set (plain reads race
+    * synchronized writes on a mutable.Set); bounded, cleared wholesale
+    * at the cap.
     */
-  private val fpAuditPassed = scala.collection.mutable.Set.empty[String]
+  private val fpAuditPassed: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** File-set fingerprint of a plan's file-source roots — (name, len,
+    * mtime) of each root's direct children, so a re-encoded codes
+    * table at the SAME path (write-once violated, or a fresh
+    * generation) can never be vouched for by a stale PASSED audit;
+    * the plan-identity key alone elides file identity.
+    */
+  private def fileSetFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val roots = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten.distinct.sorted
+    roots.map { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val fs = p.getFileSystem(conf)
+      val parts = scala.util.Try(fs.listStatus(p)).getOrElse(Array.empty)
+        .sortBy(_.getPath.getName)
+        .map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      s"$r=[${parts.mkString(",")}]"
+    }.mkString(";")
+  }
 
   private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
                     m: Int, nCodes: Int, rerank: Int, iters: Int,
@@ -1073,16 +1103,19 @@ object Similarity {
       s"codebook was trained for (m=${cb.m}, nCodes=${cb.nCodes}, " +
         s"iters=${cb.iters}), not (m=$m, nCodes=$nCodes, iters=$iters)"))
     val spark = corpus.sparkSession
-    // default 256, not the 4096 literal ceiling: each query adds a
-    // struct (LUT lookups + gate) to the fused scan's explode, and
-    // wide chunks outgrow the JVM's 64 KB generated-method limit
-    // (measured: 4096 fails to compile, ~1k thrashes janino) — the
-    // chunk width keeps every chunk INSIDE whole-stage codegen
-    // rather than falling back interpreted; a huge batch pays more
-    // (cheap, fused) corpus scans instead
+    // the chunk now re-enters as a BROADCAST RELATION (see the cross
+    // join below), so chunk width no longer grows the plan or the
+    // generated code — the former 256 default existed because each
+    // query added a literal LUT struct to the scan's explode and wide
+    // chunks outgrew the JVM's 64 KB generated-method limit. The
+    // chunk is now purely a driver/executor MEMORY bound (the LUT
+    // rows collected per chunk, the per-task candidate-heap state),
+    // so the default is the full former ceiling: fewer corpus scans
+    // per large batch, identical per-query results (a query's
+    // candidates come only from its own chunk either way).
     val chunkSize = {
       val cs = spark.conf.getOption("graft.pq.chunkSize")
-        .map(_.toInt).getOrElse(256)
+        .map(_.toInt).getOrElse(4096)
       require(cs >= 1 && cs <= 4096,
         s"graft.pq.chunkSize must be in [1, 4096] (got $cs)")
       cs
@@ -1146,7 +1179,7 @@ object Similarity {
         // count-cache discipline. Plans with no file-backed identity,
         // and FAILED audits, are never cached.
         val auditKey = graft.functions.ModelJoin.memoKey(cdf)
-          .map(k => s"$k#${cb.fingerprint}")
+          .map(k => s"$k#${fileSetFingerprint(cdf)}#${cb.fingerprint}")
         if (!auditKey.exists(fpAuditPassed.contains)) {
           val fp = cdf.select(col("pq_fp")).distinct().limit(2).collect()
           require(fp.length == 1,
@@ -1160,10 +1193,8 @@ object Similarity {
               s"${fp(0).getLong(0)}, not this codebook's " +
               s"${cb.fingerprint} — stale or mismatched artifact; re-encode")
           auditKey.foreach { k =>
-            fpAuditPassed.synchronized {
-              if (fpAuditPassed.size >= 256) fpAuditPassed.clear()
-              fpAuditPassed += k
-            }
+            if (fpAuditPassed.size >= 256) fpAuditPassed.clear()
+            fpAuditPassed.add(k)
           }
         }
         cdf.select(Seq(col("cid").as("neighbor_id"), col("pq_codes"),
@@ -1211,32 +1242,79 @@ object Similarity {
             .map { case (qid, rows) => qid -> rows.map(_.get(1)).toSeq }
         case None => Map.empty
       }
-      // ---- one fused scan: encode + ADC against the chunk ----
-      val perQuery = qIds.indices.map { j =>
-        val adc = (0 until m).map { s =>
-          element_at(typedlit(lut(j)(s).toSeq),
-            element_at(col("pq_codes"), s + 1) + 1)
-        }.reduce(_ + _)
-        val ascore = Hashing.portableRound(
-          try_divide(adc.cast("double") / lit(1e6),
-            lit(qNorms(j)) * col("pq_norm")), 6)
-        // IVF-PQ gate: ADC only when the vector's coarse cell is one
-        // of query j's probed cells (a when() on the scan-side cell,
-        // so unprobed pairs short-circuit past the m lookups and fall
-        // to the existing null-ascore filter)
-        val gated = coarse match {
-          case Some(_) =>
-            when(col("cell").isin(probed.getOrElse(qIds(j), Nil): _*), ascore)
-          case None => ascore
+      // ---- one fused scan: encode + ADC against the chunk, which
+      // re-enters as a BROADCAST RELATION (query_id, norm, LUT,
+      // probed cells) instead of per-query literal expression trees:
+      // the former explode-of-Q-literal-structs made the plan (and
+      // its analysis/codegen cost, ~0.3–0.5 s driver-side per probe)
+      // grow with chunk × m × nCodes literals and capped the chunk
+      // width at the 64 KB generated-method limit; one cross join
+      // against a Q-row local relation is a FIXED-shape plan whatever
+      // the chunk width — same corpus×Q evaluated pairs, same integer
+      // LUT sums, bit-identical scores (§3: data belongs in
+      // relations, not in the plan).
+      val spark2 = enc.sparkSession
+      val cellDt: Option[org.apache.spark.sql.types.DataType] =
+        coarse.map(_ => enc.schema("cell").dataType)
+      val lutDt = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, false), false)
+      val chunkSchema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("query_id",
+            qSel.schema.head.dataType),
+          org.apache.spark.sql.types.StructField("_q_norm",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_q_lut", lutDt)) ++
+        cellDt.map(dt => org.apache.spark.sql.types.StructField(
+          "_q_cells", org.apache.spark.sql.types.ArrayType(dt))))
+      // the probed cells come off the CENTROIDS relation, whose cell
+      // type can differ in integral width from the encoded relation's
+      // (a persisted codes table stores int cells; centroids carry the
+      // id-typed long) — normalize driver-side to the scan side's
+      // type, exactly the coercion the former isin() literals got
+      val toCellDt: Any => Any = cellDt match {
+        case Some(org.apache.spark.sql.types.IntegerType) => {
+          case l: java.lang.Long => l.intValue
+          case v => v
         }
-        struct(lit(qIds(j)).as("query_id"), gated.as("ascore"))
+        case Some(org.apache.spark.sql.types.LongType) => {
+          case i: java.lang.Integer => i.longValue
+          case v => v
+        }
+        case _ => identity
+      }
+      val chunkRows: Seq[org.apache.spark.sql.Row] = qIds.indices.map { j =>
+        val base = Seq(qIds(j), qNorms(j),
+          lut(j).map(_.toIndexedSeq).toIndexedSeq)
+        org.apache.spark.sql.Row.fromSeq(
+          if (coarse.isDefined)
+            base :+ probed.getOrElse(qIds(j), Nil).map(toCellDt).toIndexedSeq
+          else base)
+      }
+      val chunkRel = spark2.createDataFrame(
+        java.util.Arrays.asList(chunkRows: _*), chunkSchema)
+      val adc = (0 until m).map { s =>
+        element_at(element_at(col("_q_lut"), s + 1),
+          element_at(col("pq_codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      val ascore = Hashing.portableRound(
+        try_divide(adc.cast("double") / lit(1e6),
+          col("_q_norm") * col("pq_norm")), 6)
+      // IVF-PQ gate: ADC only when the vector's coarse cell is one of
+      // the query's probed cells (scan-side, so unprobed pairs fall to
+      // the existing null-ascore filter; an empty probed array matches
+      // nothing, exactly like the former empty isin)
+      val gated = coarse match {
+        case Some(_) =>
+          when(array_contains(col("_q_cells"), col("cell")), ascore)
+        case None => ascore
       }
       // coarse SCAN filter: rows in cells NO chunk query probes can
       // only ever produce null ascores — filtering them before the
-      // explode lets a cell-PARTITIONED persisted codes table prune
+      // join lets a cell-PARTITIONED persisted codes table prune
       // whole partitions (PartitionFilters — the ~nProbe/nCells I/O
       // story), and spares the inline path their encode argmaxes.
-      // The per-query when() above still decides each (query, row)
+      // The per-query gate above still decides each (query, row)
       // pair, so results are untouched.
       val chunkEnc = coarse match {
         case Some(_) =>
@@ -1244,11 +1322,9 @@ object Similarity {
           enc.filter(col("cell").isin(allProbed: _*))
         case None => enc
       }
-      chunkEnc
-        .select(col("neighbor_id"),
-          explode(array(perQuery.toIndexedSeq: _*)).as("p"))
-        .select(col("p.query_id").as("query_id"), col("neighbor_id"),
-          col("p.ascore").as("ascore"))
+      chunkEnc.crossJoin(broadcast(chunkRel))
+        .select(col("query_id"), col("neighbor_id"),
+          gated.as("ascore"))
         .filter(col("neighbor_id") =!= col("query_id") &&
           col("ascore").isNotNull)
     }
