@@ -2743,8 +2743,13 @@ object SparkEntry {
       // drop is PAIR-LIST-bounded (capped candidate generation), but it
       // flows out of the CC plan with no size stats — unhinted, the
       // anti-join sort-merges and shuffles the whole corpus (r20 plan
-      // audit: 2 Exchange + 2 Sort → 0)
-      t(s, d, "documents").join(broadcast(drop), Seq("doc_id"), "left_anti")
+      // audit: 2 Exchange + 2 Sort → 0). SIZE-GATED rather than a
+      // blanket broadcast hint: drop grows with corpus duplication, so
+      // past the gate the join degrades to shuffle_hash instead of
+      // blowing the driver (the one cheap count runs on the CC
+      // output, never the corpus)
+      graft.functions.ModelJoin.sizeGated(t(s, d, "documents"), drop,
+          Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
@@ -2760,10 +2765,21 @@ object SparkEntry {
     // a broadcast anti-join of the (tiny) losers list.
     "dedup_survivors_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // CC member set is PAIR-LIST-bounded but duplication-growing —
+      // size-gate both corpus-side joins (the scoring gather and the
+      // losers anti-join). ONE cheap count of the member set (CC
+      // output: driver-path local rows, or one join over its internal
+      // checkpoints) gates everything derived from it — best and
+      // losers are subsets, so counting THEM (which would re-run the
+      // whole scoring pipeline) is never needed.
       val members = Dedup.connectedComponents(neardupPairs(s, d))
         .select(col("node").as("doc_id"), col("component"))
+      val membersSmall = members.count() <=
+        graft.functions.ModelJoin.broadcastMaxRows(docs)
+      def gated(m: DataFrame): DataFrame =
+        if (membersSmall) broadcast(m) else m.hint("shuffle_hash")
       val scored = docsWithTokens(docs)
-        .join(broadcast(members), Seq("doc_id"))
+        .join(gated(members), Seq("doc_id"))
         .select(col("doc_id"), col("component"),
           Text.qualityScore(col("text"), col("toks")).as("q"))
       val best = graft.plans.TopKPerKey(scored, keys = Seq("component"),
@@ -2772,9 +2788,9 @@ object SparkEntry {
         .select(col("doc_id"))
       // best is ≤ |components| rows but flows out of the custom plan
       // with no size stats — hint it, or the anti-join sort-merges
-      val losers = members.join(broadcast(best), Seq("doc_id"), "left_anti")
+      val losers = members.join(gated(best), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
-      docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      docs.join(gated(losers), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
