@@ -3196,7 +3196,12 @@ object SparkEntry {
     // DuckDB from the same per-path SQL mirrors.
     "embed_recall_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val qs = emb.filter(col("vec_id") < 8)
+      // the 8-query frame feeds all five legs (two driver collects,
+      // two broadcast builds, a bucket join) — materialize it once so
+      // each leg reads 8 local rows instead of re-scanning the
+      // embeddings parquet behind a pushed filter (§2.4 shared
+      // subtrees; bounded by construction, unlike the corpus)
+      val qs = emb.filter(col("vec_id") < 8).localCheckpoint(true)
       // every shared artifact comes from the memoized fixtures (ground
       // truth, persisted IVF index, PQ codebooks, coarse quantizer,
       // SQ8 codes) — so the tripwire measures each path's

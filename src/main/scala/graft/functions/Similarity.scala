@@ -252,13 +252,20 @@ object Similarity {
     // through the same 6-dp rounding as the assignment above, which
     // absorbs that noise except on astronomically unlikely exact
     // rounding-boundary hits.
+    // elementwise per-cell average in ONE buffered aggregation
+    // ([[graft.plans.VectorAvgAgg]]): the former posexplode spelling
+    // multiplied the exchange's row count by the dimensionality and
+    // paid a second exchange to re-assemble the array — same values
+    // (identical per-partition addition order; merge order is
+    // shuffle-nondeterministic in both spellings, absorbed by the
+    // 6-dp rounding every downstream comparison applies)
     val centroids = assigned
-      .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("cval"))
       .groupBy(col("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("cval")))),
-        s => s.getField("cval")).as("centroid"))
+      .agg(graft.plans.VectorAvgAgg.vector_avg(
+        col("cv").cast("array<double>")).as("centroid"))
+      // a cell whose every vector is null/empty had no exploded rows
+      // in the former spelling — drop it here the same way
+      .filter(size(col("centroid")) > 0)
     (assigned, centroids)
   }
 
@@ -329,14 +336,23 @@ object Similarity {
       c.withColumn("_w", assignStruct(rows, cellDt, seedDt))
         .select(col("cid"), col("_w.cell").as("cell"),
           col("_w.sim").as("sim"), col("cv"))
+    // elementwise per-cell average in ONE buffered aggregation
+    // ([[graft.plans.VectorAvgAgg]]) — the posexplode spelling
+    // shuffled dims× the rows and re-assembled through a second
+    // exchange. The carried-state 6-dp rounding is applied OUTSIDE
+    // the aggregate by the same portableRound expression as before,
+    // so the rounded centroids both engines iterate over are
+    // unchanged.
     def recompute(a: DataFrame): DataFrame =
-      a.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(Hashing.portableRound(avg(col("v")), 6).as("cval"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cval")))),
-          s => s.getField("cval")).as("seed"))
+      a.groupBy(col("cell"))
+        .agg(graft.plans.VectorAvgAgg.vector_avg(
+          col("cv").cast("array<double>")).as("_raw"))
+        // a cell whose every vector is null/empty had no exploded
+        // rows in the former spelling — drop it here the same way
+        .filter(size(col("_raw")) > 0)
+        .select(col("cell"),
+          transform(col("_raw"),
+            v => Hashing.portableRound(v, 6)).as("seed"))
 
     var centsDf = ivfSeeds(corpus, k, idCol, vecCol)
     var cellDt = centsDf.schema.head.dataType

@@ -142,6 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimhashAgg.functionDescriptor)
     ext.injectFunction(MinhashAgg.functionDescriptor)
     ext.injectFunction(MisraGriesAgg.functionDescriptor)
+    ext.injectFunction(VectorAvgAgg.functionDescriptor)
     ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
