@@ -2563,8 +2563,16 @@ object SparkEntry {
     "docs_tfidf_topk" -> ((s, d) => {
       val words = docsWithTokens(t(s, d, "documents"))
         .select(col("doc_id"), explode(col("toks")).as("word"))
-      val tf = words.groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
+      // ONE tokenize pass: tf is staged (durable above the gate) and
+      // the document-frequency model derives FROM it — tf holds one
+      // row per distinct (doc, word), so count-per-word over tf IS
+      // countDistinct(doc_id) over the raw words. The former spelling
+      // re-read and re-tokenized the whole corpus for dfreq (guide
+      // §2.3 — don't pay a second pass for an aggregate of the first).
+      val tf = staged(s,
+        words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")),
+        dirBytes(s, s"$d/documents.parquet") / 2, "tfidf-tf")
       // vocabulary-sized document-frequency model, materialized once
       // and joined through the SIZE-GATED discipline every corpus-LM
       // family uses (broadcast under the row threshold, shuffle-hash
@@ -2572,8 +2580,8 @@ object SparkEntry {
       // and a hardcoded broadcast() would also sidestep the
       // at-scale shuffle_hash regime ScaleProof proves with
       // graft.model.broadcastMaxRows=0
-      val dfreq = words.groupBy(col("word"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      val dfreq = tf.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
         .localCheckpoint(true)
       val nDocs = t(s, d, "documents").count().toDouble
       val scored = graft.functions.ModelJoin.sizeGated(tf, dfreq, Seq("word"))
